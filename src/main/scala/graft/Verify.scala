@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries INT64 TIMESTAMP(NANOS) — Spark reads it as
+      // raw long nanos (Tables.events re-derives µs/timestamp columns).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write µs (not INT96) so the driver's DuckDB read sees exact values
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

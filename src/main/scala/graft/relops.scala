@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational spine of the engine: aggregation, star-schema joins, top-K
+  * windows, history aggregation, and time-window analytics.
+  *
+  * The reference has exactly one aggregation pattern — "fetch last 100
+  * messages, re-sort ascending, join with newline" (channel/thread history,
+  * `Slack Event Server/slackEventServer.js:187-221`, SURVEY.md A2/A3) —
+  * plus keyed membership state (A1, `slackEventServer.js:48,54-66`). Those
+  * are implemented here as window + ordered-string-agg operators. The
+  * star-schema joins/aggregations extend them into a verifiable query
+  * suite over the testdata (SURVEY.md §7.2 step 4).
+  *
+  * Scale notes (100 TB):
+  *  - Aggregations use partial (map-side) aggregation automatically via
+  *    groupBy/agg; all sums accumulate in DECIMAL for order-independent
+  *    exactness (see Tables.dsum).
+  *  - Dimension sides of joins are broadcast() explicitly — customer/
+  *    orders dims stay far below executor memory even at SF100k relative
+  *    to lineitem, and a broadcast join removes the big-side shuffle.
+  *  - Top-K per key uses row_number over a hash-partitioned window — one
+  *    shuffle on the key, no global sort.
+  */
+object RelOps {
+  import Tables.dsum
+
+  /** TPC-H Q1-style pricing summary over lineitem. Flagship aggregation:
+    * single scan, map-side partial agg, 4 exact decimal sums + derived
+    * averages. Filter reaches parquet (PushedFilters on l_shipdate).
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: customer ⋈ orders ⋈ lineitem with
+    * selective filters on all three, revenue per order, deterministic
+    * top-10. customer (dimension) is broadcast — at 100 TB the fact side
+    * (lineitem) never shuffles for this join.
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        // parquet ms timestamps read as TIMESTAMP_NTZ in Spark 4; cast to
+        // the session-UTC instant before taking epoch micros
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Revenue by nation/region: 4-way star join, all dims broadcast, single
+    * fact-side pass (TPC-H Q5 shape).
+    */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Tables.region(s, dir).select("r_regionkey", "r_name")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-3 orders per customer by total price — deterministic row_number
+    * top-K (one shuffle on o_custkey, no global sort).
+    */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
+  /** Channel/thread history aggregation (SURVEY.md A2/A3): per key, take
+    * the most recent 100 records, re-sort ascending, emit "user: text"
+    * lines joined by newline — the reference's
+    * `conversations.history(limit:100) → reverse → map → join('\n')`
+    * (`slackEventServer.js:187-202`), grouped per key like
+    * `conversations.replies` (A3, `:205-221`).
+    *
+    * Determinism: rank by (ts_ns desc, event_id desc); final order inside
+    * the aggregate via array_sort over (ts_ns, event_id) structs — never
+    * partition order.
+    */
+  def historyContext(s: SparkSession, dir: String, limit: Int = 100): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("line", concat(col("user_id").cast("string"), lit(": "), col("props")))
+    // Rank/sort on (ts_us, event_id), not raw nanos: the DuckDB oracle sees
+    // this table at µs precision, so sub-µs ordering must never decide.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= limit)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("context"),
+        count(lit(1)).as("n_msgs"),
+        max(col("ts_us")).as("last_ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Thread-membership state (SURVEY.md A1): the reference keeps an
+    * insert-only Set of (channel, thread) keys (`slackEventServer.js:48`).
+    * Batch analogue: first-event-per-key with deterministic keep-first
+    * (row_number, not dropDuplicates — dropDuplicates keeps an arbitrary
+    * row). Streaming analogue lives in graft.streaming.
+    */
+  def firstEventPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts_us").as("first_ts_us"),
+              col("event_id").as("first_event_id"))
+  }
+
+  /** Tumbling 10-minute event-time window aggregation (SURVEY.md ST3 —
+    * the reference's declared-but-empty Flink job; we implement it with
+    * Spark's native window()). Window start emitted as epoch micros for
+    * oracle parity.
+    */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
+  /** Session windows per user with a 30-minute inactivity gap —
+    * gaps-and-islands form (lag + cumulative sum), the batch-verifiable
+    * equivalent of session_window()/flatMapGroupsWithState sessionization.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("ts_us")).as("sess_start_us"),
+           max(col("ts_us")).as("sess_end_us"),
+           count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sum_value"))
+  }
+}

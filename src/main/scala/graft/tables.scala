@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All loads are plain parquet scans so Catalyst predicate pushdown and
+  * column pruning reach the source (SURVEY.md S2/S3 — the reference
+  * hand-rolls pushdown at its IMAP source, `Producer/kafkaProducer.js:92,
+  * 103-106`; here it is free).
+  *
+  * `events.ts` is nanosecond-precision INT64 in parquet. Spark's
+  * TimestampType is microsecond, so sessions run with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader exposes:
+  *   - `ts_ns`  — raw nanos (long), total ordering key
+  *   - `ts_us`  — floor(ns/1000) micros (long), matches DuckDB's read of
+  *                the same file as TIMESTAMP (which truncates ns → µs)
+  *   - `ts`     — TimestampType at µs, for window()/watermark operators
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events with ts exposed as (ts_ns: long, ts_us: long, ts: timestamp). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events").withColumnRenamed("ts", "ts_ns")
+    raw
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Sum a double column exactly: decimal accumulation (order-independent)
+    * then a single cast back to double. Keeps Spark-vs-DuckDB aggregate
+    * results bit-identical regardless of row order/partitioning — required
+    * for the driver's hash-match oracle.
+    * Oracle-side equivalent: CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE).
+    */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(25,6)")).cast("double")
+}
