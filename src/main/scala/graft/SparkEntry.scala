@@ -18,7 +18,8 @@ object SparkEntry {
     RelOps.pricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> ((s, d) => RelOps.pricingSummary(s, d)),
     "q02_shipping_priority"-> ((s, d) => RelOps.shippingPriority(s, d)),
     "q03_region_revenue"   -> ((s, d) => RelOps.regionRevenue(s, d)),
@@ -27,7 +28,9 @@ object SparkEntry {
     "q06_first_event"      -> ((s, d) => RelOps.firstEventPerKey(s, d)),
     "q07_tumbling_counts"  -> ((s, d) => RelOps.tumblingCounts(s, d)),
     "q08_sessionize"       -> ((s, d) => RelOps.sessionize(s, d)),
-  )
+    )
+    base ++ TextQueries.queries
+  }
 
   /** DECIMAL-accumulated exact sum, cast back to double (see Tables.dsum). */
   private def dsumSql(expr: String): String =
@@ -111,5 +114,5 @@ object SparkEntry {
          |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
-  )
+  ) ++ TextQueries.oracle
 }

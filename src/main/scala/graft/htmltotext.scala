@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** T3 — HTML→text with the reference's custom anchor rewriting
+  * (`Producer/kafkaProducer.js:133-159`): the one genuinely custom scalar
+  * operator (SURVEY.md §7.3). The reference delegates to the `html-to-text`
+  * npm lib (wordwrap 230, preserveNewlines) with a per-anchor format
+  * function; we implement a deterministic regex/scanner subset with the
+  * same anchor heuristics:
+  *
+  *  - anchor inside a "by …" context → plain text (byline, js:142-147)
+  *  - anchor text looks like an author name
+  *    (^[A-Z][a-z]+(?:\s+[A-Z][a-z]+){1,3}$) → plain text (js:150-152)
+  *  - otherwise → Slack hyperlink `<href|*text*>`, text falling back to
+  *    "Link" (js:153)
+  *
+  * Documented deviation: the reference checks the DOM parent's first text
+  * child for /^by\s+/i; without a DOM we check whether the visible text
+  * immediately before the anchor ends in "by " — same intent, positional
+  * rather than structural.
+  *
+  * This is a deliberate UDF (not codegen): it runs only on the cold
+  * HTML branch (T2 predicate), keeping the hot plain-text path native.
+  */
+object HtmlToText {
+  private val BodyRe    = "(?is)<body[^>]*>(.*?)</body>".r
+  private val ScriptRe  = "(?is)<(script|style)[^>]*>.*?</\\1>"
+  private val AnchorRe  = "(?is)<a\\b([^>]*)>(.*?)</a>".r
+  private val HrefRe    = """(?is)href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
+  private val AuthorRe  = """^[A-Z][a-z]+(?:\s+[A-Z][a-z]+){1,3}$""".r
+  private val ByCtxRe   = """(?is).*\bby\s+$""".r
+  private val BlockNlRe = "(?i)<br\\s*/?>|</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)>"
+  private val TagRe     = "(?s)<[^>]+>"
+  private val EntityNumRe = """&#(x?[0-9a-fA-F]+);""".r
+
+  def convert(html: String, wordwrap: Int = 230): String = {
+    if (html == null) return null
+    // 1. isolate <body> content when present
+    val body = BodyRe.findFirstMatchIn(html).map(_.group(1)).getOrElse(html)
+    // 2. drop script/style subtrees
+    val noScript = body.replaceAll(ScriptRe, "")
+    // 3. rewrite anchors with the reference's heuristics
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- AnchorRe.findAllMatchIn(noScript)) {
+      sb.append(noScript, last, m.start)
+      val attrs = m.group(1)
+      val text = stripTags(m.group(2)).trim
+      val href = HrefRe.findFirstMatchIn(attrs)
+        .map(h => Option(h.group(2)).orElse(Option(h.group(3))).getOrElse(h.group(4)))
+        .getOrElse("")
+      val precedingText = stripTags(sb.toString)
+      val rewritten =
+        if (ByCtxRe.matches(precedingText)) text
+        else if (AuthorRe.matches(text)) text
+        else s"<$href|*${if (text.isEmpty) "Link" else text}*>"
+      sb.append(rewritten)
+      last = m.end
+    }
+    sb.append(noScript, last, noScript.length)
+    // 4. block-level closers and <br> become newlines, remaining tags vanish
+    val withNl = sb.toString.replaceAll(BlockNlRe, "\n")
+    val noTags = stripTags(withNl)
+    // 5. entities
+    val decoded = decodeEntities(noTags)
+    // 6. whitespace normalization + wordwrap 230 per line
+    val lines = decoded.split("\n", -1).map(l => wrap(l.replaceAll("[ \\t]+", " ").trim, wordwrap))
+    lines.mkString("\n").replaceAll("\\n{3,}", "\n\n").trim
+  }
+
+  private def stripTags(s: String): String = s.replaceAll(TagRe, "")
+
+  private def decodeEntities(s: String): String = {
+    val named = s
+      .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&apos;", "'")
+    val numeric = EntityNumRe.replaceAllIn(named, m => {
+      val g = m.group(1)
+      val cp = if (g.startsWith("x") || g.startsWith("X")) Integer.parseInt(g.substring(1), 16)
+               else Integer.parseInt(g)
+      java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+    })
+    numeric.replace("&amp;", "&")
+  }
+
+  /** Greedy word-fill wrap at `width` columns; unbreakable words longer
+    * than width stay whole (html-to-text wordwrap behavior). */
+  private def wrap(line: String, width: Int): String = {
+    if (line.length <= width) return line
+    val words = line.split(" ")
+    val out = new StringBuilder
+    var cur = 0
+    for (w <- words) {
+      if (cur == 0) { out.append(w); cur = w.length }
+      else if (cur + 1 + w.length <= width) { out.append(' ').append(w); cur += 1 + w.length }
+      else { out.append('\n').append(w); cur = w.length }
+    }
+    out.toString
+  }
+
+  val htmlToTextUdf: UserDefinedFunction = udf(convert(_: String))
+
+  def htmlToText(c: Column): Column = htmlToTextUdf(c)
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's scalar text-transform "expression library" (SURVEY.md
+  * §2.4, T1–T21), re-expressed as native Column chains so the whole body
+  * cleaning stays inside whole-stage codegen — no UDF in the hot path.
+  *
+  * Source of truth: `Producer/kafkaProducer.js:118-201` (subject + body
+  * cleaning chain) and `Slack Event Server/slackEventServer.js:70-71`
+  * (mention strip). Each step keeps the original JS first-match/global and
+  * trim semantics:
+  *  - JS `.replace(re, ..)` without /g replaces the FIRST match only → the
+  *    Spark pattern is \A-anchored (a lazy-from-start JS match always
+  *    begins at index 0 when it exists, so anchoring is equivalent) since
+  *    Spark's regexp_replace is always global.
+  *  - JS `.trim()` trims all whitespace (not just spaces) → jsTrim.
+  *
+  * Every operator has a DuckDB-SQL twin in [[TextOracle]]; the two are
+  * maintained in lockstep and verified by the driver's oracle gate.
+  */
+object TextOps {
+
+  /** JS String.prototype.trim (all-whitespace, both ends). */
+  def jsTrim(c: Column): Column =
+    regexp_replace(c, """\A\s+|\s+\z""", "")
+
+  /** T1 — subject wrap with missing/empty coalesce
+    * (`Producer/kafkaProducer.js:118-124`). */
+  def subjectStyle(subject: Column): Column =
+    when(subject.isNull || subject === "", lit("*No Subject*"))
+      .otherwise(concat(lit("*"), subject, lit("*")))
+
+  /** T4 — delete everything up to and including the first
+    * "Together With …" line (`kafkaProducer.js:162-163`). */
+  def stripTogetherWith(c: Column): Column =
+    regexp_replace(c, """(?is)\A.*?Together With[^\n]*\n?""", "")
+
+  /** T5 — keep from the first line starting with TLDR, trimmed
+    * (`kafkaProducer.js:166-170`). The JS regex's optional date group is a
+    * no-op; semantics are substring(match.index).trim(). */
+  def trimToTldr(c: Column): Column = {
+    val ext = regexp_extract(c, """(?is)\A(?:.*?\n)??(tldr.*)""", 1)
+    when(ext =!= "", jsTrim(ext)).otherwise(c)
+  }
+
+  /** T6 — truncate at the "Love TLDR? …" footer, trimmed
+    * (`kafkaProducer.js:173-176`). */
+  private val loveTldrPat = """Love TLDR\? Tell your friends and get rewards!"""
+  def truncateAtLoveTldr(c: Column): Column =
+    when(c.rlike(loveTldrPat), jsTrim(split(c, loveTldrPat, 2).getItem(0)))
+      .otherwise(c)
+
+  /** T7 — truncate at "how did we do today" (case-insensitive), trimmed
+    * (`kafkaProducer.js:179-182`). */
+  private val feedbackPat = """(?i)how did we do today"""
+  def truncateAtFeedback(c: Column): Column =
+    when(c.rlike(feedbackPat), jsTrim(split(c, feedbackPat, 2).getItem(0)))
+      .otherwise(c)
+
+  /** T8–T13 — MIME/markup cleanup chain (`kafkaProducer.js:185-190`),
+    * all global replaces, order preserved. */
+  def stripMimeAndMarkup(c: Column): Column = {
+    val t8  = regexp_replace(c,   """Content-Type:.*?(\r\n|\n|\r)+""", "")
+    val t9  = regexp_replace(t8,  """Content-Transfer-Encoding:.*?(\r\n|\n|\r)+""", "")
+    val t10 = regexp_replace(t9,  """--.*?(\r\n|\n|\r)+""", "")
+    val t11 = regexp_replace(t10, """(\r\n|\n|\r)+""", "\n")
+    val t12 = regexp_replace(t11, """<[^>]+>""", "")
+    regexp_replace(t12, """[^\x20-\x7E\n]""", "")
+  }
+
+  /** T14 — bold ALL-CAPS heading lines, trimming inside the stars
+    * (`kafkaProducer.js:191`). Pure regexp_replace cannot trim the capture,
+    * so this runs per-line via transform() — still codegen-friendly. */
+  def boldCapsHeadings(c: Column): Column =
+    array_join(
+      transform(split(c, "\n", -1), l =>
+        when(l.rlike("""^[A-Z0-9 &]+$"""), concat(lit("*"), trim(l), lit("*")))
+          .otherwise(l)),
+      "\n")
+
+  /** T15–T17 — stray brackets, image URLs, author bylines
+    * (`kafkaProducer.js:192-194`). */
+  def stripBracketsImagesBylines(c: Column): Column = {
+    val t15 = regexp_replace(c,   """(?m)^\[|\]$""", "")
+    val t16 = regexp_replace(t15, """(?i)https?://\S+\.(png|jpg|jpeg|gif|svg)""", "")
+    regexp_replace(t16, """(?im)^\s*by [A-Z][a-z]+(?: [A-Z][a-z]+)*.*(\n|$)""", "")
+  }
+
+  /** T2+T3 — HTML detection + conversion branch (`kafkaProducer.js:131-159`). */
+  def htmlBranch(c: Column): Column =
+    when(c.contains("<html") || c.contains("<body"), HtmlToText.htmlToTextUdf(c))
+      .otherwise(c)
+
+  /** The full producer body-cleaning chain T2–T18 in reference order
+    * (`kafkaProducer.js:131-197`). */
+  def cleanBody(c: Column): Column = {
+    val afterHtml = htmlBranch(c)
+    val t4  = stripTogetherWith(afterHtml)
+    val t5  = trimToTldr(t4)
+    val t6  = truncateAtLoveTldr(t5)
+    val t7  = truncateAtFeedback(t6)
+    val t13 = stripMimeAndMarkup(t7)
+    val t14 = boldCapsHeadings(t13)
+    val t17 = stripBracketsImagesBylines(t14)
+    jsTrim(t17)
+  }
+
+  /** Like cleanBody but skipping the HTML branch — the native, fully
+    * codegen'd chain used when inputs are known plain-text. */
+  def cleanBodyPlain(c: Column): Column = {
+    val t4  = stripTogetherWith(c)
+    val t5  = trimToTldr(t4)
+    val t6  = truncateAtLoveTldr(t5)
+    val t7  = truncateAtFeedback(t6)
+    val t13 = stripMimeAndMarkup(t7)
+    val t14 = boldCapsHeadings(t13)
+    val t17 = stripBracketsImagesBylines(t14)
+    jsTrim(t17)
+  }
+
+  /** T19 — Slack mention strip (`slackEventServer.js:70-71`). */
+  def stripMentions(c: Column): Column =
+    jsTrim(regexp_replace(c, """<@[A-Z0-9]+>""", ""))
+
+  /** T21 — bare-URL line predicate (`Consumer/kafkaConsumer.js:104`). */
+  def isUrlLine(c: Column): Column = c.rlike("""^https?://\S+$""")
+}
+
+/** DuckDB-SQL twins of TextOps, assembled as CTE chains. DuckDB's
+  * regexp_replace is first-match unless passed 'g'; RE2 has no lookaround,
+  * so the same lookaround-free patterns run on both engines.
+  */
+object TextOracle {
+  /** JS trim as DuckDB SQL over expression `x`. */
+  def jsTrimSql(x: String): String =
+    s"regexp_replace($x, '\\A\\s+|\\s+\\z', '', 'g')"
+
+  /** Chain step SQL bodies: each maps column b -> b. Mirrors
+    * TextOps.cleanBodyPlain step for step. */
+  val cleanBodySteps: Seq[String] = Seq(
+    // T4 (first-match in JS; anchored, no 'g')
+    """regexp_replace(b, '(?is)\A.*?Together With[^\n]*\n?', '')""",
+    // T5 (s-interp processes \\ -> \; DuckDB strings are raw, so RE2 sees \A)
+    s"""CASE WHEN regexp_extract(b, '(?is)\\A(?:.*?\\n)??(tldr.*)', 1) <> ''
+       |THEN ${jsTrimSql("""regexp_extract(b, '(?is)\A(?:.*?\n)??(tldr.*)', 1)""")}
+       |ELSE b END""".stripMargin,
+    // T6
+    s"""CASE WHEN regexp_matches(b, 'Love TLDR\\? Tell your friends and get rewards!')
+       |THEN ${jsTrimSql("""string_split_regex(b, 'Love TLDR\? Tell your friends and get rewards!')[1]""")}
+       |ELSE b END""".stripMargin,
+    // T7
+    s"""CASE WHEN regexp_matches(b, '(?i)how did we do today')
+       |THEN ${jsTrimSql("string_split_regex(b, '(?i)how did we do today')[1]")}
+       |ELSE b END""".stripMargin,
+    // T8-T13
+    """regexp_replace(b, 'Content-Type:.*?(\r\n|\n|\r)+', '', 'g')""",
+    """regexp_replace(b, 'Content-Transfer-Encoding:.*?(\r\n|\n|\r)+', '', 'g')""",
+    """regexp_replace(b, '--.*?(\r\n|\n|\r)+', '', 'g')""",
+    """regexp_replace(b, '(\r\n|\n|\r)+', chr(10), 'g')""",
+    """regexp_replace(b, '<[^>]+>', '', 'g')""",
+    """regexp_replace(b, '[^\x20-\x7E\n]', '', 'g')""",
+    // T14
+    """array_to_string(list_transform(string_split(b, chr(10)),
+      |  l -> CASE WHEN regexp_matches(l, '^[A-Z0-9 &]+$')
+      |            THEN '*' || trim(l) || '*' ELSE l END), chr(10))""".stripMargin,
+    // T15-T17
+    """regexp_replace(b, '(?m)^\[|\]$', '', 'g')""",
+    """regexp_replace(b, '(?i)https?://\S+\.(png|jpg|jpeg|gif|svg)', '', 'g')""",
+    """regexp_replace(b, '(?im)^\s*by [A-Z][a-z]+(?: [A-Z][a-z]+)*.*(\n|$)', '', 'g')""",
+    // T18
+    jsTrimSql("b"),
+  )
+
+  /** Full CTE chain: `WITH src AS (SELECT doc_id, <inputExpr> AS b FROM
+    * documents), s1 AS (...), ...` followed by `finalSelect` (which may
+    * reference the last CTE as %LAST%). */
+  def cleanBodySql(inputExpr: String, finalSelect: String): String = {
+    val src = s"src AS (SELECT doc_id, $inputExpr AS b FROM documents)"
+    val steps = cleanBodySteps.zipWithIndex.map { case (body, i) =>
+      val prev = if (i == 0) "src" else s"s$i"
+      s"s${i + 1} AS (SELECT doc_id, $body AS b FROM $prev)"
+    }
+    val fin = s"$finalSelect s${cleanBodySteps.size} ORDER BY doc_id"
+    s"WITH ${(src +: steps).mkString(",\n")}\n$fin"
+  }
+}
