@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (extensions beyond the reference per BASELINE.json north star):
+  * token counting, quality scoring, n-gram language ID, and document
+  * fingerprinting. All are pure per-row expression pipelines — zero
+  * shuffle, fully codegen'd, embarrassingly parallel at 100 TB.
+  *
+  * Cross-engine determinism rules used throughout the extension suite:
+  *  - hashes are md5 hex strings (identical in Spark and DuckDB);
+  *    lexicographic MIN over hex strings replaces numeric minhash
+  *  - sequential folds (aggregate here, list_reduce in DuckDB) accumulate
+  *    in the same left-to-right order, and DuckDB's first-element init
+  *    equals Spark's zero-init after one step for our operators
+  *  - doubles that cross the oracle boundary are round(x, 6)
+  */
+object TextAnalysis {
+
+  /** q18 — token counting: whitespace tokens plus a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single punctuation). */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).selectExpr(
+      "doc_id",
+      "cast(length(text) as bigint) as n_chars",
+      "cast(size(split(trim(text), '\\\\s+')) as bigint) as n_ws_tokens",
+      "cast(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]') as bigint) as n_bpe_tokens",
+      "round(cast(length(text) as double) / size(split(trim(text), '\\\\s+')), 6) as avg_chars_per_token",
+    ).orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  length(text)::BIGINT AS n_chars,
+      |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe_tokens,
+      |  round(length(text)::DOUBLE / len(string_split_regex(trim(text), '\s+')), 6) AS avg_chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q19 — quality scoring: stopword ratio, unique-token ratio, mean token
+    * length, punctuation ratio, combined into one bounded score. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).selectExpr(
+      "doc_id",
+      "split(text, ' ') as toks",
+      "cast(regexp_count(text, '[^a-z0-9 ]') as bigint) as n_punct",
+      "cast(length(text) as bigint) as n_chars",
+    ).selectExpr(
+      "doc_id",
+      "cast(size(toks) as bigint) as n_tokens",
+      "round(size(filter(toks, t -> t in ('the', 'a', 'and', 'of', 'to'))) / cast(size(toks) as double), 6) as stop_ratio",
+      "round(size(array_distinct(toks)) / cast(size(toks) as double), 6) as uniq_ratio",
+      "round(aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t)) / cast(size(toks) as double), 6) as mean_tok_len",
+      "round(n_punct / cast(n_chars as double), 6) as punct_ratio",
+      """round(0.25 * (size(filter(toks, t -> t in ('the', 'a', 'and', 'of', 'to'))) / cast(size(toks) as double))
+        |+ 0.45 * (size(array_distinct(toks)) / cast(size(toks) as double))
+        |+ 0.30 * least((aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t)) / cast(size(toks) as double)) / 10.0, 1.0), 6) as quality_score"""
+        .stripMargin.replace("\n", " "),
+    ).orderBy("doc_id")
+
+  val qualityScoreSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::BIGINT AS n_punct,
+      |  length(text)::BIGINT AS n_chars FROM documents)
+      |SELECT doc_id,
+      |  len(toks)::BIGINT AS n_tokens,
+      |  round(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) / len(toks)::DOUBLE, 6) AS stop_ratio,
+      |  round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6) AS uniq_ratio,
+      |  round(list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::DOUBLE, 6) AS mean_tok_len,
+      |  round(n_punct / n_chars::DOUBLE, 6) AS punct_ratio,
+      |  round(0.25 * (len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) / len(toks)::DOUBLE)
+      |      + 0.45 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+      |      + 0.30 * least((list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::DOUBLE) / 10.0, 1.0), 6) AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** q20 — n-gram-heuristic language ID: score per language = stopword-
+    * marker overlap count; argmax with alphabetic tie-break. The synthetic
+    * corpus is English-ish word salad, so predictions are stable — the
+    * oracle verifies the scoring machinery, fixtures verify behavior. */
+  private val markers = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "que", "y", "los"),
+    "fr" -> Seq("le", "et", "les", "des", "un"),
+  )
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val scoreCols = markers.map { case (l, ws) =>
+      s"cast(size(filter(toks, t -> t in (${ws.map(w => s"'$w'").mkString(", ")}))) as bigint) as s_$l"
+    }
+    val caseExpr = markers.map(_._1).map { l =>
+      val others = markers.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $others THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "lang", "split(text, ' ') as toks")
+      .selectExpr(Seq("doc_id", "lang") ++ scoreCols: _*)
+      .selectExpr("doc_id", "lang", "s_de", "s_en", "s_es", "s_fr",
+        s"$caseExpr as predicted")
+      .withColumn("matched", col("predicted") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val scoreCols = markers.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))::BIGINT AS s_$l"
+    }.mkString(",\n  ")
+    val caseExpr = markers.map(_._1).map { l =>
+      val others = markers.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $others THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $scoreCols
+       |FROM t)
+       |SELECT doc_id, lang, s_de, s_en, s_es, s_fr,
+       |  $caseExpr AS predicted,
+       |  ($caseExpr = lang) AS matched
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** q21 — document fingerprinting: a 31-polynomial rolling hash over the
+    * first 64 chars (sequential fold, identical accumulation order in both
+    * engines) plus a winnowing-style min-hash over word 3-gram shingles
+    * (lexicographic min of md5-hex — engine-neutral). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).selectExpr(
+      "doc_id",
+      """aggregate(sequence(1, least(64, length(text))), cast(0 as bigint),
+        |(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007) as poly_hash"""
+        .stripMargin.replace("\n", " "),
+      "split(text, ' ') as toks",
+    ).selectExpr(
+      "doc_id", "poly_hash",
+      """CASE WHEN size(toks) >= 3 THEN
+        |array_min(transform(sequence(1, size(toks) - 2),
+        |  i -> substring(md5(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))), 1, 16)))
+        |ELSE NULL END as min_shingle_hash""".stripMargin.replace("\n", " "),
+    ).orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, least(64, length(text)) + 1),
+      |    i -> ascii(substr(text, i::INT, 1))::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS poly_hash,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    list_aggregate(list_transform(range(1, len(toks) - 1),
+      |      i -> substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 16)), 'min')
+      |  ELSE NULL END AS min_shingle_hash
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_token_stats"   -> ((s, d) => tokenStats(s, d)),
+    "q19_quality_score" -> ((s, d) => qualityScore(s, d)),
+    "q20_lang_id"       -> ((s, d) => langId(s, d)),
+    "q21_fingerprint"   -> ((s, d) => fingerprint(s, d)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q18_token_stats"   -> tokenStatsSql,
+    "q19_quality_score" -> qualityScoreSql,
+    "q20_lang_id"       -> langIdSql,
+    "q21_fingerprint"   -> fingerprintSql,
+  )
+}

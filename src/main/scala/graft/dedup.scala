@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash-groupBy), MinHash+LSH banding (shingle → minhash signature →
+  * band buckets → bucket-join → exact-Jaccard verify), SimHash, and
+  * n-gram Jaccard similarity.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-shuffle on the content key with map-side
+  *    partial aggregation;
+  *  - MinHash/LSH is the canonical near-dup pattern: signatures are
+  *    per-row expression work (no shuffle), candidate generation shuffles
+  *    ONLY (band_idx, band_hash) pairs — never all-pairs — and the
+  *    Jaccard verify touches only bucket-collision candidates;
+  *  - SimHash is pure per-row expression work.
+  *
+  * The synthetic corpus has no real near-dups, so the LSH query builds a
+  * mutated twin per document (first token dropped, doc_id+10000) with the
+  * same expression on both engines — the oracle verifies the dedup
+  * machinery end-to-end (signature, banding, candidate join, verify).
+  */
+object Dedup {
+
+  /** q22 — exact dedup on a normalized content key. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "concat_ws(' ', slice(split(text, ' '), 1, 2)) as dkey")
+      .groupBy("dkey")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("doc_ids"))
+      .orderBy("dkey")
+
+  val exactSql: String =
+    """SELECT concat_ws(' ', string_split(text, ' ')[1], string_split(text, ' ')[2]) AS dkey,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
+      |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+      |FROM documents GROUP BY dkey ORDER BY dkey""".stripMargin
+
+  // Corpus with a near-duplicate twin per doc: same text minus its first
+  // token, id offset by 10000. Identical construction on both engines.
+  private val corpusExpr =
+    "SELECT doc_id, text FROM documents UNION ALL " +
+    "SELECT doc_id + 10000 AS doc_id, substring(text, instr(text, ' ') + 1) AS text FROM documents"
+  private val corpusSqlDuck =
+    "SELECT doc_id, text FROM documents UNION ALL " +
+    "SELECT doc_id + 10000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text FROM documents"
+
+  /** Distinct word-3-gram shingles of `text` (Spark SQL fragment). */
+  private val shinglesExpr =
+    """CASE WHEN size(toks) >= 3 THEN
+      |array_distinct(transform(sequence(1, size(toks) - 2),
+      |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      |ELSE array() END""".stripMargin.replace("\n", " ")
+
+  private val shinglesSqlDuck =
+    """CASE WHEN len(toks) >= 3 THEN
+      |list_distinct(list_transform(range(1, len(toks) - 1),
+      |  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      |ELSE [] END""".stripMargin.replace("\n", " ")
+
+  /** q23 — MinHash signature (12 hashes as lexicographic-min md5 hex),
+    * LSH banding (4 bands × 3 rows), bucket-join candidates, exact-Jaccard
+    * verification at 0.5. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(
+      docs.selectExpr("doc_id + 10000 as doc_id",
+                      "substring(text, instr(text, ' ') + 1) as text"))
+    val sh = corpus
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .selectExpr("doc_id", s"$shinglesExpr as sh")
+    val sig = sh.selectExpr("doc_id",
+      """transform(sequence(0, 11),
+        |  h -> array_min(transform(sh, x -> md5(concat(cast(h as string), ':', x))))) as sig"""
+        .stripMargin.replace("\n", " "))
+    val bands = sig.selectExpr("doc_id",
+      """posexplode(transform(sequence(0, 3),
+        |  b -> md5(concat(element_at(sig, 3 * b + 1), element_at(sig, 3 * b + 2), element_at(sig, 3 * b + 3)))))
+        |as (band_idx, band_hash)""".stripMargin.replace("\n", " "))
+    // candidate ids from band-bucket collisions only (never all pairs)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash")),
+            Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshSql: String =
+    s"""WITH corpus AS ($corpusSqlDuck),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+       |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM tk),
+       |sig AS (SELECT doc_id, sh, list_transform(range(0, 12),
+       |  h -> list_aggregate(list_transform(sh, x -> md5(h::VARCHAR || ':' || x)), 'min')) AS sig FROM sh),
+       |bands AS (SELECT doc_id, sh, b AS band_idx,
+       |  md5(sig[3 * b + 1] || sig[3 * b + 2] || sig[3 * b + 3]) AS band_hash
+       |  FROM (SELECT doc_id, sh, sig, unnest(range(0, 4)) AS b FROM sig)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |ver AS (SELECT doc_a, doc_b,
+       |  round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+       |            JOIN sh sb ON sb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q24 — 16-bit SimHash over raw tokens (frequency-weighted), bit b from
+    * the high bit of the (b+1)-th md5 hex digit; plus the size of each
+    * exact-SimHash cluster. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .selectExpr("doc_id",
+        """aggregate(transform(sequence(0, 15),
+          |  b -> IF(aggregate(toks, 0,
+          |            (acc, t) -> acc + IF(instr('89abcdef', substring(md5(t), b + 1, 1)) > 0, 1, -1)) > 0,
+          |          shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+          |cast(0 as bigint), (a, x) -> a + x) as simhash""".stripMargin.replace("\n", " "))
+      .withColumn("n_cluster", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+      .orderBy("doc_id")
+
+  val simhashSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+      |    b -> CASE WHEN list_reduce(list_prepend(0, list_transform(toks,
+      |             t -> CASE WHEN strpos('89abcdef', substr(md5(t), (b + 1)::INT, 1)) > 0 THEN 1 ELSE -1 END)),
+      |             (x, y) -> x + y) > 0
+      |         THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (a, c) -> a + c) AS simhash
+      |  FROM t)
+      |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_cluster
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** q25 — n-gram Jaccard similarity search: top-20 documents most similar
+    * to doc 0 by word-3-gram Jaccard (brute force against a single
+    * broadcast query row — the verify-stage primitive of q23). */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .selectExpr("doc_id", s"$shinglesExpr as sh")
+    val query = docs.filter(col("doc_id") === 0).select(col("sh").as("qsh"))
+    docs.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh"), col("qsh"))) /
+          size(array_distinct(concat(col("sh"), col("qsh")))).cast("double"), 6))
+      .select("doc_id", "jaccard")
+      .orderBy(col("jaccard").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM tk),
+       |q AS (SELECT sh AS qsh FROM sh WHERE doc_id = 0)
+       |SELECT doc_id,
+       |  round(len(list_intersect(sh, qsh)) / len(list_distinct(list_concat(sh, qsh)))::DOUBLE, 6) AS jaccard
+       |FROM sh, q WHERE doc_id <> 0
+       |ORDER BY jaccard DESC, doc_id LIMIT 20""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_dedup_exact"   -> ((s, d) => exact(s, d)),
+    "q23_minhash_lsh"   -> ((s, d) => minhashLsh(s, d)),
+    "q24_simhash"       -> ((s, d) => simhash(s, d)),
+    "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q22_dedup_exact"   -> exactSql,
+    "q23_minhash_lsh"   -> minhashLshSql,
+    "q24_simhash"       -> simhashSql,
+    "q25_ngram_jaccard" -> ngramJaccardSql,
+  )
+}
