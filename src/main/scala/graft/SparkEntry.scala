@@ -29,7 +29,8 @@ object SparkEntry {
     "q07_tumbling_counts"  -> ((s, d) => RelOps.tumblingCounts(s, d)),
     "q08_sessionize"       -> ((s, d) => RelOps.sessionize(s, d)),
     )
-    base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries
+    base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries
   }
 
   /** DECIMAL-accumulated exact sum, cast back to double (see Tables.dsum). */
@@ -114,5 +115,6 @@ object SparkEntry {
          |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
-  ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle
+  ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
+    Similarity.oracle
 }

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-d float vectors):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Scale design (100 TB):
+  *  - brute force broadcasts the (tiny) query side; the corpus scan is
+  *    one pass, no shuffle, and top-k collapses to TakeOrderedAndProject
+  *    (per-partition heaps, then a driver merge of k×partitions rows);
+  *  - LSH buckets are per-row expression work; the candidate join
+  *    shuffles on the bucket id only (never all pairs), so cost scales
+  *    with collision count, not corpus²;
+  *  - both keep every arithmetic step inside whole-stage codegen.
+  *
+  * Cross-engine determinism: dot products and norms are LEFT-TO-RIGHT
+  * folds over float→double widened products. Spark's aggregate() and
+  * DuckDB's list_reduce both fold left-to-right over identical element
+  * values, and IEEE-754 +,*,/,sqrt are exactly rounded, so cosines are
+  * bit-identical on both engines — orderings and LIMIT cut-offs agree
+  * exactly. Output cosines are round(x, 6) for display only; sort keys
+  * stay unrounded.
+  */
+object Similarity {
+
+  /** Spark SQL: left-to-right dot product of two float-array columns,
+    * widened to double per element. */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+       |cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB: same fold, same order, same widening. */
+  private def dotSqlDuck(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),
+       |i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (p, q) -> p + q)""".stripMargin.replace("\n", " ")
+
+  /** q26 — brute-force cosine top-k: the 20 nearest neighbours of
+    * vec_id 0. Query side is a single broadcast row; corpus side is one
+    * codegen'd scan; top-k is TakeOrderedAndProject (no full sort). */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "label", "embedding",
+        s"sqrt(${dotExpr("embedding", "embedding")}) as nrm")
+    val query = emb.filter(col("vec_id") === 0)
+      .selectExpr("embedding as qe", "nrm as qn")
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .selectExpr("vec_id", "label",
+        s"${dotExpr("embedding", "qe")} / (nrm * qn) as cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+      .selectExpr("vec_id", "label", "round(cos, 6) as cosine")
+  }
+
+  val cosineTopKSql: String = {
+    val dot = dotSqlDuck("e.embedding", "q.embedding")
+    val nrm = dotSqlDuck("e.embedding", "e.embedding")
+    val qn  = dotSqlDuck("q.embedding", "q.embedding")
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT e.vec_id, e.label,
+       |  ($dot) / (sqrt($nrm) * sqrt($qn)) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> 0)
+       |SELECT vec_id, label, round(cos, 6) AS cosine
+       |FROM c ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+  }
+
+  // 8 deterministic pseudo-random hyperplanes: coef(p, j) =
+  // ((p*73856093 + j*19349663) % 97) / 48.0 - 1.0 — pure integer
+  // arithmetic then one exact division, identical on both engines.
+  private val nPlanes = 8
+
+  /** Spark SQL: LSH bucket id (8 sign bits) of float-array column `e`. */
+  private def bucketExpr(e: String): String = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj =
+        s"""aggregate(zip_with($e, sequence(0, 63), (x, j) ->
+           |cast(x as double) * ((($p * 73856093 + cast(j as bigint) * 19349663) % 97) / 48.0 - 1.0)),
+           |cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+      s"IF($proj > 0, ${1L << p}L, 0L)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB: same bucket id. */
+  private def bucketSqlDuck(e: String): String = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj =
+        s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($e) + 1),
+           |i -> $e[i]::DOUBLE * ((($p * 73856093 + (i - 1) * 19349663) % 97) / 48.0 - 1.0))),
+           |(p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+      s"CASE WHEN $proj > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** q27 — LSH-bucketed approximate nearest neighbours: for each query
+    * (vec_id < 10), the top-5 same-bucket candidates by exact cosine.
+    * Candidate generation touches only bucket collisions; the bucket id
+    * is per-row expression work computed in the same scan as the norm. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "label", "embedding",
+        s"sqrt(${dotExpr("embedding", "embedding")}) as nrm",
+        s"${bucketExpr("embedding")} as bucket")
+    val queries = emb.filter(col("vec_id") < 10)
+      .selectExpr("vec_id as q_id", "embedding as qe", "nrm as qn", "bucket")
+    val ranked = emb
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", "label", "bucket",
+        s"${dotExpr("embedding", "qe")} / (nrm * qn) as cos")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+    ranked.selectExpr("q_id", "rank", "vec_id", "label", "bucket",
+        "round(cos, 6) as cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val annLshSql: String = {
+    val dot = dotSqlDuck("e.embedding", "q.embedding")
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+       |  sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm,
+       |  ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding, nrm AS qn, bucket FROM b WHERE vec_id < 10),
+       |c AS (SELECT q.q_id, e.vec_id, e.label, e.bucket,
+       |  ($dot) / (e.nrm * q.qn) AS cos
+       |  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM c)
+       |SELECT q_id, rank, vec_id, label, bucket, round(cos, 6) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** q28 — label-centroid assignment: mean vector per label (element-wise
+    * decimal-exact average over the whole corpus), then each vector's
+    * cosine to its own label centroid — the IVF coarse-quantizer step of
+    * an ANN index, expressed as one groupBy + one broadcast join. */
+  def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // element-wise decimal sums (order-independent, exact) per label
+    val byDim = emb
+      .selectExpr("vec_id", "label", "posexplode(embedding) as (dim, v)")
+      .groupBy("label", "dim")
+      .agg(sum(col("v").cast("decimal(25,12)")).as("sv"), count(lit(1)).as("n"))
+      .selectExpr("label", "dim", "cast(sv as double) / n as cv")
+    val centroids = byDim
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .selectExpr("label", "transform(pairs, p -> p.cv) as centroid")
+    emb.join(broadcast(centroids), Seq("label"))
+      .selectExpr("vec_id", "label",
+        s"""${dotExpr("embedding", "centroid")} /
+           |(sqrt(${dotExpr("embedding", "embedding")}) * sqrt(${dotSparkDD("centroid")})) as cos"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("vec_id", "label", "round(cos, 6) as cos_to_centroid")
+      .orderBy("vec_id")
+  }
+
+  /** Spark SQL: dot of a double-array column with itself (no widening). */
+  private def dotSparkDD(a: String): String =
+    s"aggregate(zip_with($a, $a, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+
+  val labelCentroidsSql: String =
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |j AS (SELECT e.vec_id, e.label,
+       |  (list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+       |     i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p, q) -> p + q))
+       |  / (sqrt(${dotSqlDuck("e.embedding", "e.embedding")})
+       |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+       |         i -> c.centroid[i] * c.centroid[i])), (p, q) -> p + q))) AS cos
+       |  FROM embeddings e JOIN c ON e.label = c.label)
+       |SELECT vec_id, label, round(cos, 6) AS cos_to_centroid
+       |FROM j ORDER BY vec_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
+    "q27_ann_lsh"         -> ((s, d) => annLsh(s, d)),
+    "q28_label_centroids" -> ((s, d) => labelCentroids(s, d)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q26_cosine_topk"     -> cosineTopKSql,
+    "q27_ann_lsh"         -> annLshSql,
+    "q28_label_centroids" -> labelCentroidsSql,
+  )
+}
