@@ -97,15 +97,19 @@ object Similarity {
     bits.mkString("(", " + ", ")")
   }
 
+  /** Corpus annotated with norm + LSH bucket (exposed for tests). */
+  private[graft] def withLsh(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "label", "embedding",
+        s"sqrt(${dotExpr("embedding", "embedding")}) as nrm",
+        s"${bucketExpr("embedding")} as bucket")
+
   /** q27 — LSH-bucketed approximate nearest neighbours: for each query
     * (vec_id < 10), the top-5 same-bucket candidates by exact cosine.
     * Candidate generation touches only bucket collisions; the bucket id
     * is per-row expression work computed in the same scan as the norm. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-      .selectExpr("vec_id", "label", "embedding",
-        s"sqrt(${dotExpr("embedding", "embedding")}) as nrm",
-        s"${bucketExpr("embedding")} as bucket")
+    val emb = withLsh(s, d)
     val queries = emb.filter(col("vec_id") < 10)
       .selectExpr("vec_id as q_id", "embedding as qe", "nrm as qn", "bucket")
     val ranked = emb

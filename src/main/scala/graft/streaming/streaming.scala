@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.{LineOps, Serde, TextOps}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One Slack-ish event for A1 state tracking. (Top-level: Spark's state
+  * encoder codegen requires a no-outer-pointer constructor.) */
+case class ThreadEvent(channel: String, ts: Timestamp, thread_ts: Option[String])
+/** Emitted once per newly-seen (channel, thread) key. */
+case class ThreadSeen(thread_key: String, first_ts: Timestamp)
+private[streaming] case class SeenState(firstTsMs: Long)
+
+/** The reference's three service legs as Structured Streaming transforms
+  * (SURVEY.md §2.1-§2.2, §2.8). Every transform is source-agnostic: it
+  * takes a DataFrame that may come from MemoryStream (tests), files, or
+  * Kafka (`spark.readStream.format("kafka").option("subscribe","technews")
+  * .option("startingOffsets","earliest")` — S4/ST6; the connector jar is
+  * not in this container, so tests drive MemoryStream), and reuses the
+  * SAME batch Column functions verified by the DuckDB oracle — one code
+  * path for both modes is the point of Structured Streaming.
+  *
+  * Delivery semantics vs the reference (ST4/ST5): checkpointed sources +
+  * foreachBatch sinks give at-least-once, matching the producer's
+  * send-then-mark-seen (`Producer/kafkaProducer.js:208-218`) and beating
+  * the consumer's swallow-errors at-most-once Slack leg
+  * (`Consumer/kafkaConsumer.js:145-147`).
+  */
+object StreamingOps {
+
+  /** Producer leg (S1→T*→Z1→K1, `kafkaProducer.js:79-232`): raw email
+    * records → subject styling + body cleaning → Avro-encoded `value`
+    * ready for a Kafka sink. Trigger in the reference is a 10-minute
+    * processing-time poll (ST1) — callers pass
+    * `Trigger.ProcessingTime("10 minutes")` at `writeStream` time. */
+  def producerTransform(raw: DataFrame): DataFrame =
+    raw.select(
+      col("seqno"),
+      TextOps.subjectStyle(col("subject")).as("subject"),
+      TextOps.cleanBodyPlain(col("body")).as("body"))
+      .select(
+        col("seqno"),
+        Serde.toAvroEmail(col("seqno"), col("subject"), col("body")).as("value"))
+
+  /** Consumer leg (S4→Z2→W1→W2→W3, `kafkaConsumer.js:51-148`): Avro
+    * `value` → decode with drop-on-corrupt → hyperlink headings → chunk →
+    * Block Kit section rows for the Slack sink. */
+  def consumerTransform(withValue: DataFrame): DataFrame = {
+    val decoded = withValue
+      .select(Serde.fromAvroEmail(col("value")).as("email"))
+      .filter(col("email").isNotNull)   // Z2 malformed-record drop
+      .select(col("email.seqno").as("seqno"),
+              col("email.subject").as("subject"),
+              col("email.body").as("body"))
+    val linked = decoded.withColumn("body_linked",
+      LineOps.hyperlinkHeadingsHof("body"))
+    LineOps.blockKitRows(linked, "seqno", "subject", "body_linked", maxLen = 2900)
+  }
+
+  /** ST2/ST3 (extension — the reference's Flink file is empty): event-time
+    * tumbling counts with a watermark bounding state. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Session windows over event time — the streaming twin of the batch
+    * sessionize query (q08), 30-minute gap. */
+  def sessionCounts(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** A1 — thread-membership tracking (`slackEventServer.js:48,54-66`:
+    * `participatingThreads.add(`${channel}-${thread_ts ?? ts}`)`), as
+    * keyed state in flatMapGroupsWithState. The reference's Set is
+    * unbounded and lost on restart; here state is checkpointed and
+    * evicted by event-time timeout (deliberate deviation, SURVEY §7.4) so
+    * it cannot grow without bound at 100 TB. Emits each key once. */
+  def threadMembership(events: Dataset[ThreadEvent], watermarkDelay: String,
+                       ttlMillis: Long): Dataset[ThreadSeen] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.channel + "-" + e.thread_ts.getOrElse(e.ts.toString))
+      .flatMapGroupsWithState[SeenState, ThreadSeen](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[ThreadEvent], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty   // insert-only set semantics
+          else {
+            val first = it.map(_.ts.getTime).min
+            state.update(SeenState(first))
+            state.setTimeoutTimestamp(first + ttlMillis)
+            Iterator.single(ThreadSeen(key, new Timestamp(first)))
+          }
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior checks for the extension suites (dedup, similarity, media)
+  * on sf0.001 — the oracle gate proves cross-engine equality; these prove
+  * the semantics are the intended ones. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q23 MinHash+LSH finds every planted near-duplicate twin") {
+    // The query plants a twin (doc_id+10000, first token dropped) per doc;
+    // LSH banding + 0.5-Jaccard verify must recover (id, id+10000) pairs.
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // twins of 10+-token docs share all but ~2 shingles → Jaccard ≫ 0.5
+    val planted = texts.filter(_._2.split(" ").length >= 10)
+      .map { case (id, _) => (id, id + 10000) }.toSet
+    assert(planted.subsetOf(pairs), s"missing ${(planted -- pairs).take(5)}")
+  }
+
+  /** Driver-side exact cosine with the same left-to-right double fold the
+    * Spark expressions use — bit-identical reference values. */
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  private lazy val embs: Map[Long, Seq[Float]] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+
+  test("q26: matches brute-force exact top-20 computed in the driver") {
+    val got = Similarity.cosineTopK(spark, sf)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
+    val q = embs(0L)
+    val want = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cos(e, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+      .map { case (id, c) =>
+        (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got == want)
+  }
+
+  test("q26: cosine to self is 1.0") {
+    val emb = Tables.embeddings(spark, sf).limit(3)
+    val self = emb.selectExpr("vec_id",
+      """round(aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)),
+        |cast(0 as double), (acc, v) -> acc + v) /
+        |(sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)),
+        |cast(0 as double), (acc, v) -> acc + v)) *
+        |sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)),
+        |cast(0 as double), (acc, v) -> acc + v))), 9) as c""".stripMargin.replace("\n", " "))
+      .collect().map(_.getDouble(1))
+    assert(self.forall(_ == 1.0))
+  }
+
+  test("q27: ANN == exact top-5 restricted to the query's LSH bucket") {
+    val ann = Similarity.annLsh(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val buckets = Similarity.withLsh(spark, sf)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    for (q <- 0L until 10L) {
+      val want = buckets.keys.toSeq
+        .filter(v => v != q && buckets(v) == buckets(q))
+        .map(v => (v, cos(embs(v), embs(q))))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(ann.getOrElse(q, Seq.empty) == want, s"query $q")
+    }
+  }
+
+  test("documents are pure ASCII (media byte ops == char ops invariant)") {
+    val n = Tables.documents(spark, sf)
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(n == 0)
+  }
+
+  test("q29: media stub is deterministic and length-consistent") {
+    val f = MediaOps.mediaFeatures(spark, sf)
+    val rows = f.collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bytes") == texts(id).length)
+      assert(r.getAs[Int]("n_frames") == 1 + (texts(id).length % 5))
+      assert(r.getAs[String]("frame_hashes").split(",").length == r.getAs[Int]("n_frames"))
+      assert(r.getAs[Int]("rs_width") == math.max(r.getAs[Int]("width") / 2, 1))
+    }
+    // determinism: second run bit-identical
+    assert(MediaOps.mediaFeatures(spark, sf).collect().toSeq == rows.toSeq)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** MemoryStream-driven tests of the streaming layer (SURVEY.md §2.8).
+  * Each transform is also the batch implementation — the producer/consumer
+  * legs reuse the oracle-verified Column functions unchanged, so these
+  * tests check streaming wiring: micro-batch progress, watermarks,
+  * append-mode emission, and keyed state with TTL. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("producer→consumer legs: streaming Kafka-shaped roundtrip == batch result") {
+    val in = MemoryStream[(Int, String, String)](spark)
+    val raw = in.toDF().toDF("seqno", "subject", "body")
+    // both legs in one continuous plan: clean → Avro value → decode → blocks
+    val out = StreamingOps.consumerTransform(StreamingOps.producerTransform(raw))
+    val body = "HEADLINE ONE\nhttps://ex.am/1\nplain text\n" + ("y" * 3000)
+    in.addData((1, "Subj", body), (2, null, "tiny"))
+    val q = out.writeStream.format("memory").queryName("blocks")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+
+    val streamed = spark.table("blocks")
+      .orderBy("seqno", "block_no")
+      .select("seqno", "block_no", "btext").collect().toSeq
+    val batch = StreamingOps.consumerTransform(StreamingOps.producerTransform(
+        Seq((1, "Subj", body), (2, null: String, "tiny")).toDF("seqno", "subject", "body")))
+      .orderBy("seqno", "block_no")
+      .select("seqno", "block_no", "btext").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(_.getString(2).contains("<https://ex.am/1|*HEADLINE ONE*")))
+    assert(streamed.count(_.getInt(0) == 1) >= 3) // subject + >=2 chunks (3000 chars)
+  }
+
+  test("corrupt Avro records are dropped, not failed (Z2 semantics)") {
+    val in = MemoryStream[Array[Byte]](spark)
+    val out = StreamingOps.consumerTransform(in.toDF().toDF("value"))
+    in.addData(Serde.encodeEmail(1, "ok", "body"), Array[Byte](9, 9, 9))
+    val q = out.writeStream.format("memory").queryName("corrupt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val seqnos = spark.table("corrupt").select("seqno").as[Int].collect().toSet
+    assert(seqnos == Set(1))
+  }
+
+  test("windowed counts: watermark drops late data in append mode") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamingOps.windowedCounts(in.toDF().toDF("ts", "event_type"), "5 minutes")
+    val q = out.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    in.addData((ts(1), "a"), (ts(4), "a"), (ts(12), "b"))
+    q.processAllAvailable()
+    in.addData((ts(40), "c"))   // watermark → 35min: closes windows ≤30
+    q.processAllAvailable()
+    in.addData((ts(2), "a"))    // late beyond watermark → dropped
+    q.processAllAvailable()
+    in.addData((ts(70), "d"))   // close remaining
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wincounts")
+      .selectExpr("unix_millis(window.start) div 60000 as m", "event_type", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.contains((0L, "a", 2L)))   // late (ts 2) NOT counted
+    assert(got.contains((10L, "b", 1L)))
+    assert(got.contains((40L, "c", 1L)))
+  }
+
+  test("thread membership: insert-only keyed state emits each key once") {
+    val in = MemoryStream[graft.streaming.ThreadEvent](spark)
+    val out = StreamingOps.threadMembership(in.toDS(), "10 minutes", ttlMillis = 3600000L)
+    val q = out.writeStream.format("memory").queryName("threads")
+      .outputMode("append").start()
+    in.addData(
+      graft.streaming.ThreadEvent("C1", ts(1), Some("t1")),
+      graft.streaming.ThreadEvent("C1", ts(2), Some("t1")),   // same thread
+      graft.streaming.ThreadEvent("C2", ts(3), None))         // root = own ts
+    q.processAllAvailable()
+    in.addData(graft.streaming.ThreadEvent("C1", ts(5), Some("t1"))) // still known
+    in.addData(graft.streaming.ThreadEvent("C1", ts(6), Some("t2"))) // new thread
+    q.processAllAvailable(); q.stop()
+    val keys = spark.table("threads").select("thread_key").as[String].collect().toSeq
+    assert(keys.sorted == Seq("C1-t1", "C1-t2", s"C2-${ts(3)}").sorted)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the T-chain on a fixture newsletter body (SURVEY.md
+  * §5), plus serde roundtrips (Z1-Z3). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runClean(body: String): String =
+    Seq(body).toDF("b").select(TextOps.cleanBodyPlain(col("b")).as("c"))
+      .collect().head.getString(0)
+
+  test("T-chain golden: full newsletter fixture") {
+    val fixture =
+      """Sponsor preamble
+        |Together With Acme Corp
+        |TLDR AI 2025-08-29
+        |
+        |BIG NEWS TODAY
+        |Content-Type: text/plain; charset=utf-8
+        |Content-Transfer-Encoding: quoted-printable
+        |--boundary-123
+        |Some story about chipsé here
+        |[brackets]
+        |by John Smith reporting
+        |https://cdn.site/pic.png
+        |Love TLDR? Tell your friends and get rewards!
+        |Referral footer""".stripMargin
+    val expected =
+      """TLDR AI 2025-08-29
+        |*BIG NEWS TODAY*
+        |Some story about chips here
+        |brackets""".stripMargin
+    assert(runClean(fixture) == expected)
+  }
+
+  test("T4: first Together With line and everything before it removed") {
+    assert(runClean("junk\nmore Together With X\nkeep") == "keep")
+    assert(runClean("no marker\nkeep") == "no marker\nkeep")
+  }
+
+  test("T5: trims to first TLDR line, case-insensitive") {
+    assert(runClean("preamble\ntldr daily\nrest") == "tldr daily\nrest")
+  }
+
+  test("T6/T7: footer truncation") {
+    assert(runClean("keep\nLove TLDR? Tell your friends and get rewards!\ngone") == "keep")
+    assert(runClean("keep\nHOW DID WE DO TODAY?\ngone") == "keep")
+  }
+
+  test("T14: ALL-CAPS heading bolded with inner trim (reference nuance)") {
+    assert(runClean("AI NEWS & MORE") == "*AI NEWS & MORE*")
+    // JS does `*${line.trim()}*` — the bold hugs the trimmed text. The
+    // leading spaces make the line fail ^[A-Z0-9 &]+$? No: space is in
+    // the class, so "  CAPS  " matches and trims inside the stars.
+    assert(runClean("x\n  CAPS  \ny") == "x\n*CAPS*\ny")
+  }
+
+  test("T1: subject styling with null/empty coalesce") {
+    val out = Seq(("a"), (""), (null: String)).toDF("s")
+      .select(TextOps.subjectStyle(col("s"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("*a*", "*No Subject*", "*No Subject*"))
+  }
+
+  test("T19: mention strip") {
+    val out = Seq("<@U123ABC> hello <@U9> world").toDF("s")
+      .select(TextOps.stripMentions(col("s"))).collect().head.getString(0)
+    assert(out == "hello  world")
+  }
+
+  test("Z1/Z2: Avro roundtrip and corrupt-buffer drop") {
+    assert(Serde.decodeEmail(Serde.encodeEmail(7, "s", "b")) ==
+      Serde.EmailRecord(7, "s", "b"))
+    assert(Serde.decodeEmail(Array[Byte](1, 2, 3)) == null)
+    assert(Serde.decodeEmail(null) == null)
+  }
+
+  test("Z3: quoted-printable decode — hex escapes, soft breaks, utf-8") {
+    assert(Serde.qpDecode("a=20b") == "a b")
+    assert(Serde.qpDecode("line1=\nline2") == "line1line2")
+    assert(Serde.qpDecode("line1=\r\nline2") == "line1line2")
+    assert(Serde.qpDecode("caf=C3=A9") == "café")
+    assert(Serde.qpDecode("=XZ stays") == "=XZ stays")
+  }
+}
