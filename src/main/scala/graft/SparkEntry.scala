@@ -30,7 +30,7 @@ object SparkEntry {
     "q08_sessionize"       -> ((s, d) => RelOps.sessionize(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ MediaOps.queries
+      Similarity.queries ++ MediaOps.queries ++ Enrich.queries
   }
 
   /** DECIMAL-accumulated exact sum, cast back to double (see Tables.dsum). */
@@ -116,5 +116,5 @@ object SparkEntry {
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
-    Similarity.oracle ++ MediaOps.oracle
+    Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle
 }

@@ -235,11 +235,76 @@ object Dedup {
        |FROM sh, q WHERE doc_id <> 0
        |ORDER BY jaccard DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q32 — embedding-cosine near-dup: plant a perturbed twin per vector
+    * (component shift 0.01·(i mod 3), id+10000), LSH-bucket the doubled
+    * corpus with the Similarity hyperplanes, and keep same-bucket pairs
+    * with cosine ≥ 0.98. The candidate join touches bucket collisions
+    * only — identical scale shape to q23, in embedding space. */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val corpus = base.unionAll(
+      base.selectExpr("vec_id + 10000 as vec_id",
+        "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
+    val withB = corpus.selectExpr("vec_id", "e",
+      s"sqrt(${Similarity.dotExpr("e", "e")}) as nrm",
+      s"${Similarity.bucketExpr("e")} as bucket")
+    // Label-clustered data skews LSH buckets, so candidates are ~100× the
+    // true pairs. A bucket self-join ships both arrays per PAIR; grouping
+    // by bucket ships each array ONCE and runs the pairwise loop natively
+    // (one shuffle on the bucket key). The dot fold order matches the
+    // oracle's list_reduce exactly; products are commutative-exact.
+    import s.implicits._
+    withB.select(col("bucket"), col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val v = it.toArray.sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < v.length) {
+          var j = i + 1
+          while (j < v.length) {
+            val (_, ida, ea, na) = v(i); val (_, idb, eb, nb) = v(j)
+            var dot = 0.0
+            var k = 0
+            while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
+            val cos = dot / (na * nb)
+            if (cos >= 0.98) out += ((ida, idb, cos))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_a", "vec_b", "cos")
+      .selectExpr("vec_a", "vec_b", "round(cos, 6) as cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH base AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |corpus AS (SELECT vec_id, e FROM base
+       |  UNION ALL SELECT vec_id + 10000,
+       |    list_transform(range(1, len(e) + 1), i -> e[i] + 0.01 * ((i - 1) % 3)::DOUBLE)
+       |  FROM base),
+       |b AS (SELECT vec_id, e,
+       |  sqrt(${Similarity.dotSqlDuck("e", "e")}) AS nrm,
+       |  ${Similarity.bucketSqlDuck("e")} AS bucket FROM corpus),
+       |p AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |  (list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1),
+       |     i -> a.e[i] * b2.e[i])), (p_, q_) -> p_ + q_)) / (a.nrm * b2.nrm) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+       |FROM p WHERE cos >= 0.98 ORDER BY vec_a, vec_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact"   -> ((s, d) => exact(s, d)),
     "q23_minhash_lsh"   -> ((s, d) => minhashLsh(s, d)),
     "q24_simhash"       -> ((s, d) => simhash(s, d)),
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "q32_embed_neardup" -> ((s, d) => embedNearDup(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -247,5 +312,6 @@ object Dedup {
     "q23_minhash_lsh"   -> minhashLshSql,
     "q24_simhash"       -> simhashSql,
     "q25_ngram_jaccard" -> ngramJaccardSql,
+    "q32_embed_neardup" -> embedNearDupSql,
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline-deterministic analogue of the reference's per-record LLM
+  * enrichment (E1, `Slack Event Server/slackEventServer.js:224-276`): the
+  * non-deterministic network call becomes a deterministic summarize/
+  * keyword-extract operator so the oracle can verify it, while the
+  * surrounding dataflow — context assembly, per-record enrichment column,
+  * routing — is the same shape the online path uses.
+  *
+  * The online variant (real LLM behind `mapPartitions` with per-partition
+  * HTTP connection reuse, `.asNondeterministic()`, never a Catalyst
+  * expression) is deliberately NOT in the oracle map; its plumbing is the
+  * MediaOps mapPartitions pattern with a client instead of a digest.
+  *
+  * Scale: explode → count → top-k per doc is two shuffles on doc_id/token;
+  * the first-sentence extraction and prompt assembly are per-row
+  * expression work fused into the scan.
+  */
+object Enrich {
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private def stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** q31 — keyword summary per document: top-5 non-stopword tokens by
+    * (frequency desc, token asc), the leading sentence, and a token count —
+    * the deterministic "summarize this document" enrichment. */
+  def keywordSummary(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .selectExpr("doc_id", "explode(split(text, ' ')) as tok")
+      .filter(!col("tok").isin(Stopwords: _*) && col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val top = toks
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rk") <= 5)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("rk"), col("tok")))),
+        x => x.getField("tok")), ",").as("keywords"))
+    docs.selectExpr("doc_id",
+        "element_at(split(text, '\\\\.'), 1) as lead_sentence",
+        "cast(size(filter(split(text, ' '), t -> t != '')) as bigint) as n_tokens")
+      .join(top, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(keywords, '') as keywords",
+                  "lead_sentence", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  val keywordSummarySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |cnts AS (
+       |  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks
+       |  WHERE tok NOT IN ($stopList) AND tok <> ''
+       |  GROUP BY doc_id, tok),
+       |rk AS (
+       |  SELECT doc_id, tok, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rk FROM cnts),
+       |top AS (
+       |  SELECT doc_id, string_agg(tok, ',' ORDER BY rk) AS keywords
+       |  FROM rk WHERE rk <= 5 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(top.keywords, '') AS keywords,
+       |  string_split(d.text, '.')[1] AS lead_sentence,
+       |  len(list_filter(string_split(d.text, ' '), t -> t <> ''))::BIGINT AS n_tokens
+       |FROM documents d LEFT JOIN top ON d.doc_id = top.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_keyword_summary" -> ((s, d) => keywordSummary(s, d)),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q31_keyword_summary" -> keywordSummarySql,
+  )
+}

@@ -29,12 +29,12 @@ object Similarity {
 
   /** Spark SQL: left-to-right dot product of two float-array columns,
     * widened to double per element. */
-  private def dotExpr(a: String, b: String): String =
+  private[graft] def dotExpr(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
        |cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
 
   /** DuckDB: same fold, same order, same widening. */
-  private def dotSqlDuck(a: String, b: String): String =
+  private[graft] def dotSqlDuck(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),
        |i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (p, q) -> p + q)""".stripMargin.replace("\n", " ")
 
@@ -74,7 +74,7 @@ object Similarity {
   private val nPlanes = 8
 
   /** Spark SQL: LSH bucket id (8 sign bits) of float-array column `e`. */
-  private def bucketExpr(e: String): String = {
+  private[graft] def bucketExpr(e: String): String = {
     val bits = (0 until nPlanes).map { p =>
       val proj =
         s"""aggregate(zip_with($e, sequence(0, 63), (x, j) ->
@@ -86,7 +86,7 @@ object Similarity {
   }
 
   /** DuckDB: same bucket id. */
-  private def bucketSqlDuck(e: String): String = {
+  private[graft] def bucketSqlDuck(e: String): String = {
     val bits = (0 until nPlanes).map { p =>
       val proj =
         s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($e) + 1),
