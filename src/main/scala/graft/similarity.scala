@@ -27,11 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Spark SQL: left-to-right dot product of two float-array columns,
-    * widened to double per element. */
+  /** Spark SQL: left-to-right dot product of two numeric-array columns,
+    * widened to double per element — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (bit-identical to the HOF
+    * fold `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
+    * asserted in ExtensionsSpec). Callers must run on a session that has
+    * passed through [[Similarity.withFns]]. */
   private[graft] def dotExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-       |cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+    s"graft_dot($a, $b)"
+
+  /** Register the engine's native functions on this session (idempotent;
+    * sessions launched with spark.sql.extensions=graft.functions.
+    * GraftExtensions get them for free). */
+  private def withFns(s: SparkSession): SparkSession = {
+    graft.functions.GraftFunctions.ensureRegistered(s); s
+  }
 
   /** DuckDB: same fold, same order, same widening. */
   private[graft] def dotSqlDuck(a: String, b: String): String =
@@ -42,6 +52,7 @@ object Similarity {
     * vec_id 0. Query side is a single broadcast row; corpus side is one
     * codegen'd scan; top-k is TakeOrderedAndProject (no full sort). */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
     val emb = Tables.embeddings(s, d)
       .selectExpr("vec_id", "label", "embedding",
         s"sqrt(${dotExpr("embedding", "embedding")}) as nrm")
@@ -98,11 +109,13 @@ object Similarity {
   }
 
   /** Corpus annotated with norm + LSH bucket (exposed for tests). */
-  private[graft] def withLsh(s: SparkSession, d: String): DataFrame =
+  private[graft] def withLsh(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
     Tables.embeddings(s, d)
       .selectExpr("vec_id", "label", "embedding",
         s"sqrt(${dotExpr("embedding", "embedding")}) as nrm",
         s"${bucketExpr("embedding")} as bucket")
+  }
 
   /** q27 — LSH-bucketed approximate nearest neighbours: for each query
     * (vec_id < 10), the top-5 same-bucket candidates by exact cosine.
@@ -145,6 +158,7 @@ object Similarity {
     * cosine to its own label centroid — the IVF coarse-quantizer step of
     * an ANN index, expressed as one groupBy + one broadcast join. */
   def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
     val emb = Tables.embeddings(s, d)
     // element-wise decimal sums (order-independent, exact) per label
     val byDim = emb
@@ -165,9 +179,8 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** Spark SQL: dot of a double-array column with itself (no widening). */
-  private def dotSparkDD(a: String): String =
-    s"aggregate(zip_with($a, $a, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"
+  /** Spark SQL: dot of a double-array column with itself. */
+  private def dotSparkDD(a: String): String = s"graft_dot($a, $a)"
 
   val labelCentroidsSql: String =
     s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v

@@ -74,6 +74,27 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_dot (codegen Expression) is bit-identical to the HOF fold") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val both = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "graft_dot(embedding, embedding) as native",
+        """aggregate(zip_with(embedding, embedding,
+          |(x, y) -> cast(x as double) * cast(y as double)),
+          |cast(0 as double), (acc, v) -> acc + v) as hof""".stripMargin.replace("\n", " "))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"vec ${r.getLong(0)}")
+    }
+    // and to the driver-side fold
+    both.take(10).foreach { r =>
+      val id = r.getLong(0)
+      val d = embs(id).foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      assert(r.getDouble(1) == d)
+    }
+  }
+
   test("documents are pure ASCII (media byte ops == char ops invariant)") {
     val n = Tables.documents(spark, sf)
       .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
