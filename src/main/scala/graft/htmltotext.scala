@@ -35,6 +35,7 @@ object HtmlToText {
   private val BlockNlRe = "(?i)<br\\s*/?>|</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)>"
   private val TagRe     = "(?s)<[^>]+>"
   private val EntityNumRe = """&#(x?[0-9a-fA-F]+);""".r
+  private val SentinelRe  = "\u0001(\\d+)\u0001".r
 
   def convert(html: String, wordwrap: Int = 230): String = {
     if (html == null) return null
@@ -43,29 +44,36 @@ object HtmlToText {
     // 2. drop script/style subtrees
     val noScript = body.replaceAll(ScriptRe, "")
     // 3. rewrite anchors with the reference's heuristics
-    val sb = new StringBuilder
+    // java.lang.StringBuilder: the Scala one lacks the 3-arg CharSequence
+    // append and would silently auto-tuple the arguments.
+    val sb = new java.lang.StringBuilder
+    // Slack hyperlinks `<url|*text*>` produced here would be eaten by the
+    // later strip-remaining-tags pass, so they go in as U+0001<idx>U+0001
+    // sentinels and are substituted back after tag stripping.
+    val links = scala.collection.mutable.ArrayBuffer.empty[String]
     var last = 0
     for (m <- AnchorRe.findAllMatchIn(noScript)) {
       sb.append(noScript, last, m.start)
       val attrs = m.group(1)
-      val text = stripTags(m.group(2)).trim
+      val text = decodeEntities(stripTags(m.group(2)).trim)
       val href = HrefRe.findFirstMatchIn(attrs)
         .map(h => Option(h.group(2)).orElse(Option(h.group(3))).getOrElse(h.group(4)))
         .getOrElse("")
       val precedingText = stripTags(sb.toString)
-      val rewritten =
-        if (ByCtxRe.matches(precedingText)) text
-        else if (AuthorRe.matches(text)) text
-        else s"<$href|*${if (text.isEmpty) "Link" else text}*>"
-      sb.append(rewritten)
+      if (ByCtxRe.matches(precedingText) || AuthorRe.matches(text)) sb.append(text)
+      else {
+        links += s"<$href|*${if (text.isEmpty) "Link" else text}*>"
+        sb.append('\u0001').append(links.size - 1).append('\u0001')
+      }
       last = m.end
     }
     sb.append(noScript, last, noScript.length)
     // 4. block-level closers and <br> become newlines, remaining tags vanish
     val withNl = sb.toString.replaceAll(BlockNlRe, "\n")
     val noTags = stripTags(withNl)
-    // 5. entities
-    val decoded = decodeEntities(noTags)
+    // 5. entities, then restore protected hyperlinks
+    val decoded = SentinelRe.replaceAllIn(decodeEntities(noTags), m =>
+      java.util.regex.Matcher.quoteReplacement(links(m.group(1).toInt)))
     // 6. whitespace normalization + wordwrap 230 per line
     val lines = decoded.split("\n", -1).map(l => wrap(l.replaceAll("[ \\t]+", " ").trim, wordwrap))
     lines.mkString("\n").replaceAll("\\n{3,}", "\n\n").trim

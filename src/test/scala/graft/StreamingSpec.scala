@@ -72,6 +72,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((40L, "c", 1L)))
   }
 
+  test("session windows: 30-minute gap splits sessions, matches batch q08 grouping") {
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val out = StreamingOps.sessionCounts(in.toDF().toDF("ts", "user_id"), "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: events at 0,10,20 (one session), then 60,65 (second session)
+    in.addData((ts(0), 1L), (ts(10), 1L), (ts(20), 1L), (ts(60), 1L), (ts(65), 1L))
+    q.processAllAvailable()
+    in.addData((ts(600), 9L))  // advance watermark far → close all user-1 sessions
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions")
+      .filter(col("user_id") === 1L)
+      .selectExpr("unix_millis(session_window.start) div 60000 as m", "n_events")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 3L), (60L, 2L)))
+  }
+
   test("thread membership: insert-only keyed state emits each key once") {
     val in = MemoryStream[graft.streaming.ThreadEvent](spark)
     val out = StreamingOps.threadMembership(in.toDS(), "10 minutes", ttlMillis = 3600000L)

@@ -69,6 +69,49 @@ class TextOpsSpec extends SparkSpec {
     assert(out == "hello  world")
   }
 
+  test("T3: HTML→text anchor heuristics (reference kafkaProducer.js:133-159)") {
+    val html =
+      """<html><head><style>p{color:red}</style><script>evil()</script></head>
+        |<body><h1>Weekly Digest</h1>
+        |<p>Top story by <a href="https://ex.am/author">Jane Doe</a> today.</p>
+        |<p><a href="https://ex.am/name">Ada May Lovelace</a> wrote it.</p>
+        |<p><a href="https://ex.am/story">the big launch recap</a> happened.</p>
+        |<p><a href="https://ex.am/naked"></a> and &amp; &lt;tags&gt; &#233;</p>
+        |</body></html>""".stripMargin
+    val out = HtmlToText.convert(html)
+    // by-context anchor and author-name-shaped anchor → plain text
+    assert(out.contains("by Jane Doe today."))
+    assert(out.contains("Ada May Lovelace wrote it."))
+    assert(!out.contains("https://ex.am/author") && !out.contains("https://ex.am/name"))
+    // normal anchor → Slack hyperlink with bolded text
+    assert(out.contains("<https://ex.am/story|*the big launch recap*>"))
+    // empty anchor text → Link fallback
+    assert(out.contains("<https://ex.am/naked|*Link*>"))
+    // script/style dropped, entities decoded, block tags → newlines
+    assert(!out.contains("evil") && !out.contains("color:red"))
+    assert(out.contains("and & <tags> é"))
+    assert(out.startsWith("Weekly Digest"))
+  }
+
+  test("T3: wordwrap at 230 columns, long words unbroken") {
+    val longLine = ("word " * 60).trim            // 299 chars
+    val out = HtmlToText.convert(s"<body><p>$longLine</p></body>")
+    assert(out.split("\n").forall(_.length <= 230))
+    assert(out.replace("\n", " ") == longLine)
+    val bigWord = "x" * 300
+    assert(HtmlToText.convert(s"<body>$bigWord</body>") == bigWord)
+  }
+
+  test("T2: cleanBody routes HTML through the converter, plain text untouched") {
+    val df = Seq(
+      ("<html><body><p>CAPS LINE</p><p>by Ann Lee</p></body></html>", 1),
+      ("plain text\nCAPS LINE\nbody", 2)).toDF("b", "i")
+    val out = df.select(col("i"), TextOps.cleanBody(col("b")).as("c"))
+      .orderBy("i").collect().map(_.getString(1))
+    assert(out(0) == "*CAPS LINE*")        // html→text, byline killed, caps bolded
+    assert(out(1) == "plain text\n*CAPS LINE*\nbody")
+  }
+
   test("Z1/Z2: Avro roundtrip and corrupt-buffer drop") {
     assert(Serde.decodeEmail(Serde.encodeEmail(7, "s", "b")) ==
       Serde.EmailRecord(7, "s", "b"))
