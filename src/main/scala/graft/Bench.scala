@@ -13,14 +13,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One warm-up pass outside timing (JIT + codegen + parquet footer cache),
-    // then each query timed end-to-end in sorted name order. The noop sink
-    // forces FULL evaluation of every output column — count() would let
-    // Catalyst prune per-row work that a real consumer pays for.
+    // Full untimed warm-up pass (JIT + codegen cache + parquet footers),
+    // then each query timed end-to-end in sorted name order — measures
+    // steady state instead of whichever query pays JIT first. The noop
+    // sink forces FULL evaluation of every output column — count() would
+    // let Catalyst prune per-row work that a real consumer pays for.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    suite.foreach { case (_, fn) =>
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    spark.sharedState.cacheManager.clearCache() // warm JIT, cold data paths
+    val results = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
