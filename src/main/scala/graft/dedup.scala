@@ -90,31 +90,49 @@ object Dedup {
     sig
   }
 
-  /** q23 — MinHash+LSH near-dup: per-row signatures (mapPartitions hot
-    * loop, one digest instance per partition), LSH banding (4 bands × 3
-    * rows, string band keys), bucket-join candidates, exact-Jaccard
-    * verification at 0.5. The shingle frame is persisted: it feeds the
-    * signature path and both sides of the verify join, and at 100 TB
-    * recomputing shingles three times dwarfs the cache cost; `bands` is
-    * persisted because it feeds both sides of the candidate self-join. */
+  /** Distinct word-3-gram shingles, first-occurrence order (== Spark's
+    * array_distinct / DuckDB's list_distinct; downstream consumers —
+    * min-over-set and intersection sizes — are order-independent anyway).
+    * Tokenization matches `split(text, ' ')` exactly (trailing empties
+    * kept, hence the -1 limit). */
+  private def shingles3(text: String): Array[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) return Array.empty
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i + 2 < toks.length) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** q23 — MinHash+LSH near-dup: ONE mapPartitions pass tokenizes,
+    * shingles, and signs every document (a digest instance per partition;
+    * interpreted HOF expressions measured 8× slower for this hot loop);
+    * then LSH banding (4 bands × 3 rows, string band keys), bucket-join
+    * candidates, exact-Jaccard verification at 0.5. The (sh, sig) frame
+    * is persisted — it feeds the band path and both sides of the verify
+    * join, and at 100 TB recomputing shingles three times dwarfs the
+    * cache cost; `bands` is persisted because it feeds both sides of the
+    * candidate self-join. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val corpus = docs.select(col("doc_id"), col("text")).unionAll(
       docs.selectExpr("doc_id + 10000 as doc_id",
                       "substring(text, instr(text, ' ') + 1) as text"))
-    val sh = corpus
-      .selectExpr("doc_id", "split(text, ' ') as toks")
-      .selectExpr("doc_id", s"$shinglesExpr as sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+    val sh = corpus.as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, shingles) => (id, minhashSig(md, shingles)) }
+        it.map { case (id, text) =>
+          val shingles = shingles3(text)
+          (id, shingles, minhashSig(md, shingles))
+        }
       }
-      .toDF("doc_id", "sig")
-    val bands = sig.selectExpr("doc_id",
+      .toDF("doc_id", "sh", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sh.filter(size(col("sh")) > 0).selectExpr("doc_id",
       """posexplode(transform(sequence(0, 3),
         |  b -> concat_ws(':', element_at(sig, 3 * b + 1), element_at(sig, 3 * b + 2), element_at(sig, 3 * b + 3))))
         |as (band_idx, band_hash)""".stripMargin.replace("\n", " "))
