@@ -28,6 +28,7 @@ object SparkEntry {
     "q06_first_event"      -> ((s, d) => RelOps.firstEventPerKey(s, d)),
     "q07_tumbling_counts"  -> ((s, d) => RelOps.tumblingCounts(s, d)),
     "q08_sessionize"       -> ((s, d) => RelOps.sessionize(s, d)),
+    "q33_json_props"       -> ((s, d) => RelOps.jsonProps(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ MediaOps.queries ++ Enrich.queries
@@ -115,6 +116,12 @@ object SparkEntry {
          |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
+    "q33_json_props" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+        |  MIN(json_extract(props, '$.k')::INT)::INT AS min_k,
+        |  MAX(json_extract(props, '$.k')::INT)::INT AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
     Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle
 }

@@ -193,4 +193,20 @@ object RelOps {
            count(lit(1)).as("n_events"),
            dsum(col("value")).as("sum_value"))
   }
+
+  /** Schema-on-read over the dynamic-JSON leg (SURVEY §1.2 — the Slack
+    * event record is parsed field-by-field at read time,
+    * `slackEventServer.js:51-151`): from_json with an explicit schema,
+    * then relational aggregation over the extracted field. The parse is
+    * per-row expression work fused into the scan — schema-on-read costs
+    * nothing extra in shuffle terms. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .selectExpr("event_type", "from_json(props, 'k INT').k as k")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k")).cast("long").as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("event_type")
 }
