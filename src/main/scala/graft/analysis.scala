@@ -150,8 +150,35 @@ object TextAnalysis {
       |  ELSE NULL END AS min_shingle_hash
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q34 — deterministic train/val/test split assignment: bucket = 8 hex
+    * chars of md5(doc_id) mod 100 → 80/10/10. Content-hash bucketing is
+    * how a 100 TB corpus splits reproducibly with no shuffle and no
+    * coordination — assignment is per-row expression work; only the audit
+    * aggregation below shuffles (3×languages groups). */
+  private val bucketCol =
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("lang", "n_chars",
+        s"""CASE WHEN $bucketCol < 80 THEN 'train'
+           |WHEN $bucketCol < 90 THEN 'val' ELSE 'test' END as split"""
+          .stripMargin.replace("\n", " "))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "lang")
+
+  val splitAssignSql: String = {
+    val b = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+    s"""SELECT CASE WHEN $b < 80 THEN 'train'
+       |  WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_token_stats"   -> ((s, d) => tokenStats(s, d)),
+    "q34_split_assign"  -> ((s, d) => splitAssign(s, d)),
     "q19_quality_score" -> ((s, d) => qualityScore(s, d)),
     "q20_lang_id"       -> ((s, d) => langId(s, d)),
     "q21_fingerprint"   -> ((s, d) => fingerprint(s, d)),
@@ -159,6 +186,7 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = Map(
     "q18_token_stats"   -> tokenStatsSql,
+    "q34_split_assign"  -> splitAssignSql,
     "q19_quality_score" -> qualityScoreSql,
     "q20_lang_id"       -> langIdSql,
     "q21_fingerprint"   -> fingerprintSql,
