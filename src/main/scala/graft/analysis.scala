@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *  - sequential folds (aggregate here, list_reduce in DuckDB) accumulate
   *    in the same left-to-right order, and DuckDB's first-element init
   *    equals Spark's zero-init after one step for our operators
-  *  - doubles that cross the oracle boundary are round(x, 6)
+  *  - doubles that cross the oracle boundary are floor((x) * 1e6 + 0.5) / 1e6
   */
 object TextAnalysis {
 
@@ -27,7 +27,7 @@ object TextAnalysis {
       "cast(length(text) as bigint) as n_chars",
       "cast(size(split(trim(text), '\\\\s+')) as bigint) as n_ws_tokens",
       "cast(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]') as bigint) as n_bpe_tokens",
-      "round(cast(length(text) as double) / size(split(trim(text), '\\\\s+')), 6) as avg_chars_per_token",
+      "floor((cast(length(text) as double) / size(split(trim(text), '\\\\s+'))) * 1e6 + 0.5) / 1e6 as avg_chars_per_token",
     ).orderBy("doc_id")
 
   val tokenStatsSql: String =
@@ -35,7 +35,7 @@ object TextAnalysis {
       |  length(text)::BIGINT AS n_chars,
       |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe_tokens,
-      |  round(length(text)::DOUBLE / len(string_split_regex(trim(text), '\s+')), 6) AS avg_chars_per_token
+      |  floor((length(text)::DOUBLE / len(string_split_regex(trim(text), '\s+'))) * 1e6 + 0.5) / 1e6 AS avg_chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q19 — quality scoring: stopword ratio, unique-token ratio, mean token
@@ -49,13 +49,13 @@ object TextAnalysis {
     ).selectExpr(
       "doc_id",
       "cast(size(toks) as bigint) as n_tokens",
-      "round(size(filter(toks, t -> t in ('the', 'a', 'and', 'of', 'to'))) / cast(size(toks) as double), 6) as stop_ratio",
-      "round(size(array_distinct(toks)) / cast(size(toks) as double), 6) as uniq_ratio",
-      "round(aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t)) / cast(size(toks) as double), 6) as mean_tok_len",
-      "round(n_punct / cast(n_chars as double), 6) as punct_ratio",
-      """round(0.25 * (size(filter(toks, t -> t in ('the', 'a', 'and', 'of', 'to'))) / cast(size(toks) as double))
+      "floor((size(filter(toks, t -> t in ('the', 'a', 'and', 'of', 'to'))) / cast(size(toks) as double)) * 1e6 + 0.5) / 1e6 as stop_ratio",
+      "floor((size(array_distinct(toks)) / cast(size(toks) as double)) * 1e6 + 0.5) / 1e6 as uniq_ratio",
+      "floor((aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t)) / cast(size(toks) as double)) * 1e6 + 0.5) / 1e6 as mean_tok_len",
+      "floor((n_punct / cast(n_chars as double)) * 1e6 + 0.5) / 1e6 as punct_ratio",
+      """floor((0.25 * (size(filter(toks, t -> t in ('the', 'a', 'and', 'of', 'to'))) / cast(size(toks) as double))
         |+ 0.45 * (size(array_distinct(toks)) / cast(size(toks) as double))
-        |+ 0.30 * least((aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t)) / cast(size(toks) as double)) / 10.0, 1.0), 6) as quality_score"""
+        |+ 0.30 * least((aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t)) / cast(size(toks) as double)) / 10.0, 1.0)) * 1e6 + 0.5) / 1e6 as quality_score"""
         .stripMargin.replace("\n", " "),
     ).orderBy("doc_id")
 
@@ -65,13 +65,13 @@ object TextAnalysis {
       |  length(text)::BIGINT AS n_chars FROM documents)
       |SELECT doc_id,
       |  len(toks)::BIGINT AS n_tokens,
-      |  round(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) / len(toks)::DOUBLE, 6) AS stop_ratio,
-      |  round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6) AS uniq_ratio,
-      |  round(list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::DOUBLE, 6) AS mean_tok_len,
-      |  round(n_punct / n_chars::DOUBLE, 6) AS punct_ratio,
-      |  round(0.25 * (len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) / len(toks)::DOUBLE)
+      |  floor((len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) / len(toks)::DOUBLE) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+      |  floor((len(list_distinct(toks)) / len(toks)::DOUBLE) * 1e6 + 0.5) / 1e6 AS uniq_ratio,
+      |  floor((list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_tok_len,
+      |  floor((n_punct / n_chars::DOUBLE) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+      |  floor((0.25 * (len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to'))) / len(toks)::DOUBLE)
       |      + 0.45 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
-      |      + 0.30 * least((list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::DOUBLE) / 10.0, 1.0), 6) AS quality_score
+      |      + 0.30 * least((list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::DOUBLE) / 10.0, 1.0)) * 1e6 + 0.5) / 1e6 AS quality_score
       |FROM t ORDER BY doc_id""".stripMargin
 
   /** q20 — n-gram-heuristic language ID: score per language = stopword-

@@ -146,9 +146,9 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", floor((
         size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"), 6))
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double")) * 1e6 + 0.5) / 1e6)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -171,7 +171,7 @@ object Dedup {
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |  WHERE a.doc_id < b.doc_id),
        |ver AS (SELECT doc_a, doc_b,
-       |  round(len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
+       |  floor((len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
        |            JOIN sh sb ON sb.doc_id = cand.doc_b)
        |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.5
@@ -236,9 +236,9 @@ object Dedup {
     val query = docs.filter(col("doc_id") === 0).select(col("sh").as("qsh"))
     docs.filter(col("doc_id") =!= 0)
       .crossJoin(broadcast(query))
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", floor((
         size(array_intersect(col("sh"), col("qsh"))) /
-          size(array_distinct(concat(col("sh"), col("qsh")))).cast("double"), 6))
+          size(array_distinct(concat(col("sh"), col("qsh")))).cast("double")) * 1e6 + 0.5) / 1e6)
       .select("doc_id", "jaccard")
       .orderBy(col("jaccard").desc, col("doc_id"))
       .limit(20)
@@ -249,7 +249,7 @@ object Dedup {
        |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM tk),
        |q AS (SELECT sh AS qsh FROM sh WHERE doc_id = 0)
        |SELECT doc_id,
-       |  round(len(list_intersect(sh, qsh)) / len(list_distinct(list_concat(sh, qsh)))::DOUBLE, 6) AS jaccard
+       |  floor((len(list_intersect(sh, qsh)) / len(list_distinct(list_concat(sh, qsh)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
        |FROM sh, q WHERE doc_id <> 0
        |ORDER BY jaccard DESC, doc_id LIMIT 20""".stripMargin
 
@@ -296,7 +296,7 @@ object Dedup {
         out.iterator
       }
       .toDF("vec_a", "vec_b", "cos")
-      .selectExpr("vec_a", "vec_b", "round(cos, 6) as cosine")
+      .selectExpr("vec_a", "vec_b", "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
       .orderBy("vec_a", "vec_b")
   }
 
@@ -314,7 +314,7 @@ object Dedup {
        |  (list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1),
        |     i -> a.e[i] * b2.e[i])), (p_, q_) -> p_ + q_)) / (a.nrm * b2.nrm) AS cos
        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-       |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+       |SELECT vec_a, vec_b, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
        |FROM p WHERE cos >= 0.98 ORDER BY vec_a, vec_b""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

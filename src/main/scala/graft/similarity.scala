@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * DuckDB's list_reduce both fold left-to-right over identical element
   * values, and IEEE-754 +,*,/,sqrt are exactly rounded, so cosines are
   * bit-identical on both engines — orderings and LIMIT cut-offs agree
-  * exactly. Output cosines are round(x, 6) for display only; sort keys
+  * exactly. Output cosines are floor((x) * 1e6 + 0.5) / 1e6 for display only; sort keys
   * stay unrounded.
   */
 object Similarity {
@@ -64,7 +64,7 @@ object Similarity {
         s"${dotExpr("embedding", "qe")} / (nrm * qn) as cos")
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)
-      .selectExpr("vec_id", "label", "round(cos, 6) as cosine")
+      .selectExpr("vec_id", "label", "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
   }
 
   val cosineTopKSql: String = {
@@ -75,7 +75,7 @@ object Similarity {
        |c AS (SELECT e.vec_id, e.label,
        |  ($dot) / (sqrt($nrm) * sqrt($qn)) AS cos
        |  FROM embeddings e, q WHERE e.vec_id <> 0)
-       |SELECT vec_id, label, round(cos, 6) AS cosine
+       |SELECT vec_id, label, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
        |FROM c ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
   }
 
@@ -134,7 +134,7 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 5)
     ranked.selectExpr("q_id", "rank", "vec_id", "label", "bucket",
-        "round(cos, 6) as cosine")
+        "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
       .orderBy("q_id", "rank")
   }
 
@@ -149,7 +149,7 @@ object Similarity {
        |  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM c)
-       |SELECT q_id, rank, vec_id, label, bucket, round(cos, 6) AS cosine
+       |SELECT q_id, rank, vec_id, label, bucket, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
@@ -175,7 +175,7 @@ object Similarity {
         s"""${dotExpr("embedding", "centroid")} /
            |(sqrt(${dotExpr("embedding", "embedding")}) * sqrt(${dotSparkDD("centroid")})) as cos"""
           .stripMargin.replace("\n", " "))
-      .selectExpr("vec_id", "label", "round(cos, 6) as cos_to_centroid")
+      .selectExpr("vec_id", "label", "floor((cos) * 1e6 + 0.5) / 1e6 as cos_to_centroid")
       .orderBy("vec_id")
   }
 
@@ -197,7 +197,7 @@ object Similarity {
        |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
        |         i -> c.centroid[i] * c.centroid[i])), (p, q) -> p + q))) AS cos
        |  FROM embeddings e JOIN c ON e.label = c.label)
-       |SELECT vec_id, label, round(cos, 6) AS cos_to_centroid
+       |SELECT vec_id, label, floor((cos) * 1e6 + 0.5) / 1e6 AS cos_to_centroid
        |FROM j ORDER BY vec_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

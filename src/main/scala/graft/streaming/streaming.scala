@@ -60,6 +60,37 @@ object StreamingOps {
     LineOps.blockKitRows(linked, "seqno", "subject", "body_linked", maxLen = 2900)
   }
 
+  /** K2 — the Slack-webhook payload: ONE JSON document per record with
+    * the Block Kit structure the reference posts
+    * (`Consumer/kafkaConsumer.js:123-143`): a subject section followed by
+    * one section per body chunk, `{"blocks":[{type,text:{type,text}}…]}`.
+    * Built per row with array/struct/transform + to_json — stateless, so
+    * it streams in append mode with no aggregation state. Feed to
+    * [[foreachBatchHttpSink]] (tests capture the posts). */
+  def blockKitPayload(df: DataFrame, idCol: String, subjectCol: String,
+                      bodyCol: String, maxLen: Int): DataFrame = {
+    def section(text: org.apache.spark.sql.Column) = struct(
+      lit("section").as("type"),
+      struct(lit("mrkdwn").as("type"), text.as("text")).as("text"))
+    df.select(col(idCol), to_json(struct(
+      concat(
+        array(section(concat(lit("*Subject:* "), col(subjectCol), lit("\n*Body:*")))),
+        transform(LineOps.chunkBlocks(bodyCol, maxLen), c => section(c)))
+        .as("blocks"))).as("payload"))
+  }
+
+  /** K2/K3 delivery shape: at-least-once via checkpointed foreachBatch —
+    * the batch id + an idempotent consumer give the reference's
+    * send-then-ack semantics without its swallow-errors data loss. The
+    * `post` callback stands in for the HTTP client (one per batch, reused
+    * across rows — same amortization rule as MediaOps decoders). */
+  def foreachBatchHttpSink(payloads: DataFrame, post: (Long, String) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    payloads.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.select("payload").collect().foreach(r => post(batchId, r.getString(0)))
+    }
+
   /** ST2/ST3 (extension — the reference's Flink file is empty): event-time
     * tumbling counts with a watermark bounding state. */
   def windowedCounts(events: DataFrame, watermarkDelay: String): DataFrame =

@@ -40,9 +40,7 @@ class ExtensionsSpec extends SparkSpec {
     val want = embs.toSeq.filter(_._1 != 0L)
       .map { case (id, e) => (id, cos(e, q)) }
       .sortBy { case (id, c) => (-c, id) }.take(20)
-      .map { case (id, c) =>
-        (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
+      .map { case (id, c) => (id, math.floor(c * 1000000.0 + 0.5) / 1000000.0) }
     assert(got == want)
   }
 

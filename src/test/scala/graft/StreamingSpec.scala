@@ -51,6 +51,27 @@ class StreamingSpec extends SparkSpec {
     assert(seqnos == Set(1))
   }
 
+  test("K2: foreachBatch sink posts one Block Kit JSON payload per record") {
+    val in = MemoryStream[(Int, String, String)](spark)
+    val decoded = in.toDF().toDF("seqno", "subject", "body")
+      .withColumn("body_linked", org.apache.spark.sql.functions.expr("body"))
+    val payloads = StreamingOps.blockKitPayload(
+      decoded, "seqno", "subject", "body_linked", maxLen = 12)
+    val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    in.addData((1, "S1", "short line\nanother longer line"), (2, "S2", "x"))
+    val q = StreamingOps.foreachBatchHttpSink(payloads, (_, p) => posts.add(p))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val got = posts.toArray(Array.empty[String]).sorted
+    assert(got.length == 2)
+    // JSON shape: blocks[0] = subject section; later blocks = chunks
+    val p1 = got.find(_.contains("S1")).get
+    assert(p1.startsWith("""{"blocks":[{"type":"section","text":{"type":"mrkdwn","text":"*Subject:* S1\n*Body:*"}}"""))
+    assert(p1.contains(""""text":"short line"""") && p1.contains("another longer"))
+    assert(got.find(_.contains("S2")).get.endsWith(
+      """{"type":"section","text":{"type":"mrkdwn","text":"x"}}]}"""))
+  }
+
   test("windowed counts: watermark drops late data in append mode") {
     val in = MemoryStream[(Timestamp, String)](spark)
     val out = StreamingOps.windowedCounts(in.toDF().toDF("ts", "event_type"), "5 minutes")
