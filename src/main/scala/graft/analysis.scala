@@ -121,23 +121,37 @@ object TextAnalysis {
   }
 
   /** q21 — document fingerprinting: a 31-polynomial rolling hash over the
-    * first 64 chars (sequential fold, identical accumulation order in both
-    * engines) plus a winnowing-style min-hash over word 3-gram shingles
-    * (lexicographic min of md5-hex — engine-neutral). */
-  def fingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).selectExpr(
-      "doc_id",
-      """aggregate(sequence(1, least(64, length(text))), cast(0 as bigint),
-        |(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007) as poly_hash"""
-        .stripMargin.replace("\n", " "),
-      "split(text, ' ') as toks",
-    ).selectExpr(
-      "doc_id", "poly_hash",
-      """CASE WHEN size(toks) >= 3 THEN
-        |array_min(transform(sequence(1, size(toks) - 2),
-        |  i -> substring(md5(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))), 1, 16)))
-        |ELSE NULL END as min_shingle_hash""".stripMargin.replace("\n", " "),
-    ).orderBy("doc_id")
+    * first 64 chars plus a winnowing-style min-hash over word 3-gram
+    * shingles (lexicographic min of md5-hex — engine-neutral). Runs as a
+    * mapPartitions JVM loop (one digest per partition); the oracle keeps
+    * the equivalent HOF form — identical fold order and arithmetic.
+    * ascii(char) == charAt on the ASCII-only corpus (asserted in specs). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          var acc = 0L
+          var i = 0
+          val n = math.min(64, text.length)
+          while (i < n) { acc = (acc * 31 + text.charAt(i).toLong) % 1000000007L; i += 1 }
+          val toks = text.split(" ", -1)
+          var minHash: String = null
+          var j = 0
+          while (j + 2 < toks.length) {
+            val h = Tables.hex(md.digest((toks(j) + " " + toks(j + 1) + " " + toks(j + 2))
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))).substring(0, 16)
+            if (minHash == null || h < minHash) minHash = h
+            j += 1
+          }
+          (id, acc, minHash)
+        }
+      }
+      .toDF("doc_id", "poly_hash", "min_shingle_hash")
+      .orderBy("doc_id")
+  }
 
   val fingerprintSql: String =
     """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)

@@ -76,8 +76,7 @@ object Dedup {
   private def minhashSig(md: java.security.MessageDigest, sh: Seq[String]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     sh.foreach { x =>
-      val hex = md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map(b => f"$b%02x").mkString
+      val hex = Tables.hex(md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       val a = java.lang.Long.parseLong(hex.substring(0, 15), 16) % MinhashP
       val b = java.lang.Long.parseLong(hex.substring(16, 31), 16) % MinhashP
       var i = 0

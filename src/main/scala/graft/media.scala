@@ -51,7 +51,7 @@ object MediaOps {
       "cast(text as binary) as media")
 
   private def md5hex(md: MessageDigest, bytes: Array[Byte]): String =
-    md.digest(bytes).map(b => f"$b%02x").mkString
+    Tables.hex(md.digest(bytes))
 
   /** SQL-semantics substring over bytes: 1-based, length-clamped. */
   private def sqlSlice(bytes: Array[Byte], pos: Int, len: Int): Array[Byte] = {

@@ -40,6 +40,21 @@ object Tables {
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
+  /** Lowercase hex of a byte array — table-driven (a formatter per byte
+    * costs more than the md5 itself in the hash hot loops). */
+  private val HexChars = "0123456789abcdef".toCharArray
+  def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Sum a double column exactly: decimal accumulation (order-independent)
     * then a single cast back to double. Keeps Spark-vs-DuckDB aggregate
     * results bit-identical regardless of row order/partitioning — required
