@@ -14,6 +14,12 @@ case class ThreadEvent(channel: String, ts: Timestamp, thread_ts: Option[String]
 case class ThreadSeen(thread_key: String, first_ts: Timestamp)
 private[streaming] case class SeenState(firstTsMs: Long)
 
+/** One history message for A2/A3 rolling context. */
+case class HistoryMsg(key: String, tsMs: Long, user: String, text: String)
+/** Rolling context emitted per key update. */
+case class HistoryContext(key: String, context: String, n_msgs: Int)
+private[streaming] case class HistoryBuf(msgs: Vector[(Long, String)])
+
 /** The reference's three service legs as Structured Streaming transforms
   * (SURVEY.md §2.1-§2.2, §2.8). Every transform is source-agnostic: it
   * takes a DataFrame that may come from MemoryStream (tests), files, or
@@ -106,6 +112,28 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** A2/A3 as a streaming operator — rolling last-K history per key with
+    * ordered string context (the reference refetches the last 100
+    * messages from Slack per event, `slackEventServer.js:187-221`; the
+    * streaming-native form keeps a bounded per-key buffer in the state
+    * store instead of re-reading). Emits (key, context, n_msgs) after
+    * each update; state is capped at `k` messages per key, so it cannot
+    * grow with stream length. */
+  def rollingHistory(msgs: Dataset[HistoryMsg], k: Int): Dataset[HistoryContext] = {
+    import msgs.sparkSession.implicits._
+    msgs
+      .groupByKey(_.key)
+      .mapGroupsWithState[HistoryBuf, HistoryContext](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[HistoryMsg], state: GroupState[HistoryBuf]) =>
+          val prev = if (state.exists) state.get.msgs else Vector.empty
+          val all = (prev ++ it.map(m => (m.tsMs, m.user + ": " + m.text)))
+            .sortBy(_._1).takeRight(k)   // top-K by recency, ascending
+          state.update(HistoryBuf(all))
+          HistoryContext(key, all.map(_._2).mkString("\n"), all.size)
+      }
+  }
 
   /** A1 — thread-membership tracking (`slackEventServer.js:48,54-66`:
     * `participatingThreads.add(`${channel}-${thread_ts ?? ts}`)`), as

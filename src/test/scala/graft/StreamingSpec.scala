@@ -110,6 +110,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((0L, 3L), (60L, 2L)))
   }
 
+  test("A2/A3: rolling history keeps last-K per key, oldest-first context") {
+    val in = MemoryStream[graft.streaming.HistoryMsg](spark)
+    val out = StreamingOps.rollingHistory(in.toDS(), k = 3)
+    val q = out.writeStream.format("memory").queryName("history")
+      .outputMode("update").start()
+    in.addData(
+      graft.streaming.HistoryMsg("C1", 1000, "u1", "first"),
+      graft.streaming.HistoryMsg("C1", 2000, "u2", "second"))
+    q.processAllAvailable()
+    in.addData(
+      graft.streaming.HistoryMsg("C1", 3000, "u1", "third"),
+      graft.streaming.HistoryMsg("C1", 4000, "u3", "fourth")) // evicts "first"
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("history").as[graft.streaming.HistoryContext]
+      .collect().filter(_.n_msgs == 3)
+    assert(last.nonEmpty)
+    assert(last.last.context == "u2: second\nu1: third\nu3: fourth")
+  }
+
+  test("stream-static join: events enrich against a static dimension table") {
+    val dim = Seq(("C1", "general"), ("C2", "random")).toDF("channel", "channel_name")
+    val in = MemoryStream[(String, String)](spark)
+    val joined = in.toDF().toDF("channel", "text")
+      .join(dim, Seq("channel"), "left")
+    in.addData(("C1", "hello"), ("C3", "orphan"))
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val got = spark.table("enriched")
+      .selectExpr("channel", "coalesce(channel_name, '?') as cn")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("C1", "general"), ("C3", "?")))
+  }
+
+  test("A1 alternative route: streaming dropDuplicates state store") {
+    val in = MemoryStream[(String, String)](spark)
+    val deduped = in.toDF().toDF("channel", "thread_ts")
+      .dropDuplicates("channel", "thread_ts")
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    in.addData(("C1", "t1"), ("C1", "t1"), ("C2", "t9"))
+    q.processAllAvailable()
+    in.addData(("C1", "t1"), ("C1", "t2"))  // t1 already seen across batches
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dd").as[(String, String)].collect().toSeq
+    assert(got.sorted == Seq(("C1", "t1"), ("C1", "t2"), ("C2", "t9")))
+  }
+
   test("thread membership: insert-only keyed state emits each key once") {
     val in = MemoryStream[graft.streaming.ThreadEvent](spark)
     val out = StreamingOps.threadMembership(in.toDS(), "10 minutes", ttlMillis = 3600000L)
