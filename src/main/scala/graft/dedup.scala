@@ -258,6 +258,7 @@ object Dedup {
     * with cosine ≥ 0.98. The candidate join touches bucket collisions
     * only — identical scale shape to q23, in embedding space. */
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    Similarity.withFns(s)
     val base = Tables.embeddings(s, d)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
     val corpus = base.unionAll(

@@ -39,7 +39,7 @@ object Similarity {
   /** Register the engine's native functions on this session (idempotent;
     * sessions launched with spark.sql.extensions=graft.functions.
     * GraftExtensions get them for free). */
-  private def withFns(s: SparkSession): SparkSession = {
+  private[graft] def withFns(s: SparkSession): SparkSession = {
     graft.functions.GraftFunctions.ensureRegistered(s); s
   }
 
@@ -84,14 +84,19 @@ object Similarity {
   // arithmetic then one exact division, identical on both engines.
   private val nPlanes = 8
 
-  /** Spark SQL: LSH bucket id (8 sign bits) of float-array column `e`. */
+  /** Spark SQL: LSH bucket id (8 sign bits) of float-array column `e`.
+    * The hyperplanes are constants, so each projection is graft_dot
+    * against a double-literal array — fully codegen'd, vs 8 interpreted
+    * HOF folds per row. Literal doubles are shortest-roundtrip (Scala
+    * Double.toString), so they parse back to the exact bits the integer
+    * formula produces at runtime in the DuckDB oracle. */
   private[graft] def bucketExpr(e: String): String = {
     val bits = (0 until nPlanes).map { p =>
-      val proj =
-        s"""aggregate(zip_with($e, sequence(0, 63), (x, j) ->
-           |cast(x as double) * ((($p * 73856093 + cast(j as bigint) * 19349663) % 97) / 48.0 - 1.0)),
-           |cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
-      s"IF($proj > 0, ${1L << p}L, 0L)"
+      val coeffs = (0 until 64).map { j =>
+        val v = ((p.toLong * 73856093L + j.toLong * 19349663L) % 97L) / 48.0 - 1.0
+        s"${v}D"
+      }.mkString("array(", ", ", ")")
+      s"IF(graft_dot($e, $coeffs) > 0, ${1L << p}L, 0L)"
     }
     bits.mkString("(", " + ", ")")
   }
