@@ -29,6 +29,7 @@ object SparkEntry {
     "q07_tumbling_counts"  -> ((s, d) => RelOps.tumblingCounts(s, d)),
     "q08_sessionize"       -> ((s, d) => RelOps.sessionize(s, d)),
     "q33_json_props"       -> ((s, d) => RelOps.jsonProps(s, d)),
+    "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ MediaOps.queries ++ Enrich.queries
@@ -122,6 +123,15 @@ object SparkEntry {
         |  MIN(json_extract(props, '$.k')::INT)::INT AS min_k,
         |  MAX(json_extract(props, '$.k')::INT)::INT AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q35_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |    FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, epoch_us(ts) AS p_ts_us, MAX(event_id) AS p_event_id
+        |    FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts))
+        |SELECT c.event_id, c.user_id, c.ts_us, p.p_event_id, p.p_ts_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
+        |ORDER BY c.event_id""".stripMargin,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
     Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle
 }

@@ -194,6 +194,47 @@ object RelOps {
            dsum(col("value")).as("sum_value"))
   }
 
+  /** As-of join — for each left row, the latest right row whose
+    * `tsCol` <= the left row's (inclusive), per `keyCol`. Spark has no
+    * native ASOF; the scalable form is union-tag + one window pass:
+    * both sides shuffle ONCE on the key, rows sort by (ts, right-first),
+    * and `last(payload, ignoreNulls)` carries the most recent right
+    * payload forward — no range join, no per-row probe, cost
+    * O(n log n_partition) regardless of time-gap distribution. Right rows
+    * must be unique per (key, ts); dedup upstream. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("_is_r", lit(0))
+    val r = right.withColumn("_is_r", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+      .filter(col("_is_r") === 0)
+      .drop("_is_r")
+  }
+
+  /** q35 — as-of join demo: each click event paired with the same user's
+    * most recent purchase at or before it. Verified against DuckDB's
+    * NATIVE `ASOF LEFT JOIN` — the Spark union+window operator reproduces
+    * a native engine's as-of semantics exactly. */
+  def clickLastPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("p_ts_us"))
+      .agg(max(col("event_id")).as("p_event_id"))
+      .select(col("user_id"), col("p_ts_us").as("ts_us"),
+              col("p_ts_us"), col("p_event_id"))
+    asOfJoin(clicks, purchases, "user_id", "ts_us", Seq("p_event_id", "p_ts_us"))
+      .select("event_id", "user_id", "ts_us", "p_event_id", "p_ts_us")
+      .orderBy("event_id")
+  }
+
   /** Schema-on-read over the dynamic-JSON leg (SURVEY §1.2 — the Slack
     * event record is parsed field-by-field at read time,
     * `slackEventServer.js:51-151`): from_json with an explicit schema,

@@ -93,6 +93,18 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin: inclusive on equal ts, latest-at-or-before, null when none") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 300L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 10L, 777L), (1L, 15L, 888L))
+      .toDF("k", "ts", "pid")
+    val got = RelOps.asOfJoin(left, right, "k", "ts", Seq("pid"))
+      .select("lid", "pid").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).contains(777L))  // equal ts → inclusive
+    assert(got(200L).contains(888L))  // latest at-or-before, not first
+    assert(got(300L).isEmpty)         // no right row ≤ ts → null
+  }
+
   test("documents are pure ASCII (media byte ops == char ops invariant)") {
     val n = Tables.documents(spark, sf)
       .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
