@@ -30,6 +30,7 @@ object SparkEntry {
     "q08_sessionize"       -> ((s, d) => RelOps.sessionize(s, d)),
     "q33_json_props"       -> ((s, d) => RelOps.jsonProps(s, d)),
     "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
+    "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ MediaOps.queries ++ Enrich.queries
@@ -132,6 +133,17 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
         |ORDER BY c.event_id""".stripMargin,
+    "q36_range_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_event_id, epoch_us(ts) AS ts_us
+        |    FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_ts_us
+        |    FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.p_event_id, p.ts_us,
+        |  COUNT(c.c_ts_us)::BIGINT AS n_clicks_30m
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts_us > p.ts_us - 1800000000 AND c.c_ts_us <= p.ts_us
+        |GROUP BY p.user_id, p.p_event_id, p.ts_us
+        |ORDER BY p.p_event_id""".stripMargin,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
     Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle
 }

@@ -235,6 +235,37 @@ object RelOps {
       .orderBy("event_id")
   }
 
+  /** q36 — range join demo: for each purchase, the number of clicks by
+    * the same user in the preceding 30 minutes (exclusive-start,
+    * inclusive-end). A raw inequality join is O(left×right) per key; the
+    * scalable Spark form buckets both sides by the window width and joins
+    * on (key, bucket) ∪ (key, bucket-1) — every true match falls in the
+    * same or previous bucket, so candidates are bounded by bucket
+    * population, then the exact range predicate filters. One equi-join
+    * shuffle, no Cartesian blow-up, robust to any time-gap distribution. */
+  def purchaseClickWindow(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_event_id"),
+              col("ts_us").as("c_ts_us"),
+              (col("ts_us") / gapUs).cast("long").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), col("ts_us"))
+      .withColumn("cb", explode(array(
+        (col("ts_us") / gapUs).cast("long"),
+        (col("ts_us") / gapUs).cast("long") - 1)))
+    purchases
+      .join(clicks, purchases("user_id") === clicks("user_id") &&
+                    purchases("cb") === clicks("bucket"), "left")
+      .groupBy(purchases("user_id"), col("p_event_id"), col("ts_us"))
+      .agg(sum(when(col("c_ts_us").isNotNull &&
+                    col("c_ts_us") > col("ts_us") - gapUs &&
+                    col("c_ts_us") <= col("ts_us"), 1).otherwise(0))
+        .cast("long").as("n_clicks_30m"))
+      .orderBy("p_event_id")
+  }
+
   /** Schema-on-read over the dynamic-JSON leg (SURVEY §1.2 — the Slack
     * event record is parsed field-by-field at read time,
     * `slackEventServer.js:51-151`): from_json with an explicit schema,
