@@ -246,8 +246,10 @@ object RelOps {
   def purchaseClickWindow(s: SparkSession, dir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000 * 1000
     val ev = Tables.events(s, dir)
+    // both sides derive from the same scan — rename join keys up front so
+    // the self-join predicate can't resolve both sides to one attribute
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("c_event_id"),
+      .select(col("user_id").as("c_user_id"), col("event_id").as("c_event_id"),
               col("ts_us").as("c_ts_us"),
               (col("ts_us") / gapUs).cast("long").as("bucket"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -256,9 +258,9 @@ object RelOps {
         (col("ts_us") / gapUs).cast("long"),
         (col("ts_us") / gapUs).cast("long") - 1)))
     purchases
-      .join(clicks, purchases("user_id") === clicks("user_id") &&
-                    purchases("cb") === clicks("bucket"), "left")
-      .groupBy(purchases("user_id"), col("p_event_id"), col("ts_us"))
+      .join(clicks, col("user_id") === col("c_user_id") &&
+                    col("cb") === col("bucket"), "left")
+      .groupBy(col("user_id"), col("p_event_id"), col("ts_us"))
       .agg(sum(when(col("c_ts_us").isNotNull &&
                     col("c_ts_us") > col("ts_us") - gapUs &&
                     col("c_ts_us") <= col("ts_us"), 1).otherwise(0))
