@@ -105,6 +105,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(300L).isEmpty)         // no right row ≤ ts → null
   }
 
+  test("asOfJoin == brute-force model on a seeded random corpus") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rightRaw = (1 to 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+    // unique per (key, ts): keep max payload id (the operator's contract)
+    val right = rightRaw.groupBy(r => (r._1, r._2))
+      .map { case ((k, ts), rs) => (k, ts, rs.map(_._3).max) }.toSeq
+    val got = RelOps.asOfJoin(
+        left.toDF("k", "ts", "lid"), right.toDF("k", "ts", "pid"), "k", "ts", Seq("pid"))
+      .select("lid", "pid").as[(Long, Option[Long])].collect().toMap
+    left.foreach { case (k, ts, lid) =>
+      val want = right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(lid) == want, s"left $lid key $k ts $ts")
+    }
+  }
+
   test("documents are pure ASCII (media byte ops == char ops invariant)") {
     val n = Tables.documents(spark, sf)
       .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
