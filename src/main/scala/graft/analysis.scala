@@ -190,9 +190,35 @@ object TextAnalysis {
        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q37 — deterministic per-group sampling: the 5 documents per
+    * (source, lang) with the smallest md5(doc_id) — reproducible uniform
+    * sampling with no RNG state, the per-source cap / data-mixing
+    * primitive. One shuffle on the group key; top-k via ranked window,
+    * never a global sort. */
+  def groupSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("source", "lang", "doc_id", "n_chars",
+        "md5(cast(doc_id as string)) as h")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("lang"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select("source", "lang", "rk", "doc_id", "n_chars")
+      .orderBy("source", "lang", "rk")
+
+  val groupSampleSql: String =
+    """SELECT source, lang, rk, doc_id, n_chars FROM (
+      |  SELECT source, lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source, lang
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents) t WHERE rk <= 5
+      |ORDER BY source, lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_token_stats"   -> ((s, d) => tokenStats(s, d)),
     "q34_split_assign"  -> ((s, d) => splitAssign(s, d)),
+    "q37_group_sample"  -> ((s, d) => groupSample(s, d)),
     "q19_quality_score" -> ((s, d) => qualityScore(s, d)),
     "q20_lang_id"       -> ((s, d) => langId(s, d)),
     "q21_fingerprint"   -> ((s, d) => fingerprint(s, d)),
@@ -201,6 +227,7 @@ object TextAnalysis {
   def oracle: Map[String, String] = Map(
     "q18_token_stats"   -> tokenStatsSql,
     "q34_split_assign"  -> splitAssignSql,
+    "q37_group_sample"  -> groupSampleSql,
     "q19_quality_score" -> qualityScoreSql,
     "q20_lang_id"       -> langIdSql,
     "q21_fingerprint"   -> fingerprintSql,
