@@ -113,6 +113,24 @@ object StreamingOps {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream-stream join with event-time bounds — the streaming twin of
+    * the batch range join (q36): each purchase joins clicks by the same
+    * user within the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds click time relative to
+    * purchase time, so Spark can evict click state once the watermark
+    * passes the window — state stays proportional to the window, not the
+    * stream. (At 100 TB-scale state, configure the RocksDB state store
+    * provider; the operator is unchanged.) */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        watermarkDelay: String, windowMinutes: Int): DataFrame = {
+    val c = clicks.withWatermark("c_ts", watermarkDelay)
+    val p = purchases.withWatermark("p_ts", watermarkDelay)
+    p.join(c,
+      expr(s"""p_user_id = c_user_id AND
+              |c_ts > p_ts - INTERVAL $windowMinutes MINUTES AND
+              |c_ts <= p_ts""".stripMargin))
+  }
+
   /** A2/A3 as a streaming operator — rolling last-K history per key with
     * ordered string context (the reference refetches the last 100
     * messages from Slack per event, `slackEventServer.js:187-221`; the

@@ -158,6 +158,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == Seq(("C1", "t1"), ("C1", "t2"), ("C2", "t9")))
   }
 
+  test("stream-stream join: purchases match clicks in the 30-minute window") {
+    val cIn = MemoryStream[(Long, Timestamp, Long)](spark)
+    val pIn = MemoryStream[(Long, Timestamp, Long)](spark)
+    val joined = StreamingOps.clickPurchaseJoin(
+      cIn.toDF().toDF("c_user_id", "c_ts", "c_id"),
+      pIn.toDF().toDF("p_user_id", "p_ts", "p_id"),
+      watermarkDelay = "10 minutes", windowMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    cIn.addData((1L, ts(0), 101L), (1L, ts(25), 102L), (2L, ts(10), 103L))
+    pIn.addData((1L, ts(40), 901L))   // window (10, 40]: click 102 only
+    q.processAllAvailable()
+    cIn.addData((9L, ts(120), 999L))  // advance both watermarks
+    pIn.addData((9L, ts(120), 998L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj").select("p_id", "c_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.contains((901L, 102L)))
+    assert(!got.contains((901L, 101L)))  // outside the 30-minute window
+    assert(!got.exists(_._2 == 103L))    // different user
+  }
+
   test("thread membership: insert-only keyed state emits each key once") {
     val in = MemoryStream[graft.streaming.ThreadEvent](spark)
     val out = StreamingOps.threadMembership(in.toDS(), "10 minutes", ttlMillis = 3600000L)
