@@ -46,18 +46,22 @@ object TextOps {
   }
 
   /** T6 — truncate at the "Love TLDR? …" footer, trimmed
-    * (`kafkaProducer.js:173-176`). */
+    * (`kafkaProducer.js:173-176`). One split doubles as the match test
+    * (2 elements ⟺ the pattern occurred) — half the regex passes of a
+    * separate rlike guard, same semantics. */
   private val loveTldrPat = """Love TLDR\? Tell your friends and get rewards!"""
-  def truncateAtLoveTldr(c: Column): Column =
-    when(c.rlike(loveTldrPat), jsTrim(split(c, loveTldrPat, 2).getItem(0)))
-      .otherwise(c)
+  def truncateAtLoveTldr(c: Column): Column = {
+    val parts = split(c, loveTldrPat, 2)
+    when(size(parts) > 1, jsTrim(parts.getItem(0))).otherwise(c)
+  }
 
   /** T7 — truncate at "how did we do today" (case-insensitive), trimmed
     * (`kafkaProducer.js:179-182`). */
   private val feedbackPat = """(?i)how did we do today"""
-  def truncateAtFeedback(c: Column): Column =
-    when(c.rlike(feedbackPat), jsTrim(split(c, feedbackPat, 2).getItem(0)))
-      .otherwise(c)
+  def truncateAtFeedback(c: Column): Column = {
+    val parts = split(c, feedbackPat, 2)
+    when(size(parts) > 1, jsTrim(parts.getItem(0))).otherwise(c)
+  }
 
   /** T8–T13 — MIME/markup cleanup chain (`kafkaProducer.js:185-190`),
     * all global replaces, order preserved. */
