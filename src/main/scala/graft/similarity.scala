@@ -205,15 +205,94 @@ object Similarity {
        |SELECT vec_id, label, floor((cos) * 1e6 + 0.5) / 1e6 AS cos_to_centroid
        |FROM j ORDER BY vec_id""".stripMargin
 
+  /** Centroid codebook + nearest-centroid assignment for every vector
+    * (argmax cosine over the 10 centroids, label tie-break) — the IVF
+    * coarse quantizer. The codebook is tiny and broadcast; assignment is
+    * one scan. */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb
+      .selectExpr("vec_id", "label", "posexplode(embedding) as (dim, v)")
+      .groupBy("label", "dim")
+      .agg(sum(col("v").cast("decimal(25,12)")).as("sv"), count(lit(1)).as("n"))
+      .selectExpr("label as c_label", "dim", "cast(sv as double) / n as cv")
+      .groupBy("c_label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .selectExpr("c_label", "transform(pairs, p -> p.cv) as centroid")
+    emb.crossJoin(broadcast(centroids))
+      .selectExpr("vec_id", "label", "embedding", "c_label",
+        s"""${dotExpr("embedding", "centroid")} /
+           |(sqrt(${dotExpr("embedding", "embedding")}) * sqrt(${dotSparkDD("centroid")})) as c_cos"""
+          .stripMargin.replace("\n", " "))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "label", "embedding", "c_label")
+  }
+
+  /** q38 — IVF search: route the query (vec 0) to its nearest centroid,
+    * exact-search only that cell, top-10 by cosine. At 100 TB the
+    * assignment is written once (partitioned by cell) and a probe scans
+    * ~1/k of the corpus; here both stages run inline. Exactly the
+    * q26 machinery with the scan bounded by the coarse quantizer. */
+  def ivfSearch(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssigned(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val query = assigned.filter(col("vec_id") === 0)
+      .selectExpr("embedding as qe", s"sqrt(${dotExpr("embedding", "embedding")}) as qn",
+                  "c_label as q_cell")
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(query), col("c_label") === col("q_cell"))
+      .selectExpr("vec_id", "label", "c_label",
+        s"${dotExpr("embedding", "qe")} / (sqrt(${dotExpr("embedding", "embedding")}) * qn) as cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .selectExpr("vec_id", "label", "c_label", "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
+  }
+
+  val ivfSearchSql: String = {
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, label, embedding, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dotSqlDuck("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT vec_id, label, embedding, c_label FROM asg WHERE rn = 1),
+       |q AS (SELECT embedding AS qe,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS qn, c_label AS q_cell
+       |  FROM a WHERE vec_id = 0),
+       |r AS (SELECT a.vec_id, a.label, a.c_label,
+       |    (${dotSqlDuck("a.embedding", "q.qe")})
+       |    / (sqrt(${dotSqlDuck("a.embedding", "a.embedding")}) * q.qn) AS cos
+       |  FROM a JOIN q ON a.c_label = q.q_cell WHERE a.vec_id <> 0)
+       |SELECT vec_id, label, c_label, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM r ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
     "q27_ann_lsh"         -> ((s, d) => annLsh(s, d)),
     "q28_label_centroids" -> ((s, d) => labelCentroids(s, d)),
+    "q38_ivf_search"      -> ((s, d) => ivfSearch(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
     "q26_cosine_topk"     -> cosineTopKSql,
     "q27_ann_lsh"         -> annLshSql,
     "q28_label_centroids" -> labelCentroidsSql,
+    "q38_ivf_search"      -> ivfSearchSql,
   )
 }
