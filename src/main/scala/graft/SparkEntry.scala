@@ -33,7 +33,7 @@ object SparkEntry {
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ MediaOps.queries ++ Enrich.queries
+      Similarity.queries ++ MediaOps.queries ++ Enrich.queries ++ Routing.queries
   }
 
   /** DECIMAL-accumulated exact sum, cast back to double (see Tables.dsum). */
@@ -145,5 +145,5 @@ object SparkEntry {
         |GROUP BY p.user_id, p.p_event_id, p.ts_us
         |ORDER BY p.p_event_id""".stripMargin,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
-    Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle
+    Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle ++ Routing.oracle
 }

@@ -14,11 +14,13 @@ case class ThreadEvent(channel: String, ts: Timestamp, thread_ts: Option[String]
 case class ThreadSeen(thread_key: String, first_ts: Timestamp)
 private[streaming] case class SeenState(firstTsMs: Long)
 
-/** One history message for A2/A3 rolling context. */
-case class HistoryMsg(key: String, tsMs: Long, user: String, text: String)
+/** One history message for A2/A3 rolling context. `id` is the message's
+  * unique identity (Slack ts string / Kafka offset) — state inserts dedup
+  * on it so at-least-once replays are idempotent. */
+case class HistoryMsg(key: String, tsMs: Long, id: String, user: String, text: String)
 /** Rolling context emitted per key update. */
 case class HistoryContext(key: String, context: String, n_msgs: Int)
-private[streaming] case class HistoryBuf(msgs: Vector[(Long, String)])
+private[streaming] case class HistoryBuf(msgs: Vector[(Long, String, String)])
 
 /** The reference's three service legs as Structured Streaming transforms
   * (SURVEY.md §2.1-§2.2, §2.8). Every transform is source-agnostic: it
@@ -87,14 +89,24 @@ object StreamingOps {
 
   /** K2/K3 delivery shape: at-least-once via checkpointed foreachBatch —
     * the batch id + an idempotent consumer give the reference's
-    * send-then-ack semantics without its swallow-errors data loss. The
-    * `post` callback stands in for the HTTP client (one per batch, reused
-    * across rows — same amortization rule as MediaOps decoders). */
-  def foreachBatchHttpSink(payloads: DataFrame, post: (Long, String) => Unit)
+    * send-then-ack semantics without its swallow-errors data loss
+    * (`Consumer/kafkaConsumer.js:117-148`).
+    *
+    * Posting happens ON THE EXECUTORS via foreachPartition: `mkClient` is
+    * a serializable factory invoked once per partition, so the HTTP client
+    * is amortized across the partition's rows (same rule as the MediaOps
+    * decoders) and delivery parallelism scales with partitions. Nothing is
+    * ever collected to the driver — a fat micro-batch streams through
+    * executor memory row by row. */
+  def foreachBatchHttpSink(payloads: DataFrame, mkClient: () => (Long, String) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     payloads.writeStream.outputMode("append").foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.select("payload").collect().foreach(r => post(batchId, r.getString(0)))
+        batch.select("payload").foreachPartition {
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            val post = mkClient()
+            it.foreach(r => post(batchId, r.getString(0)))
+        }
     }
 
   /** ST2/ST3 (extension — the reference's Flink file is empty): event-time
@@ -137,7 +149,12 @@ object StreamingOps {
     * streaming-native form keeps a bounded per-key buffer in the state
     * store instead of re-reading). Emits (key, context, n_msgs) after
     * each update; state is capped at `k` messages per key, so it cannot
-    * grow with stream length. */
+    * grow with stream length.
+    *
+    * Replay-idempotent under at-least-once delivery: inserts dedup on the
+    * message id (a replayed micro-batch re-inserting the same ids is a
+    * no-op), and ordering is by (tsMs, id) so equal-timestamp ties are
+    * deterministic regardless of arrival order. */
   def rollingHistory(msgs: Dataset[HistoryMsg], k: Int): Dataset[HistoryContext] = {
     import msgs.sparkSession.implicits._
     msgs
@@ -146,10 +163,14 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout()) {
         (key: String, it: Iterator[HistoryMsg], state: GroupState[HistoryBuf]) =>
           val prev = if (state.exists) state.get.msgs else Vector.empty
-          val all = (prev ++ it.map(m => (m.tsMs, m.user + ": " + m.text)))
-            .sortBy(_._1).takeRight(k)   // top-K by recency, ascending
+          val seen = prev.map(_._2).toSet
+          val fresh = it.filter(m => !seen.contains(m.id))
+            .map(m => (m.tsMs, m.id, m.user + ": " + m.text)).toVector
+            .distinctBy(_._2)
+          val all = (prev ++ fresh)
+            .sortBy(m => (m._1, m._2)).takeRight(k) // top-K by recency, ascending
           state.update(HistoryBuf(all))
-          HistoryContext(key, all.map(_._2).mkString("\n"), all.size)
+          HistoryContext(key, all.map(_._3).mkString("\n"), all.size)
       }
   }
 

@@ -12,6 +12,13 @@ import org.apache.spark.sql.streaming.Trigger
   * legs reuse the oracle-verified Column functions unchanged, so these
   * tests check streaming wiring: micro-batch progress, watermarks,
   * append-mode emission, and keyed state with TTL. */
+/** Executor-side post capture: task closures are serialized even in local
+  * mode, so a captured queue would be a deserialized copy — a companion
+  * singleton is the shared-JVM rendezvous. */
+object PostCollector {
+  val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -57,12 +64,15 @@ class StreamingSpec extends SparkSpec {
       .withColumn("body_linked", org.apache.spark.sql.functions.expr("body"))
     val payloads = StreamingOps.blockKitPayload(
       decoded, "seqno", "subject", "body_linked", maxLen = 12)
-    val posts = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    PostCollector.posts.clear()
     in.addData((1, "S1", "short line\nanother longer line"), (2, "S2", "x"))
-    val q = StreamingOps.foreachBatchHttpSink(payloads, (_, p) => posts.add(p))
+    // mkClient runs once per partition ON the executors; the task closure is
+    // serialized, so capture goes through a JVM-singleton collector (local
+    // mode shares the JVM) — no row ever reaches the driver
+    val q = StreamingOps.foreachBatchHttpSink(payloads, () => (_, p) => PostCollector.posts.add(p))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000); q.stop()
-    val got = posts.toArray(Array.empty[String]).sorted
+    val got = PostCollector.posts.toArray(Array.empty[String]).sorted
     assert(got.length == 2)
     // JSON shape: blocks[0] = subject section; later blocks = chunks
     val p1 = got.find(_.contains("S1")).get
@@ -116,17 +126,58 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("history")
       .outputMode("update").start()
     in.addData(
-      graft.streaming.HistoryMsg("C1", 1000, "u1", "first"),
-      graft.streaming.HistoryMsg("C1", 2000, "u2", "second"))
+      graft.streaming.HistoryMsg("C1", 1000, "m1", "u1", "first"),
+      graft.streaming.HistoryMsg("C1", 2000, "m2", "u2", "second"))
     q.processAllAvailable()
     in.addData(
-      graft.streaming.HistoryMsg("C1", 3000, "u1", "third"),
-      graft.streaming.HistoryMsg("C1", 4000, "u3", "fourth")) // evicts "first"
+      graft.streaming.HistoryMsg("C1", 3000, "m3", "u1", "third"),
+      graft.streaming.HistoryMsg("C1", 4000, "m4", "u3", "fourth")) // evicts "first"
     q.processAllAvailable(); q.stop()
     val last = spark.table("history").as[graft.streaming.HistoryContext]
       .collect().filter(_.n_msgs == 3)
     assert(last.nonEmpty)
     assert(last.last.context == "u2: second\nu1: third\nu3: fourth")
+  }
+
+  test("A2/A3: rolling history is replay-idempotent and tie-order deterministic") {
+    val in = MemoryStream[graft.streaming.HistoryMsg](spark)
+    val out = StreamingOps.rollingHistory(in.toDS(), k = 5)
+    val q = out.writeStream.format("memory").queryName("historyreplay")
+      .outputMode("update").start()
+    // equal timestamps → order decided by id, not arrival
+    in.addData(
+      graft.streaming.HistoryMsg("C1", 1000, "mB", "u2", "tieB"),
+      graft.streaming.HistoryMsg("C1", 1000, "mA", "u1", "tieA"))
+    q.processAllAvailable()
+    // at-least-once replay: same ids delivered again plus one new message
+    in.addData(
+      graft.streaming.HistoryMsg("C1", 1000, "mA", "u1", "tieA"),
+      graft.streaming.HistoryMsg("C1", 1000, "mB", "u2", "tieB"),
+      graft.streaming.HistoryMsg("C1", 2000, "mC", "u3", "third"))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("historyreplay").as[graft.streaming.HistoryContext]
+      .collect().last
+    assert(last.n_msgs == 3) // replayed ids inserted once, not twice
+    assert(last.context == "u1: tieA\nu2: tieB\nu3: third")
+  }
+
+  test("ST1: ProcessingTime trigger drives repeated micro-batches (reference's 10-min poll)") {
+    // the reference polls on a processing-time interval
+    // (Producer/kafkaProducer.js:80,232); here the same trigger type at a
+    // test-friendly interval drives the producer leg end-to-end
+    val in = MemoryStream[(Int, String, String)](spark)
+    val out = StreamingOps.producerTransform(in.toDF().toDF("seqno", "subject", "body"))
+    in.addData((1, "S1", "body one"))
+    val q = out.writeStream.format("memory").queryName("ptrig")
+      .outputMode("append").trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    in.addData((2, "S2", "body two"))   // arrives for a LATER timed batch
+    q.processAllAvailable()
+    val batches = q.recentProgress.map(_.batchId).distinct
+    q.stop()
+    assert(batches.length >= 2)         // multiple timer-fired micro-batches
+    val seqnos = spark.table("ptrig").select("seqno").as[Int].collect().toSet
+    assert(seqnos == Set(1, 2))
   }
 
   test("stream-static join: events enrich against a static dimension table") {
