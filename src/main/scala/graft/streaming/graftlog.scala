@@ -1,0 +1,179 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** GraftLog — a minimal DataSource V2 micro-batch source over an
+  * append-only segment-file log, exercising the EXACT offset/checkpoint/
+  * replay contract the reference relies on from Kafka (SURVEY.md S4/K1,
+  * ST4–ST6; the connector jar is absent from this container, so the
+  * contract is proven against a file-backed log instead of a broker):
+  *
+  *  - records expose the Kafka-shaped schema `(offset LONG, value BINARY)`
+  *    — `StreamingOps.consumerTransform` runs on it unchanged;
+  *  - `initialOffset` = 0 — the consumer's `fromBeginning: true`
+  *    (`Consumer/kafkaConsumer.js:53`, ST6 full-topic replay);
+  *  - offsets serialize into the query checkpoint; a RESTARTED query
+  *    resumes from the committed offset, never re-emitting old records —
+  *    at-least-once with checkpoint recovery (ST4/ST5);
+  *  - `commit(end)` persists a `.committed` marker in the log directory —
+  *    the source-side ack analogue of the producer's post-send
+  *    `imap.addFlags('\\Seen')` (K4, `Producer/kafkaProducer.js:208-222`):
+  *    an external observer can see how far delivery is acknowledged.
+  *
+  * Layout: `dir/NNNNNNNN.seg`, one base64 value per line; the global
+  * offset of a record is its position in the (segment-name-sorted, then
+  * line-order) sequence. Appends create a fresh segment via temp-file +
+  * atomic rename, so a concurrently-listing reader never sees a partial
+  * segment. Planning splits each segment slice into its own partition —
+  * read parallelism scales with segments like Kafka's with partitions.
+  * (Listing the directory per `latestOffset` is O(segments) — fine for a
+  * test log; a production log would maintain a manifest, which is an I/O
+  * detail, not a contract change.)
+  */
+object GraftLog {
+  val schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("value", BinaryType, nullable = false)))
+
+  /** Append `values` as one new segment (atomic rename). */
+  def append(dir: String, values: Seq[Array[Byte]]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val next = listSegments(d).size
+    val body = values.map(Base64.getEncoder.encodeToString).mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(d, ".tmp-", ".seg.part")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, d.resolve(f"$next%08d.seg"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The committed (acknowledged) offset, -1 if none yet — the K4 marker. */
+  def committedOffset(dir: String): Long = {
+    val p = Paths.get(dir, ".committed")
+    if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else -1L
+  }
+
+  private[streaming] def listSegments(d: Path): Seq[Path] =
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".seg")).toSeq
+      .sortBy(_.getFileName.toString)
+
+  /** (segment, lineCount) pairs in offset order. */
+  private[graft] def segmentCounts(d: Path): Seq[(Path, Long)] =
+    listSegments(d).map { p =>
+      var n = 0L
+      val it = Files.lines(p)
+      try { n = it.count() } finally it.close()
+      (p, n)
+    }
+}
+
+/** One contiguous record range of one segment file. */
+private[streaming] case class GraftLogPartition(
+    file: String, skipLines: Long, takeLines: Long, firstOffset: Long)
+  extends InputPartition
+
+private[streaming] case class GraftLogOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** `spark.readStream.format("graft.streaming.GraftLogSource").load(dir)`. */
+class GraftLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftLog.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GraftLogTable(properties.get("path"))
+}
+
+private[streaming] class GraftLogTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-log needs a path: .load(dir)")
+  override def name(): String = s"graft-log($path)"
+  override def schema(): StructType = GraftLog.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = GraftLog.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftLogMicroBatchStream(path)
+      }
+    }
+}
+
+private[streaming] class GraftLogMicroBatchStream(path: String) extends MicroBatchStream {
+  private def dir = Paths.get(path)
+
+  /** ST6 — earliest / fromBeginning. */
+  override def initialOffset(): Offset = GraftLogOffset(0L)
+
+  override def latestOffset(): Offset =
+    GraftLogOffset(GraftLog.segmentCounts(dir).map(_._2).sum)
+
+  override def deserializeOffset(json: String): Offset = GraftLogOffset(json.toLong)
+
+  /** K4 — acknowledge delivery up to `end` (the mark-\Seen analogue).
+    * Atomic replace: a crash between batch completion and ack leaves the
+    * previous marker — the replayed batch is the at-least-once window. */
+  override def commit(end: Offset): Unit = {
+    val tmp = Files.createTempFile(dir, ".tmp-", ".committed.part")
+    Files.write(tmp, end.asInstanceOf[GraftLogOffset].n.toString
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(".committed"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftLogOffset].n
+    val hi = end.asInstanceOf[GraftLogOffset].n
+    val out = Array.newBuilder[InputPartition]
+    var base = 0L
+    GraftLog.segmentCounts(dir).foreach { case (p, n) =>
+      val segLo = math.max(lo, base)
+      val segHi = math.min(hi, base + n)
+      if (segHi > segLo)
+        out += GraftLogPartition(p.toString, segLo - base, segHi - segLo, segLo)
+      base += n
+    }
+    out.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val gp = partition.asInstanceOf[GraftLogPartition]
+      new PartitionReader[InternalRow] {
+        private val lines = Files.lines(Paths.get(gp.file))
+        private val it = lines.iterator().asScala
+          .slice(gp.skipLines.toInt, (gp.skipLines + gp.takeLines).toInt)
+        private var i = 0L
+        private var current: InternalRow = _
+        override def next(): Boolean =
+          if (!it.hasNext) false
+          else {
+            val bytes = Base64.getDecoder.decode(it.next())
+            current = new GenericInternalRow(
+              Array[Any](gp.firstOffset + i, bytes))
+            i += 1
+            true
+          }
+        override def get(): InternalRow = current
+        override def close(): Unit = lines.close()
+      }
+    }
+
+  override def stop(): Unit = ()
+}

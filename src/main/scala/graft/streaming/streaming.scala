@@ -109,6 +109,45 @@ object StreamingOps {
         }
     }
 
+  /** Write one micro-batch's `value` column as deterministic segment
+    * files: `b{batchId}-p{partition}.seg`, temp-file + atomic rename.
+    * Deterministic names make an at-least-once REPLAY of the same batch
+    * overwrite its own files instead of duplicating records — the
+    * checkpoint + idempotent-sink pairing (ST4) that upgrades the
+    * reference's send-then-ack (`Producer/kafkaProducer.js:208-218`).
+    * Runs on the executors (one file per partition, no driver collect). */
+  def writeBatchSegments(batch: Dataset[org.apache.spark.sql.Row],
+                         dir: String, batchId: Long): Unit =
+    batch.select("value").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.toArray
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val d = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.createDirectories(d)
+          val body = rows.iterator
+            .map(r => java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](0)))
+            .mkString("", "\n", "\n")
+          val tmp = java.nio.file.Files.createTempFile(d, ".tmp-", ".seg.part")
+          java.nio.file.Files.write(tmp,
+            body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(tmp, d.resolve(f"b$batchId%08d-p$pid%05d.seg"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+    }
+
+  /** K1 — Kafka-shaped sink over the [[graft.streaming.GraftLog]] segment
+    * log: the stream's Avro `value` column lands in offset-ordered
+    * segments a GraftLogSource (or any consumer) replays from earliest. */
+  def foreachBatchLogSink(values: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatchSegments(batch, dir, batchId)
+    }
+
   /** ST2/ST3 (extension — the reference's Flink file is empty): event-time
     * tumbling counts with a watermark bounding state. */
   def windowedCounts(events: DataFrame, watermarkDelay: String): DataFrame =
