@@ -1,8 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** One enrichment request: the assembled context (A2-A4 output) plus the
+  * user message (E1 input shape, `slackEventServer.js:224-231`). */
+case class PromptRequest(id: Long, context: String, message: String)
+/** One enrichment reply. */
+case class PromptReply(id: Long, reply: String)
 
 /** Offline-deterministic analogue of the reference's per-record LLM
   * enrichment (E1, `Slack Event Server/slackEventServer.js:224-276`): the
@@ -68,6 +74,40 @@ object Enrich {
        |  len(list_filter(string_split(d.text, ' '), t -> t <> ''))::BIGINT AS n_tokens
        |FROM documents d LEFT JOIN top ON d.doc_id = top.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Prompt assembly mirroring the reference's persona + context + user
+    * message + markup instruction (`slackEventServer.js:233-239`). Pure
+    * string work — runs on the executors inside [[enrichOnline]]. */
+  def buildPrompt(context: String, message: String): String =
+    s"""You are a helpful assistant in a Slack workspace.
+       |Recent conversation context:
+       |$context
+       |
+       |User message: $message
+       |Format your reply with Slack markup.""".stripMargin
+
+  /** E1 — the ONLINE enrichment plumbing (`slackEventServer.js:224-276`):
+    * per-record completion calls via mapPartitions with ONE client per
+    * partition, the same amortization rule as the MediaOps decoders.
+    * `mkClient` is a serializable factory producing the blocking
+    * prompt→reply call; tests inject a mock, production injects an HTTP
+    * client (connection reuse across the partition's rows is exactly what
+    * the factory boundary provides). Non-deterministic by nature (network
+    * I/O), so it is NOT in the oracle map and must never be re-expressed
+    * as a Catalyst expression — mapPartitions guarantees once-per-row
+    * evaluation within the batch instead of optimizer-driven re-execution.
+    *
+    * Scale notes (100 TB): pure map-side work, no shuffle; parallelism ==
+    * partitions; a rate-limited backend bounds it by repartitioning to
+    * the allowed concurrency, not by throttling inside the call. */
+  def enrichOnline(reqs: Dataset[PromptRequest],
+                   mkClient: () => String => String): Dataset[PromptReply] = {
+    import reqs.sparkSession.implicits._
+    reqs.mapPartitions { it =>
+      val complete = mkClient() // per-partition, reused across rows
+      it.map(r => PromptReply(r.id, complete(buildPrompt(r.context, r.message))))
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_keyword_summary" -> ((s, d) => keywordSummary(s, d)),
