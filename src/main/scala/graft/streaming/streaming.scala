@@ -109,6 +109,19 @@ object StreamingOps {
         }
     }
 
+  /** K3 — threaded chat.postMessage payload (`slackEventServer.js:97-101`,
+    * `:136-139`): the reply targets the thread when `thread_ts` is
+    * present. `to_json` omits null fields, so an unthreaded reply simply
+    * carries no `thread_ts` key — the reference's conditional as a
+    * stateless per-row projection (append-mode streamable, feeds
+    * [[foreachBatchHttpSink]]). */
+  def threadedReplyPayload(df: DataFrame, channelCol: String, textCol: String,
+                           threadTsCol: String): DataFrame =
+    df.select(to_json(struct(
+      col(channelCol).as("channel"),
+      col(textCol).as("text"),
+      col(threadTsCol).as("thread_ts"))).as("payload"))
+
   /** Write one micro-batch's `value` column as deterministic segment
     * files: `b{batchId}-p{partition}.seg`, temp-file + atomic rename.
     * Deterministic names make an at-least-once REPLAY of the same batch

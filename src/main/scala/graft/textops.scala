@@ -75,14 +75,19 @@ object TextOps {
   }
 
   /** T14 — bold ALL-CAPS heading lines, trimming inside the stars
-    * (`kafkaProducer.js:191`). Pure regexp_replace cannot trim the capture,
-    * so this runs per-line via transform() — still codegen-friendly. */
-  def boldCapsHeadings(c: Column): Column =
-    array_join(
-      transform(split(c, "\n", -1), l =>
-        when(l.rlike("""^[A-Z0-9 &]+$"""), concat(lit("*"), trim(l), lit("*")))
-          .otherwise(l)),
-      "\n")
+    * (`kafkaProducer.js:191`: `*${line.trim()}*`). The JS line class is
+    * [A-Z0-9 &] — space is its only whitespace — so "trim inside" is
+    * expressible as pure regex after all: capture the space-stripped core
+    * (non-space at both edges) and re-wrap. A second pass handles the
+    * all-spaces line, which JS maps to `**`. Two multiline regexp_replace
+    * passes keep the whole step inside whole-stage codegen; the previous
+    * transform(split(...)) form evaluated interpreted per line (SURVEY
+    * §2.11 HOF caveat) and dominated the q09 profile. */
+  def boldCapsHeadings(c: Column): Column = {
+    val capped = regexp_replace(c,
+      """(?m)^ *([A-Z0-9&](?:[A-Z0-9 &]*[A-Z0-9&])?) *$""", "*$1*")
+    regexp_replace(capped, """(?m)^ +$""", "**")
+  }
 
   /** T15–T17 — stray brackets, image URLs, author bylines
     * (`kafkaProducer.js:192-194`). */
@@ -165,10 +170,10 @@ object TextOracle {
     """regexp_replace(b, '(\r\n|\n|\r)+', chr(10), 'g')""",
     """regexp_replace(b, '<[^>]+>', '', 'g')""",
     """regexp_replace(b, '[^\x20-\x7E\n]', '', 'g')""",
-    // T14
-    """array_to_string(list_transform(string_split(b, chr(10)),
-      |  l -> CASE WHEN regexp_matches(l, '^[A-Z0-9 &]+$')
-      |            THEN '*' || trim(l) || '*' ELSE l END), chr(10))""".stripMargin,
+    // T14 (two passes, same as TextOps.boldCapsHeadings)
+    """regexp_replace(regexp_replace(b,
+      |  '(?m)^ *([A-Z0-9&](?:[A-Z0-9 &]*[A-Z0-9&])?) *$', '*\1*', 'g'),
+      |  '(?m)^ +$', '**', 'g')""".stripMargin,
     // T15-T17
     """regexp_replace(b, '(?m)^\[|\]$', '', 'g')""",
     """regexp_replace(b, '(?i)https?://\S+\.(png|jpg|jpeg|gif|svg)', '', 'g')""",

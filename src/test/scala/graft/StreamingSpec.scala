@@ -87,6 +87,19 @@ class StreamingSpec extends SparkSpec {
       """{"type":"section","text":{"type":"mrkdwn","text":"x"}}]}"""))
   }
 
+  test("K3: threaded reply payload carries thread_ts only when present") {
+    val in = MemoryStream[(String, String, String)](spark)
+    val payloads = StreamingOps.threadedReplyPayload(
+      in.toDF().toDF("channel", "text", "thread_ts"), "channel", "text", "thread_ts")
+    in.addData(("C1", "in thread", "1724.001"), ("C2", "top level", null))
+    val q = payloads.writeStream.format("memory").queryName("k3")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val got = spark.table("k3").as[String].collect().sorted
+    assert(got(0) == """{"channel":"C1","text":"in thread","thread_ts":"1724.001"}""")
+    assert(got(1) == """{"channel":"C2","text":"top level"}""") // no thread_ts key
+  }
+
   test("windowed counts: watermark drops late data in append mode") {
     val in = MemoryStream[(Timestamp, String)](spark)
     val out = StreamingOps.windowedCounts(in.toDF().toDF("ts", "event_type"), "5 minutes")

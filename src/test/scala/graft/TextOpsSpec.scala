@@ -55,6 +55,10 @@ class TextOpsSpec extends SparkSpec {
     // leading spaces make the line fail ^[A-Z0-9 &]+$? No: space is in
     // the class, so "  CAPS  " matches and trims inside the stars.
     assert(runClean("x\n  CAPS  \ny") == "x\n*CAPS*\ny")
+    // all-spaces line: matches the JS class, trims to empty → bare "**"
+    assert(runClean("x\n   \ny") == "x\n**\ny")
+    // inner & at the edges of the trimmed core
+    assert(runClean("x\n & CAPS & \ny") == "x\n*& CAPS &*\ny")
   }
 
   test("T1: subject styling with null/empty coalesce") {
