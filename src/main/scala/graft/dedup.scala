@@ -153,8 +153,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val minhashLshSql: String =
-    s"""WITH corpus AS ($corpusSqlDuck),
+  /** The q23 pipeline as reusable DuckDB CTEs (ends with `ver`). */
+  private val minhashCtes: String =
+    s"""corpus AS ($corpusSqlDuck),
        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
        |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM tk),
        |hs AS (SELECT doc_id, sh, list_transform(sh, x -> {'a':
@@ -172,9 +173,79 @@ object Dedup {
        |ver AS (SELECT doc_a, doc_b,
        |  floor((len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
-       |            JOIN sh sb ON sb.doc_id = cand.doc_b)
+       |            JOIN sh sb ON sb.doc_id = cand.doc_b)""".stripMargin
+
+  val minhashLshSql: String =
+    s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components by hash-min label propagation: every vertex
+    * starts as its own root; each round, a vertex adopts the minimum root
+    * among itself and its neighbours; fixpoint when nothing changes. The
+    * component root is the component's minimum vertex id — deterministic,
+    * so oracle-comparable.
+    *
+    * Scale notes (100 TB): each round is one shuffle (edge-join + min
+    * aggregation); rounds needed = graph diameter (near-dup graphs are
+    * shallow — twins and short chains). Lineage is truncated per round
+    * with localCheckpoint, so the plan does not grow with iterations.
+    * For adversarially deep graphs swap in alternating large-star/
+    * small-star (same join primitives, O(log n) rounds); the convergence
+    * loop here IS the canonical Spark iterative-dataframe shape — data
+    * never visits the driver, only the changed-count does. */
+  private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    // undirected: propagate both ways
+    val both = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var lab = vertices.select(col("id"), col("id").as("root")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = both.join(lab, both("src") === lab("id"))
+        .groupBy(col("dst")).agg(min(col("root")).as("nroot"))
+      val next = lab.join(prop, lab("id") === prop("dst"), "left")
+        .select(lab("id"), least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+        .localCheckpoint()
+      changed = next.as("n").join(lab.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.root") =!= col("o.root")).count()
+      lab = next
+    }
+    lab
+  }
+
+  /** q41 — near-dup clustering: connected components over the q23 pair
+    * graph, i.e. the step a real dedup pipeline runs AFTER pair finding
+    * to pick one canonical document per duplicate cluster. Output: every
+    * corpus doc with its component root (= keep id) and component size;
+    * isolated docs root themselves with size 1. */
+  def dupComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vertices = docs.select(col("doc_id").as("id")).unionAll(
+      docs.select((col("doc_id") + 10000).as("id")))
+    val pairs = minhashLsh(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val lab = connectedComponents(vertices, pairs)
+    val sizes = lab.groupBy(col("root")).agg(count(lit(1)).as("n_members"))
+    lab.join(sizes, Seq("root"))
+      .select(col("id").as("doc_id"), col("root").as("keep_doc_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  val dupComponentsSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |verts AS (SELECT doc_id AS id FROM corpus),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+       |sizes AS (SELECT root, COUNT(*) AS n_members FROM roots GROUP BY root)
+       |SELECT roots.id AS doc_id, roots.root AS keep_doc_id, sizes.n_members
+       |FROM roots JOIN sizes ON roots.root = sizes.root
+       |ORDER BY doc_id""".stripMargin
 
   /** 16-bit SimHash of one token list (frequency-weighted): bit b is set
     * when the count of tokens whose (b+1)-th md5 hex digit has its high
@@ -367,6 +438,7 @@ object Dedup {
     "q24_simhash"       -> ((s, d) => simhash(s, d)),
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q32_embed_neardup" -> ((s, d) => embedNearDup(s, d)),
+    "q41_dup_components" -> ((s, d) => dupComponents(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -375,5 +447,6 @@ object Dedup {
     "q24_simhash"       -> simhashSql,
     "q25_ngram_jaccard" -> ngramJaccardSql,
     "q32_embed_neardup" -> embedNearDupSql,
+    "q41_dup_components" -> dupComponentsSql,
   )
 }

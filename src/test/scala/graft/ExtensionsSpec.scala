@@ -66,6 +66,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(maxBlockPairs < 270L * 269 / 2)
   }
 
+  test("connectedComponents: chain, triangle, and isolated vertex resolve to min-id roots") {
+    val vertices = (1L to 9L).toDF("id")
+    // chain 1-2-3-4, triangle 5-6-7 (+redundant edge), pair 8-9... minus 9:
+    // vertex 9 isolated, 8 isolated too (no edge)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (7L, 5L))
+      .toDF("src", "dst")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("q41: every planted twin shares a component with its source doc") {
+    val comp = Dedup.dupComponents(spark, sf)
+      .select("doc_id", "keep_doc_id").as[(Long, Long)].collect().toMap
+    val longDocs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .filter(_._2.split(" ").length >= 10).map(_._1)
+    longDocs.foreach { id =>
+      assert(comp(id) == comp(id + 10000), s"doc $id and twin in different components")
+    }
+  }
+
   test("q26: matches brute-force exact top-20 computed in the driver") {
     val got = Similarity.cosineTopK(spark, sf)
       .select("vec_id", "cosine").as[(Long, Double)].collect().toSeq

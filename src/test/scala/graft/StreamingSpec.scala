@@ -294,6 +294,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("log3").select("seqno").as[Int].collect().toSet == Set(1, 2, 3, 4, 5))
   }
 
+  test("S1 poll shape: ProcessingTime trigger picks up newly appended segments") {
+    // the reference's 10-minute IMAP poll (Producer/kafkaProducer.js:80,232)
+    // = a timer-fired micro-batch source; records appended BETWEEN timer
+    // firings arrive in later batches
+    val dir = java.nio.file.Files.createTempDirectory("graftlog-poll").toString
+    graft.streaming.GraftLog.append(dir, Seq(Serde.encodeEmail(1, "S1", "b1")))
+    val q = StreamingOps.consumerTransform(
+        spark.readStream.format("graft.streaming.GraftLogSource").load(dir))
+      .writeStream.format("memory").queryName("poll")
+      .outputMode("append").trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    graft.streaming.GraftLog.append(dir, Seq(Serde.encodeEmail(2, "S2", "b2")))
+    q.processAllAvailable(); q.stop()
+    val seqnos = spark.table("poll").select("seqno").as[Int].collect().toSet
+    assert(seqnos == Set(1, 2))
+  }
+
   test("GraftLog sink: replayed batch overwrites its own segments (idempotent, ST4)") {
     val outDir = java.nio.file.Files.createTempDirectory("graftlog-out").toString
     val batch = Seq(10, 11, 12).map(i => Tuple1(Serde.encodeEmail(i, s"S$i", "b")))
