@@ -215,6 +215,151 @@ object TextAnalysis {
       |  FROM documents) t WHERE rk <= 5
       |ORDER BY source, lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q42 — PII scrubbing. The corpus is synthetic word salad with no real
+  // PII (asserted: zero '@'/'http' hits), so the query deterministically
+  // plants one email, one phone and one IP derived from doc_id, then
+  // scrubs them back out with the redaction chain a real pipeline would
+  // run. Redaction itself is pure per-row regexp_replace — zero shuffle,
+  // codegen'd, embarrassingly parallel at 100 TB. Patterns stay inside
+  // the RE2 ∩ java.util.regex common subset so both engines agree.
+  // ---------------------------------------------------------------------
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\+\\d[\\d-]{7,}\\d"
+
+  /** Doubles every backslash so a regex survives Spark SQL's escaped
+    * string-literal parsing (DuckDB literals keep backslashes as-is). */
+  private def sqlRe(re: String): String = re.replace("\\", "\\\\")
+
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).selectExpr(
+      "doc_id",
+      """concat(text, ' contact user', cast(doc_id as string),
+        |'@mail.example.com or +1-555-',
+        |lpad(cast(doc_id % 10000 as string), 4, '0'),
+        |' at 10.', cast(doc_id % 256 as string), '.0.7 today')"""
+        .stripMargin.replace("\n", " ") + " as dirty",
+    ).selectExpr(
+      "doc_id",
+      s"cast(regexp_count(dirty, '${sqlRe(emailRe)}') as bigint) as n_emails",
+      s"cast(regexp_count(dirty, '${sqlRe(ipRe)}') as bigint) as n_ips",
+      s"cast(regexp_count(dirty, '${sqlRe(phoneRe)}') as bigint) as n_phones",
+      s"""regexp_replace(regexp_replace(regexp_replace(dirty,
+         |'${sqlRe(emailRe)}', '<EMAIL>'),
+         |'${sqlRe(ipRe)}', '<IP>'),
+         |'${sqlRe(phoneRe)}', '<PHONE>')""".stripMargin.replace("\n", " ")
+        + " as clean",
+      "cast(length(dirty) as bigint) as n_dirty_chars",
+    ).selectExpr(
+      "doc_id", "n_emails", "n_ips", "n_phones",
+      "substr(md5(clean), 1, 16) as clean_fp",
+      "n_dirty_chars - cast(length(clean) as bigint) as n_removed_chars",
+    ).orderBy("doc_id")
+
+  val piiScrubSql: String =
+    s"""WITH dirty AS (SELECT doc_id,
+       |  text || ' contact user' || doc_id::VARCHAR ||
+       |  '@mail.example.com or +1-555-' ||
+       |  lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+       |  ' at 10.' || (doc_id % 256)::VARCHAR || '.0.7 today' AS dirty
+       |FROM documents),
+       |clean AS (SELECT doc_id, dirty,
+       |  regexp_replace(regexp_replace(regexp_replace(dirty,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$ipRe', '<IP>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS clean
+       |FROM dirty)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(dirty, '$emailRe'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(dirty, '$ipRe'))::BIGINT AS n_ips,
+       |  len(regexp_extract_all(dirty, '$phoneRe'))::BIGINT AS n_phones,
+       |  substr(md5(clean), 1, 16) AS clean_fp,
+       |  (length(dirty) - length(clean))::BIGINT AS n_removed_chars
+       |FROM clean ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q43 — TF-IDF top terms per document. The scale-shaped plan:
+  //  - TF: one shuffle on (doc_id, term) with map-side partial counts;
+  //  - DF: distinct (term, doc) then one shuffle on term — the result is
+  //    vocabulary-sized (≪ corpus), so it broadcasts;
+  //  - corpus size N: a 1-row aggregate, broadcast via cross join;
+  //  - scoring: TF ⋈ broadcast(IDF) — the fact side never reshuffles;
+  //  - top-3/doc: ranked window over the existing (doc_id, term)
+  //    clustering, never a global sort.
+  // ln() differences across libm land at the 1e-16 ulp level; the 1e-6
+  // output quantization (suite-wide rule) absorbs them.
+  // ---------------------------------------------------------------------
+
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n  = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n))
+      .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0)
+    val scored = tf.join(broadcast(idf), "term")
+      .withColumn("score",
+        floor(col("tf") * col("idf") * 1e6 + 0.5) / 1e6)
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |  floor((tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)) * 1e6 + 0.5) / 1e6 AS score
+      |  FROM tf, df, n WHERE tf.term = df.term),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY score DESC, term) AS rk FROM scored)
+      |SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q44 — corpus length distribution per language: exact interpolated
+  // quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both
+  // a[h] + frac·(a[h+1]−a[h]) on the sorted column). One shuffle on the
+  // group key; per-group sorted accumulation is bounded by group size.
+  // The curation use: cut thresholds (p10 floor / p99 ceiling) for
+  // length-based filtering are derived per language, not globally.
+  // ---------------------------------------------------------------------
+
+  def lengthQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        expr("floor(percentile(n_chars, 0.10) * 1e6 + 0.5) / 1e6").as("p10"),
+        expr("floor(percentile(n_chars, 0.50) * 1e6 + 0.5) / 1e6").as("p50"),
+        expr("floor(percentile(n_chars, 0.90) * 1e6 + 0.5) / 1e6").as("p90"),
+        expr("floor(percentile(n_chars, 0.99) * 1e6 + 0.5) / 1e6").as("p99"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
+  val lengthQuantilesSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars,
+      |  floor(quantile_cont(n_chars, 0.10) * 1e6 + 0.5) / 1e6 AS p10,
+      |  floor(quantile_cont(n_chars, 0.50) * 1e6 + 0.5) / 1e6 AS p50,
+      |  floor(quantile_cont(n_chars, 0.90) * 1e6 + 0.5) / 1e6 AS p90,
+      |  floor(quantile_cont(n_chars, 0.99) * 1e6 + 0.5) / 1e6 AS p99,
+      |  MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_token_stats"   -> ((s, d) => tokenStats(s, d)),
     "q34_split_assign"  -> ((s, d) => splitAssign(s, d)),
@@ -222,6 +367,9 @@ object TextAnalysis {
     "q19_quality_score" -> ((s, d) => qualityScore(s, d)),
     "q20_lang_id"       -> ((s, d) => langId(s, d)),
     "q21_fingerprint"   -> ((s, d) => fingerprint(s, d)),
+    "q42_pii_scrub"     -> ((s, d) => piiScrub(s, d)),
+    "q43_tfidf"         -> ((s, d) => tfidf(s, d)),
+    "q44_len_quantiles" -> ((s, d) => lengthQuantiles(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -231,5 +379,8 @@ object TextAnalysis {
     "q19_quality_score" -> qualityScoreSql,
     "q20_lang_id"       -> langIdSql,
     "q21_fingerprint"   -> fingerprintSql,
+    "q42_pii_scrub"     -> piiScrubSql,
+    "q43_tfidf"         -> tfidfSql,
+    "q44_len_quantiles" -> lengthQuantilesSql,
   )
 }
