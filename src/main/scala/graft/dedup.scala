@@ -195,20 +195,26 @@ object Dedup {
     * loop here IS the canonical Spark iterative-dataframe shape — data
     * never visits the driver, only the changed-count does. */
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // undirected: propagate both ways
+    // undirected: propagate both ways. Materialized ONCE up front —
+    // without this every iteration would re-run the (possibly expensive)
+    // pair-finding pipeline that produced `edges`; the edge list itself
+    // is pairs-of-ids, tiny relative to the corpus.
     val both = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var lab = vertices.select(col("id"), col("id").as("root")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val prop = both.join(lab, both("src") === lab("id"))
         .groupBy(col("dst")).agg(min(col("root")).as("nroot"))
+      // carry the previous root through the propagation so convergence is
+      // a filter over the checkpointed frame, not an extra old-vs-new join
       val next = lab.join(prop, lab("id") === prop("dst"), "left")
-        .select(lab("id"), least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+        .select(lab("id"), col("root").as("proot"),
+          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
         .localCheckpoint()
-      changed = next.as("n").join(lab.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.root") =!= col("o.root")).count()
-      lab = next
+      changed = next.filter(col("root") =!= col("proot")).count()
+      lab = next.select(col("id"), col("root"))
     }
     lab
   }

@@ -201,4 +201,70 @@ class ExtensionsSpec extends SparkSpec {
     // determinism: second run bit-identical
     assert(MediaOps.mediaFeatures(spark, sf).collect().toSeq == rows.toSeq)
   }
+
+  test("q42: PII scrub == independent driver-side regex model") {
+    val got = TextAnalysis.piiScrub(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, text) =>
+      val dirty = text + " contact user" + id + "@mail.example.com or +1-555-" +
+        ("000" + id % 10000).takeRight(4) + " at 10." + id % 256 + ".0.7 today"
+      val clean = dirty
+        .replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+        .replaceAll("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+        .replaceAll("\\+\\d[\\d-]{7,}\\d", "<PHONE>")
+      val fp = Tables.hex(md.digest(clean.getBytes("UTF-8"))).substring(0, 16)
+      val r = got(id)
+      assert(r.getAs[Long]("n_emails") == 1 && r.getAs[Long]("n_ips") == 1 &&
+        r.getAs[Long]("n_phones") == 1, s"doc $id counts")
+      assert(r.getAs[String]("clean_fp") == fp, s"doc $id fingerprint")
+      assert(r.getAs[Long]("n_removed_chars") == dirty.length - clean.length)
+      // nothing PII-shaped survives redaction
+      assert(!clean.contains("@mail.example.com") && !clean.contains("+1-555-"))
+    }
+  }
+
+  test("q43: TF-IDF top-3 == exhaustive driver-side model") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val nDocs = texts.length
+    val docToks = texts.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val dfm = docToks.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    def q(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = docToks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).toSeq.map { case (t, xs) =>
+        val idf = math.log((nDocs + 1.0) / (dfm(t) + 1.0)) + 1.0
+        (id, t, xs.length.toLong, dfm(t).toLong, q(xs.length * idf))
+      }.sortBy { case (_, t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((i, t, tf, df, s), k) => (i, (k + 1).toLong, t, tf, df, s) }
+    }.toSet
+    val got = TextAnalysis.tfidf(spark, sf)
+      .as[(Long, Long, String, Long, Long, Double)].collect().toSet
+    assert(got == want, s"diff ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+  }
+
+  test("q44: per-lang quantiles == interpolated model, monotone") {
+    val byLang = Tables.documents(spark, sf).select("lang", "n_chars")
+      .as[(String, Long)].collect().groupBy(_._1)
+    def qc(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val h = (s.length - 1) * p
+      val lo = math.floor(h).toInt
+      val v = if (lo + 1 < s.length) s(lo) + (h - lo) * (s(lo + 1) - s(lo)) else s(lo)
+      math.floor(v * 1e6 + 0.5) / 1e6
+    }
+    TextAnalysis.lengthQuantiles(spark, sf).collect().foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val xs = byLang(lang).map(_._2.toDouble).toSeq
+      for ((c, p) <- Seq("p10" -> 0.10, "p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99))
+        assert(r.getAs[Double](c) == qc(xs, p), s"$lang $c")
+      assert(r.getAs[Long]("min_chars") <= r.getAs[Double]("p10") &&
+        r.getAs[Double]("p10") <= r.getAs[Double]("p50") &&
+        r.getAs[Double]("p50") <= r.getAs[Double]("p90") &&
+        r.getAs[Double]("p90") <= r.getAs[Double]("p99") &&
+        r.getAs[Double]("p99") <= r.getAs[Long]("max_chars").toDouble)
+    }
+  }
 }
