@@ -29,6 +29,7 @@ object SparkEntry {
     "q07_tumbling_counts"  -> ((s, d) => RelOps.tumblingCounts(s, d)),
     "q08_sessionize"       -> ((s, d) => RelOps.sessionize(s, d)),
     "q33_json_props"       -> ((s, d) => RelOps.jsonProps(s, d)),
+    "q45_sliding_counts"   -> ((s, d) => RelOps.slidingCounts(s, d)),
     "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     )
@@ -118,6 +119,16 @@ object SparkEntry {
          |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
+    "q45_sliding_counts" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+         |w AS (SELECT ts_us, event_type, value,
+         |  ((ts_us // 300000000) - i) * 300000000 AS win_start_us
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS i))
+         |SELECT win_start_us, event_type, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS sum_value
+         |FROM w WHERE ts_us >= win_start_us
+         |  AND ts_us < win_start_us + 600000000
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q33_json_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  SUM(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,

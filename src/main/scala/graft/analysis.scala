@@ -360,6 +360,32 @@ object TextAnalysis {
       |  MAX(n_chars) AS max_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q46 — corpus composition report with rollup subtotals: per
+  // (source, lang), per source, and grand total in ONE pass — Spark
+  // expands grouping sets before the single keyed shuffle (Expand
+  // operator), so the subtotal levels cost one extra map-side row copy
+  // each, not extra passes over 100 TB. The curation use: data-mixing
+  // dashboards read exactly this shape.
+  // ---------------------------------------------------------------------
+
+  def corpusRollup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(
+        coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("source", "lang")
+
+  val corpusRollupSql: String =
+    """SELECT coalesce(source, 'ALL') AS source,
+      |  coalesce(lang, 'ALL') AS lang,
+      |  COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+      |FROM documents GROUP BY ROLLUP (source, lang)
+      |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_token_stats"   -> ((s, d) => tokenStats(s, d)),
     "q34_split_assign"  -> ((s, d) => splitAssign(s, d)),
@@ -370,6 +396,7 @@ object TextAnalysis {
     "q42_pii_scrub"     -> ((s, d) => piiScrub(s, d)),
     "q43_tfidf"         -> ((s, d) => tfidf(s, d)),
     "q44_len_quantiles" -> ((s, d) => lengthQuantiles(s, d)),
+    "q46_corpus_rollup" -> ((s, d) => corpusRollup(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -382,5 +409,6 @@ object TextAnalysis {
     "q42_pii_scrub"     -> piiScrubSql,
     "q43_tfidf"         -> tfidfSql,
     "q44_len_quantiles" -> lengthQuantilesSql,
+    "q46_corpus_rollup" -> corpusRollupSql,
   )
 }

@@ -174,6 +174,21 @@ object RelOps {
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start_us"), col("event_type"))
 
+  /** q45 — sliding windows (10-minute width, 5-minute slide): each event
+    * lands in width/slide = 2 epoch-aligned windows. Spark's window()
+    * generates the per-row window set before the ONE keyed shuffle —
+    * the row amplification is width/slide (bounded, here 2×), never a
+    * range-join blow-up. Completes ST3 alongside tumbling (q07) and
+    * session (q08) windows. */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
   /** Session windows per user with a 30-minute inactivity gap —
     * gaps-and-islands form (lag + cumulative sum), the batch-verifiable
     * equivalent of session_window()/flatMapGroupsWithState sessionization.
