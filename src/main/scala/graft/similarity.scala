@@ -325,11 +325,62 @@ object Similarity {
        |FROM r ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** q47 — int8 symmetric quantization of the embedding column: per
+    * vector, scale = max|x|/127, q_i = floor(x_i/scale + 0.5) ∈
+    * [-127, 127] — the 4× storage compression a 100 TB vector corpus
+    * ships to serving. Pure per-row work (typed mapPartitions JVM loop,
+    * zero shuffle); reported: quantized L2 norm, int8 checksum,
+    * saturation count, mean reconstruction error. Every fold is
+    * left-to-right with float→double widening; /, *, floor, abs, sqrt
+    * are exactly-rounded IEEE ops, so the DuckDB twin is bit-identical
+    * before the 1e6 output quantization. */
+  def int8Quantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def quant(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var maxAbs = 0.0
+          v.foreach { x => val a = math.abs(x.toDouble); if (a > maxAbs) maxAbs = a }
+          val scale = maxAbs / 127.0
+          var norm2 = 0.0; var cks = 0L; var nSat = 0L; var err = 0.0
+          v.foreach { xf =>
+            val x = xf.toDouble
+            norm2 += x * x
+            val q = math.floor(x / scale + 0.5)
+            cks += q.toLong
+            if (math.abs(q) == 127.0) nSat += 1
+            err += math.abs(x - q * scale)
+          }
+          (id, quant(math.sqrt(norm2)), cks, nSat, quant(err / v.length))
+        }
+      }
+      .toDF("vec_id", "l2_norm", "q_checksum", "n_saturated", "mean_abs_err")
+      .orderBy("vec_id")
+  }
+
+  val int8QuantizeSql: String =
+    """WITH s AS (SELECT vec_id, embedding,
+      |  list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max') / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS l2_norm,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::BIGINT)), (a, b) -> a + b) AS q_checksum,
+      |  len(list_filter(embedding, x -> abs(floor(x::DOUBLE / scale + 0.5)) = 127.0))::BIGINT AS n_saturated,
+      |  floor((list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(embedding, x -> abs(x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale))), (a, b) -> a + b)
+      |    / len(embedding)) * 1e6 + 0.5) / 1e6 AS mean_abs_err
+      |FROM s ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
     "q27_ann_lsh"         -> ((s, d) => annLsh(s, d)),
     "q28_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "q38_ivf_search"      -> ((s, d) => ivfSearch(s, d)),
+    "q47_int8_quantize"   -> ((s, d) => int8Quantize(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -337,5 +388,6 @@ object Similarity {
     "q27_ann_lsh"         -> annLshSql,
     "q28_label_centroids" -> labelCentroidsSql,
     "q38_ivf_search"      -> ivfSearchSql,
+    "q47_int8_quantize"   -> int8QuantizeSql,
   )
 }

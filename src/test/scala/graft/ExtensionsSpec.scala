@@ -246,6 +246,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == want, s"diff ${(got -- want).take(3)} / ${(want -- got).take(3)}")
   }
 
+  test("q47: int8 quantization invariants (saturation + error bound)") {
+    val embMap = embs
+    Similarity.int8Quantize(spark, sf).collect().foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val v = embMap(id).map(_.toDouble)
+      val maxAbs = v.map(math.abs).max
+      // the max-|x| element always saturates to ±127
+      assert(r.getAs[Long]("n_saturated") >= 1, s"vec $id")
+      // per-element rounding error is ≤ scale/2 = maxAbs/254
+      assert(r.getAs[Double]("mean_abs_err") <= maxAbs / 254.0 + 1e-6, s"vec $id")
+      // checksum is reachable: |sum(q)| ≤ 127·dims
+      assert(math.abs(r.getAs[Long]("q_checksum")) <= 127L * v.length)
+    }
+  }
+
   test("q44: per-lang quantiles == interpolated model, monotone") {
     val byLang = Tables.documents(spark, sf).select("lang", "n_chars")
       .as[(String, Long)].collect().groupBy(_._1)
