@@ -153,16 +153,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val fingerprintSql: String =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
-      |SELECT doc_id,
+  /** The q21 fingerprint pipeline as reusable DuckDB CTEs (ends with `fp`:
+    * doc_id, poly_hash, min_shingle_hash). */
+  private val fingerprintCtes: String =
+    """t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |fp AS (SELECT doc_id,
       |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, least(64, length(text)) + 1),
       |    i -> ascii(substr(text, i::INT, 1))::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS poly_hash,
       |  CASE WHEN len(toks) >= 3 THEN
       |    list_aggregate(list_transform(range(1, len(toks) - 1),
       |      i -> substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 16)), 'min')
       |  ELSE NULL END AS min_shingle_hash
-      |FROM t ORDER BY doc_id""".stripMargin
+      |FROM t)""".stripMargin
+
+  val fingerprintSql: String =
+    s"""WITH $fingerprintCtes
+       |SELECT doc_id, poly_hash, min_shingle_hash FROM fp ORDER BY doc_id""".stripMargin
 
   /** q34 — deterministic train/val/test split assignment: bucket = 8 hex
     * chars of md5(doc_id) mod 100 → 80/10/10. Content-hash bucketing is
@@ -361,6 +367,39 @@ object TextAnalysis {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q48 — benchmark decontamination: drop every corpus document whose
+  // content fingerprint collides with an "eval set" denylist (here:
+  // every 20th doc's q21 min-shingle fingerprint — a deterministic
+  // stand-in for held-out benchmark data). The scale shape: the denylist
+  // is eval-set-sized (tiny) → broadcast LEFT ANTI join; the 100 TB
+  // corpus side is never shuffled. NULL fingerprints (docs with < 3
+  // tokens) match nothing and survive on both engines (anti-join null
+  // semantics == NOT EXISTS, deliberately NOT `NOT IN`).
+  // ---------------------------------------------------------------------
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val fp = fingerprint(s, d).select("doc_id", "min_shingle_hash")
+    val deny = fp.filter(col("doc_id") % 20 === 0)
+      .select(col("min_shingle_hash").as("deny_fp")).distinct()
+    Tables.documents(s, d).join(fp, "doc_id")
+      .join(broadcast(deny), col("min_shingle_hash") === col("deny_fp"), "left_anti")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy("source", "lang")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $fingerprintCtes,
+       |deny AS (SELECT DISTINCT min_shingle_hash FROM fp WHERE doc_id % 20 = 0),
+       |kept AS (SELECT d.source, d.lang, d.n_chars
+       |  FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM deny
+       |    WHERE deny.min_shingle_hash = fp.min_shingle_hash))
+       |SELECT source, lang, COUNT(*) AS n_kept,
+       |  SUM(n_chars)::BIGINT AS kept_chars
+       |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q46 — corpus composition report with rollup subtotals: per
   // (source, lang), per source, and grand total in ONE pass — Spark
   // expands grouping sets before the single keyed shuffle (Expand
@@ -397,6 +436,7 @@ object TextAnalysis {
     "q43_tfidf"         -> ((s, d) => tfidf(s, d)),
     "q44_len_quantiles" -> ((s, d) => lengthQuantiles(s, d)),
     "q46_corpus_rollup" -> ((s, d) => corpusRollup(s, d)),
+    "q48_decontaminate" -> ((s, d) => decontaminate(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -410,5 +450,6 @@ object TextAnalysis {
     "q43_tfidf"         -> tfidfSql,
     "q44_len_quantiles" -> lengthQuantilesSql,
     "q46_corpus_rollup" -> corpusRollupSql,
+    "q48_decontaminate" -> decontaminateSql,
   )
 }
