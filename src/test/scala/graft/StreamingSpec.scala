@@ -213,6 +213,22 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("C1", "general"), ("C3", "?")))
   }
 
+  test("streaming decontamination: stream-static LEFT ANTI vs a denylist (q48 twin)") {
+    // the ingest-time form of q48: documents stream in, the (tiny, static)
+    // eval-set fingerprint denylist broadcasts, contaminated docs never
+    // reach the sink; NULL fingerprints survive (anti-join null semantics)
+    val deny = Seq("fp_bad1", "fp_bad2").toDF("deny_fp")
+    val in = MemoryStream[(Long, String)](spark)
+    val kept = in.toDF().toDF("doc_id", "fp")
+      .join(broadcast(deny), $"fp" === $"deny_fp", "left_anti")
+    in.addData((1L, "fp_ok"), (2L, "fp_bad1"), (3L, null), (4L, "fp_bad2"), (5L, "fp_ok"))
+    val q = kept.writeStream.format("memory").queryName("decon")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val got = spark.table("decon").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 5L))
+  }
+
   test("A1 alternative route: streaming dropDuplicates state store") {
     val in = MemoryStream[(String, String)](spark)
     val deduped = in.toDF().toDF("channel", "thread_ts")
