@@ -400,6 +400,68 @@ object TextAnalysis {
        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q49 — boilerplate detection: a 3-gram shingle is "boilerplate" when
+  // it appears in ≥ 10 distinct documents; each document reports how much
+  // of its shingle set is boilerplate (the repeated-template/footer
+  // signal curation pipelines filter on). Scale shape: per-doc DISTINCT
+  // shingles are per-row expression work; shingle document frequency is
+  // one keyed shuffle; the frequent set after the ≥10 cut is far smaller
+  // than the corpus (it IS the boilerplate) → broadcast LEFT SEMI join
+  // back, so the exploded fact side never reshuffles. At 100 TB the df
+  // cut happens before the broadcast, keeping the build side bounded.
+  // ---------------------------------------------------------------------
+
+  private val shingleExpr =
+    """case when size(toks) >= 3 then
+      |  array_distinct(transform(sequence(1, size(toks) - 2),
+      |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      |else array() end""".stripMargin.replace("\n", " ")
+
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .selectExpr("doc_id", s"explode($shingleExpr) as shingle")
+    val frequent = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 10)
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val boiler = sh.join(broadcast(frequent.select("shingle")), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    Tables.documents(s, d).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(boiler, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_shingles, cast(0 as bigint)) as n_shingles",
+        "coalesce(n_boiler, cast(0 as bigint)) as n_boiler",
+        """case when coalesce(n_shingles, cast(0 as bigint)) = 0 then 0.0
+          |else floor((coalesce(n_boiler, cast(0 as bigint)) / cast(n_shingles as double)) * 1e6 + 0.5) / 1e6
+          |end as boiler_ratio""".stripMargin.replace("\n", " "))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      |  ELSE [] END)) AS shingle FROM t),
+      |freq AS (SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh
+      |  GROUP BY shingle) WHERE df >= 10),
+      |per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+      |boiler AS (SELECT doc_id, COUNT(*) AS n_boiler FROM sh
+      |  WHERE EXISTS (SELECT 1 FROM freq WHERE freq.shingle = sh.shingle)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(per_doc.n_shingles, 0)::BIGINT AS n_shingles,
+      |  coalesce(boiler.n_boiler, 0)::BIGINT AS n_boiler,
+      |  CASE WHEN coalesce(per_doc.n_shingles, 0) = 0 THEN 0.0
+      |    ELSE floor((coalesce(boiler.n_boiler, 0) / per_doc.n_shingles::DOUBLE) * 1e6 + 0.5) / 1e6
+      |  END AS boiler_ratio
+      |FROM documents d
+      |LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+      |LEFT JOIN boiler ON boiler.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q46 — corpus composition report with rollup subtotals: per
   // (source, lang), per source, and grand total in ONE pass — Spark
   // expands grouping sets before the single keyed shuffle (Expand
@@ -437,6 +499,7 @@ object TextAnalysis {
     "q44_len_quantiles" -> ((s, d) => lengthQuantiles(s, d)),
     "q46_corpus_rollup" -> ((s, d) => corpusRollup(s, d)),
     "q48_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "q49_boilerplate"   -> ((s, d) => boilerplate(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -451,5 +514,6 @@ object TextAnalysis {
     "q44_len_quantiles" -> lengthQuantilesSql,
     "q46_corpus_rollup" -> corpusRollupSql,
     "q48_decontaminate" -> decontaminateSql,
+    "q49_boilerplate"   -> boilerplateSql,
   )
 }
