@@ -30,6 +30,7 @@ object SparkEntry {
     "q08_sessionize"       -> ((s, d) => RelOps.sessionize(s, d)),
     "q33_json_props"       -> ((s, d) => RelOps.jsonProps(s, d)),
     "q45_sliding_counts"   -> ((s, d) => RelOps.slidingCounts(s, d)),
+    "q50_variant_path"     -> ((s, d) => RelOps.variantPath(s, d)),
     "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     )
@@ -119,6 +120,13 @@ object SparkEntry {
          |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
+    "q50_variant_path" ->
+      """WITH x AS (SELECT user_id, event_type,
+        |  json_extract(props, '$.k')::INT AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(k)::BIGINT AS sum_k,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q45_sliding_counts" ->
       s"""WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
          |w AS (SELECT ts_us, event_type, value,

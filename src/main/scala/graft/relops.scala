@@ -174,6 +174,32 @@ object RelOps {
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start_us"), col("event_type"))
 
+  /** q50 — VariantType schema-on-read (the Slack-event leg's dynamic-JSON
+    * shape on Spark 4's native path): each event re-serializes to a nested
+    * JSON document, `parse_json` lands it as a VARIANT column (parsed
+    * once, binary-encoded), and `variant_get` extracts typed values by
+    * nested path — no up-front StructType, unlike q33's `from_json`
+    * route. Per-row expression work + one keyed aggregate shuffle; the
+    * variant binary never shuffles (fields are extracted first). */
+  def variantPath(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .selectExpr(
+        """parse_json(to_json(named_struct(
+          |  'u', user_id,
+          |  'm', named_struct(
+          |    't', event_type,
+          |    'k', cast(get_json_object(props, '$.k') as int))))) as var"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr(
+        "variant_get(var, '$.m.t', 'string') as event_type",
+        "variant_get(var, '$.u', 'bigint') as user_id",
+        "variant_get(var, '$.m.k', 'int') as k")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k")).as("sum_k"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
   /** q45 — sliding windows (10-minute width, 5-minute slide): each event
     * lands in width/slide = 2 epoch-aligned windows. Spark's window()
     * generates the per-row window set before the ONE keyed shuffle —
