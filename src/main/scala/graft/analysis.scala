@@ -400,6 +400,49 @@ object TextAnalysis {
        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q51 — per-source mixing rates: keep a document iff its content-hash
+  // bucket falls under the source's sampling rate (src0 100%, src1 50%,
+  // src2 25%, everything else 10%) — the deterministic data-mixing
+  // primitive: re-running the job, on any cluster size, keeps exactly
+  // the same documents, with no RNG state and no shuffle for the
+  // keep/drop decision (only the audit aggregate shuffles).
+  // ---------------------------------------------------------------------
+
+  private val mixRates = Seq("src0" -> 1000000L, "src1" -> 500000L, "src2" -> 250000L)
+  private val mixDefault = 100000L
+
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val bucket =
+      "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000"
+    val thresh = mixRates.map { case (src, r) => s"WHEN source = '$src' THEN ${r}L" }
+      .mkString("CASE ", " ", s" ELSE ${mixDefault}L END")
+    Tables.documents(s, d)
+      .selectExpr("source", "n_chars",
+        s"case when $bucket < ($thresh) then 1 else 0 end as kept")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("kept")).as("n_kept"),
+           sum(col("n_chars") * col("kept")).as("kept_chars"))
+      .withColumn("kept_ratio",
+        floor(col("n_kept") / col("n_docs").cast("double") * 1e6 + 0.5) / 1e6)
+      .orderBy("source")
+  }
+
+  val sourceMixSql: String = {
+    val b = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000"
+    val thresh = mixRates.map { case (src, r) => s"WHEN source = '$src' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $mixDefault END")
+    s"""WITH k AS (SELECT source, n_chars,
+       |  CASE WHEN $b < ($thresh) THEN 1 ELSE 0 END AS kept
+       |FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  SUM(kept)::BIGINT AS n_kept,
+       |  SUM(n_chars * kept)::BIGINT AS kept_chars,
+       |  floor(SUM(kept) / COUNT(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS kept_ratio
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q49 — boilerplate detection: a 3-gram shingle is "boilerplate" when
   // it appears in ≥ 10 distinct documents; each document reports how much
   // of its shingle set is boilerplate (the repeated-template/footer
@@ -500,6 +543,7 @@ object TextAnalysis {
     "q46_corpus_rollup" -> ((s, d) => corpusRollup(s, d)),
     "q48_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q49_boilerplate"   -> ((s, d) => boilerplate(s, d)),
+    "q51_source_mix"    -> ((s, d) => sourceMix(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -515,5 +559,6 @@ object TextAnalysis {
     "q46_corpus_rollup" -> corpusRollupSql,
     "q48_decontaminate" -> decontaminateSql,
     "q49_boilerplate"   -> boilerplateSql,
+    "q51_source_mix"    -> sourceMixSql,
   )
 }
