@@ -261,6 +261,48 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q49: boilerplate ratios == exhaustive driver-side shingle-DF model") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val docSh = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      id -> (if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+             else Seq.empty[String])
+    }
+    val df = docSh.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length }
+    val frequent = df.filter(_._2 >= 10).keySet
+    val want = docSh.map { case (id, sh) =>
+      val nb = sh.count(frequent)
+      val ratio = if (sh.isEmpty) 0.0
+                  else math.floor(nb.toDouble / sh.length * 1e6 + 0.5) / 1e6
+      (id, sh.length.toLong, nb.toLong, ratio)
+    }.toSet
+    val got = TextAnalysis.boilerplate(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want, s"diff ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+  }
+
+  test("q51: mixing keep-decision == driver-side hash model; rates ordered") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(
+        Tables.hex(md.digest(id.toString.getBytes("UTF-8"))).substring(0, 8), 16) % 1000000L
+    def rate(src: String): Long = src match {
+      case "src0" => 1000000L; case "src1" => 500000L
+      case "src2" => 250000L;  case _ => 100000L
+    }
+    val want = docs.groupBy(_._2).map { case (src, xs) =>
+      val kept = xs.filter(x => bucket(x._1) < rate(src))
+      (src, xs.length.toLong, kept.length.toLong, kept.map(_._3).sum,
+        math.floor(kept.length.toDouble / xs.length * 1e6 + 0.5) / 1e6)
+    }.toSet
+    val got = TextAnalysis.sourceMix(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(got == want, s"diff ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+  }
+
   test("q44: per-lang quantiles == interpolated model, monotone") {
     val byLang = Tables.documents(spark, sf).select("lang", "n_chars")
       .as[(String, Long)].collect().groupBy(_._1)
