@@ -169,6 +169,15 @@ object StreamingOps {
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Sliding windows over event time — the streaming twin of batch q45
+    * (10-minute width, 5-minute slide: every event lands in 2 windows,
+    * bounded width/slide amplification before the keyed state update). */
+  def slidingCounts(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Session windows over event time — the streaming twin of the batch
     * sessionize query (q08), 30-minute gap. */
   def sessionCounts(events: DataFrame, watermarkDelay: String): DataFrame =

@@ -121,6 +121,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((40L, "c", 1L)))
   }
 
+  test("sliding windows: each event counted in width/slide = 2 windows (ST3, q45 twin)") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val out = StreamingOps.slidingCounts(in.toDF().toDF("ts", "event_type"), "5 minutes")
+    val q = out.writeStream.format("memory").queryName("slidecounts")
+      .outputMode("append").start()
+    in.addData((ts(7), "a"), (ts(12), "a"))
+    q.processAllAvailable()
+    in.addData((ts(60), "z"))   // advance watermark to close the early windows
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("slidecounts")
+      .selectExpr("unix_millis(window.start) div 60000 as m", "event_type", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    // ts=7 → windows [0,10) and [5,15); ts=12 → [5,15) and [10,20)
+    assert(got.contains((0L, "a", 1L)) && got.contains((5L, "a", 2L)) &&
+      got.contains((10L, "a", 1L)), s"got $got")
+  }
+
   test("session windows: 30-minute gap splits sessions, matches batch q08 grouping") {
     val in = MemoryStream[(Timestamp, Long)](spark)
     val out = StreamingOps.sessionCounts(in.toDF().toDF("ts", "user_id"), "5 minutes")
