@@ -114,8 +114,10 @@ object Dedup {
     * is persisted — it feeds the band path and both sides of the verify
     * join, and at 100 TB recomputing shingles three times dwarfs the
     * cache cost; `bands` is persisted because it feeds both sides of the
-    * candidate self-join. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    * candidate self-join. Unsorted — q23 adds its presentation sort;
+    * q41 consumes the pairs as edges, where a sort would be a wasted
+    * range-exchange. */
+  private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val corpus = docs.select(col("doc_id"), col("text")).unionAll(
@@ -150,8 +152,11 @@ object Dedup {
           size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double")) * 1e6 + 0.5) / 1e6)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** q23 — the near-dup pair pipeline above with its output ordering. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** The q23 pipeline as reusable DuckDB CTEs (ends with `ver`). */
   private val minhashCtes: String =
@@ -228,7 +233,7 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val vertices = docs.select(col("doc_id").as("id")).unionAll(
       docs.select((col("doc_id") + 10000).as("id")))
-    val pairs = minhashLsh(s, d)
+    val pairs = nearDupPairs(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val lab = connectedComponents(vertices, pairs)
     val sizes = lab.groupBy(col("root")).agg(count(lit(1)).as("n_members"))
