@@ -400,6 +400,34 @@ object TextAnalysis {
        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q52 — pivoted corpus matrix: sources × languages in one relational
+  // pivot (explicit value list → no extra distinct-values job; Spark
+  // compiles it to the same Expand→partial-agg→one-exchange shape as
+  // the rollup). Nulls (empty cells) coalesce to 0 so both engines
+  // agree on absent combinations.
+  // ---------------------------------------------------------------------
+
+  private val pivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  def pivotReport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .pivot("lang", pivotLangs)
+      .agg(count(lit(1)))
+      .selectExpr(Seq("source") ++
+        pivotLangs.map(l => s"coalesce($l, cast(0 as bigint)) as n_$l"): _*)
+      .orderBy("source")
+
+  val pivotReportSql: String = {
+    val cells = pivotLangs
+      .map(l => s"SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::BIGINT AS n_$l")
+      .mkString(",\n  ")
+    s"""SELECT source,
+       |  $cells
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q51 — per-source mixing rates: keep a document iff its content-hash
   // bucket falls under the source's sampling rate (src0 100%, src1 50%,
   // src2 25%, everything else 10%) — the deterministic data-mixing
@@ -544,6 +572,7 @@ object TextAnalysis {
     "q48_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q49_boilerplate"   -> ((s, d) => boilerplate(s, d)),
     "q51_source_mix"    -> ((s, d) => sourceMix(s, d)),
+    "q52_pivot_report"  -> ((s, d) => pivotReport(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -560,5 +589,6 @@ object TextAnalysis {
     "q48_decontaminate" -> decontaminateSql,
     "q49_boilerplate"   -> boilerplateSql,
     "q51_source_mix"    -> sourceMixSql,
+    "q52_pivot_report"  -> pivotReportSql,
   )
 }
