@@ -482,16 +482,30 @@ object TextAnalysis {
   // cut happens before the broadcast, keeping the build side bounded.
   // ---------------------------------------------------------------------
 
-  private val shingleExpr =
-    """case when size(toks) >= 3 then
-      |  array_distinct(transform(sequence(1, size(toks) - 2),
-      |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      |else array() end""".stripMargin.replace("\n", " ")
-
   def boilerplate(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .selectExpr("doc_id", "split(text, ' ') as toks")
-      .selectExpr("doc_id", s"explode($shingleExpr) as shingle")
+    import s.implicits._
+    // distinct 3-gram shingles per doc as a typed flatMap JVM loop — the
+    // HOF transform/array_distinct form evaluates interpreted (suite
+    // playbook: hot per-row loops go native; oracle keeps the HOF twin)
+    val sh = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < 3) Iterator.empty
+          else {
+            val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+            var i = 0
+            while (i + 2 < toks.length) {
+              seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1
+            }
+            val out = new Array[(Long, String)](seen.size)
+            val jt = seen.iterator(); var j = 0
+            while (jt.hasNext) { out(j) = (id, jt.next()); j += 1 }
+            out.iterator
+          }
+        }
+      }.toDF("doc_id", "shingle")
     val frequent = sh.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") >= 10)
     val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
