@@ -260,6 +260,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == Seq(("C1", "t1"), ("C1", "t2"), ("C2", "t9")))
   }
 
+  test("A1 bounded-state route: dropDuplicatesWithinWatermark evicts expired dedup state") {
+    // the 100 TB-correct form of streaming dedup: plain dropDuplicates
+    // keeps every key forever; withinWatermark bounds state to the
+    // watermark horizon — duplicates inside the horizon are dropped,
+    // and a key can legitimately reappear after its state expires
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val deduped = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.format("memory").queryName("ddww")
+      .outputMode("append").start()
+    in.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))  // dup a within horizon
+    q.processAllAvailable()
+    in.addData((ts(60), "z"))                // watermark → 50min: a/b state expires
+    q.processAllAvailable()
+    in.addData((ts(61), "a"))                // a again, AFTER expiry → re-emitted
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ddww").select("k", "ts").as[(String, Timestamp)].collect()
+    assert(got.count(_._1 == "a") == 2, s"got ${got.toSeq}")  // once per horizon
+    assert(got.count(_._1 == "b") == 1 && got.count(_._1 == "z") == 1)
+  }
+
   test("stream-stream join: purchases match clicks in the 30-minute window") {
     val cIn = MemoryStream[(Long, Timestamp, Long)](spark)
     val pIn = MemoryStream[(Long, Timestamp, Long)](spark)
