@@ -31,6 +31,7 @@ object SparkEntry {
     "q33_json_props"       -> ((s, d) => RelOps.jsonProps(s, d)),
     "q45_sliding_counts"   -> ((s, d) => RelOps.slidingCounts(s, d)),
     "q50_variant_path"     -> ((s, d) => RelOps.variantPath(s, d)),
+    "q53_promo_revenue"    -> ((s, d) => RelOps.promoRevenue(s, d)),
     "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     )
@@ -120,6 +121,16 @@ object SparkEntry {
          |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
+    "q53_promo_revenue" ->
+      s"""SELECT
+        |  ${dsumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END")} AS promo_revenue,
+        |  ${dsumSql("l_extendedprice*(1.0-l_discount)")} AS total_revenue,
+        |  floor(100.0 * ${dsumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END")}
+        |    / ${dsumSql("l_extendedprice*(1.0-l_discount)")} * 1e6 + 0.5) / 1e6 AS promo_pct
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01'""".stripMargin,
     "q50_variant_path" ->
       """WITH x AS (SELECT user_id, event_type,
         |  json_extract(props, '$.k')::INT AS k FROM events)

@@ -174,6 +174,29 @@ object RelOps {
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start_us"), col("event_type"))
 
+  /** q53 — promo revenue share (TPC-H Q14 flavor; completes star-schema
+    * coverage — `part` is the one dimension no other query touched):
+    * one month of lineitem ⋈ broadcast(part), conditional DECIMAL-exact
+    * revenue aggregation. The fact side is filtered at the scan
+    * (pushed shipdate range) and never shuffles — the aggregate is a
+    * single global row, combined map-side. */
+  def promoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      .withColumn("promo_pct",
+        floor(lit(100.0) * col("promo_revenue") / col("total_revenue") * 1e6 + 0.5) / 1e6)
+  }
+
   /** q50 — VariantType schema-on-read (the Slack-event leg's dynamic-JSON
     * shape on Spark 4's native path): each event re-serializes to a nested
     * JSON document, `parse_json` lands it as a VARIANT column (parsed
