@@ -126,7 +126,7 @@ object TextAnalysis {
     * mapPartitions JVM loop (one digest per partition); the oracle keeps
     * the equivalent HOF form — identical fold order and arithmetic.
     * ascii(char) == charAt on the ASCII-only corpus (asserted in specs). */
-  def fingerprint(s: SparkSession, d: String): DataFrame = {
+  private def fingerprintRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -150,8 +150,11 @@ object TextAnalysis {
         }
       }
       .toDF("doc_id", "poly_hash", "min_shingle_hash")
-      .orderBy("doc_id")
   }
+
+  /** q21 — the fingerprint frame above with its presentation ordering. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    fingerprintRaw(s, d).orderBy("doc_id")
 
   /** The q21 fingerprint pipeline as reusable DuckDB CTEs (ends with `fp`:
     * doc_id, poly_hash, min_shingle_hash). */
@@ -378,7 +381,11 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
 
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val fp = fingerprint(s, d).select("doc_id", "min_shingle_hash")
+    // persisted: feeds the deny build side AND the probe-side join —
+    // without it the md5-per-shingle fingerprint pass runs twice
+    // (unsorted form: edges into joins don't need q21's output ordering)
+    val fp = fingerprintRaw(s, d).select("doc_id", "min_shingle_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deny = fp.filter(col("doc_id") % 20 === 0)
       .select(col("min_shingle_hash").as("deny_fp")).distinct()
     Tables.documents(s, d).join(fp, "doc_id")
@@ -506,6 +513,9 @@ object TextAnalysis {
           }
         }
       }.toDF("doc_id", "shingle")
+      // persisted: three consumers (frequent-set agg, per-doc agg, semi-
+      // join probe) would otherwise re-run the shingle flatMap three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val frequent = sh.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") >= 10)
     val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

@@ -344,16 +344,19 @@ object Similarity {
           var maxAbs = 0.0
           v.foreach { x => val a = math.abs(x.toDouble); if (a > maxAbs) maxAbs = a }
           val scale = maxAbs / 127.0
-          var norm2 = 0.0; var cks = 0L; var nSat = 0L; var err = 0.0
-          v.foreach { xf =>
-            val x = xf.toDouble
-            norm2 += x * x
-            val q = math.floor(x / scale + 0.5)
-            cks += q.toLong
-            if (math.abs(q) == 127.0) nSat += 1
-            err += math.abs(x - q * scale)
+          if (scale == 0.0) (id, 0.0, 0L, 0L, 0.0) // all-zero vector: defined, not NaN
+          else {
+            var norm2 = 0.0; var cks = 0L; var nSat = 0L; var err = 0.0
+            v.foreach { xf =>
+              val x = xf.toDouble
+              norm2 += x * x
+              val q = math.floor(x / scale + 0.5)
+              cks += q.toLong
+              if (math.abs(q) == 127.0) nSat += 1
+              err += math.abs(x - q * scale)
+            }
+            (id, quant(math.sqrt(norm2)), cks, nSat, quant(err / v.length))
           }
-          (id, quant(math.sqrt(norm2)), cks, nSat, quant(err / v.length))
         }
       }
       .toDF("vec_id", "l2_norm", "q_checksum", "n_saturated", "mean_abs_err")
@@ -367,12 +370,12 @@ object Similarity {
       |SELECT vec_id,
       |  floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
       |    list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS l2_norm,
-      |  list_reduce(list_prepend(0::BIGINT,
-      |    list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::BIGINT)), (a, b) -> a + b) AS q_checksum,
-      |  len(list_filter(embedding, x -> abs(floor(x::DOUBLE / scale + 0.5)) = 127.0))::BIGINT AS n_saturated,
-      |  floor((list_reduce(list_prepend(0.0::DOUBLE,
+      |  CASE WHEN scale = 0 THEN 0 ELSE list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::BIGINT)), (a, b) -> a + b) END AS q_checksum,
+      |  CASE WHEN scale = 0 THEN 0 ELSE len(list_filter(embedding, x -> abs(floor(x::DOUBLE / scale + 0.5)) = 127.0))::BIGINT END AS n_saturated,
+      |  CASE WHEN scale = 0 THEN 0.0 ELSE floor((list_reduce(list_prepend(0.0::DOUBLE,
       |    list_transform(embedding, x -> abs(x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale))), (a, b) -> a + b)
-      |    / len(embedding)) * 1e6 + 0.5) / 1e6 AS mean_abs_err
+      |    / len(embedding)) * 1e6 + 0.5) / 1e6 END AS mean_abs_err
       |FROM s ORDER BY vec_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -48,15 +48,32 @@ object GraftLog {
     StructField("offset", LongType, nullable = false),
     StructField("value", BinaryType, nullable = false)))
 
-  /** Append `values` as one new segment (atomic rename). */
+  /** Append `values` as one new segment (atomic rename). Single-writer:
+    * segment order IS offset order, so the next name derives from the
+    * current listing — two concurrent appenders, or mixing with a
+    * sink-written log (`bNNNNNNNN-p*.seg` names sort after numeric
+    * names), would silently renumber global offsets. Both are refused
+    * loudly instead of corrupting the replay contract. */
   def append(dir: String, values: Seq[Array[Byte]]): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    val next = listSegments(d).size
-    val body = values.map(Base64.getEncoder.encodeToString).mkString("", "\n", "\n")
+    val segs = listSegments(d).map(_.getFileName.toString)
+    require(segs.forall(_.matches("\\d{8}\\.seg")),
+      s"append(): $dir holds sink-written/foreign segments; appending would reorder offsets")
+    val target = d.resolve(f"${segs.size}%08d.seg")
+    require(!Files.exists(target),
+      s"append(): $target already exists (concurrent appender?)")
+    writeSegment(d, values.iterator.map(Base64.getEncoder.encodeToString), target)
+  }
+
+  /** Stream `lines` into `target` via temp file + atomic rename — one
+    * line at a time, so a segment never needs to fit in memory twice. */
+  private[streaming] def writeSegment(d: Path, lines: Iterator[String], target: Path): Unit = {
     val tmp = Files.createTempFile(d, ".tmp-", ".seg.part")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, d.resolve(f"$next%08d.seg"), StandardCopyOption.ATOMIC_MOVE)
+    val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    try lines.foreach { l => w.write(l); w.write('\n') } finally w.close()
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The committed (acknowledged) offset, -1 if none yet — the K4 marker. */
@@ -68,9 +85,13 @@ object GraftLog {
 
   private[streaming] def listSegments(d: Path): Seq[Path] =
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".seg")).toSeq
-      .sortBy(_.getFileName.toString)
+    else {
+      val s = Files.list(d) // must close: each open stream holds a directory fd
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".seg")).toList
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    }
 
   /** (segment, lineCount) pairs in offset order. */
   private[graft] def segmentCounts(d: Path): Seq[(Path, Long)] =
@@ -157,17 +178,25 @@ private[streaming] class GraftLogMicroBatchStream(path: String) extends MicroBat
       val gp = partition.asInstanceOf[GraftLogPartition]
       new PartitionReader[InternalRow] {
         private val lines = Files.lines(Paths.get(gp.file))
-        private val it = lines.iterator().asScala
-          .slice(gp.skipLines.toInt, (gp.skipLines + gp.takeLines).toInt)
+        // Long-safe skip/take (Iterator.slice takes Int and would wrap
+        // negative past 2^31 lines, silently misreading the range)
+        private val it = {
+          val base = lines.iterator().asScala
+          var skipped = 0L
+          while (skipped < gp.skipLines && base.hasNext) { base.next(); skipped += 1 }
+          base
+        }
+        private var remaining = gp.takeLines
         private var i = 0L
         private var current: InternalRow = _
         override def next(): Boolean =
-          if (!it.hasNext) false
+          if (remaining <= 0 || !it.hasNext) false
           else {
             val bytes = Base64.getDecoder.decode(it.next())
             current = new GenericInternalRow(
               Array[Any](gp.firstOffset + i, bytes))
             i += 1
+            remaining -= 1
             true
           }
         override def get(): InternalRow = current

@@ -130,26 +130,37 @@ object StreamingOps {
     * reference's send-then-ack (`Producer/kafkaProducer.js:208-218`).
     * Runs on the executors (one file per partition, no driver collect). */
   def writeBatchSegments(batch: Dataset[org.apache.spark.sql.Row],
-                         dir: String, batchId: Long): Unit =
+                         dir: String, batchId: Long): Unit = {
+    // replay hygiene (driver side, before the write): a failed earlier
+    // attempt of THIS batch may have run with a different partition
+    // count — same-name segments get overwritten below, but orphans
+    // from a wider attempt would survive as duplicates. Delete the
+    // batch's segments up front so a replay is a clean rewrite.
+    val d0 = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(d0)) {
+      val s = java.nio.file.Files.list(d0)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(f"b$batchId%08d-p"))
+          .toList.foreach(java.nio.file.Files.delete)
+      } finally s.close()
+    }
     batch.select("value").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
-        val rows = it.toArray
-        if (rows.nonEmpty) {
+        if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val d = java.nio.file.Paths.get(dir)
           java.nio.file.Files.createDirectories(d)
-          val body = rows.iterator
-            .map(r => java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](0)))
-            .mkString("", "\n", "\n")
-          val tmp = java.nio.file.Files.createTempFile(d, ".tmp-", ".seg.part")
-          java.nio.file.Files.write(tmp,
-            body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          java.nio.file.Files.move(tmp, d.resolve(f"b$batchId%08d-p$pid%05d.seg"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          ()
+          // rows stream straight to the temp file — the partition is
+          // never materialized in executor memory
+          graft.streaming.GraftLog.writeSegment(d,
+            it.map(r => java.util.Base64.getEncoder
+              .encodeToString(r.getAs[Array[Byte]](0))),
+            d.resolve(f"b$batchId%08d-p$pid%05d.seg"))
         }
     }
+  }
 
   /** K1 — Kafka-shaped sink over the [[graft.streaming.GraftLog]] segment
     * log: the stream's Avro `value` column lands in offset-ordered
