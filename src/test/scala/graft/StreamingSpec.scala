@@ -390,6 +390,29 @@ class StreamingSpec extends SparkSpec {
       == Set(10, 11, 12))
   }
 
+  test("GraftLog sink: replay with fewer partitions leaves no orphan segments") {
+    val outDir = java.nio.file.Files.createTempDirectory("graftlog-orphan").toString
+    val wide = Seq(20, 21, 22, 23)
+      .map(i => Tuple1(Serde.encodeEmail(i, s"S$i", "b"))).toDF("value")
+      .repartition(4)
+    StreamingOps.writeBatchSegments(wide, outDir, batchId = 3) // failed wide attempt
+    val narrow = Seq(20, 21).map(i => Tuple1(Serde.encodeEmail(i, s"S$i", "b")))
+      .toDF("value").repartition(1)
+    StreamingOps.writeBatchSegments(narrow, outDir, batchId = 3) // the replay
+    val total = graft.streaming.GraftLog.segmentCounts(
+      java.nio.file.Paths.get(outDir)).map(_._2).sum
+    assert(total == 2, s"stale wide-attempt segments must be gone, saw $total records")
+  }
+
+  test("GraftLog append refuses a sink-written directory (offset order would break)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftlog-mixed").toString
+    val batch = Seq(Tuple1(Serde.encodeEmail(1, "S", "b"))).toDF("value")
+    StreamingOps.writeBatchSegments(batch, dir, batchId = 0)
+    intercept[IllegalArgumentException] {
+      graft.streaming.GraftLog.append(dir, Seq(Serde.encodeEmail(2, "S2", "b")))
+    }
+  }
+
   test("thread membership: insert-only keyed state emits each key once") {
     val in = MemoryStream[graft.streaming.ThreadEvent](spark)
     val out = StreamingOps.threadMembership(in.toDS(), "10 minutes", ttlMillis = 3600000L)
