@@ -302,8 +302,11 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
 
   def tfidf(s: SparkSession, d: String): DataFrame = {
+    // persisted: feeds both the TF and the DF aggregations — without it
+    // the scan + split + explode runs twice (module caching rule)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val n  = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -493,24 +496,14 @@ object TextAnalysis {
     import s.implicits._
     // distinct 3-gram shingles per doc as a typed flatMap JVM loop — the
     // HOF transform/array_distinct form evaluates interpreted (suite
-    // playbook: hot per-row loops go native; oracle keeps the HOF twin)
+    // playbook: hot per-row loops go native; oracle keeps the HOF twin).
+    // Dedup.shingles3 is THE shingling contract (q21/q23 share it) —
+    // one implementation to keep in lockstep with the DuckDB twins.
     val sh = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1)
-          if (toks.length < 3) Iterator.empty
-          else {
-            val seen = new java.util.LinkedHashSet[String](toks.length * 2)
-            var i = 0
-            while (i + 2 < toks.length) {
-              seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1
-            }
-            val out = new Array[(Long, String)](seen.size)
-            val jt = seen.iterator(); var j = 0
-            while (jt.hasNext) { out(j) = (id, jt.next()); j += 1 }
-            out.iterator
-          }
+          Dedup.shingles3(text).iterator.map(sh => (id, sh))
         }
       }.toDF("doc_id", "shingle")
       // persisted: three consumers (frequent-set agg, per-doc agg, semi-

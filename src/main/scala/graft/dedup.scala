@@ -43,10 +43,8 @@ object Dedup {
       |FROM documents GROUP BY dkey ORDER BY dkey""".stripMargin
 
   // Corpus with a near-duplicate twin per doc: same text minus its first
-  // token, id offset by 10000. Identical construction on both engines.
-  private val corpusExpr =
-    "SELECT doc_id, text FROM documents UNION ALL " +
-    "SELECT doc_id + 10000 AS doc_id, substring(text, instr(text, ' ') + 1) AS text FROM documents"
+  // token, id offset by 10000 (Spark side builds the same frame with the
+  // DataFrame API in nearDupPairs).
   private val corpusSqlDuck =
     "SELECT doc_id, text FROM documents UNION ALL " +
     "SELECT doc_id + 10000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text FROM documents"
@@ -94,7 +92,7 @@ object Dedup {
     * min-over-set and intersection sizes — are order-independent anyway).
     * Tokenization matches `split(text, ' ')` exactly (trailing empties
     * kept, hence the -1 limit). */
-  private def shingles3(text: String): Array[String] = {
+  private[graft] def shingles3(text: String): Array[String] = {
     val toks = text.split(" ", -1)
     if (toks.length < 3) return Array.empty
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)

@@ -34,13 +34,17 @@ object HtmlToText {
   private val ByCtxRe   = """(?is).*\bby\s+$""".r
   private val BlockNlRe = "(?i)<br\\s*/?>|</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)>"
   private val TagRe     = "(?s)<[^>]+>"
-  private val EntityNumRe = """&#(x?[0-9a-fA-F]+);""".r
+  private val EntityNumRe = """&#([0-9]+|[xX][0-9a-fA-F]+);""".r
   private val SentinelRe  = "\u0001(\\d+)\u0001".r
 
   def convert(html: String, wordwrap: Int = 230): String = {
     if (html == null) return null
+    // 0. U+0001 is reserved as the internal link sentinel below; strip
+    // any pre-existing occurrence so document content can never alias a
+    // protected-link placeholder (decodeEntities likewise drops &#1;)
+    val html0 = html.replace("\u0001", "")
     // 1. isolate <body> content when present
-    val body = BodyRe.findFirstMatchIn(html).map(_.group(1)).getOrElse(html)
+    val body = BodyRe.findFirstMatchIn(html0).map(_.group(1)).getOrElse(html0)
     // 2. drop script/style subtrees
     val noScript = body.replaceAll(ScriptRe, "")
     // 3. rewrite anchors with the reference's heuristics
@@ -51,19 +55,30 @@ object HtmlToText {
     // later strip-remaining-tags pass, so they go in as U+0001<idx>U+0001
     // sentinels and are substituted back after tag stripping.
     val links = scala.collection.mutable.ArrayBuffer.empty[String]
+    // `plain` mirrors stripTags(sb) incrementally so the per-anchor
+    // "does visible text end in 'by '" check costs O(chunk + suffix),
+    // not a full re-strip of the accumulated output per anchor
+    // (quadratic in anchors x document length). The by-context regex
+    // only ever needs the tail - 256 chars comfortably covers any
+    // trailing whitespace run plus the word boundary.
+    val plain = new java.lang.StringBuilder
     var last = 0
     for (m <- AnchorRe.findAllMatchIn(noScript)) {
       sb.append(noScript, last, m.start)
+      plain.append(stripTags(noScript.substring(last, m.start)))
       val attrs = m.group(1)
       val text = decodeEntities(stripTags(m.group(2)).trim)
       val href = HrefRe.findFirstMatchIn(attrs)
         .map(h => Option(h.group(2)).orElse(Option(h.group(3))).getOrElse(h.group(4)))
         .getOrElse("")
-      val precedingText = stripTags(sb.toString)
-      if (ByCtxRe.matches(precedingText) || AuthorRe.matches(text)) sb.append(text)
-      else {
+      val tail =
+        if (plain.length > 256) plain.substring(plain.length - 256) else plain.toString
+      if (ByCtxRe.matches(tail) || AuthorRe.matches(text)) {
+        sb.append(text); plain.append(text)
+      } else {
         links += s"<$href|*${if (text.isEmpty) "Link" else text}*>"
         sb.append('\u0001').append(links.size - 1).append('\u0001')
+        plain.append('\u0001').append(links.size - 1).append('\u0001')
       }
       last = m.end
     }
@@ -87,9 +102,18 @@ object HtmlToText {
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&apos;", "'")
     val numeric = EntityNumRe.replaceAllIn(named, m => {
       val g = m.group(1)
-      val cp = if (g.startsWith("x") || g.startsWith("X")) Integer.parseInt(g.substring(1), 16)
-               else Integer.parseInt(g)
-      java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+      // malformed/overflowing/invalid code points keep their literal
+      // entity text instead of crashing the UDF (drop-on-corrupt
+      // philosophy: one bad record must never fail the batch); U+0001
+      // decodes to nothing — it is the internal link sentinel (below)
+      // and has no legitimate text meaning
+      val repl = try {
+        val cp = if (g.startsWith("x") || g.startsWith("X"))
+          Integer.parseInt(g.substring(1), 16)
+        else Integer.parseInt(g)
+        if (cp == 1) "" else new String(Character.toChars(cp))
+      } catch { case _: IllegalArgumentException => m.matched }
+      java.util.regex.Matcher.quoteReplacement(repl)
     })
     numeric.replace("&amp;", "&")
   }

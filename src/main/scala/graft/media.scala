@@ -78,9 +78,11 @@ object MediaOps {
       math.max(width / 2, 1), math.max(height / 2, 1), nFrames, hash, frames)
   }
 
-  /** q29 — decode/feature-extract/resize/frame-sample over the media
-    * corpus via mapPartitions (decoder instantiated once per partition). */
-  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+  /** Shared decode pass: one decoder per partition over the media corpus
+    * (the single implementation q29 and q30 both consume — a real
+    * decoder is expensive enough that two copies of this block would
+    * inevitably drift). */
+  private def decodedFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaCorpus(s, d).as[MediaRecord]
       .mapPartitions { it =>
@@ -88,8 +90,12 @@ object MediaOps {
         it.map(r => decodeStub(md, r))
       }
       .toDF()
-      .orderBy("doc_id")
   }
+
+  /** q29 — decode/feature-extract/resize/frame-sample over the media
+    * corpus via mapPartitions (decoder instantiated once per partition). */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    decodedFeatures(s, d).orderBy("doc_id")
 
   // DuckDB twin of the stub, over the same bytes (text is ASCII so char
   // ops == byte ops; mod/div arithmetic is integer-exact in both).
@@ -117,12 +123,7 @@ object MediaOps {
   /** q30 — the typed mapPartitions output composes relationally: per-mime
     * decode statistics (the only shuffle in the module, 3 groups). */
   def mediaStats(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    mediaCorpus(s, d).as[MediaRecord]
-      .mapPartitions { it =>
-        val md = MessageDigest.getInstance("MD5")
-        it.map(r => decodeStub(md, r))
-      }
+    decodedFeatures(s, d)
       .groupBy("mime")
       .agg(
         count(lit(1)).as("n_media"),

@@ -85,7 +85,15 @@ object Serde {
       else if (c == '=' && i + 2 < s.length && s.charAt(i + 1) == '\r' && s.charAt(i + 2) == '\n') i += 3 // soft break CRLF
       else if (c == '=' && i + 2 < s.length && hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
         out.write((hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2))); i += 3
-      } else { out.write(c.toInt & 0xFF); i += 1 }
+      } else if (c < 0x80) { out.write(c.toInt); i += 1 }
+      else {
+        // passthrough of a non-ASCII char (technically invalid QP, but
+        // never corrupt it): emit its UTF-8 bytes, not a truncated low
+        // byte that would decode as U+FFFD / a wrong character
+        val cp = Character.codePointAt(s, i)
+        out.write(new String(Character.toChars(cp)).getBytes(StandardCharsets.UTF_8))
+        i += Character.charCount(cp)
+      }
     }
     new String(out.toByteArray, StandardCharsets.UTF_8)
   }

@@ -57,7 +57,7 @@ object GraftLog {
   def append(dir: String, values: Seq[Array[Byte]]): Unit = {
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    val segs = listSegments(d).map(_.getFileName.toString)
+    val segs = listFiles(d).filter(_.endsWith(".seg")) // RAW listing: in-flight sink batches count too
     require(segs.forall(_.matches("\\d{8}\\.seg")),
       s"append(): $dir holds sink-written/foreign segments; appending would reorder offsets")
     val target = d.resolve(f"${segs.size}%08d.seg")
@@ -83,15 +83,39 @@ object GraftLog {
     else -1L
   }
 
-  private[streaming] def listSegments(d: Path): Seq[Path] =
+  private def listFiles(d: Path): Seq[String] =
     if (!Files.isDirectory(d)) Seq.empty
     else {
       val s = Files.list(d) // must close: each open stream holds a directory fd
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".seg")).toList
-        .sortBy(_.getFileName.toString)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
       finally s.close()
     }
+
+  /** Readable segments in offset order. Sink-written segments
+    * (`bNNNNNNNN-pNNNNN.seg`) become visible ONLY once their batch's
+    * `.bNNNNNNNN.done` marker exists — while a multi-partition batch is
+    * in flight, a partition landing out of name order would otherwise
+    * shift every later record's global offset under a concurrent
+    * reader's feet (the Kafka analogue: uncommitted records are not
+    * visible to consumers). Appender segments (numeric names) are
+    * single-file atomic renames and need no marker. */
+  private[streaming] def listSegments(d: Path): Seq[Path] = {
+    val names = listFiles(d)
+    val done = names.filter(n => n.startsWith(".b") && n.endsWith(".done"))
+      .map(n => n.substring(1, n.length - 5)).toSet
+    names.filter { n =>
+      n.endsWith(".seg") &&
+        (!n.startsWith("b") || done.contains(n.substring(0, n.indexOf('-'))))
+    }.sorted.map(d.resolve)
+  }
+
+  /** Publish a sink batch: all its segments are on disk, make them
+    * visible to readers atomically. */
+  private[streaming] def markBatchDone(d: Path, batchId: Long): Unit = {
+    val tmp = Files.createTempFile(d, ".tmp-", ".done.part")
+    Files.move(tmp, d.resolve(f".b$batchId%08d.done"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** (segment, lineCount) pairs in offset order. */
   private[graft] def segmentCounts(d: Path): Seq[(Path, Long)] =

@@ -138,6 +138,8 @@ object StreamingOps {
     // batch's segments up front so a replay is a clean rewrite.
     val d0 = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.isDirectory(d0)) {
+      // un-publish first: readers must not observe the half-rewritten batch
+      java.nio.file.Files.deleteIfExists(d0.resolve(f".b$batchId%08d.done"))
       val s = java.nio.file.Files.list(d0)
       try {
         import scala.jdk.CollectionConverters._
@@ -160,6 +162,11 @@ object StreamingOps {
             d.resolve(f"b$batchId%08d-p$pid%05d.seg"))
         }
     }
+    // publish: every partition is on disk — make the batch visible to
+    // readers in one atomic step (crash before this = batch invisible,
+    // replayed cleanly by the checkpoint; the at-least-once window)
+    java.nio.file.Files.createDirectories(d0)
+    graft.streaming.GraftLog.markBatchDone(d0, batchId)
   }
 
   /** K1 — Kafka-shaped sink over the [[graft.streaming.GraftLog]] segment
@@ -266,7 +273,14 @@ object StreamingOps {
           else {
             val first = it.map(_.ts.getTime).min
             state.update(SeenState(first))
-            state.setTimeoutTimestamp(first + ttlMillis)
+            // flatMapGroupsWithState does NOT drop late rows (watermark
+            // filtering applies only to aggregations), so a very late
+            // first event can put first+ttl at or below the current
+            // watermark — setTimeoutTimestamp would throw and kill the
+            // query. Clamp to just past the watermark: the state then
+            // expires at the next watermark advance instead of crashing.
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(first + ttlMillis, wm + 1))
             Iterator.single(ThreadSeen(key, new Timestamp(first)))
           }
       }

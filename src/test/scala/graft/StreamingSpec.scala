@@ -404,6 +404,19 @@ class StreamingSpec extends SparkSpec {
     assert(total == 2, s"stale wide-attempt segments must be gone, saw $total records")
   }
 
+  test("GraftLog reader ignores sink segments of an unpublished (in-flight) batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graftlog-inflight")
+    val batch = Seq(Tuple1(Serde.encodeEmail(1, "S", "b"))).toDF("value")
+    StreamingOps.writeBatchSegments(batch, dir.toString, batchId = 0) // published
+    // a straggler partition of batch 1 lands WITHOUT its .done marker
+    java.nio.file.Files.write(dir.resolve("b00000001-p00000.seg"),
+      "aGVsbG8=\n".getBytes("UTF-8"))
+    val visible = graft.streaming.GraftLog.segmentCounts(dir)
+      .map(_._1.getFileName.toString)
+    assert(visible == Seq("b00000000-p00000.seg"),
+      s"in-flight batch must be invisible to readers, saw $visible")
+  }
+
   test("GraftLog append refuses a sink-written directory (offset order would break)") {
     val dir = java.nio.file.Files.createTempDirectory("graftlog-mixed").toString
     val batch = Seq(Tuple1(Serde.encodeEmail(1, "S", "b"))).toDF("value")
