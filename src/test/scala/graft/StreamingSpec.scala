@@ -442,4 +442,24 @@ class StreamingSpec extends SparkSpec {
     val keys = spark.table("threads").select("thread_key").as[String].collect().toSeq
     assert(keys.sorted == Seq("C1-t1", "C1-t2", s"C2-${ts(3)}").sorted)
   }
+
+  test("thread membership: very-late event is dropped by the watermark, query survives") {
+    // With EventTimeTimeout, FlatMapGroupsWithStateExec filters input
+    // rows older than the watermark BEFORE the state function — so a
+    // stale first event never reaches setTimeoutTimestamp. This pins
+    // that semantics (the in-function watermark clamp stays as defense
+    // in depth for any future timeout-mode change).
+    val in = MemoryStream[graft.streaming.ThreadEvent](spark)
+    val out = StreamingOps.threadMembership(in.toDS(), "10 minutes", ttlMillis = 60000L)
+    val q = out.writeStream.format("memory").queryName("latethreads")
+      .outputMode("append").start()
+    in.addData(graft.streaming.ThreadEvent("C1", ts(120), Some("t1")))
+    q.processAllAvailable()  // watermark → 110min
+    in.addData(graft.streaming.ThreadEvent("C9", ts(1), Some("old"))) // 109min late
+    q.processAllAvailable()  // must not crash; row silently dropped
+    in.addData(graft.streaming.ThreadEvent("C1", ts(121), Some("t2")))
+    q.processAllAvailable(); q.stop()
+    val keys = spark.table("latethreads").select("thread_key").as[String].collect().toSeq
+    assert(!keys.contains("C9-old") && keys.contains("C1-t2"), s"got $keys")
+  }
 }

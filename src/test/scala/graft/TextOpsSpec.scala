@@ -129,5 +129,23 @@ class TextOpsSpec extends SparkSpec {
     assert(Serde.qpDecode("line1=\r\nline2") == "line1line2")
     assert(Serde.qpDecode("caf=C3=A9") == "café")
     assert(Serde.qpDecode("=XZ stays") == "=XZ stays")
+    // non-ASCII passthrough (technically invalid QP) survives intact —
+    // chars must NOT be truncated to their low byte
+    assert(Serde.qpDecode("café =41") == "café A")
+    assert(Serde.qpDecode("€10 =3D 10") == "€10 = 10")
+    assert(Serde.qpDecode("emoji 😀 ok") == "emoji 😀 ok")
+  }
+
+  test("T3: malformed numeric entities stay literal, never crash; sentinel-shaped content inert") {
+    // hex digits without the 'x' prefix (common typo), overflow, invalid code point
+    assert(HtmlToText.convert("<html><body>a &#e9; b</body></html>") == "a &#e9; b")
+    assert(HtmlToText.convert("<html><body>n &#99999999999; m</body></html>") == "n &#99999999999; m")
+    assert(HtmlToText.convert("<html><body>x &#x110000; y</body></html>") == "x &#x110000; y")
+    // valid entities still decode
+    assert(HtmlToText.convert("<html><body>caf&#233; &#x41;</body></html>") == "café A")
+    // U+0001 (raw or as &#1;) can never alias a link sentinel
+    assert(HtmlToText.convert("<html><body>&#1;7&#1;</body></html>") == "7")
+    assert(HtmlToText.convert("<html><body>a\u00017\u0001b <a href=\"u\">t</a></body></html>")
+      == "a7b <u|*t*>")
   }
 }
