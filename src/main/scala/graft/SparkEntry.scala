@@ -32,6 +32,7 @@ object SparkEntry {
     "q45_sliding_counts"   -> ((s, d) => RelOps.slidingCounts(s, d)),
     "q50_variant_path"     -> ((s, d) => RelOps.variantPath(s, d)),
     "q53_promo_revenue"    -> ((s, d) => RelOps.promoRevenue(s, d)),
+    "q54_session_funnel"   -> ((s, d) => RelOps.sessionFunnel(s, d)),
     "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     )
@@ -121,6 +122,22 @@ object SparkEntry {
          |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
+    "q54_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM l),
+        |c AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sess_no FROM f)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, COUNT(*) AS n_events,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_clicks,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+        |  (MIN(CASE WHEN event_type = 'click' THEN ts_us END) IS NOT NULL
+        |   AND MAX(CASE WHEN event_type = 'purchase' THEN ts_us END)
+        |     > MIN(CASE WHEN event_type = 'click' THEN ts_us END)) AS converted
+        |FROM c GROUP BY user_id, sess_no
+        |ORDER BY user_id, sess_no""".stripMargin,
     "q53_promo_revenue" ->
       s"""SELECT
         |  ${dsumSql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END")} AS promo_revenue,

@@ -174,6 +174,33 @@ object RelOps {
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start_us"), col("event_type"))
 
+  /** q54 — session funnel: the q08 gaps-and-islands sessionization
+    * composed with conditional aggregation — per (user, session), click
+    * and purchase counts and whether a purchase CONVERTED (strictly
+    * after the session's first click). Same single keyed window shuffle
+    * as q08; the funnel flags are map-side conditional aggregates. */
+  def sessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("first_click_us"),
+        max(when(col("event_type") === "purchase", col("ts_us"))).as("last_purchase_us"))
+      .withColumn("converted",
+        col("first_click_us").isNotNull && col("last_purchase_us") > col("first_click_us"))
+      .select("user_id", "sess_no", "n_events", "n_clicks", "n_purchases", "converted")
+      .orderBy("user_id", "sess_no")
+  }
+
   /** q53 — promo revenue share (TPC-H Q14 flavor; completes star-schema
     * coverage — `part` is the one dimension no other query touched):
     * one month of lineitem ⋈ broadcast(part), conditional DECIMAL-exact
