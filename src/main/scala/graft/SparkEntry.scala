@@ -33,6 +33,7 @@ object SparkEntry {
     "q50_variant_path"     -> ((s, d) => RelOps.variantPath(s, d)),
     "q53_promo_revenue"    -> ((s, d) => RelOps.promoRevenue(s, d)),
     "q54_session_funnel"   -> ((s, d) => RelOps.sessionFunnel(s, d)),
+    "q55_retention"        -> ((s, d) => RelOps.retentionCohorts(s, d)),
     "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     )
@@ -122,6 +123,14 @@ object SparkEntry {
          |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
+    "q55_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q54_session_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id

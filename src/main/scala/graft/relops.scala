@@ -174,6 +174,23 @@ object RelOps {
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start_us"), col("event_type"))
 
+  /** q55 — retention cohorts: users grouped by first-seen week, counted
+    * in each later week they stayed active — the engagement matrix
+    * behind every retention curve. Two keyed shuffles on user_id (the
+    * distinct and the first-week aggregate land co-partitioned, so the
+    * join adds no third exchange) + one on the small cohort matrix. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val wk = 7L * 86400 * 1000000
+    val e = Tables.events(s, dir)
+      .selectExpr("user_id", s"ts_us div $wk as week").distinct()
+    val first = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    e.join(first, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** q54 — session funnel: the q08 gaps-and-islands sessionization
     * composed with conditional aggregation — per (user, session), click
     * and purchase counts and whether a purchase CONVERTED (strictly
