@@ -303,6 +303,54 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == want, s"diff ${(got -- want).take(3)} / ${(want -- got).take(3)}")
   }
 
+  test("q54: session funnel == driver-side sequential model (incl. null conversion semantics)") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts_us")
+      .as[(Long, Long, String, Long)].collect()
+    val gap = 30L * 60 * 1000 * 1000
+    val want = events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      var sess = 0L; var prev = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prev == Long.MinValue || e._4 - prev > gap) sess += 1
+        prev = e._4
+        (sess, e)
+      }
+      tagged.groupBy(_._1).map { case (sno, xs) =>
+        val es = xs.map(_._2)
+        val clicks = es.filter(_._3 == "click")
+        val purchases = es.filter(_._3 == "purchase")
+        val converted: java.lang.Boolean =
+          if (clicks.isEmpty) java.lang.Boolean.FALSE
+          else if (purchases.isEmpty) null // true && null stays null on both engines
+          else java.lang.Boolean.valueOf(purchases.map(_._4).max > clicks.map(_._4).min)
+        (uid, sno, es.length.toLong, clicks.length.toLong, purchases.length.toLong, converted)
+      }
+    }.toSet
+    val got = RelOps.sessionFunnel(spark, sf).collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("sess_no"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_clicks"), r.getAs[Long]("n_purchases"),
+        if (r.isNullAt(5)) null else java.lang.Boolean.valueOf(r.getBoolean(5)))
+    }.toSet
+    assert(got == want, s"diff ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+  }
+
+  test("q55: retention matrix == driver-side model; week-0 row covers every cohort user") {
+    val wk = 7L * 86400 * 1000000
+    val events = Tables.events(spark, sf).select("user_id", "ts_us")
+      .as[(Long, Long)].collect()
+    val userWeeks = events.map { case (u, t) => (u, t / wk) }.distinct
+    val firstWeek = userWeeks.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val want = userWeeks.groupBy { case (u, w) => (firstWeek(u), w - firstWeek(u)) }
+      .map { case (k, xs) => (k._1, k._2, xs.map(_._1).distinct.length.toLong) }.toSet
+    val got = RelOps.retentionCohorts(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // offset 0 counts exactly the cohort's full population
+    val cohortSizes = firstWeek.values.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    got.filter(_._2 == 0L).foreach { case (cw, _, n) => assert(n == cohortSizes(cw)) }
+  }
+
   test("q44: per-lang quantiles == interpolated model, monotone") {
     val byLang = Tables.documents(spark, sf).select("lang", "n_chars")
       .as[(String, Long)].collect().groupBy(_._1)
