@@ -410,6 +410,47 @@ object TextAnalysis {
        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q56 — vocabulary Zipf report: global top-20 tokens with rank and
+  // cumulative corpus share — the head-of-distribution summary that
+  // drives stopword lists and tokenizer-vocab decisions. Scale shape:
+  // token counts are one keyed shuffle (vocabulary-sized result); the
+  // global ranking window runs AFTER limit(20), so the single-partition
+  // window only ever sees 20 rows, never the vocabulary.
+  // ---------------------------------------------------------------------
+
+  def vocabZipf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .selectExpr("explode(split(text, ' ')) as tok")
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    counts.orderBy(col("cnt").desc, col("tok")).limit(20)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum_share",
+        floor(sum(col("cnt")).over(order.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          / col("total") * 1e6 + 0.5) / 1e6)
+      .select("rank", "tok", "cnt", "cum_share")
+      .orderBy("rank")
+  }
+
+  val vocabZipfSql: String =
+    """WITH t2 AS (SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) WHERE tok != ''),
+      |counts AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY tok),
+      |total AS (SELECT COUNT(*) AS total FROM t2),
+      |top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 20),
+      |r AS (SELECT tok, cnt,
+      |  row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+      |  SUM(cnt) OVER (ORDER BY cnt DESC, tok
+      |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM top)
+      |SELECT rank, tok, cnt, floor(cum / total.total * 1e6 + 0.5) / 1e6 AS cum_share
+      |FROM r, total ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q52 — pivoted corpus matrix: sources × languages in one relational
   // pivot (explicit value list → no extra distinct-values job; Spark
   // compiles it to the same Expand→partial-agg→one-exchange shape as
@@ -590,6 +631,7 @@ object TextAnalysis {
     "q49_boilerplate"   -> ((s, d) => boilerplate(s, d)),
     "q51_source_mix"    -> ((s, d) => sourceMix(s, d)),
     "q52_pivot_report"  -> ((s, d) => pivotReport(s, d)),
+    "q56_vocab_zipf"    -> ((s, d) => vocabZipf(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -607,5 +649,6 @@ object TextAnalysis {
     "q49_boilerplate"   -> boilerplateSql,
     "q51_source_mix"    -> sourceMixSql,
     "q52_pivot_report"  -> pivotReportSql,
+    "q56_vocab_zipf"    -> vocabZipfSql,
   )
 }
