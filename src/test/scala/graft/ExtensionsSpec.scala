@@ -351,6 +351,29 @@ class ExtensionsSpec extends SparkSpec {
     got.filter(_._2 == 0L).foreach { case (cw, _, n) => assert(n == cohortSizes(cw)) }
   }
 
+  test("q52/q53/q56: report invariants (pivot totals, promo bounds, Zipf monotonicity)") {
+    // q52: pivot cells sum to the corpus size; no negative cells
+    val piv = TextAnalysis.pivotReport(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val cells = piv.flatMap(r => (1 until r.length).map(r.getAs[Long]))
+    assert(cells.forall(_ >= 0) && cells.sum == nDocs)
+    // q53: promo share within (0, 100); revenue components consistent
+    val p = RelOps.promoRevenue(spark, sf).collect().head
+    val (promo, totalRev, pct) =
+      (p.getAs[Double]("promo_revenue"), p.getAs[Double]("total_revenue"),
+        p.getAs[Double]("promo_pct"))
+    assert(promo >= 0 && promo <= totalRev && pct >= 0 && pct <= 100)
+    assert(math.abs(pct - math.floor(100.0 * promo / totalRev * 1e6 + 0.5) / 1e6) == 0.0)
+    // q56: ranks 1..20 contiguous, counts non-increasing, cumulative share
+    // strictly increasing and ≤ 1
+    val z = TextAnalysis.vocabZipf(spark, sf).collect()
+    assert(z.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val cnts = z.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sorted.reverse)
+    val shares = z.map(_.getAs[Double]("cum_share")).toSeq
+    assert(shares == shares.sorted && shares.distinct == shares && shares.last <= 1.0)
+  }
+
   test("q44: per-lang quantiles == interpolated model, monotone") {
     val byLang = Tables.documents(spark, sf).select("lang", "n_chars")
       .as[(String, Long)].collect().groupBy(_._1)
