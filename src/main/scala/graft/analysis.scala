@@ -120,6 +120,27 @@ object TextAnalysis {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** q57 — lang-ID confusion matrix: actual × predicted counts with
+    * per-cell share of the actual class — the evaluation report for the
+    * q20 classifier (how a curation pipeline audits its labelers). One
+    * keyed shuffle over ≤ |langs|² groups after per-row scoring. */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame =
+    langId(s, d)
+      .groupBy(col("lang").as("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("class_share",
+        floor(col("n_docs") / sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("actual")))
+          * 1e6 + 0.5) / 1e6)
+      .orderBy("actual", "predicted")
+
+  val langIdConfusionSql: String =
+    s"""WITH p AS ($langIdSql)
+       |SELECT lang AS actual, predicted, COUNT(*) AS n_docs,
+       |  floor(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY lang) * 1e6 + 0.5) / 1e6 AS class_share
+       |FROM p GROUP BY lang, predicted
+       |ORDER BY actual, predicted""".stripMargin
+
   /** q21 — document fingerprinting: a 31-polynomial rolling hash over the
     * first 64 chars plus a winnowing-style min-hash over word 3-gram
     * shingles (lexicographic min of md5-hex — engine-neutral). Runs as a
@@ -632,6 +653,7 @@ object TextAnalysis {
     "q51_source_mix"    -> ((s, d) => sourceMix(s, d)),
     "q52_pivot_report"  -> ((s, d) => pivotReport(s, d)),
     "q56_vocab_zipf"    -> ((s, d) => vocabZipf(s, d)),
+    "q57_lang_confusion"-> ((s, d) => langIdConfusion(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -650,5 +672,6 @@ object TextAnalysis {
     "q51_source_mix"    -> sourceMixSql,
     "q52_pivot_report"  -> pivotReportSql,
     "q56_vocab_zipf"    -> vocabZipfSql,
+    "q57_lang_confusion"-> langIdConfusionSql,
   )
 }
