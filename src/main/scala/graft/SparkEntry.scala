@@ -34,6 +34,8 @@ object SparkEntry {
     "q53_promo_revenue"    -> ((s, d) => RelOps.promoRevenue(s, d)),
     "q54_session_funnel"   -> ((s, d) => RelOps.sessionFunnel(s, d)),
     "q55_retention"        -> ((s, d) => RelOps.retentionCohorts(s, d)),
+    "q58_full_coverage"    -> ((s, d) => RelOps.fullCoverageSources(s, d)),
+    "q59_click_sets"       -> ((s, d) => RelOps.clickPurchaseSets(s, d)),
     "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     )
@@ -123,6 +125,8 @@ object SparkEntry {
          |  MIN(ts_us) AS sess_start_us, MAX(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM c GROUP BY user_id, sess_no""".stripMargin,
+    "q58_full_coverage" -> RelOps.fullCoverageSourcesSql,
+    "q59_click_sets" -> RelOps.clickPurchaseSetsSql,
     "q55_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 604800000000 AS week FROM events),

@@ -174,6 +174,53 @@ object RelOps {
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("win_start_us"), col("event_type"))
 
+  /** q58 — relational division: sources whose corpus covers EVERY
+    * language (the "complete coverage" check behind per-source curation
+    * gates). Division via grouped distinct-count equality — one shuffle
+    * on source after a distinct, with the divisor (|langs|) a broadcast
+    * scalar. */
+  def fullCoverageSources(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nLangs = docs.agg(countDistinct(col("lang")).as("n_langs"))
+    docs.select("source", "lang").distinct()
+      .groupBy("source").agg(countDistinct(col("lang")).as("n_source_langs"))
+      .crossJoin(broadcast(nLangs))
+      .filter(col("n_source_langs") === col("n_langs"))
+      .select("source", "n_source_langs")
+      .orderBy("source")
+  }
+
+  val fullCoverageSourcesSql: String =
+    """SELECT source, COUNT(DISTINCT lang) AS n_source_langs
+      |FROM documents GROUP BY source
+      |HAVING COUNT(DISTINCT lang) = (SELECT COUNT(DISTINCT lang) FROM documents)
+      |ORDER BY source""".stripMargin
+
+  /** q59 — set operations over user activity: purchasers vs clickers as
+    * INTERSECT (did both) and EXCEPT (clicked, never purchased) — Spark
+    * compiles both to hash joins over pre-distinct inputs (semi / anti),
+    * never a sort-based set pass. Output: each user with its segment. */
+  def clickPurchaseSets(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clickers = e.filter(col("event_type") === "click").select("user_id")
+    val buyers = e.filter(col("event_type") === "purchase").select("user_id")
+    val both = clickers.intersect(buyers).withColumn("segment", lit("click_and_buy"))
+    val lookers = clickers.except(buyers).withColumn("segment", lit("click_no_buy"))
+    both.unionAll(lookers).orderBy("user_id")
+  }
+
+  val clickPurchaseSetsSql: String =
+    """SELECT user_id, 'click_and_buy' AS segment FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT user_id, 'click_no_buy' AS segment FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY user_id""".stripMargin
+
   /** q55 — retention cohorts: users grouped by first-seen week, counted
     * in each later week they stayed active — the engagement matrix
     * behind every retention curve. Two keyed shuffles on user_id (the
