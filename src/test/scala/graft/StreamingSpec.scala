@@ -390,6 +390,63 @@ class StreamingSpec extends SparkSpec {
       == Set(10, 11, 12))
   }
 
+  test("full reference topology: producer → GraftLog → consumer → Block Kit HTTP") {
+    // the reference's whole pipeline as one flow over REAL machinery:
+    // raw email → clean/style → Avro value → segment log (Kafka stand-in,
+    // S1-K1) → replay from earliest (S4/ST6) → corrupt-safe decode (Z2) →
+    // hyperlink headings (W1) → Block Kit payload (W3) → executor-side
+    // HTTP posts (K2) with the source-side ack advancing (K4)
+    val logDir = java.nio.file.Files.createTempDirectory("graftlog-e2e").toString
+    val in = MemoryStream[(Int, String, String)](spark)
+    val produced = StreamingOps.producerTransform(in.toDF().toDF("seqno", "subject", "body"))
+    val prodCkpt = java.nio.file.Files.createTempDirectory("graftlog-e2e-prod").toString
+    def runProducer(): Unit = {
+      val prod = StreamingOps.foreachBatchLogSink(produced.select("value"), logDir)
+        .option("checkpointLocation", prodCkpt)
+        .trigger(Trigger.AvailableNow()).start()
+      prod.awaitTermination(60000); prod.stop()
+    }
+    in.addData(
+      (1, "Digest", "HEADLINE OF THE DAY\nhttps://ex.am/h\nstory text"),
+      (2, null, "tiny"))
+    runProducer()
+
+    val decoded = spark.readStream.format("graft.streaming.GraftLogSource").load(logDir)
+      .select(Serde.fromAvroEmail(col("value")).as("email"))
+      .filter(col("email").isNotNull)
+      .select(col("email.seqno").as("seqno"),
+              col("email.subject").as("subject"),
+              col("email.body").as("body"))
+      .withColumn("body_linked", LineOps.hyperlinkHeadingsHof("body"))
+    val payloads = StreamingOps.blockKitPayload(
+      decoded, "seqno", "subject", "body_linked", maxLen = 2900)
+    PostCollector.posts.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graftlog-e2e-ckpt").toString
+    def runConsumer(): Unit = {
+      val cons = StreamingOps.foreachBatchHttpSink(
+          payloads, () => (_, p) => PostCollector.posts.add(p))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      cons.awaitTermination(60000); cons.stop()
+    }
+    runConsumer()
+    val posts = PostCollector.posts.toArray(Array.empty[String])
+    assert(posts.length == 2)
+    val p1 = posts.find(_.contains("*Digest*")).get
+    assert(p1.contains("<https://ex.am/h|*HEADLINE OF THE DAY*>")) // W1 through the wire
+    assert(posts.exists(_.contains("*No Subject*")))               // T1 null coalesce
+    // K4: commit(end) fires when the FOLLOWING batch is planned — push a
+    // second email through the whole pipe; the consumer's next run plans a
+    // real batch, acknowledging run 1's offsets, and posts exactly the one
+    // new payload (offsets advanced — nothing re-posted)
+    in.addData((3, "Later", "follow-up"))
+    runProducer()
+    runConsumer()
+    val after = PostCollector.posts.toArray(Array.empty[String])
+    assert(after.length == 3 && after.exists(_.contains("*Later*")))
+    assert(graft.streaming.GraftLog.committedOffset(logDir) >= 2L)
+  }
+
   test("GraftLog sink: replay with fewer partitions leaves no orphan segments") {
     val outDir = java.nio.file.Files.createTempDirectory("graftlog-orphan").toString
     val wide = Seq(20, 21, 22, 23)
