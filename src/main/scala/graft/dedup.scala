@@ -104,17 +104,82 @@ object Dedup {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** Triangle-blocked candidate pairs from LSH band-bucket collisions —
+    * same pair set as the naive `bands ⋈ bands` self-join, but per-task
+    * work is BOUNDED under arbitrary bucket skew. The naive join puts
+    * every row of one (band_idx, band_hash) bucket into a single task and
+    * emits O(n²) pairs there — and a mass-duplicated boilerplate corpus
+    * (exactly what a near-dup pass exists to find) makes such a bucket
+    * arbitrarily hot. Construction (same as [[boundedBucketPairs]]):
+    *
+    *  1. bucket sizes via groupBy — map-side partial agg, so even the
+    *     hottest bucket is counted distributed, never in one task;
+    *  2. every row hashes into one of m = ⌈n/cap⌉ sub-groups and
+    *     replicates to the m triangle blocks (i,j), i≤j, containing its
+    *     sub-group; buckets under `cap` keep m=1 (zero overhead);
+    *  3. block (i,j) emits sub-group-i × sub-group-j pairs — every
+    *     in-bucket pair lands in EXACTLY one block, so the union over
+    *     blocks is the exact naive pair set, while no task ever holds
+    *     more than ~2·(n/m) rows or emits more than ~cap² pairs.
+    *
+    * Input: (band_idx, band_hash, doc_id). Output: distinct (doc_a,
+    * doc_b), doc_a < doc_b. */
+  /** Step 1+2 of [[boundedBandCandidates]]: each (band, bucket) row
+    * replicated to its triangle blocks. Split out so the hot-band spec can
+    * assert the per-block row bound directly. */
+  private[graft] def bandBlocks(bands: DataFrame, cap: Int): DataFrame = {
+    val sizes = bands.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bn"))
+    bands.join(sizes, Seq("band_idx", "band_hash"))
+      .withColumn("m", ceil(col("bn") / lit(cap)).cast("int"))
+      .withColumn("sr", pmod(hash(col("doc_id")), col("m")).cast("int"))
+      .withColumn("blk", explode(expr(
+        "transform(sequence(0, m - 1), k -> struct(least(sr, k) as bi, greatest(sr, k) as bj))")))
+      .select(col("band_idx"), col("band_hash"), col("blk.bi").as("bi"),
+              col("blk.bj").as("bj"), col("sr"), col("doc_id"))
+  }
+
+  private[graft] def boundedBandCandidates(s: SparkSession, bands: DataFrame,
+                                           cap: Int): DataFrame = {
+    import s.implicits._
+    bandBlocks(bands, cap)
+      .as[(Int, String, Int, Int, Int, Long)]
+      .groupByKey(t => (t._1, t._2, t._3, t._4))
+      .flatMapGroups { (key: (Int, String, Int, Int), it: Iterator[(Int, String, Int, Int, Int, Long)]) =>
+        val (bi, bj) = (key._3, key._4)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        def emit(a: Long, b: Long): Unit =
+          if (a < b) out += ((a, b)) else if (b < a) out += ((b, a))
+        if (bi == bj) {
+          val ids = it.map(_._6).toArray
+          var i = 0
+          while (i < ids.length) {
+            var j = i + 1
+            while (j < ids.length) { emit(ids(i), ids(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          val (as, bs) = (scala.collection.mutable.ArrayBuffer.empty[Long],
+                          scala.collection.mutable.ArrayBuffer.empty[Long])
+          it.foreach(t => if (t._5 == bi) as += t._6 else bs += t._6)
+          as.foreach(a => bs.foreach(b => emit(a, b)))
+        }
+        out.iterator
+      }
+      .toDF("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** q23 — MinHash+LSH near-dup: ONE mapPartitions pass tokenizes,
     * shingles, and signs every document (a digest instance per partition;
     * interpreted HOF expressions measured 8× slower for this hot loop);
-    * then LSH banding (4 bands × 3 rows, string band keys), bucket-join
-    * candidates, exact-Jaccard verification at 0.5. The (sh, sig) frame
-    * is persisted — it feeds the band path and both sides of the verify
-    * join, and at 100 TB recomputing shingles three times dwarfs the
-    * cache cost; `bands` is persisted because it feeds both sides of the
-    * candidate self-join. Unsorted — q23 adds its presentation sort;
-    * q41 consumes the pairs as edges, where a sort would be a wasted
-    * range-exchange. */
+    * then LSH banding (4 bands × 3 rows, string band keys),
+    * triangle-blocked bucket-collision candidates (bounded per-task work
+    * under band skew — see [[boundedBandCandidates]]), exact-Jaccard
+    * verification at 0.5. The (sh, sig) frame is persisted — it feeds
+    * the band path and both sides of the verify join, and at 100 TB
+    * recomputing shingles three times dwarfs the cache cost. Unsorted —
+    * q23 adds its presentation sort; q41 consumes the pairs as edges,
+    * where a sort would be a wasted range-exchange. */
   private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
@@ -135,13 +200,9 @@ object Dedup {
       """posexplode(transform(sequence(0, 3),
         |  b -> concat_ws(':', element_at(sig, 3 * b + 1), element_at(sig, 3 * b + 2), element_at(sig, 3 * b + 3))))
         |as (band_idx, band_hash)""".stripMargin.replace("\n", " "))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate ids from band-bucket collisions only (never all pairs)
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash")),
-            Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // candidate ids from band-bucket collisions only (never all pairs),
+    // per-task work bounded even when one band bucket goes hot
+    val cand = boundedBandCandidates(s, bands, cap = 1024)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

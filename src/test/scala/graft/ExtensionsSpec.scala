@@ -66,6 +66,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(maxBlockPairs < 270L * 269 / 2)
   }
 
+  test("boundedBandCandidates: hot band == naive self-join, per-block work bounded") {
+    // hot-band fixture: 400 docs (mass-duplicated boilerplate) collide in
+    // ONE (band_idx, band_hash) bucket — the naive bands⋈bands join would
+    // emit all 400·399/2 pairs from a single task. Plus two normal buckets
+    // and a doc appearing in two bands (cross-band duplicate pair).
+    val hot = (0L until 400L).map(id => (0, "HOT", id))
+    val cold = Seq((1, "c1", 500L), (1, "c1", 501L), (2, "c2", 500L),
+                   (2, "c2", 501L), (3, "c3", 502L))
+    val bands = (hot ++ cold).toDF("band_idx", "band_hash", "doc_id")
+    val cap = 32 // m = ceil(400/32) = 13 sub-groups for the hot bucket
+    val got = Dedup.boundedBandCandidates(spark, bands, cap)
+      .as[(Long, Long)].collect()
+    val naive = bands.select($"doc_id".as("doc_a"), $"band_idx", $"band_hash")
+      .join(bands.select($"doc_id".as("doc_b"), $"band_idx", $"band_hash"),
+            Seq("band_idx", "band_hash"))
+      .filter($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct()
+      .as[(Long, Long)].collect()
+    assert(got.toSet == naive.toSet)              // exact same candidate set
+    assert(got.length == got.toSet.size)          // each pair emitted once
+    assert(got.toSet.contains((500L, 501L)))      // cross-band dup collapsed
+    // the bound itself: no triangle block (= no single task) holds more
+    // than ~2 sub-groups of rows; the naive join's single 400-row task
+    // cannot occur. 4×cap absorbs hash-mod sub-group unevenness.
+    val blockSizes = Dedup.bandBlocks(bands, cap)
+      .groupBy("band_idx", "band_hash", "bi", "bj").count()
+      .as[(Int, String, Int, Int, Long)].collect()
+    val maxBlock = blockSizes.map(_._5).max
+    assert(maxBlock <= 4L * cap, s"block of $maxBlock rows exceeds bound")
+    assert(maxBlock < 400, "hot bucket was not split")
+    // every hot-bucket pair lands in exactly one block: total pair count
+    // across blocks (before distinct) == C(400,2) + cold pairs
+    val hotPairs = 400L * 399 / 2
+    val blockPairCount = blockSizes.map { case (_, _, bi, bj, n) => n }.sum
+    assert(blockPairCount >= 400) // blocks really did replicate rows
+    assert(got.count { case (a, b) => a < 400 && b < 400 } == hotPairs)
+  }
+
   test("connectedComponents: chain, triangle, and isolated vertex resolve to min-id roots") {
     val vertices = (1L to 9L).toDF("id")
     // chain 1-2-3-4, triangle 5-6-7 (+redundant edge), pair 8-9... minus 9:
