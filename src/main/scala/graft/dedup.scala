@@ -283,18 +283,92 @@ object Dedup {
     lab
   }
 
+  /** Connected components by alternating large-star/small-star — the
+    * O(log n)-round swap-in for adversarially DEEP graphs (a 100 TB
+    * chain-shaped dup graph, e.g. crawl mirrors, makes the O(diameter)
+    * hash-min loop grind). Public algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", 2014):
+    *
+    *  - large-star: each vertex u links every strictly-larger neighbour
+    *    to m = min(N(u) ∪ {u});
+    *  - small-star: orienting edges larger→smaller, each vertex u links
+    *    its smaller neighbours and itself to m;
+    *  - alternate until the edge set reaches a fixpoint, at which every
+    *    component is a star centred on its minimum vertex id — the same
+    *    deterministic min-id root the hash-min loop produces.
+    *
+    * Each step is one groupBy (map-side combined min) + one keyed join —
+    * the same shuffle primitives per round as hash-min, but rounds are
+    * O(log n) in the component size instead of O(diameter). Lineage is
+    * truncated per round with localCheckpoint; only scalar counts visit
+    * the driver. Returns (labels, rounds) — rounds so the deep-chain spec
+    * can assert the logarithmic bound. */
+  private[graft] def connectedComponentsStar(vertices: DataFrame,
+                                             edges: DataFrame): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+      nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+                       least(col("u"), col("v")).as("v"))
+      val mins = o.groupBy("u").agg(min(col("v")).as("mn"))
+      o.join(mins, Seq("u"))
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .unionAll(mins.select(col("u"), col("mn").as("v")))
+        .distinct()
+    }
+    var e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var n = e.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nNext = next.count()
+      rounds += 1
+      converged = nNext == n && next.except(e).isEmpty
+      e = next
+      n = nNext
+    }
+    // fixpoint: every non-root vertex carries exactly its (vertex, root)
+    // star edge; isolated vertices root themselves
+    val roots = e.groupBy(col("u").as("id")).agg(min(col("v")).as("sroot"))
+    val lab = vertices.select(col("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("sroot"), col("id")).as("root"))
+    (lab, rounds)
+  }
+
   /** q41 — near-dup clustering: connected components over the q23 pair
     * graph, i.e. the step a real dedup pipeline runs AFTER pair finding
     * to pick one canonical document per duplicate cluster. Output: every
     * corpus doc with its component root (= keep id) and component size;
     * isolated docs root themselves with size 1. */
-  def dupComponents(s: SparkSession, d: String): DataFrame = {
+  def dupComponents(s: SparkSession, d: String): DataFrame =
+    dupComponentsWith(s, d, connectedComponents)
+
+  /** q60 — the SAME clustering computed by the large-star/small-star
+    * loop (one oracle row proving the O(log n) variant end-to-end on the
+    * production pair graph, not just on spec fixtures). */
+  def dupComponentsStar(s: SparkSession, d: String): DataFrame =
+    dupComponentsWith(s, d, (v, e) => connectedComponentsStar(v, e)._1)
+
+  private def dupComponentsWith(s: SparkSession, d: String,
+      cc: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     val vertices = docs.select(col("doc_id").as("id")).unionAll(
       docs.select((col("doc_id") + 10000).as("id")))
     val pairs = nearDupPairs(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val lab = connectedComponents(vertices, pairs)
+    val lab = cc(vertices, pairs)
     val sizes = lab.groupBy(col("root")).agg(count(lit(1)).as("n_members"))
     lab.join(sizes, Seq("root"))
       .select(col("id").as("doc_id"), col("root").as("keep_doc_id"), col("n_members"))
@@ -509,6 +583,7 @@ object Dedup {
     "q25_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q32_embed_neardup" -> ((s, d) => embedNearDup(s, d)),
     "q41_dup_components" -> ((s, d) => dupComponents(s, d)),
+    "q60_star_components" -> ((s, d) => dupComponentsStar(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -518,5 +593,6 @@ object Dedup {
     "q25_ngram_jaccard" -> ngramJaccardSql,
     "q32_embed_neardup" -> embedNearDupSql,
     "q41_dup_components" -> dupComponentsSql,
+    "q60_star_components" -> dupComponentsSql,
   )
 }

@@ -115,6 +115,45 @@ class ExtensionsSpec extends SparkSpec {
                       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("connectedComponentsStar: 1000-node path graph converges in O(log n) rounds") {
+    // the adversarial-depth case: a chain has diameter n-1, so hash-min
+    // propagation needs ~n rounds; large-star/small-star must stay ≤
+    // ~2·log2(n) + slack
+    val n = 1000
+    val vertices = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val (lab, rounds) = Dedup.connectedComponentsStar(vertices, edges)
+    val got = lab.as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), "every chain vertex must root at 1")
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt + 5
+    assert(rounds <= bound, s"$rounds rounds exceeds O(log n) bound $bound")
+  }
+
+  test("connectedComponentsStar == hash-min on a seeded random graph + edge cases") {
+    val rnd = new scala.util.Random(42)
+    val n = 200L
+    val vertices = (0L until n).toDF("id")
+    // ~150 random edges: several components, some isolated vertices,
+    // self-loops and duplicate edges thrown in
+    val edges = (Seq.fill(150)((rnd.nextLong(n), rnd.nextLong(n))) ++
+        Seq((5L, 5L), (7L, 9L), (7L, 9L), (9L, 7L)))
+      .toDF("src", "dst")
+    val want = Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val (lab, _) = Dedup.connectedComponentsStar(vertices, edges)
+    val got = lab.as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("connectedComponentsStar: empty edge set roots every vertex at itself") {
+    val vertices = (1L to 5L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (lab, rounds) = Dedup.connectedComponentsStar(vertices, edges)
+    assert(lab.as[(Long, Long)].collect().toMap == (1L to 5L).map(i => i -> i).toMap)
+    assert(rounds == 0)
+  }
+
   test("q41: every planted twin shares a component with its source doc") {
     val comp = Dedup.dupComponents(spark, sf)
       .select("doc_id", "keep_doc_id").as[(Long, Long)].collect().toMap
