@@ -15,7 +15,9 @@ import org.apache.spark.sql.SparkSession
   *    count() would let Catalyst prune per-row work a real consumer pays.
   *
   * Failures are never silently folded into the total: a query that throws
-  * reports value -1 and lands in the "errors" list.
+  * reports value -1 and lands in the "errors" list, and ANY error
+  * invalidates the headline total (value -1) — a newly-crashing query can
+  * only read as a regression, never as a speedup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,7 +56,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }

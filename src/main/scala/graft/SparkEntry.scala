@@ -146,9 +146,9 @@ object SparkEntry {
         |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, COUNT(*) AS n_events,
         |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_clicks,
         |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
-        |  (MIN(CASE WHEN event_type = 'click' THEN ts_us END) IS NOT NULL
+        |  coalesce(MIN(CASE WHEN event_type = 'click' THEN ts_us END) IS NOT NULL
         |   AND MAX(CASE WHEN event_type = 'purchase' THEN ts_us END)
-        |     > MIN(CASE WHEN event_type = 'click' THEN ts_us END)) AS converted
+        |     > MIN(CASE WHEN event_type = 'click' THEN ts_us END), FALSE) AS converted
         |FROM c GROUP BY user_id, sess_no
         |ORDER BY user_id, sess_no""".stripMargin,
     "q53_promo_revenue" ->

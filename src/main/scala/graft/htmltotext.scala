@@ -55,30 +55,44 @@ object HtmlToText {
     // later strip-remaining-tags pass, so they go in as U+0001<idx>U+0001
     // sentinels and are substituted back after tag stripping.
     val links = scala.collection.mutable.ArrayBuffer.empty[String]
-    // `plain` mirrors stripTags(sb) incrementally so the per-anchor
-    // "does visible text end in 'by '" check costs O(chunk + suffix),
-    // not a full re-strip of the accumulated output per anchor
-    // (quadratic in anchors x document length). The by-context regex
-    // only ever needs the tail - 256 chars comfortably covers any
-    // trailing whitespace run plus the word boundary.
-    val plain = new java.lang.StringBuilder
+    // `plainTail` mirrors the visible (tag-stripped) text ahead of the
+    // current anchor with every whitespace RUN collapsed to one space,
+    // capped to its last 256 chars. The by-context check needs only
+    // `\bby\s+$`: collapsing preserves it exactly (a run is still \s,
+    // and the boundary char before 'by' — word vs non-word — survives
+    // collapse), while the cap keeps each anchor's check O(chunk + 256)
+    // AND an arbitrarily long whitespace run can no longer push the
+    // 'by' token out of the window (it collapses to a single space).
+    // Post-collapse the trailing \s is ≤1 char, so a 256-char tail
+    // always retains the boundary context — full-prefix semantics.
+    val plainTail = new java.lang.StringBuilder
+    def appendPlain(s: String): Unit = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isWhitespace(c)) {
+          if (plainTail.length == 0 || plainTail.charAt(plainTail.length - 1) != ' ')
+            plainTail.append(' ')
+        } else plainTail.append(c)
+        i += 1
+      }
+      if (plainTail.length > 512) plainTail.delete(0, plainTail.length - 256)
+    }
     var last = 0
     for (m <- AnchorRe.findAllMatchIn(noScript)) {
       sb.append(noScript, last, m.start)
-      plain.append(stripTags(noScript.substring(last, m.start)))
+      appendPlain(stripTags(noScript.substring(last, m.start)))
       val attrs = m.group(1)
       val text = decodeEntities(stripTags(m.group(2)).trim)
       val href = HrefRe.findFirstMatchIn(attrs)
         .map(h => Option(h.group(2)).orElse(Option(h.group(3))).getOrElse(h.group(4)))
         .getOrElse("")
-      val tail =
-        if (plain.length > 256) plain.substring(plain.length - 256) else plain.toString
-      if (ByCtxRe.matches(tail) || AuthorRe.matches(text)) {
-        sb.append(text); plain.append(text)
+      if (ByCtxRe.matches(plainTail) || AuthorRe.matches(text)) {
+        sb.append(text); appendPlain(text)
       } else {
         links += s"<$href|*${if (text.isEmpty) "Link" else text}*>"
         sb.append('\u0001').append(links.size - 1).append('\u0001')
-        plain.append('\u0001').append(links.size - 1).append('\u0001')
+        appendPlain("\u0001" + (links.size - 1) + "\u0001")
       }
       last = m.end
     }

@@ -259,8 +259,13 @@ object RelOps {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
         min(when(col("event_type") === "click", col("ts_us"))).as("first_click_us"),
         max(when(col("event_type") === "purchase", col("ts_us"))).as("last_purchase_us"))
-      .withColumn("converted",
-        col("first_click_us").isNotNull && col("last_purchase_us") > col("first_click_us"))
+      // coalesce: "clicked but never purchased" is (true AND NULL) = NULL
+      // in three-valued logic; downstream `converted = false` filters
+      // would silently miss those sessions, so the flag is pinned to a
+      // two-valued boolean (mirrored in the oracle SQL and spec model)
+      .withColumn("converted", coalesce(
+        col("first_click_us").isNotNull && col("last_purchase_us") > col("first_click_us"),
+        lit(false)))
       .select("user_id", "sess_no", "n_events", "n_clicks", "n_purchases", "converted")
       .orderBy("user_id", "sess_no")
   }

@@ -39,9 +39,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * atomic rename, so a concurrently-listing reader never sees a partial
   * segment. Planning splits each segment slice into its own partition —
   * read parallelism scales with segments like Kafka's with partitions.
-  * (Listing the directory per `latestOffset` is O(segments) — fine for a
-  * test log; a production log would maintain a manifest, which is an I/O
-  * detail, not a contract change.)
+  * (Listing the directory per `latestOffset` is O(segments) in stat
+  * calls; line counts come from a cache keyed by (path, inode, size) —
+  * segments are immutable once visible, and a sink replay that rewrites
+  * a b-segment changes its identity key — so the per-micro-batch cost
+  * does not re-read every byte of the log's life. A production log
+  * would maintain a manifest, which is an I/O detail, not a contract
+  * change.)
   */
 object GraftLog {
   val schema: StructType = StructType(Seq(
@@ -110,19 +114,54 @@ object GraftLog {
   }
 
   /** Publish a sink batch: all its segments are on disk, make them
-    * visible to readers atomically. */
-  private[streaming] def markBatchDone(d: Path, batchId: Long): Unit = {
+    * visible to readers atomically. The marker records the batch's total
+    * record count so a later replay can detect (and refuse) a rewrite
+    * that would renumber every subsequent global offset under a
+    * committed reader's feet. */
+  private[streaming] def markBatchDone(d: Path, batchId: Long, total: Long): Unit = {
     val tmp = Files.createTempFile(d, ".tmp-", ".done.part")
+    Files.write(tmp, total.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, d.resolve(f".b$batchId%08d.done"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** (segment, lineCount) pairs in offset order. */
+  /** Record count published for `batchId`, if its .done marker exists. */
+  private[streaming] def publishedCount(d: Path, batchId: Long): Option[Long] = {
+    val p = d.resolve(f".b$batchId%08d.done")
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+      if (s.isEmpty) None else Some(s.toLong)
+    }
+  }
+
+  /** Line counts keyed by (path, inode, size): a visible segment is
+    * immutable, and the one mutation path — a sink REPLAY un-publishing
+    * and rewriting a b-segment — goes through temp-file + atomic rename,
+    * i.e. a NEW inode, so a stale entry can never be served (fileKey
+    * beats mtime, whose granularity could miss a same-millisecond
+    * rewrite). Bounded: wiped when it outgrows 8192 segments
+    * (re-counting is only a cold start, not a correctness event). */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Long]()
+
+  /** (segment, lineCount) pairs in offset order. latestOffset and
+    * planInputPartitions both call this every micro-batch — the cache
+    * keeps that at O(segments) stat calls instead of re-reading every
+    * line of every segment twice per batch. */
   private[graft] def segmentCounts(d: Path): Seq[(Path, Long)] =
     listSegments(d).map { p =>
-      var n = 0L
-      val it = Files.lines(p)
-      try { n = it.count() } finally it.close()
+      val attrs = Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val key = (p.toAbsolutePath.toString,
+        Option(attrs.fileKey).map(_.toString)
+          .getOrElse(attrs.lastModifiedTime.toString),
+        attrs.size)
+      if (countCache.size > 8192) countCache.clear()
+      val n = countCache.computeIfAbsent(key, _ => {
+        val it = Files.lines(p)
+        try it.count() finally it.close()
+      })
       (p, n)
     }
 }

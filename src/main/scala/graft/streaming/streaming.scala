@@ -131,12 +131,27 @@ object StreamingOps {
     * Runs on the executors (one file per partition, no driver collect). */
   def writeBatchSegments(batch: Dataset[org.apache.spark.sql.Row],
                          dir: String, batchId: Long): Unit = {
+    val d0 = java.nio.file.Paths.get(dir)
+    // replay guard: if THIS batch was already PUBLISHED (its .done marker
+    // exists), a rewrite is legal only when it lands the same record
+    // count — otherwise every later record's global offset renumbers and
+    // a reader whose checkpoint committed past this batch silently skips
+    // or re-reads records. Refuse loudly BEFORE mutating anything; the
+    // count() re-run is paid only on this rare replay-of-published path.
+    if (java.nio.file.Files.isDirectory(d0)) {
+      graft.streaming.GraftLog.publishedCount(d0, batchId).foreach { published =>
+        val replay = batch.count()
+        require(published == replay,
+          s"refusing to rewrite published batch $batchId: $published records " +
+            s"on disk, replay computed $replay — rewriting would renumber " +
+            "every subsequent global offset under committed readers")
+      }
+    }
     // replay hygiene (driver side, before the write): a failed earlier
     // attempt of THIS batch may have run with a different partition
     // count — same-name segments get overwritten below, but orphans
     // from a wider attempt would survive as duplicates. Delete the
     // batch's segments up front so a replay is a clean rewrite.
-    val d0 = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.isDirectory(d0)) {
       // un-publish first: readers must not observe the half-rewritten batch
       java.nio.file.Files.deleteIfExists(d0.resolve(f".b$batchId%08d.done"))
@@ -148,6 +163,10 @@ object StreamingOps {
           .toList.foreach(java.nio.file.Files.delete)
       } finally s.close()
     }
+    // the published total rides in the .done marker (for the replay
+    // guard above); counted on the executors as the rows stream past
+    val written = batch.sparkSession.sparkContext.longAccumulator(
+      s"graftlog-batch-$batchId-rows")
     batch.select("value").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
@@ -157,8 +176,10 @@ object StreamingOps {
           // rows stream straight to the temp file — the partition is
           // never materialized in executor memory
           graft.streaming.GraftLog.writeSegment(d,
-            it.map(r => java.util.Base64.getEncoder
-              .encodeToString(r.getAs[Array[Byte]](0))),
+            it.map { r =>
+              written.add(1L)
+              java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](0))
+            },
             d.resolve(f"b$batchId%08d-p$pid%05d.seg"))
         }
     }
@@ -166,7 +187,7 @@ object StreamingOps {
     // readers in one atomic step (crash before this = batch invisible,
     // replayed cleanly by the checkpoint; the at-least-once window)
     java.nio.file.Files.createDirectories(d0)
-    graft.streaming.GraftLog.markBatchDone(d0, batchId)
+    graft.streaming.GraftLog.markBatchDone(d0, batchId, written.value)
   }
 
   /** K1 — Kafka-shaped sink over the [[graft.streaming.GraftLog]] segment

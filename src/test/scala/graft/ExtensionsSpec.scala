@@ -379,7 +379,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == want, s"diff ${(got -- want).take(3)} / ${(want -- got).take(3)}")
   }
 
-  test("q54: session funnel == driver-side sequential model (incl. null conversion semantics)") {
+  test("q54: session funnel == driver-side sequential model (converted is two-valued)") {
     val events = Tables.events(spark, sf)
       .select("user_id", "event_id", "event_type", "ts_us")
       .as[(Long, Long, String, Long)].collect()
@@ -396,11 +396,13 @@ class ExtensionsSpec extends SparkSpec {
         val es = xs.map(_._2)
         val clicks = es.filter(_._3 == "click")
         val purchases = es.filter(_._3 == "purchase")
-        val converted: java.lang.Boolean =
-          if (clicks.isEmpty) java.lang.Boolean.FALSE
-          else if (purchases.isEmpty) null // true && null stays null on both engines
-          else java.lang.Boolean.valueOf(purchases.map(_._4).max > clicks.map(_._4).min)
-        (uid, sno, es.length.toLong, clicks.length.toLong, purchases.length.toLong, converted)
+        // coalesce(..., false) on both engines: clicked-but-no-purchase is
+        // FALSE, not the three-valued NULL a naive true-AND-NULL yields
+        val converted =
+          clicks.nonEmpty && purchases.nonEmpty &&
+            purchases.map(_._4).max > clicks.map(_._4).min
+        (uid, sno, es.length.toLong, clicks.length.toLong, purchases.length.toLong,
+          java.lang.Boolean.valueOf(converted))
       }
     }.toSet
     val got = RelOps.sessionFunnel(spark, sf).collect().map { r =>

@@ -83,6 +83,21 @@ class HtmlGoldenSpec extends SparkSpec {
     assert(HtmlToText.convert(html) == expected)
   }
 
+  test("T3 golden F6: a 300-char whitespace run between 'by' and its anchor cannot defeat the byline context") {
+    // the by-context tail is whitespace-collapsed: an arbitrarily long
+    // \s run (here 300 chars of spaces/newlines/tabs) still leaves
+    // 'by ' inside the window, so the anchor stays plain text
+    val ws = (" " * 140) + "\t" + (" " * 159)
+    val html = s"""<body><p>Photo by$ws<a href="https://ex.am/t">the crew</a> today.</p></body>"""
+    val got = HtmlToText.convert(html)
+    assert(got == "Photo by the crew today.")
+    assert(!got.contains("ex.am"), "byline anchor must not become a hyperlink")
+    // and a word-char boundary still blocks the context across collapse:
+    // 'hobby' + whitespace run is NOT a by-context
+    val html2 = s"""<body><p>My hobby$ws<a href="https://ex.am/h">model trains</a>.</p></body>"""
+    assert(HtmlToText.convert(html2) == "My hobby <https://ex.am/h|*model trains*>.")
+  }
+
   test("E1: online enrichment — one client per partition, reused across rows") {
     ClientCounter.n.set(0)
     val reqs = (1L to 12L).map(i => PromptRequest(i, s"ctx $i", s"msg $i"))

@@ -390,6 +390,30 @@ class StreamingSpec extends SparkSpec {
       == Set(10, 11, 12))
   }
 
+  test("GraftLog sink: replay of a PUBLISHED batch with a different record count is refused") {
+    val outDir = java.nio.file.Files.createTempDirectory("graftlog-guard").toString
+    val batch3 = Seq(10, 11, 12).map(i => Tuple1(Serde.encodeEmail(i, s"S$i", "b")))
+      .toDF("value")
+    StreamingOps.writeBatchSegments(batch3, outDir, batchId = 7)
+    // same count replays fine (idempotent overwrite, tested above); a
+    // DIFFERENT count would renumber every later global offset under a
+    // committed reader — must refuse loudly, not rewrite
+    val batch2 = Seq(10, 11).map(i => Tuple1(Serde.encodeEmail(i, s"S$i", "b")))
+      .toDF("value")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.writeBatchSegments(batch2, outDir, batchId = 7)
+    }
+    assert(e.getMessage.contains("refusing to rewrite published batch 7"))
+    // the published log is untouched by the refused attempt
+    val counts = graft.streaming.GraftLog.segmentCounts(
+      java.nio.file.Paths.get(outDir))
+    assert(counts.map(_._2).sum == 3)
+    // a NEW batch id still appends normally
+    StreamingOps.writeBatchSegments(batch2, outDir, batchId = 8)
+    assert(graft.streaming.GraftLog.segmentCounts(
+      java.nio.file.Paths.get(outDir)).map(_._2).sum == 5)
+  }
+
   test("full reference topology: producer → GraftLog → consumer → Block Kit HTTP") {
     // the reference's whole pipeline as one flow over REAL machinery:
     // raw email → clean/style → Avro value → segment log (Kafka stand-in,
@@ -452,7 +476,12 @@ class StreamingSpec extends SparkSpec {
     val wide = Seq(20, 21, 22, 23)
       .map(i => Tuple1(Serde.encodeEmail(i, s"S$i", "b"))).toDF("value")
       .repartition(4)
-    StreamingOps.writeBatchSegments(wide, outDir, batchId = 3) // failed wide attempt
+    StreamingOps.writeBatchSegments(wide, outDir, batchId = 3)
+    // the wide attempt FAILED before publishing: crash between segment
+    // writes and markBatchDone (a published batch may only be replayed
+    // with the same record count — tested separately)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(outDir, ".b00000003.done"))
     val narrow = Seq(20, 21).map(i => Tuple1(Serde.encodeEmail(i, s"S$i", "b")))
       .toDF("value").repartition(1)
     StreamingOps.writeBatchSegments(narrow, outDir, batchId = 3) // the replay
