@@ -109,6 +109,24 @@ object Enrich {
     }
   }
 
+  /** [[enrichOnline]] with the backpressure contract ENCODED instead of
+    * narrated: a rate-limited backend is bounded by running at most
+    * `maxConcurrency` concurrent clients, which in the mapPartitions
+    * model means at most that many partitions. `coalesce` (narrow, no
+    * shuffle) folds excess partitions together; a dataset already at or
+    * below the bound is untouched, so in-flight client count is always
+    * min(input partitions, maxConcurrency). Throttling lives HERE, at
+    * the parallelism level — never as sleeps inside the call, which
+    * would hold executor slots hostage. */
+  def enrichOnline(reqs: Dataset[PromptRequest], mkClient: () => String => String,
+                   maxConcurrency: Int): Dataset[PromptReply] = {
+    require(maxConcurrency > 0, s"maxConcurrency must be positive: $maxConcurrency")
+    val bounded =
+      if (reqs.rdd.getNumPartitions > maxConcurrency) reqs.coalesce(maxConcurrency)
+      else reqs
+    enrichOnline(bounded, mkClient)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_keyword_summary" -> ((s, d) => keywordSummary(s, d)),
   )

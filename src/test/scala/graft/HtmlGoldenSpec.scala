@@ -98,6 +98,64 @@ class HtmlGoldenSpec extends SparkSpec {
     assert(HtmlToText.convert(html2) == "My hobby <https://ex.am/h|*model trains*>.")
   }
 
+  test("T3 golden F7: unclosed and href-less anchors degrade gracefully, never crash") {
+    // no </a> → not an anchor match; the dangling <a …> tag is stripped
+    // and its text survives as plain text
+    val unclosed = """<body><p>Go <a href="https://ex.am/u">here and beyond</p></body>"""
+    assert(HtmlToText.convert(unclosed) == "Go here and beyond")
+    // href-less / empty-href anchors keep the Slack link shape with an
+    // empty url rather than throwing (defined degradation, pinned)
+    val hrefless = """<body><p><a name="x">click me</a> and <a href=>more</a></p></body>"""
+    assert(HtmlToText.convert(hrefless) == "<|*click me*> and <|*more*>")
+  }
+
+  test("T3 golden F8: entities inside href stay raw; href quoting variants all resolve") {
+    // hrefs are used verbatim (entity decoding applies to visible text
+    // only — the sentinel substitution happens after decodeEntities)
+    val html =
+      """<body><p><a href="https://ex.am/?a=1&amp;b=2">Query</a>
+        |<a href='https://ex.am/s'>Single</a>
+        |<a href=https://ex.am/u>Unquoted</a>
+        |<a HREF="https://ex.am/c">Caps</a></p></body>""".stripMargin
+    val expected = // source newlines between anchors are preserved
+      """<https://ex.am/?a=1&amp;b=2|*Query*>
+        |<https://ex.am/s|*Single*>
+        |<https://ex.am/u|*Unquoted*>
+        |<https://ex.am/c|*Caps*>""".stripMargin
+    assert(HtmlToText.convert(html) == expected)
+  }
+
+  test("T3 golden F9: nested anchors — lazy match takes the outer href with the inner text") {
+    val html =
+      """<body><p><a href="https://ex.am/o"><a href="https://ex.am/i">inner</a> outer</a> tail</p></body>"""
+    // AnchorRe matches lazily: attrs come from the OUTER <a>, the match
+    // closes at the FIRST </a>, so the inner <a …> inside the anchor
+    // body is stripped as markup; the trailing ' outer</a>' loses its
+    // orphan closer. Defined, non-crashing degradation — pinned.
+    assert(HtmlToText.convert(html) == "<https://ex.am/o|*inner*> outer tail")
+  }
+
+  test("T3 golden F10: author-name heuristic is exercised before wrapping, not after") {
+    // a 'by '-context anchor ending a 240-char line: the byline decision
+    // happens on the pre-wrap text; the wrap then splits the long line
+    val pad = "x" * 230
+    val html = s"""<body><p>$pad by <a href="https://ex.am/a">Jane Doe</a></p></body>"""
+    val got = HtmlToText.convert(html)
+    assert(!got.contains("ex.am"), "author anchor after 'by ' must stay plain")
+    assert(got.contains("Jane Doe"))
+    assert(got.linesIterator.forall(_.length <= 230))
+  }
+
+  test("T3 golden F11: RTL and emoji text pass through the anchor path undamaged") {
+    val html =
+      """<body><p>مرحبا <a href="https://ex.am/ar">قصة</a> 🚀 <a href="https://ex.am/e">Launch 🚀 News</a></p></body>"""
+    // non-Latin anchor text never matches the author heuristic (it is
+    // anchored on [A-Z][a-z] words) and must survive byte-exact inside
+    // the Slack link; surrounding RTL/emoji text is untouched
+    assert(HtmlToText.convert(html) ==
+      "مرحبا <https://ex.am/ar|*قصة*> 🚀 <https://ex.am/e|*Launch 🚀 News*>")
+  }
+
   test("E1: online enrichment — one client per partition, reused across rows") {
     ClientCounter.n.set(0)
     val reqs = (1L to 12L).map(i => PromptRequest(i, s"ctx $i", s"msg $i"))
@@ -110,6 +168,25 @@ class HtmlGoldenSpec extends SparkSpec {
     assert(out.head.reply == s"reply[${Enrich.buildPrompt("ctx 1", "msg 1").length}]")
     // client factory ran once per partition, not once per row
     assert(ClientCounter.n.get() == 3)
+  }
+
+  test("E1: maxConcurrency bounds in-flight clients to min(partitions, bound)") {
+    val reqs = (1L to 12L).map(i => PromptRequest(i, s"ctx $i", s"msg $i"))
+      .toDS().repartition(6)
+    // bound below the partition count → coalesced down to the bound
+    ClientCounter.n.set(0)
+    val tight = Enrich.enrichOnline(reqs,
+      () => { ClientCounter.n.incrementAndGet(); p => s"r[${p.length}]" },
+      maxConcurrency = 2).collect()
+    assert(tight.length == 12)
+    assert(ClientCounter.n.get() == 2)
+    // bound above the partition count → partitions untouched
+    ClientCounter.n.set(0)
+    val loose = Enrich.enrichOnline(reqs,
+      () => { ClientCounter.n.incrementAndGet(); p => s"r[${p.length}]" },
+      maxConcurrency = 50).collect()
+    assert(loose.length == 12)
+    assert(ClientCounter.n.get() == 6)
   }
 
   test("E1: prompt assembly carries persona, context, message, markup instruction") {

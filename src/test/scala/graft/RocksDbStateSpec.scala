@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{StreamingOps, ThreadEvent, HistoryMsg}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Every stateful streaming route re-run on the RocksDB state store —
+  * the provider a 100 TB-state deployment actually configures (the
+  * default HDFS-backed store keeps all state on the executor heap; the
+  * SURVEY §8 deployment notes tell users to flip this conf, so a spec
+  * must prove our operators run under it). Same fixtures as the
+  * StreamingSpec twins; what changes is only
+  * `spark.sql.streaming.stateStore.providerClass`. */
+class RocksDbStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Provider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ConfKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withRocksDb[A](body: => A): A = {
+    val prev = spark.conf.getOption(ConfKey)
+    spark.conf.set(ConfKey, Provider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ConfKey, v)
+      case None    => spark.conf.unset(ConfKey)
+    }
+  }
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("A1 threadMembership (flatMapGroupsWithState + event-time TTL) runs on RocksDB") {
+    withRocksDb {
+      val in = MemoryStream[ThreadEvent](spark)
+      val out = StreamingOps.threadMembership(in.toDS(), "5 minutes",
+        ttlMillis = 60L * 60000)
+      val q = out.writeStream.format("memory").queryName("rocks_a1")
+        .outputMode("append").start()
+      in.addData(
+        ThreadEvent("C1", ts(1), Some("t1")),
+        ThreadEvent("C1", ts(2), Some("t1")),   // same thread — no re-emit
+        ThreadEvent("C2", ts(3), None))
+      q.processAllAvailable()
+      in.addData(ThreadEvent("C1", ts(10), Some("t2")))
+      q.processAllAvailable(); q.stop()
+      val keys = spark.table("rocks_a1").select("thread_key").as[String]
+        .collect().toSet
+      assert(keys == Set("C1-t1", s"C2-${ts(3)}", "C1-t2"))
+    }
+  }
+
+  test("A2/A3 rollingHistory (mapGroupsWithState) runs on RocksDB") {
+    withRocksDb {
+      val in = MemoryStream[HistoryMsg](spark)
+      val out = StreamingOps.rollingHistory(in.toDS(), k = 2)
+      val q = out.writeStream.format("memory").queryName("rocks_a2")
+        .outputMode("update").start()
+      in.addData(
+        HistoryMsg("C1", 1000L, "m1", "u1", "first"),
+        HistoryMsg("C1", 2000L, "m2", "u2", "second"))
+      q.processAllAvailable()
+      in.addData(HistoryMsg("C1", 3000L, "m3", "u1", "third")) // evicts m1 (k=2)
+      q.processAllAvailable(); q.stop()
+      val fin = spark.table("rocks_a2").as[graft.streaming.HistoryContext]
+        .collect().last
+      assert(fin.n_msgs == 2)
+      assert(fin.context == "u2: second\nu1: third")
+    }
+  }
+
+  test("A1 bounded-state dropDuplicatesWithinWatermark evicts on RocksDB") {
+    withRocksDb {
+      val in = MemoryStream[(Timestamp, String)](spark)
+      val deduped = in.toDF().toDF("ts", "k")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("k")
+      val q = deduped.writeStream.format("memory").queryName("rocks_dd")
+        .outputMode("append").start()
+      in.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      in.addData((ts(60), "z"))   // watermark → 50min: a/b expire
+      q.processAllAvailable()
+      in.addData((ts(61), "a"))   // reappears after expiry
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocks_dd").select("k").as[String].collect()
+      assert(got.count(_ == "a") == 2 && got.count(_ == "b") == 1)
+    }
+  }
+
+  test("stream-stream click/purchase join (watermark-bounded state) runs on RocksDB") {
+    withRocksDb {
+      val cIn = MemoryStream[(Long, Timestamp, Long)](spark)
+      val pIn = MemoryStream[(Long, Timestamp, Long)](spark)
+      val joined = StreamingOps.clickPurchaseJoin(
+        cIn.toDF().toDF("c_user_id", "c_ts", "c_id"),
+        pIn.toDF().toDF("p_user_id", "p_ts", "p_id"),
+        watermarkDelay = "10 minutes", windowMinutes = 30)
+      val q = joined.writeStream.format("memory").queryName("rocks_ssj")
+        .outputMode("append").start()
+      cIn.addData((1L, ts(0), 101L), (1L, ts(25), 102L))
+      pIn.addData((1L, ts(40), 901L))
+      q.processAllAvailable()
+      cIn.addData((9L, ts(120), 999L))
+      pIn.addData((9L, ts(120), 998L))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocks_ssj").select("p_id", "c_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got.contains((901L, 102L)) && !got.contains((901L, 101L)))
+    }
+  }
+}
