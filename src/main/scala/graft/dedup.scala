@@ -112,8 +112,11 @@ object Dedup {
     * (exactly what a near-dup pass exists to find) makes such a bucket
     * arbitrarily hot. Construction (same as [[boundedBucketPairs]]):
     *
-    *  1. bucket sizes via groupBy — map-side partial agg, so even the
-    *     hottest bucket is counted distributed, never in one task;
+    *  1. bucket sizes via a count window on the band key — one keyed
+    *     exchange; the hottest bucket lands in one task for counting,
+    *     which is LINEAR work (the hazard being removed is the O(n²)
+    *     pair emit, not the O(n) scan — any keyed repartition of the
+    *     bucket pays the same linear pass);
     *  2. every row hashes into one of m = ⌈n/cap⌉ sub-groups and
     *     replicates to the m triangle blocks (i,j), i≤j, containing its
     *     sub-group; buckets under `cap` keep m=1 (zero overhead);
@@ -128,8 +131,9 @@ object Dedup {
     * replicated to its triangle blocks. Split out so the hot-band spec can
     * assert the per-block row bound directly. */
   private[graft] def bandBlocks(bands: DataFrame, cap: Int): DataFrame = {
-    val sizes = bands.groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bn"))
-    bands.join(sizes, Seq("band_idx", "band_hash"))
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash"))
+    bands.withColumn("bn", count(lit(1)).over(byBucket))
       .withColumn("m", ceil(col("bn") / lit(cap)).cast("int"))
       .withColumn("sr", pmod(hash(col("doc_id")), col("m")).cast("int"))
       .withColumn("blk", explode(expr(

@@ -64,14 +64,27 @@ object TextOps {
   }
 
   /** T8–T13 — MIME/markup cleanup chain (`kafkaProducer.js:185-190`),
-    * all global replaces, order preserved. */
+    * all global replaces, order preserved.
+    *
+    * T12 (strip tags) and T13 (strip non-ASCII) run as ONE fused
+    * alternation pass. This is EXACTLY equivalent to the sequential
+    * passes for every input, not just the corpus: both branches delete,
+    * a non-ASCII char can never START a tag match ('<' is ASCII), and a
+    * regex scan advances one char on failure either way — so the fused
+    * scan attempts the tag pattern at exactly the positions T12's scan
+    * does (match sets identical), and the chars it deletes via the
+    * second branch are exactly the non-ASCII chars surviving T12.
+    * TextFusionProps pins the theorem over arbitrary adversarial
+    * strings. (T8/T9/T10 stay sequential: deleting one header line can
+    * splice a NEW match for a later pattern out of its neighbours —
+    * e.g. "Content-Transfer" + [T8 match] + "-Encoding:..." — which a
+    * single alternation pass would miss.) */
   def stripMimeAndMarkup(c: Column): Column = {
     val t8  = regexp_replace(c,   """Content-Type:.*?(\r\n|\n|\r)+""", "")
     val t9  = regexp_replace(t8,  """Content-Transfer-Encoding:.*?(\r\n|\n|\r)+""", "")
     val t10 = regexp_replace(t9,  """--.*?(\r\n|\n|\r)+""", "")
     val t11 = regexp_replace(t10, """(\r\n|\n|\r)+""", "\n")
-    val t12 = regexp_replace(t11, """<[^>]+>""", "")
-    regexp_replace(t12, """[^\x20-\x7E\n]""", "")
+    regexp_replace(t11, """<[^>]+>|[^\x20-\x7E\n]""", "")
   }
 
   /** T14 — bold ALL-CAPS heading lines, trimming inside the stars
@@ -168,8 +181,9 @@ object TextOracle {
     """regexp_replace(b, 'Content-Transfer-Encoding:.*?(\r\n|\n|\r)+', '', 'g')""",
     """regexp_replace(b, '--.*?(\r\n|\n|\r)+', '', 'g')""",
     """regexp_replace(b, '(\r\n|\n|\r)+', chr(10), 'g')""",
-    """regexp_replace(b, '<[^>]+>', '', 'g')""",
-    """regexp_replace(b, '[^\x20-\x7E\n]', '', 'g')""",
+    // T12+T13 fused exactly as in TextOps.stripMimeAndMarkup (branch
+    // priority is irrelevant: the branches trigger on disjoint chars)
+    """regexp_replace(b, '<[^>]+>|[^\x20-\x7E\n]', '', 'g')""",
     // T14 (two passes, same as TextOps.boldCapsHeadings)
     """regexp_replace(regexp_replace(b,
       |  '(?m)^ *([A-Z0-9&](?:[A-Z0-9 &]*[A-Z0-9&])?) *$', '*\1*', 'g'),

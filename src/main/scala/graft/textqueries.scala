@@ -81,11 +81,20 @@ object TextQueries {
 
   // ---------------------------------------------------------------- queries
 
+  /** The presentation sort runs BEFORE the expensive projection in the
+    * shuffle-free text queries: a trailing orderBy makes the range
+    * exchange SAMPLE its child, so everything upstream of the sort runs
+    * twice — for a zero-shuffle per-row chain that doubles the whole
+    * query (measured: q09 1.33s → 0.70s). Sorting the cheap fixture
+    * first and projecting after keeps one evaluation; a deterministic
+    * per-row projection (or ordinal-ascending generator) preserves the
+    * range-partitioned order, so the output ordering contract is
+    * unchanged. */
   def cleanText(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(id, newsletterBody.as("b"))
-      .select(id, TextOps.cleanBodyPlain(col("b")).as("cleaned"))
       .orderBy("doc_id")
+      .select(id, TextOps.cleanBodyPlain(col("b")).as("cleaned"))
 
   def subjectStyle(s: SparkSession, d: String): DataFrame = {
     val subj = when(id % 5 === 0, lit(null).cast("string"))
@@ -104,54 +113,60 @@ object TextQueries {
   def hyperlinkHof(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(id, linkedBody.as("b"))
-      .select(id, LineOps.hyperlinkHeadingsHof("b").as("body_linked"))
       .orderBy("doc_id")
+      .select(id, LineOps.hyperlinkHeadingsHof("b").as("body_linked"))
 
+  // q13/q14: doc_id-sorted input + a generator emitting block_no
+  // ascending per row == (doc_id, block_no) output order without paying
+  // a post-explode sort over the interpreted chunk fold (see cleanText)
   def chunkBlocks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(id, lineifiedBody.as("b"))
+      .orderBy("doc_id")
       .select(id, posexplode(LineOps.chunkBlocks("b", 120)).as(Seq("block_no", "block")))
       .select(id, col("block_no").cast("long").as("block_no"), col("block"))
-      .orderBy("doc_id", "block_no")
 
   def blockKit(s: SparkSession, d: String): DataFrame =
     LineOps.blockKitRows(
       Tables.documents(s, d).select(
         id,
         concat(lit("*Doc "), idStr, lit("*")).as("subj"),
-        lineifiedBody.as("b")),
+        lineifiedBody.as("b"))
+        .orderBy("doc_id"),
       "doc_id", "subj", "b", 120)
-      .orderBy("doc_id", "block_no")
 
   def qpRoundtrip(s: SparkSession, d: String): DataFrame = {
     val qp = concat(
       regexp_replace(regexp_replace(col("text"), "a", "=61"), "e", "=65"),
       lit("=3D=20caf=C3=A9"), lit("=\n"), lit("end"))
     Tables.documents(s, d)
-      .select(id, Serde.quotedPrintableDecode(qp).as("decoded"))
+      .select(id, qp.as("q"))
       .orderBy("doc_id")
+      .select(id, Serde.quotedPrintableDecode(col("q")).as("decoded"))
   }
 
   def avroRoundtrip(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select(id, substring(col("text"), 1, 50).as("t"))
+      .orderBy("doc_id")
       .select(Serde.fromAvroEmail(
         Serde.toAvroEmail(id.cast("int"), concat(lit("Doc "), idStr),
-          substring(col("text"), 1, 50))).as("r"))
+          col("t"))).as("r"))
       .select(col("r.seqno").as("seqno"), col("r.subject").as("subject"),
               col("r.body").as("body"))
-      .orderBy("seqno")
 
   def mentionStrip(s: SparkSession, d: String): DataFrame = {
     val raw = when(id % 7 === 0, lit("<@U0AAA111>  <@U0BBB222> "))
       .otherwise(concat(lit("<@U0AAA111> hello "), substring(col("text"), 1, 30),
                         lit(" <@U0BBB222>")))
-    val stripped = TextOps.stripMentions(raw)
+    val stripped = TextOps.stripMentions(col("raw"))
     Tables.documents(s, d)
+      .select(id, raw.as("raw"))
+      .orderBy("doc_id")
       .select(id,
         when(stripped === "",
           lit("Hi! I was mentioned but didn't see a question. How can I help you?"))
           .otherwise(stripped).as("msg_reply"))
-      .orderBy("doc_id")
   }
 
   // ----------------------------------------------------------------- oracle
