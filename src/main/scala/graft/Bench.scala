@@ -36,7 +36,12 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def clear(): Unit = spark.sharedState.cacheManager.clearCache()
+    // SPARK_GRAFT_BENCH_ONLY=q01_...,q23_... runs a subset (the sf-ratio
+    // smoke); unset — the driver's path — runs everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     suite.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
       clear()

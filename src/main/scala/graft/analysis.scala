@@ -327,7 +327,7 @@ object TextAnalysis {
     // the scan + split + explode runs twice (module caching rule)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Tables.maybePersist)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val n  = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -409,7 +409,7 @@ object TextAnalysis {
     // without it the md5-per-shingle fingerprint pass runs twice
     // (unsorted form: edges into joins don't need q21's output ordering)
     val fp = fingerprintRaw(s, d).select("doc_id", "min_shingle_hash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Tables.maybePersist)
     val deny = fp.filter(col("doc_id") % 20 === 0)
       .select(col("min_shingle_hash").as("deny_fp")).distinct()
     Tables.documents(s, d).join(fp, "doc_id")
@@ -570,7 +570,7 @@ object TextAnalysis {
       }.toDF("doc_id", "shingle")
       // persisted: three consumers (frequent-set agg, per-doc agg, semi-
       // join probe) would otherwise re-run the shingle flatMap three times
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Tables.maybePersist)
     val frequent = sh.groupBy("shingle")
       .agg(count(lit(1)).as("df")).filter(col("df") >= 10)
     val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

@@ -199,7 +199,7 @@ object Dedup {
         }
       }
       .toDF("doc_id", "sh", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Tables.maybePersist)
     val bands = sh.filter(size(col("sh")) > 0).selectExpr("doc_id",
       """posexplode(transform(sequence(0, 3),
         |  b -> concat_ws(':', element_at(sig, 3 * b + 1), element_at(sig, 3 * b + 2), element_at(sig, 3 * b + 3))))

@@ -281,7 +281,7 @@ object Similarity {
     * q26 machinery with the scan bounded by the coarse quantizer. */
   def ivfSearch(s: SparkSession, d: String): DataFrame = {
     val assigned = ivfAssigned(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Tables.maybePersist)
     val query = assigned.filter(col("vec_id") === 0)
       .selectExpr("embedding as qe", s"sqrt(${dotExpr("embedding", "embedding")}) as qn",
                   "c_label as q_cell")

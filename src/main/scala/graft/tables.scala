@@ -22,6 +22,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Persist policy for corpus-scale frames that feed ≥2 consumers
+    * (q23 signatures, q43 TF, q48/q49 exploded corpus, q28 centroids).
+    *
+    * Default `auto` = MEMORY_AND_DISK: at test scale, and whenever the
+    * frame's recompute cost (md5 per shingle, corpus re-explode)
+    * dominates its storage cost, caching wins. At 100 TB the trade can
+    * invert — a signature frame wider than cluster storage evicts under
+    * pressure and degrades to disk-spill thrash, while its upstream is
+    * ONE mapPartitions pass over a columnar scan; there, recomputing
+    * per consumer is the faster, and strictly more predictable, plan.
+    * `spark.graft.persist=never` flips every such call site to
+    * recompute without touching operator code. The knob is deliberately
+    * global: per-frame tuning at that scale belongs to a cost model,
+    * not scattered literals. */
+  def maybePersist(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.persist", "auto") == "never") df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

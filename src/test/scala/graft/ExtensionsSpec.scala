@@ -103,6 +103,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.count { case (a, b) => a < 400 && b < 400 } == hotPairs)
   }
 
+  test("spark.graft.persist=never recomputes multi-consumer frames, result identical") {
+    val want = Dedup.minhashLsh(spark, sf).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    spark.conf.set("spark.graft.persist", "never")
+    try {
+      val got = Dedup.minhashLsh(spark, sf).collect().toSeq
+      assert(got == want)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "the knob must disable caching, not merely change results")
+    } finally spark.conf.unset("spark.graft.persist")
+  }
+
   test("connectedComponents: chain, triangle, and isolated vertex resolve to min-id roots") {
     val vertices = (1L to 9L).toDF("id")
     // chain 1-2-3-4, triangle 5-6-7 (+redundant edge), pair 8-9... minus 9:
