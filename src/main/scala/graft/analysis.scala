@@ -22,13 +22,16 @@ object TextAnalysis {
   /** q18 — token counting: whitespace tokens plus a BPE-ish regex
     * tokenizer (letter runs / digit runs / single punctuation). */
   def tokenStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).selectExpr(
+    // doc_id sort runs on the raw scan, BEFORE the per-row regex work —
+    // a trailing sort's range-exchange sampling would evaluate the whole
+    // chain twice (measured on q09; TextQueries.cleanText has the note)
+    Tables.documents(s, d).select("doc_id", "text").orderBy("doc_id").selectExpr(
       "doc_id",
       "cast(length(text) as bigint) as n_chars",
       "cast(size(split(trim(text), '\\\\s+')) as bigint) as n_ws_tokens",
       "cast(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]') as bigint) as n_bpe_tokens",
       "floor((cast(length(text) as double) / size(split(trim(text), '\\\\s+'))) * 1e6 + 0.5) / 1e6 as avg_chars_per_token",
-    ).orderBy("doc_id")
+    )
 
   val tokenStatsSql: String =
     """SELECT doc_id,
@@ -41,7 +44,7 @@ object TextAnalysis {
   /** q19 — quality scoring: stopword ratio, unique-token ratio, mean token
     * length, punctuation ratio, combined into one bounded score. */
   def qualityScore(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).selectExpr(
+    Tables.documents(s, d).select("doc_id", "text").orderBy("doc_id").selectExpr(
       "doc_id",
       "split(text, ' ') as toks",
       "cast(regexp_count(text, '[^a-z0-9 ]') as bigint) as n_punct",
@@ -57,7 +60,7 @@ object TextAnalysis {
         |+ 0.45 * (size(array_distinct(toks)) / cast(size(toks) as double))
         |+ 0.30 * least((aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t)) / cast(size(toks) as double)) / 10.0, 1.0)) * 1e6 + 0.5) / 1e6 as quality_score"""
         .stripMargin.replace("\n", " "),
-    ).orderBy("doc_id")
+    )
 
   val qualityScoreSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
@@ -85,7 +88,10 @@ object TextAnalysis {
     "fr" -> Seq("le", "et", "les", "des", "un"),
   )
 
-  def langId(s: SparkSession, d: String): DataFrame = {
+  /** The q20 scoring chain without a presentation order — q57 aggregates
+    * it (a pre-aggregation sort would be a wasted range exchange). */
+  private def langIdScored(s: SparkSession, d: String,
+                           sorted: Boolean): DataFrame = {
     val scoreCols = markers.map { case (l, ws) =>
       s"cast(size(filter(toks, t -> t in (${ws.map(w => s"'$w'").mkString(", ")}))) as bigint) as s_$l"
     }
@@ -93,14 +99,17 @@ object TextAnalysis {
       val others = markers.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $others THEN '$l'"
     }.mkString("CASE ", " ", " END")
-    Tables.documents(s, d)
+    val src = Tables.documents(s, d).select("doc_id", "lang", "text")
+    (if (sorted) src.orderBy("doc_id") else src) // sort BEFORE scoring (q09 note)
       .selectExpr("doc_id", "lang", "split(text, ' ') as toks")
       .selectExpr(Seq("doc_id", "lang") ++ scoreCols: _*)
       .selectExpr("doc_id", "lang", "s_de", "s_en", "s_es", "s_fr",
         s"$caseExpr as predicted")
       .withColumn("matched", col("predicted") === col("lang"))
-      .orderBy("doc_id")
   }
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    langIdScored(s, d, sorted = true)
 
   val langIdSql: String = {
     val scoreCols = markers.map { case (l, ws) =>
@@ -125,7 +134,7 @@ object TextAnalysis {
     * q20 classifier (how a curation pipeline audits its labelers). One
     * keyed shuffle over ≤ |langs|² groups after per-row scoring. */
   def langIdConfusion(s: SparkSession, d: String): DataFrame =
-    langId(s, d)
+    langIdScored(s, d, sorted = false)
       .groupBy(col("lang").as("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("class_share",
@@ -147,9 +156,11 @@ object TextAnalysis {
     * mapPartitions JVM loop (one digest per partition); the oracle keeps
     * the equivalent HOF form — identical fold order and arithmetic.
     * ascii(char) == charAt on the ASCII-only corpus (asserted in specs). */
-  private def fingerprintRaw(s: SparkSession, d: String): DataFrame = {
+  private def fingerprintRaw(s: SparkSession, d: String,
+                             sorted: Boolean = false): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    (if (sorted) src.orderBy("doc_id") else src) // sort BEFORE hashing (q09 note)
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -175,7 +186,7 @@ object TextAnalysis {
 
   /** q21 — the fingerprint frame above with its presentation ordering. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
-    fingerprintRaw(s, d).orderBy("doc_id")
+    fingerprintRaw(s, d, sorted = true)
 
   /** The q21 fingerprint pipeline as reusable DuckDB CTEs (ends with `fp`:
     * doc_id, poly_hash, min_shingle_hash). */
@@ -264,7 +275,7 @@ object TextAnalysis {
   private def sqlRe(re: String): String = re.replace("\\", "\\\\")
 
   def piiScrub(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).selectExpr(
+    Tables.documents(s, d).select("doc_id", "text").orderBy("doc_id").selectExpr(
       "doc_id",
       """concat(text, ' contact user', cast(doc_id as string),
         |'@mail.example.com or +1-555-',
@@ -286,7 +297,7 @@ object TextAnalysis {
       "doc_id", "n_emails", "n_ips", "n_phones",
       "substr(md5(clean), 1, 16) as clean_fp",
       "n_dirty_chars - cast(length(clean) as bigint) as n_removed_chars",
-    ).orderBy("doc_id")
+    )
 
   val piiScrubSql: String =
     s"""WITH dirty AS (SELECT doc_id,

@@ -82,9 +82,17 @@ object MediaOps {
     * (the single implementation q29 and q30 both consume — a real
     * decoder is expensive enough that two copies of this block would
     * inevitably drift). */
-  private def decodedFeatures(s: SparkSession, d: String): DataFrame = {
+  private def decodedFeatures(s: SparkSession, d: String,
+                              sorted: Boolean = false): DataFrame = {
     import s.implicits._
-    mediaCorpus(s, d).as[MediaRecord]
+    // q29 sorts the corpus BEFORE decoding: a sort above the decode would
+    // make the range exchange's sampling pass run the decoder twice per
+    // record (TextQueries.cleanText has the measurements); mapPartitions
+    // preserves the range-partitioned order. q30 aggregates instead and
+    // keeps the unsorted path.
+    val corpus = if (sorted) mediaCorpus(s, d).orderBy("doc_id")
+                 else mediaCorpus(s, d)
+    corpus.as[MediaRecord]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5") // per-partition, reused
         it.map(r => decodeStub(md, r))
@@ -95,7 +103,7 @@ object MediaOps {
   /** q29 — decode/feature-extract/resize/frame-sample over the media
     * corpus via mapPartitions (decoder instantiated once per partition). */
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
-    decodedFeatures(s, d).orderBy("doc_id")
+    decodedFeatures(s, d, sorted = true)
 
   // DuckDB twin of the stub, over the same bytes (text is ASCII so char
   // ops == byte ops; mod/div arithmetic is integer-exact in both).

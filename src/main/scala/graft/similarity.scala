@@ -337,7 +337,11 @@ object Similarity {
   def int8Quantize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def quant(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // presentation sort BEFORE the quantization pass (see
+    // TextQueries.cleanText: a trailing sort's sampling pass would run
+    // the whole mapPartitions loop twice; map work preserves order)
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id")
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>
@@ -360,7 +364,6 @@ object Similarity {
         }
       }
       .toDF("vec_id", "l2_norm", "q_checksum", "n_saturated", "mean_abs_err")
-      .orderBy("vec_id")
   }
 
   val int8QuantizeSql: String =

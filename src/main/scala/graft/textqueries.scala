@@ -101,8 +101,9 @@ object TextQueries {
       .when(id % 5 === 1, lit(""))
       .otherwise(concat(lit("Doc "), idStr))
     Tables.documents(s, d)
-      .select(id, TextOps.subjectStyle(subj).as("subject_styled"))
+      .select(id, subj.as("s"))
       .orderBy("doc_id")
+      .select(id, TextOps.subjectStyle(col("s")).as("subject_styled"))
   }
 
   def hyperlinkWindowed(s: SparkSession, d: String): DataFrame =
