@@ -648,6 +648,163 @@ object TextAnalysis {
       |FROM documents GROUP BY ROLLUP (source, lang)
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q61 — repetition detection (the Gopher-style "most frequent n-gram
+  // fraction" quality signal: templated/boilerplate text repeats the same
+  // 3-gram over and over). The corpus is word salad, so the query plants
+  // doc_id%4 copies of the document's own 40-char prefix — repetition the
+  // detector must then measure out. Counting happens per ROW in one
+  // mapPartitions pass (a per-doc hash map; interpreted HOF folds are 8×
+  // slower — SURVEY §2.11): ZERO shuffle, embarrassingly parallel at
+  // 100 TB. The DuckDB oracle states the same math relationally
+  // (explode → group → window); tie-break = lexicographically least
+  // among max-count shingles, ASCII corpus so Java/DuckDB collate alike.
+  // ---------------------------------------------------------------------
+
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "concat(text, repeat(concat(' ', substring(text, 1, 40)), cast(doc_id % 4 as int))) as rtext")
+      .orderBy("doc_id") // presentation sort BEFORE the counting pass (q09 note)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, rtext) =>
+          val toks = rtext.split(" ", -1)
+          if (toks.length < 3) (id, 0L, 0L, 0L, "", 0.0)
+          else {
+            val counts = new java.util.HashMap[String, Long]()
+            var i = 0
+            while (i + 2 < toks.length) {
+              counts.merge(toks(i) + " " + toks(i + 1) + " " + toks(i + 2),
+                1L, (a, b) => a + b)
+              i += 1
+            }
+            var top = 0L
+            var topSh = ""
+            counts.forEach { (sh, c) =>
+              if (c > top || (c == top && sh < topSh)) { top = c; topSh = sh }
+            }
+            val total = (toks.length - 2).toLong
+            (id, total, counts.size.toLong, top, topSh,
+              math.floor(top / total.toDouble * 1e6 + 0.5) / 1e6)
+          }
+        }
+      }
+      .toDF("doc_id", "n_shingles", "n_distinct", "top_count", "top_shingle", "rep_frac")
+  }
+
+  val repetitionSql: String =
+    """WITH r AS (SELECT doc_id,
+      |  text || repeat(' ' || substr(text, 1, 40), (doc_id % 4)::INT) AS rtext
+      |  FROM documents),
+      |tk AS (SELECT doc_id, string_split(rtext, ' ') AS toks FROM r),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+      |  FROM tk WHERE len(toks) >= 3),
+      |c AS (SELECT doc_id, s, COUNT(*) AS cnt FROM sh GROUP BY doc_id, s),
+      |w AS (SELECT doc_id, s, cnt,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, s) AS rk,
+      |  SUM(cnt) OVER (PARTITION BY doc_id) AS tot,
+      |  COUNT(*) OVER (PARTITION BY doc_id) AS nd FROM c),
+      |sel AS (SELECT doc_id, tot::BIGINT AS n_shingles, nd::BIGINT AS n_distinct,
+      |  cnt::BIGINT AS top_count, s AS top_shingle,
+      |  floor(cnt / tot::DOUBLE * 1e6 + 0.5) / 1e6 AS rep_frac
+      |  FROM w WHERE rk = 1)
+      |SELECT d.doc_id, coalesce(n_shingles, 0) AS n_shingles,
+      |  coalesce(n_distinct, 0) AS n_distinct, coalesce(top_count, 0) AS top_count,
+      |  coalesce(top_shingle, '') AS top_shingle, coalesce(rep_frac, 0.0) AS rep_frac
+      |FROM documents d LEFT JOIN sel USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q62 — URL/domain extraction + per-domain corpus stats (domain
+  // blocklists and source audits are core corpus-cleaning inputs). The
+  // word-salad corpus has no URLs (q42 asserts zero 'http' hits), so the
+  // query plants two per doc, then extracts every URL, derives the
+  // domain, and aggregates. Scale: per-row regex extraction fused into
+  // the scan; ONE keyed shuffle whose output is domain-vocabulary-sized.
+  // ---------------------------------------------------------------------
+
+  def domainStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id",
+        """concat(text, ' see https://news-', cast(doc_id % 7 as string),
+          |'.example.com/a/', cast(doc_id as string),
+          |' and http://cdn', cast(doc_id % 3 as string),
+          |'.example.org/img/', cast(doc_id as string), '.png')"""
+          .stripMargin.replace("\n", " ") + " as urltext")
+      .selectExpr("doc_id",
+        "explode(regexp_extract_all(urltext, 'https?://[^ ]+', 0)) as url")
+      .selectExpr("doc_id", "regexp_extract(url, '^https?://([^/]+)', 1) as domain")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           min(col("doc_id")).as("min_doc_id"))
+      .orderBy("domain")
+
+  val domainStatsSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  text || ' see https://news-' || (doc_id % 7)::VARCHAR ||
+      |  '.example.com/a/' || doc_id::VARCHAR ||
+      |  ' and http://cdn' || (doc_id % 3)::VARCHAR ||
+      |  '.example.org/img/' || doc_id::VARCHAR || '.png' AS urltext
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(regexp_extract_all(urltext, 'https?://[^ ]+')) AS url FROM u),
+      |dom AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM ex)
+      |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs,
+      |  MIN(doc_id) AS min_doc_id
+      |FROM dom GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q63 — contamination overlap SCORE: q48 decides keep/drop on an exact
+  // fingerprint hit; real decontamination (GPT-3/PaLM appendices) scores
+  // the FRACTION of a document's n-grams appearing in the eval set and
+  // thresholds it. Eval set = distinct shingles of every 20th doc
+  // (deterministic stand-in, derived from the 5%-of-docs frame BEFORE
+  // exploding — eval-set-sized, so it lands as a broadcast build side).
+  // The corpus side explodes and re-aggregates on doc_id: one keyed
+  // shuffle with map-side partial agg; the broadcast join adds none.
+  // ---------------------------------------------------------------------
+
+  def contaminationScore(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .selectExpr("doc_id", s"${Dedup.shinglesExpr} as sh")
+    val deny = sh.filter(col("doc_id") % 20 === 0)
+      .selectExpr("explode(sh) as deny_s").distinct()
+    val scored = sh.selectExpr("doc_id", "explode(sh) as s")
+      .join(broadcast(deny), col("s") === col("deny_s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           count(col("deny_s")).as("n_contaminated"))
+      .withColumn("contamination",
+        floor(col("n_contaminated") / col("n_shingles").cast("double") * 1e6 + 0.5) / 1e6)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("contamination"), lit(0.0)).as("contamination"),
+        coalesce(col("contamination") >= 0.8, lit(false)).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationScoreSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |shl AS (SELECT doc_id, ${Dedup.shinglesSqlDuck} AS sh FROM tk),
+       |deny AS (SELECT DISTINCT unnest(sh) AS deny_s FROM shl WHERE doc_id % 20 = 0),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+       |agg AS (SELECT ex.doc_id, COUNT(*) AS n_sh, COUNT(deny.deny_s) AS n_cont,
+       |  floor(COUNT(deny.deny_s) / COUNT(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS cont
+       |  FROM ex LEFT JOIN deny ON ex.s = deny.deny_s GROUP BY ex.doc_id)
+       |SELECT d.doc_id, coalesce(n_sh, 0)::BIGINT AS n_shingles,
+       |  coalesce(n_cont, 0)::BIGINT AS n_contaminated,
+       |  coalesce(cont, 0.0) AS contamination,
+       |  coalesce(cont >= 0.8, FALSE) AS flagged
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_token_stats"   -> ((s, d) => tokenStats(s, d)),
     "q34_split_assign"  -> ((s, d) => splitAssign(s, d)),
@@ -665,6 +822,9 @@ object TextAnalysis {
     "q52_pivot_report"  -> ((s, d) => pivotReport(s, d)),
     "q56_vocab_zipf"    -> ((s, d) => vocabZipf(s, d)),
     "q57_lang_confusion"-> ((s, d) => langIdConfusion(s, d)),
+    "q61_repetition"    -> ((s, d) => repetition(s, d)),
+    "q62_domain_stats"  -> ((s, d) => domainStats(s, d)),
+    "q63_contamination" -> ((s, d) => contaminationScore(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -684,5 +844,8 @@ object TextAnalysis {
     "q52_pivot_report"  -> pivotReportSql,
     "q56_vocab_zipf"    -> vocabZipfSql,
     "q57_lang_confusion"-> langIdConfusionSql,
+    "q61_repetition"    -> repetitionSql,
+    "q62_domain_stats"  -> domainStatsSql,
+    "q63_contamination" -> contaminationScoreSql,
   )
 }

@@ -50,13 +50,13 @@ object Dedup {
     "SELECT doc_id + 10000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text FROM documents"
 
   /** Distinct word-3-gram shingles of `text` (Spark SQL fragment). */
-  private val shinglesExpr =
+  private[graft] val shinglesExpr =
     """CASE WHEN size(toks) >= 3 THEN
       |array_distinct(transform(sequence(1, size(toks) - 2),
       |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       |ELSE array() END""".stripMargin.replace("\n", " ")
 
-  private val shinglesSqlDuck =
+  private[graft] val shinglesSqlDuck =
     """CASE WHEN len(toks) >= 3 THEN
       |list_distinct(list_transform(range(1, len(toks) - 1),
       |  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))

@@ -103,6 +103,69 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.count { case (a, b) => a < 400 && b < 400 } == hotPairs)
   }
 
+  test("q61: repetition == driver-side model; planted repeats raise the fraction") {
+    val got = TextAnalysis.repetition(spark, sf)
+      .as[(Long, Long, Long, Long, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val rtext = text + (" " + text.take(40)) * (id % 4).toInt
+      val toks = rtext.split(" ", -1)
+      val want =
+        if (toks.length < 3) (id, 0L, 0L, 0L, "", 0.0)
+        else {
+          val counts = toks.sliding(3).map(_.mkString(" ")).toSeq
+            .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+          val top = counts.values.max
+          val topSh = counts.filter(_._2 == top).keys.min
+          val total = (toks.length - 2).toLong
+          (id, total, counts.size.toLong, top, topSh,
+            math.floor(top / total.toDouble * 1e6 + 0.5) / 1e6)
+        }
+      assert(got(id) == want, s"doc $id")
+    }
+    // the planted 3x-prefix docs must measure strictly more repetition
+    // than their 0x siblings (both long enough to have shingles)
+    val longIds = docs.filter(_._2.split(" ").length >= 15).map(_._1)
+    val f3 = longIds.filter(_ % 4 == 3).map(got(_)._6)
+    val f0 = longIds.filter(_ % 4 == 0).map(got(_)._6)
+    assert(f3.nonEmpty && f0.nonEmpty &&
+      f3.sum / f3.size > 1.5 * (f0.sum / f0.size),
+      "planted repetition must dominate the word-salad baseline on average")
+  }
+
+  test("q62: exactly the planted domain vocabulary, two URLs per doc") {
+    val rows = TextAnalysis.domainStats(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val wantDomains = ((0 until 7).map(i => s"news-$i.example.com") ++
+      (0 until 3).map(i => s"cdn$i.example.org")).toSet
+    assert(rows.map(_._1).toSet == wantDomains)
+    assert(rows.map(_._2).sum == 2 * nDocs) // every doc planted 2 URLs
+    // a doc contributes to exactly one news- and one cdn domain
+    assert(rows.filter(_._1.startsWith("news-")).map(_._3).sum == nDocs)
+    assert(rows.filter(_._1.startsWith("cdn")).map(_._3).sum == nDocs)
+  }
+
+  test("q63: eval-set docs score contamination 1.0 and are flagged; clean docs 0.0") {
+    val got = TextAnalysis.contaminationScore(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // every 20th doc IS the eval set: all its shingles hit the denylist
+    got.filter(r => r._1 % 20 == 0 && r._2 > 0).foreach { r =>
+      assert(r._4 == 1.0 && r._5, s"eval doc ${r._1}: $r")
+    }
+    assert(got.length == Tables.documents(spark, sf).count())
+    // contamination is a fraction and consistent with its numerator
+    got.foreach { r =>
+      assert(r._3 <= r._2)
+      if (r._2 > 0)
+        assert(r._4 == math.floor(r._3.toDouble / r._2 * 1e6 + 0.5) / 1e6)
+      else assert(r._4 == 0.0 && !r._5)
+    }
+  }
+
   test("spark.graft.persist=never recomputes multi-consumer frames, result identical") {
     val want = Dedup.minhashLsh(spark, sf).collect().toSeq
     spark.sharedState.cacheManager.clearCache()
