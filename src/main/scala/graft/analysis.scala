@@ -765,12 +765,37 @@ object TextAnalysis {
   // exploding — eval-set-sized, so it lands as a broadcast build side).
   // The corpus side explodes and re-aggregates on doc_id: one keyed
   // shuffle with map-side partial agg; the broadcast join adds none.
+  // Shingling is ONE typed mapPartitions pass (the q61 idiom — the
+  // interpreted transform() HOF is ~8× slower and this frame feeds TWO
+  // consumers), persisted under the `spark.graft.persist` policy so the
+  // deny and scored branches share it. Counts are order-independent, so
+  // the HOF-built oracle arrays and this hand-built set agree exactly.
   // ---------------------------------------------------------------------
 
   def contaminationScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val sh = Tables.documents(s, d)
-      .selectExpr("doc_id", "split(text, ' ') as toks")
-      .selectExpr("doc_id", s"${Dedup.shinglesExpr} as sh")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val out =
+            if (toks.length < 3) Array.empty[String]
+            else {
+              val seen = new java.util.LinkedHashSet[String]()
+              var i = 0
+              while (i + 2 < toks.length) {
+                seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+                i += 1
+              }
+              seen.toArray(new Array[String](seen.size))
+            }
+          (id, out)
+        }
+      }
+      .toDF("doc_id", "sh")
+      .transform(Tables.maybePersist)
     val deny = sh.filter(col("doc_id") % 20 === 0)
       .selectExpr("explode(sh) as deny_s").distinct()
     val scored = sh.selectExpr("doc_id", "explode(sh) as s")
