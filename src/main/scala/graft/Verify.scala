@@ -28,8 +28,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist intermediates (q23/q38) must not leak cached
-      // blocks into the rest of the run
-      finally spark.sharedState.cacheManager.clearCache()
+      // blocks into the rest of the run; localCheckpoint blocks (CC loops)
+      // are NOT in the cache manager — free them explicitly too
+      finally {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
