@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE raw JSON line from the Bench run's stdout tail.
+// sbt's default LoggedOutput decorates every forked-process line with
+// "[info] " / "[error] " and appends a "[success] Total time…" banner —
+// both defeat a line-oriented json parse. StdoutOutput passes the forked
+// JVM's stdout through verbatim; showSuccess drops the trailing banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command engine, not another setting —
+// lintUnused can't see that (verified: the banner IS suppressed)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
