@@ -71,7 +71,7 @@ object Dedup {
     * the hot loop, and Spark's higher-order functions evaluate interpreted
     * (boxed, no codegen) — measured 8× slower than this JVM loop. The
     * arithmetic is reproduced verbatim in the DuckDB oracle. */
-  private def minhashSig(md: java.security.MessageDigest, sh: Seq[String]): Array[Long] = {
+  private[graft] def minhashSig(md: java.security.MessageDigest, sh: Seq[String]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     sh.foreach { x =>
       val hex = Tables.hex(md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
@@ -248,41 +248,79 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Free a localCheckpoint'ed frame's storage blocks once the loop has
+    * superseded it. Dataset.unpersist only covers cacheManager entries;
+    * checkpoint blocks hang off the LogicalRDD's backing RDD and would
+    * otherwise accumulate one generation per round until end-of-query
+    * cleanup — harmless at sf0.1, but at 100 TB each superseded label
+    * generation is corpus-vertex-sized and the loop must not hold
+    * O(rounds) of them. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Row-set signature for CC convergence: (row count, XOR-fold of
+    * xxhash64 over the rows). Both loops' frames are duplicate-free by
+    * construction (labels keyed by vertex, edge sets distinct()ed), so
+    * two consecutive rounds with equal signatures ⇒ the set is unchanged
+    * ⇒ fixpoint. Replaces the old per-round old-vs-new comparison (an
+    * extra join or except — 1-4 extra exchanges per round); a missed
+    * change needs two different same-size sets with XOR-colliding 64-bit
+    * hashes (~2⁻⁶⁴ — far below any operational noise floor, and both CC
+    * oracle rows stay hash-exact under it). bit_xor rather than sum:
+    * order-independent AND immune to ANSI-mode long-sum overflow. One
+    * scalar pair visits the driver per round. */
+  private def ccSignature(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** Connected components by hash-min label propagation: every vertex
     * starts as its own root; each round, a vertex adopts the minimum root
     * among itself and its neighbours; fixpoint when nothing changes. The
     * component root is the component's minimum vertex id — deterministic,
     * so oracle-comparable.
     *
-    * Scale notes (100 TB): each round is one shuffle (edge-join + min
-    * aggregation); rounds needed = graph diameter (near-dup graphs are
-    * shallow — twins and short chains). Lineage is truncated per round
-    * with localCheckpoint, so the plan does not grow with iterations.
-    * For adversarially deep graphs swap in alternating large-star/
-    * small-star (same join primitives, O(log n) rounds); the convergence
-    * loop here IS the canonical Spark iterative-dataframe shape — data
-    * never visits the driver, only the changed-count does. */
+    * Scale notes (100 TB): each round is exactly TWO exchanges — the
+    * edge⋈label join and the min aggregation. Self-loops seeded into the
+    * edge frame make the aggregation total (every vertex hears its own
+    * current root), which removes the old per-round left-join carry.
+    * Rounds needed = graph diameter (near-dup graphs are shallow — twins
+    * and short chains). Lineage is truncated per round with
+    * localCheckpoint and the superseded round's blocks are freed as soon
+    * as the next round lands, so neither the plan nor the block-manager
+    * footprint grows with iterations. For adversarially deep graphs swap
+    * in alternating large-star/small-star (same join primitives, O(log n)
+    * rounds); the convergence loop here IS the canonical Spark
+    * iterative-dataframe shape — data never visits the driver, only the
+    * convergence signature does. */
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    // undirected: propagate both ways. Materialized ONCE up front —
-    // without this every iteration would re-run the (possibly expensive)
+    // undirected: propagate both ways; self-loops carry each vertex's own
+    // root through the aggregation. Materialized ONCE up front — without
+    // this every iteration would re-run the (possibly expensive)
     // pair-finding pipeline that produced `edges`; the edge list itself
     // is pairs-of-ids, tiny relative to the corpus.
+    val ids = vertices.select(col("id"))
     val both = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .unionAll(ids.select(col("id").as("src"), col("id").as("dst")))
       .localCheckpoint()
-    var lab = vertices.select(col("id"), col("id").as("root")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val prop = both.join(lab, both("src") === lab("id"))
-        .groupBy(col("dst")).agg(min(col("root")).as("nroot"))
-      // carry the previous root through the propagation so convergence is
-      // a filter over the checkpointed frame, not an extra old-vs-new join
-      val next = lab.join(prop, lab("id") === prop("dst"), "left")
-        .select(lab("id"), col("root").as("proot"),
-          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+    var lab = ids.select(col("id"), col("id").as("root")).localCheckpoint()
+    var sig = ccSignature(lab, Seq("id", "root"))
+    var converged = false
+    while (!converged) {
+      val next = both.join(lab, both("src") === lab("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("root")).as("root"))
         .localCheckpoint()
-      changed = next.filter(col("root") =!= col("proot")).count()
-      lab = next.select(col("id"), col("root"))
+      val nsig = ccSignature(next, Seq("id", "root"))
+      converged = nsig == sig
+      freeCheckpoint(lab) // superseded round, never re-read
+      lab = next
+      sig = nsig
     }
     lab
   }
@@ -304,19 +342,23 @@ object Dedup {
     * Each step is one groupBy (map-side combined min) + one keyed join —
     * the same shuffle primitives per round as hash-min, but rounds are
     * O(log n) in the component size instead of O(diameter). Lineage is
-    * truncated per round with localCheckpoint; only scalar counts visit
-    * the driver. Returns (labels, rounds) — rounds so the deep-chain spec
-    * can assert the logarithmic bound. */
+    * truncated per round with localCheckpoint and superseded round frames
+    * are freed as the loop advances; only the scalar convergence
+    * signature visits the driver. Returns (labels, rounds) — rounds so
+    * the deep-chain spec can assert the logarithmic bound. */
   private[graft] def connectedComponentsStar(vertices: DataFrame,
                                              edges: DataFrame): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+      // no dedup here: each nbrs row emits ≤ 1 edge, so the output is
+      // ≤ 2|E| rows either way, and the round's closing smallStar
+      // absorbs duplicates map-side (partial min + its final distinct) —
+      // dropping the exchange halves the shuffles largeStar costs
       nbrs.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val o = e.select(greatest(col("u"), col("v")).as("u"),
@@ -331,16 +373,21 @@ object Dedup {
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
-    var n = e.count()
+    var sig = ccSignature(e, Seq("u", "v"))
     var rounds = 0
-    var converged = n == 0
+    var converged = sig._1 == 0
     while (!converged) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val nNext = next.count()
+      val nsig = ccSignature(next, Seq("u", "v"))
       rounds += 1
-      converged = nNext == n && next.except(e).isEmpty
+      // both frames are distinct()-outputs, so equal signatures over the
+      // order-independent hash sum ⇒ the edge SET is at its fixpoint —
+      // this replaces the old next.except(e) probe (4 extra exchanges on
+      // the convergence round)
+      converged = nsig == sig
+      freeCheckpoint(e)
       e = next
-      n = nNext
+      sig = nsig
     }
     // fixpoint: every non-root vertex carries exactly its (vertex, root)
     // star edge; isolated vertices root themselves
