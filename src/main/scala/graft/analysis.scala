@@ -405,6 +405,73 @@ object TextAnalysis {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q64 — q44's 100 TB twin: the report a user actually runs at corpus
+  // scale is `percentile_approx` (Greenwald-Khanna, bounded memory per
+  // group regardless of group size), not exact `percentile` (buffers
+  // every distinct value). The approx VALUE itself is not
+  // oracle-mappable — DuckDB's approx_quantile is a t-digest, a
+  // different public algorithm, so cross-engine hash equality is
+  // impossible by construction. What IS pinnable is GK's deterministic
+  // contract: the returned value's RANK is within ε·n of the target
+  // rank (ε = 1/accuracy). So the query runs the real approx operator,
+  // then rank-validates each result against the same corpus in-query
+  // (tie-safe two-sided check: strictly-below count can't exceed the
+  // upper rank bound, at-or-below count can't miss the lower bound) and
+  // emits the validation verdicts next to exact min/max/count. The
+  // oracle pins the whole row including all-within-tolerance — a GK
+  // contract violation, a rank-check bug, or a grouping drift all break
+  // the hash. Scale shape: one agg pass + one broadcast-join validation
+  // pass over the corpus (the validation is the test harness's job; a
+  // production run keeps only the first pass).
+  // ---------------------------------------------------------------------
+
+  private val ApproxQs = Seq(0.10, 0.50, 0.90, 0.99)
+  private val ApproxAccuracy = 100 // ε = 1/accuracy = 1% rank error
+
+  def lengthQuantilesApprox(s: SparkSession, d: String): DataFrame = {
+    val eps = 1.0 / ApproxAccuracy
+    val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+    val approx = docs.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      percentile_approx(col("n_chars"),
+        array(ApproxQs.map(lit): _*), lit(ApproxAccuracy)).as("ap"))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(first(col("n")).as("n_docs"),
+          first(col("min_chars")).as("min_chars"),
+          first(col("max_chars")).as("max_chars")) ++
+        ApproxQs.indices.map { i =>
+          sum(when(col("n_chars") < col("ap")(i), 1L).otherwise(0L)).as(s"lt$i")
+        } ++ ApproxQs.indices.map { i =>
+          sum(when(col("n_chars") <= col("ap")(i), 1L).otherwise(0L)).as(s"le$i")
+        }
+    val validated = docs.join(broadcast(approx), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(aggs.head, aggs.tail: _*)
+    val checks = ApproxQs.zipWithIndex.map { case (p, i) =>
+      // returned rank r ∈ [⌈p·n⌉ − ε·n, ⌈p·n⌉ + ε·n]; +1 absorbs the ceil
+      ((col(s"lt$i") <= lit(p + eps) * col("n_docs") + lit(1.0)) &&
+       (col(s"le$i") >= lit(p - eps) * col("n_docs") - lit(1.0)))
+        .as(s"p${(p * 100).round}_in_tolerance")
+    }
+    validated.select(
+      col("lang") +: col("n_docs") +: col("min_chars") +: col("max_chars") +:
+        checks: _*)
+      .orderBy("lang")
+  }
+
+  // The oracle pins the exact side (count/min/max) and the contract
+  // verdicts; DuckDB cannot reproduce GK values (see the q64 note), so
+  // TRUE is the pinned expectation the Spark-side validation must earn.
+  val lengthQuantilesApproxSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  TRUE AS p10_in_tolerance, TRUE AS p50_in_tolerance,
+      |  TRUE AS p90_in_tolerance, TRUE AS p99_in_tolerance
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q48 — benchmark decontamination: drop every corpus document whose
   // content fingerprint collides with an "eval set" denylist (here:
   // every 20th doc's q21 min-shingle fingerprint — a deterministic
@@ -840,6 +907,7 @@ object TextAnalysis {
     "q42_pii_scrub"     -> ((s, d) => piiScrub(s, d)),
     "q43_tfidf"         -> ((s, d) => tfidf(s, d)),
     "q44_len_quantiles" -> ((s, d) => lengthQuantiles(s, d)),
+    "q64_len_quantiles_approx" -> ((s, d) => lengthQuantilesApprox(s, d)),
     "q46_corpus_rollup" -> ((s, d) => corpusRollup(s, d)),
     "q48_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q49_boilerplate"   -> ((s, d) => boilerplate(s, d)),
@@ -862,6 +930,7 @@ object TextAnalysis {
     "q42_pii_scrub"     -> piiScrubSql,
     "q43_tfidf"         -> tfidfSql,
     "q44_len_quantiles" -> lengthQuantilesSql,
+    "q64_len_quantiles_approx" -> lengthQuantilesApproxSql,
     "q46_corpus_rollup" -> corpusRollupSql,
     "q48_decontaminate" -> decontaminateSql,
     "q49_boilerplate"   -> boilerplateSql,

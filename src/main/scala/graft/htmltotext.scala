@@ -147,7 +147,25 @@ object HtmlToText {
     out.toString
   }
 
-  val htmlToTextUdf: UserDefinedFunction = udf(convert(_: String))
+  /** T18 error sentinel (`Producer/kafkaProducer.js:199-201`): the
+    * reference wraps its whole decode+clean pipeline in try/catch and
+    * publishes this fixed string when anything throws — a downstream
+    * consumer sees the sentinel, never a crash-dropped record. */
+  private[graft] val DecodeErrorSentinel = "(Unable to decode email body)"
+
+  /** The reference's T18 guard around a converter function. `convert`
+    * is total by construction (malformed entities stay literal, no
+    * recursion, bounded scans — see TextOpsSpec), so in production this
+    * catch is dormant; it exists because the CONTRACT is load-bearing.
+    * Parameterized over the converter so HtmlGoldenSpec can drive the
+    * error path with a poisoned converter and pin the sentinel output —
+    * executed, not just asserted. */
+  private[graft] def guardedConvert(conv: String => String)(s: String): String =
+    try conv(s)
+    catch { case scala.util.control.NonFatal(_) => DecodeErrorSentinel }
+
+  val htmlToTextUdf: UserDefinedFunction =
+    udf(guardedConvert(convert(_: String)) _)
 
   def htmlToText(c: Column): Column = htmlToTextUdf(c)
 }

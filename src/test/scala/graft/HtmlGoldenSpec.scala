@@ -156,6 +156,30 @@ class HtmlGoldenSpec extends SparkSpec {
       "مرحبا <https://ex.am/ar|*قصة*> 🚀 <https://ex.am/e|*Launch 🚀 News*>")
   }
 
+  test("T18: decode failure publishes the error sentinel, not a crash (kafkaProducer.js:199-201)") {
+    // convert is total by construction, so the production guard is
+    // dormant — drive the SAME guard with a poisoned converter, both
+    // directly and through an executor-side UDF over a DataFrame, so
+    // the sentinel contract executes rather than being asserted.
+    val boom: String => String = _ => throw new IllegalStateException("decode blew up")
+    assert(HtmlToText.guardedConvert(boom)("<body>x</body>") ==
+      "(Unable to decode email body)")
+    // fatal errors must NOT be swallowed into the sentinel
+    val fatal: String => String = _ => throw new OutOfMemoryError("fatal stays fatal")
+    intercept[OutOfMemoryError] { HtmlToText.guardedConvert(fatal)("x") }
+    val poisonedUdf = org.apache.spark.sql.functions.udf(
+      HtmlToText.guardedConvert(boom) _)
+    val out = Seq("<body><p>hi</p></body>", "plain").toDF("body")
+      .select(poisonedUdf($"body").as("text"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq.fill(2)(HtmlToText.DecodeErrorSentinel))
+    // and the real converter on the same frame stays on the happy path
+    val ok = Seq("<body><p>hi</p></body>").toDF("body")
+      .select(HtmlToText.htmlToTextUdf($"body").as("text"))
+      .collect().map(_.getString(0))
+    assert(ok.toSeq == Seq("hi"))
+  }
+
   test("E1: online enrichment — one client per partition, reused across rows") {
     ClientCounter.n.set(0)
     val reqs = (1L to 12L).map(i => PromptRequest(i, s"ctx $i", s"msg $i"))
