@@ -472,6 +472,41 @@ object TextAnalysis {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q65 — approximate distinct counts, the other always-approx report at
+  // corpus scale: distinct users per event type via HyperLogLog++
+  // (`approx_count_distinct`) — fixed-size sketch per group, mergeable
+  // map-side, no distinct-expand shuffle — beside the exact
+  // count_distinct the validation needs. Same verdict-pinning pattern as
+  // q64: the HLL++ VALUE is impl-specific (DuckDB's approx_count_distinct
+  // is its own HLL with different hashing), so the oracle pins the exact
+  // counts plus the all-within-tolerance verdict. Tolerance 3·rsd: HLL++
+  // standard error is rsd (here 2%), observed error on a fixed dataset is
+  // deterministic, and >3σ would indicate a sketch-merge bug, which is
+  // exactly what the verdict exists to catch. Production keeps only the
+  // approx aggregation; the exact column is the harness's yardstick.
+  // ---------------------------------------------------------------------
+
+  private val HllRsd = 0.02
+
+  def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), HllRsd).as("hll"))
+      .withColumn("approx_in_tolerance",
+        abs(col("hll") - col("n_users")) <= lit(3 * HllRsd) * col("n_users"))
+      .drop("hll")
+      .orderBy("event_type")
+
+  val approxDistinctUsersSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  TRUE AS approx_in_tolerance
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q48 — benchmark decontamination: drop every corpus document whose
   // content fingerprint collides with an "eval set" denylist (here:
   // every 20th doc's q21 min-shingle fingerprint — a deterministic
@@ -507,6 +542,66 @@ object TextAnalysis {
        |SELECT source, lang, COUNT(*) AS n_kept,
        |  SUM(n_chars)::BIGINT AS kept_chars
        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q66 — q48's Bloom-filter twin: when the eval-set denylist outgrows a
+  // comfortable broadcast (a 100 TB run decontaminating against many
+  // benchmarks), the exact-set broadcast anti-join gives way to a Bloom
+  // filter — ~10 bits/item at 1% fpp instead of the full key set, O(1)
+  // probe, corpus side still never shuffles. Direction of error is the
+  // safe one for decontamination: NO false negatives (every contaminated
+  // doc is dropped, guaranteed), false positives overdrop clean docs at
+  // rate ≤ fpp. Spark's df.stat.bloomFilter builds the sketch with a
+  // distributed tree-aggregate; only the MB-sized filter visits the
+  // driver for broadcast. Verdict-pinned like q64/q65 (bloom bits are
+  // impl-specific): the oracle pins exact per-source doc/contamination
+  // counts plus two contract verdicts — zero contaminated survivors
+  // (structural) and overdrop within 3·fpp·n_clean + 10 (≥3σ Poisson
+  // headroom; deterministic for a fixed corpus + Spark's fixed seed).
+  // ---------------------------------------------------------------------
+
+  private val BloomFpp = 0.01
+
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val fp = fingerprintRaw(s, d).select("doc_id", "min_shingle_hash")
+      .transform(Tables.maybePersist)
+    val deny = fp.filter(col("doc_id") % 20 === 0 && col("min_shingle_hash").isNotNull)
+      .select(col("min_shingle_hash").as("deny_fp")).distinct()
+    val bloom = deny.stat.bloomFilter("deny_fp", math.max(deny.count(), 1L), BloomFpp)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val bloomHit = udf((h: String) => h != null && bloomBc.value.mightContainString(h))
+    Tables.documents(s, d).join(fp, "doc_id")
+      // exact membership flag for the verdicts: distinct build side, so
+      // the broadcast left join is flag-only — no fanout, no shuffle
+      .join(broadcast(deny), col("min_shingle_hash") === col("deny_fp"), "left")
+      .withColumn("contaminated", col("deny_fp").isNotNull)
+      .withColumn("bloom_dropped", bloomHit(col("min_shingle_hash")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("contaminated") && !col("bloom_dropped"), 1L).otherwise(0L)).as("survivors"),
+        sum(when(!col("contaminated") && col("bloom_dropped"), 1L).otherwise(0L)).as("overdrop"))
+      .withColumn("all_contaminated_dropped", col("survivors") === 0L)
+      .withColumn("overdrop_within_bound",
+        col("overdrop") <= lit(3 * BloomFpp) * (col("n_docs") - col("n_contaminated")) + lit(10.0))
+      .select("source", "n_docs", "n_contaminated",
+        "all_contaminated_dropped", "overdrop_within_bound")
+      .orderBy("source")
+  }
+
+  val bloomDecontaminateSql: String =
+    s"""WITH $fingerprintCtes,
+       |deny AS (SELECT DISTINCT min_shingle_hash FROM fp
+       |  WHERE doc_id % 20 = 0 AND min_shingle_hash IS NOT NULL)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  SUM(CASE WHEN EXISTS (SELECT 1 FROM deny
+       |    WHERE deny.min_shingle_hash = fp.min_shingle_hash)
+       |    THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       |  TRUE AS all_contaminated_dropped,
+       |  TRUE AS overdrop_within_bound
+       |FROM documents d JOIN fp ON fp.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   // ---------------------------------------------------------------------
   // q56 — vocabulary Zipf report: global top-20 tokens with rank and
@@ -908,6 +1003,8 @@ object TextAnalysis {
     "q43_tfidf"         -> ((s, d) => tfidf(s, d)),
     "q44_len_quantiles" -> ((s, d) => lengthQuantiles(s, d)),
     "q64_len_quantiles_approx" -> ((s, d) => lengthQuantilesApprox(s, d)),
+    "q65_approx_distinct" -> ((s, d) => approxDistinctUsers(s, d)),
+    "q66_bloom_decontaminate" -> ((s, d) => bloomDecontaminate(s, d)),
     "q46_corpus_rollup" -> ((s, d) => corpusRollup(s, d)),
     "q48_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q49_boilerplate"   -> ((s, d) => boilerplate(s, d)),
@@ -931,6 +1028,8 @@ object TextAnalysis {
     "q43_tfidf"         -> tfidfSql,
     "q44_len_quantiles" -> lengthQuantilesSql,
     "q64_len_quantiles_approx" -> lengthQuantilesApproxSql,
+    "q65_approx_distinct" -> approxDistinctUsersSql,
+    "q66_bloom_decontaminate" -> bloomDecontaminateSql,
     "q46_corpus_rollup" -> corpusRollupSql,
     "q48_decontaminate" -> decontaminateSql,
     "q49_boilerplate"   -> boilerplateSql,

@@ -331,6 +331,46 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q64/q65 contract: approx sketches honor their bounds on adversarial cardinalities") {
+    // beyond the oracle fixture: GK rank bound and HLL 3·rsd bound on a
+    // skewed synthetic column (heavy ties + a long unique tail — the
+    // shapes that stress both sketches)
+    val vals = (1 to 2000).map(i => if (i <= 1000) (i % 7).toLong else i.toLong)
+    val df = vals.toDF("v")
+    val n = vals.size
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val a = df.agg(expr(s"percentile_approx(v, $p, 100)")).head().getLong(0)
+      val lt = vals.count(_ < a)
+      val le = vals.count(_ <= a)
+      assert(lt <= (p + 0.01) * n + 1 && le >= (p - 0.01) * n - 1,
+        s"GK rank contract violated at p=$p: value=$a lt=$lt le=$le n=$n")
+    }
+    val exact = vals.distinct.size
+    val hll = df.agg(approx_count_distinct(col("v"), 0.02)).head().getLong(0)
+    assert(math.abs(hll - exact) <= 3 * 0.02 * exact,
+      s"HLL 3·rsd contract violated: hll=$hll exact=$exact")
+  }
+
+  test("q66 contract: bloom filter has zero false negatives, bounded false positives") {
+    val members = (0 until 1000).map(i => s"member_$i")
+    val bloom = members.toDF("k").stat.bloomFilter("k", 1000, 0.01)
+    assert(members.forall(bloom.mightContainString),
+      "bloom false negative — structurally impossible, indicates a build bug")
+    val probes = (0 until 20000).map(i => s"outsider_$i")
+    val fps = probes.count(bloom.mightContainString)
+    assert(fps <= 3 * 0.01 * probes.size + 10,
+      s"bloom false-positive rate blew its bound: $fps / ${probes.size}")
+  }
+
+  test("q66: every contaminated doc dropped, overdrop verdicts all true") {
+    val out = TextAnalysis.bloomDecontaminate(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("all_contaminated_dropped"))
+      assert(r.getAs[Boolean]("overdrop_within_bound"))
+    }
+  }
+
   test("documents are pure ASCII (media byte ops == char ops invariant)") {
     val n = Tables.documents(spark, sf)
       .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
