@@ -156,6 +156,27 @@ object TextAnalysis {
     * mapPartitions JVM loop (one digest per partition); the oracle keeps
     * the equivalent HOF form — identical fold order and arithmetic.
     * ascii(char) == charAt on the ASCII-only corpus (asserted in specs). */
+  /** Per-row fingerprint pair: rolling poly-hash of the first 64 chars,
+    * and the minimum word-3-gram md5-prefix shingle hash (null when the
+    * doc has < 3 tokens). One md5 per shingle, one pass. */
+  private def fingerprintOf(md: java.security.MessageDigest,
+                            text: String): (Long, String) = {
+    var acc = 0L
+    var i = 0
+    val n = math.min(64, text.length)
+    while (i < n) { acc = (acc * 31 + text.charAt(i).toLong) % 1000000007L; i += 1 }
+    val toks = text.split(" ", -1)
+    var minHash: String = null
+    var j = 0
+    while (j + 2 < toks.length) {
+      val h = Tables.hex(md.digest((toks(j) + " " + toks(j + 1) + " " + toks(j + 2))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))).substring(0, 16)
+      if (minHash == null || h < minHash) minHash = h
+      j += 1
+    }
+    (acc, minHash)
+  }
+
   private def fingerprintRaw(s: SparkSession, d: String,
                              sorted: Boolean = false): DataFrame = {
     import s.implicits._
@@ -165,23 +186,32 @@ object TextAnalysis {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          var acc = 0L
-          var i = 0
-          val n = math.min(64, text.length)
-          while (i < n) { acc = (acc * 31 + text.charAt(i).toLong) % 1000000007L; i += 1 }
-          val toks = text.split(" ", -1)
-          var minHash: String = null
-          var j = 0
-          while (j + 2 < toks.length) {
-            val h = Tables.hex(md.digest((toks(j) + " " + toks(j + 1) + " " + toks(j + 2))
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))).substring(0, 16)
-            if (minHash == null || h < minHash) minHash = h
-            j += 1
-          }
+          val (acc, minHash) = fingerprintOf(md, text)
           (id, acc, minHash)
         }
       }
       .toDF("doc_id", "poly_hash", "min_shingle_hash")
+  }
+
+  /** Fingerprints WITH the doc metadata the decontamination reports
+    * aggregate on, carried through the same single mapPartitions pass.
+    * The previous shape re-joined `documents` to its own derivative on
+    * doc_id — AQE broadcasts that at test scale, but at 100 TB it is a
+    * corpus⋈corpus sort-merge (two corpus-wide exchanges) plus a second
+    * full scan, recombining a frame with data it was derived FROM.
+    * Carrying the columns costs a few bytes per row and zero shuffles. */
+  private def fingerprintWithMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, String, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text, source, lang, nChars) =>
+          (id, source, lang, nChars, fingerprintOf(md, text)._2)
+        }
+      }
+      .toDF("doc_id", "source", "lang", "n_chars", "min_shingle_hash")
   }
 
   /** q21 — the fingerprint frame above with its presentation ordering. */
@@ -518,15 +548,14 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
 
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    // persisted: feeds the deny build side AND the probe-side join —
-    // without it the md5-per-shingle fingerprint pass runs twice
-    // (unsorted form: edges into joins don't need q21's output ordering)
-    val fp = fingerprintRaw(s, d).select("doc_id", "min_shingle_hash")
-      .transform(Tables.maybePersist)
+    // persisted: feeds the deny build side AND the probe side — without
+    // it the md5-per-shingle fingerprint pass runs twice. Metadata rides
+    // along in the fingerprint pass (see fingerprintWithMeta), so the
+    // corpus is scanned once and never joined back to itself.
+    val fp = fingerprintWithMeta(s, d).transform(Tables.maybePersist)
     val deny = fp.filter(col("doc_id") % 20 === 0)
       .select(col("min_shingle_hash").as("deny_fp")).distinct()
-    Tables.documents(s, d).join(fp, "doc_id")
-      .join(broadcast(deny), col("min_shingle_hash") === col("deny_fp"), "left_anti")
+    fp.join(broadcast(deny), col("min_shingle_hash") === col("deny_fp"), "left_anti")
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
       .orderBy("source", "lang")
@@ -563,14 +592,13 @@ object TextAnalysis {
   private val BloomFpp = 0.01
 
   def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val fp = fingerprintRaw(s, d).select("doc_id", "min_shingle_hash")
-      .transform(Tables.maybePersist)
+    val fp = fingerprintWithMeta(s, d).transform(Tables.maybePersist)
     val deny = fp.filter(col("doc_id") % 20 === 0 && col("min_shingle_hash").isNotNull)
       .select(col("min_shingle_hash").as("deny_fp")).distinct()
     val bloom = deny.stat.bloomFilter("deny_fp", math.max(deny.count(), 1L), BloomFpp)
     val bloomBc = s.sparkContext.broadcast(bloom)
     val bloomHit = udf((h: String) => h != null && bloomBc.value.mightContainString(h))
-    Tables.documents(s, d).join(fp, "doc_id")
+    fp
       // exact membership flag for the verdicts: distinct build side, so
       // the broadcast left join is flag-only — no fanout, no shuffle
       .join(broadcast(deny), col("min_shingle_hash") === col("deny_fp"), "left")
@@ -729,34 +757,37 @@ object TextAnalysis {
 
   def boilerplate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // distinct 3-gram shingles per doc as a typed flatMap JVM loop — the
-    // HOF transform/array_distinct form evaluates interpreted (suite
+    // distinct 3-gram shingles per doc as a typed JVM loop — the HOF
+    // transform/array_distinct form evaluates interpreted (suite
     // playbook: hot per-row loops go native; oracle keeps the HOF twin).
     // Dedup.shingles3 is THE shingling contract (q21/q23 share it) —
     // one implementation to keep in lockstep with the DuckDB twins.
-    val sh = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // Kept in ARRAY form (persisted: two consumers — frequent-set agg
+    // and probe — share the md5-free but still hot shingling pass);
+    // explode_outer with the array size riding along keeps zero-shingle
+    // docs in-band, which kills the old corpus⋈corpus rejoin of
+    // `documents` to its own doc_id-keyed aggregates (two extra
+    // corpus-wide exchanges at 100 TB, gone).
+    val shArr = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          Dedup.shingles3(text).iterator.map(sh => (id, sh))
-        }
-      }.toDF("doc_id", "shingle")
-      // persisted: three consumers (frequent-set agg, per-doc agg, semi-
-      // join probe) would otherwise re-run the shingle flatMap three times
+      .mapPartitions(it => it.map { case (id, text) => (id, Dedup.shingles3(text)) })
+      .toDF("doc_id", "sh")
       .transform(Tables.maybePersist)
-    val frequent = sh.groupBy("shingle")
-      .agg(count(lit(1)).as("df")).filter(col("df") >= 10)
-    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val boiler = sh.join(broadcast(frequent.select("shingle")), Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-    Tables.documents(s, d).select("doc_id")
-      .join(perDoc, Seq("doc_id"), "left")
-      .join(boiler, Seq("doc_id"), "left")
+    val exploded = shArr.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode_outer(col("sh")).as("shingle"))
+    val frequent = exploded.filter(col("shingle").isNotNull)
+      .groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") >= 10)
+      .select(col("shingle").as("freq_shingle"))
+    // left join against the distinct frequent set (no fanout) + count of
+    // matches == the old semi-join + second aggregation, one pass
+    exploded.join(broadcast(frequent), col("shingle") === col("freq_shingle"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("n_sh")).as("n_sh"), count(col("freq_shingle")).as("n_boiler"))
       .selectExpr("doc_id",
-        "coalesce(n_shingles, cast(0 as bigint)) as n_shingles",
-        "coalesce(n_boiler, cast(0 as bigint)) as n_boiler",
-        """case when coalesce(n_shingles, cast(0 as bigint)) = 0 then 0.0
-          |else floor((coalesce(n_boiler, cast(0 as bigint)) / cast(n_shingles as double)) * 1e6 + 0.5) / 1e6
+        "cast(n_sh as bigint) as n_shingles",
+        "n_boiler",
+        """case when n_sh = 0 then 0.0
+          |else floor((n_boiler / cast(n_sh as double)) * 1e6 + 0.5) / 1e6
           |end as boiler_ratio""".stripMargin.replace("\n", " "))
       .orderBy("doc_id")
   }
@@ -960,20 +991,23 @@ object TextAnalysis {
       .transform(Tables.maybePersist)
     val deny = sh.filter(col("doc_id") % 20 === 0)
       .selectExpr("explode(sh) as deny_s").distinct()
-    val scored = sh.selectExpr("doc_id", "explode(sh) as s")
+    // explode_outer + array size in-band: zero-shingle docs survive the
+    // aggregation with (0, 0, 0.0, false), so the old left-rejoin of
+    // `documents` to this corpus-sized doc_id aggregate (a corpus⋈corpus
+    // sort-merge at 100 TB) is gone
+    sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode_outer(col("sh")).as("s"))
       .join(broadcast(deny), col("s") === col("deny_s"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
+      .agg(first(col("n_sh")).as("n_sh"),
            count(col("deny_s")).as("n_contaminated"))
-      .withColumn("contamination",
-        floor(col("n_contaminated") / col("n_shingles").cast("double") * 1e6 + 0.5) / 1e6)
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        coalesce(col("contamination"), lit(0.0)).as("contamination"),
-        coalesce(col("contamination") >= 0.8, lit(false)).as("flagged"))
+        col("n_sh").cast("long").as("n_shingles"),
+        col("n_contaminated"),
+        when(col("n_sh") === 0, 0.0)
+          .otherwise(floor(col("n_contaminated") / col("n_sh").cast("double") * 1e6 + 0.5) / 1e6)
+          .as("contamination"))
+      .withColumn("flagged", col("contamination") >= 0.8)
       .orderBy("doc_id")
   }
 
