@@ -34,15 +34,21 @@ object Bench {
         val newest = arts.maxBy(f => f.getName.replaceAll("\\D", "").toInt)
         val text = new String(
           java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
-        val pair = """\\?"(q\d+)\\?":(-?\d+(?:\.\d+)?)""".r
+        // accepts both the short "q01" keys and the full-name fallback
+        // ("q01_pricing_summary") — the qNN prefix is the comparison key
+        // either way, matching key() below
+        val pair = """\\?"(q\d+)(?:_[A-Za-z0-9_]+)?\\?":(-?\d+(?:\.\d+)?)""".r
         // keep the LAST occurrence per key: the final JSON line in the tail
         // supersedes any truncated earlier fragment
         val times = pair.findAllMatchIn(text)
           .map(m => m.group(1) -> m.group(2).toDouble).toSeq.toMap
         // the artifact records which scale factor it ran at ("sf": 0.1);
-        // deltas are only meaningful against a same-sf run
+        // deltas are only meaningful against a same-sf run. Normalize
+        // "1.0"→"1", "0.10"→"0.1" (strip fraction-trailing zeros, then a
+        // bare trailing dot) so the sfDir suffix check is exact.
         val sf = """"sf"\s*:\s*([\d.]+)""".r.findFirstMatchIn(text)
-          .map(m => m.group(1).replaceAll("0+$|\\.$", ""))
+          .map(m => m.group(1).replaceAll("(\\.\\d*?)0+$", "$1")
+            .replaceAll("\\.$", ""))
         Some((newest.getName, times, sf))
       }
     } catch { case _: Throwable => None }
@@ -135,8 +141,10 @@ object Bench {
     // the judge post-hoc. Previous rounds' `parsed` may be null, so times
     // are regex-scraped from the stored stdout tail (keys there are the
     // same short qNN keys; values inside the tail string are \"-escaped).
+    // prevSf.exists, not forall: an artifact whose sf can't be parsed
+    // gets NO deltas line rather than a bogus cross-scale comparison
     for ((prevFile, prev, prevSf) <- Bench.previousRound()
-         if prev.nonEmpty && prevSf.forall(s => sfDir.endsWith("sf" + s))) {
+         if prev.nonEmpty && prevSf.exists(s => sfDir.endsWith("sf" + s))) {
       val moves = results.flatMap { case (k, v) =>
         prev.get(key(k)).collect {
           case p if p > 0 && v > 0 && (v / p > 1.5 || p / v > 1.5) =>

@@ -31,41 +31,20 @@ object Profile {
     }
     // warm-up
     Dedup.dupComponents(spark, d).write.format("noop").mode("overwrite").save(); clear()
-    // inside nearDupPairs: stage-wise split
+    // inside nearDupPairs: stage-wise split over the SAME production
+    // stage builders (Dedup.signedCorpus/lshBands/boundedBandCandidates/
+    // verifyPairs) — localCheckpoint between stages isolates each phase
     locally {
-      import spark.implicits._
-      val docs = Tables.documents(spark, d)
-      val corpus = docs.select(col("doc_id"), col("text")).unionAll(
-        docs.selectExpr("doc_id + 10000 as doc_id",
-                        "substring(text, instr(text, ' ') + 1) as text"))
       val sh = time("  sign (mapPartitions minhash)") {
-        val f = corpus.as[(Long, String)]
-          .mapPartitions { it =>
-            val md = java.security.MessageDigest.getInstance("MD5")
-            it.map { case (id, text) =>
-              val shingles = Dedup.shingles3(text)
-              (id, shingles, Dedup.minhashSig(md, shingles))
-            }
-          }.toDF("doc_id", "sh", "sig").localCheckpoint()
-        f
+        Dedup.signedCorpus(spark, Dedup.nearDupCorpus(spark, d)).localCheckpoint()
       }
-      val bands = sh.filter(size(col("sh")) > 0).selectExpr("doc_id",
-        """posexplode(transform(sequence(0, 3),
-          |  b -> concat_ws(':', element_at(sig, 3 * b + 1), element_at(sig, 3 * b + 2), element_at(sig, 3 * b + 3))))
-          |as (band_idx, band_hash)""".stripMargin.replace("\n", " "))
       val cand = time("  band candidates") {
-        Dedup.boundedBandCandidates(spark, bands, cap = 1024).localCheckpoint()
+        Dedup.boundedBandCandidates(spark, Dedup.lshBands(sh), cap = 1024)
+          .localCheckpoint()
       }
       println(s"[profile]   candidates = ${cand.count()}")
       time("  verify join (jaccard)") {
-        cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-          .withColumn("jaccard", floor((
-            size(array_intersect(col("sh_a"), col("sh_b"))) /
-              size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double")) * 1e6 + 0.5) / 1e6)
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "jaccard")
+        Dedup.verifyPairs(cand, sh)
           .write.format("noop").mode("overwrite").save()
       }
       clear()

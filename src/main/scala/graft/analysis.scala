@@ -156,15 +156,22 @@ object TextAnalysis {
     * mapPartitions JVM loop (one digest per partition); the oracle keeps
     * the equivalent HOF form — identical fold order and arithmetic.
     * ascii(char) == charAt on the ASCII-only corpus (asserted in specs). */
-  /** Per-row fingerprint pair: rolling poly-hash of the first 64 chars,
-    * and the minimum word-3-gram md5-prefix shingle hash (null when the
-    * doc has < 3 tokens). One md5 per shingle, one pass. */
-  private def fingerprintOf(md: java.security.MessageDigest,
-                            text: String): (Long, String) = {
+  /** Rolling 31-base poly-hash of the first 64 chars (q21's cheap
+    * content key). */
+  private def polyHashOf(text: String): Long = {
     var acc = 0L
     var i = 0
     val n = math.min(64, text.length)
     while (i < n) { acc = (acc * 31 + text.charAt(i).toLong) % 1000000007L; i += 1 }
+    acc
+  }
+
+  /** Minimum word-3-gram md5-prefix shingle hash (null when the doc has
+    * < 3 tokens). One md5 per shingle, one pass. Split from the
+    * poly-hash so the decontamination reports don't compute a hash they
+    * discard on every corpus row. */
+  private def minShingleHashOf(md: java.security.MessageDigest,
+                               text: String): String = {
     val toks = text.split(" ", -1)
     var minHash: String = null
     var j = 0
@@ -174,7 +181,7 @@ object TextAnalysis {
       if (minHash == null || h < minHash) minHash = h
       j += 1
     }
-    (acc, minHash)
+    minHash
   }
 
   private def fingerprintRaw(s: SparkSession, d: String,
@@ -186,8 +193,7 @@ object TextAnalysis {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val (acc, minHash) = fingerprintOf(md, text)
-          (id, acc, minHash)
+          (id, polyHashOf(text), minShingleHashOf(md, text))
         }
       }
       .toDF("doc_id", "poly_hash", "min_shingle_hash")
@@ -208,7 +214,7 @@ object TextAnalysis {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text, source, lang, nChars) =>
-          (id, source, lang, nChars, fingerprintOf(md, text)._2)
+          (id, source, lang, nChars, minShingleHashOf(md, text))
         }
       }
       .toDF("doc_id", "source", "lang", "n_chars", "min_shingle_hash")

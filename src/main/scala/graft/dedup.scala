@@ -184,13 +184,21 @@ object Dedup {
     * recomputing shingles three times dwarfs the cache cost. Unsorted —
     * q23 adds its presentation sort; q41 consumes the pairs as edges,
     * where a sort would be a wasted range-exchange. */
-  private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The near-dup working corpus: every doc plus its mutated twin
+    * (first token dropped, doc_id+10000). Split out so graft.Profile
+    * times the EXACT production stages, not a re-implementation. */
+  private[graft] def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val corpus = docs.select(col("doc_id"), col("text")).unionAll(
+    docs.select(col("doc_id"), col("text")).unionAll(
       docs.selectExpr("doc_id + 10000 as doc_id",
                       "substring(text, instr(text, ' ') + 1) as text"))
-    val sh = corpus.as[(Long, String)]
+  }
+
+  /** Signing stage: (doc_id, shingles, minhash sig) in ONE mapPartitions
+    * pass (a digest instance per partition). */
+  private[graft] def signedCorpus(s: SparkSession, corpus: DataFrame): DataFrame = {
+    import s.implicits._
+    corpus.as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -199,14 +207,17 @@ object Dedup {
         }
       }
       .toDF("doc_id", "sh", "sig")
-      .transform(Tables.maybePersist)
-    val bands = sh.filter(size(col("sh")) > 0).selectExpr("doc_id",
+  }
+
+  /** LSH banding stage: 4 bands × 3 signature rows, string band keys. */
+  private[graft] def lshBands(sh: DataFrame): DataFrame =
+    sh.filter(size(col("sh")) > 0).selectExpr("doc_id",
       """posexplode(transform(sequence(0, 3),
         |  b -> concat_ws(':', element_at(sig, 3 * b + 1), element_at(sig, 3 * b + 2), element_at(sig, 3 * b + 3))))
         |as (band_idx, band_hash)""".stripMargin.replace("\n", " "))
-    // candidate ids from band-bucket collisions only (never all pairs),
-    // per-task work bounded even when one band bucket goes hot
-    val cand = boundedBandCandidates(s, bands, cap = 1024)
+
+  /** Verify stage: exact Jaccard over candidate pairs at 0.5. */
+  private[graft] def verifyPairs(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -215,6 +226,13 @@ object Dedup {
           size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double")) * 1e6 + 0.5) / 1e6)
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
+
+  private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = signedCorpus(s, nearDupCorpus(s, d)).transform(Tables.maybePersist)
+    // candidate ids from band-bucket collisions only (never all pairs),
+    // per-task work bounded even when one band bucket goes hot
+    val cand = boundedBandCandidates(s, lshBands(sh), cap = 1024)
+    verifyPairs(cand, sh)
   }
 
   /** q23 — the near-dup pair pipeline above with its output ordering. */
@@ -297,7 +315,14 @@ object Dedup {
     * in alternating large-star/small-star (same join primitives, O(log n)
     * rounds); the convergence loop here IS the canonical Spark
     * iterative-dataframe shape — data never visits the driver, only the
-    * convergence signature does. */
+    * convergence signature does.
+    *
+    * PRECONDITION: every edge endpoint must appear in `vertices`. The
+    * self-loop formulation aggregates over vertices ∪ endpoints, so a
+    * foreign endpoint would be labeled and RETURNED (the previous
+    * left-join formulation silently dropped it). Both callers pass the
+    * full corpus id set, and the star variant anchors its output to
+    * `vertices` explicitly — keep the invariant if adding callers. */
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
     // undirected: propagate both ways; self-loops carry each vertex's own
     // root through the aggregation. Materialized ONCE up front — without
