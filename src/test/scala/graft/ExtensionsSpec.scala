@@ -221,6 +221,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("freeCheckpoint finds the LogicalRDD behind a localCheckpoint (Spark-internals tripwire)") {
+    // The CC loops free superseded label generations by pattern-matching
+    // the Spark-internal LogicalRDD node a localCheckpoint analyzes to.
+    // If a Spark upgrade changes that plan shape the free silently
+    // no-ops and O(rounds) checkpoint blocks accumulate at scale — this
+    // pin makes that upgrade a test failure instead of a slow leak.
+    val df = (1L to 100L).toDF("id").localCheckpoint(eager = true)
+    assert(Dedup.freeCheckpoint(df),
+      "localCheckpoint's analyzed plan no longer contains a LogicalRDD")
+    // and a plain scan must NOT claim a free happened
+    assert(!Dedup.freeCheckpoint((1L to 3L).toDF("id")))
+  }
+
   test("connectedComponentsStar: empty edge set roots every vertex at itself") {
     val vertices = (1L to 5L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
@@ -298,6 +311,33 @@ class ExtensionsSpec extends SparkSpec {
       val d = embs(id).foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
       assert(r.getDouble(1) == d)
     }
+  }
+
+  test("graft_lsh_bucket (native single node) == literal-array plane form, bit-identical") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // the native expression computes plane coefficients via the inline
+    // integer formula; the literal route materializes them as 8×64
+    // double literals (the DuckDB oracle's shape). Same buckets on every
+    // corpus vector ⇒ the q27 candidate sets are unchanged.
+    val rows = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        s"${Similarity.bucketExpr("embedding")} as native",
+        s"${Similarity.bucketExprLiteral("embedding")} as literal")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}")
+    }
+    // and the interpreted (non-codegen) path agrees: evaluate one row
+    // through nullSafeEval directly
+    val e = embs(0L).toArray
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(e)
+    val interp = graft.functions.LshBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal(arr,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+      .eval(null).asInstanceOf[Long]
+    val fromDf = rows.find(_.getLong(0) == 0L).get.getLong(1)
+    assert(interp == fromDf)
   }
 
   test("asOfJoin: inclusive on equal ts, latest-at-or-before, null when none") {

@@ -1,0 +1,17 @@
+package graft
+
+/** Prints the executed-plan Shape of every budgeted query at the test
+  * fixture scale — the measurement side of PlanBudgetSpec. Run:
+  *   sbt "Test/runMain graft.PlanBudgetReport"
+  * and transcribe the lines into PlanBudgetSpec.budgets. */
+object PlanBudgetReport {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSession.spark
+    val sf = "/root/testdata/sf0.001"
+    PlanBudgetSpec.budgets.keys.toSeq.sorted.foreach { name =>
+      val shape = PlanWalk.shapeOf(SparkEntry.queries(name)(spark, sf))
+      println(s"""    "$name" -> $shape,""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+/** Plan-SHAPE regression gate for the most expensive bench queries: the
+  * SURVEY §2.11 plan-audit claims (exchange counts, broadcast-not-SMJ,
+  * no cartesian products, no corpus rejoins) as enforced invariants
+  * instead of prose. Round 5 found four corpus-rejoin shapes by manual
+  * audit (q48/q49/q63/q66); this spec catches the next one at commit
+  * time.
+  *
+  * Budgets are CEILINGS pinned from the measured executed plans at the
+  * fixture scale (PlanBudgetReport prints them): fewer
+  * shuffles/joins/scans is an improvement and passes, one more fails.
+  * `scans` counts file + in-memory sources — an injected rejoin shows
+  * up as an extra source (and usually an extra join) even when AQE
+  * broadcasts it at test scale, so the gate holds at sf0.001 where every
+  * join side fits under the broadcast threshold. Cartesian products are
+  * banned outright everywhere (the only cross joins in the engine are
+  * against broadcast one-row/tiny frames, which plan as BNLJ).
+  */
+class PlanBudgetSpec extends SparkSpec {
+  import PlanWalk.{Shape, shapeOf}
+
+  // transcribed from PlanBudgetReport at sf0.001 (each field a ceiling)
+  private[graft] val budgets = PlanBudgetSpec.budgets
+
+  budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
+    test(s"plan budget: $name") {
+      val got = shapeOf(SparkEntry.queries(name)(spark, sf))
+      assert(got.cartesian == 0,
+        s"$name plans a CartesianProduct:\n  got $got")
+      def leq(v: Int, b: Int, what: String): Unit =
+        assert(v <= b, s"$name exceeds its $what budget ($v > $b)\n  got    $got\n  budget $budget")
+      leq(got.shuffles, budget.shuffles, "shuffle-exchange")
+      leq(got.broadcasts, budget.broadcasts, "broadcast-exchange")
+      leq(got.joins, budget.joins, "join")
+      leq(got.smj, budget.smj, "sort-merge-join")
+      leq(got.bnlj, budget.bnlj, "broadcast-nested-loop-join")
+      leq(got.scans, budget.scans, "source-scan")
+    }
+  }
+
+  test("meta: an injected corpus rejoin EXCEEDS its query's budget (gate sensitivity)") {
+    // the failure mode this suite exists for, demonstrated live: take a
+    // budgeted single-scan query and join the corpus back onto its own
+    // derivative — the shape must blow the scan/join ceilings even at
+    // test scale where AQE broadcasts the join
+    val base = SparkEntry.queries("q42_pii_scrub")(spark, sf)
+    val rejoined = base.join(Tables.documents(spark, sf).select("doc_id"), "doc_id")
+    val got = shapeOf(rejoined)
+    val b = budgets("q42_pii_scrub")
+    assert(got.scans > b.scans && got.joins > b.joins,
+      s"an added corpus rejoin must exceed the scan+join budget: got $got, budget $b")
+  }
+}
+
+object PlanBudgetSpec {
+  import PlanWalk.Shape
+  /** Measured executed-plan shapes at sf0.001 (PlanBudgetReport),
+    * pinned as ceilings. Covers the ~18 most expensive bench queries
+    * (r5: everything ≥ ~0.5 s) plus the four r5 rejoin-rewrite sites. */
+  val budgets: Map[String, Shape] = Map(
+    "q01_pricing_summary" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q03_region_revenue" -> Shape(shuffles = 1, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
+    "q05_history_context" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q07_tumbling_counts" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q08_sessionize" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q09_clean_text" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q11_hyperlink_headings" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q23_minhash_lsh" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    "q27_ann_lsh" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    "q28_label_centroids" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    "q31_keyword_summary" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    "q32_embed_neardup" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
+    "q38_ivf_search" -> Shape(shuffles = 0, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    "q42_pii_scrub" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q43_tfidf" -> Shape(shuffles = 5, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
+    "q48_decontaminate" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    "q49_boilerplate" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q50_variant_path" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q54_session_funnel" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q63_contamination" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    "q65_approx_distinct" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q66_bloom_decontaminate" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+  )
+}

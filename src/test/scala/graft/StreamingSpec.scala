@@ -138,6 +138,74 @@ class StreamingSpec extends SparkSpec {
       got.contains((10L, "a", 1L)), s"got $got")
   }
 
+  test("q65 streaming twin: windowed HLL distinct users honors the 3·rsd contract") {
+    val rsd = 0.02
+    val in = MemoryStream[(Timestamp, String, Long)](spark)
+    val out = StreamingOps.windowedApproxDistinct(
+      in.toDF().toDF("ts", "event_type", "user_id"), "5 minutes", rsd)
+    val q = out.writeStream.format("memory").queryName("hllwin")
+      .outputMode("append").start()
+    // window [0,10): 40 distinct users under "a", 10 under "b" (overlapping
+    // ids across types — per-group distinct must not bleed); window
+    // [10,20): users re-appear (distinct within window, not global)
+    val batch1 = (0 until 40).map(u => (ts(u % 9), "a", u.toLong)) ++
+      (0 until 10).map(u => (ts(u % 9), "b", u.toLong)) ++
+      (0 until 25).map(u => (ts(10 + u % 9), "a", u.toLong))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData((ts(90), "z", 999L)) // advance watermark → close all windows
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hllwin")
+      .selectExpr("unix_millis(window.start) div 60000 as m", "event_type",
+        "approx_users", "n_events")
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (m, t, a, n) => (m, t) -> (a, n) }.toMap
+    val exact = Map((0L, "a") -> 40L, (0L, "b") -> 10L, (10L, "a") -> 25L)
+    exact.foreach { case (key, want) =>
+      val (approx, _) = got(key)
+      assert(math.abs(approx - want) <= 3 * rsd * want + 1,
+        s"$key: approx $approx vs exact $want breaks the 3·rsd contract")
+    }
+    assert(got((0L, "a"))._2 == 40L) // n_events rides along exactly
+  }
+
+  test("q64 streaming twin: windowed GK median honors the ε rank contract") {
+    val accuracy = 100 // ε = 1%
+    val in = MemoryStream[(Timestamp, String, Long)](spark)
+    val out = StreamingOps.windowedApproxQuantile(
+      in.toDF().toDF("ts", "lang", "n_chars"), "5 minutes", accuracy)
+    val q = out.writeStream.format("memory").queryName("gkwin")
+      .outputMode("append").start()
+    // window [0,10): lang "en" gets 200 skewed lengths; lang "de" a tiny
+    // exact-median set; window [10,20): a different distribution
+    val en = (1 to 200).map(i => (ts(i % 9), "en", (i * i % 997).toLong))
+    val de = Seq((ts(1), "de", 5L), (ts(2), "de", 7L), (ts(3), "de", 9L))
+    val en2 = (1 to 50).map(i => (ts(10 + i % 9), "en", (1000 + i).toLong))
+    in.addData(en ++ de ++ en2: _*)
+    q.processAllAvailable()
+    in.addData((ts(90), "zz", 0L)) // advance watermark → close all windows
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("gkwin")
+      .selectExpr("unix_millis(window.start) div 60000 as m", "lang",
+        "p50_approx", "n_docs", "min_chars", "max_chars")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map { case (m, l, p, n, mn, mx) => (m, l) -> (p, n, mn, mx) }.toMap
+    val inputs = Map(
+      (0L, "en") -> en.map(_._3), (0L, "de") -> de.map(_._3),
+      (10L, "en") -> en2.map(_._3))
+    inputs.foreach { case (key, vals) =>
+      val (p50, n, mn, mx) = got(key)
+      assert(n == vals.size && mn == vals.min && mx == vals.max, s"$key side stats")
+      // tie-safe two-sided rank check, same contract as batch q64:
+      // |{v < p50}| ≤ n/2 + εn  AND  |{v ≤ p50}| ≥ n/2 − εn
+      val eps = n.toDouble / accuracy
+      val below = vals.count(_ < p50)
+      val atOrBelow = vals.count(_ <= p50)
+      assert(below <= n / 2.0 + eps && atOrBelow >= n / 2.0 - eps,
+        s"$key: p50 $p50 rank ($below, $atOrBelow) outside ε window for n=$n")
+    }
+  }
+
   test("session windows: 30-minute gap splits sessions, matches batch q08 grouping") {
     val in = MemoryStream[(Timestamp, Long)](spark)
     val out = StreamingOps.sessionCounts(in.toDF().toDF("ts", "user_id"), "5 minutes")
