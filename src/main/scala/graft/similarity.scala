@@ -268,21 +268,39 @@ object Similarity {
 
   /** Centroid codebook + nearest-centroid assignment for every vector
     * (argmax cosine over the 10 centroids, label tie-break) — the IVF
-    * coarse quantizer. The codebook is tiny and broadcast; assignment is
-    * one scan. */
+    * coarse quantizer.
+    *
+    * The codebook collapses to ONE broadcast row holding
+    * array<struct<c_label, centroid>>, and the assignment is a per-row
+    * `array_max` over the per-cell cosines — the corpus never shuffles
+    * and never amplifies. (The previous form cross-joined the 10-row
+    * codebook and ranked with a window over vec_id: 10× the corpus
+    * pushed through a keyed exchange — the difference between zero and
+    * one corpus-sized shuffle at 100 TB.)
+    *
+    * Selection semantics are EXACTLY the window's
+    * `row_number() over (order by c_cos desc, c_label asc) = 1`:
+    * array_max on struct<cos, -c_label> compares lexicographically with
+    * Spark's double ordering (NaN greatest, same as sort-desc), so the
+    * highest cosine wins and ties break to the LOWEST label. Cosine
+    * arithmetic is unchanged (same dots, same division order). */
   private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     withFns(s)
     val emb = Tables.embeddings(s, d)
-    val centroids = centroidsByLabel(s, d, "c_label")
-    emb.crossJoin(broadcast(centroids))
-      .selectExpr("vec_id", "label", "embedding", "c_label",
-        s"""${dotExpr("embedding", "centroid")} /
-           |(sqrt(${dotExpr("embedding", "embedding")}) * sqrt(${dotSparkDD("centroid")})) as c_cos"""
+    val codebook = centroidsByLabel(s, d, "c_label")
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
+    emb.crossJoin(broadcast(codebook))
+      // vector norm hoisted out of the 10-cell fold (same bits — sqrt of
+      // the identical dot, just computed once per row instead of per cell)
+      .selectExpr("vec_id", "label", "embedding", "cells",
+        s"sqrt(${dotExpr("embedding", "embedding")}) as nrm")
+      .selectExpr("vec_id", "label", "embedding",
+        s"""array_max(transform(cells, c -> named_struct(
+           |  'cos', ${dotExpr("embedding", "c.centroid")} /
+           |    (nrm * sqrt(graft_dot(c.centroid, c.centroid))),
+           |  'nl', -c.c_label))) as best"""
           .stripMargin.replace("\n", " "))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_label"))))
-      .filter(col("rn") === 1)
-      .select("vec_id", "label", "embedding", "c_label")
+      .selectExpr("vec_id", "label", "embedding", "cast(-best.nl as int) as c_label")
   }
 
   /** q38 — IVF search: route the query (vec 0) to its nearest centroid,
