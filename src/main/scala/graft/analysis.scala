@@ -742,6 +742,148 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------------
+  // q67 — temperature-resampled source mixing: the data-mixing step of a
+  // multi-corpus training run. Uniform sampling over-represents huge
+  // crawls and starves small curated sources; sampling source s with
+  // weight ∝ n_s^α (α = 0.5 here) flattens the mix. Per source:
+  // w_s = q_s / Σq where q_s = floor(sqrt(n_s)·1e6 + 0.5) (INTEGER-
+  // quantized before the normalizing sum, so Σq is an order-independent
+  // BIGINT sum and w_s is one double division on identical operands —
+  // bit-identical cross-engine with no decimal-sum machinery); sampling
+  // rate = min(1, w_s·N / n_s) against a global budget N = ⌊total/2⌋;
+  // the keep/drop decision is the q51 deterministic md5-bucket primitive
+  // (no RNG state, identical on any cluster size / re-run).
+  //
+  // Scale shape (100 TB): pass 1 aggregates the corpus to |sources| rows
+  // (the scan prunes to the `source` column); the rate table (tiny by
+  // definition) broadcasts back; pass 2 is per-row hash work + one
+  // source-keyed audit aggregate. The corpus itself never shuffles.
+  // ---------------------------------------------------------------------
+
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .selectExpr("source", "n_docs",
+        "cast(floor(sqrt(cast(n_docs as double)) * 1e6 + 0.5) as bigint) as q")
+    val totals = stats.agg(
+      sum(col("q")).as("q_total"), sum(col("n_docs")).as("docs_total"))
+    val rates = stats.crossJoin(broadcast(totals))
+      .selectExpr("source",
+        "cast(q as double) / cast(q_total as double) as w",
+        // rate = min(1, w·N/n): (w * N) first, then / n — the oracle
+        // multiplies and divides in the same order (doubles are exact
+        // on identical operand order)
+        """least(1.0D, (cast(q as double) / cast(q_total as double)
+          |  * cast(cast(floor(cast(docs_total as double) / 2) as bigint) as double))
+          |  / cast(n_docs as double)) as rate""".stripMargin.replace("\n", " "))
+      .selectExpr("source", "w",
+        "cast(floor(rate * 1e6 + 0.5) as bigint) as keep_micro")
+    val bucket =
+      "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000"
+    docs.join(broadcast(rates), Seq("source"))
+      .selectExpr("source", "n_chars", "w", "keep_micro",
+        s"case when $bucket < keep_micro then 1 else 0 end as kept")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           max(col("w")).as("wc"),            // constant within the group
+           max(col("keep_micro")).as("rate_micro"),
+           sum(col("kept")).as("n_sampled"),
+           sum(col("n_chars") * col("kept")).as("sampled_chars"))
+      .selectExpr("source", "n_docs",
+        "floor(wc * 1e6 + 0.5) / 1e6 as weight",
+        "rate_micro", "n_sampled", "sampled_chars")
+  }
+
+  val temperatureMixSql: String = {
+    val b = "('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000"
+    s"""WITH s AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs,
+       |        floor(sqrt(n_docs::DOUBLE) * 1e6 + 0.5)::BIGINT AS q FROM s),
+       |t AS (SELECT SUM(q)::BIGINT AS q_total, SUM(n_docs)::BIGINT AS docs_total FROM w),
+       |r AS (SELECT source, q::DOUBLE / q_total::DOUBLE AS w,
+       |        floor(least(1.0, (q::DOUBLE / q_total::DOUBLE
+       |          * floor(docs_total::DOUBLE / 2)::BIGINT::DOUBLE)
+       |          / n_docs::DOUBLE) * 1e6 + 0.5)::BIGINT AS keep_micro
+       |      FROM w, t),
+       |k AS (SELECT d.source, d.n_chars, r.w, r.keep_micro,
+       |        CASE WHEN $b < r.keep_micro THEN 1 ELSE 0 END AS kept
+       |      FROM documents d JOIN r USING (source))
+       |SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |  floor(max(w) * 1e6 + 0.5) / 1e6 AS weight,
+       |  max(keep_micro)::BIGINT AS rate_micro,
+       |  SUM(kept)::BIGINT AS n_sampled,
+       |  SUM(n_chars * kept)::BIGINT AS sampled_chars
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q68 — greedy sequence packing: assemble documents into fixed-budget
+  // training sequences (next-fit in doc_id order per source, 4096-char
+  // budget — the batch-assembly step between curation and the trainer;
+  // chars stand in for tokens, same fold). A doc larger than the budget
+  // gets a sequence of its own. Like W2's in-record chunking, the fold is
+  // inherently sequential WITHIN a group and embarrassingly parallel
+  // ACROSS groups; at 100 TB the pack key is (source, shard) so no
+  // single fold outgrows a task — the per-source form here keeps the
+  // oracle deterministic.
+  //
+  // Scale shape: ONE shuffle (hash-repartition on source), an in-task
+  // sort, then a STREAMING per-partition fold (mapPartitions holds three
+  // scalars, never the group) — no collect, no window over the corpus.
+  // ---------------------------------------------------------------------
+
+  private[graft] val packBudget = 4096L
+
+  def sequencePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = packBudget
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .mapPartitions { it =>
+        // several sources can share a hash partition; the fold resets on
+        // the source boundary (rows arrive sorted by (source, doc_id))
+        var curSrc: String = null
+        var seqNo = 0L
+        var fill = 0L
+        it.map { case (id, src, n) =>
+          if (src != curSrc) { curSrc = src; seqNo = 0L; fill = 0L }
+          if (fill > 0L && fill + n > budget) { seqNo += 1L; fill = 0L }
+          val off = fill
+          fill += n
+          (id, src, seqNo, off)
+        }
+      }
+      .toDF("doc_id", "source", "seq_no", "offset_chars")
+  }
+
+  /** DuckDB twin: the same next-fit fold as a recursive CTE stepping one
+    * row per source per iteration (depth = max docs per source). */
+  val sequencePackSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, source, n_chars,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pack AS (
+       |  SELECT doc_id, source, rn,
+       |         0::BIGINT AS seq_no, 0::BIGINT AS offset_chars,
+       |         n_chars::BIGINT AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.source, d.rn,
+       |         CASE WHEN p.fill > 0 AND p.fill + d.n_chars > $packBudget
+       |              THEN p.seq_no + 1 ELSE p.seq_no END,
+       |         CASE WHEN p.fill > 0 AND p.fill + d.n_chars > $packBudget
+       |              THEN 0::BIGINT ELSE p.fill END,
+       |         CASE WHEN p.fill > 0 AND p.fill + d.n_chars > $packBudget
+       |              THEN d.n_chars::BIGINT ELSE p.fill + d.n_chars END
+       |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+       |SELECT doc_id, source, seq_no, offset_chars
+       |FROM pack ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q49 — boilerplate detection: a 3-gram shingle is "boilerplate" when
   // it appears in ≥ 10 distinct documents; each document reports how much
   // of its shingle set is boilerplate (the repeated-template/footer
@@ -1042,6 +1184,8 @@ object TextAnalysis {
     "q61_repetition"    -> ((s, d) => repetition(s, d)),
     "q62_domain_stats"  -> ((s, d) => domainStats(s, d)),
     "q63_contamination" -> ((s, d) => contaminationScore(s, d)),
+    "q67_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
+    "q68_sequence_pack" -> ((s, d) => sequencePack(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1067,5 +1211,7 @@ object TextAnalysis {
     "q61_repetition"    -> repetitionSql,
     "q62_domain_stats"  -> domainStatsSql,
     "q63_contamination" -> contaminationScoreSql,
+    "q67_temperature_mix" -> temperatureMixSql,
+    "q68_sequence_pack" -> sequencePackSql,
   )
 }

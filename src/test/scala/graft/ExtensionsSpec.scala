@@ -628,4 +628,60 @@ class ExtensionsSpec extends SparkSpec {
         r.getAs[Double]("p99") <= r.getAs[Long]("max_chars").toDouble)
     }
   }
+
+  test("q68: sequence packing == driver next-fit model; multi-doc sequences fit the budget") {
+    val budget = TextAnalysis.packBudget
+    val out = TextAnalysis.sequencePack(spark, sf)
+      .select("doc_id", "source", "seq_no", "offset_chars")
+      .as[(Long, String, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    // reference model: the same next-fit fold, run sequentially per source
+    val model = docs.groupBy(_._2).iterator.flatMap { case (src, rows) =>
+      var seqNo = 0L; var fill = 0L
+      rows.sortBy(_._1).map { case (id, _, n) =>
+        if (fill > 0L && fill + n > budget) { seqNo += 1L; fill = 0L }
+        val off = fill; fill += n
+        (id, src, seqNo, off)
+      }
+    }.toSet
+    assert(out.length == docs.length && out.toSet == model)
+    // packing invariant: a sequence holding >1 doc never exceeds the
+    // budget (a single over-budget doc legitimately owns its sequence)
+    val chars = docs.map(t => t._1 -> t._3).toMap
+    out.groupBy(r => (r._2, r._3)).foreach { case (key, rows) =>
+      val total = rows.map(r => chars(r._1)).sum
+      assert(rows.length == 1 || total <= budget, s"overfull sequence $key: $total chars")
+      // offsets are the exclusive running sum in doc_id order
+      val sorted = rows.sortBy(_._1)
+      val expectOff = sorted.map(r => chars(r._1)).scanLeft(0L)(_ + _).init.toSeq
+      assert(sorted.map(_._4).toSeq == expectOff, s"offsets drift in $key")
+    }
+  }
+
+  test("q67: temperature weights normalize; rates match the driver model; audit consistent") {
+    val rows = TextAnalysis.temperatureMix(spark, sf)
+      .select("source", "n_docs", "weight", "rate_micro", "n_sampled", "sampled_chars")
+      .as[(String, Long, Double, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // quantized weights sum to ~1
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    // driver model: q_s = floor(sqrt(n)·1e6+.5); w = q/Q; rate = min(1, w·N/n)
+    val q = rows.map(r => r._1 -> math.floor(math.sqrt(r._2.toDouble) * 1e6 + 0.5).toLong).toMap
+    val qTot = q.values.sum
+    val target = math.floor(rows.map(_._2).sum.toDouble / 2).toLong
+    rows.foreach { case (src, n, w, rateMicro, nSampled, _) =>
+      val wd = q(src).toDouble / qTot.toDouble
+      assert(w == math.floor(wd * 1e6 + 0.5) / 1e6, s"$src weight")
+      val rate = math.min(1.0, wd * target.toDouble / n.toDouble)
+      assert(rateMicro == math.floor(rate * 1e6 + 0.5).toLong, s"$src rate")
+      assert(rateMicro <= 1000000L && nSampled <= n)
+    }
+    // small sources are upsampled RELATIVE to large ones: keep-rates are
+    // non-increasing in source size (w·N/n ∝ n^-0.5 before the cap)
+    val bySize = rows.sortBy(_._2)
+    val ratesBySize = bySize.map(_._4)
+    assert(ratesBySize.zip(ratesBySize.tail).forall { case (a, b) => a >= b },
+      s"rates not monotone vs size: ${bySize.map(r => (r._2, r._4)).toSeq}")
+  }
 }
