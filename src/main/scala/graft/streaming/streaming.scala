@@ -17,6 +17,11 @@ private[streaming] case class SeenState(firstTsMs: Long)
 /** One history message for A2/A3 rolling context. `id` is the message's
   * unique identity (Slack ts string / Kafka offset) — state inserts dedup
   * on it so at-least-once replays are idempotent. */
+/** Input/output/state rows for [[StreamingOps.packStream]] (q68's twin). */
+case class PackDoc(source: String, doc_id: Long, n_chars: Long)
+case class PackAssign(source: String, doc_id: Long, seq_no: Long, offset_chars: Long)
+private[streaming] case class PackState(seqNo: Long, fill: Long)
+
 case class HistoryMsg(key: String, tsMs: Long, id: String, user: String, text: String)
 /** Rolling context emitted per key update. */
 case class HistoryContext(key: String, context: String, n_msgs: Int)
@@ -303,6 +308,37 @@ object StreamingOps {
             .sortBy(m => (m._1, m._2)).takeRight(k) // top-K by recency, ascending
           state.update(HistoryBuf(all))
           HistoryContext(key, all.map(_._3).mkString("\n"), all.size)
+      }
+  }
+
+  /** Streaming twin of q68 (greedy sequence packing): the next-fit fold
+    * as keyed state — (seq_no, fill) per source carries ACROSS
+    * micro-batches, so a partially-filled training sequence is continued
+    * by the next batch's documents (the online batch-assembly loop a
+    * continuous ingest pipeline runs; the batch query is the backfill
+    * form of the same fold, TextAnalysis.sequencePack). Within a batch,
+    * documents pack in doc_id order (sorted in the group iterator —
+    * micro-batch arrival order is not a semantic); the per-source state
+    * is TWO scalars, so state size is O(|sources|) regardless of stream
+    * length — no eviction needed. */
+  def packStream(docs: Dataset[PackDoc], budget: Long): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, it: Iterator[PackDoc], state: GroupState[PackState]) =>
+          var st = if (state.exists) state.get else PackState(0L, 0L)
+          val out = it.toVector.sortBy(_.doc_id).map { d =>
+            var seqNo = st.seqNo
+            var fill = st.fill
+            if (fill > 0L && fill + d.n_chars > budget) { seqNo += 1L; fill = 0L }
+            val off = fill
+            st = PackState(seqNo, fill + d.n_chars)
+            PackAssign(src, d.doc_id, seqNo, off)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

@@ -242,6 +242,35 @@ class StreamingSpec extends SparkSpec {
     assert(last.last.context == "u2: second\nu1: third\nu3: fourth")
   }
 
+  test("q68 streaming twin: pack state carries a partially-filled sequence across batches") {
+    import graft.streaming.{PackAssign, PackDoc}
+    val in = MemoryStream[PackDoc](spark)
+    val out = StreamingOps.packStream(in.toDS(), budget = 100L)
+    val q = out.writeStream.format("memory").queryName("packstream")
+      .outputMode("append").start()
+    // batch 1: doc2 arrives before doc1 — packing must use doc_id order;
+    // seq 0 ends at fill=90 (10 headroom)
+    in.addData(PackDoc("sA", 2L, 50L), PackDoc("sA", 1L, 40L), PackDoc("sB", 1L, 150L))
+    q.processAllAvailable()
+    // batch 2: 10-char doc CONTINUES sA's seq 0 from the checkpointed
+    // fill (offset 90); the next doc overflows into seq 1; sB's
+    // over-budget single doc owns seq 0 and the next one starts seq 1
+    in.addData(PackDoc("sA", 3L, 10L), PackDoc("sA", 4L, 60L), PackDoc("sB", 2L, 30L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("packstream").as[PackAssign].collect()
+      .map(a => (a.source, a.doc_id) -> (a.seq_no, a.offset_chars)).toMap
+    assert(got(("sA", 1L)) == (0L, 0L) && got(("sA", 2L)) == (0L, 40L))
+    assert(got(("sA", 3L)) == (0L, 90L), "cross-batch fill not carried")
+    assert(got(("sA", 4L)) == (1L, 0L))
+    assert(got(("sB", 1L)) == (0L, 0L) && got(("sB", 2L)) == (1L, 0L))
+    // and the two-batch stream equals the batch fold over the full input
+    // in (source, doc_id) order — the backfill/online equivalence
+    val model = Map(
+      ("sA", 1L) -> (0L, 0L), ("sA", 2L) -> (0L, 40L), ("sA", 3L) -> (0L, 90L),
+      ("sA", 4L) -> (1L, 0L), ("sB", 1L) -> (0L, 0L), ("sB", 2L) -> (1L, 0L))
+    assert(got == model)
+  }
+
   test("A2/A3: rolling history is replay-idempotent and tie-order deterministic") {
     val in = MemoryStream[graft.streaming.HistoryMsg](spark)
     val out = StreamingOps.rollingHistory(in.toDS(), k = 5)
