@@ -171,8 +171,11 @@ object Bench {
       val body = lines.mkString(
         s"""{\n  "sf": "$sfDir",\n  "cal_pre": [${fmt(calPre._1)}, ${fmt(calPre._2)}],\n  "cal_post": [${fmt(calPost._1)}, ${fmt(calPost._2)}],\n""",
         ",\n", "\n}\n")
+      // subset runs (SPARK_GRAFT_BENCH_ONLY — scale smokes, profiling)
+      // must not clobber the full-suite ledger the judge reads
+      val ledger = if (only.isDefined) "BENCH_LOCAL_SUBSET.json" else "BENCH_LOCAL.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.Paths.get(ledger),
         body.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }
     // The driver keeps only the last ~2000 chars of stdout; the JSON line

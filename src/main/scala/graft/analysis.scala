@@ -306,7 +306,10 @@ object TextAnalysis {
   private def sqlRe(re: String): String = re.replace("\\", "\\\\")
 
   def piiScrub(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select("doc_id", "text").selectExpr(
+    // three regex redaction passes + three counts per row — fan out the
+    // single-file test scan (Tables.fanOut; no-op at scale)
+    Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select("doc_id", "text").selectExpr(
       "doc_id",
       """concat(text, ' contact user', cast(doc_id as string),
         |'@mail.example.com or +1-555-',
@@ -367,7 +370,11 @@ object TextAnalysis {
   def tfidf(s: SparkSession, d: String): DataFrame = {
     // persisted: feeds both the TF and the DF aggregations — without it
     // the scan + split + explode runs twice (module caching rule)
-    val toks = Tables.documents(s, d)
+    // doc_id fan-out SATISFIES both downstream clusterings — the
+    // (doc_id, term) TF groupBy and the distinct() — so the exchange
+    // replaces the TF shuffle instead of adding one (net zero), while
+    // the explode runs parallel instead of on one scan task
+    val toks = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .transform(Tables.maybePersist)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

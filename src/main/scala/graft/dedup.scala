@@ -197,6 +197,11 @@ object Dedup {
     * pass (a digest instance per partition). */
   private[graft] def signedCorpus(s: SparkSession, corpus: DataFrame): DataFrame = {
     import s.implicits._
+    // NOT fanned out (measured, round 6): q23 gains ~0.1 s from a
+    // parallel signing pass, but the wider persisted frame cascades 32
+    // partitions into every q41/q60 CC-loop round and their per-round
+    // scheduling floor balloons 2.3→4.3 s / 2.6→3.2 s — the signing
+    // loop is shared by both pipelines, so it stays narrow
     corpus.as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -504,6 +509,8 @@ object Dedup {
     * each exact-SimHash cluster (the only shuffle, on the 16-bit key). */
   def simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // not fanned out: the simhash window needs its own exchange anyway
+    // and the added one costs more than the loop saves (measured r6)
     Tables.documents(s, d)
       .selectExpr("doc_id", "split(text, ' ') as toks")
       .as[(Long, Seq[String])]
@@ -532,7 +539,9 @@ object Dedup {
     * to doc 0 by word-3-gram Jaccard (brute force against a single
     * broadcast query row — the verify-stage primitive of q23). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // the interpreted shingle HOF + per-pair set ops are per-row-heavy;
+    // fan out the single-file scan (Tables.fanOut; no-op at scale)
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .selectExpr("doc_id", "split(text, ' ') as toks")
       .selectExpr("doc_id", s"$shinglesExpr as sh")
     val query = docs.filter(col("doc_id") === 0).select(col("sh").as("qsh"))

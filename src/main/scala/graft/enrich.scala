@@ -35,7 +35,9 @@ object Enrich {
     * (frequency desc, token asc), the leading sentence, and a token count —
     * the deterministic "summarize this document" enrichment. */
   def keywordSummary(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // tokenize-explode + lead-sentence split are per-row-heavy on both
+    // consumer branches — fan the single-file scan out (no-op at scale)
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
     val toks = docs
       .selectExpr("doc_id", "explode(split(text, ' ')) as tok")
       .filter(!col("tok").isin(Stopwords: _*) && col("tok") =!= "")

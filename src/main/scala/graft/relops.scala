@@ -44,7 +44,9 @@ object RelOps {
     * averages. Filter reaches parquet (PushedFilters on l_shipdate).
     */
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // the DECIMAL partial aggregation is the dominant per-row cost; the
+    // single-file test scan would run it on one core (Tables.fanOut)
+    val li = Tables.fanOut(Tables.lineitem(s, dir), "l_orderkey")
     li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -305,7 +307,9 @@ object RelOps {
     * route. Per-row expression work + one keyed aggregate shuffle; the
     * variant binary never shuffles (fields are extracted first). */
   def variantPath(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    // JSON re-serialize + variant parse per row dominates; fan the
+    // single-file scan out across cores (Tables.fanOut; no-op at scale)
+    Tables.fanOut(Tables.events(s, dir), "event_id")
       .selectExpr(
         """parse_json(to_json(named_struct(
           |  'u', user_id,
@@ -435,7 +439,8 @@ object RelOps {
     * per-row expression work fused into the scan — schema-on-read costs
     * nothing extra in shuffle terms. */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    // from_json per row before the tiny aggregate — fan out (Tables.fanOut)
+    Tables.fanOut(Tables.events(s, dir), "event_id")
       .selectExpr("event_type", "from_json(props, 'k INT').k as k")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),

@@ -89,7 +89,9 @@ object TextQueries {
     * pre-sort's range exchange is pure overhead: the chains now run
     * straight off the scan with ZERO exchanges. */
   def cleanText(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // 11 regex passes/row dominate — fan the single-file scan out
+    // across cores before the chain (plan-time no-op at scale)
+    Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(id, newsletterBody.as("b"))
       .select(id, TextOps.cleanBodyPlain(col("b")).as("cleaned"))
 
