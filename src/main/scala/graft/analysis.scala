@@ -891,6 +891,74 @@ object TextAnalysis {
        |FROM pack ORDER BY source, doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q69 — line-level dedup with document REBUILD (the C4-style curation
+  // rule "drop any line that occurs in ≥ N documents corpus-wide, keep
+  // the rest of the document"): where q49 only SCORES boilerplate
+  // coverage, this operator produces the cleaned corpus — the actual
+  // output a curation pipeline ships. The fixture builds a 6-line body
+  // per document (same expression both engines): a universal footer
+  // (df = corpus), a 25-variant promo line (df ≫ threshold), a
+  // 200-variant segment line (df straddles the threshold ACROSS SCALES —
+  // kept at sf0.01, dropped at sf0.1, proving the corpus-dependence is
+  // reproduced identically), and three unique text slices.
+  //
+  // Scale shape: doc_id fan-out → posexplode (lines stay doc_id-
+  // partitioned) → line-df aggregate (the only line-keyed exchange;
+  // the ≥N frequent set is the boilerplate itself, tiny → broadcast
+  // LEFT flag-join) → rebuild groupBy(doc_id) REUSES the fan-out
+  // partitioning (no extra exchange). The corpus crosses one keyed
+  // exchange total at any scale.
+  // ---------------------------------------------------------------------
+
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .selectExpr("doc_id",
+        """array(
+          |  'SUBSCRIBE to our newsletter',
+          |  array_join(slice(split(text, ' '), 1, 8), ' '),
+          |  concat('promo-', cast(doc_id % 25 as string)),
+          |  array_join(slice(split(text, ' '), 9, 8), ' '),
+          |  concat('seg-', cast(doc_id % 200 as string)),
+          |  array_join(slice(split(text, ' '), 17, 8), ' ')) as ls"""
+          .stripMargin.replace("\n", " "))
+    // persisted: feeds the line-frequency aggregate AND the rebuild join
+    val lines = docs.selectExpr("doc_id", "posexplode(ls) as (pos, line)")
+      .transform(Tables.maybePersist)
+    val frequent = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 10)
+    lines.join(broadcast(frequent), Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+           sum(when(col("df").isNotNull, 1).otherwise(0)).cast("long").as("n_dropped"),
+           // collect_list skips the nulls the `when` leaves for dropped
+           // lines; array_sort on struct(pos, _) restores document order
+           array_join(transform(array_sort(collect_list(
+             when(col("df").isNull, struct(col("pos"), col("line"))))),
+             x => x.getField("line")), "\n").as("cleaned"))
+  }
+
+  val lineDedupSql: String =
+    """WITH docs AS (SELECT doc_id,
+      |  ['SUBSCRIBE to our newsletter',
+      |   coalesce(array_to_string(string_split(text, ' ')[1:8], ' '), ''),
+      |   'promo-' || (doc_id % 25)::VARCHAR,
+      |   coalesce(array_to_string(string_split(text, ' ')[9:16], ' '), ''),
+      |   'seg-' || (doc_id % 200)::VARCHAR,
+      |   coalesce(array_to_string(string_split(text, ' ')[17:24], ' '), '')] AS ls
+      |  FROM documents),
+      |l AS (SELECT doc_id, i::INT - 1 AS pos, ls[i::INT] AS line
+      |  FROM docs, unnest(range(1, len(ls) + 1)) AS t(i)),
+      |f AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM l
+      |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10)
+      |SELECT l.doc_id, COUNT(*)::BIGINT AS n_lines,
+      |  SUM(CASE WHEN f.df IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+      |  coalesce(array_to_string(list(l.line ORDER BY l.pos)
+      |    FILTER (WHERE f.df IS NULL), chr(10)), '') AS cleaned
+      |FROM l LEFT JOIN f USING (line)
+      |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q49 — boilerplate detection: a 3-gram shingle is "boilerplate" when
   // it appears in ≥ 10 distinct documents; each document reports how much
   // of its shingle set is boilerplate (the repeated-template/footer
@@ -1193,6 +1261,7 @@ object TextAnalysis {
     "q63_contamination" -> ((s, d) => contaminationScore(s, d)),
     "q67_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "q68_sequence_pack" -> ((s, d) => sequencePack(s, d)),
+    "q69_line_dedup" -> ((s, d) => lineDedup(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1220,5 +1289,6 @@ object TextAnalysis {
     "q63_contamination" -> contaminationScoreSql,
     "q67_temperature_mix" -> temperatureMixSql,
     "q68_sequence_pack" -> sequencePackSql,
+    "q69_line_dedup" -> lineDedupSql,
   )
 }

@@ -659,6 +659,37 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q69: line dedup == driver model; planted boilerplate dropped, unique lines kept in order") {
+    val out = TextAnalysis.lineDedup(spark, sf)
+      .select("doc_id", "n_lines", "n_dropped", "cleaned")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // driver model of the same fixture + rule
+    def ls(id: Long, text: String): Seq[String] = {
+      val t = text.split(" ", -1)
+      def sl(from: Int, n: Int) = t.slice(from - 1, from - 1 + n).mkString(" ")
+      Seq("SUBSCRIBE to our newsletter", sl(1, 8), s"promo-${id % 25}",
+          sl(9, 8), s"seg-${id % 200}", sl(17, 8))
+    }
+    val df = docs.flatMap { case (id, tx) => ls(id, tx).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val frequent = df.filter(_._2 >= 10).keySet
+    assert(frequent.contains("SUBSCRIBE to our newsletter"))
+    assert(frequent.exists(_.startsWith("promo-")))
+    val model = docs.map { case (id, tx) =>
+      val all = ls(id, tx)
+      val kept = all.filterNot(frequent)
+      (id, all.size.toLong, (all.size - kept.size).toLong, kept.mkString("\n"))
+    }.sortBy(_._1)
+    assert(out.toSeq == model.toSeq)
+    // every doc lost at least the footer + its promo line
+    assert(out.forall(_._3 >= 2))
+    // and no cleaned doc still contains a frequent line
+    assert(out.forall { case (_, _, _, c) =>
+      c.split("\n", -1).filterNot(_.isEmpty).forall(l => !frequent.contains(l)) })
+  }
+
   test("q67: temperature weights normalize; rates match the driver model; audit consistent") {
     val rows = TextAnalysis.temperatureMix(spark, sf)
       .select("source", "n_docs", "weight", "rate_micro", "n_sampled", "sampled_chars")

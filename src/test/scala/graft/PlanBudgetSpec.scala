@@ -94,5 +94,11 @@ object PlanBudgetSpec {
     "q67_temperature_mix" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
     // q68: ONE hash-repartition on source; the pack fold is narrow
     "q68_sequence_pack" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // q69: ONE visible exchange — the line-df aggregate (its partial
+    // distinct phase is satisfied by the doc_id partitioning, and the
+    // rebuild reuses it too; the fan-out sits inside the persisted
+    // lines frame's build). Frequent set broadcasts; 2 scans = file +
+    // in-memory lines frame.
+    "q69_line_dedup" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
   )
 }
