@@ -72,7 +72,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=false: experiment knob — the CC loops re-plan
+      // under AQE every round, so the per-round floor can be attributed
+      // (environment yardstick protocol, SURVEY §8). Default on.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     // ERROR, not WARN: the between-query unpersist of locally-checkpointed
     // RDDs emits a WARN per block, and at 63 queries that spam can push the
