@@ -767,14 +767,18 @@ object TextAnalysis {
   // source-keyed audit aggregate. The corpus itself never shuffles.
   // ---------------------------------------------------------------------
 
-  def temperatureMix(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val stats = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+  /** The q67 rate table — (source, w, keep_micro), |sources| rows. Also
+    * the static side of the streaming twin ([[graft.streaming
+    * .StreamingOps.mixStream]]): a rate table computed in batch joins
+    * the live stream as a broadcast. */
+  private[graft] def temperatureRates(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .selectExpr("source", "n_docs",
         "cast(floor(sqrt(cast(n_docs as double)) * 1e6 + 0.5) as bigint) as q")
     val totals = stats.agg(
       sum(col("q")).as("q_total"), sum(col("n_docs")).as("docs_total"))
-    val rates = stats.crossJoin(broadcast(totals))
+    stats.crossJoin(broadcast(totals))
       .selectExpr("source",
         "cast(q as double) / cast(q_total as double) as w",
         // rate = min(1, w·N/n): (w * N) first, then / n — the oracle
@@ -785,8 +789,19 @@ object TextAnalysis {
           |  / cast(n_docs as double)) as rate""".stripMargin.replace("\n", " "))
       .selectExpr("source", "w",
         "cast(floor(rate * 1e6 + 0.5) as bigint) as keep_micro")
-    val bucket =
-      "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000"
+  }
+
+  /** The q51/q67 deterministic keep predicate: md5-bucket(doc_id) under
+    * the source's threshold. Pure expression — identical decision on any
+    * cluster size, any re-run, and any REPLAY (the property an
+    * at-least-once streaming ingest needs). */
+  private[graft] val keepBucketSql: String =
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000"
+
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val rates = temperatureRates(s, d)
+    val bucket = keepBucketSql
     docs.join(broadcast(rates), Seq("source"))
       .selectExpr("source", "n_chars", "w", "keep_micro",
         s"case when $bucket < keep_micro then 1 else 0 end as kept")

@@ -311,6 +311,19 @@ object StreamingOps {
       }
   }
 
+  /** Streaming twin of q67 (temperature source mixing): the rate table —
+    * computed in batch over corpus stats (TextAnalysis.temperatureRates),
+    * tiny by definition — joins the live document stream as a BROADCAST
+    * static frame, and the keep/drop decision is the same deterministic
+    * md5-bucket predicate. Statelessness is the point: a replayed
+    * micro-batch (at-least-once delivery) makes byte-identical keep
+    * decisions, so the sampled stream is replay-idempotent with no
+    * dedup state. */
+  def mixStream(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(expr(s"${graft.TextAnalysis.keepBucketSql} < keep_micro"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+
   /** Streaming twin of q68 (greedy sequence packing): the next-fit fold
     * as keyed state — (seq_no, fill) per source carries ACROSS
     * micro-batches, so a partially-filled training sequence is continued

@@ -242,6 +242,34 @@ class StreamingSpec extends SparkSpec {
     assert(last.last.context == "u2: second\nu1: third\nu3: fourth")
   }
 
+  test("q67 streaming twin: broadcast rate table samples the stream; replay makes identical decisions") {
+    val in = MemoryStream[(Long, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "source")
+    val rates = Seq(("sA", 1000000L), ("sB", 500000L), ("sC", 0L))
+      .toDF("source", "keep_micro")
+    val q = StreamingOps.mixStream(docs, rates)
+      .writeStream.format("memory").queryName("mixstream")
+      .outputMode("append").start()
+    val batch = (0L until 40L).map(id => (id, Seq("sA", "sB", "sC")(id.toInt % 3)))
+    in.addData(batch: _*)
+    q.processAllAvailable()
+    val first = spark.table("mixstream").as[(Long, String)].collect().toSeq
+    // batch model: same join+filter over a static frame
+    val model = StreamingOps.mixStream(batch.toDF("doc_id", "source"), rates)
+      .as[(Long, String)].collect().toSeq
+    assert(first.sorted == model.sorted)
+    // rate semantics: all of sA survives, none of sC
+    assert(first.count(_._2 == "sA") == batch.count(_._2 == "sA"))
+    assert(!first.exists(_._2 == "sC"))
+    assert(first.count(_._2 == "sB") < batch.count(_._2 == "sB"))
+    // at-least-once replay: redelivering the SAME batch appends exactly
+    // the same keep set again (deterministic decisions, no flapping)
+    in.addData(batch: _*)
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("mixstream").as[(Long, String)].collect().toSeq
+    assert(all.sorted == (first ++ first).sorted)
+  }
+
   test("q68 streaming twin: pack state carries a partially-filled sequence across batches") {
     import graft.streaming.{PackAssign, PackDoc}
     val in = MemoryStream[PackDoc](spark)
