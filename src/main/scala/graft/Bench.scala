@@ -74,9 +74,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // SPARK_GRAFT_AQE=false: experiment knob — the CC loops re-plan
       // under AQE every round, so the per-round floor can be attributed
-      // (environment yardstick protocol, SURVEY §8). Default on.
+      // (environment yardstick protocol, SURVEY §8). Default on; only
+      // the literal "false" disables (any other value must not crash
+      // the session builder with a non-boolean string).
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        (!sys.env.get("SPARK_GRAFT_AQE").map(_.trim.toLowerCase)
+          .contains("false")).toString)
       .getOrCreate()
     // ERROR, not WARN: the between-query unpersist of locally-checkpointed
     // RDDs emits a WARN per block, and at 63 queries that spam can push the

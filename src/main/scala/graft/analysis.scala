@@ -719,8 +719,7 @@ object TextAnalysis {
   private val mixDefault = 100000L
 
   def sourceMix(s: SparkSession, d: String): DataFrame = {
-    val bucket =
-      "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000"
+    val bucket = keepBucketSql // ONE definition shared with q67/mixStream
     val thresh = mixRates.map { case (src, r) => s"WHEN source = '$src' THEN ${r}L" }
       .mkString("CASE ", " ", s" ELSE ${mixDefault}L END")
     Tables.documents(s, d)
@@ -772,10 +771,14 @@ object TextAnalysis {
     * .StreamingOps.mixStream]]): a rate table computed in batch joins
     * the live stream as a broadcast. */
   private[graft] def temperatureRates(s: SparkSession, d: String): DataFrame = {
+    // persisted: |sources| rows feeding TWO consumers (the totals agg
+    // and the crossJoin) — without it the corpus scan + source
+    // aggregate runs twice (module caching rule, cf. tfidf's toks)
     val stats = Tables.documents(s, d)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .selectExpr("source", "n_docs",
         "cast(floor(sqrt(cast(n_docs as double)) * 1e6 + 0.5) as bigint) as q")
+      .transform(Tables.maybePersist)
     val totals = stats.agg(
       sum(col("q")).as("q_total"), sum(col("n_docs")).as("docs_total"))
     stats.crossJoin(broadcast(totals))

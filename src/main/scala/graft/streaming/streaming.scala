@@ -14,14 +14,16 @@ case class ThreadEvent(channel: String, ts: Timestamp, thread_ts: Option[String]
 case class ThreadSeen(thread_key: String, first_ts: Timestamp)
 private[streaming] case class SeenState(firstTsMs: Long)
 
+/** Input/output/state rows for [[StreamingOps.packStream]] (q68's twin).
+  * `maxDocId` guards the fold against SOURCE-level duplicate delivery —
+  * the same contract HistoryMsg meets with id-dedup. */
+case class PackDoc(source: String, doc_id: Long, n_chars: Long)
+case class PackAssign(source: String, doc_id: Long, seq_no: Long, offset_chars: Long)
+private[streaming] case class PackState(seqNo: Long, fill: Long, maxDocId: Long)
+
 /** One history message for A2/A3 rolling context. `id` is the message's
   * unique identity (Slack ts string / Kafka offset) — state inserts dedup
   * on it so at-least-once replays are idempotent. */
-/** Input/output/state rows for [[StreamingOps.packStream]] (q68's twin). */
-case class PackDoc(source: String, doc_id: Long, n_chars: Long)
-case class PackAssign(source: String, doc_id: Long, seq_no: Long, offset_chars: Long)
-private[streaming] case class PackState(seqNo: Long, fill: Long)
-
 case class HistoryMsg(key: String, tsMs: Long, id: String, user: String, text: String)
 /** Rolling context emitted per key update. */
 case class HistoryContext(key: String, context: String, n_msgs: Int)
@@ -318,9 +320,18 @@ object StreamingOps {
     * md5-bucket predicate. Statelessness is the point: a replayed
     * micro-batch (at-least-once delivery) makes byte-identical keep
     * decisions, so the sampled stream is replay-idempotent with no
-    * dedup state. */
-  def mixStream(docs: DataFrame, rates: DataFrame): DataFrame =
-    docs.join(broadcast(rates), Seq("source"))
+    * dedup state.
+    *
+    * Sources MISSING from the rate table (they appeared on the stream
+    * after the batch stats ran) are NOT silently dropped — an inner
+    * join would discard them with no audit trail. They take
+    * `defaultKeepMicro`, the same explicit-default shape as q51's
+    * CASE ... ELSE rate. */
+  def mixStream(docs: DataFrame, rates: DataFrame,
+                defaultKeepMicro: Long = 0L): DataFrame =
+    docs.join(broadcast(rates), Seq("source"), "left")
+      .withColumn("keep_micro",
+        coalesce(col("keep_micro"), lit(defaultKeepMicro)))
       .filter(expr(s"${graft.TextAnalysis.keepBucketSql} < keep_micro"))
       .select(docs.columns.map(col).toIndexedSeq: _*)
 
@@ -332,8 +343,19 @@ object StreamingOps {
     * form of the same fold, TextAnalysis.sequencePack). Within a batch,
     * documents pack in doc_id order (sorted in the group iterator —
     * micro-batch arrival order is not a semantic); the per-source state
-    * is TWO scalars, so state size is O(|sources|) regardless of stream
-    * length — no eviction needed. */
+    * is THREE scalars, so state size is O(|sources|) regardless of
+    * stream length — no eviction needed.
+    *
+    * Delivery semantics: ENGINE replays are consistent for free (the
+    * state store versions per micro-batch; a failed batch retries from
+    * the uncommitted snapshot and re-emits identical rows for an
+    * idempotent sink). SOURCE-level duplicates would double-fold the
+    * fill, so state carries `maxDocId` and docs at or below it are
+    * dropped — the HistoryMsg id-dedup contract. Flip side: ordered
+    * ingest is required; a doc arriving with a LOWER id than one
+    * already packed for its source reads as a duplicate. Late
+    * stragglers belong to the batch/backfill form, not the online
+    * fold. */
   def packStream(docs: Dataset[PackDoc], budget: Long): Dataset[PackAssign] = {
     import docs.sparkSession.implicits._
     docs
@@ -341,15 +363,17 @@ object StreamingOps {
       .flatMapGroupsWithState[PackState, PackAssign](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (src: String, it: Iterator[PackDoc], state: GroupState[PackState]) =>
-          var st = if (state.exists) state.get else PackState(0L, 0L)
-          val out = it.toVector.sortBy(_.doc_id).map { d =>
-            var seqNo = st.seqNo
-            var fill = st.fill
-            if (fill > 0L && fill + d.n_chars > budget) { seqNo += 1L; fill = 0L }
-            val off = fill
-            st = PackState(seqNo, fill + d.n_chars)
-            PackAssign(src, d.doc_id, seqNo, off)
-          }
+          var st = if (state.exists) state.get else PackState(0L, 0L, Long.MinValue)
+          val out = it.toVector.sortBy(_.doc_id)
+            .filter(_.doc_id > st.maxDocId) // source-duplicate guard
+            .map { d =>
+              var seqNo = st.seqNo
+              var fill = st.fill
+              if (fill > 0L && fill + d.n_chars > budget) { seqNo += 1L; fill = 0L }
+              val off = fill
+              st = PackState(seqNo, fill + d.n_chars, d.doc_id)
+              PackAssign(src, d.doc_id, seqNo, off)
+            }
           state.update(st)
           out.iterator
       }

@@ -86,8 +86,11 @@ object TextQueries {
     * measured q09 1.33s → 0.70s). The correctness gate canonicalizes
     * rows before comparing (row-order-insensitive; see RelOps header),
     * and every value in these queries is row-local, so even the
-    * pre-sort's range exchange is pure overhead: the chains now run
-    * straight off the scan with ZERO exchanges. */
+    * pre-sort's range exchange is pure overhead: the chains run with no
+    * ordering exchange at all. (q09 additionally carries the gated
+    * Tables.fanOut hash exchange — PlanBudgetSpec pins shuffles=1 —
+    * because its 11-pass regex chain on a one-task test scan was
+    * single-core; the gate is a no-op at production file counts.) */
   def cleanText(s: SparkSession, d: String): DataFrame =
     // 11 regex passes/row dominate — fan the single-file scan out
     // across cores before the chain (plan-time no-op at scale)

@@ -88,10 +88,11 @@ object PlanBudgetSpec {
     "q63_contamination" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     "q65_approx_distinct" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     "q66_bloom_decontaminate" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
-    // q67: stats pass (1 keyed + 1 global agg exchange) + tiny rate build
-    // (broadcast ×2: totals into the crossJoin, rates into the corpus
-    // join) + audit aggregate; corpus scanned twice, never reshuffled
-    "q67_temperature_mix" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
+    // q67: stats persists (|sources| rows, 2 consumers) so the corpus
+    // aggregates ONCE; visible exchanges = stats agg + audit agg; tiny
+    // rate build broadcasts twice (totals → crossJoin, rates → corpus
+    // join); 3 scans = file ×2 (stats build + sampling pass) + memory
+    "q67_temperature_mix" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
     // q68: ONE hash-repartition on source; the pack fold is narrow
     "q68_sequence_pack" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     // q69: ONE visible exchange — the line-df aggregate (its partial

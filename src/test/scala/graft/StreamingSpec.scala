@@ -268,6 +268,13 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val all = spark.table("mixstream").as[(Long, String)].collect().toSeq
     assert(all.sorted == (first ++ first).sorted)
+    // a source MISSING from the rate table is not silently dropped: it
+    // takes the explicit default (0 here → dropped BY POLICY; a
+    // nonzero default keeps its hash share)
+    val unknown = Seq((1000L, "sNEW"), (1001L, "sNEW")).toDF("doc_id", "source")
+    assert(StreamingOps.mixStream(unknown, rates).count() == 0)
+    assert(StreamingOps.mixStream(unknown, rates, defaultKeepMicro = 1000000L)
+      .count() == 2)
   }
 
   test("q68 streaming twin: pack state carries a partially-filled sequence across batches") {
