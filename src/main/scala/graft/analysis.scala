@@ -247,10 +247,20 @@ object TextAnalysis {
     "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
 
   def splitAssign(s: SparkSession, d: String): DataFrame =
+    // NO fanOut — the aggregate-first exception (q22/q07) applies: at
+    // test scale the pre-aggregate per-row work is 5 000 md5s
+    // (microseconds), so q34's time is the 2-stage scheduling floor, and
+    // an added exchange buys nothing (r7 A/B min-of-7: 0.383 s with
+    // fan-out vs 0.401 s without — inside each other's spread). The r6
+    // 0.176→0.398 s delta was host stage-overhead variance, not
+    // de-parallelization. The bucket is projected ONCE (a CASE
+    // referencing $bucketCol twice would md5 every row twice — Catalyst
+    // does not CSE across WHEN branches).
     Tables.documents(s, d)
+      .selectExpr("lang", "n_chars", s"$bucketCol as bucket")
       .selectExpr("lang", "n_chars",
-        s"""CASE WHEN $bucketCol < 80 THEN 'train'
-           |WHEN $bucketCol < 90 THEN 'val' ELSE 'test' END as split"""
+        """CASE WHEN bucket < 80 THEN 'train'
+          |WHEN bucket < 90 THEN 'val' ELSE 'test' END as split"""
           .stripMargin.replace("\n", " "))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))

@@ -326,14 +326,24 @@ object StreamingOps {
     * after the batch stats ran) are NOT silently dropped — an inner
     * join would discard them with no audit trail. They take
     * `defaultKeepMicro`, the same explicit-default shape as q51's
-    * CASE ... ELSE rate. */
+    * CASE ... ELSE rate.
+    *
+    * The rate table's columns are renamed to the reserved
+    * `__graft_mix_*` prefix before the join: a stream frame that itself
+    * carries a `keep_micro` or `w` column would otherwise hit an
+    * ambiguous-reference AnalysisException (or be silently overwritten
+    * by the withColumn). Only the reserved prefix is off-limits to
+    * callers. */
   def mixStream(docs: DataFrame, rates: DataFrame,
-                defaultKeepMicro: Long = 0L): DataFrame =
-    docs.join(broadcast(rates), Seq("source"), "left")
-      .withColumn("keep_micro",
-        coalesce(col("keep_micro"), lit(defaultKeepMicro)))
-      .filter(expr(s"${graft.TextAnalysis.keepBucketSql} < keep_micro"))
+                defaultKeepMicro: Long = 0L): DataFrame = {
+    val r = broadcast(rates.select(
+      col("source").as("__graft_mix_source"),
+      col("keep_micro").as("__graft_mix_keep")))
+    docs.join(r, col("source") === col("__graft_mix_source"), "left")
+      .filter(expr(s"${graft.TextAnalysis.keepBucketSql} < " +
+        s"coalesce(__graft_mix_keep, ${defaultKeepMicro}L)"))
       .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** Streaming twin of q68 (greedy sequence packing): the next-fit fold
     * as keyed state — (seq_no, fill) per source carries ACROSS
@@ -364,8 +374,15 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (src: String, it: Iterator[PackDoc], state: GroupState[PackState]) =>
           var st = if (state.exists) state.get else PackState(0L, 0L, Long.MinValue)
+          // source-duplicate guard, BOTH halves of the HistoryMsg
+          // id-dedup contract: maxDocId drops cross-batch redeliveries,
+          // distinctBy drops same-batch ones (sorted first, so the first
+          // occurrence is kept) — without it a doc delivered twice in
+          // one micro-batch double-counts its n_chars into `fill` and
+          // corrupts every later offset for the source.
           val out = it.toVector.sortBy(_.doc_id)
-            .filter(_.doc_id > st.maxDocId) // source-duplicate guard
+            .distinctBy(_.doc_id)
+            .filter(_.doc_id > st.maxDocId)
             .map { d =>
               var seqNo = st.seqNo
               var fill = st.fill

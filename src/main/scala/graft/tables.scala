@@ -66,7 +66,29 @@ object Tables {
     if (s.conf.get("spark.graft.fanout", "auto") == "off") df
     else {
       val cores = s.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key)) else df
+      // Decide from the PLANNED physical tree, never df.rdd: under AQE,
+      // .rdd finalizes the adaptive plan and eagerly EXECUTES any
+      // upstream exchange stages as a side effect of merely probing the
+      // partition count. sparkPlan (pre-AQE, pre-EnsureRequirements) is
+      // inspectable for free: an explicit repartition is already a
+      // ShuffleExchange there, and a raw scan's split count comes from
+      // the lazily-built FileScanRDD (driver-side file listing only, no
+      // job). Inputs that already contain an exchange redistributed
+      // deliberately — pass them through untouched.
+      val plan = df.queryExecution.sparkPlan
+      val hasExchange = plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      if (hasExchange) df
+      else {
+        val planned = plan.collectLeaves().map {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.inputRDD.getNumPartitions
+          // narrow non-file leaf (local/in-memory relation): building the
+          // RDD lineage runs nothing when the plan holds no exchange
+          case _ => df.rdd.getNumPartitions
+        }.maxOption.getOrElse(0)
+        if (planned < cores) df.repartition(cores, col(key)) else df
+      }
     }
   }
 

@@ -136,7 +136,11 @@ object TextQueries {
     val qp = concat(
       regexp_replace(regexp_replace(col("text"), "a", "=61"), "e", "=65"),
       lit("=3D=20caf=C3=A9"), lit("=\n"), lit("end"))
-    Tables.documents(s, d)
+    // per-row regex×2 + UDF chain with no natural exchange: spread the
+    // single-file test scan (Tables.fanOut; no-op at scale). r6's
+    // presentation-sort removal dropped the incidental range exchange
+    // that had been providing this parallelism (0.267→1.374 s).
+    Tables.fanOut(Tables.documents(s, d), "doc_id")
       .select(id, qp.as("q"))
       .select(id, Serde.quotedPrintableDecode(col("q")).as("decoded"))
   }

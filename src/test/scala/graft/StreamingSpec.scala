@@ -306,6 +306,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == model)
   }
 
+  test("q68 streaming twin: a doc redelivered WITHIN one micro-batch packs once") {
+    // the r6 ADVICE gap: maxDocId only guards against CROSS-batch
+    // redelivery; a same-batch duplicate must not double-count n_chars
+    // into the fill or emit a second PackAssign row
+    import graft.streaming.{PackAssign, PackDoc}
+    val in = MemoryStream[PackDoc](spark)
+    val out = StreamingOps.packStream(in.toDS(), budget = 100L)
+    val q = out.writeStream.format("memory").queryName("packdupe")
+      .outputMode("append").start()
+    // doc 1 delivered TWICE in the same batch (at-least-once source)
+    in.addData(PackDoc("sA", 1L, 40L), PackDoc("sA", 1L, 40L), PackDoc("sA", 2L, 50L))
+    q.processAllAvailable()
+    // cross-batch redelivery of both, plus one genuinely new doc: had the
+    // duplicate folded, fill would sit at 130 and doc 3 would start seq 1
+    // at offset 0 instead of continuing seq 0 at 90
+    in.addData(PackDoc("sA", 2L, 50L), PackDoc("sA", 1L, 40L), PackDoc("sA", 3L, 10L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("packdupe").as[PackAssign].collect()
+    assert(rows.length == 3, s"duplicate emitted an extra assignment: ${rows.toSeq}")
+    val got = rows.map(a => (a.source, a.doc_id) -> (a.seq_no, a.offset_chars)).toMap
+    assert(got == Map(
+      ("sA", 1L) -> (0L, 0L), ("sA", 2L) -> (0L, 40L), ("sA", 3L) -> (0L, 90L)))
+  }
+
+  test("q67 streaming twin: a stream carrying its own keep_micro/w columns still mixes") {
+    // the r6 ADVICE gap: the rate table's column names must not be able
+    // to collide with the stream frame's own columns (ambiguous-reference
+    // AnalysisException / silent overwrite); rates now join under the
+    // reserved __graft_mix_* names
+    val docs = Seq((0L, "sA", 123L, 0.5), (1L, "sA", 456L, 0.7))
+      .toDF("doc_id", "source", "keep_micro", "w")
+    val rates = Seq(("sA", 1000000L)).toDF("source", "keep_micro")
+    val out = StreamingOps.mixStream(docs, rates)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "keep_micro", "w"))
+    // full keep rate → both rows survive, the stream's OWN keep_micro/w
+    // values pass through untouched
+    val got = out.as[(Long, String, Long, Double)].collect().toSet
+    assert(got == Set((0L, "sA", 123L, 0.5), (1L, "sA", 456L, 0.7)))
+  }
+
   test("A2/A3: rolling history is replay-idempotent and tie-order deterministic") {
     val in = MemoryStream[graft.streaming.HistoryMsg](spark)
     val out = StreamingOps.rollingHistory(in.toDS(), k = 5)
