@@ -21,6 +21,18 @@ case class PackDoc(source: String, doc_id: Long, n_chars: Long)
 case class PackAssign(source: String, doc_id: Long, seq_no: Long, offset_chars: Long)
 private[streaming] case class PackState(seqNo: Long, fill: Long, maxDocId: Long)
 
+/** Input/output/state rows for [[StreamingOps.frequentLines]] (q69's
+  * twin). One occurrence of `line` in document `doc_id`; the state is
+  * TWO scalars per distinct line (running document frequency + the
+  * highest doc_id counted), so state size is O(|distinct lines|) with
+  * O(1) bytes per line — never O(corpus). */
+case class LineOcc(line: String, doc_id: Long)
+/** Emitted ONCE, in the micro-batch where `line`'s accumulated document
+  * frequency first reaches the threshold. `df` is the count at crossing
+  * time (≥ threshold; can exceed it when one batch jumps the bar). */
+case class FrequentLine(line: String, df: Long)
+private[streaming] case class LineFreqState(df: Long, maxDocId: Long)
+
 /** One history message for A2/A3 rolling context. `id` is the message's
   * unique identity (Slack ts string / Kafka offset) — state inserts dedup
   * on it so at-least-once replays are idempotent. */
@@ -393,6 +405,51 @@ object StreamingOps {
             }
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** Streaming twin of q69 (line-level dedup): the frequent-line set —
+    * computed in batch as one corpus-wide aggregate
+    * (TextAnalysis.lineDedup) — learned ONLINE as keyed state, so a
+    * continuously-ingesting curation pipeline discovers boilerplate as
+    * it crosses the ≥threshold document-frequency bar instead of
+    * waiting for a backfill. Grouping key is the line itself; the state
+    * per distinct line is TWO scalars (running df + highest doc_id
+    * counted), and a line is EMITTED exactly once, in the micro-batch
+    * where its accumulated df first reaches `threshold` (Append mode —
+    * downstream, the growing frequent set is the q67-style broadcast
+    * side that cleans the document stream; the batch rebuild is the
+    * backfill form over the same set).
+    *
+    * Cross-batch accumulation is the point: a line seen by 6 documents
+    * in one batch and 4 in a later one crosses a threshold of 10 at the
+    * second batch. Delivery semantics match packStream: df counts
+    * DISTINCT documents under at-least-once delivery via the id-dedup
+    * contract — same-batch duplicates collapse (distinct), cross-batch
+    * redeliveries drop against `maxDocId` (ordered ingest by doc_id,
+    * like packStream; late stragglers belong to the batch form).
+    *
+    * At scale the state store shards by line hash across executors —
+    * the same one-keyed-exchange shape as the batch aggregate, with
+    * RocksDB state for corpora whose distinct-line set exceeds memory. */
+  def frequentLines(occs: Dataset[LineOcc], threshold: Long): Dataset[FrequentLine] = {
+    import occs.sparkSession.implicits._
+    occs
+      .groupByKey(_.line)
+      .flatMapGroupsWithState[LineFreqState, FrequentLine](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (line: String, it: Iterator[LineOcc], state: GroupState[LineFreqState]) =>
+          val st = if (state.exists) state.get else LineFreqState(0L, Long.MinValue)
+          val fresh = it.map(_.doc_id).toVector.distinct.sorted
+            .filter(_ > st.maxDocId)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val next = LineFreqState(st.df + fresh.size, fresh.last)
+            state.update(next)
+            if (st.df < threshold && next.df >= threshold)
+              Iterator.single(FrequentLine(line, next.df))
+            else Iterator.empty
+          }
       }
   }
 

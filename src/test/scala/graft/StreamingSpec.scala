@@ -346,6 +346,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((0L, "sA", 123L, 0.5), (1L, "sA", 456L, 0.7)))
   }
 
+  test("q69 streaming twin: frequent-line state accumulates df across batches, equals the batch rule") {
+    import graft.streaming.{FrequentLine, LineOcc}
+    val in = MemoryStream[LineOcc](spark)
+    val out = StreamingOps.frequentLines(in.toDS(), threshold = 4L)
+    val q = out.writeStream.format("memory").queryName("freqlines")
+      .outputMode("append").start()
+    // batch 1: "footer" in docs 1-3 (df 3, under the bar), "promo" in
+    // docs 1-2; footer@2 delivered TWICE in the batch (at-least-once
+    // source) — must count once
+    in.addData(
+      LineOcc("footer", 1L), LineOcc("footer", 2L), LineOcc("footer", 2L),
+      LineOcc("footer", 3L),
+      LineOcc("promo", 1L), LineOcc("promo", 2L),
+      LineOcc("unique-a", 1L))
+    q.processAllAvailable()
+    assert(spark.table("freqlines").as[FrequentLine].collect().isEmpty,
+      "nothing reaches df>=4 in batch 1")
+    // batch 2: footer crosses via ONE genuinely new doc — the crossing
+    // only happens if batch 1's count carried (cross-batch
+    // accumulation); its doc 2 redelivery must not inflate df. promo
+    // jumps 2 -> 5 inside one batch.
+    in.addData(
+      LineOcc("footer", 2L), LineOcc("footer", 4L),
+      LineOcc("promo", 3L), LineOcc("promo", 4L), LineOcc("promo", 5L),
+      LineOcc("unique-b", 4L))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("freqlines").as[FrequentLine].collect().toSeq
+    assert(emitted.map(_.line).sorted == Seq("footer", "promo"),
+      s"each frequent line emitted exactly once: $emitted")
+    assert(emitted.find(_.line == "footer").get.df == 4L,
+      "cross-batch redelivery of doc 2 double-counted")
+    assert(emitted.find(_.line == "promo").get.df == 5L)
+    // batch-rule equivalence: the stream-learned frequent set == the
+    // q69 batch aggregate (COUNT(DISTINCT doc_id) >= N) over everything
+    // the stream delivered, duplicates included
+    val delivered = Seq(
+      ("footer", 1L), ("footer", 2L), ("footer", 2L), ("footer", 3L),
+      ("footer", 2L), ("footer", 4L),
+      ("promo", 1L), ("promo", 2L), ("promo", 3L), ("promo", 4L), ("promo", 5L),
+      ("unique-a", 1L), ("unique-b", 4L)).toDF("line", "doc_id")
+    val model = delivered.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 4).select("line").as[String].collect().toSet
+    assert(emitted.map(_.line).toSet == model)
+  }
+
   test("A2/A3: rolling history is replay-idempotent and tie-order deterministic") {
     val in = MemoryStream[graft.streaming.HistoryMsg](spark)
     val out = StreamingOps.rollingHistory(in.toDS(), k = 5)
