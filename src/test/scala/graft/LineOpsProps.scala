@@ -3,9 +3,16 @@ package graft
 import org.scalacheck.{Gen, Prop, Properties}
 
 /** ScalaCheck properties over the JS-faithful models (SURVEY.md §5).
-  * The models are proven equal to both Spark routes in LineOpsSpec, so
-  * these invariants transfer to the Spark implementations. */
+  * The models are proven equal to both Spark routes in LineOpsSpec
+  * (including a 10k-body single-pass differential), so these invariants
+  * transfer to the Spark implementations. Driven at 10 000 cases per
+  * property — the models are pure string folds, so the full run stays
+  * in seconds while covering the branch space far past the default 100. */
 object LineOpsProps extends Properties("LineOps") {
+
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10000)
 
   private val genLine: Gen[String] = Gen.frequency(
     2 -> Gen.const(""),

@@ -85,6 +85,26 @@ class LineOpsSpec extends SparkSpec {
     }
   }
 
+  test("W1/W2: 10k-body randomized differential — Spark routes == JS models") {
+    // the r6 stretch goal: the 200-body corpus above proves route
+    // equality on every branch; this drives the same differential at
+    // 10 000 random bodies in ONE DataFrame pass per route (batching is
+    // what makes 10k cases affordable — per-case Spark jobs would not be)
+    val big = LineCorpus.bodies(10000, seed = 1337)
+    val df = big.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("doc_id", "body")
+    val hof = df.select(col("doc_id"), LineOps.hyperlinkHeadingsHof("body").as("b"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(hof.toSeq == big.map(LineModels.hyperlink))
+    val win = LineOps.hyperlinkHeadingsWindowed(df, "doc_id", "body")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(win.toSeq == big.map(LineModels.hyperlink))
+    for (maxLen <- Seq(17, 120)) {
+      val got = df.select(col("doc_id"), LineOps.chunkBlocks("body", maxLen).as("c"))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1).toVector)
+      assert(got.toSeq == big.map(LineModels.chunk(_, maxLen)))
+    }
+  }
+
   test("W2 quirk: oversized first line pushes an empty block (reference-faithful)") {
     assert(LineModels.chunk("x" * 50, 10) == Vector("", "x" * 50))
   }
