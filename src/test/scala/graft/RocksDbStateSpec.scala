@@ -89,6 +89,43 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("q68 packStream (cross-batch fill carry) runs on RocksDB") {
+    withRocksDb {
+      import graft.streaming.{PackAssign, PackDoc}
+      val in = MemoryStream[PackDoc](spark)
+      val out = StreamingOps.packStream(in.toDS(), budget = 100L)
+      val q = out.writeStream.format("memory").queryName("rocks_pack")
+        .outputMode("append").start()
+      in.addData(PackDoc("sA", 1L, 40L), PackDoc("sA", 2L, 50L))
+      q.processAllAvailable()
+      // the carried (seq_no, fill) state must round-trip through RocksDB:
+      // doc 3 continues seq 0 at offset 90, doc 4 overflows into seq 1
+      in.addData(PackDoc("sA", 3L, 10L), PackDoc("sA", 4L, 60L))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocks_pack").as[PackAssign].collect()
+        .map(a => a.doc_id -> (a.seq_no, a.offset_chars)).toMap
+      assert(got == Map(1L -> (0L, 0L), 2L -> (0L, 40L),
+                        3L -> (0L, 90L), 4L -> (1L, 0L)))
+    }
+  }
+
+  test("q69 frequentLines (cross-batch df accumulation) runs on RocksDB") {
+    withRocksDb {
+      import graft.streaming.{FrequentLine, LineOcc}
+      val in = MemoryStream[LineOcc](spark)
+      val out = StreamingOps.frequentLines(in.toDS(), threshold = 3L)
+      val q = out.writeStream.format("memory").queryName("rocks_freq")
+        .outputMode("append").start()
+      in.addData(LineOcc("footer", 1L), LineOcc("footer", 2L), LineOcc("solo", 1L))
+      q.processAllAvailable()
+      // df=2 persisted in RocksDB; one more distinct doc crosses the bar
+      in.addData(LineOcc("footer", 3L))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocks_freq").as[FrequentLine].collect().toSeq
+      assert(got == Seq(FrequentLine("footer", 3L)))
+    }
+  }
+
   test("stream-stream click/purchase join (watermark-bounded state) runs on RocksDB") {
     withRocksDb {
       val cIn = MemoryStream[(Long, Timestamp, Long)](spark)
