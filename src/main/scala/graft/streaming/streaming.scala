@@ -431,22 +431,43 @@ object StreamingOps {
     *
     * At scale the state store shards by line hash across executors —
     * the same one-keyed-exchange shape as the batch aggregate, with
-    * RocksDB state for corpora whose distinct-line set exceeds memory. */
-  def frequentLines(occs: Dataset[LineOcc], threshold: Long): Dataset[FrequentLine] = {
+    * RocksDB state for corpora whose distinct-line set exceeds memory.
+    *
+    * State BOUNDING: with the default `idleTtlMillis = 0` state is
+    * O(|distinct lines ever seen|) — exact, but unbounded on an
+    * unbounded stream. A positive TTL evicts any line not sighted for
+    * that long (processing-time timeout; each sighting refreshes it),
+    * making state O(|lines active within one TTL window|) — and df a
+    * recency-bounded LOWER bound of the true corpus df. The direction
+    * of error is the safe one for boilerplate detection: genuinely
+    * recurring boilerplate re-sights within any reasonable TTL and
+    * still crosses; a rare line can only be under-counted, i.e. KEPT —
+    * the same conservative direction as the bloom decontaminator's
+    * no-false-negative contract (there for drops, here for keeps). */
+  def frequentLines(occs: Dataset[LineOcc], threshold: Long,
+                    idleTtlMillis: Long = 0L): Dataset[FrequentLine] = {
     import occs.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtlMillis > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     occs
       .groupByKey(_.line)
       .flatMapGroupsWithState[LineFreqState, FrequentLine](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (line: String, it: Iterator[LineOcc], state: GroupState[LineFreqState]) =>
-          val st = if (state.exists) state.get else LineFreqState(0L, Long.MinValue)
-          val fresh = it.map(_.doc_id).toVector.distinct.sorted
-            .filter(_ > st.maxDocId)
-          if (fresh.isEmpty) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val next = LineFreqState(st.df + fresh.size, fresh.last)
-            state.update(next)
-            if (st.df < threshold && next.df >= threshold)
+            val st = if (state.exists) state.get else LineFreqState(0L, Long.MinValue)
+            val fresh = it.map(_.doc_id).toVector.distinct.sorted
+              .filter(_ > st.maxDocId)
+            val next =
+              if (fresh.isEmpty) st else LineFreqState(st.df + fresh.size, fresh.last)
+            // any sighting (fresh or duplicate) refreshes the idle TTL
+            if (fresh.nonEmpty || state.exists) {
+              state.update(next)
+              if (idleTtlMillis > 0L) state.setTimeoutDuration(idleTtlMillis)
+            }
+            if (fresh.nonEmpty && st.df < threshold && next.df >= threshold)
               Iterator.single(FrequentLine(line, next.df))
             else Iterator.empty
           }

@@ -392,6 +392,45 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.map(_.line).toSet == model)
   }
 
+  test("q69 streaming twin: idle TTL evicts line state; df restarts conservatively") {
+    import graft.streaming.{FrequentLine, LineOcc}
+    val in = MemoryStream[LineOcc](spark)
+    val out = StreamingOps.frequentLines(in.toDS(), threshold = 3L,
+      idleTtlMillis = 250L)
+    val q = out.writeStream.format("memory").queryName("freqttl")
+      .outputMode("append").start()
+    // processAllAvailable is unusable here BY DESIGN: once a
+    // processing-time timeout is registered the engine keeps scheduling
+    // timeout-check batches, so the stream never reports quiescent.
+    // Await on the input-rows progress counter instead.
+    def awaitInput(total: Long): Unit = {
+      val dl = System.currentTimeMillis() + 60000L
+      while (q.recentProgress.map(_.numInputRows).sum < total &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(q.recentProgress.map(_.numInputRows).sum >= total,
+        s"stream did not consume $total rows in time")
+    }
+    in.addData(LineOcc("footer", 1L), LineOcc("footer", 2L))
+    awaitInput(2L)
+    // let the 250 ms idle TTL lapse — the engine's timeout-check
+    // batches evict footer's df=2 state
+    Thread.sleep(1000L)
+    // post-eviction: two sightings do NOT cross threshold 3 (the count
+    // restarted — a lapsed line is under-counted, never over-counted)
+    in.addData(LineOcc("footer", 3L), LineOcc("footer", 4L))
+    awaitInput(4L)
+    assert(spark.table("freqttl").as[FrequentLine].collect().isEmpty,
+      "evicted state must not retain pre-eviction df")
+    // a third post-eviction doc crosses; df counts only the new window
+    in.addData(LineOcc("footer", 5L))
+    val dl = System.currentTimeMillis() + 60000L
+    while (spark.table("freqttl").isEmpty && System.currentTimeMillis() < dl)
+      Thread.sleep(50L)
+    q.stop()
+    assert(spark.table("freqttl").as[FrequentLine].collect().toSeq ==
+      Seq(FrequentLine("footer", 3L)))
+  }
+
   test("A2/A3: rolling history is replay-idempotent and tie-order deterministic") {
     val in = MemoryStream[graft.streaming.HistoryMsg](spark)
     val out = StreamingOps.rollingHistory(in.toDS(), k = 5)
