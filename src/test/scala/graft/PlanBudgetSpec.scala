@@ -70,6 +70,12 @@ object PlanBudgetSpec {
     "q08_sessionize" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     "q09_clean_text" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     "q11_hyperlink_headings" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // r7: q15 regained its fan-out exchange (the r6 regression fix);
+    // q34 is pinned at its bare two-phase aggregate — a future fan-out
+    // reintroduction (rejected by measurement, see splitAssign) or a
+    // second md5 projection would widen the plan and fail here
+    "q15_qp_roundtrip" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q34_split_assign" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     "q23_minhash_lsh" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     "q27_ann_lsh" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     "q28_label_centroids" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
