@@ -139,8 +139,30 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    suite.foreach { case (_, fn) =>
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+    // Forensics log: the driver keeps only a ~2000-char stdout tail, which
+    // round 7 proved is not enough to diagnose a failure post-hoc. Every
+    // per-query event (timing, and CRUCIALLY any exception's full stack)
+    // is appended here and flushed to BENCH_LOCAL_LOG.txt in cwd — a -1
+    // in the ledger must always have a named cause in the log.
+    val forensics = new StringBuilder
+    def logLine(s: String): Unit = {
+      forensics.append(s).append('\n')
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          if (only.isDefined) "BENCH_LOCAL_SUBSET_LOG.txt" else "BENCH_LOCAL_LOG.txt"),
+        forensics.toString.getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    def stack(e: Throwable): String = {
+      val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw))
+      sw.toString
+    }
+    logLine(s"bench start sfDir=$sfDir cpus=$cpus runs=$runs " +
+      s"aqe=${spark.conf.get("spark.sql.adaptive.enabled")}")
+    suite.foreach { case (name, fn) =>
+      try run(fn(spark, sfDir))
+      catch { case e: Throwable => logLine(s"WARMUP FAIL $name\n${stack(e)}") }
       clear()
     }
     val calPre = (calSpin(), calJob())
@@ -148,7 +170,8 @@ object Bench {
       def timed(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true }
-                 catch { case _: Throwable => false }
+                 catch { case e: Throwable =>
+                   logLine(s"QUERY FAIL $name\n${stack(e)}"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         clear()
         if (ok) Some(dt) else None
@@ -160,6 +183,8 @@ object Bench {
       // source change; min-of-more is the cheap stabilizer)
       if (times.nonEmpty && times.max / times.min > 2.0)
         times = times ++ (1 to 2).flatMap(_ => timed())
+      logLine(f"timed $name runs=${times.size} " +
+        times.map(t => f"$t%.3f").mkString("[", ",", "]"))
       name -> times
     }
     val calPost = (calSpin(), calJob())
@@ -227,14 +252,19 @@ object Bench {
         }
       }
       val shown = if (moves.size > 8) moves.take(8) :+ s"+${moves.size - 8} more" else moves
+      // stdout gets the bounded line; the forensics log gets EVERY move
       println(s"[deltas vs $prevFile] " +
         (if (moves.isEmpty) "all within 1.5x" else shown.mkString(", ")))
+      logLine(s"[deltas vs $prevFile] " +
+        (if (moves.isEmpty) "all within 1.5x" else moves.mkString(", ")))
     }
     // cal = [spin_pre, job_pre, spin_post, job_post] seconds for fixed
     // work — the environment yardstick (see calSpin/calJob above)
     val cal = Seq(calPre._1, calPre._2, calPost._1, calPost._2)
       .map(v => (math.round(v * 1000) / 1000.0).toString).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"cal":$cal,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"cal":$cal,"sf":"$sfDir"}"""
+    logLine(json)
+    println(json)
     spark.stop()
   }
 }

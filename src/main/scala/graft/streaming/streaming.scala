@@ -415,11 +415,17 @@ object StreamingOps {
     * it crosses the ≥threshold document-frequency bar instead of
     * waiting for a backfill. Grouping key is the line itself; the state
     * per distinct line is TWO scalars (running df + highest doc_id
-    * counted), and a line is EMITTED exactly once, in the micro-batch
-    * where its accumulated df first reaches `threshold` (Append mode —
-    * downstream, the growing frequent set is the q67-style broadcast
-    * side that cleans the document stream; the batch rebuild is the
-    * backfill form over the same set).
+    * counted), and a line is EMITTED once per state lifetime, in the
+    * micro-batch where its accumulated df first reaches `threshold`
+    * (Append mode — downstream, the growing frequent set is the
+    * q67-style broadcast side that cleans the document stream; the
+    * batch rebuild is the backfill form over the same set). With the
+    * default TTL=0 a state lifetime is the whole stream, so that is
+    * exactly-once per line; with `idleTtlMillis > 0` an evicted line
+    * that re-crosses the threshold in a later window emits AGAIN —
+    * at-most-once per TTL window — so downstream consumers must union
+    * emissions into a set, which the q67-style broadcast side does by
+    * construction (set semantics absorb the duplicate).
     *
     * Cross-batch accumulation is the point: a line seen by 6 documents
     * in one batch and 4 in a later one crosses a threshold of 10 at the

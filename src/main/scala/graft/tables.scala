@@ -83,9 +83,12 @@ object Tables {
         val planned = plan.collectLeaves().map {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
             f.inputRDD.getNumPartitions
-          // narrow non-file leaf (local/in-memory relation): building the
-          // RDD lineage runs nothing when the plan holds no exchange
-          case _ => df.rdd.getNumPartitions
+          // non-file leaf (local/in-memory relation): probe the LEAF's
+          // own RDD, not the whole plan's — a leaf holds no exchange by
+          // construction, so execute() builds lineage without running a
+          // job, and in a mixed file/non-file union each leaf reports
+          // its own split count instead of the plan's output count
+          case leaf => leaf.execute().getNumPartitions
         }.maxOption.getOrElse(0)
         if (planned < cores) df.repartition(cores, col(key)) else df
       }

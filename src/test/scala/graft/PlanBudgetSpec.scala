@@ -76,6 +76,15 @@ object PlanBudgetSpec {
     // second md5 projection would widen the plan and fail here
     "q15_qp_roundtrip" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     "q34_split_assign" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // r8: q39/q40 pinned after the r7 bench mystery (6.8x/5.9x ledger
+    // lines on untouched code that did not reproduce next session) — the
+    // budgets turn "probably environment" into a commit-time proof that
+    // the PLAN at least did not flip. q39: the two historyByKey context
+    // aggregates must come back as broadcast sides (no SMJ) over one
+    // window exchange each; q40: a bare scan+project, zero exchanges.
+    "q39_event_routing" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    "q40_media_base64" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q20_lang_id" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     "q23_minhash_lsh" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     "q27_ann_lsh" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     "q28_label_centroids" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),

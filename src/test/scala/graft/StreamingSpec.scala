@@ -410,11 +410,28 @@ class StreamingSpec extends SparkSpec {
       assert(q.recentProgress.map(_.numInputRows).sum >= total,
         s"stream did not consume $total rows in time")
     }
+    // A fixed sleep is not proof of eviction on a loaded host: the TTL
+    // lapsing is necessary but the EVICTION happens only inside a
+    // timeout-check batch that STARTS after the lapse. So: sleep past
+    // the TTL, observe the latest completed batchId b0, then wait for
+    // batchId >= b0+2 — batch b0+1 may have started before the lapse,
+    // but b0+2 can only start after b0+1 completes, i.e. strictly after
+    // our post-lapse observation, so its timeout check sees the expired
+    // timer and removes footer's state.
+    def awaitTimeoutBatch(): Unit = {
+      Thread.sleep(400L) // > 250 ms idle TTL
+      val b0 = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val dl = System.currentTimeMillis() + 60000L
+      while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < b0 + 2 &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= b0 + 2,
+        "no timeout-check batch completed after the TTL lapsed")
+    }
     in.addData(LineOcc("footer", 1L), LineOcc("footer", 2L))
     awaitInput(2L)
-    // let the 250 ms idle TTL lapse — the engine's timeout-check
-    // batches evict footer's df=2 state
-    Thread.sleep(1000L)
+    // let the 250 ms idle TTL lapse and a post-lapse timeout-check
+    // batch complete — footer's df=2 state is now evicted
+    awaitTimeoutBatch()
     // post-eviction: two sightings do NOT cross threshold 3 (the count
     // restarted — a lapsed line is under-counted, never over-counted)
     in.addData(LineOcc("footer", 3L), LineOcc("footer", 4L))
@@ -429,6 +446,54 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(spark.table("freqttl").as[FrequentLine].collect().toSeq ==
       Seq(FrequentLine("footer", 3L)))
+  }
+
+  test("q69 streaming twin: TTL re-emission — an evicted line that re-crosses emits AGAIN (set contract)") {
+    import graft.streaming.{FrequentLine, LineOcc}
+    val in = MemoryStream[LineOcc](spark)
+    val out = StreamingOps.frequentLines(in.toDS(), threshold = 2L,
+      idleTtlMillis = 250L)
+    val q = out.writeStream.format("memory").queryName("freqttl2")
+      .outputMode("append").start()
+    def awaitInput(total: Long): Unit = {
+      val dl = System.currentTimeMillis() + 60000L
+      while (q.recentProgress.map(_.numInputRows).sum < total &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(q.recentProgress.map(_.numInputRows).sum >= total,
+        s"stream did not consume $total rows in time")
+    }
+    def awaitTimeoutBatch(): Unit = { // same b0+2 argument as the TTL test
+      Thread.sleep(400L)
+      val b0 = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val dl = System.currentTimeMillis() + 60000L
+      while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < b0 + 2 &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= b0 + 2,
+        "no timeout-check batch completed after the TTL lapsed")
+    }
+    // first lifetime: crosses threshold 2 → first emission
+    in.addData(LineOcc("footer", 1L), LineOcc("footer", 2L))
+    awaitInput(2L)
+    val dl1 = System.currentTimeMillis() + 60000L
+    while (spark.table("freqttl2").count() < 1 &&
+           System.currentTimeMillis() < dl1) Thread.sleep(50L)
+    assert(spark.table("freqttl2").as[FrequentLine].collect().toSeq ==
+      Seq(FrequentLine("footer", 2L)), "first-lifetime emission")
+    // evict, then second lifetime: re-crossing emits a SECOND row for
+    // the same line — the documented at-most-once-per-TTL-window
+    // contract; downstream must union emissions into a set
+    awaitTimeoutBatch()
+    in.addData(LineOcc("footer", 3L), LineOcc("footer", 4L))
+    awaitInput(4L)
+    val dl2 = System.currentTimeMillis() + 60000L
+    while (spark.table("freqttl2").count() < 2 &&
+           System.currentTimeMillis() < dl2) Thread.sleep(50L)
+    q.stop()
+    val emitted = spark.table("freqttl2").as[FrequentLine].collect().toSeq
+    assert(emitted == Seq(FrequentLine("footer", 2L), FrequentLine("footer", 2L)),
+      s"re-crossing after eviction must emit again: $emitted")
+    // the set-union view downstream consumers must take is stable
+    assert(emitted.toSet == Set(FrequentLine("footer", 2L)))
   }
 
   test("A2/A3: rolling history is replay-idempotent and tie-order deterministic") {
