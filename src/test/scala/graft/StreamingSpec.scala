@@ -395,8 +395,17 @@ class StreamingSpec extends SparkSpec {
   test("q69 streaming twin: idle TTL evicts line state; df restarts conservatively") {
     import graft.streaming.{FrequentLine, LineOcc}
     val in = MemoryStream[LineOcc](spark)
+    // TTL = 3 s, NOT sub-second: the final phase needs footer's df=2
+    // state (docs 3/4) to SURVIVE until doc 5's batch. With a 250 ms
+    // TTL the collect + assert between those adds can itself outlast
+    // the TTL under full-suite load, the state evicts a second time,
+    // doc 5 restarts at df=1, and the crossing never happens — that
+    // was the r7/r8 full-suite flake (sink empty at the last assert).
+    // The TTL must dominate any inter-batch test gap; the eviction
+    // phase waits deterministically regardless of the TTL's size.
+    val ttlMs = 3000L
     val out = StreamingOps.frequentLines(in.toDS(), threshold = 3L,
-      idleTtlMillis = 250L)
+      idleTtlMillis = ttlMs)
     val q = out.writeStream.format("memory").queryName("freqttl")
       .outputMode("append").start()
     // processAllAvailable is unusable here BY DESIGN: once a
@@ -419,7 +428,7 @@ class StreamingSpec extends SparkSpec {
     // our post-lapse observation, so its timeout check sees the expired
     // timer and removes footer's state.
     def awaitTimeoutBatch(): Unit = {
-      Thread.sleep(400L) // > 250 ms idle TTL
+      Thread.sleep(ttlMs + 400L) // let the idle TTL lapse
       val b0 = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       val dl = System.currentTimeMillis() + 60000L
       while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < b0 + 2 &&
@@ -429,8 +438,8 @@ class StreamingSpec extends SparkSpec {
     }
     in.addData(LineOcc("footer", 1L), LineOcc("footer", 2L))
     awaitInput(2L)
-    // let the 250 ms idle TTL lapse and a post-lapse timeout-check
-    // batch complete — footer's df=2 state is now evicted
+    // let the idle TTL lapse and a post-lapse timeout-check batch
+    // complete — footer's df=2 state is now evicted
     awaitTimeoutBatch()
     // post-eviction: two sightings do NOT cross threshold 3 (the count
     // restarted — a lapsed line is under-counted, never over-counted)
