@@ -77,6 +77,78 @@ object TextAnalysis {
       |      + 0.30 * least((list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::DOUBLE) / 10.0, 1.0)) * 1e6 + 0.5) / 1e6 AS quality_score
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q71 — composite rule-based quality GATE (the Gopher/Dolma-style
+    * document filter battery, distinct from q19's continuous score): each
+    * document gets a boolean verdict per rule plus the conjunction —
+    * the form a curation pipeline actually branches on. Rules (public
+    * Gopher filter set, thresholds from the paper, word-level because
+    * this corpus is single-line):
+    *   - word count in [50, 100000];
+    *   - mean word length in [3, 10] chars;
+    *   - ≥80% of words contain an alphabetic character;
+    *   - ≥1 distinct member of the 8-word English stopword probe
+    *     present ('the be to of and that have with') — Gopher's rule
+    *     asks for ≥2, but this synthetic corpus draws from a tech
+    *     vocabulary that carries at most one probe word per doc
+    *     (measured 0:118 / 1:382 at sf0.01), so the threshold is
+    *     fixture-adapted to keep the gate's split meaningful; the
+    *     machinery (distinct-intersect count vs threshold) is the rule;
+    *   - ≤10% symbol-only words (no alphanumeric at all).
+    * Every rule is INTEGER arithmetic (ratios as cross-multiplied
+    * comparisons, e.g. mean-length∈[3,10] ⇔ 3n ≤ Σlen ≤ 10n), so the
+    * oracle compares bit-exactly with no float rounding discipline.
+    *
+    * 100 TB: pure per-row codegen'd HOFs over the token array — zero
+    * shuffle, zero driver state; composes with q67-style mixing or the
+    * q51 hash-split downstream. Fan-out: same per-row-CPU rationale as
+    * q19 (gated test-scale exchange, no-op at production file counts). */
+  def qualityGate(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .selectExpr(
+        "doc_id",
+        "cast(size(toks) as bigint) as n_words",
+        "aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t)) as sum_word_chars",
+        "cast(size(filter(toks, t -> t rlike '[a-z]')) as bigint) as n_alpha_words",
+        "cast(size(array_intersect(array_distinct(toks), array('the','be','to','of','and','that','have','with'))) as bigint) as n_stop_kinds",
+        "cast(size(filter(toks, t -> t rlike '^[^a-z0-9]+$')) as bigint) as n_symbol_words",
+      ).selectExpr(
+        "doc_id", "n_words", "sum_word_chars", "n_alpha_words",
+        "n_stop_kinds", "n_symbol_words",
+        "n_words >= 50 and n_words <= 100000 as ok_n_words",
+        "3 * n_words <= sum_word_chars and sum_word_chars <= 10 * n_words as ok_word_len",
+        "5 * n_alpha_words >= 4 * n_words as ok_alpha",
+        "n_stop_kinds >= 1 as ok_stop",
+        "10 * n_symbol_words <= n_words as ok_symbol",
+        """n_words >= 50 and n_words <= 100000
+          | and 3 * n_words <= sum_word_chars and sum_word_chars <= 10 * n_words
+          | and 5 * n_alpha_words >= 4 * n_words
+          | and n_stop_kinds >= 1
+          | and 10 * n_symbol_words <= n_words as pass""".stripMargin.replace("\n", " "),
+      )
+
+  val qualityGateSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |m AS (SELECT doc_id,
+      |  len(toks)::BIGINT AS n_words,
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) AS sum_word_chars,
+      |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
+      |  len(list_intersect(list_distinct(toks), ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop_kinds,
+      |  len(list_filter(toks, x -> regexp_matches(x, '^[^a-z0-9]+$')))::BIGINT AS n_symbol_words
+      |FROM t)
+      |SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stop_kinds, n_symbol_words,
+      |  n_words >= 50 AND n_words <= 100000 AS ok_n_words,
+      |  3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words AS ok_word_len,
+      |  5 * n_alpha_words >= 4 * n_words AS ok_alpha,
+      |  n_stop_kinds >= 1 AS ok_stop,
+      |  10 * n_symbol_words <= n_words AS ok_symbol,
+      |  (n_words >= 50 AND n_words <= 100000
+      |    AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
+      |    AND 5 * n_alpha_words >= 4 * n_words
+      |    AND n_stop_kinds >= 1
+      |    AND 10 * n_symbol_words <= n_words) AS pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** q20 — n-gram-heuristic language ID: score per language = stopword-
     * marker overlap count; argmax with alphabetic tie-break. The synthetic
     * corpus is English-ish word salad, so predictions are stable — the
@@ -1290,6 +1362,7 @@ object TextAnalysis {
     "q67_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "q68_sequence_pack" -> ((s, d) => sequencePack(s, d)),
     "q69_line_dedup" -> ((s, d) => lineDedup(s, d)),
+    "q71_quality_gate" -> ((s, d) => qualityGate(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1318,5 +1391,6 @@ object TextAnalysis {
     "q67_temperature_mix" -> temperatureMixSql,
     "q68_sequence_pack" -> sequencePackSql,
     "q69_line_dedup" -> lineDedupSql,
+    "q71_quality_gate" -> qualityGateSql,
   )
 }

@@ -672,6 +672,55 @@ object Dedup {
        |SELECT vec_a, vec_b, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
        |FROM p WHERE cos >= 0.98 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q70 — canonical selection, the KEEP/DROP decision a dedup pipeline
+    * actually emits downstream of clustering: within each exact-SimHash
+    * cluster keep the LONGEST document (tie-break: lowest doc_id) and
+    * drop the rest in its favour. q41/q60 pick the min-id root — an
+    * arbitrary but deterministic survivor; real curation keeps the most
+    * content-complete member, which is a per-cluster argmax over a
+    * content feature, not an id. Output: every doc with its cluster key,
+    * its cluster's keeper, and its own kept/dropped verdict.
+    *
+    * 100 TB: per-row signing (no shuffle), then ONE keyed exchange on
+    * the signature for the window argmax — clusters are near-dup sets
+    * (tiny, skew-bounded by construction: a giant cluster means a
+    * boilerplate storm, which upstream line-dedup removes), and the
+    * corpus text itself never moves, only (id, n_chars, sig) triples. */
+  def simhashKeep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables.documents(s, d)
+      .selectExpr("doc_id", "n_chars", "split(text, ' ') as toks")
+      .as[(Long, Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, n, toks) => (id, n, simhash16(md, toks)) }
+      }
+      .toDF("doc_id", "n_chars", "simhash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("simhash"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    sigs
+      .withColumn("keep_doc_id", first(col("doc_id")).over(w))
+      .withColumn("kept", col("doc_id") === col("keep_doc_id"))
+      .select("doc_id", "simhash", "n_chars", "keep_doc_id", "kept")
+  }
+
+  val simhashKeepSql: String =
+    """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, n_chars,
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+      |    b -> CASE WHEN list_reduce(list_prepend(0, list_transform(toks,
+      |             t -> CASE WHEN strpos('89abcdef', substr(md5(t), (b + 1)::INT, 1)) > 0 THEN 1 ELSE -1 END)),
+      |             (x, y) -> x + y) > 0
+      |         THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (a, c) -> a + c) AS simhash
+      |  FROM t)
+      |SELECT doc_id, simhash, n_chars,
+      |  first_value(doc_id) OVER (PARTITION BY simhash
+      |    ORDER BY n_chars DESC, doc_id) AS keep_doc_id,
+      |  doc_id = first_value(doc_id) OVER (PARTITION BY simhash
+      |    ORDER BY n_chars DESC, doc_id) AS kept
+      |FROM sh ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact"   -> ((s, d) => exact(s, d)),
     "q23_minhash_lsh"   -> ((s, d) => minhashLsh(s, d)),
@@ -680,6 +729,7 @@ object Dedup {
     "q32_embed_neardup" -> ((s, d) => embedNearDup(s, d)),
     "q41_dup_components" -> ((s, d) => dupComponents(s, d)),
     "q60_star_components" -> ((s, d) => dupComponentsStar(s, d)),
+    "q70_simhash_keep"  -> ((s, d) => simhashKeep(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -690,5 +740,6 @@ object Dedup {
     "q32_embed_neardup" -> embedNearDupSql,
     "q41_dup_components" -> dupComponentsSql,
     "q60_star_components" -> dupComponentsSql,
+    "q70_simhash_keep"  -> simhashKeepSql,
   )
 }

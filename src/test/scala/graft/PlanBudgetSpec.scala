@@ -85,6 +85,11 @@ object PlanBudgetSpec {
     "q39_event_routing" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     "q40_media_base64" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     "q20_lang_id" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // r8 additions: q70 = per-row signing + ONE keyed exchange for the
+    // cluster-argmax window; q71 = pure per-row rule battery whose only
+    // exchange is the gated test-scale fan-out
+    "q70_simhash_keep" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    "q71_quality_gate" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     "q23_minhash_lsh" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     "q27_ann_lsh" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     "q28_label_centroids" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
