@@ -26,6 +26,15 @@ private[streaming] case class PackState(seqNo: Long, fill: Long, maxDocId: Long)
   * TWO scalars per distinct line (running document frequency + the
   * highest doc_id counted), so state size is O(|distinct lines|) with
   * O(1) bytes per line — never O(corpus). */
+/** Cluster-membership row for the online canonical-keeper fold (q70's
+  * streaming twin): a document's cluster key (exact-SimHash signature),
+  * id, and content length. */
+case class KeepDoc(simhash: Long, doc_id: Long, n_chars: Long)
+/** A keeper REVISION: cluster `simhash`'s canonical doc is now
+  * `keep_doc_id`. Downstream takes the latest row per cluster. */
+case class KeeperChange(simhash: Long, keep_doc_id: Long, n_chars: Long)
+private[streaming] case class KeepState(keepId: Long, nChars: Long)
+
 case class LineOcc(line: String, doc_id: Long)
 /** Emitted ONCE, in the micro-batch where `line`'s accumulated document
   * frequency first reaches the threshold. `df` is the count at crossing
@@ -405,6 +414,53 @@ object StreamingOps {
             }
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** Streaming twin of q70 (canonical selection): the per-cluster keeper
+    * tracked ONLINE as keyed state, so a continuously-ingesting dedup
+    * pipeline always knows each cluster's current canonical document
+    * instead of waiting for a backfill argmax. Grouping key is the
+    * exact-SimHash signature; state per cluster is TWO scalars (current
+    * keeper id + its length). A batch emits a `KeeperChange` row for a
+    * cluster only when its keeper actually changes — the first member
+    * seen, or a strictly better one (longer, or equal-length with a
+    * LOWER id, the q70 tie-break). Downstream consumes revisions
+    * last-write-wins per cluster; the batch simhashKeep is the backfill
+    * form producing the same final keeper over the same deliveries.
+    *
+    * Replay-idempotent by construction, with NO id-dedup contract
+    * needed (unlike packStream/frequentLines): the keeper fold is a
+    * monotone max, so redelivering any already-seen document — keeper
+    * included — can never beat the current keeper strictly and never
+    * re-emits. Arrival order within or across batches is irrelevant for
+    * the final keeper; only the revision COUNT depends on order (worst
+    * case one revision per batch per cluster).
+    *
+    * At scale: state is O(|distinct clusters|) at two scalars each and
+    * shards by signature across executors — the same one-keyed-exchange
+    * shape as the batch window argmax; corpus text never enters state. */
+  def keepStream(docs: Dataset[KeepDoc]): Dataset[KeeperChange] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.simhash)
+      .flatMapGroupsWithState[KeepState, KeeperChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sig: Long, it: Iterator[KeepDoc], state: GroupState[KeepState]) =>
+          def better(nChars: Long, id: Long, st: KeepState): Boolean =
+            nChars > st.nChars || (nChars == st.nChars && id < st.keepId)
+          // batch-best first: one state comparison per batch, not per row
+          val best = it.reduceOption { (a, b) =>
+            if (b.n_chars > a.n_chars ||
+                (b.n_chars == a.n_chars && b.doc_id < a.doc_id)) b else a
+          }
+          best match {
+            case Some(d) if !state.exists ||
+                better(d.n_chars, d.doc_id, state.get) =>
+              state.update(KeepState(d.doc_id, d.n_chars))
+              Iterator.single(KeeperChange(sig, d.doc_id, d.n_chars))
+            case _ => Iterator.empty
+          }
       }
   }
 

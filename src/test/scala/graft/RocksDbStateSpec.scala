@@ -126,6 +126,26 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("q70 keepStream (cross-batch keeper displacement) runs on RocksDB") {
+    withRocksDb {
+      import graft.streaming.{KeepDoc, KeeperChange}
+      val in = MemoryStream[KeepDoc](spark)
+      val out = StreamingOps.keepStream(in.toDS())
+      val q = out.writeStream.format("memory").queryName("rocks_keep")
+        .outputMode("append").start()
+      in.addData(KeepDoc(5L, 1L, 40L))
+      q.processAllAvailable()
+      // the keeper state must round-trip through RocksDB: a longer doc
+      // in a later batch displaces it, a shorter one does not re-emit
+      in.addData(KeepDoc(5L, 2L, 80L))
+      q.processAllAvailable()
+      in.addData(KeepDoc(5L, 3L, 50L))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocks_keep").as[KeeperChange].collect().toSeq
+      assert(got == Seq(KeeperChange(5L, 1L, 40L), KeeperChange(5L, 2L, 80L)))
+    }
+  }
+
   test("stream-stream click/purchase join (watermark-bounded state) runs on RocksDB") {
     withRocksDb {
       val cIn = MemoryStream[(Long, Timestamp, Long)](spark)

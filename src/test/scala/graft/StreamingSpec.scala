@@ -505,6 +505,49 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.toSet == Set(FrequentLine("footer", 2L)))
   }
 
+  test("q70 streaming twin: online keeper tracking emits revisions, replay-idempotent, q70 tie-break") {
+    import graft.streaming.{KeepDoc, KeeperChange}
+    val in = MemoryStream[KeepDoc](spark)
+    val out = StreamingOps.keepStream(in.toDS())
+    val q = out.writeStream.format("memory").queryName("keepers")
+      .outputMode("append").start()
+    // batch 1: first member of each cluster becomes its keeper
+    in.addData(KeepDoc(5L, 1L, 40L), KeepDoc(7L, 10L, 10L))
+    q.processAllAvailable()
+    // batch 2: cluster 5 sees a longer doc AND a middling one in the
+    // same batch — exactly ONE revision, to the batch-best
+    in.addData(KeepDoc(5L, 2L, 80L), KeepDoc(5L, 3L, 60L))
+    q.processAllAvailable()
+    // batch 3: redelivery of the current keeper (at-least-once) plus an
+    // equal-length HIGHER id — neither beats keeper 2 strictly (the
+    // q70 tie-break prefers the LOWER id), so NO emission
+    in.addData(KeepDoc(5L, 2L, 80L), KeepDoc(5L, 4L, 80L))
+    q.processAllAvailable()
+    // batch 4: equal-length LOWER id DOES displace (tie-break)
+    in.addData(KeepDoc(5L, 0L, 80L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("keepers").as[KeeperChange].collect().toSeq
+    assert(got == Seq(
+      KeeperChange(5L, 1L, 40L), KeeperChange(7L, 10L, 10L),
+      KeeperChange(5L, 2L, 80L),
+      KeeperChange(5L, 0L, 80L)), s"revision stream: $got")
+    // batch-twin equality: last revision per cluster == the q70 window
+    // argmax over everything delivered (duplicates included)
+    val delivered = Seq(
+      (5L, 1L, 40L), (7L, 10L, 10L), (5L, 2L, 80L), (5L, 3L, 60L),
+      (5L, 2L, 80L), (5L, 4L, 80L), (5L, 0L, 80L))
+      .toDF("simhash", "doc_id", "n_chars")
+    val model = delivered
+      .withColumn("keep_doc_id", first(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .select("simhash", "keep_doc_id").distinct()
+      .as[(Long, Long)].collect().toMap
+    val lastPerCluster = got.groupBy(_.simhash)
+      .map { case (sig, rows) => sig -> rows.last.keep_doc_id }
+    assert(lastPerCluster == model)
+  }
+
   test("A2/A3: rolling history is replay-idempotent and tie-order deterministic") {
     val in = MemoryStream[graft.streaming.HistoryMsg](spark)
     val out = StreamingOps.rollingHistory(in.toDS(), k = 5)
