@@ -439,27 +439,51 @@ object StreamingOps {
     *
     * At scale: state is O(|distinct clusters|) at two scalars each and
     * shards by signature across executors — the same one-keyed-exchange
-    * shape as the batch window argmax; corpus text never enters state. */
-  def keepStream(docs: Dataset[KeepDoc]): Dataset[KeeperChange] = {
+    * shape as the batch window argmax; corpus text never enters state.
+    *
+    * State BOUNDING: with the default `idleTtlMillis = 0` state is
+    * O(|distinct clusters ever seen|) — exact, but unbounded on an
+    * unbounded stream. A positive TTL evicts any cluster not sighted
+    * for that long (processing-time timeout; each sighting refreshes
+    * it), bounding state to the active-cluster set. The error
+    * direction is benign here — more so than frequentLines' set
+    * contract: an evicted cluster that re-sights restarts keeper
+    * tracking and EMITS its next member as a fresh revision, and since
+    * downstream is last-write-wins per cluster anyway, the worst case
+    * is a temporarily shorter keeper (a near-dup survives that the
+    * full-history fold would have folded), never a lost document. */
+  def keepStream(docs: Dataset[KeepDoc],
+                 idleTtlMillis: Long = 0L): Dataset[KeeperChange] = {
     import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtlMillis > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs
       .groupByKey(_.simhash)
       .flatMapGroupsWithState[KeepState, KeeperChange](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (sig: Long, it: Iterator[KeepDoc], state: GroupState[KeepState]) =>
-          def better(nChars: Long, id: Long, st: KeepState): Boolean =
-            nChars > st.nChars || (nChars == st.nChars && id < st.keepId)
-          // batch-best first: one state comparison per batch, not per row
-          val best = it.reduceOption { (a, b) =>
-            if (b.n_chars > a.n_chars ||
-                (b.n_chars == a.n_chars && b.doc_id < a.doc_id)) b else a
-          }
-          best match {
-            case Some(d) if !state.exists ||
-                better(d.n_chars, d.doc_id, state.get) =>
-              state.update(KeepState(d.doc_id, d.n_chars))
-              Iterator.single(KeeperChange(sig, d.doc_id, d.n_chars))
-            case _ => Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def better(nChars: Long, id: Long, st: KeepState): Boolean =
+              nChars > st.nChars || (nChars == st.nChars && id < st.keepId)
+            // batch-best first: one state comparison per batch, not per row
+            val best = it.reduceOption { (a, b) =>
+              if (b.n_chars > a.n_chars ||
+                  (b.n_chars == a.n_chars && b.doc_id < a.doc_id)) b else a
+            }
+            val out = best match {
+              case Some(d) if !state.exists ||
+                  better(d.n_chars, d.doc_id, state.get) =>
+                state.update(KeepState(d.doc_id, d.n_chars))
+                Iterator.single(KeeperChange(sig, d.doc_id, d.n_chars))
+              case _ => Iterator.empty
+            }
+            // any sighting refreshes the idle TTL, displacing or not
+            // (after the update — a timeout needs present state)
+            if (idleTtlMillis > 0L && state.exists)
+              state.setTimeoutDuration(idleTtlMillis)
+            out
           }
       }
   }

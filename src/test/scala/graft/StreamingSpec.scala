@@ -548,6 +548,47 @@ class StreamingSpec extends SparkSpec {
     assert(lastPerCluster == model)
   }
 
+  test("q70 streaming twin: idle TTL evicts cluster state; re-sight re-emits a fresh revision") {
+    import graft.streaming.{KeepDoc, KeeperChange}
+    val in = MemoryStream[KeepDoc](spark)
+    // same TTL sizing rationale as the q69 TTL test: the TTL must
+    // dominate any inter-batch test gap; eviction is waited for
+    // deterministically, so a large TTL costs only wall-clock
+    val ttlMs = 3000L
+    val out = StreamingOps.keepStream(in.toDS(), idleTtlMillis = ttlMs)
+    val q = out.writeStream.format("memory").queryName("keepttl")
+      .outputMode("append").start()
+    def awaitRows(n: Long): Unit = {
+      val dl = System.currentTimeMillis() + 60000L
+      while (spark.table("keepttl").count() < n &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(spark.table("keepttl").count() >= n, s"expected $n revisions")
+    }
+    def awaitTimeoutBatch(): Unit = { // same b0+2 argument as the q69 TTL test
+      Thread.sleep(ttlMs + 400L)
+      val b0 = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val dl = System.currentTimeMillis() + 60000L
+      while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < b0 + 2 &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= b0 + 2,
+        "no timeout-check batch completed after the TTL lapsed")
+    }
+    in.addData(KeepDoc(5L, 1L, 80L))
+    awaitRows(1L)
+    // evict cluster 5's keeper, then re-sight with a SHORTER doc: with
+    // retained state doc 2 (40 < 80) would not displace and nothing
+    // would emit; after eviction it is a fresh first member and MUST
+    // emit — the benign error direction (downstream last-write-wins
+    // temporarily holds a shorter keeper, no document is ever lost)
+    awaitTimeoutBatch()
+    in.addData(KeepDoc(5L, 2L, 40L))
+    awaitRows(2L)
+    q.stop()
+    val got = spark.table("keepttl").as[KeeperChange].collect().toSeq
+    assert(got == Seq(KeeperChange(5L, 1L, 80L), KeeperChange(5L, 2L, 40L)),
+      s"post-eviction re-sight must emit a fresh revision: $got")
+  }
+
   test("A2/A3: rolling history is replay-idempotent and tie-order deterministic") {
     val in = MemoryStream[graft.streaming.HistoryMsg](spark)
     val out = StreamingOps.rollingHistory(in.toDS(), k = 5)
