@@ -102,18 +102,25 @@ object TextAnalysis {
     * shuffle, zero driver state; composes with q67-style mixing or the
     * q51 hash-split downstream. Fan-out: same per-row-CPU rationale as
     * q19 (gated test-scale exchange, no-op at production file counts). */
-  def qualityGate(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.documents(s, d), "doc_id")
-      .selectExpr("doc_id", "split(text, ' ') as toks")
-      .selectExpr(
-        "doc_id",
-        "cast(size(toks) as bigint) as n_words",
-        "aggregate(toks, cast(0 as bigint), (acc, t) -> acc + length(t)) as sum_word_chars",
-        "cast(size(filter(toks, t -> t rlike '[a-z]')) as bigint) as n_alpha_words",
-        "cast(size(array_intersect(array_distinct(toks), array('the','be','to','of','and','that','have','with'))) as bigint) as n_stop_kinds",
-        "cast(size(filter(toks, t -> t rlike '^[^a-z0-9]+$')) as bigint) as n_symbol_words",
-      ).selectExpr(
-        "doc_id", "n_words", "sum_word_chars", "n_alpha_words",
+  /** The q71 rule battery as a REUSABLE stateless transform: keeps every
+    * input column (which must include `text`), appends the five metric
+    * columns, the five per-rule verdicts, and `pass`. Pure per-row
+    * projection — streaming-safe by construction, so the online curation
+    * leg composes it ahead of mixStream/packStream (the gate→mix→pack
+    * end-to-end case in StreamingSpec); the batch q71 query is this
+    * transform over the documents scan. `__graft_gate_toks` is reserved
+    * (the mixStream `__graft_mix_*` discipline). */
+  def qualityGateVerdict(df: DataFrame): DataFrame = {
+    val keep = df.columns.toSeq
+    df.selectExpr(keep :+ "split(text, ' ') as __graft_gate_toks": _*)
+      .selectExpr(keep ++ Seq(
+        "cast(size(__graft_gate_toks) as bigint) as n_words",
+        "aggregate(__graft_gate_toks, cast(0 as bigint), (acc, t) -> acc + length(t)) as sum_word_chars",
+        "cast(size(filter(__graft_gate_toks, t -> t rlike '[a-z]')) as bigint) as n_alpha_words",
+        "cast(size(array_intersect(array_distinct(__graft_gate_toks), array('the','be','to','of','and','that','have','with'))) as bigint) as n_stop_kinds",
+        "cast(size(filter(__graft_gate_toks, t -> t rlike '^[^a-z0-9]+$')) as bigint) as n_symbol_words"): _*)
+      .selectExpr(keep ++ Seq(
+        "n_words", "sum_word_chars", "n_alpha_words",
         "n_stop_kinds", "n_symbol_words",
         "n_words >= 50 and n_words <= 100000 as ok_n_words",
         "3 * n_words <= sum_word_chars and sum_word_chars <= 10 * n_words as ok_word_len",
@@ -124,8 +131,13 @@ object TextAnalysis {
           | and 3 * n_words <= sum_word_chars and sum_word_chars <= 10 * n_words
           | and 5 * n_alpha_words >= 4 * n_words
           | and n_stop_kinds >= 1
-          | and 10 * n_symbol_words <= n_words as pass""".stripMargin.replace("\n", " "),
-      )
+          | and 10 * n_symbol_words <= n_words as pass""".stripMargin.replace("\n", " ")): _*)
+  }
+
+  def qualityGate(s: SparkSession, d: String): DataFrame =
+    qualityGateVerdict(
+      Tables.fanOut(Tables.documents(s, d), "doc_id").select("doc_id", "text"))
+      .drop("text")
 
   val qualityGateSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -148,6 +160,95 @@ object TextAnalysis {
       |    AND n_stop_kinds >= 1
       |    AND 10 * n_symbol_words <= n_words) AS pass
       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q72 — linear text-classifier scoring (the fastText-style quality /
+  // toxicity filter every curation pipeline runs between heuristics and
+  // the trainer): hashed bag-of-ngrams — word unigrams + bigrams,
+  // md5-bucketed into `clfDim` features — dotted with a model weight
+  // vector and normalized by feature count; the sign is the verdict.
+  // The weight vector stands in for trained parameters LOADED AS DATA
+  // (a one-row frame, the realistic deployment shape), generated here by
+  // a deterministic integer LCG over the bucket index so both engines
+  // can rebuild it bit-identically.
+  //
+  // Scale shape: feature hashing + count-vector build is ONE typed
+  // mapPartitions pass (the q61 idiom — per-row hot loop goes native,
+  // one MessageDigest per partition, zero shuffle); the weight row joins
+  // as a one-row BROADCAST (BNLJ — the IVF codebook shape, q38); the
+  // dot is the codegen'd `graft_dot` primitive loop. The corpus crosses
+  // ZERO keyed exchanges at any scale — the only exchange in the test
+  // plan is the gated fan-out. Determinism: bucket counts are integers
+  // (order-independent), and both engines fold cnt[i]·w[i] in ascending
+  // bucket order (graft_dot left-to-right == the oracle's list_reduce),
+  // so the pre-rounding double is bit-identical.
+  // ---------------------------------------------------------------------
+
+  private[graft] val clfDim = 128
+
+  /** The q72 weight row: w[j] = (((j·1103515245 + 12345) mod 1000) − 500)
+    * / 1000 — pure integer arithmetic until the final division, exact in
+    * both engines. */
+  private[graft] val clfWeightsExpr: String =
+    s"transform(sequence(0, ${clfDim - 1}), j -> " +
+      "((((cast(j as bigint) * 1103515245 + 12345) % 1000) - 500) / 1000.0D)) as w"
+
+  def classifierScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.withFns(s)
+    val dim = clfDim
+    val weights = s.range(1).selectExpr(clfWeightsExpr)
+    val cnts = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // first 4 digest bytes as unsigned == parsing the first 8 md5 hex
+        // chars base-16 (the keepBucketSql idiom, kept in lockstep with
+        // the oracle's ('0x' || substr(md5(g), 1, 8))::BIGINT)
+        def bucket(f: String): Int = {
+          val dg = md.digest(f.getBytes("UTF-8"))
+          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+        }
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val cnt = new Array[Double](dim)
+          var n = 0L
+          var i = 0
+          while (i < toks.length) { cnt(bucket(toks(i))) += 1.0; n += 1; i += 1 }
+          i = 0
+          while (i + 1 < toks.length) {
+            cnt(bucket(toks(i) + "_" + toks(i + 1))) += 1.0; n += 1; i += 1
+          }
+          (id, n, cnt)
+        }
+      }
+      .toDF("doc_id", "n_feats", "cnt")
+    cnts.crossJoin(broadcast(weights))
+      .selectExpr("doc_id", "n_feats",
+        "floor(graft_dot(cnt, w) / cast(n_feats as double) * 1e6 + 0.5) / 1e6 as score")
+      .withColumn("label", col("score") >= 0)
+  }
+
+  val classifierScoreSql: String =
+    s"""WITH w AS (SELECT list_transform(range(0, $clfDim),
+       |    j -> (((j * 1103515245 + 12345) % 1000) - 500) / 1000.0) AS wv),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |f AS (SELECT doc_id, list_concat(toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])) AS feats
+       |  FROM t),
+       |c AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
+       |    list_transform(range(0, $clfDim), j ->
+       |      len(list_filter(feats, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT % $clfDim = j))::DOUBLE) AS cnt
+       |  FROM f),
+       |sc AS (SELECT doc_id, n_feats,
+       |    floor(list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range(1, ${clfDim + 1}), i -> cnt[i] * wv[i])), (a, b) -> a + b)
+       |      / n_feats::DOUBLE * 1e6 + 0.5) / 1e6 AS score
+       |  FROM c, w)
+       |SELECT doc_id, n_feats, score, score >= 0 AS label
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   /** q20 — n-gram-heuristic language ID: score per language = stopword-
     * marker overlap count; argmax with alphabetic tie-break. The synthetic
@@ -991,6 +1092,85 @@ object TextAnalysis {
        |FROM pack ORDER BY source, doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q73 — TOKEN-budget sequence packing: q68's next-fit fold with the
+  // cost term a real trainer batches on — tokens, not characters. The
+  // tokenizer is pinned and deterministic in BOTH engines: greedy
+  // left-to-right longest-prefix-free matching over a fixed merge table
+  // (ten frequent English letter pairs) with single characters as the
+  // base vocabulary and whitespace as a free boundary — expressed as ONE
+  // regex alternation, because regex scanning IS greedy left-to-right
+  // non-overlapping matching, and alternation order IS the tie-break
+  // (both Java regex and DuckDB's RE2 use leftmost-first alternation
+  // preference). n_tokens = match count.
+  //
+  // Scale shape: identical to q68 — the token count fuses into the scan
+  // (codegen'd regexp_count, per-row), then ONE hash-repartition on the
+  // pack key and a streaming per-partition fold holding three scalars.
+  // At 100 TB the pack key is (source, shard); text never moves, only
+  // (id, source, n_tokens) triples.
+  // ---------------------------------------------------------------------
+
+  private[graft] val tokBudget = 512L
+  /** The pinned merge table, in tie-break order. */
+  private[graft] val bpeMerges =
+    Seq("th", "he", "in", "er", "an", "re", "on", "at", "nd", "st")
+  /** Regex form of the tokenizer (merge pairs first, then the base
+    * vocabulary; `\s` excluded everywhere = whitespace is a boundary). */
+  private[graft] val bpeRegexDuck: String =
+    bpeMerges.mkString("|") + "|[a-z0-9]|[^a-z0-9\\s]"
+
+  def sequencePackTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = tokBudget
+    val pattern = bpeMerges.mkString("|") + "|[a-z0-9]|[^a-z0-9\\\\s]"
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "source",
+        s"cast(regexp_count(text, '$pattern') as bigint) as n_tokens")
+      .as[(Long, String, Long)]
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .mapPartitions { it =>
+        // the q68 fold verbatim, over tokens (several sources can share
+        // a hash partition; reset on the source boundary)
+        var curSrc: String = null
+        var seqNo = 0L
+        var fill = 0L
+        it.map { case (id, src, n) =>
+          if (src != curSrc) { curSrc = src; seqNo = 0L; fill = 0L }
+          if (fill > 0L && fill + n > budget) { seqNo += 1L; fill = 0L }
+          val off = fill
+          fill += n
+          (id, src, n, seqNo, off)
+        }
+      }
+      .toDF("doc_id", "source", "n_tokens", "seq_no", "offset_tokens")
+  }
+
+  /** DuckDB twin: the q68 recursive CTE with the token-length term. */
+  val sequencePackTokensSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '$bpeRegexDuck'))::BIGINT AS n_tokens,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pack AS (
+       |  SELECT doc_id, source, n_tokens, rn,
+       |         0::BIGINT AS seq_no, 0::BIGINT AS offset_tokens,
+       |         n_tokens AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+       |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > $tokBudget
+       |              THEN p.seq_no + 1 ELSE p.seq_no END,
+       |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > $tokBudget
+       |              THEN 0::BIGINT ELSE p.fill END,
+       |         CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > $tokBudget
+       |              THEN d.n_tokens ELSE p.fill + d.n_tokens END
+       |  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+       |SELECT doc_id, source, n_tokens, seq_no, offset_tokens
+       |FROM pack ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q69 — line-level dedup with document REBUILD (the C4-style curation
   // rule "drop any line that occurs in ≥ N documents corpus-wide, keep
   // the rest of the document"): where q49 only SCORES boilerplate
@@ -1363,6 +1543,8 @@ object TextAnalysis {
     "q68_sequence_pack" -> ((s, d) => sequencePack(s, d)),
     "q69_line_dedup" -> ((s, d) => lineDedup(s, d)),
     "q71_quality_gate" -> ((s, d) => qualityGate(s, d)),
+    "q72_classifier_score" -> ((s, d) => classifierScore(s, d)),
+    "q73_token_pack" -> ((s, d) => sequencePackTokens(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1392,5 +1574,7 @@ object TextAnalysis {
     "q68_sequence_pack" -> sequencePackSql,
     "q69_line_dedup" -> lineDedupSql,
     "q71_quality_gate" -> qualityGateSql,
+    "q72_classifier_score" -> classifierScoreSql,
+    "q73_token_pack" -> sequencePackTokensSql,
   )
 }

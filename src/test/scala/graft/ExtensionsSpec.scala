@@ -659,6 +659,83 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q72: classifier score == driver-side hashed-ngram linear model; both labels occur") {
+    val out = TextAnalysis.classifierScore(spark, sf)
+      .select("doc_id", "n_feats", "score", "label")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val dim = TextAnalysis.clfDim
+    // independent model: same weight formula, same md5 bucketing, same
+    // ascending-bucket dot fold — values must be bit-identical
+    val w = (0 until dim).map(j =>
+      (((j.toLong * 1103515245L + 12345L) % 1000L) - 500L) / 1000.0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(f: String): Int = {
+      val dg = md.digest(f.getBytes("UTF-8"))
+      ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+        ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val model = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val feats = toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString("_"))
+      val cnt = new Array[Double](dim)
+      feats.foreach(f => cnt(bucket(f)) += 1.0)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += cnt(i) * w(i); i += 1 }
+      val score = math.floor(acc / feats.length * 1e6 + 0.5) / 1e6
+      (id, feats.length.toLong, score, score >= 0)
+    }.toSet
+    assert(out.length == docs.length && out.toSet == model)
+    assert(out.exists(_._4) && out.exists(!_._4), "degenerate label split")
+  }
+
+  test("q73: token packing == driver model; regex tokenizer == greedy merge-table model; budget invariants") {
+    val budget = TextAnalysis.tokBudget
+    val out = TextAnalysis.sequencePackTokens(spark, sf)
+      .select("doc_id", "source", "n_tokens", "seq_no", "offset_tokens")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    // independent tokenizer model: EXPLICIT greedy left-to-right scan with
+    // the merge table tried in tie-break order — proves the regex
+    // alternation encodes the intended tokenizer, not just "some count"
+    val merges = TextAnalysis.bpeMerges
+    def nTokens(text: String): Long = {
+      var i = 0; var n = 0L
+      while (i < text.length) {
+        if (text.charAt(i).isWhitespace) i += 1
+        else if (merges.exists(p => text.startsWith(p, i))) { n += 1; i += 2 }
+        else { n += 1; i += 1 }
+      }
+      n
+    }
+    val toks = docs.map(d => d._1 -> nTokens(d._3)).toMap
+    out.foreach(r => assert(r._3 == toks(r._1), s"tokenizer mismatch doc ${r._1}"))
+    // the q68 next-fit fold with the token term
+    val model = docs.groupBy(_._2).iterator.flatMap { case (src, rows) =>
+      var seqNo = 0L; var fill = 0L
+      rows.sortBy(_._1).map { case (id, _, _) =>
+        val n = toks(id)
+        if (fill > 0L && fill + n > budget) { seqNo += 1L; fill = 0L }
+        val off = fill; fill += n
+        (id, src, n, seqNo, off)
+      }
+    }.toSet
+    assert(out.length == docs.length && out.toSet == model)
+    out.groupBy(r => (r._2, r._4)).foreach { case (key, rows) =>
+      val total = rows.map(_._3).sum
+      assert(rows.length == 1 || total <= budget, s"overfull sequence $key: $total tokens")
+      val sorted = rows.sortBy(_._1)
+      val expectOff = sorted.map(_._3).scanLeft(0L)(_ + _).init.toSeq
+      assert(sorted.map(_._5).toSeq == expectOff, s"offsets drift in $key")
+    }
+    // multi-doc sequences must actually occur at this budget, or the
+    // invariants above are vacuous
+    assert(out.groupBy(r => (r._2, r._4)).exists(_._2.length > 1))
+  }
+
   test("q69: line dedup == driver model; planted boilerplate dropped, unique lines kept in order") {
     val out = TextAnalysis.lineDedup(spark, sf)
       .select("doc_id", "n_lines", "n_dropped", "cleaned")

@@ -90,6 +90,10 @@ object PlanBudgetSpec {
     // exchange is the gated test-scale fan-out
     "q70_simhash_keep" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     "q71_quality_gate" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // r9: q72 = per-row feature hashing (mapPartitions, no shuffle beyond
+    // the gated fan-out) + ONE one-row broadcast weight frame (BNLJ, the
+    // q38 codebook shape); the corpus crosses zero keyed exchanges
+    "q72_classifier_score" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 1),
     "q23_minhash_lsh" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     "q27_ann_lsh" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     "q28_label_centroids" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
@@ -115,6 +119,8 @@ object PlanBudgetSpec {
     "q67_temperature_mix" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
     // q68: ONE hash-repartition on source; the pack fold is narrow
     "q68_sequence_pack" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // q73: the q68 shape with the codegen'd token count fused into the scan
+    "q73_token_pack" -> Shape(shuffles = 1, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     // q69: ONE visible exchange — the line-df aggregate (its partial
     // distinct phase is satisfied by the doc_id partitioning, and the
     // rebuild reuses it too; the fan-out sits inside the persisted
