@@ -330,6 +330,74 @@ class StreamingSpec extends SparkSpec {
       ("sA", 1L) -> (0L, 0L), ("sA", 2L) -> (0L, 40L), ("sA", 3L) -> (0L, 90L)))
   }
 
+  test("gate→mix→pack: the full curation leg as ONE streaming query; == batch model; replay is a no-op") {
+    // q71's stateless rule battery, q67's broadcast rate sampling, and
+    // q68's keyed pack fold composed in a single continuous query — the
+    // online form of the batch curation pipeline. The gate and mix
+    // stages are pure per-row projections (replay-deterministic with no
+    // state); only the pack fold is stateful, and its id-dedup contract
+    // absorbs the redelivery.
+    import graft.streaming.{PackAssign, PackDoc}
+    def goodText(seed: Int): String =
+      ("the" +: (1 to 59).map(i => s"w${seed}x$i")).mkString(" ")
+    val badText = (1 to 60).map(_ => "!!").mkString(" ")   // symbol-only words
+    val in = MemoryStream[(Long, String, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "source", "text")
+    val rates = Seq(("sA", 1000000L), ("sB", 600000L)).toDF("source", "keep_micro")
+    val gated = TextAnalysis.qualityGateVerdict(docs)
+      .filter(col("pass")).select("doc_id", "source", "text")
+    val packIn = StreamingOps.mixStream(gated, rates)
+      .selectExpr("source", "doc_id", "cast(length(text) as bigint) as n_chars")
+      .as[PackDoc]
+    val q = StreamingOps.packStream(packIn, budget = 1000L)
+      .writeStream.format("memory").queryName("gatemixpack")
+      .outputMode("append").start()
+    val batch1 = (0L until 12L).map(id =>
+      (id, if (id % 2 == 0) "sA" else "sB",
+        if (id % 3 == 0) badText else goodText(id.toInt)))
+    val batch2 = (12L until 24L).map(id =>
+      (id, if (id % 2 == 0) "sA" else "sB",
+        if (id % 3 == 0) badText else goodText(id.toInt)))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    val firstTwo = spark.table("gatemixpack").as[PackAssign].collect()
+    // driver model of the same three stages over the full ordered input
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keepBucket(id: Long): Long = {
+      val dg = md.digest(id.toString.getBytes("UTF-8"))
+      ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+        ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % 1000000L)
+    }
+    val rateMap = Map("sA" -> 1000000L, "sB" -> 600000L)
+    val survivors = (batch1 ++ batch2)
+      .filter(_._3 != badText)                      // gate (by construction)
+      .filter(d => keepBucket(d._1) < rateMap(d._2)) // mix keep predicate
+    val model = survivors.groupBy(_._2).iterator.flatMap { case (src, rows) =>
+      var seqNo = 0L; var fill = 0L
+      rows.sortBy(_._1).map { case (id, _, text) =>
+        val n = text.length.toLong
+        if (fill > 0L && fill + n > 1000L) { seqNo += 1L; fill = 0L }
+        val off = fill; fill += n
+        (src, id, seqNo, off)
+      }
+    }.toSet
+    assert(firstTwo.map(a => (a.source, a.doc_id, a.seq_no, a.offset_chars))
+      .toSet == model, "streaming gate→mix→pack != batch model")
+    // the sB rate actually dropped something the gate passed, or the mix
+    // stage is vacuous in this composition
+    assert(survivors.count(_._2 == "sB") <
+      (batch1 ++ batch2).count(d => d._2 == "sB" && d._3 != badText))
+    assert(model.exists(_._3 > 0L), "budget never overflowed — fold vacuous")
+    // at-least-once replay of batch 1: gate+mix re-decide identically and
+    // the pack fold's id-dedup drops every redelivered doc — ZERO new rows
+    in.addData(batch1: _*)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("gatemixpack").count() == firstTwo.length,
+      "replayed batch emitted new assignments")
+  }
+
   test("q67 streaming twin: a stream carrying its own keep_micro/w columns still mixes") {
     // the r6 ADVICE gap: the rate table's column names must not be able
     // to collide with the stream frame's own columns (ambiguous-reference
