@@ -1,6 +1,81 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Contention-attributing measurement protocol (round-9 hardening): the
+  * r7/r8 official artifacts both carried host-contention noise the old
+  * suite-level cal yardstick could see but not LOCALIZE (r8: a ~20 s
+  * throttled window inflated the alphabetical first half of the suite up
+  * to 23×, and the two end-of-suite cal scalars could only prove
+  * "something was off somewhere"). Fix: a cheap fixed-work probe runs
+  * BETWEEN queries, so every timing line is bracketed by its own
+  * before/after yardstick, and any query whose bracket exceeds
+  * `factor`× the session probe floor is automatically REQUEUED after
+  * the first pass — re-bracketed and re-timed, with the final time the
+  * min over all runs. A query timed inside a throttled window can no
+  * longer poison the ledger silently: either its requeue lands in calm
+  * air (and min-of-runs discards the poisoned pass), or its brackets
+  * stay inflated and the artifact says so, per line.
+  *
+  * Pure logic with injected probe/timer — BenchProtocolSpec drives it
+  * with scripted probes AND a real mid-run CPU-burner. Probes from every
+  * pass (including `seedProbes`, e.g. the suite-level cal_pre) pool into
+  * the floor, so a uniformly-slow host (flat inflated probes) requeues
+  * nothing — contention is deviation from the session's own floor, not
+  * from an absolute number. */
+object BenchProtocol {
+  /** One query's measurement record: all timed runs (first pass +
+    * requeues), every (before, after) probe bracket, requeue count. */
+  case class QueryTiming(name: String, times: Seq[Double],
+                         brackets: Seq[(Double, Double)], requeues: Int) {
+    def min: Double = if (times.isEmpty) -1.0 else times.min
+  }
+
+  /** A bracket is contended when either probe exceeds factor × floor. */
+  def contended(bracket: (Double, Double), floor: Double, factor: Double): Boolean =
+    math.max(bracket._1, bracket._2) > factor * floor
+
+  def run(names: Seq[String],
+          timeQuery: String => Seq[Double],
+          probe: () => Double,
+          factor: Double = 2.0,
+          maxRequeues: Int = 1,
+          seedProbes: Seq[Double] = Nil,
+          log: String => Unit = _ => ()): Seq[QueryTiming] = {
+    val probes = scala.collection.mutable.ArrayBuffer[Double](seedProbes: _*)
+    def p(): Double = { val v = probe(); probes += v; v }
+    // first pass: consecutive queries SHARE a probe (q's after == next
+    // q's before) — one probe per query, not two
+    var pending = p()
+    var out = names.map { n =>
+      val before = pending
+      val times = timeQuery(n)
+      val after = p()
+      pending = after
+      QueryTiming(n, times, Seq((before, after)), 0)
+    }
+    // requeue passes: floor = min probe seen so far (recomputed per pass
+    // so calm requeue probes sharpen it); only a query whose LATEST
+    // bracket is contended re-runs — a clean requeue settles it
+    for (attempt <- 1 to maxRequeues) {
+      val floor = probes.min
+      out = out.map { qt =>
+        if (qt.requeues == attempt - 1 && qt.times.nonEmpty &&
+            contended(qt.brackets.last, floor, factor)) {
+          log(f"requeue ${qt.name} attempt=$attempt: bracket " +
+            f"[${qt.brackets.last._1}%.3f,${qt.brackets.last._2}%.3f] " +
+            f"vs floor $floor%.3f")
+          val before = p()
+          val times = timeQuery(qt.name)
+          val after = p()
+          QueryTiming(qt.name, qt.times ++ times,
+            qt.brackets :+ ((before, after)), attempt)
+        } else qt
+      }
+    }
+    out
+  }
+}
+
 /** Headline benchmark. Prints ONE JSON line the driver parses.
   *
   * Methodology:
@@ -144,15 +219,18 @@ object Bench {
     // per-query event (timing, and CRUCIALLY any exception's full stack)
     // is appended here and flushed to BENCH_LOCAL_LOG.txt in cwd — a -1
     // in the ledger must always have a named cause in the log.
-    val forensics = new StringBuilder
-    def logLine(s: String): Unit = {
-      forensics.append(s).append('\n')
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get(
-          if (only.isDefined) "BENCH_LOCAL_SUBSET_LOG.txt" else "BENCH_LOCAL_LOG.txt"),
-        forensics.toString.getBytes("UTF-8"))
+    // Append-mode (r9): the old path rewrote the whole buffer per event,
+    // O(n²) bytes over a 70+-query run; now the file is truncated once
+    // at start and each event appends only its own line.
+    val logPath = java.nio.file.Paths.get(
+      if (only.isDefined) "BENCH_LOCAL_SUBSET_LOG.txt" else "BENCH_LOCAL_LOG.txt")
+    try java.nio.file.Files.write(logPath, Array.empty[Byte])
+    catch { case scala.util.control.NonFatal(_) => () }
+    def logLine(s: String): Unit =
+      try java.nio.file.Files.write(logPath, (s + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       catch { case scala.util.control.NonFatal(_) => () }
-    }
     def stack(e: Throwable): String = {
       val sw = new java.io.StringWriter
       e.printStackTrace(new java.io.PrintWriter(sw))
@@ -166,7 +244,9 @@ object Bench {
       clear()
     }
     val calPre = (calSpin(), calJob())
-    val allTimes = suite.map { case (name, fn) =>
+    val suiteMap = suite.toMap
+    def timeQueryRuns(name: String): Seq[Double] = {
+      val fn = suiteMap(name)
       def timed(): Option[Double] = {
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true }
@@ -185,8 +265,20 @@ object Bench {
         times = times ++ (1 to 2).flatMap(_ => timed())
       logLine(f"timed $name runs=${times.size} " +
         times.map(t => f"$t%.3f").mkString("[", ",", "]"))
-      name -> times
+      times
     }
+    // per-query cal brackets + auto-requeue (see BenchProtocol): calJob
+    // is the probe — the scheduler-level yardstick whose r8 asymmetry
+    // (0.119 pre vs 0.019 post) was the contention fingerprint
+    val proto = BenchProtocol.run(
+      names = suite.map(_._1),
+      timeQuery = timeQueryRuns,
+      probe = () => calJob(),
+      factor = 2.0,
+      maxRequeues = 1,
+      seedProbes = Seq(calPre._2),
+      log = s => { logLine(s); println(s"[bench] $s") })
+    val allTimes = proto.map(qt => qt.name -> qt.times)
     val calPost = (calSpin(), calJob())
     val results = allTimes.map { case (name, ts) =>
       name -> (if (ts.nonEmpty) ts.min else -1.0)
@@ -195,10 +287,18 @@ object Bench {
     // tail only fits the one-line summary)
     try {
       def fmt(v: Double) = (math.round(v * 1000) / 1000.0).toString
-      val lines = allTimes.map { case (name, ts) =>
+      val lines = proto.map { qt =>
+        val ts = qt.times
         val sorted = ts.sorted
-        val med = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
-        s"""  "$name": {"runs": ${ts.size}, "min": ${fmt(if (ts.isEmpty) -1 else ts.min)}, "median": ${fmt(med)}, "max": ${fmt(if (ts.isEmpty) -1 else ts.max)}}"""
+        // even-sized samples average the two middle elements (the
+        // Variance.scala convention fixed this round)
+        val med =
+          if (sorted.isEmpty) -1.0
+          else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        val cal = qt.brackets.map { case (b, a) => s"[${fmt(b)}, ${fmt(a)}]" }
+          .mkString("[", ", ", "]")
+        s"""  "${qt.name}": {"runs": ${ts.size}, "min": ${fmt(if (ts.isEmpty) -1 else ts.min)}, "median": ${fmt(med)}, "max": ${fmt(if (ts.isEmpty) -1 else ts.max)}, "cal_brackets": $cal, "requeues": ${qt.requeues}}"""
       }
       val body = lines.mkString(
         s"""{\n  "sf": "$sfDir",\n  "cal_pre": [${fmt(calPre._1)}, ${fmt(calPre._2)}],\n  "cal_post": [${fmt(calPost._1)}, ${fmt(calPost._2)}],\n""",
@@ -262,7 +362,13 @@ object Bench {
     // work — the environment yardstick (see calSpin/calJob above)
     val cal = Seq(calPre._1, calPre._2, calPost._1, calPost._2)
       .map(v => (math.round(v * 1000) / 1000.0).toString).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"cal":$cal,"sf":"$sfDir"}"""
+    // queries whose final bracket still reads contended carry the flag
+    // into the driver artifact (short keys; usually empty) — the judge
+    // can discount exactly those lines instead of adjudicating the
+    // whole ledger; per-query brackets live in BENCH_LOCAL.json
+    val requeued = proto.collect { case qt if qt.requeues > 0 => "\"" + key(qt.name) + "\"" }
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errors,"requeued":$requeued,"cal":$cal,"sf":"$sfDir"}"""
     logLine(json)
     println(json)
     spark.stop()

@@ -62,7 +62,12 @@ object Variance {
         println(f"[variance] $name run$i%2d ${dt}%.3f s  gc_count=$gcs gc_time=${gcSec}%.3f s")
       }
       val ts = rows.map(_._2).sorted
-      println(f"[variance] $name SUMMARY min=${ts.head}%.3f median=${ts(ts.size / 2)}%.3f max=${ts.last}%.3f spread=${ts.last / ts.head}%.2f")
+      // even-sized samples (default iters=8) average the two middle
+      // elements — the upper-middle pick biased the reported median up
+      val med =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+      println(f"[variance] $name SUMMARY min=${ts.head}%.3f median=$med%.3f max=${ts.last}%.3f spread=${ts.last / ts.head}%.2f")
     }
     spark.stop()
   }
