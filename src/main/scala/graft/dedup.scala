@@ -342,6 +342,14 @@ object Dedup {
     * left-join formulation silently dropped it). Both callers pass the
     * full corpus id set, and the star variant anchors its output to
     * `vertices` explicitly — keep the invariant if adding callers. */
+  /** One hash-min propagation round: edge⋈label join + min aggregation —
+    * exactly TWO keyed exchanges at scale. Extracted so PlanBudgetSpec
+    * pins the per-round exchange ceiling on the code the loop runs (the
+    * loop's total cost is rounds × this shape). */
+  private[graft] def ccRound(both: DataFrame, lab: DataFrame): DataFrame =
+    both.join(lab, both("src") === lab("id"))
+      .groupBy(col("dst").as("id")).agg(min(col("root")).as("root"))
+
   private[graft] def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
     // undirected: propagate both ways; self-loops carry each vertex's own
     // root through the aggregation. Materialized ONCE up front — without
@@ -357,9 +365,7 @@ object Dedup {
     var sig = ccSignature(lab, Seq("id", "root"))
     var converged = false
     while (!converged) {
-      val next = both.join(lab, both("src") === lab("id"))
-        .groupBy(col("dst").as("id")).agg(min(col("root")).as("root"))
-        .localCheckpoint()
+      val next = ccRound(both, lab).localCheckpoint()
       val nsig = ccSignature(next, Seq("id", "root"))
       converged = nsig == sig
       freeCheckpoint(lab) // superseded round, never re-read
@@ -390,30 +396,36 @@ object Dedup {
     * are freed as the loop advances; only the scalar convergence
     * signature visits the driver. Returns (labels, rounds) — rounds so
     * the deep-chain spec can assert the logarithmic bound. */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+    // no dedup here: each nbrs row emits ≤ 1 edge, so the output is
+    // ≤ 2|E| rows either way, and the round's closing smallStar
+    // absorbs duplicates map-side (partial min + its final distinct) —
+    // dropping the exchange halves the shuffles largeStar costs
+    nbrs.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+  }
+
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val o = e.select(greatest(col("u"), col("v")).as("u"),
+                     least(col("u"), col("v")).as("v"))
+    val mins = o.groupBy("u").agg(min(col("v")).as("mn"))
+    o.join(mins, Seq("u"))
+      .filter(col("v") =!= col("mn"))
+      .select(col("v").as("u"), col("mn").as("v"))
+      .unionAll(mins.select(col("u"), col("mn").as("v")))
+      .distinct()
+  }
+
+  /** One large-star + small-star alternation (top-level, like [[ccRound]],
+    * so PlanBudgetSpec pins the per-round exchange ceiling). */
+  private[graft] def starRound(e: DataFrame): DataFrame = smallStar(largeStar(e))
+
   private[graft] def connectedComponentsStar(vertices: DataFrame,
                                              edges: DataFrame): (DataFrame, Int) = {
-    def largeStar(e: DataFrame): DataFrame = {
-      val nbrs = e.select(col("u"), col("v"))
-        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
-      // no dedup here: each nbrs row emits ≤ 1 edge, so the output is
-      // ≤ 2|E| rows either way, and the round's closing smallStar
-      // absorbs duplicates map-side (partial min + its final distinct) —
-      // dropping the exchange halves the shuffles largeStar costs
-      nbrs.join(mins, Seq("u"))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val o = e.select(greatest(col("u"), col("v")).as("u"),
-                       least(col("u"), col("v")).as("v"))
-      val mins = o.groupBy("u").agg(min(col("v")).as("mn"))
-      o.join(mins, Seq("u"))
-        .filter(col("v") =!= col("mn"))
-        .select(col("v").as("u"), col("mn").as("v"))
-        .unionAll(mins.select(col("u"), col("mn").as("v")))
-        .distinct()
-    }
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
@@ -421,7 +433,7 @@ object Dedup {
     var rounds = 0
     var converged = sig._1 == 0
     while (!converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = starRound(e).localCheckpoint()
       val nsig = ccSignature(next, Seq("u", "v"))
       rounds += 1
       // both frames are distinct()-outputs, so equal signatures over the

@@ -39,6 +39,30 @@ class PlanBudgetSpec extends SparkSpec {
     }
   }
 
+  test("plan budget: CC loop PER-ROUND shapes (q41 hash-min, q60 star)") {
+    // the q41/q60 whole-query cost is rounds × the round body, so the
+    // budget that matters is per round: hash-min = join + min-agg (ONE
+    // visible shuffle here — AQE broadcasts the label side at fixture
+    // scale; at 100 TB the join adds its keyed exchange, giving the
+    // documented 2/round), star = two groupBy mins + closing distinct
+    // (3 shuffles). An extra per-round distinct/join/convergence-probe —
+    // the r6 except() regression shape — fails HERE at commit time
+    // instead of surfacing as a bench-ledger mystery.
+    import spark.implicits._
+    val ids = (0L to 50L).toDF("id").localCheckpoint()
+    val edges = (0L until 50L).map(i => (i, i + 1)).toDF("src", "dst")
+    val both = edges.unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      .unionAll(ids.select($"id".as("src"), $"id".as("dst"))).localCheckpoint()
+    val lab = ids.select($"id", $"id".as("root")).localCheckpoint()
+    val cc = shapeOf(Dedup.ccRound(both, lab))
+    assert(cc.cartesian == 0 && cc.shuffles <= 1 && cc.joins <= 1,
+      s"hash-min round widened: $cc")
+    val e = edges.select($"src".as("u"), $"dst".as("v")).localCheckpoint()
+    val star = shapeOf(Dedup.starRound(e))
+    assert(star.cartesian == 0 && star.shuffles <= 3 && star.joins <= 3,
+      s"star round widened: $star")
+  }
+
   test("meta: an injected corpus rejoin EXCEEDS its query's budget (gate sensitivity)") {
     // the failure mode this suite exists for, demonstrated live: take a
     // budgeted single-scan query and join the corpus back onto its own

@@ -595,10 +595,16 @@ class StreamingSpec extends SparkSpec {
     in.addData(KeepDoc(5L, 0L, 80L))
     q.processAllAvailable(); q.stop()
     val got = spark.table("keepers").as[KeeperChange].collect().toSeq
-    assert(got == Seq(
-      KeeperChange(5L, 1L, 40L), KeeperChange(7L, 10L, 10L),
+    // batch 1 emits one row per cluster and within-batch sink order is
+    // shuffle-partition order — an engine implementation detail — so
+    // assert the batch SET; the cross-batch tail (one row per batch) is
+    // append-ordered and asserted exactly
+    assert(got.length == 4 && got.take(2).toSet == Set(
+      KeeperChange(5L, 1L, 40L), KeeperChange(7L, 10L, 10L)),
+      s"batch-1 emission set: $got")
+    assert(got.drop(2) == Seq(
       KeeperChange(5L, 2L, 80L),
-      KeeperChange(5L, 0L, 80L)), s"revision stream: $got")
+      KeeperChange(5L, 0L, 80L)), s"revision tail: $got")
     // batch-twin equality: last revision per cluster == the q70 window
     // argmax over everything delivered (duplicates included)
     val delivered = Seq(
