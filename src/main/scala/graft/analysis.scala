@@ -110,7 +110,22 @@ object TextAnalysis {
     * end-to-end case in StreamingSpec); the batch q71 query is this
     * transform over the documents scan. `__graft_gate_toks` is reserved
     * (the mixStream `__graft_mix_*` discipline). */
+  /** Columns qualityGateVerdict appends (plus its scratch token array):
+    * input frames must not already contain any of them — a collision
+    * would silently produce duplicate/ambiguous columns downstream. */
+  val qualityGateReserved: Seq[String] = Seq(
+    "__graft_gate_toks", "n_words", "sum_word_chars", "n_alpha_words",
+    "n_stop_kinds", "n_symbol_words", "ok_n_words", "ok_word_len",
+    "ok_alpha", "ok_stop", "ok_symbol", "pass")
+
   def qualityGateVerdict(df: DataFrame): DataFrame = {
+    require(df.columns.contains("text"),
+      s"qualityGateVerdict: input must include a `text` column; got ${df.columns.mkString(", ")}")
+    val clash = df.columns.toSeq.intersect(qualityGateReserved)
+    require(clash.isEmpty,
+      "qualityGateVerdict: input columns collide with the appended/reserved " +
+        s"set (${clash.mkString(", ")}); rename them first — reserved: " +
+        qualityGateReserved.mkString(", "))
     val keep = df.columns.toSeq
     df.selectExpr(keep :+ "split(text, ' ') as __graft_gate_toks": _*)
       .selectExpr(keep ++ Seq(

@@ -792,4 +792,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(ratesBySize.zip(ratesBySize.tail).forall { case (a, b) => a >= b },
       s"rates not monotone vs size: ${bySize.map(r => (r._2, r._4)).toSeq}")
   }
+
+  test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
+    // ADVICE r9: a frame already carrying an appended name (n_words, pass,
+    // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous
+    // columns downstream; the transform must fail fast instead.
+    val ok = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    assert(TextAnalysis.qualityGateVerdict(ok).columns.count(_ == "pass") == 1)
+    for (bad <- Seq("n_words", "pass", "ok_alpha", "__graft_gate_toks")) {
+      val df = ok.withColumn(bad, lit(0L))
+      val e = intercept[IllegalArgumentException](TextAnalysis.qualityGateVerdict(df))
+      assert(e.getMessage.contains(bad), s"error must name the colliding column $bad")
+    }
+    val noText = Seq((1L, "x")).toDF("doc_id", "body")
+    val e2 = intercept[IllegalArgumentException](TextAnalysis.qualityGateVerdict(noText))
+    assert(e2.getMessage.contains("text"))
+  }
 }
