@@ -1531,6 +1531,103 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q74 — bigram-LM perplexity filter (the CCNet-style quality gate: fit a
+  // small LM on an in-domain reference slice, score every document by
+  // average negative log-likelihood, flag the out-of-domain tail).
+  // Reference slice = doc_id % 10 == 0 (the q63 denylist idiom). Model:
+  // add-one-smoothed bigram LM, P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V) with V =
+  // reference vocabulary size.
+  //
+  // Scale shape: the two count tables are keyed aggregates of the 10%
+  // REFERENCE slice only (vocabulary-bounded — at 100 TB you'd prune to
+  // top-K n-grams before broadcast, same shape); both join back as
+  // BROADCASTs, V rides a one-row broadcast (the IVF codebook shape). The
+  // corpus side is scan → explode → 3 broadcast joins → partial-agg →
+  // ONE keyed exchange of (doc_id, sum, count) triples. Text never
+  // re-shuffles.
+  //
+  // Determinism: p is a double division of exact integers (identical bits
+  // both engines); each bigram's -ln(p) is quantized to integer
+  // MICRO-NATS (floor(x*1e6+0.5) as BIGINT) BEFORE the per-doc sum, so
+  // the sum is exact long arithmetic — order-independent, immune to the
+  // float-sum ordering hazard of a distributed fold. ln agrees across
+  // engines to ~1 ulp; the 1e-6 quantization grid makes a boundary flip
+  // astronomically unlikely (measured clean at both test SFs).
+  // ---------------------------------------------------------------------
+
+  private[graft] val perplexityThreshold = 3.6
+
+  def perplexityFilter(s: SparkSession, d: String): DataFrame = {
+    val toksOf = "split(text, ' ')"
+    val ref = Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .selectExpr("doc_id", s"$toksOf as toks")
+      .transform(Tables.maybePersist)
+    val ug = ref.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val bg = ref
+      .selectExpr("explode(transform(filter(sequence(0, size(toks) - 1), i -> i + 1 < size(toks)), i -> concat(toks[i], ' ', toks[i + 1]))) as b")
+      .groupBy("b").agg(count(lit(1)).as("bc"))
+    val vRow = ug.agg(count(lit(1)).cast("long").as("vsz"))
+    // pairs via filter(sequence(0, size-1)) — sequence() with start>stop
+    // steps DOWNWARD in Spark, so a naive sequence(0, size-2) on a
+    // 1-token doc would yield [0,-1] instead of []; split() never returns
+    // an empty array, so sequence(0, size-1) is always ascending
+    val bx = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .selectExpr("doc_id", s"$toksOf as toks")
+      .select(col("doc_id"), expr(
+        "explode_outer(transform(filter(sequence(0, size(toks) - 1), i -> i + 1 < size(toks)), " +
+          "i -> struct(toks[i] as w1, concat(toks[i], ' ', toks[i + 1]) as b)))").as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+    bx.join(broadcast(bg), Seq("b"), "left")
+      .join(broadcast(ug), col("w1") === col("w"), "left")
+      .crossJoin(broadcast(vRow))
+      .select(col("doc_id"),
+        col("b"),
+        when(col("b").isNull, lit(null).cast("long")).otherwise(expr(
+          "cast(floor(-ln(cast(coalesce(bc, 0) + 1 as double) / cast(coalesce(uc, 0) + vsz as double)) * 1e6 + 0.5) as bigint)"))
+          .as("nll"))
+      .groupBy("doc_id")
+      .agg(count(col("b")).as("n_bigrams"),
+           coalesce(sum(col("nll")), lit(0L)).as("sum_nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_nll_micro"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(floor(col("sum_nll_micro").cast("double") / col("n_bigrams") + 0.5) / 1e6)
+          .as("avg_nll"))
+      .withColumn("flagged", col("avg_nll") > perplexityThreshold)
+  }
+
+  val perplexityFilterSql: String =
+    s"""WITH ref AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |ug AS (SELECT w, COUNT(*)::BIGINT AS uc
+       |  FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY w),
+       |v AS (SELECT COUNT(*)::BIGINT AS vsz FROM ug),
+       |bg AS (SELECT b, COUNT(*)::BIGINT AS bc
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |          i -> toks[i] || ' ' || toks[i + 1])) AS b FROM ref) GROUP BY b),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bx AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk)),
+       |sc AS (SELECT bx.doc_id,
+       |    floor(-ln((coalesce(bg.bc, 0) + 1)::DOUBLE
+       |              / (coalesce(ug.uc, 0) + v.vsz)::DOUBLE) * 1e6 + 0.5)::BIGINT AS nll
+       |  FROM bx LEFT JOIN bg ON bx.b = bg.b
+       |          LEFT JOIN ug ON bx.w1 = ug.w
+       |          CROSS JOIN v),
+       |ag AS (SELECT doc_id, COUNT(*)::BIGINT AS nb, SUM(nll)::BIGINT AS s
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(nb, 0)::BIGINT AS n_bigrams,
+       |  coalesce(s, 0)::BIGINT AS sum_nll_micro,
+       |  CASE WHEN coalesce(nb, 0) = 0 THEN 0.0
+       |       ELSE floor(s::DOUBLE / nb + 0.5) / 1e6 END AS avg_nll,
+       |  CASE WHEN coalesce(nb, 0) = 0 THEN FALSE
+       |       ELSE floor(s::DOUBLE / nb + 0.5) / 1e6 > $perplexityThreshold END AS flagged
+       |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_token_stats"   -> ((s, d) => tokenStats(s, d)),
     "q34_split_assign"  -> ((s, d) => splitAssign(s, d)),
@@ -1560,6 +1657,7 @@ object TextAnalysis {
     "q71_quality_gate" -> ((s, d) => qualityGate(s, d)),
     "q72_classifier_score" -> ((s, d) => classifierScore(s, d)),
     "q73_token_pack" -> ((s, d) => sequencePackTokens(s, d)),
+    "q74_lm_perplexity" -> ((s, d) => perplexityFilter(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1591,5 +1689,6 @@ object TextAnalysis {
     "q71_quality_gate" -> qualityGateSql,
     "q72_classifier_score" -> classifierScoreSql,
     "q73_token_pack" -> sequencePackTokensSql,
+    "q74_lm_perplexity" -> perplexityFilterSql,
   )
 }

@@ -105,12 +105,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events with ts exposed as (ts_ns: long, ts_us: long, ts: timestamp). */
+  /** events with ts exposed as (ts_ns: long, ts_us: long, ts: timestamp).
+    *
+    * The driver's parquet has shipped `ts` two ways across rounds:
+    * INT64 TIMESTAMP(NANOS) (read as raw long under nanosAsLong — rounds
+    * ≤10) and TIMESTAMP(MICROS) (reads as timestamp/timestamp_ntz —
+    * round 11+). Branch on the physical type so both generations load;
+    * every downstream consumer keys on µs (the oracle's precision), and
+    * ts_ns stays a total-ordering key (µs·1000 under the new layout). */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events").withColumnRenamed("ts", "ts_ns")
-    raw
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts_ns", col("ts_us") * 1000L)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+    }
   }
 
   /** Lowercase hex of a byte array — table-driven (a formatter per byte
