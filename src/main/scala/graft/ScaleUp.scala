@@ -58,11 +58,19 @@ object ScaleUp {
         "lang", "source")
         .withColumn("n_chars", length(col("text")).cast("long")))
 
+    // ts shipped as INT64 nanos through round 10, TIMESTAMP(MICROS) from
+    // round 11 — shift by +k·35 days in whichever unit the file carries
+    val tsShift: Int => String = {
+      val isLong = read("events").schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+      k => if (isLong) s"ts + ${k * 35L * 86400L * 1000000000L}L as ts"
+           else s"timestampadd(DAY, ${k * 35}, ts) as ts"
+    }
     replicate("events", (e, k) =>
       if (k == 0) e
       else e.selectExpr(
         s"event_id + ${k * 1000000L}L as event_id",
-        s"ts + ${k * 35L * 86400L * 1000000000L}L as ts", // +k·35 days (ns)
+        tsShift(k),
         s"user_id + ${k * 100000L}L as user_id",
         "event_type", "value", "props"))
 
@@ -70,9 +78,27 @@ object ScaleUp {
       if (k == 0) l
       else l.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L)))
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "embeddings").foreach(t => write(read(t), t))
-    println(s"[scaleup] wrote ${copies}x of $src to $dst")
+    // embeddings are copied verbatim by default (the ANN queries probe
+    // fixed-size codebooks — scaling them is a different experiment).
+    // `embScale` opts in for the q28/q75 linearity audits: vec_ids offset
+    // per copy, labels kept, and each copy's vectors CIRCULAR-SHIFTED by
+    // k — preserves the norm/coordinate distribution while decorrelating
+    // copies from their base (autocorrelation of i.i.d. coordinates at
+    // lag k ≈ 0), so the within-cell duplicate structure stays constant
+    // per copy and pair work scales linearly, not quadratically.
+    val embScale = args.length > 3 && args(3) == "embScale"
+    if (embScale)
+      replicate("embeddings", (e, k) =>
+        if (k == 0) e
+        else e.selectExpr(
+          s"vec_id + ${k * 100000L}L as vec_id",
+          s"concat(slice(embedding, ${k % 64 + 1}, ${64 - k % 64}), " +
+            s"slice(embedding, 1, ${k % 64})) as embedding",
+          "label"))
+    val verbatim = Seq("region", "nation", "customer", "supplier", "part",
+      "orders") ++ (if (embScale) Nil else Seq("embeddings"))
+    verbatim.foreach(t => write(read(t), t))
+    println(s"[scaleup] wrote ${copies}x of $src to $dst (embScale=$embScale)")
     spark.stop()
   }
 }

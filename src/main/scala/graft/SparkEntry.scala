@@ -38,6 +38,7 @@ object SparkEntry {
     "q59_click_sets"       -> ((s, d) => RelOps.clickPurchaseSets(s, d)),
     "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
+    "q76_ab_ttest"         -> ((s, d) => RelOps.abTest(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ MediaOps.queries ++ Enrich.queries ++ Routing.queries
@@ -204,6 +205,7 @@ object SparkEntry {
         |  AND c.c_ts_us > p.ts_us - 1800000000 AND c.c_ts_us <= p.ts_us
         |GROUP BY p.user_id, p.p_event_id, p.ts_us
         |ORDER BY p.p_event_id""".stripMargin,
+    "q76_ab_ttest" -> RelOps.abTestSql,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
     Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle ++ Routing.oracle
 }

@@ -246,6 +246,50 @@ object TextAnalysis {
       .withColumn("label", col("score") >= 0)
   }
 
+  /** q72's scorer as a REUSABLE stateless per-row transform for the
+    * online curation leg (the qualityGateVerdict discipline): same
+    * feature hashing, same ascending-bucket dot — bit-identical to the
+    * batch q72 `score` (pinned in ExtensionsSpec) — with the weight row
+    * folded into the task closure instead of a broadcast join, so it
+    * composes ahead of mixStream/packStream in a continuous query with
+    * zero extra plan nodes. Fixed (doc_id, source, text) input schema
+    * (the PackDoc discipline); appends clf_score + clf_label. */
+  def classifierVerdict(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val dim = clfDim
+    df.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val w = Array.tabulate(dim)(j =>
+          (((j.toLong * 1103515245L + 12345L) % 1000L) - 500L) / 1000.0)
+        def bucket(f: String): Int = {
+          val dg = md.digest(f.getBytes("UTF-8"))
+          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+        }
+        it.map { case (id, src, text) =>
+          val toks = text.split(" ", -1)
+          val cnt = new Array[Double](dim)
+          var n = 0L
+          var i = 0
+          while (i < toks.length) { cnt(bucket(toks(i))) += 1.0; n += 1; i += 1 }
+          i = 0
+          while (i + 1 < toks.length) {
+            cnt(bucket(toks(i) + "_" + toks(i + 1))) += 1.0; n += 1; i += 1
+          }
+          // ascending-bucket fold == graft_dot's left-to-right loop
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += cnt(j) * w(j); j += 1 }
+          val score = math.floor(dot / n * 1e6 + 0.5) / 1e6
+          (id, src, text, score, score >= 0)
+        }
+      }
+      .toDF("doc_id", "source", "text", "clf_score", "clf_label")
+  }
+
   val classifierScoreSql: String =
     s"""WITH w AS (SELECT list_transform(range(0, $clfDim),
        |    j -> (((j * 1103515245 + 12345) % 1000) - 500) / 1000.0) AS wv),

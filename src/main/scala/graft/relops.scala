@@ -447,4 +447,81 @@ object RelOps {
            sum(col("k")).cast("long").as("sum_k"),
            min(col("k")).as("min_k"),
            max(col("k")).as("max_k"))
+
+  /** q76 — A/B experiment analysis: deterministic md5 variant assignment
+    * on user_id (the q34 split idiom — no RNG state, reassignment-free
+    * under replay), then per-event-type Welch's t between the variants'
+    * `value` metric: unequal-variance t-statistic, Welch–Satterthwaite
+    * degrees of freedom, |t|>1.96 significance flag.
+    *
+    * 100 TB: ONE keyed exchange of (event_type) partial aggregates —
+    * six conditional sums per group computed map-side (count/Σ/Σ² per
+    * variant in a single pass, no pivot stage, no self-join); the
+    * moment sums accumulate in DECIMAL (order-independent → bit-exact
+    * vs the oracle, the q01 dsum discipline) and every derived double
+    * (mean/var/t/dof) is pure scalar arithmetic on those exact sums. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.fanOut(Tables.events(s, dir), "event_id")
+      .selectExpr("event_type", "value",
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2 as v")
+    ev.groupBy("event_type")
+      .agg(
+        count(when(col("v") === 0, 1)).as("n_a"),
+        count(when(col("v") === 1, 1)).as("n_b"),
+        Tables.dsum(when(col("v") === 0, col("value"))).as("sum_a"),
+        Tables.dsum(when(col("v") === 1, col("value"))).as("sum_b"),
+        Tables.dsum(when(col("v") === 0, col("value") * col("value"))).as("ssq_a"),
+        Tables.dsum(when(col("v") === 1, col("value") * col("value"))).as("ssq_b"))
+      .selectExpr("event_type", "n_a", "n_b",
+        "sum_a / n_a as ma", "sum_b / n_b as mb",
+        "(ssq_a - sum_a * sum_a / n_a) / (n_a - 1) as va",
+        "(ssq_b - sum_b * sum_b / n_b) / (n_b - 1) as vb")
+      .selectExpr("event_type", "n_a", "n_b", "ma", "mb", "va", "vb",
+        "(ma - mb) / sqrt(va / n_a + vb / n_b) as t",
+        """(va / n_a + vb / n_b) * (va / n_a + vb / n_b) /
+          |((va / n_a) * (va / n_a) / (n_a - 1) +
+          | (vb / n_b) * (vb / n_b) / (n_b - 1)) as dof"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("event_type", "n_a", "n_b",
+        "floor(ma * 1e6 + 0.5) / 1e6 as mean_a",
+        "floor(mb * 1e6 + 0.5) / 1e6 as mean_b",
+        "floor(va * 1e6 + 0.5) / 1e6 as var_a",
+        "floor(vb * 1e6 + 0.5) / 1e6 as var_b",
+        "floor(t * 1e6 + 0.5) / 1e6 as t_stat",
+        "floor(dof * 1e6 + 0.5) / 1e6 as dof",
+        "abs(t) > 1.96 as significant")
+  }
+
+  val abTestSql: String =
+    """WITH e AS (SELECT event_type, value,
+      |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v
+      |  FROM events),
+      |g AS (SELECT event_type,
+      |    COUNT(*) FILTER (v = 0) AS n_a,
+      |    COUNT(*) FILTER (v = 1) AS n_b,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (v = 0) AS DOUBLE) AS sum_a,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (v = 1) AS DOUBLE) AS sum_b,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(25,6))) FILTER (v = 0) AS DOUBLE) AS ssq_a,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(25,6))) FILTER (v = 1) AS DOUBLE) AS ssq_b
+      |  FROM e GROUP BY event_type),
+      |m AS (SELECT event_type, n_a, n_b,
+      |    sum_a / n_a AS ma, sum_b / n_b AS mb,
+      |    (ssq_a - sum_a * sum_a / n_a) / (n_a - 1) AS va,
+      |    (ssq_b - sum_b * sum_b / n_b) / (n_b - 1) AS vb
+      |  FROM g),
+      |t AS (SELECT event_type, n_a, n_b, ma, mb, va, vb,
+      |    (ma - mb) / sqrt(va / n_a + vb / n_b) AS t,
+      |    (va / n_a + vb / n_b) * (va / n_a + vb / n_b) /
+      |    ((va / n_a) * (va / n_a) / (n_a - 1) +
+      |     (vb / n_b) * (vb / n_b) / (n_b - 1)) AS dof
+      |  FROM m)
+      |SELECT event_type, n_a, n_b,
+      |  floor(ma * 1e6 + 0.5) / 1e6 AS mean_a,
+      |  floor(mb * 1e6 + 0.5) / 1e6 AS mean_b,
+      |  floor(va * 1e6 + 0.5) / 1e6 AS var_a,
+      |  floor(vb * 1e6 + 0.5) / 1e6 AS var_b,
+      |  floor(t * 1e6 + 0.5) / 1e6 AS t_stat,
+      |  floor(dof * 1e6 + 0.5) / 1e6 AS dof,
+      |  abs(t) > 1.96 AS significant
+      |FROM t ORDER BY event_type""".stripMargin
 }

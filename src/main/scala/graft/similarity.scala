@@ -354,6 +354,101 @@ object Similarity {
        |FROM r ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q75 — SemDeDup-style semantic deduplication (Abbas et al. 2023): route
+  // every embedding to its nearest coarse centroid, then prune within-cell
+  // cosine-duplicates, keeping the EARLIEST member (lowest vec_id) of each
+  // duplicate relation. The corpus (like q32) plants deterministic
+  // perturbed twins so the oracle exercises a non-trivial drop set —
+  // the base synthetic embeddings top out at cos≈0.51.
+  //
+  // Scale shape: assignment is the IVF pattern — one-row broadcast
+  // codebook, argmax over k cells fused into the scan, ZERO corpus
+  // shuffle; candidate pairs shuffle ONCE keyed by cell and are
+  // triangle-blocked (boundedBucketPairs) so an oversize cell bounds
+  // per-task pairs at cap² instead of |cell|² — SemDeDup's cluster-size
+  // cap, expressed as blocking. The verdict joins back keyed on vec_id
+  // (the drop set is a duplicate-rate fraction of the corpus; AQE
+  // broadcasts it at test scale, a keyed exchange co-partitions it at
+  // 100 TB — either way text/embeddings never move twice).
+  //
+  // Determinism: the pair loop and the oracle fold both run
+  // left-to-right double dots (the q32 contract); argmax cell ties break
+  // toward the smaller c_label on both sides; keep/drop is integer
+  // comparison only.
+  // ---------------------------------------------------------------------
+
+  private[graft] val semDedupTau = 0.95
+
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val corpus = base.unionAll(
+      base.selectExpr("vec_id + 10000 as vec_id",
+        "zip_with(e, sequence(0, 63), (x, i) -> x + 0.004 * cast(i % 5 as double)) as e"))
+    val codebook = centroidsByLabel(s, d, "c_label")
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
+    val assigned = corpus.crossJoin(broadcast(codebook))
+      .selectExpr("vec_id", "e", "cells", s"sqrt(${dotExpr("e", "e")}) as nrm")
+      .selectExpr("vec_id", "e", "nrm",
+        s"""array_max(transform(cells, c -> named_struct(
+           |  'cos', ${dotExpr("e", "c.centroid")} /
+           |    (nrm * sqrt(graft_dot(c.centroid, c.centroid))),
+           |  'nl', -c.c_label))) as best"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("vec_id", "e", "nrm", "cast(-best.nl as int) as c_label")
+      .transform(Tables.maybePersist)
+    val drops = Dedup.boundedBucketPairs(s,
+        assigned.selectExpr("cast(c_label as bigint) as bucket", "vec_id", "e", "nrm"),
+        cap = 1024, minCos = semDedupTau)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"), max(col("cos")).as("mc"))
+    assigned.select("vec_id", "c_label")
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_label"), col("dup_of"),
+        (floor(col("mc") * 1e6 + 0.5) / 1e6).as("max_cos"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  val semDedupSql: String = {
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(n.e) + 1),
+        |i -> n.e[i] * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    s"""WITH dm AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |sm AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM dm GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM sm GROUP BY label),
+       |base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |corpus AS (SELECT vec_id, e FROM base
+       |  UNION ALL SELECT vec_id + 10000,
+       |    list_transform(range(1, len(e) + 1), i -> e[i] + 0.004 * ((i - 1) % 5)::DOUBLE)
+       |  FROM base),
+       |n AS (SELECT vec_id, e, sqrt(${dotSqlDuck("e", "e")}) AS nrm FROM corpus),
+       |asg AS (SELECT vec_id, e, nrm, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ($dotEC) / (n.nrm * $normC) DESC, c_label) AS rn
+       |  FROM n CROSS JOIN c),
+       |a AS (SELECT vec_id, e, nrm, c_label FROM asg WHERE rn = 1),
+       |p AS (SELECT x.vec_id AS va, y.vec_id AS vb,
+       |    (list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(x.e) + 1),
+       |       i -> x.e[i] * y.e[i])), (p_, q_) -> p_ + q_)) / (x.nrm * y.nrm) AS cos
+       |  FROM a x JOIN a y ON x.c_label = y.c_label AND x.vec_id < y.vec_id),
+       |f AS (SELECT vb AS vec_id, min(va) AS dup_of, max(cos) AS mc
+       |  FROM p WHERE cos >= $semDedupTau GROUP BY vb)
+       |SELECT a.vec_id, a.c_label, f.dup_of,
+       |  floor(f.mc * 1e6 + 0.5) / 1e6 AS max_cos,
+       |  f.dup_of IS NULL AS keep
+       |FROM a LEFT JOIN f ON a.vec_id = f.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** q47 — int8 symmetric quantization of the embedding column: per
     * vector, scale = max|x|/127, q_i = floor(x_i/scale + 0.5) ∈
     * [-127, 127] — the 4× storage compression a 100 TB vector corpus
@@ -415,6 +510,7 @@ object Similarity {
     "q28_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "q38_ivf_search"      -> ((s, d) => ivfSearch(s, d)),
     "q47_int8_quantize"   -> ((s, d) => int8Quantize(s, d)),
+    "q75_semdedup"        -> ((s, d) => semDedup(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -423,5 +519,6 @@ object Similarity {
     "q28_label_centroids" -> labelCentroidsSql,
     "q38_ivf_search"      -> ivfSearchSql,
     "q47_int8_quantize"   -> int8QuantizeSql,
+    "q75_semdedup"        -> semDedupSql,
   )
 }

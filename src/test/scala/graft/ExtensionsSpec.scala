@@ -691,6 +691,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.exists(_._4) && out.exists(!_._4), "degenerate label split")
   }
 
+  test("q72: classifierVerdict (streaming form) is bit-identical to the batch q72 score") {
+    // the verdict transform folds the weight row into the closure and
+    // does the dot in the JVM — same ascending-bucket order as
+    // graft_dot, so the scores must match EXACTLY, not approximately
+    val batch = TextAnalysis.classifierScore(spark, sf)
+      .select("doc_id", "score", "label")
+      .as[(Long, Double, Boolean)].collect().toSet
+    val online = TextAnalysis.classifierVerdict(
+        Tables.documents(spark, sf).select("doc_id", "source", "text"))
+      .select("doc_id", "clf_score", "clf_label")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(online == batch, "streaming classifier verdict != batch q72 score")
+  }
+
   test("q73: token packing == driver model; regex tokenizer == greedy merge-table model; budget invariants") {
     val budget = TextAnalysis.tokBudget
     val out = TextAnalysis.sequencePackTokens(spark, sf)

@@ -151,5 +151,21 @@ object PlanBudgetSpec {
     // lines frame's build). Frequent set broadcasts; 2 scans = file +
     // in-memory lines frame.
     "q69_line_dedup" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // r11: q74 = LM counts aggregate off the reference slice and come
+    // back as broadcasts (+ the one-row V frame as BNLJ); the corpus
+    // crosses ONE keyed exchange (the per-doc fold) plus the gated
+    // fan-out. q75 = IVF-style assignment (one-row codebook broadcast,
+    // zero corpus shuffle), triangle-blocked pair stage keyed by cell,
+    // verdict joined back on vec_id (broadcast at test scale).
+    // q74's 5 exchanges: 3 are REFERENCE-SLICE-sized aggregates (unigram,
+    // bigram, V) that come back as the 3 broadcasts; the corpus itself
+    // crosses only the gated fan-out + the per-doc fold
+    "q74_lm_perplexity" -> Shape(shuffles = 5, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 1, scans = 4),
+    // q75's 4: codebook agg + bucket-sizes agg (both tiny) + the
+    // triangle-block pair exchange + the drop-set fold
+    "q75_semdedup" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    // q76: the gated fan-out + ONE keyed aggregate (six conditional
+    // moment sums in a single pass — no pivot, no self-join)
+    "q76_ab_ttest" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
   )
 }

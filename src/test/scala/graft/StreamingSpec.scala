@@ -330,6 +330,83 @@ class StreamingSpec extends SparkSpec {
       ("sA", 1L) -> (0L, 0L), ("sA", 2L) -> (0L, 40L), ("sA", 3L) -> (0L, 90L)))
   }
 
+  test("gate→classifier→mix→pack: the four-stage curation leg as ONE streaming query; == batch model") {
+    // r11: the q72 scorer joins the continuous curation leg via
+    // classifierVerdict (weights in the closure, zero extra plan nodes).
+    // Keep = clf_score < 0 — the toxicity-filter polarity, which on this
+    // fixture keeps 13 of 16 gate survivors so the pack fold still
+    // overflows its budget (keeping >= 0 would leave 3 docs and a
+    // vacuous fold).
+    import graft.streaming.{PackAssign, PackDoc}
+    def goodText(seed: Int): String =
+      ("the" +: (1 to 59).map(i => s"w${seed}x$i")).mkString(" ")
+    val badText = (1 to 60).map(_ => "!!").mkString(" ")
+    val in = MemoryStream[(Long, String, String)](spark)
+    val docs = in.toDF().toDF("doc_id", "source", "text")
+    val rates = Seq(("sA", 1000000L), ("sB", 600000L)).toDF("source", "keep_micro")
+    val gated = TextAnalysis.qualityGateVerdict(docs)
+      .filter(col("pass")).select("doc_id", "source", "text")
+    val classified = TextAnalysis.classifierVerdict(gated)
+      .filter(col("clf_score") < 0).select("doc_id", "source", "text")
+    val packIn = StreamingOps.mixStream(classified, rates)
+      .selectExpr("source", "doc_id", "cast(length(text) as bigint) as n_chars")
+      .as[PackDoc]
+    val q = StreamingOps.packStream(packIn, budget = 1000L)
+      .writeStream.format("memory").queryName("gateclfmixpack")
+      .outputMode("append").start()
+    val batch = (0L until 24L).map(id =>
+      (id, if (id % 2 == 0) "sA" else "sB",
+        if (id % 3 == 0) badText else goodText(id.toInt)))
+    in.addData(batch: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("gateclfmixpack").as[PackAssign].collect()
+    // driver model of all four stages
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dim = TextAnalysis.clfDim
+    val w = (0 until dim).map(j =>
+      (((j.toLong * 1103515245L + 12345L) % 1000L) - 500L) / 1000.0)
+    def bucket(f: String): Int = {
+      val dg = md.digest(f.getBytes("UTF-8"))
+      ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+        ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+    }
+    def clfScore(text: String): Double = {
+      val toks = text.split(" ", -1)
+      val feats = toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString("_"))
+      val cnt = new Array[Double](dim)
+      feats.foreach(f => cnt(bucket(f)) += 1.0)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += cnt(i) * w(i); i += 1 }
+      math.floor(acc / feats.length * 1e6 + 0.5) / 1e6
+    }
+    def keepBucket(id: Long): Long = {
+      val dg = md.digest(id.toString.getBytes("UTF-8"))
+      ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+        ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % 1000000L)
+    }
+    val rateMap = Map("sA" -> 1000000L, "sB" -> 600000L)
+    val gateSurvivors = batch.filter(_._3 != badText)
+    val clfSurvivors = gateSurvivors.filter(d => clfScore(d._3) < 0)
+    val survivors = clfSurvivors.filter(d => keepBucket(d._1) < rateMap(d._2))
+    val model = survivors.groupBy(_._2).iterator.flatMap { case (src, rows) =>
+      var seqNo = 0L; var fill = 0L
+      rows.sortBy(_._1).map { case (id, _, text) =>
+        val n = text.length.toLong
+        if (fill > 0L && fill + n > 1000L) { seqNo += 1L; fill = 0L }
+        val off = fill; fill += n
+        (src, id, seqNo, off)
+      }
+    }.toSet
+    assert(got.map(a => (a.source, a.doc_id, a.seq_no, a.offset_chars))
+      .toSet == model, "streaming gate→classifier→mix→pack != batch model")
+    // the classifier stage actually dropped gate survivors, and the pack
+    // fold still overflowed — neither stage is vacuous in this composition
+    assert(clfSurvivors.length < gateSurvivors.length,
+      "classifier stage vacuous")
+    assert(model.exists(_._3 > 0L), "budget never overflowed — fold vacuous")
+  }
+
   test("gate→mix→pack: the full curation leg as ONE streaming query; == batch model; replay is a no-op") {
     // q71's stateless rule battery, q67's broadcast rate sampling, and
     // q68's keyed pack fold composed in a single continuous query — the
