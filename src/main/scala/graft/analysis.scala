@@ -1642,6 +1642,68 @@ object TextAnalysis {
       .withColumn("flagged", col("avg_nll") > perplexityThreshold)
   }
 
+  /** The fitted q74 model as plain data: reference-slice n-gram counts +
+    * vocabulary size. Vocabulary-bounded (NOT corpus-bounded) — at 100 TB
+    * you prune to top-K n-grams before materializing, same as any
+    * broadcast LM. */
+  case class BigramLm(unigrams: Map[String, Long],
+                      bigrams: Map[String, Long],
+                      vocabSize: Long)
+
+  /** Fit the q74 bigram LM on a reference frame with a `toks`
+    * array<string> column. The terminal collect here is a MODEL FIT of
+    * vocabulary-bounded aggregates (the q66 `df.stat.bloomFilter`
+    * discipline — parameters come to the driver once, documents never
+    * do), not a hot-path materialization. */
+  def fitBigramLm(ref: DataFrame): BigramLm = {
+    val s = ref.sparkSession
+    import s.implicits._
+    val ug = ref.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val bg = ref
+      .selectExpr("explode(transform(filter(sequence(0, size(toks) - 1), i -> i + 1 < size(toks)), i -> concat(toks[i], ' ', toks[i + 1]))) as b")
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    BigramLm(ug, bg, ug.size.toLong)
+  }
+
+  /** q74's scorer as a REUSABLE stateless per-row transform for the
+    * online curation leg (the classifierVerdict discipline): the fitted
+    * LM rides the task closure, scoring is a per-row JVM loop whose
+    * arithmetic — integer-count division, math.log, micro-nat floor,
+    * exact long sum — is the batch q74 chain operation-for-operation,
+    * so scores are BIT-IDENTICAL (pinned in ExtensionsSpec). Fixed
+    * (doc_id, source, text) input schema; appends n_bigrams,
+    * avg_nll, ppl_flagged. */
+  def perplexityVerdict(df: DataFrame, lm: BigramLm): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val threshold = perplexityThreshold
+    df.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, text) =>
+          val toks = text.split(" ", -1)
+          var sum = 0L
+          var i = 1
+          while (i < toks.length) {
+            val w1 = toks(i - 1)
+            val bc = lm.bigrams.getOrElse(w1 + " " + toks(i), 0L)
+            val uc = lm.unigrams.getOrElse(w1, 0L)
+            val p = (bc + 1L).toDouble / (uc + lm.vocabSize).toDouble
+            sum += math.floor(-math.log(p) * 1e6 + 0.5).toLong
+            i += 1
+          }
+          val nb = (toks.length - 1).toLong
+          val avg = if (nb == 0L) 0.0
+                    else math.floor(sum.toDouble / nb + 0.5) / 1e6
+          (id, src, text, nb, avg, avg > threshold)
+        }
+      }
+      .toDF("doc_id", "source", "text", "n_bigrams", "avg_nll", "ppl_flagged")
+  }
+
   val perplexityFilterSql: String =
     s"""WITH ref AS (SELECT doc_id, string_split(text, ' ') AS toks
        |  FROM documents WHERE doc_id % 10 = 0),

@@ -705,6 +705,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(online == batch, "streaming classifier verdict != batch q72 score")
   }
 
+  test("q74: perplexityVerdict (streaming form) is bit-identical to the batch q74 filter") {
+    // the verdict transform scores with the fitted LM in the task
+    // closure — same integer-count division, same ln, same micro-nat
+    // floor, same exact long sum as the batch broadcast-join chain
+    val batch = TextAnalysis.perplexityFilter(spark, sf)
+      .select("doc_id", "n_bigrams", "avg_nll", "flagged")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val lm = TextAnalysis.fitBigramLm(
+      Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+        .selectExpr("split(text, ' ') as toks"))
+    assert(lm.vocabSize > 0 && lm.bigrams.nonEmpty)
+    val online = TextAnalysis.perplexityVerdict(
+        Tables.documents(spark, sf).select("doc_id", "source", "text"), lm)
+      .select("doc_id", "n_bigrams", "avg_nll", "ppl_flagged")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(online == batch, "streaming perplexity verdict != batch q74")
+  }
+
   test("q73: token packing == driver model; regex tokenizer == greedy merge-table model; budget invariants") {
     val budget = TextAnalysis.tokBudget
     val out = TextAnalysis.sequencePackTokens(spark, sf)

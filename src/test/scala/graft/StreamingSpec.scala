@@ -330,6 +330,47 @@ class StreamingSpec extends SparkSpec {
       ("sA", 1L) -> (0L, 0L), ("sA", 2L) -> (0L, 40L), ("sA", 3L) -> (0L, 90L)))
   }
 
+  test("perplexityVerdict scores a stream with a statically fitted LM; == batch transform on the same rows") {
+    // the q74 online form: model fit offline (static frame), scoring
+    // stateless in the stream — replay re-scores identically by
+    // construction (no state, no RNG)
+    // vocab padding: an OOV bigram scores ln(V) nats, so V must satisfy
+    // ln(V) > perplexityThreshold (3.6) for the flag assertion below —
+    // 9 core words + 41 padding words = V 50, ln 50 ≈ 3.91
+    val refDocs = (Seq(
+      "the cat sat on the mat", "the dog sat on the log",
+      "a cat and a dog") :+ (1 to 41).map(i => s"pad$i").mkString(" "))
+      .toDF("text")
+    val lm = TextAnalysis.fitBigramLm(refDocs.selectExpr("split(text, ' ') as toks"))
+    assert(lm.vocabSize > 0 && lm.bigrams.nonEmpty)
+    val rows = Seq(
+      (1L, "sA", "the cat sat on the log"),   // in-domain: every bigram seen
+      (2L, "sA", "quantum flux capacitor overload imminent"), // fully OOV
+      (3L, "sB", "the"),                       // single token: zero bigrams
+      (4L, "sB", "a dog and a cat"))
+    val in = MemoryStream[(Long, String, String)](spark)
+    val q = TextAnalysis.perplexityVerdict(
+        in.toDF().toDF("doc_id", "source", "text"), lm)
+      .writeStream.format("memory").queryName("pplverdict")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pplverdict")
+      .select("doc_id", "n_bigrams", "avg_nll", "ppl_flagged")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val batch = TextAnalysis.perplexityVerdict(
+        rows.toDF("doc_id", "source", "text"), lm)
+      .select("doc_id", "n_bigrams", "avg_nll", "ppl_flagged")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(got == batch, "stream scoring != batch scoring on identical rows")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(3L)._2 == 0L && byId(3L)._3 == 0.0 && !byId(3L)._4,
+      "zero-bigram doc must score 0 / unflagged")
+    assert(byId(2L)._3 > byId(1L)._3,
+      "fully-OOV doc must out-score the in-domain doc")
+    assert(byId(2L)._4, "fully-OOV doc must be flagged")
+  }
+
   test("gate→classifier→mix→pack: the four-stage curation leg as ONE streaming query; == batch model") {
     // r11: the q72 scorer joins the continuous curation leg via
     // classifierVerdict (weights in the closure, zero extra plan nodes).
