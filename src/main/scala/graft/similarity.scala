@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -447,6 +447,63 @@ object Similarity {
        |  f.dup_of IS NULL AS keep
        |FROM a LEFT JOIN f ON a.vec_id = f.vec_id
        |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** q75's coarse codebook as plain data (the fitBigramLm model-fit
+    * discipline: parameters come to the driver once — k cells × dim
+    * doubles — documents/vectors never do). `cnorms` pre-computes each
+    * centroid's L2 norm with the same ascending-dot + sqrt chain the
+    * batch assignment runs, so closure-side scoring stays bit-identical. */
+  case class CellCodebook(labels: Array[Int],
+                          centroids: Array[Array[Double]],
+                          cnorms: Array[Double])
+
+  def fitCellCodebook(s: SparkSession, d: String): CellCodebook = {
+    import s.implicits._
+    val rows = centroidsByLabel(s, d, "c_label")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    def nrm(c: Array[Double]): Double = {
+      var acc = 0.0
+      var k = 0
+      while (k < c.length) { acc += c(k) * c(k); k += 1 }
+      math.sqrt(acc)
+    }
+    CellCodebook(rows.map(_._1), rows.map(_._2), rows.map(r => nrm(r._2)))
+  }
+
+  /** Route (vec_id, e: array<double>) rows to their nearest codebook
+    * cell — the q75 assignment as a stateless per-row transform for the
+    * online leg. Argmax arithmetic mirrors the batch expression
+    * operation-for-operation (ascending-index dots, cos = dot/(nrm·cnorm),
+    * strict-improvement scan over cells in ascending label order ≡ the
+    * batch array_max over (cos, -label) structs), so a vector lands in
+    * the SAME cell online and offline. */
+  def assignCells(df: DataFrame, cb: CellCodebook): Dataset[graft.streaming.SemVec] = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("vec_id").cast("long"), col("e"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          var acc = 0.0
+          var k = 0
+          while (k < e.length) { acc += e(k) * e(k); k += 1 }
+          val nrm = math.sqrt(acc)
+          var bestCos = Double.NegativeInfinity
+          var bestLabel = Int.MaxValue
+          var c = 0
+          while (c < cb.labels.length) {
+            val cen = cb.centroids(c)
+            var dot = 0.0
+            k = 0
+            while (k < cen.length) { dot += e(k) * cen(k); k += 1 }
+            val cos = dot / (nrm * cb.cnorms(c))
+            if (cos > bestCos) { bestCos = cos; bestLabel = cb.labels(c) }
+            c += 1
+          }
+          graft.streaming.SemVec(bestLabel, id, e, nrm)
+        }
+      }
   }
 
   /** q47 — int8 symmetric quantization of the embedding column: per

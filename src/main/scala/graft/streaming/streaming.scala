@@ -35,6 +35,20 @@ case class KeepDoc(simhash: Long, doc_id: Long, n_chars: Long)
 case class KeeperChange(simhash: Long, keep_doc_id: Long, n_chars: Long)
 private[streaming] case class KeepState(keepId: Long, nChars: Long)
 
+/** A vector routed to its coarse cell — input to the online semantic-
+  * dedup fold (q75's streaming twin). Produced by
+  * [[graft.Similarity.assignCells]] (stateless closure-codebook
+  * scoring, bit-identical to the batch assignment). */
+case class SemVec(cell: Int, vec_id: Long, e: Array[Double], nrm: Double)
+/** One verdict per vector, mirroring the batch q75 columns. */
+case class SemVerdict(vec_id: Long, c_label: Int, dup_of: Option[Long],
+                      max_cos: Option[Double], keep: Boolean)
+/** Per-cell exemplar: EVERY vector seen (kept AND dropped) — the batch
+  * pair relation ranges over all smaller-id members, not just keeps, so
+  * exact batch equality requires the full cell history. */
+private[streaming] case class SemEx(id: Long, e: Seq[Double], nrm: Double)
+private[streaming] case class SemState(ex: List[SemEx])
+
 case class LineOcc(line: String, doc_id: Long)
 /** Emitted ONCE, in the micro-batch where `line`'s accumulated document
   * frequency first reaches the threshold. `df` is the count at crossing
@@ -484,6 +498,83 @@ object StreamingOps {
             if (idleTtlMillis > 0L && state.exists)
               state.setTimeoutDuration(idleTtlMillis)
             out
+          }
+      }
+  }
+
+  /** Streaming twin of q75 (SemDeDup): within-cell cosine-duplicate
+    * pruning as a keyed stateful fold, so a continuously-ingesting
+    * pipeline drops semantic near-dups on arrival instead of waiting
+    * for a backfill. Input rows are pre-routed to cells
+    * ([[graft.Similarity.assignCells]] — stateless, codebook in the
+    * closure); grouping key is the cell; state is the cell's exemplar
+    * history.
+    *
+    * EQUALS the batch q75 verdict (same dup_of, same max_cos, same
+    * keep) whenever vectors arrive in vec_id order across batches,
+    * because the batch pair relation j < i then coincides with
+    * "already seen". Out-of-order arrival degrades gracefully to
+    * arrival-order-greedy verdicts (each decision uses the smaller-id
+    * members seen SO FAR) — the verdicts stay deterministic per
+    * delivery schedule, and a replayed vector (id already in state)
+    * emits NOTHING (the packStream id-dedup contract).
+    *
+    * State cost is O(vectors seen) per cell — the batch relation needs
+    * dropped members too, so this is the exact-equality price, NOT an
+    * implementation sloppiness. Production bounding: `idleTtlMillis`
+    * evicts cells idle past the TTL (the keepStream discipline); the
+    * error direction is benign — a re-sighted evicted cell restarts
+    * its history, so a near-dup of a forgotten exemplar survives
+    * (recall loss), never a lost vector. At 100 TB you additionally
+    * cap k so cells stay small (§SURVEY r11 30× diagnosis) — the same
+    * knob that bounds the batch pair stage. */
+  def semDedupStream(vecs: Dataset[SemVec], tau: Double,
+                     idleTtlMillis: Long = 0L): Dataset[SemVerdict] = {
+    import vecs.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTtlMillis > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    vecs
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[SemState, SemVerdict](
+        OutputMode.Append(), timeoutConf) {
+        (cell: Int, it: Iterator[SemVec], state: GroupState[SemState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ex = if (state.exists) state.get.ex else List.empty[SemEx]
+            val seen = scala.collection.mutable.HashSet[Long](ex.map(_.id): _*)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SemVerdict]
+            // id order within the batch keeps the fold deterministic and,
+            // under globally ordered arrival, batch-identical
+            it.toArray.sortBy(_.vec_id).foreach { v =>
+              if (!seen.contains(v.vec_id)) {
+                var dupOf = Long.MaxValue
+                var maxCos = Double.NegativeInfinity
+                ex.foreach { x =>
+                  if (x.id < v.vec_id) {
+                    // same ascending-index dot as boundedBucketPairs
+                    var dot = 0.0
+                    var k = 0
+                    while (k < v.e.length) { dot += x.e(k) * v.e(k); k += 1 }
+                    val cos = dot / (x.nrm * v.nrm)
+                    if (cos >= tau) {
+                      if (x.id < dupOf) dupOf = x.id
+                      if (cos > maxCos) maxCos = cos
+                    }
+                  }
+                }
+                val dup = dupOf != Long.MaxValue
+                out += SemVerdict(v.vec_id, cell,
+                  if (dup) Some(dupOf) else None,
+                  if (dup) Some(math.floor(maxCos * 1e6 + 0.5) / 1e6) else None,
+                  keep = !dup)
+                ex = SemEx(v.vec_id, v.e.toSeq, v.nrm) :: ex
+                seen += v.vec_id
+              }
+            }
+            state.update(SemState(ex))
+            if (idleTtlMillis > 0L) state.setTimeoutDuration(idleTtlMillis)
+            out.iterator
           }
       }
   }

@@ -146,6 +146,33 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("q75 semDedupStream (exemplar-history vector state) runs on RocksDB") {
+    withRocksDb {
+      import graft.streaming.{SemVec, SemVerdict}
+      val in = MemoryStream[SemVec](spark)
+      val out = StreamingOps.semDedupStream(in.toDS(), tau = 0.95)
+      val q = out.writeStream.format("memory").queryName("rocks_sem")
+        .outputMode("append").start()
+      val e1 = Array.tabulate(4)(i => (i + 1).toDouble)      // (1,2,3,4)
+      val nrm1 = math.sqrt(e1.map(x => x * x).sum)
+      val far = Array[Double](-4.0, 3.0, -2.0, 1.0)          // cos < 0
+      val nrmF = math.sqrt(far.map(x => x * x).sum)
+      in.addData(SemVec(7, 1L, e1, nrm1), SemVec(7, 2L, far, nrmF))
+      q.processAllAvailable()
+      // the exemplar VECTORS must round-trip through RocksDB: a later
+      // batch's near-copy of e1 has to match against the stored array
+      val twin = e1.map(_ * 1.001)
+      val nrmT = math.sqrt(twin.map(x => x * x).sum)
+      in.addData(SemVec(7, 3L, twin, nrmT))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocks_sem").as[SemVerdict].collect()
+        .map(v => v.vec_id -> (v.dup_of, v.keep)).toMap
+      assert(got(1L) == ((None, true)) && got(2L) == ((None, true)))
+      assert(got(3L)._1 == Some(1L) && !got(3L)._2,
+        s"cross-batch near-dup not caught against RocksDB state: $got")
+    }
+  }
+
   test("stream-stream click/purchase join (watermark-bounded state) runs on RocksDB") {
     withRocksDb {
       val cIn = MemoryStream[(Long, Timestamp, Long)](spark)

@@ -330,6 +330,37 @@ class StreamingSpec extends SparkSpec {
       ("sA", 1L) -> (0L, 0L), ("sA", 2L) -> (0L, 40L), ("sA", 3L) -> (0L, 90L)))
   }
 
+  test("semDedupStream: online semantic dedup == batch q75 under ordered arrival; replay emits nothing") {
+    import graft.streaming.{SemVec, SemVerdict}
+    val batch = Similarity.semDedup(spark, sf)
+      .select("vec_id", "c_label", "dup_of", "max_cos", "keep")
+      .as[(Long, Int, Option[Long], Option[Double], Boolean)].collect().toSet
+    // same corpus construction as the batch query (base + perturbed twins)
+    val cb = Similarity.fitCellCodebook(spark, sf)
+    val base = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val corpus = base.unionAll(
+      base.selectExpr("vec_id + 10000 as vec_id",
+        "zip_with(e, sequence(0, 63), (x, i) -> x + 0.004 * cast(i % 5 as double)) as e"))
+    val vecs = Similarity.assignCells(corpus, cb).collect().sortBy(_.vec_id)
+    assert(vecs.length == batch.size)
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val in = MemoryStream[SemVec](spark)
+    val q = StreamingOps.semDedupStream(in.toDS(), Similarity.semDedupTau)
+      .writeStream.format("memory").queryName("semdedupstream")
+      .outputMode("append").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val got = spark.table("semdedupstream").as[SemVerdict].collect()
+      .map(v => (v.vec_id, v.c_label, v.dup_of, v.max_cos, v.keep)).toSet
+    assert(got == batch, "ordered-arrival online verdicts != batch q75")
+    assert(got.exists(_._5) && got.exists(!_._5), "degenerate keep/drop split")
+    // at-least-once redelivery of batch 1: every id is in state — nothing new
+    in.addData(b1: _*); q.processAllAvailable(); q.stop()
+    assert(spark.table("semdedupstream").count() == got.size,
+      "replayed batch emitted new verdicts")
+  }
+
   test("perplexityVerdict scores a stream with a statically fitted LM; == batch transform on the same rows") {
     // the q74 online form: model fit offline (static frame), scoring
     // stateless in the stream — replay re-scores identically by
@@ -779,6 +810,48 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("keepttl").as[KeeperChange].collect().toSeq
     assert(got == Seq(KeeperChange(5L, 1L, 80L), KeeperChange(5L, 2L, 40L)),
       s"post-eviction re-sight must emit a fresh revision: $got")
+  }
+
+  test("q75 streaming twin: idle TTL evicts cell state; re-sighted near-dup survives (recall loss, never data loss)") {
+    import graft.streaming.{SemVec, SemVerdict}
+    val in = MemoryStream[SemVec](spark)
+    val ttlMs = 3000L // dominates any inter-batch gap (q69/q70 TTL sizing)
+    val out = StreamingOps.semDedupStream(in.toDS(), tau = 0.95,
+      idleTtlMillis = ttlMs)
+    val q = out.writeStream.format("memory").queryName("semttl")
+      .outputMode("append").start()
+    def awaitRows(n: Long): Unit = {
+      val dl = System.currentTimeMillis() + 60000L
+      while (spark.table("semttl").count() < n &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(spark.table("semttl").count() >= n, s"expected $n verdicts")
+    }
+    def awaitTimeoutBatch(): Unit = { // the q69/q70 b0+2 argument
+      Thread.sleep(ttlMs + 400L)
+      val b0 = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val dl = System.currentTimeMillis() + 60000L
+      while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < b0 + 2 &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= b0 + 2,
+        "no timeout-check batch completed after the TTL lapsed")
+    }
+    val e1 = Array.tabulate(4)(i => (i + 1).toDouble)
+    val nrm1 = math.sqrt(e1.map(x => x * x).sum)
+    in.addData(SemVec(7, 1L, e1, nrm1))
+    awaitRows(1L)
+    // evict cell 7's exemplar history, then re-sight a near-copy: with
+    // retained state vec 2 would be DROPPED as a dup of 1; after
+    // eviction its cell history is empty so it KEEPS — the documented
+    // benign error direction (a near-dup survives, nothing is lost)
+    awaitTimeoutBatch()
+    val twin = e1.map(_ * 1.001)
+    in.addData(SemVec(7, 2L, twin, math.sqrt(twin.map(x => x * x).sum)))
+    awaitRows(2L)
+    q.stop()
+    val got = spark.table("semttl").as[SemVerdict].collect()
+      .map(v => v.vec_id -> v.keep).toMap
+    assert(got == Map(1L -> true, 2L -> true),
+      s"post-eviction near-dup must survive as a fresh first member: $got")
   }
 
   test("A2/A3: rolling history is replay-idempotent and tie-order deterministic") {
