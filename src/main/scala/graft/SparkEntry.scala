@@ -39,6 +39,7 @@ object SparkEntry {
     "q35_asof_join"        -> ((s, d) => RelOps.clickLastPurchase(s, d)),
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     "q76_ab_ttest"         -> ((s, d) => RelOps.abTest(s, d)),
+    "q77_ab_chisq"         -> ((s, d) => RelOps.abChiSq(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ MediaOps.queries ++ Enrich.queries ++ Routing.queries
@@ -206,6 +207,7 @@ object SparkEntry {
         |GROUP BY p.user_id, p.p_event_id, p.ts_us
         |ORDER BY p.p_event_id""".stripMargin,
     "q76_ab_ttest" -> RelOps.abTestSql,
+    "q77_ab_chisq" -> RelOps.abChiSqSql,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
     Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle ++ Routing.oracle
 }

@@ -492,6 +492,87 @@ object RelOps {
         "abs(t) > 1.96 as significant")
   }
 
+  /** q77 — categorical A/B conversion analysis, q76's sibling for
+    * binary outcomes: per event_type, a 2×2 chi-square on "did the user
+    * emit ≥1 event of this type" between the md5-assigned variants.
+    * chi² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) on the per-type
+    * contingency table, |χ| ≥ 3.841 (α=0.05, 1 dof) flag.
+    *
+    * 100 TB: user-grain dedup is the only real work — one exchange for
+    * the distinct (variant, user) frame and one for the distinct
+    * (event_type, variant, user) frame, both map-side-combined; the
+    * per-type table is then a tiny conditional aggregate and the
+    * variant totals ride a one-row broadcast. Counts are exact longs;
+    * the statistic is double arithmetic on those exact integers —
+    * identical in both engines (products run in double to dodge the
+    * int64 overflow a 60k-user table already hits). */
+  def abChiSq(s: SparkSession, dir: String): DataFrame = {
+    val variantCol =
+      "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2 as v"
+    // "conversion" = the (event_type, user) pair's event count exceeds
+    // the GLOBAL mean count per pair — a data-relative bar, so the
+    // contingency cells stay populated at every SF (an absolute bar
+    // degenerates: the fixture's users emit every type)
+    val pc = Tables.events(s, dir)
+      .selectExpr("event_type", "user_id", variantCol)
+      .groupBy("event_type", "user_id", "v")
+      .agg(count(lit(1)).as("c"))
+      .transform(Tables.maybePersist)
+    val meanRow = pc.groupBy()
+      .agg((sum(col("c")).cast("double") / count(lit(1))).as("mean_c"))
+    val totals = pc.select("user_id", "v").distinct()
+      .groupBy()
+      .agg(count(when(col("v") === 0, 1)).as("n_a"),
+           count(when(col("v") === 1, 1)).as("n_b"))
+    pc.crossJoin(broadcast(meanRow))
+      .groupBy("event_type")
+      .agg(count(when(col("v") === 0 && col("c") > col("mean_c"), 1)).as("conv_a"),
+           count(when(col("v") === 1 && col("c") > col("mean_c"), 1)).as("conv_b"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("event_type", "n_a", "n_b", "conv_a", "conv_b",
+        "cast(conv_a as double) as a", "cast(conv_b as double) as b",
+        "cast(n_a - conv_a as double) as c", "cast(n_b - conv_b as double) as d",
+        "cast(n_a + n_b as double) as n")
+      .selectExpr("event_type", "n_a", "n_b", "conv_a", "conv_b",
+        """case when (a + b) = 0 or (c + d) = 0 or (a + c) = 0 or (b + d) = 0
+          |then 0.0 else
+          |n * (a * d - b * c) * (a * d - b * c) / ((a + b) * (c + d) * (a + c) * (b + d))
+          |end as chi2""".stripMargin.replace("\n", " "))
+      .selectExpr("event_type", "n_a", "n_b", "conv_a", "conv_b",
+        "floor(chi2 * 1e6 + 0.5) / 1e6 as chi_sq",
+        "chi2 >= 3.841 as significant")
+  }
+
+  val abChiSqSql: String =
+    """WITH pc AS (SELECT event_type, user_id,
+      |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |m AS (SELECT SUM(c)::DOUBLE / COUNT(*) AS mean_c FROM pc),
+      |tot AS (SELECT COUNT(*) FILTER (v = 0) AS n_a,
+      |               COUNT(*) FILTER (v = 1) AS n_b
+      |  FROM (SELECT DISTINCT user_id, v FROM pc)),
+      |cv AS (SELECT event_type,
+      |    COUNT(*) FILTER (v = 0 AND c > mean_c) AS conv_a,
+      |    COUNT(*) FILTER (v = 1 AND c > mean_c) AS conv_b
+      |  FROM pc CROSS JOIN m GROUP BY event_type),
+      |x AS (SELECT event_type, n_a, n_b, conv_a, conv_b,
+      |    conv_a::DOUBLE AS a, conv_b::DOUBLE AS b,
+      |    (n_a - conv_a)::DOUBLE AS c, (n_b - conv_b)::DOUBLE AS d,
+      |    (n_a + n_b)::DOUBLE AS n
+      |  FROM cv CROSS JOIN tot),
+      |r AS (SELECT event_type, n_a, n_b, conv_a, conv_b,
+      |    CASE WHEN (a + b) = 0 OR (c + d) = 0 OR (a + c) = 0 OR (b + d) = 0
+      |    THEN 0.0 ELSE
+      |    n * (a * d - b * c) * (a * d - b * c)
+      |      / ((a + b) * (c + d) * (a + c) * (b + d))
+      |    END AS chi2
+      |  FROM x)
+      |SELECT event_type, n_a, n_b, conv_a, conv_b,
+      |  floor(chi2 * 1e6 + 0.5) / 1e6 AS chi_sq,
+      |  chi2 >= 3.841 AS significant
+      |FROM r ORDER BY event_type""".stripMargin
+
   val abTestSql: String =
     """WITH e AS (SELECT event_type, value,
       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v
