@@ -1642,6 +1642,134 @@ object TextAnalysis {
       .withColumn("flagged", col("avg_nll") > perplexityThreshold)
   }
 
+  // ---------------------------------------------------------------------
+  // q78 — DSIR-style importance weighting (Xie et al. 2023: Data
+  // Selection via Importance Resampling): per-document log importance
+  // weight under hashed-n-gram bag models of a TARGET slice (doc_id%10
+  // == 0, the q74 reference) vs the RAW corpus, keep = more
+  // target-like than raw. log w(d) = Σ_feats [ln pt(b) − ln pr(b)] =
+  // Σ_buckets cnt_d[b] · Δ[b] with Δ[b] the per-bucket quantized
+  // log-ratio — so the per-doc score is an INTEGER dot product:
+  // Δ is quantized to micro-nats once (128 values), cnt and Δ are
+  // integer-valued doubles, every product and the 128-term sum stay
+  // < 2^53 → graft_dot is EXACT here, no float-sum hazard anywhere.
+  //
+  // Scale shape: two bucket-count aggregates (target slice + raw
+  // corpus) collapse to 128 rows each with map-side combine; the
+  // scoring side is the q72 machinery — per-row mapPartitions feature
+  // hashing, one-row broadcast Δ frame, ZERO corpus keyed exchange.
+  // ---------------------------------------------------------------------
+
+  /** Per-bucket feature counts of `df`'s text as a 128-long vector in a
+    * ONE-ROW frame (bucket = q72 md5 hash of word uni+bigrams). */
+  private def bucketTotals(df: DataFrame, outPrefix: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val dim = clfDim
+    df.select(col("text")).as[String]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(f: String): Int = {
+          val dg = md.digest(f.getBytes("UTF-8"))
+          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+        }
+        it.map { text =>
+          val toks = text.split(" ", -1)
+          val cnt = new Array[Long](dim)
+          var i = 0
+          while (i < toks.length) { cnt(bucket(toks(i))) += 1L; i += 1 }
+          i = 0
+          while (i + 1 < toks.length) {
+            cnt(bucket(toks(i) + "_" + toks(i + 1))) += 1L; i += 1
+          }
+          cnt
+        }
+      }
+      .toDF("cnt")
+      .selectExpr(s"explode(transform(sequence(0, ${dim - 1}), j -> struct(j as j, cnt[j] as c))) as p")
+      .selectExpr("p.j as j", "p.c as c")
+      .groupBy("j").agg(sum(col("c")).as("c"))
+      .agg(sort_array(collect_list(struct(col("j"), col("c")))).as("jc"))
+      .selectExpr(s"transform(jc, x -> x.c) as ${outPrefix}_cnt",
+                  s"aggregate(jc, cast(0 as bigint), (a, x) -> a + x.c) as ${outPrefix}_tot")
+  }
+
+  def dsirWeight(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Similarity.withFns(s)
+    val dim = clfDim
+    val target = bucketTotals(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0), "t")
+    val raw = bucketTotals(Tables.documents(s, d), "r")
+    // Δ[b] in micro-nats, one row of 128 doubles (integer-valued)
+    val delta = target.crossJoin(raw).selectExpr(
+      s"""transform(sequence(0, ${dim - 1}), j ->
+         |  cast(cast(floor((ln((t_cnt[j] + 1) / cast(t_tot + $dim as double))
+         |            - ln((r_cnt[j] + 1) / cast(r_tot + $dim as double))) * 1e6 + 0.5) as bigint) as double)) as delta"""
+        .stripMargin.replace("\n", " "))
+    val cnts = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(f: String): Int = {
+          val dg = md.digest(f.getBytes("UTF-8"))
+          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+        }
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val cnt = new Array[Double](dim)
+          var n = 0L
+          var i = 0
+          while (i < toks.length) { cnt(bucket(toks(i))) += 1.0; n += 1; i += 1 }
+          i = 0
+          while (i + 1 < toks.length) {
+            cnt(bucket(toks(i) + "_" + toks(i + 1))) += 1.0; n += 1; i += 1
+          }
+          (id, n, cnt)
+        }
+      }
+      .toDF("doc_id", "n_feats", "cnt")
+    cnts.crossJoin(broadcast(delta))
+      .selectExpr("doc_id", "n_feats",
+        "cast(graft_dot(cnt, delta) as bigint) as logw_micro")
+      .withColumn("keep", col("logw_micro") > 0L)
+  }
+
+  val dsirWeightSql: String = {
+    val dim = clfDim
+    val bucketOf = s"('0x' || substr(md5(g), 1, 8))::BIGINT % $dim"
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |f AS (SELECT doc_id, list_concat(toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])) AS feats
+       |  FROM tk),
+       |ex AS (SELECT doc_id, $bucketOf AS j FROM (SELECT doc_id, unnest(feats) AS g FROM f)),
+       |tc AS (SELECT j, COUNT(*)::BIGINT AS c FROM ex WHERE doc_id % 10 = 0 GROUP BY j),
+       |rc AS (SELECT j, COUNT(*)::BIGINT AS c FROM ex GROUP BY j),
+       |tt AS (SELECT SUM(c)::BIGINT AS t_tot FROM tc),
+       |rt AS (SELECT SUM(c)::BIGINT AS r_tot FROM rc),
+       |js AS (SELECT unnest(range(0, $dim)) AS j),
+       |dj AS (SELECT js.j,
+       |    floor((ln((coalesce(tc.c, 0) + 1) / (t_tot + $dim)::DOUBLE)
+       |         - ln((coalesce(rc.c, 0) + 1) / (r_tot + $dim)::DOUBLE)) * 1e6 + 0.5)::BIGINT AS dv
+       |  FROM js LEFT JOIN tc ON tc.j = js.j LEFT JOIN rc ON rc.j = js.j
+       |       CROSS JOIN tt CROSS JOIN rt),
+       |dl AS (SELECT list(dv ORDER BY j) AS delta FROM dj),
+       |dc AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
+       |    list_transform(range(0, $dim), j ->
+       |      len(list_filter(feats, g -> $bucketOf = j))::BIGINT) AS cnt
+       |  FROM f),
+       |sc AS (SELECT doc_id, n_feats,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, $dim + 1), i -> cnt[i] * delta[i])),
+       |      (a, b) -> a + b) AS logw_micro
+       |  FROM dc CROSS JOIN dl)
+       |SELECT doc_id, n_feats, logw_micro, logw_micro > 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** The fitted q74 model as plain data: reference-slice n-gram counts +
     * vocabulary size. Vocabulary-bounded (NOT corpus-bounded) — at 100 TB
     * you prune to top-K n-grams before materializing, same as any
@@ -1764,6 +1892,7 @@ object TextAnalysis {
     "q72_classifier_score" -> ((s, d) => classifierScore(s, d)),
     "q73_token_pack" -> ((s, d) => sequencePackTokens(s, d)),
     "q74_lm_perplexity" -> ((s, d) => perplexityFilter(s, d)),
+    "q78_dsir_weight" -> ((s, d) => dsirWeight(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1796,5 +1925,6 @@ object TextAnalysis {
     "q72_classifier_score" -> classifierScoreSql,
     "q73_token_pack" -> sequencePackTokensSql,
     "q74_lm_perplexity" -> perplexityFilterSql,
+    "q78_dsir_weight" -> dsirWeightSql,
   )
 }

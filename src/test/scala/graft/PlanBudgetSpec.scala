@@ -167,6 +167,11 @@ object PlanBudgetSpec {
     // q76: the gated fan-out + ONE keyed aggregate (six conditional
     // moment sums in a single pass — no pivot, no self-join)
     "q76_ab_ttest" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // q78's 5 exchanges: 2 are the 128-row bucket-count aggregates
+    // (target + raw) that fold into the one-row Δ broadcast (BNLJ);
+    // the scoring corpus crosses only the gated fan-out — per-row
+    // hashing + exact integer graft_dot, no keyed corpus exchange
+    "q78_dsir_weight" -> Shape(shuffles = 5, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
     // q77: pair-count aggregate + user-distinct + the tiny per-type
     // aggregate; mean and variant totals ride one-row broadcasts (BNLJ)
     "q77_ab_chisq" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
