@@ -1738,6 +1738,61 @@ object TextAnalysis {
       .withColumn("keep", col("logw_micro") > 0L)
   }
 
+  /** The fitted q78 Δ model as plain data (128 integer-valued micro-nat
+    * doubles — the fitBigramLm model-fit-collect discipline). */
+  def fitDsirDelta(s: SparkSession, d: String): Array[Double] = {
+    import s.implicits._
+    val dim = clfDim
+    val target = bucketTotals(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0), "t")
+    val raw = bucketTotals(Tables.documents(s, d), "r")
+    target.crossJoin(raw).selectExpr(
+      s"""transform(sequence(0, ${dim - 1}), j ->
+         |  cast(cast(floor((ln((t_cnt[j] + 1) / cast(t_tot + $dim as double))
+         |            - ln((r_cnt[j] + 1) / cast(r_tot + $dim as double))) * 1e6 + 0.5) as bigint) as double)) as delta"""
+        .stripMargin.replace("\n", " "))
+      .as[Array[Double]].head()
+  }
+
+  /** q78's scorer as a REUSABLE stateless per-row transform (the
+    * classifierVerdict discipline): Δ in the task closure, same
+    * ascending-bucket dot as graft_dot over the same exact
+    * integer-valued doubles → logw_micro is IDENTICAL to the batch q78
+    * (pinned in ExtensionsSpec). Fixed (doc_id, source, text) input;
+    * appends n_feats, logw_micro, keep. */
+  def dsirVerdict(df: DataFrame, delta: Array[Double]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val dim = clfDim
+    df.select(col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(f: String): Int = {
+          val dg = md.digest(f.getBytes("UTF-8"))
+          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+        }
+        it.map { case (id, src, text) =>
+          val toks = text.split(" ", -1)
+          val cnt = new Array[Double](dim)
+          var n = 0L
+          var i = 0
+          while (i < toks.length) { cnt(bucket(toks(i))) += 1.0; n += 1; i += 1 }
+          i = 0
+          while (i + 1 < toks.length) {
+            cnt(bucket(toks(i) + "_" + toks(i + 1))) += 1.0; n += 1; i += 1
+          }
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += cnt(j) * delta(j); j += 1 }
+          val logw = dot.toLong
+          (id, src, text, n, logw, logw > 0L)
+        }
+      }
+      .toDF("doc_id", "source", "text", "n_feats", "logw_micro", "keep")
+  }
+
   val dsirWeightSql: String = {
     val dim = clfDim
     val bucketOf = s"('0x' || substr(md5(g), 1, 8))::BIGINT % $dim"

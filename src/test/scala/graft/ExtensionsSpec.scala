@@ -705,6 +705,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(online == batch, "streaming classifier verdict != batch q72 score")
   }
 
+  test("q78: dsirVerdict (streaming form) is identical to the batch q78 weights") {
+    // exact-integer contract: both sides dot integer-valued doubles in
+    // ascending bucket order, so the long weights must match EXACTLY
+    val batch = TextAnalysis.dsirWeight(spark, sf)
+      .select("doc_id", "n_feats", "logw_micro", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val delta = TextAnalysis.fitDsirDelta(spark, sf)
+    assert(delta.length == TextAnalysis.clfDim &&
+      delta.exists(_ > 0) && delta.exists(_ < 0))
+    val online = TextAnalysis.dsirVerdict(
+        Tables.documents(spark, sf).select("doc_id", "source", "text"), delta)
+      .select("doc_id", "n_feats", "logw_micro", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(online == batch, "streaming DSIR verdict != batch q78 weights")
+  }
+
   test("q74: perplexityVerdict (streaming form) is bit-identical to the batch q74 filter") {
     // the verdict transform scores with the fitted LM in the task
     // closure — same integer-count division, same ln, same micro-nat
