@@ -270,6 +270,107 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q79 — LSH dedup AUDIT: the in-engine measurement a production dedup
+  // pipeline runs to trust its approximation. Draw a deterministic
+  // PAIRED sample (md5-lowest 50 base docs + their planted twins — the
+  // seeded-recall protocol), compute EXACT Jaccard over all sample
+  // pairs as ground truth, run the production q23 chain (sign → band →
+  // triangle-blocked candidates → verify) on the same sample, and
+  // report: banding recall (verified true pairs / exact true pairs),
+  // candidate precision (verified / candidates), and the MinHash
+  // signature's mean |estimate − exact| error over verified pairs.
+  //
+  // Scale shape: everything downstream of the sample filter is
+  // sample-sized (100 docs) — exact ground truth is a broadcast
+  // self-join (the audit's cost is O(K²) BY DESIGN, bounded by the
+  // sample knob, never corpus²); the candidate chain is the production
+  // machinery itself, so the audit measures the real banding structure.
+  // Determinism: md5-order sampling (no RNG), integer pair counts,
+  // micro-quantized per-pair errors summed as exact longs.
+  // ---------------------------------------------------------------------
+
+  def lshAudit(s: SparkSession, d: String): DataFrame = {
+    val sampleK = 50
+    val corpus = nearDupCorpus(s, d)
+    val sampBase = corpus.filter(col("doc_id") < 10000)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy("h").limit(sampleK).select("doc_id")
+    val sampIds = sampBase.unionAll(
+      sampBase.select((col("doc_id") + 10000).as("doc_id")))
+    val sh = signedCorpus(s, corpus.join(broadcast(sampIds), "doc_id"))
+      .filter(size(col("sh")) > 0)
+      .transform(Tables.maybePersist)
+    val cand = boundedBandCandidates(s, lshBands(sh), cap = 1024)
+    val jacExpr = (a: String, b: String) =>
+      s"floor((size(array_intersect($a, $b)) / cast(size(array_distinct(concat($a, $b))) as double)) * 1e6 + 0.5) / 1e6"
+    val verified = cand
+      .join(sh.selectExpr("doc_id as doc_a", "sh as sh_a", "sig as sig_a"), Seq("doc_a"))
+      .join(sh.selectExpr("doc_id as doc_b", "sh as sh_b", "sig as sig_b"), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", s"${jacExpr("sh_a", "sh_b")} as jaccard",
+        "cast(floor(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / 12.0 * 1e6 + 0.5) as bigint) as est_micro")
+      .filter(col("jaccard") >= 0.5)
+      .selectExpr("doc_a", "doc_b", "est_micro",
+        "cast(floor(jaccard * 1e6 + 0.5) as bigint) as jac_micro")
+    val exact = sh.selectExpr("doc_id as doc_a", "sh as sh_a")
+      .join(broadcast(sh.selectExpr("doc_id as doc_b", "sh as sh_b")),
+        col("doc_a") < col("doc_b"))
+      .selectExpr(s"${jacExpr("sh_a", "sh_b")} as jaccard")
+      .filter(col("jaccard") >= 0.5)
+    sh.agg(count(lit(1)).as("n_sampled"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified"),
+        coalesce(sum(expr("abs(est_micro - jac_micro)")), lit(0L)).as("sum_err")))
+      .selectExpr("n_sampled", "n_exact", "n_candidates", "n_verified",
+        "floor(n_verified / cast(n_exact as double) * 1e6 + 0.5) / 1e6 as recall",
+        "floor(n_verified / cast(n_candidates as double) * 1e6 + 0.5) / 1e6 as candidate_precision",
+        "floor(sum_err / cast(n_verified as double) + 0.5) / 1e6 as mean_est_err")
+  }
+
+  val lshAuditSql: String =
+    s"""WITH corpus AS ($corpusSqlDuck),
+       |sb AS (SELECT doc_id FROM corpus WHERE doc_id < 10000
+       |  ORDER BY md5(doc_id::VARCHAR) LIMIT 50),
+       |sids AS (SELECT doc_id FROM sb UNION ALL SELECT doc_id + 10000 FROM sb),
+       |tk AS (SELECT c.doc_id, string_split(c.text, ' ') AS toks
+       |  FROM corpus c JOIN sids USING (doc_id)),
+       |sh0 AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM tk),
+       |sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       |hs AS (SELECT doc_id, sh, list_transform(sh, x -> {'a':
+       |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007, 'b':
+       |    ('0x' || substr(md5(x), 17, 15))::BIGINT % 1000000007}) AS hs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, sh, list_transform(range(0, 12),
+       |  i -> list_min(list_transform(hs, h -> (h.a + i * h.b) % 1000000007))) AS sig FROM hs),
+       |bands AS (SELECT doc_id, b AS band_idx,
+       |  concat_ws(':', sig[3 * b + 1], sig[3 * b + 2], sig[3 * b + 3]) AS band_hash
+       |  FROM (SELECT doc_id, sig, unnest(range(0, 4)) AS b FROM sig)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |ver AS (SELECT doc_a, doc_b,
+       |    floor((len(list_intersect(sa.sh, sb2.sh)) / len(list_distinct(list_concat(sa.sh, sb2.sh)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard,
+       |    floor(len(list_filter(range(1, 13), i -> sa.sig[i] = sb2.sig[i])) / 12.0 * 1e6 + 0.5)::BIGINT AS est_micro
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+       |            JOIN sig sb2 ON sb2.doc_id = cand.doc_b),
+       |verf AS (SELECT doc_a, doc_b, est_micro,
+       |    floor(jaccard * 1e6 + 0.5)::BIGINT AS jac_micro
+       |  FROM ver WHERE jaccard >= 0.5),
+       |ex AS (SELECT floor((len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |cnts AS (SELECT
+       |    (SELECT COUNT(*) FROM sh)::BIGINT AS n_sampled,
+       |    (SELECT COUNT(*) FROM ex WHERE jaccard >= 0.5)::BIGINT AS n_exact,
+       |    (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+       |    (SELECT COUNT(*) FROM verf)::BIGINT AS n_verified,
+       |    (SELECT coalesce(SUM(abs(est_micro - jac_micro)), 0) FROM verf)::BIGINT AS sum_err)
+       |SELECT n_sampled, n_exact, n_candidates, n_verified,
+       |  floor(n_verified / n_exact::DOUBLE * 1e6 + 0.5) / 1e6 AS recall,
+       |  floor(n_verified / n_candidates::DOUBLE * 1e6 + 0.5) / 1e6 AS candidate_precision,
+       |  floor(sum_err / n_verified::DOUBLE + 0.5) / 1e6 AS mean_est_err
+       |FROM cnts""".stripMargin
+
   /** Free a localCheckpoint'ed frame's storage blocks once the loop has
     * superseded it. Dataset.unpersist only covers cacheManager entries;
     * checkpoint blocks hang off the LogicalRDD's backing RDD and would
@@ -742,6 +843,7 @@ object Dedup {
     "q41_dup_components" -> ((s, d) => dupComponents(s, d)),
     "q60_star_components" -> ((s, d) => dupComponentsStar(s, d)),
     "q70_simhash_keep"  -> ((s, d) => simhashKeep(s, d)),
+    "q79_lsh_audit"     -> ((s, d) => lshAudit(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -753,5 +855,6 @@ object Dedup {
     "q41_dup_components" -> dupComponentsSql,
     "q60_star_components" -> dupComponentsSql,
     "q70_simhash_keep"  -> simhashKeepSql,
+    "q79_lsh_audit"     -> lshAuditSql,
   )
 }

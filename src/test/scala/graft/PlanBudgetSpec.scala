@@ -172,6 +172,12 @@ object PlanBudgetSpec {
     // the scoring corpus crosses only the gated fan-out — per-row
     // hashing + exact integer graft_dot, no keyed corpus exchange
     "q78_dsir_weight" -> Shape(shuffles = 5, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
+    // q79 is the audit harness — everything downstream of the md5-order
+    // sample (top-50 limit + candidate chain + exact self-join + four
+    // scalar count frames) is SAMPLE-sized; the wide-looking shape is
+    // K=100 rows flowing through the production q23 machinery plus the
+    // summary crossJoins, not corpus work
+    "q79_lsh_audit" -> Shape(shuffles = 10, broadcasts = 6, joins = 6, smj = 0, cartesian = 0, bnlj = 4, scans = 7),
     // q77: pair-count aggregate + user-distinct + the tiny per-type
     // aggregate; mean and variant totals ride one-row broadcasts (BNLJ)
     "q77_ab_chisq" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
