@@ -35,6 +35,23 @@ case class KeepDoc(simhash: Long, doc_id: Long, n_chars: Long)
 case class KeeperChange(simhash: Long, keep_doc_id: Long, n_chars: Long)
 private[streaming] case class KeepState(keepId: Long, nChars: Long)
 
+/** One metric event for the online A/B monitor (q76's streaming twin):
+  * variant `v` (0/1) is assigned upstream by the same md5 rule as the
+  * batch query. `event_id` carries the packStream-style in-order
+  * id-dedup contract. */
+case class AbEvent(event_type: String, event_id: Long, value: Double, v: Long)
+/** One monitor report per (event_type, micro-batch): the Welch t over
+  * EVERYTHING delivered so far. `rev` increments per emission —
+  * downstream keeps the max-rev row per key. */
+case class AbReport(event_type: String, rev: Long, n_a: Long, n_b: Long,
+                    mean_a: Double, mean_b: Double, var_a: Double,
+                    var_b: Double, t_stat: Double, dof: Double,
+                    significant: Boolean)
+private[streaming] case class AbState(rev: Long, maxId: Long,
+  nA: Long, nB: Long,
+  sumA: java.math.BigDecimal, sumB: java.math.BigDecimal,
+  ssqA: java.math.BigDecimal, ssqB: java.math.BigDecimal)
+
 /** A vector routed to its coarse cell — input to the online semantic-
   * dedup fold (q75's streaming twin). Produced by
   * [[graft.Similarity.assignCells]] (stateless closure-codebook
@@ -498,6 +515,78 @@ object StreamingOps {
             if (idleTtlMillis > 0L && state.exists)
               state.setTimeoutDuration(idleTtlMillis)
             out
+          }
+      }
+  }
+
+  /** Streaming twin of q76 (A/B experiment analysis): the sequential
+    * experiment MONITOR — per event_type, maintain exact per-variant
+    * moment sums as keyed state and emit the updated Welch t /
+    * Welch–Satterthwaite dof after every micro-batch, so an experiment
+    * dashboard reads a running significance test instead of waiting for
+    * a batch backfill.
+    *
+    * EXACTNESS: state accumulates value and value² as BigDecimal at the
+    * batch cast's exact semantics (BigDecimal.valueOf(double) — the
+    * toString-shortest representation Spark's double→DECIMAL cast uses —
+    * setScale(6, HALF_UP), mirroring CAST(value AS DECIMAL(25,6))), so
+    * decimal addition is order-independent and after all deliveries the
+    * state sums EQUAL the batch q76 DECIMAL sums; the derived doubles
+    * then run the identical arithmetic chain → the final report matches
+    * the batch row EXACTLY (StreamingSpec). Under-populated groups
+    * (either variant < 2) report zeros until they fill.
+    *
+    * Replay: the packStream id-dedup contract — events at or below the
+    * key's high-water event_id are ignored, so redelivering a batch
+    * changes nothing but the revision counter. Requires per-key
+    * id-ordered delivery for exactness (the log-offset order a
+    * Kafka-shaped source provides).
+    *
+    * At scale: state is EIGHT scalars per event_type — never events —
+    * and the per-batch fold is the same map-side-combine shape as the
+    * batch aggregate. */
+  def abTestStream(events: Dataset[AbEvent]): Dataset[AbReport] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[AbState, AbReport](GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[AbEvent], state: GroupState[AbState]) =>
+          val z = java.math.BigDecimal.ZERO
+          var st = if (state.exists) state.get
+                   else AbState(0L, Long.MinValue, 0L, 0L, z, z, z, z)
+          def d6(x: Double): java.math.BigDecimal =
+            java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+          it.toArray.filter(_.event_id > st.maxId).sortBy(_.event_id).foreach { e =>
+            st =
+              if (e.v == 0L)
+                st.copy(maxId = e.event_id, nA = st.nA + 1L,
+                  sumA = st.sumA.add(d6(e.value)),
+                  ssqA = st.ssqA.add(d6(e.value * e.value)))
+              else
+                st.copy(maxId = e.event_id, nB = st.nB + 1L,
+                  sumB = st.sumB.add(d6(e.value)),
+                  ssqB = st.ssqB.add(d6(e.value * e.value)))
+          }
+          st = st.copy(rev = st.rev + 1L)
+          state.update(st)
+          def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+          val (na, nb) = (st.nA, st.nB)
+          if (na < 2L || nb < 2L)
+            AbReport(key, st.rev, na, nb, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+              significant = false)
+          else {
+            // the batch q76 arithmetic chain, operation for operation
+            val sa = st.sumA.doubleValue; val sb2 = st.sumB.doubleValue
+            val qa = st.ssqA.doubleValue; val qb = st.ssqB.doubleValue
+            val ma = sa / na; val mb = sb2 / nb
+            val va = (qa - sa * sa / na) / (na - 1)
+            val vb = (qb - sb2 * sb2 / nb) / (nb - 1)
+            val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+            val dof = (va / na + vb / nb) * (va / na + vb / nb) /
+              ((va / na) * (va / na) / (na - 1) +
+               (vb / nb) * (vb / nb) / (nb - 1))
+            AbReport(key, st.rev, na, nb, q6(ma), q6(mb), q6(va), q6(vb),
+              q6(t), q6(dof), significant = math.abs(t) > 1.96)
           }
       }
   }

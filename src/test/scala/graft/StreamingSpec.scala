@@ -330,6 +330,45 @@ class StreamingSpec extends SparkSpec {
       ("sA", 1L) -> (0L, 0L), ("sA", 2L) -> (0L, 40L), ("sA", 3L) -> (0L, 90L)))
   }
 
+  test("abTestStream: the online experiment monitor's final report == batch q76; replay moves nothing but the revision") {
+    import graft.streaming.{AbEvent, AbReport}
+    val batch = RelOps.abTest(spark, sf)
+      .select("event_type", "n_a", "n_b", "mean_a", "mean_b", "var_a",
+        "var_b", "t_stat", "dof", "significant")
+      .as[(String, Long, Long, Double, Double, Double, Double, Double, Double, Boolean)]
+      .collect().toSet
+    val rows = Tables.events(spark, sf).selectExpr("event_type", "event_id", "value",
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2 as v")
+      .as[AbEvent].collect().sortBy(_.event_id)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[AbEvent](spark)
+    val q = StreamingOps.abTestStream(in.toDS())
+      .writeStream.format("memory").queryName("abmonitor")
+      .outputMode("update").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    def latest(): Map[String, (Long, Long, Long, Double, Double, Double, Double, Double, Double, Boolean)] =
+      spark.table("abmonitor").as[AbReport].collect()
+        .groupBy(_.event_type).map { case (k, rs) =>
+          val r = rs.maxBy(_.rev)
+          k -> (r.rev, r.n_a, r.n_b, r.mean_a, r.mean_b, r.var_a, r.var_b,
+            r.t_stat, r.dof, r.significant)
+        }
+    val afterAll = latest()
+    val gotFinal = afterAll.map { case (k, r) =>
+      (k, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10) }.toSet
+    assert(gotFinal == batch, "online monitor's final report != batch q76")
+    // intermediate reports existed (a monitor, not a batch job): some
+    // key emitted >= 2 revisions across the two batches
+    assert(afterAll.values.exists(_._1 >= 2L), "no running revisions emitted")
+    // at-least-once redelivery of batch 1: ids are at or below every
+    // key's high-water mark — stats must not move (only rev does)
+    in.addData(b1: _*); q.processAllAvailable(); q.stop()
+    val afterReplay = latest().map { case (k, r) =>
+      (k, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10) }.toSet
+    assert(afterReplay == batch, "replayed batch moved the monitor's stats")
+  }
+
   test("semDedupStream: online semantic dedup == batch q75 under ordered arrival; replay emits nothing") {
     import graft.streaming.{SemVec, SemVerdict}
     val batch = Similarity.semDedup(spark, sf)
