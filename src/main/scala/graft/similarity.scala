@@ -356,15 +356,40 @@ object Similarity {
 
   // ---------------------------------------------------------------------
   // q75 — SemDeDup-style semantic deduplication (Abbas et al. 2023): route
-  // every embedding to its nearest coarse centroid, then prune within-cell
+  // every embedding to its nearest codebook cell, then prune within-cell
   // cosine-duplicates, keeping the EARLIEST member (lowest vec_id) of each
   // duplicate relation. The corpus (like q32) plants deterministic
   // perturbed twins so the oracle exercises a non-trivial drop set —
   // the base synthetic embeddings top out at cos≈0.51.
   //
-  // Scale shape: assignment is the IVF pattern — one-row broadcast
-  // codebook, argmax over k cells fused into the scan, ZERO corpus
-  // shuffle; candidate pairs shuffle ONCE keyed by cell and are
+  // CODEBOOK SCALES WITH THE CORPUS (the r11 verdict's one scale flag):
+  // k = max(nLabels, ⌈n / targetCellSize⌉) cells, so expected cell
+  // population stays ~targetCellSize and within-cell pair work stays
+  // LINEAR in corpus size (the fixed 10-cell codebook measured 3.4×
+  // time for 3× data at the 30× audit — O(Σ|cell|²) with |cell| ∝ n).
+  // Cells are Voronoi regions around k seed vectors drawn in md5(vec_id)
+  // order from the base table (the q34/q79 deterministic-sample idiom —
+  // k-means with sampled init and zero refinement steps; refinement
+  // iterations would sharpen boundaries but add nothing to the scale
+  // shape). Assignment is HIERARCHICAL so it does not reintroduce the
+  // quadratic term as n·k dot products: the first ⌈√k⌉ seeds act as
+  // super-cells; each seed routes to its nearest super-seed once (k·√k
+  // work on a k-row frame), and each corpus vector routes nearest-super
+  // then nearest-seed-within-super — O(√k + k/√k) ≈ O(√k) dots per row
+  // instead of O(k). Level-1 targets only NON-EMPTY super-cells (inner
+  // join with the seed routing), so no vector can strand in a seedless
+  // super-cell. Beyond ~10⁶ cells the one-row broadcast codebook itself
+  // outgrows a task: the next rung is the same construction recursed one
+  // level deeper (log_√k depth), mechanical from this shape.
+  //
+  // Scale shape: the codebook fits as plain data — two driver jobs (one
+  // combined count aggregate, one TakeOrdered sample of k rows) — and
+  // ships to tasks in the closure (the q72 classifier discipline:
+  // parameters move once, the corpus never does). Assignment is ONE
+  // compiled mapPartitions pass over the scan ([[assignCells]] — the
+  // SAME code path the streaming twin uses, so online/offline
+  // bit-identity is by construction, not by parallel maintenance), ZERO
+  // corpus shuffle; candidate pairs shuffle ONCE keyed by cell and are
   // triangle-blocked (boundedBucketPairs) so an oversize cell bounds
   // per-task pairs at cap² instead of |cell|² — SemDeDup's cluster-size
   // cap, expressed as blocking. The verdict joins back keyed on vec_id
@@ -373,31 +398,26 @@ object Similarity {
   // 100 TB — either way text/embeddings never move twice).
   //
   // Determinism: the pair loop and the oracle fold both run
-  // left-to-right double dots (the q32 contract); argmax cell ties break
-  // toward the smaller c_label on both sides; keep/drop is integer
-  // comparison only.
+  // left-to-right double dots (the q32 contract); every argmax breaks
+  // ties toward the smaller id on both sides (strict-improvement scan
+  // in ascending id order ≡ row_number ORDER BY cos DESC, id ASC); md5
+  // ordering is engine-identical on the decimal vec_id string; k and √k
+  // derive from counts with exactly-rounded double ceil/sqrt on both
+  // engines.
   // ---------------------------------------------------------------------
 
   private[graft] val semDedupTau = 0.95
 
-  def semDedup(s: SparkSession, d: String): DataFrame = {
+  def semDedup(s: SparkSession, d: String, targetCellSize: Int = 1000): DataFrame = {
     withFns(s)
+    val cb = fitCellCodebook(s, d, targetCellSize)
     val base = Tables.embeddings(s, d)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
     val corpus = base.unionAll(
       base.selectExpr("vec_id + 10000 as vec_id",
         "zip_with(e, sequence(0, 63), (x, i) -> x + 0.004 * cast(i % 5 as double)) as e"))
-    val codebook = centroidsByLabel(s, d, "c_label")
-      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
-    val assigned = corpus.crossJoin(broadcast(codebook))
-      .selectExpr("vec_id", "e", "cells", s"sqrt(${dotExpr("e", "e")}) as nrm")
-      .selectExpr("vec_id", "e", "nrm",
-        s"""array_max(transform(cells, c -> named_struct(
-           |  'cos', ${dotExpr("e", "c.centroid")} /
-           |    (nrm * sqrt(graft_dot(c.centroid, c.centroid))),
-           |  'nl', -c.c_label))) as best"""
-          .stripMargin.replace("\n", " "))
-      .selectExpr("vec_id", "e", "nrm", "cast(-best.nl as int) as c_label")
+    val assigned = assignCells(corpus, cb)
+      .toDF("c_label", "vec_id", "e", "nrm")
       .transform(Tables.maybePersist)
     val drops = Dedup.boundedBucketPairs(s,
         assigned.selectExpr("cast(c_label as bigint) as bucket", "vec_id", "e", "nrm"),
@@ -412,33 +432,42 @@ object Similarity {
   }
 
   val semDedupSql: String = {
-    val dotEC =
-      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(n.e) + 1),
-        |i -> n.e[i] * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
-    val normC =
-      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
-        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
-    s"""WITH dm AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
-       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
-       |        FROM embeddings)),
-       |sm AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
-       |  FROM dm GROUP BY label, dim),
-       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
-       |  FROM sm GROUP BY label),
-       |base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+    def dd(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),
+         |i -> $a[i] * $b[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |  FROM embeddings),
        |corpus AS (SELECT vec_id, e FROM base
        |  UNION ALL SELECT vec_id + 10000,
        |    list_transform(range(1, len(e) + 1), i -> e[i] + 0.004 * ((i - 1) % 5)::DOUBLE)
        |  FROM base),
-       |n AS (SELECT vec_id, e, sqrt(${dotSqlDuck("e", "e")}) AS nrm FROM corpus),
-       |asg AS (SELECT vec_id, e, nrm, c_label, row_number() OVER (
-       |    PARTITION BY vec_id ORDER BY ($dotEC) / (n.nrm * $normC) DESC, c_label) AS rn
-       |  FROM n CROSS JOIN c),
-       |a AS (SELECT vec_id, e, nrm, c_label FROM asg WHERE rn = 1),
+       |prm AS (SELECT GREATEST(
+       |    (SELECT count(DISTINCT label) FROM embeddings),
+       |    CEIL((SELECT 2 * count(*) FROM embeddings) / 1000.0)::BIGINT) AS k),
+       |prm2 AS (SELECT k, CEIL(sqrt(k))::BIGINT AS sq FROM prm),
+       |sd0 AS (SELECT vec_id, e,
+       |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS sid FROM base),
+       |seeds AS (SELECT sid, e, sqrt(${dd("e", "e")}) AS nrm FROM sd0
+       |  WHERE sid < (SELECT k FROM prm2)),
+       |sups AS (SELECT sid AS sup, e AS se, nrm AS sn FROM seeds
+       |  WHERE sid < (SELECT sq FROM prm2)),
+       |ssr AS (SELECT s.sid, s.e, s.nrm, u.sup, row_number() OVER (
+       |    PARTITION BY s.sid ORDER BY (${dd("s.e", "u.se")}) / (s.nrm * u.sn) DESC, u.sup) AS rn
+       |  FROM seeds s CROSS JOIN sups u),
+       |sm AS (SELECT sid, e, nrm, sup FROM ssr WHERE rn = 1),
+       |sv AS (SELECT u.sup, u.se, u.sn FROM sups u
+       |  WHERE u.sup IN (SELECT sup FROM sm)),
+       |n AS (SELECT vec_id, e, sqrt(${dd("e", "e")}) AS nrm FROM corpus),
+       |l1 AS (SELECT n.vec_id, n.e, n.nrm, v.sup, row_number() OVER (
+       |    PARTITION BY n.vec_id ORDER BY (${dd("n.e", "v.se")}) / (n.nrm * v.sn) DESC, v.sup) AS rn
+       |  FROM n CROSS JOIN sv v),
+       |r1 AS (SELECT vec_id, e, nrm, sup FROM l1 WHERE rn = 1),
+       |l2 AS (SELECT r.vec_id, r.e, r.nrm, m.sid, row_number() OVER (
+       |    PARTITION BY r.vec_id ORDER BY (${dd("r.e", "m.e")}) / (r.nrm * m.nrm) DESC, m.sid) AS rn
+       |  FROM r1 r JOIN sm m ON r.sup = m.sup),
+       |a AS (SELECT vec_id, e, nrm, sid::INT AS c_label FROM l2 WHERE rn = 1),
        |p AS (SELECT x.vec_id AS va, y.vec_id AS vb,
-       |    (list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(x.e) + 1),
-       |       i -> x.e[i] * y.e[i])), (p_, q_) -> p_ + q_)) / (x.nrm * y.nrm) AS cos
+       |    (${dd("x.e", "y.e")}) / (x.nrm * y.nrm) AS cos
        |  FROM a x JOIN a y ON x.c_label = y.c_label AND x.vec_id < y.vec_id),
        |f AS (SELECT vb AS vec_id, min(va) AS dup_of, max(cos) AS mc
        |  FROM p WHERE cos >= $semDedupTau GROUP BY vb)
@@ -449,35 +478,83 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
-  /** q75's coarse codebook as plain data (the fitBigramLm model-fit
-    * discipline: parameters come to the driver once — k cells × dim
-    * doubles — documents/vectors never do). `cnorms` pre-computes each
-    * centroid's L2 norm with the same ascending-dot + sqrt chain the
-    * batch assignment runs, so closure-side scoring stays bit-identical. */
-  case class CellCodebook(labels: Array[Int],
-                          centroids: Array[Array[Double]],
-                          cnorms: Array[Double])
+  /** q75's hierarchical codebook as plain data (the fitBigramLm model-fit
+    * discipline: parameters come to the driver once — k seeds × dim
+    * doubles — documents/vectors never do). `seedNorms`/`supNorms`
+    * pre-compute each seed's L2 norm with the same ascending-dot + sqrt
+    * chain the batch assignment runs, so closure-side scoring stays
+    * bit-identical. `supIds` holds only NON-EMPTY super-cells (ascending),
+    * mirroring the batch inner join; `seedSups` is each seed's routed
+    * super-cell, fit with the same argmax discipline. */
+  case class CellCodebook(supIds: Array[Int],
+                          supVecs: Array[Array[Double]],
+                          supNorms: Array[Double],
+                          seedIds: Array[Int],
+                          seedSups: Array[Int],
+                          seedVecs: Array[Array[Double]],
+                          seedNorms: Array[Double])
 
-  def fitCellCodebook(s: SparkSession, d: String): CellCodebook = {
+  def fitCellCodebook(s: SparkSession, d: String,
+                      targetCellSize: Int = 1000): CellCodebook = {
     import s.implicits._
-    val rows = centroidsByLabel(s, d, "c_label")
-      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    // one combined count job: corpus cardinality (the planted-twin union
+    // doubles the base) + label count (the k floor)
+    val (nBase, nLabels) = {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .agg(count(lit(1)), countDistinct(col("label")))
+        .as[(Long, Long)].head()
+    }
+    val n = 2L * nBase
+    val k = math.max(nLabels, math.ceil(n / targetCellSize.toDouble).toLong)
+    val sq = math.ceil(math.sqrt(k.toDouble)).toInt
+    val seedVecs = base
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h")).limit(k.toInt)
+      .select(col("h"), col("e")).as[(String, Array[Double])]
+      .collect().sortBy(_._1).map(_._2) // ascending md5 ≡ sid order
     def nrm(c: Array[Double]): Double = {
       var acc = 0.0
-      var k = 0
-      while (k < c.length) { acc += c(k) * c(k); k += 1 }
+      var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
       math.sqrt(acc)
     }
-    CellCodebook(rows.map(_._1), rows.map(_._2), rows.map(r => nrm(r._2)))
+    val seedNorms = seedVecs.map(nrm)
+    val supAll = seedVecs.take(sq)
+    val supAllNorms = seedNorms.take(sq)
+    // route each seed to its nearest super-seed — strict-improvement scan
+    // in ascending sup order ≡ the batch array_max over (cos, -sup)
+    val seedSups = seedVecs.indices.map { i =>
+      val e = seedVecs(i)
+      var bestCos = Double.NegativeInfinity
+      var best = Int.MaxValue
+      var p = 0
+      while (p < supAll.length) {
+        val sv = supAll(p)
+        var dot = 0.0
+        var j = 0
+        while (j < sv.length) { dot += e(j) * sv(j); j += 1 }
+        val cos = dot / (seedNorms(i) * supAllNorms(p))
+        if (cos > bestCos) { bestCos = cos; best = p }
+        p += 1
+      }
+      best
+    }.toArray
+    val live = seedSups.distinct.sorted // non-empty super-cells only
+    CellCodebook(live, live.map(supAll), live.map(supAllNorms),
+      seedVecs.indices.toArray, seedSups, seedVecs, seedNorms)
   }
 
   /** Route (vec_id, e: array<double>) rows to their nearest codebook
     * cell — the q75 assignment as a stateless per-row transform for the
     * online leg. Argmax arithmetic mirrors the batch expression
-    * operation-for-operation (ascending-index dots, cos = dot/(nrm·cnorm),
-    * strict-improvement scan over cells in ascending label order ≡ the
-    * batch array_max over (cos, -label) structs), so a vector lands in
-    * the SAME cell online and offline. */
+    * operation-for-operation at BOTH levels (ascending-index dots,
+    * cos = dot/(nrm·cnorm), strict-improvement scan in ascending id
+    * order ≡ the batch array_max over (cos, -id) structs; level 1 over
+    * non-empty super-cells, level 2 over that super-cell's seeds), so a
+    * vector lands in the SAME cell online and offline. */
   def assignCells(df: DataFrame, cb: CellCodebook): Dataset[graft.streaming.SemVec] = {
     val s = df.sparkSession
     import s.implicits._
@@ -490,18 +567,32 @@ object Similarity {
           while (k < e.length) { acc += e(k) * e(k); k += 1 }
           val nrm = math.sqrt(acc)
           var bestCos = Double.NegativeInfinity
-          var bestLabel = Int.MaxValue
+          var bestSup = Int.MaxValue
           var c = 0
-          while (c < cb.labels.length) {
-            val cen = cb.centroids(c)
+          while (c < cb.supIds.length) {
+            val cen = cb.supVecs(c)
             var dot = 0.0
             k = 0
             while (k < cen.length) { dot += e(k) * cen(k); k += 1 }
-            val cos = dot / (nrm * cb.cnorms(c))
-            if (cos > bestCos) { bestCos = cos; bestLabel = cb.labels(c) }
+            val cos = dot / (nrm * cb.supNorms(c))
+            if (cos > bestCos) { bestCos = cos; bestSup = cb.supIds(c) }
             c += 1
           }
-          graft.streaming.SemVec(bestLabel, id, e, nrm)
+          bestCos = Double.NegativeInfinity
+          var bestSid = Int.MaxValue
+          var i = 0
+          while (i < cb.seedIds.length) {
+            if (cb.seedSups(i) == bestSup) {
+              val cen = cb.seedVecs(i)
+              var dot = 0.0
+              k = 0
+              while (k < cen.length) { dot += e(k) * cen(k); k += 1 }
+              val cos = dot / (nrm * cb.seedNorms(i))
+              if (cos > bestCos) { bestCos = cos; bestSid = cb.seedIds(i) }
+            }
+            i += 1
+          }
+          graft.streaming.SemVec(bestSid, id, e, nrm)
         }
       }
   }

@@ -161,9 +161,13 @@ object PlanBudgetSpec {
     // bigram, V) that come back as the 3 broadcasts; the corpus itself
     // crosses only the gated fan-out + the per-doc fold
     "q74_lm_perplexity" -> Shape(shuffles = 5, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 1, scans = 4),
-    // q75's 4: codebook agg + bucket-sizes agg (both tiny) + the
-    // triangle-block pair exchange + the drop-set fold
-    "q75_semdedup" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    // q75 (r12, corpus-scaled hierarchical codebook): codebook fits
+    // driver-side (count agg + TakeOrdered sample — jobs, not plan
+    // nodes) and assignment is a compiled mapPartitions closure shared
+    // with the streaming twin — the corpus crosses ZERO assignment
+    // exchanges; visible shuffles = triangle-block pair exchange +
+    // block-sizes agg + drop-set fold
+    "q75_semdedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     // q76: the gated fan-out + ONE keyed aggregate (six conditional
     // moment sums in a single pass — no pivot, no self-join)
     "q76_ab_ttest" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
