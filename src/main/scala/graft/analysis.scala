@@ -1837,18 +1837,44 @@ object TextAnalysis {
     * array<string> column. The terminal collect here is a MODEL FIT of
     * vocabulary-bounded aggregates (the q66 `df.stat.bloomFilter`
     * discipline — parameters come to the driver once, documents never
-    * do), not a hot-path materialization. */
-  def fitBigramLm(ref: DataFrame): BigramLm = {
+    * do), not a hot-path materialization.
+    *
+    * `topK > 0` makes the fit DRIVER-SAFE at any reference-slice size:
+    * only the topK most-frequent unigrams and topK bigrams materialize
+    * (count desc, key asc — a deterministic TakeOrdered applied to the
+    * aggregate BEFORE collect; under Heap's law an unpruned bigram
+    * vocabulary on a 100 TB reference slice is not driver-friendly).
+    * `vocabSize` stays the EXACT distinct-unigram count (a scalar off
+    * the same aggregate), so smoothing denominators do not move: a
+    * pruned-away n-gram scores through the add-one smoothing path
+    * exactly as an unseen n-gram would — pruning ≡ restricting the
+    * count maps, never a new arithmetic path (pinned in
+    * ExtensionsSpec). Default 0 = exact (the sf-scale batch twin). */
+  def fitBigramLm(ref: DataFrame, topK: Int = 0): BigramLm = {
     val s = ref.sparkSession
     import s.implicits._
-    val ug = ref.select(explode(col("toks")).as("w"))
+    val ugAgg = ref.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .as[(String, Long)].collect().toMap
-    val bg = ref
+    val bgAgg = ref
       .selectExpr("explode(transform(filter(sequence(0, size(toks) - 1), i -> i + 1 < size(toks)), i -> concat(toks[i], ' ', toks[i + 1]))) as b")
       .groupBy("b").agg(count(lit(1)).as("c"))
-      .as[(String, Long)].collect().toMap
-    BigramLm(ug, bg, ug.size.toLong)
+    if (topK <= 0) {
+      val ug = ugAgg.as[(String, Long)].collect().toMap
+      val bg = bgAgg.as[(String, Long)].collect().toMap
+      BigramLm(ug, bg, ug.size.toLong)
+    } else {
+      // vocab scalar + topK prune off ONE persisted vocabulary-sized
+      // aggregate (persisting the AGGREGATE, never the corpus)
+      val ugP = ugAgg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val vsz = ugP.count()
+        val ug = ugP.orderBy(col("c").desc, col("w")).limit(topK)
+          .as[(String, Long)].collect().toMap
+        val bg = bgAgg.orderBy(col("c").desc, col("b")).limit(topK)
+          .as[(String, Long)].collect().toMap
+        BigramLm(ug, bg, vsz)
+      } finally { ugP.unpersist(blocking = false); () }
+    }
   }
 
   /** q74's scorer as a REUSABLE stateless per-row transform for the

@@ -739,6 +739,54 @@ class ExtensionsSpec extends SparkSpec {
     assert(online == batch, "streaming perplexity verdict != batch q74")
   }
 
+  test("q74: top-K-pruned LM fit == map restriction of the exact fit; scores degrade only via the smoothing path") {
+    val ref = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+      .selectExpr("split(text, ' ') as toks")
+    val exact = TextAnalysis.fitBigramLm(ref)
+    val topK = 50
+    val pruned = TextAnalysis.fitBigramLm(ref, topK)
+    // pruning semantics: EXACTLY the topK (count desc, key asc) slice of
+    // the exact maps — no other arithmetic path exists
+    def topOf(m: Map[String, Long]): Map[String, Long] =
+      m.toSeq.sortBy { case (k, c) => (-c, k) }.take(topK).toMap
+    assert(pruned.unigrams == topOf(exact.unigrams), "pruned unigrams != topK slice")
+    assert(pruned.bigrams == topOf(exact.bigrams), "pruned bigrams != topK slice")
+    assert(pruned.unigrams.size == math.min(topK, exact.unigrams.size))
+    assert(pruned.bigrams.size == math.min(topK, exact.bigrams.size))
+    // the fixture must actually exercise the prune: the bigram table is
+    // larger than topK (the sf0.01 slice has ~31 unigrams, hundreds of
+    // bigrams — so the unigram leg stays exact and every delta below is
+    // attributable to bigram pruning alone)
+    assert(exact.bigrams.size > topK, "topK too large — prune leg unexercised")
+    // vocabSize stays EXACT: smoothing denominators identical to the
+    // unpruned fit (the pruned fit differs ONLY by map misses)
+    assert(pruned.vocabSize == exact.vocabSize, "vocab scalar moved under pruning")
+    // scoring: no crash, and every per-doc delta is explained by the
+    // smoothing path — a doc whose unigrams AND bigrams all survived
+    // pruning scores BIT-IDENTICAL to the exact LM
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val exactScores = TextAnalysis.perplexityVerdict(docs, exact)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val prunedScores = TextAnalysis.perplexityVerdict(docs, pruned)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(prunedScores.keySet == exactScores.keySet)
+    // bit-identity leg, non-vacuously: a doc built from the single
+    // most-frequent bigram is fully covered by the pruned maps by
+    // construction — its score must not move at all
+    val topBigram = exact.bigrams.toSeq.sortBy { case (k, c) => (-c, k) }.head._1
+    val coveredDoc = Seq((0L, "synthetic", topBigram)).toDF("doc_id", "source", "text")
+    val exCov = TextAnalysis.perplexityVerdict(coveredDoc, exact)
+      .select("avg_nll").as[Double].head()
+    val prCov = TextAnalysis.perplexityVerdict(coveredDoc, pruned)
+      .select("avg_nll").as[Double].head()
+    assert(exCov == prCov, "fully-covered doc moved under pruning")
+    // smoothing-path leg: docs touching pruned-away bigrams DO move
+    // (their deltas exist and are finite — no crash, no NaN)
+    assert(prunedScores.keys.exists(id => prunedScores(id) != exactScores(id)),
+      "pruning changed nothing — topK too large for the fixture")
+    prunedScores.values.foreach(v => assert(!v.isNaN && !v.isInfinite))
+  }
+
   test("q73: token packing == driver model; regex tokenizer == greedy merge-table model; budget invariants") {
     val budget = TextAnalysis.tokBudget
     val out = TextAnalysis.sequencePackTokens(spark, sf)
