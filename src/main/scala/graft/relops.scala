@@ -472,15 +472,26 @@ object RelOps {
         Tables.dsum(when(col("v") === 1, col("value"))).as("sum_b"),
         Tables.dsum(when(col("v") === 0, col("value") * col("value"))).as("ssq_a"),
         Tables.dsum(when(col("v") === 1, col("value") * col("value"))).as("ssq_b"))
+      // degenerate-group guards (r11 advice): a variant with n<2 or zero
+      // pooled variance emits the 0.0 sentinel instead of NaN/Inf —
+      // Spark's and DuckDB's division-by-zero semantics differ, so the
+      // guard must exist IDENTICALLY on both sides (the abTestStream
+      // zeros-until-filled rule). The current fixture never trips it
+      // (all groups large, non-constant); this pins the behavior for
+      // arbitrary data layouts.
       .selectExpr("event_type", "n_a", "n_b",
-        "sum_a / n_a as ma", "sum_b / n_b as mb",
-        "(ssq_a - sum_a * sum_a / n_a) / (n_a - 1) as va",
-        "(ssq_b - sum_b * sum_b / n_b) / (n_b - 1) as vb")
+        "case when n_a > 0 then sum_a / n_a else 0.0 end as ma",
+        "case when n_b > 0 then sum_b / n_b else 0.0 end as mb",
+        "case when n_a > 1 then (ssq_a - sum_a * sum_a / n_a) / (n_a - 1) else 0.0 end as va",
+        "case when n_b > 1 then (ssq_b - sum_b * sum_b / n_b) / (n_b - 1) else 0.0 end as vb")
       .selectExpr("event_type", "n_a", "n_b", "ma", "mb", "va", "vb",
-        "(ma - mb) / sqrt(va / n_a + vb / n_b) as t",
-        """(va / n_a + vb / n_b) * (va / n_a + vb / n_b) /
+        """case when n_a > 1 and n_b > 1 and (va / n_a + vb / n_b) > 0
+          |then (ma - mb) / sqrt(va / n_a + vb / n_b) else 0.0 end as t"""
+          .stripMargin.replace("\n", " "),
+        """case when n_a > 1 and n_b > 1 and (va / n_a + vb / n_b) > 0
+          |then (va / n_a + vb / n_b) * (va / n_a + vb / n_b) /
           |((va / n_a) * (va / n_a) / (n_a - 1) +
-          | (vb / n_b) * (vb / n_b) / (n_b - 1)) as dof"""
+          | (vb / n_b) * (vb / n_b) / (n_b - 1)) else 0.0 end as dof"""
           .stripMargin.replace("\n", " "))
       .selectExpr("event_type", "n_a", "n_b",
         "floor(ma * 1e6 + 0.5) / 1e6 as mean_a",
@@ -543,6 +554,33 @@ object RelOps {
         "chi2 >= 3.841 as significant")
   }
 
+  /** Design constants for the ONLINE q77 monitor
+    * ([[graft.streaming.StreamingOps.abChiSqStream]]): the conversion
+    * bar (global mean events per (type, user) pair) and the
+    * per-variant exposed-user totals, computed with EXACTLY the batch
+    * q77 frames/arithmetic so monitor == batch after full delivery.
+    * Fit-then-stream (the fitCellCodebook discipline): both scalars are
+    * cross-key aggregates a per-type monitor cannot observe online. */
+  def fitChiDesign(s: SparkSession, dir: String): graft.streaming.ChiDesign = {
+    import s.implicits._
+    val pc = Tables.events(s, dir)
+      .selectExpr("event_type", "user_id",
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2 as v")
+      .groupBy("event_type", "user_id", "v")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bar = pc.groupBy()
+        .agg((sum(col("c")).cast("double") / count(lit(1))).as("mean_c"))
+        .as[Double].head()
+      val (na, nb) = pc.select("user_id", "v").distinct()
+        .groupBy()
+        .agg(count(when(col("v") === 0, 1)), count(when(col("v") === 1, 1)))
+        .as[(Long, Long)].head()
+      graft.streaming.ChiDesign(bar, na, nb)
+    } finally { pc.unpersist(blocking = false); () }
+  }
+
   val abChiSqSql: String =
     """WITH pc AS (SELECT event_type, user_id,
       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v,
@@ -586,15 +624,18 @@ object RelOps {
       |    CAST(SUM(CAST(value * value AS DECIMAL(25,6))) FILTER (v = 1) AS DOUBLE) AS ssq_b
       |  FROM e GROUP BY event_type),
       |m AS (SELECT event_type, n_a, n_b,
-      |    sum_a / n_a AS ma, sum_b / n_b AS mb,
-      |    (ssq_a - sum_a * sum_a / n_a) / (n_a - 1) AS va,
-      |    (ssq_b - sum_b * sum_b / n_b) / (n_b - 1) AS vb
+      |    CASE WHEN n_a > 0 THEN sum_a / n_a ELSE 0.0 END AS ma,
+      |    CASE WHEN n_b > 0 THEN sum_b / n_b ELSE 0.0 END AS mb,
+      |    CASE WHEN n_a > 1 THEN (ssq_a - sum_a * sum_a / n_a) / (n_a - 1) ELSE 0.0 END AS va,
+      |    CASE WHEN n_b > 1 THEN (ssq_b - sum_b * sum_b / n_b) / (n_b - 1) ELSE 0.0 END AS vb
       |  FROM g),
       |t AS (SELECT event_type, n_a, n_b, ma, mb, va, vb,
-      |    (ma - mb) / sqrt(va / n_a + vb / n_b) AS t,
-      |    (va / n_a + vb / n_b) * (va / n_a + vb / n_b) /
+      |    CASE WHEN n_a > 1 AND n_b > 1 AND (va / n_a + vb / n_b) > 0
+      |    THEN (ma - mb) / sqrt(va / n_a + vb / n_b) ELSE 0.0 END AS t,
+      |    CASE WHEN n_a > 1 AND n_b > 1 AND (va / n_a + vb / n_b) > 0
+      |    THEN (va / n_a + vb / n_b) * (va / n_a + vb / n_b) /
       |    ((va / n_a) * (va / n_a) / (n_a - 1) +
-      |     (vb / n_b) * (vb / n_b) / (n_b - 1)) AS dof
+      |     (vb / n_b) * (vb / n_b) / (n_b - 1)) ELSE 0.0 END AS dof
       |  FROM m)
       |SELECT event_type, n_a, n_b,
       |  floor(ma * 1e6 + 0.5) / 1e6 AS mean_a,

@@ -42,15 +42,44 @@ private[streaming] case class KeepState(keepId: Long, nChars: Long)
 case class AbEvent(event_type: String, event_id: Long, value: Double, v: Long)
 /** One monitor report per (event_type, micro-batch): the Welch t over
   * EVERYTHING delivered so far. `rev` increments per emission —
-  * downstream keeps the max-rev row per key. */
+  * downstream keeps the max-rev row per key. `dropped` counts arrivals
+  * discarded by the id-dedup high-water mark: under the documented
+  * in-order delivery contract those are exactly the replays, so a
+  * value that keeps growing while the source claims no redelivery is
+  * the observable signature of OUT-OF-ORDER delivery (which this
+  * monitor would otherwise silently misread as replay). */
 case class AbReport(event_type: String, rev: Long, n_a: Long, n_b: Long,
                     mean_a: Double, mean_b: Double, var_a: Double,
                     var_b: Double, t_stat: Double, dof: Double,
-                    significant: Boolean)
+                    significant: Boolean, dropped: Long)
 private[streaming] case class AbState(rev: Long, maxId: Long,
   nA: Long, nB: Long,
   sumA: java.math.BigDecimal, sumB: java.math.BigDecimal,
-  ssqA: java.math.BigDecimal, ssqB: java.math.BigDecimal)
+  ssqA: java.math.BigDecimal, ssqB: java.math.BigDecimal,
+  dropped: Long)
+
+/** One event for the online conversion monitor (q77's streaming twin):
+  * the (event_type, user_id) pair is the conversion grain; `v` is the
+  * md5 variant (assigned upstream, the batch rule); `event_id` carries
+  * the in-order id-dedup contract. */
+case class ChiPair(event_type: String, user_id: Long, event_id: Long, v: Long)
+/** Experiment design constants for the online chi-square: fit OFFLINE
+  * on a reference window ([[graft.RelOps.fitChiDesign]] — the
+  * fitCellCodebook fit-then-stream discipline) because both are
+  * cross-key aggregates a per-type monitor cannot see: `bar` is the
+  * batch query's data-relative conversion bar (global mean events per
+  * (type, user) pair) and `nA`/`nB` the per-variant exposed-user
+  * totals. */
+case class ChiDesign(bar: Double, nA: Long, nB: Long)
+/** One monitor report per (event_type, micro-batch): the 2×2
+  * chi-square over everything delivered so far. Same rev / dropped
+  * contract as [[AbReport]]. */
+case class ChiReport(event_type: String, rev: Long, n_a: Long, n_b: Long,
+                     conv_a: Long, conv_b: Long, chi_sq: Double,
+                     significant: Boolean, dropped: Long)
+private[streaming] case class ChiUser(c: Long, v: Long, crossed: Boolean)
+private[streaming] case class ChiState(rev: Long, maxId: Long,
+  convA: Long, convB: Long, users: Map[Long, ChiUser], dropped: Long)
 
 /** A vector routed to its coarse cell — input to the online semantic-
   * dedup fold (q75's streaming twin). Produced by
@@ -553,10 +582,16 @@ object StreamingOps {
         (key: String, it: Iterator[AbEvent], state: GroupState[AbState]) =>
           val z = java.math.BigDecimal.ZERO
           var st = if (state.exists) state.get
-                   else AbState(0L, Long.MinValue, 0L, 0L, z, z, z, z)
+                   else AbState(0L, Long.MinValue, 0L, 0L, z, z, z, z, 0L)
           def d6(x: Double): java.math.BigDecimal =
             java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
-          it.toArray.filter(_.event_id > st.maxId).sortBy(_.event_id).foreach { e =>
+          val arrivals = it.toArray
+          val fresh = arrivals.filter(_.event_id > st.maxId)
+          // discarded-at-or-below-high-water: replays under the in-order
+          // contract; a growing count WITHOUT source redelivery flags
+          // out-of-order delivery (see AbReport.dropped)
+          st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
+          fresh.sortBy(_.event_id).foreach { e =>
             st =
               if (e.v == 0L)
                 st.copy(maxId = e.event_id, nA = st.nA + 1L,
@@ -573,21 +608,97 @@ object StreamingOps {
           val (na, nb) = (st.nA, st.nB)
           if (na < 2L || nb < 2L)
             AbReport(key, st.rev, na, nb, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-              significant = false)
+              significant = false, dropped = st.dropped)
           else {
-            // the batch q76 arithmetic chain, operation for operation
+            // the batch q76 arithmetic chain, operation for operation —
+            // including its zero-pooled-variance sentinel (both variants
+            // constant ⇒ t/dof emit 0.0, never Inf/NaN)
             val sa = st.sumA.doubleValue; val sb2 = st.sumB.doubleValue
             val qa = st.ssqA.doubleValue; val qb = st.ssqB.doubleValue
             val ma = sa / na; val mb = sb2 / nb
             val va = (qa - sa * sa / na) / (na - 1)
             val vb = (qb - sb2 * sb2 / nb) / (nb - 1)
-            val t = (ma - mb) / math.sqrt(va / na + vb / nb)
-            val dof = (va / na + vb / nb) * (va / na + vb / nb) /
-              ((va / na) * (va / na) / (na - 1) +
-               (vb / nb) * (vb / nb) / (nb - 1))
+            val pooled = va / na + vb / nb
+            val t = if (pooled > 0) (ma - mb) / math.sqrt(pooled) else 0.0
+            val dof = if (pooled > 0)
+              pooled * pooled /
+                ((va / na) * (va / na) / (na - 1) +
+                 (vb / nb) * (vb / nb) / (nb - 1))
+              else 0.0
             AbReport(key, st.rev, na, nb, q6(ma), q6(mb), q6(va), q6(vb),
-              q6(t), q6(dof), significant = math.abs(t) > 1.96)
+              q6(t), q6(dof), significant = math.abs(t) > 1.96,
+              dropped = st.dropped)
           }
+      }
+  }
+
+  /** Streaming twin of q77 (categorical A/B conversion chi-square): the
+    * online monitor an experiment dashboard runs while q77 is its
+    * backfill. Keyed by event_type; per-key state tracks each exposed
+    * user's event count for that type (`users` map) plus EXACT-LONG
+    * conversion cells. The conversion bar and the per-variant exposure
+    * totals are DESIGN CONSTANTS fit offline ([[graft.RelOps
+    * .fitChiDesign]] — the fit-then-stream discipline of
+    * fitCellCodebook/fitBigramLm), because both are cross-key
+    * aggregates a per-type monitor cannot observe.
+    *
+    * EQUALS batch q77 after full delivery, independent of micro-batch
+    * boundaries: counts are monotone and the bar fixed, so a pair
+    * crosses the bar exactly once and the final crossed set is exactly
+    * {pairs with total count > bar} — the batch cells. The chi-square
+    * emission is the batch arithmetic chain operation-for-operation
+    * (double products over exact longs, zero-marginal guard, 1e6 floor
+    * for display, UNROUNDED statistic for the flag).
+    *
+    * Replay: arrivals at or below the key's high-water event_id are
+    * discarded and COUNTED (`dropped` — the AbReport observability
+    * contract); stats never move on redelivery, only rev.
+    *
+    * At scale: state is one map entry per exposed (type, user) pair —
+    * the SAME asymptotics as the batch query's pair-count exchange,
+    * sharded by the state store; a pair that crossed keeps a 3-field
+    * tombstone so re-arrivals cannot re-count. Production bounding is
+    * the semDedupStream discipline (idle-TTL eviction; error direction:
+    * an evicted pair that re-sights restarts its count — conversions
+    * can only be UNDER-counted, never double-counted). */
+  def abChiSqStream(pairs: Dataset[ChiPair], design: ChiDesign):
+      Dataset[ChiReport] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[ChiState, ChiReport](GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[ChiPair], state: GroupState[ChiState]) =>
+          var st = if (state.exists) state.get
+                   else ChiState(0L, Long.MinValue, 0L, 0L, Map.empty, 0L)
+          val arrivals = it.toArray
+          val fresh = arrivals.filter(_.event_id > st.maxId)
+          st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
+          fresh.sortBy(_.event_id).foreach { p =>
+            val u = st.users.getOrElse(p.user_id, ChiUser(0L, p.v, crossed = false))
+            val c = u.c + 1L
+            val crosses = !u.crossed && c.toDouble > design.bar
+            st = st.copy(
+              maxId = p.event_id,
+              convA = st.convA + (if (crosses && u.v == 0L) 1L else 0L),
+              convB = st.convB + (if (crosses && u.v != 0L) 1L else 0L),
+              users = st.users.updated(p.user_id,
+                u.copy(c = c, crossed = u.crossed || crosses)))
+          }
+          st = st.copy(rev = st.rev + 1L)
+          state.update(st)
+          // the batch q77 chain, operation for operation
+          val a = st.convA.toDouble
+          val b = st.convB.toDouble
+          val cc = (design.nA - st.convA).toDouble
+          val dd = (design.nB - st.convB).toDouble
+          val n = (design.nA + design.nB).toDouble
+          val chi2 =
+            if (a + b == 0.0 || cc + dd == 0.0 || a + cc == 0.0 || b + dd == 0.0) 0.0
+            else n * (a * dd - b * cc) * (a * dd - b * cc) /
+              ((a + b) * (cc + dd) * (a + cc) * (b + dd))
+          ChiReport(key, st.rev, design.nA, design.nB, st.convA, st.convB,
+            math.floor(chi2 * 1e6 + 0.5) / 1e6, significant = chi2 >= 3.841,
+            dropped = st.dropped)
       }
   }
 
@@ -614,11 +725,16 @@ object StreamingOps {
     * evicts cells idle past the TTL (the keepStream discipline); the
     * error direction is benign — a re-sighted evicted cell restarts
     * its history, so a near-dup of a forgotten exemplar survives
-    * (recall loss), never a lost vector. At 100 TB you additionally
-    * cap k so cells stay small (§SURVEY r11 30× diagnosis) — the same
-    * knob that bounds the batch pair stage. */
+    * (recall loss), never a lost vector. The batch side bounds cell
+    * population by scaling the codebook with the corpus
+    * (k = n/targetCellSize, r12) — the same knob that keeps this
+    * fold's per-cell history small.
+    *
+    * `idleTtlMillis` has NO default (r11 advice): 0 = unbounded state —
+    * the exact-batch-equality mode — and callers must choose it
+    * explicitly rather than inherit an unbounded configuration. */
   def semDedupStream(vecs: Dataset[SemVec], tau: Double,
-                     idleTtlMillis: Long = 0L): Dataset[SemVerdict] = {
+                     idleTtlMillis: Long): Dataset[SemVerdict] = {
     import vecs.sparkSession.implicits._
     val timeoutConf =
       if (idleTtlMillis > 0L) GroupStateTimeout.ProcessingTimeTimeout()

@@ -120,8 +120,20 @@ object Tables {
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts_us", expr("ts_ns div 1000"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
+      // TIMESTAMP(MICROS) reads as TIMESTAMP_NTZ in Spark 4: derive the
+      // epoch micros with an NTZ-NTZ timestampdiff — tz-FREE by
+      // construction (the old cast(ts as timestamp) was value-preserving
+      // only because every entrypoint pins session.timeZone=UTC; an
+      // embedding context that omits it would silently shift ts_us by
+      // the host zone relative to the DuckDB oracle — r11 advice)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts_us", expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+          .withColumn("ts_ns", col("ts_us") * 1000L)
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      // plain TimestampType: unix_micros is epoch-based — already tz-free
       case _ =>
-        raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        raw.withColumn("ts_us", unix_micros(col("ts")))
           .withColumn("ts_ns", col("ts_us") * 1000L)
           .withColumn("ts", timestamp_micros(col("ts_us")))
     }

@@ -150,7 +150,8 @@ class RocksDbStateSpec extends SparkSpec {
     withRocksDb {
       import graft.streaming.{SemVec, SemVerdict}
       val in = MemoryStream[SemVec](spark)
-      val out = StreamingOps.semDedupStream(in.toDS(), tau = 0.95)
+      val out = StreamingOps.semDedupStream(in.toDS(), tau = 0.95,
+        idleTtlMillis = 0L)
       val q = out.writeStream.format("memory").queryName("rocks_sem")
         .outputMode("append").start()
       val e1 = Array.tabulate(4)(i => (i + 1).toDouble)      // (1,2,3,4)

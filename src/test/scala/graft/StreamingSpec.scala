@@ -367,6 +367,60 @@ class StreamingSpec extends SparkSpec {
     val afterReplay = latest().map { case (k, r) =>
       (k, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10) }.toSet
     assert(afterReplay == batch, "replayed batch moved the monitor's stats")
+    // the replayed arrivals are OBSERVABLE: every replayed key's final
+    // report carries a dropped count equal to its share of batch 1 (the
+    // r11 advice item — silent discard is indistinguishable from an
+    // out-of-order source; the counter makes it visible)
+    val droppedByKey = spark.table("abmonitor").as[AbReport].collect()
+      .groupBy(_.event_type).map { case (k, rs) => k -> rs.maxBy(_.rev).dropped }
+    val b1ByKey = b1.groupBy(_.event_type).map { case (k, es) => k -> es.length.toLong }
+    b1ByKey.foreach { case (k, n) =>
+      assert(droppedByKey(k) == n,
+        s"key $k: dropped=${droppedByKey(k)} != replayed share $n")
+    }
+  }
+
+  test("abChiSqStream: online conversion chi-square == batch q77 after full delivery; replay counted, stats frozen") {
+    import graft.streaming.{ChiPair, ChiReport}
+    val batch = RelOps.abChiSq(spark, sf)
+      .select("event_type", "n_a", "n_b", "conv_a", "conv_b", "chi_sq", "significant")
+      .as[(String, Long, Long, Long, Long, Double, Boolean)]
+      .collect().toSet
+    // design constants fit offline with the batch frames (fit-then-stream)
+    val design = RelOps.fitChiDesign(spark, sf)
+    assert(design.bar > 0.0 && design.nA > 0L && design.nB > 0L)
+    val rows = Tables.events(spark, sf).selectExpr("event_type", "user_id", "event_id",
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) % 2 as v")
+      .as[ChiPair].collect().sortBy(_.event_id)
+    // split mid-stream: crossings that straddle the boundary must still
+    // count exactly once (monotone counts + fixed bar)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[ChiPair](spark)
+    val q = StreamingOps.abChiSqStream(in.toDS(), design)
+      .writeStream.format("memory").queryName("chimonitor")
+      .outputMode("update").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    def latest(): Map[String, ChiReport] =
+      spark.table("chimonitor").as[ChiReport].collect()
+        .groupBy(_.event_type).map { case (k, rs) => k -> rs.maxBy(_.rev) }
+    val afterAll = latest()
+    val gotFinal = afterAll.values.map(r =>
+      (r.event_type, r.n_a, r.n_b, r.conv_a, r.conv_b, r.chi_sq, r.significant)).toSet
+    assert(gotFinal == batch, "online chi-square monitor's final report != batch q77")
+    assert(afterAll.values.exists(_.rev >= 2L), "no running revisions emitted")
+    assert(afterAll.values.forall(_.dropped == 0L), "clean run reported drops")
+    // at-least-once redelivery: stats frozen, rev moves, drops counted
+    in.addData(b1: _*); q.processAllAvailable(); q.stop()
+    val afterReplay = latest()
+    val replayFinal = afterReplay.values.map(r =>
+      (r.event_type, r.n_a, r.n_b, r.conv_a, r.conv_b, r.chi_sq, r.significant)).toSet
+    assert(replayFinal == batch, "replayed batch moved the monitor's stats")
+    val b1ByKey = b1.groupBy(_.event_type).map { case (k, es) => k -> es.length.toLong }
+    b1ByKey.foreach { case (k, n) =>
+      assert(afterReplay(k).dropped == n,
+        s"key $k: dropped=${afterReplay(k).dropped} != replayed share $n")
+    }
   }
 
   test("semDedupStream: online semantic dedup == batch q75 under ordered arrival; replay emits nothing") {
@@ -385,7 +439,9 @@ class StreamingSpec extends SparkSpec {
     assert(vecs.length == batch.size)
     val (b1, b2) = vecs.splitAt(vecs.length / 2)
     val in = MemoryStream[SemVec](spark)
-    val q = StreamingOps.semDedupStream(in.toDS(), Similarity.semDedupTau)
+    // idleTtlMillis = 0: the explicit unbounded exact-equality mode
+    val q = StreamingOps.semDedupStream(in.toDS(), Similarity.semDedupTau,
+        idleTtlMillis = 0L)
       .writeStream.format("memory").queryName("semdedupstream")
       .outputMode("append").start()
     in.addData(b1: _*); q.processAllAvailable()
