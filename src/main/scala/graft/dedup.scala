@@ -317,15 +317,26 @@ object Dedup {
         col("doc_a") < col("doc_b"))
       .selectExpr(s"${jacExpr("sh_a", "sh_b")} as jaccard")
       .filter(col("jaccard") >= 0.5)
-    sh.agg(count(lit(1)).as("n_sampled"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(verified.agg(count(lit(1)).as("n_verified"),
-        coalesce(sum(expr("abs(est_micro - jac_micro)")), lit(0L)).as("sum_err")))
+    // ONE summary aggregation (r12): the four count frames union as
+    // tagged one-column branches into a single conditional aggregate —
+    // one final exchange instead of four agg+crossJoin stage chains
+    // (the query was pure stage-count floor: ~100 sample docs).
+    // Zero-denominator guards (r11 advice): an empty slice emits 0.0,
+    // identically in both engines, instead of Spark-NaN-vs-DuckDB-NULL.
+    val tagged = sh.selectExpr("'s' as tag", "0L as err")
+      .unionAll(exact.selectExpr("'e' as tag", "0L as err"))
+      .unionAll(cand.selectExpr("'c' as tag", "0L as err"))
+      .unionAll(verified.selectExpr("'v' as tag", "abs(est_micro - jac_micro) as err"))
+    tagged.groupBy().agg(
+        count(when(col("tag") === "s", 1)).as("n_sampled"),
+        count(when(col("tag") === "e", 1)).as("n_exact"),
+        count(when(col("tag") === "c", 1)).as("n_candidates"),
+        count(when(col("tag") === "v", 1)).as("n_verified"),
+        coalesce(sum(when(col("tag") === "v", col("err"))), lit(0L)).as("sum_err"))
       .selectExpr("n_sampled", "n_exact", "n_candidates", "n_verified",
-        "floor(n_verified / cast(n_exact as double) * 1e6 + 0.5) / 1e6 as recall",
-        "floor(n_verified / cast(n_candidates as double) * 1e6 + 0.5) / 1e6 as candidate_precision",
-        "floor(sum_err / cast(n_verified as double) + 0.5) / 1e6 as mean_est_err")
+        "case when n_exact = 0 then 0.0 else floor(n_verified / cast(n_exact as double) * 1e6 + 0.5) / 1e6 end as recall",
+        "case when n_candidates = 0 then 0.0 else floor(n_verified / cast(n_candidates as double) * 1e6 + 0.5) / 1e6 end as candidate_precision",
+        "case when n_verified = 0 then 0.0 else floor(sum_err / cast(n_verified as double) + 0.5) / 1e6 end as mean_est_err")
   }
 
   val lshAuditSql: String =
@@ -366,9 +377,12 @@ object Dedup {
        |    (SELECT COUNT(*) FROM verf)::BIGINT AS n_verified,
        |    (SELECT coalesce(SUM(abs(est_micro - jac_micro)), 0) FROM verf)::BIGINT AS sum_err)
        |SELECT n_sampled, n_exact, n_candidates, n_verified,
-       |  floor(n_verified / n_exact::DOUBLE * 1e6 + 0.5) / 1e6 AS recall,
-       |  floor(n_verified / n_candidates::DOUBLE * 1e6 + 0.5) / 1e6 AS candidate_precision,
-       |  floor(sum_err / n_verified::DOUBLE + 0.5) / 1e6 AS mean_est_err
+       |  CASE WHEN n_exact = 0 THEN 0.0
+       |       ELSE floor(n_verified / n_exact::DOUBLE * 1e6 + 0.5) / 1e6 END AS recall,
+       |  CASE WHEN n_candidates = 0 THEN 0.0
+       |       ELSE floor(n_verified / n_candidates::DOUBLE * 1e6 + 0.5) / 1e6 END AS candidate_precision,
+       |  CASE WHEN n_verified = 0 THEN 0.0
+       |       ELSE floor(sum_err / n_verified::DOUBLE + 0.5) / 1e6 END AS mean_est_err
        |FROM cnts""".stripMargin
 
   /** Free a localCheckpoint'ed frame's storage blocks once the loop has
@@ -466,7 +480,11 @@ object Dedup {
     var sig = ccSignature(lab, Seq("id", "root"))
     var converged = false
     while (!converged) {
-      val next = ccRound(both, lab).localCheckpoint()
+      // lazy checkpoint (r12): the signature aggregate is the round's
+      // ONE action — it materializes the checkpoint blocks and computes
+      // the convergence scalar in the same job, instead of an eager
+      // checkpoint job followed by a second signature job per round
+      val next = ccRound(both, lab).localCheckpoint(eager = false)
       val nsig = ccSignature(next, Seq("id", "root"))
       converged = nsig == sig
       freeCheckpoint(lab) // superseded round, never re-read
@@ -534,7 +552,8 @@ object Dedup {
     var rounds = 0
     var converged = sig._1 == 0
     while (!converged) {
-      val next = starRound(e).localCheckpoint()
+      // lazy checkpoint + one-action round (see connectedComponents)
+      val next = starRound(e).localCheckpoint(eager = false)
       val nsig = ccSignature(next, Seq("u", "v"))
       rounds += 1
       // both frames are distinct()-outputs, so equal signatures over the
@@ -574,8 +593,17 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val vertices = docs.select(col("doc_id").as("id")).unionAll(
       docs.select((col("doc_id") + 10000).as("id")))
+    // materialize the verified-pairs frame ONCE (r12): the q23-shaped
+    // sign→band→verify chain runs exactly one time, and both CC
+    // variants iterate over the resulting checkpointed id-pair frame —
+    // q41's both-directions union previously planned the chain under
+    // EACH union branch (exchange reuse is AQE's call, not a
+    // guarantee), and the star loop's own initial checkpoint re-chained
+    // it too. Within-query only — no frame crosses query boundaries
+    // (the suite invariant).
     val pairs = nearDupPairs(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
     val lab = cc(vertices, pairs)
     val sizes = lab.groupBy(col("root")).agg(count(lit(1)).as("n_members"))
     lab.join(sizes, Seq("root"))
