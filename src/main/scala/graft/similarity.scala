@@ -478,6 +478,126 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q80 — SemDeDup AUDIT: the q79 seeded-recall protocol applied to the
+  // semantic stack. q75 is approximate in exactly one place — a near-dup
+  // pair is only caught if both members route to the SAME cell — so the
+  // audit measures that routing: draw the md5-lowest 50 base vectors +
+  // their planted twins (the paired sample), compute EXACT cosine over
+  // all sample pairs as ground truth, run the PRODUCTION routing
+  // (fitCellCodebook + assignCells — the very code q75 executes) on the
+  // sample, and report cell-routing recall (tau-pairs co-routed / all
+  // tau-pairs), cell precision (tau-pairs among co-routed pairs), and
+  // the highest cosine the routing MISSED (the live risk metric — 0.0
+  // when nothing escaped).
+  //
+  // Scale shape: the codebook fit is the production artifact (two
+  // driver jobs); everything downstream of the sample filter is
+  // SAMPLE-sized — the exact all-pairs ground truth is a broadcast
+  // self-join, O(K²) BY DESIGN and bounded by the sample knob. ONE
+  // tagged-union aggregate emits the whole report (the r12 q79
+  // discipline). Determinism: md5-order sample, left-to-right double
+  // dots, integer counts; zero-denominator ratios guard to 0.0 in both
+  // engines.
+  // ---------------------------------------------------------------------
+
+  def semDedupAudit(s: SparkSession, d: String, sampleK: Int = 50,
+                    targetCellSize: Int = 1000): DataFrame = {
+    withFns(s)
+    val cb = fitCellCodebook(s, d, targetCellSize)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val corpus = base.unionAll(
+      base.selectExpr("vec_id + 10000 as vec_id",
+        "zip_with(e, sequence(0, 63), (x, i) -> x + 0.004 * cast(i % 5 as double)) as e"))
+    val sampBase = base
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy("h").limit(sampleK).select("vec_id")
+    val sampIds = sampBase.unionAll(
+      sampBase.select((col("vec_id") + 10000).as("vec_id")))
+    val assigned = assignCells(corpus.join(broadcast(sampIds), "vec_id"), cb)
+      .toDF("c_label", "vec_id", "e", "nrm")
+      .transform(Tables.maybePersist)
+    val pairs = assigned.selectExpr("vec_id as va", "c_label as ca", "e as ea", "nrm as na")
+      .join(broadcast(assigned.selectExpr(
+          "vec_id as vb", "c_label as cb", "e as eb", "nrm as nb")),
+        col("va") < col("vb"))
+      .selectExpr("ca = cb as same_cell",
+        s"${dotExpr("ea", "eb")} / (na * nb) as cos")
+    val tagged = assigned.selectExpr("'s' as tag", "false as same_cell", "0.0 as cos")
+      .unionAll(pairs.selectExpr("'p' as tag", "same_cell", "cos"))
+    val tau = semDedupTau
+    tagged.groupBy().agg(
+        count(when(col("tag") === "s", 1)).as("n_sampled"),
+        count(when(col("tag") === "p" && col("cos") >= tau, 1)).as("n_exact"),
+        count(when(col("tag") === "p" && col("same_cell"), 1)).as("n_candidates"),
+        count(when(col("tag") === "p" && col("same_cell") && col("cos") >= tau, 1))
+          .as("n_verified"),
+        coalesce(max(when(col("tag") === "p" && !col("same_cell") && col("cos") >= tau,
+          col("cos"))), lit(0.0)).as("missed"))
+      .selectExpr("n_sampled", "n_exact", "n_candidates", "n_verified",
+        "case when n_exact = 0 then 0.0 else floor(n_verified / cast(n_exact as double) * 1e6 + 0.5) / 1e6 end as recall",
+        "case when n_candidates = 0 then 0.0 else floor(n_verified / cast(n_candidates as double) * 1e6 + 0.5) / 1e6 end as cell_precision",
+        "floor(missed * 1e6 + 0.5) / 1e6 as max_missed_cos")
+  }
+
+  val semDedupAuditSql: String = {
+    def dd(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),
+         |i -> $a[i] * $b[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |corpus AS (SELECT vec_id, e FROM base
+       |  UNION ALL SELECT vec_id + 10000,
+       |    list_transform(range(1, len(e) + 1), i -> e[i] + 0.004 * ((i - 1) % 5)::DOUBLE)
+       |  FROM base),
+       |prm AS (SELECT GREATEST(
+       |    (SELECT count(DISTINCT label) FROM embeddings),
+       |    CEIL((SELECT 2 * count(*) FROM embeddings) / 1000.0)::BIGINT) AS k),
+       |prm2 AS (SELECT k, CEIL(sqrt(k))::BIGINT AS sq FROM prm),
+       |sd0 AS (SELECT vec_id, e,
+       |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS sid FROM base),
+       |seeds AS (SELECT sid, e, sqrt(${dd("e", "e")}) AS nrm FROM sd0
+       |  WHERE sid < (SELECT k FROM prm2)),
+       |sups AS (SELECT sid AS sup, e AS se, nrm AS sn FROM seeds
+       |  WHERE sid < (SELECT sq FROM prm2)),
+       |ssr AS (SELECT s.sid, s.e, s.nrm, u.sup, row_number() OVER (
+       |    PARTITION BY s.sid ORDER BY (${dd("s.e", "u.se")}) / (s.nrm * u.sn) DESC, u.sup) AS rn
+       |  FROM seeds s CROSS JOIN sups u),
+       |sm AS (SELECT sid, e, nrm, sup FROM ssr WHERE rn = 1),
+       |sv AS (SELECT u.sup, u.se, u.sn FROM sups u
+       |  WHERE u.sup IN (SELECT sup FROM sm)),
+       |sb AS (SELECT vec_id FROM base ORDER BY md5(vec_id::VARCHAR) LIMIT 50),
+       |sids AS (SELECT vec_id FROM sb UNION ALL SELECT vec_id + 10000 FROM sb),
+       |n AS (SELECT c.vec_id, c.e, sqrt(${dd("c.e", "c.e")}) AS nrm
+       |  FROM corpus c JOIN sids USING (vec_id)),
+       |l1 AS (SELECT n.vec_id, n.e, n.nrm, v.sup, row_number() OVER (
+       |    PARTITION BY n.vec_id ORDER BY (${dd("n.e", "v.se")}) / (n.nrm * v.sn) DESC, v.sup) AS rn
+       |  FROM n CROSS JOIN sv v),
+       |r1 AS (SELECT vec_id, e, nrm, sup FROM l1 WHERE rn = 1),
+       |l2 AS (SELECT r.vec_id, r.e, r.nrm, m.sid, row_number() OVER (
+       |    PARTITION BY r.vec_id ORDER BY (${dd("r.e", "m.e")}) / (r.nrm * m.nrm) DESC, m.sid) AS rn
+       |  FROM r1 r JOIN sm m ON r.sup = m.sup),
+       |a AS (SELECT vec_id, e, nrm, sid::INT AS c_label FROM l2 WHERE rn = 1),
+       |p AS (SELECT x.c_label = y.c_label AS same_cell,
+       |    (${dd("x.e", "y.e")}) / (x.nrm * y.nrm) AS cos
+       |  FROM a x JOIN a y ON x.vec_id < y.vec_id),
+       |cnts AS (SELECT
+       |    (SELECT COUNT(*) FROM a)::BIGINT AS n_sampled,
+       |    (SELECT COUNT(*) FROM p WHERE cos >= $semDedupTau)::BIGINT AS n_exact,
+       |    (SELECT COUNT(*) FROM p WHERE same_cell)::BIGINT AS n_candidates,
+       |    (SELECT COUNT(*) FROM p WHERE same_cell AND cos >= $semDedupTau)::BIGINT AS n_verified,
+       |    (SELECT coalesce(MAX(cos), 0.0) FROM p
+       |       WHERE NOT same_cell AND cos >= $semDedupTau)::DOUBLE AS missed)
+       |SELECT n_sampled, n_exact, n_candidates, n_verified,
+       |  CASE WHEN n_exact = 0 THEN 0.0
+       |       ELSE floor(n_verified / n_exact::DOUBLE * 1e6 + 0.5) / 1e6 END AS recall,
+       |  CASE WHEN n_candidates = 0 THEN 0.0
+       |       ELSE floor(n_verified / n_candidates::DOUBLE * 1e6 + 0.5) / 1e6 END AS cell_precision,
+       |  floor(missed * 1e6 + 0.5) / 1e6 AS max_missed_cos
+       |FROM cnts""".stripMargin
+  }
+
   /** q75's hierarchical codebook as plain data (the fitBigramLm model-fit
     * discipline: parameters come to the driver once — k seeds × dim
     * doubles — documents/vectors never do). `seedNorms`/`supNorms`
@@ -659,6 +779,7 @@ object Similarity {
     "q38_ivf_search"      -> ((s, d) => ivfSearch(s, d)),
     "q47_int8_quantize"   -> ((s, d) => int8Quantize(s, d)),
     "q75_semdedup"        -> ((s, d) => semDedup(s, d)),
+    "q80_semdedup_audit"  -> ((s, d) => semDedupAudit(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -668,5 +789,6 @@ object Similarity {
     "q38_ivf_search"      -> ivfSearchSql,
     "q47_int8_quantize"   -> int8QuantizeSql,
     "q75_semdedup"        -> semDedupSql,
+    "q80_semdedup_audit"  -> semDedupAuditSql,
   )
 }

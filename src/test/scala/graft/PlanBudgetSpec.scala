@@ -177,13 +177,18 @@ object PlanBudgetSpec {
     // hashing + exact integer graft_dot, no keyed corpus exchange
     "q78_dsir_weight" -> Shape(shuffles = 5, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
     // q79 is the audit harness — everything downstream of the md5-order
-    // sample (top-50 limit + candidate chain + exact self-join + four
-    // scalar count frames) is SAMPLE-sized; the wide-looking shape is
-    // K=100 rows flowing through the production q23 machinery plus the
-    // summary crossJoins, not corpus work
-    "q79_lsh_audit" -> Shape(shuffles = 10, broadcasts = 6, joins = 6, smj = 0, cartesian = 0, bnlj = 4, scans = 7),
+    // sample (top-50 limit + candidate chain + exact self-join) is
+    // SAMPLE-sized; r12 fused the four summary aggregates into ONE
+    // tagged-union conditional aggregate (was 10 shuffles / 6 joins /
+    // 4 BNLJ crossJoin chains)
+    "q79_lsh_audit" -> Shape(shuffles = 7, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 1, scans = 7),
     // q77: pair-count aggregate + user-distinct + the tiny per-type
     // aggregate; mean and variant totals ride one-row broadcasts (BNLJ)
     "q77_ab_chisq" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
+    // q80 (r12): the semantic-dedup audit — codebook fit is driver jobs
+    // (not plan nodes); sample filter broadcasts, exact ground truth is
+    // a broadcast self-join over the 100-row sample, and the whole
+    // report is ONE tagged-union conditional aggregate
+    "q80_semdedup_audit" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
   )
 }
