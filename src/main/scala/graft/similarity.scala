@@ -478,6 +478,116 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Map-side-combining top-k-by-(cos desc, id asc) Aggregator for the
+    * q81 exact ground truth: each task reduces its partition to ≤k
+    * (cos, vec_id) pairs per query, so the per-query aggregation
+    * shuffles |queries| k-element buffers instead of |queries|·n rows —
+    * at 100 TB the difference between a 10-buffer exchange and a
+    * corpus-sized window shuffle. Selection order is EXACTLY the
+    * oracle's row_number() ORDER BY cos DESC, vec_id ASC. */
+  object TopKCos extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, Long), List[(Double, Long)], List[(Double, Long)]] {
+    private val k = 5
+    private def top(l: List[(Double, Long)]): List[(Double, Long)] =
+      l.sortBy(t => (-t._1, t._2)).take(k)
+    def zero: List[(Double, Long)] = Nil
+    def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
+      top(a :: b)
+    def merge(x: List[(Double, Long)], y: List[(Double, Long)]): List[(Double, Long)] =
+      top(x ++ y)
+    def finish(b: List[(Double, Long)]): List[(Double, Long)] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+  }
+
+  // ---------------------------------------------------------------------
+  // q81 — LSH ANN AUDIT: recall measurement for the approximate q27
+  // search, closing the trust gap the r11 verdict flagged for the ANN
+  // leg. Ground truth: EXACT cosine top-5 per query (vec_id < 10) over
+  // the whole corpus — brute force is the audit's cost BY DESIGN, one
+  // corpus pass against a 10-row broadcast with per-partition top-k
+  // reduction ([[TopKCos]]), so the only exchange carries 10 five-row
+  // buffers. The production q27 chain then re-runs unchanged, and ONE
+  // tagged-union aggregate reports recall@5, the LSH result size, and
+  // the highest-cosine true neighbour the bucketing MISSED (q80's risk
+  // metric, here for search instead of dedup).
+  //
+  // Reading the sf fixture's number: recall@5 ≈ 0.16 with max missed
+  // cos ≈ 0.49 is the CORRECT measurement, not a defect — the base
+  // synthetic corpus has no near-duplicates (pairwise cos tops out
+  // ≈ 0.51), and random-hyperplane LSH recall concentrates on
+  // high-cosine pairs (collision probability 1 − θ/π per plane): for
+  // far "neighbours" an 8-plane bucket keeps ~1/256 of candidates by
+  // design. The audit exists precisely to surface that: a production
+  // corpus whose true neighbours sit at cos 0.5 needs multi-probe or
+  // fewer planes, and this query is the dial that shows it.
+  // ---------------------------------------------------------------------
+
+  def annAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = withLsh(s, d).transform(Tables.maybePersist)
+    val queries = emb.filter(col("vec_id") < 10)
+      .selectExpr("vec_id as q_id", "embedding as qe", "nrm as qn")
+    val exactTop = emb
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", s"${dotExpr("embedding", "qe")} / (nrm * qn) as cos", "vec_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(TopKCos.toColumn.name("top"))
+      .toDF("q_id", "top")
+      .selectExpr("q_id", "explode(top) as t")
+      .selectExpr("q_id", "t._1 as cos", "t._2 as vec_id")
+    val lsh = annLsh(s, d).select(col("q_id"), col("vec_id"), lit(true).as("hit"))
+    val tagged = queries.selectExpr("'q' as tag", "0.0 as cos", "false as hit")
+      .unionAll(lsh.selectExpr("'l' as tag", "0.0 as cos", "hit"))
+      .unionAll(exactTop.join(lsh, Seq("q_id", "vec_id"), "left")
+        .selectExpr("'e' as tag", "cos", "coalesce(hit, false) as hit"))
+    tagged.groupBy().agg(
+        count(when(col("tag") === "q", 1)).as("n_queries"),
+        count(when(col("tag") === "e", 1)).as("n_exact"),
+        count(when(col("tag") === "l", 1)).as("n_lsh"),
+        count(when(col("tag") === "e" && col("hit"), 1)).as("n_hits"),
+        coalesce(max(when(col("tag") === "e" && !col("hit"), col("cos"))), lit(0.0))
+          .as("missed"))
+      .selectExpr("n_queries", "n_exact", "n_lsh", "n_hits",
+        "case when n_exact = 0 then 0.0 else floor(n_hits / cast(n_exact as double) * 1e6 + 0.5) / 1e6 end as recall_at_5",
+        "floor(missed * 1e6 + 0.5) / 1e6 as max_missed_cos")
+  }
+
+  val annAuditSql: String = {
+    val dot = dotSqlDuck("e.embedding", "q.qe")
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+       |  sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm,
+       |  ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
+       |qq AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bucket FROM b WHERE vec_id < 10),
+       |ex0 AS (SELECT q.q_id, e.vec_id, ($dot) / (e.nrm * q.qn) AS cos,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY ($dot) / (e.nrm * q.qn) DESC, e.vec_id) AS rn
+       |  FROM b e CROSS JOIN qq q WHERE e.vec_id <> q.q_id),
+       |ex AS (SELECT q_id, vec_id, cos FROM ex0 WHERE rn <= 5),
+       |c AS (SELECT q.q_id, e.vec_id, ($dot) / (e.nrm * q.qn) AS cos
+       |  FROM b e JOIN qq q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM c),
+       |lsh AS (SELECT q_id, vec_id FROM r WHERE rank <= 5),
+       |ej AS (SELECT ex.q_id, ex.cos,
+       |    (lsh.vec_id IS NOT NULL) AS hit
+       |  FROM ex LEFT JOIN lsh ON ex.q_id = lsh.q_id AND ex.vec_id = lsh.vec_id),
+       |cnts AS (SELECT
+       |    (SELECT COUNT(*) FROM qq)::BIGINT AS n_queries,
+       |    (SELECT COUNT(*) FROM ej)::BIGINT AS n_exact,
+       |    (SELECT COUNT(*) FROM lsh)::BIGINT AS n_lsh,
+       |    (SELECT COUNT(*) FROM ej WHERE hit)::BIGINT AS n_hits,
+       |    (SELECT coalesce(MAX(cos), 0.0) FROM ej WHERE NOT hit)::DOUBLE AS missed)
+       |SELECT n_queries, n_exact, n_lsh, n_hits,
+       |  CASE WHEN n_exact = 0 THEN 0.0
+       |       ELSE floor(n_hits / n_exact::DOUBLE * 1e6 + 0.5) / 1e6 END AS recall_at_5,
+       |  floor(missed * 1e6 + 0.5) / 1e6 AS max_missed_cos
+       |FROM cnts""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // q80 — SemDeDup AUDIT: the q79 seeded-recall protocol applied to the
   // semantic stack. q75 is approximate in exactly one place — a near-dup
@@ -780,6 +890,7 @@ object Similarity {
     "q47_int8_quantize"   -> ((s, d) => int8Quantize(s, d)),
     "q75_semdedup"        -> ((s, d) => semDedup(s, d)),
     "q80_semdedup_audit"  -> ((s, d) => semDedupAudit(s, d)),
+    "q81_ann_audit"       -> ((s, d) => annAudit(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -790,5 +901,6 @@ object Similarity {
     "q47_int8_quantize"   -> int8QuantizeSql,
     "q75_semdedup"        -> semDedupSql,
     "q80_semdedup_audit"  -> semDedupAuditSql,
+    "q81_ann_audit"       -> annAuditSql,
   )
 }

@@ -190,5 +190,10 @@ object PlanBudgetSpec {
     // a broadcast self-join over the 100-row sample, and the whole
     // report is ONE tagged-union conditional aggregate
     "q80_semdedup_audit" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
+    // q81 (r12): the ANN recall audit — exact ground truth reduces
+    // per-partition through the TopKCos aggregator (the keyed exchange
+    // carries 10 five-row buffers, never the corpus), the q27 chain
+    // re-runs unchanged, one tagged-union aggregate emits the report
+    "q81_ann_audit" -> Shape(shuffles = 4, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 1, scans = 7),
   )
 }
