@@ -225,6 +225,56 @@ object Similarity {
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** q82 — multi-probe LSH ANN: q27 with Hamming-1 probing. q81's audit
+    * measured WHY plain bucketing under-recalls on this corpus (true
+    * neighbours at cos ≈ 0.5 ⇒ per-plane collision prob ≈ 0.67 ⇒ an
+    * 8-plane exact-match bucket keeps ~4% of them); the standard dial is
+    * to probe the query's own bucket PLUS the 8 buckets that differ in
+    * one sign bit (Lv et al., VLDB 2007) — candidates whose signature
+    * disagrees on at most one hyperplane.
+    *
+    * Scale shape: probe expansion multiplies the QUERY side only (9
+    * probe rows per query, still a broadcast); the corpus side is the
+    * same single scan + broadcast hash join on the bucket id as q27 —
+    * zero corpus shuffle, candidate count grows ~9× per query, corpus
+    * work stays O(collisions), never all-pairs. Each corpus vector owns
+    * exactly one bucket and a query's 9 probes are distinct, so
+    * (q_id, vec_id) candidates are already unique — no distinct step. */
+  def annMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = withLsh(s, d)
+    val probes = (0 until nPlanes).map(p => s"bucket ^ ${1L << p}L").mkString(", ")
+    val queries = emb.filter(col("vec_id") < 10)
+      .selectExpr("vec_id as q_id", "embedding as qe", "nrm as qn",
+        s"explode(array(bucket, $probes)) as probe")
+    val ranked = emb
+      .join(broadcast(queries), col("bucket") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", "label", "bucket",
+        s"${dotExpr("embedding", "qe")} / (nrm * qn) as cos")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+    ranked.selectExpr("q_id", "rank", "vec_id", "label", "bucket",
+      "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
+  }
+
+  val annMultiProbeSql: String = {
+    val dot = dotSqlDuck("e.embedding", "q.qe")
+    val probes = (0 until nPlanes).map(p => s"xor(bucket, ${1L << p}::BIGINT)").mkString(", ")
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+       |  sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm,
+       |  ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bucket FROM b WHERE vec_id < 10),
+       |q AS (SELECT q_id, qe, qn, unnest([bucket, $probes]) AS probe FROM q0),
+       |c AS (SELECT q.q_id, e.vec_id, e.label, e.bucket,
+       |  ($dot) / (e.nrm * q.qn) AS cos
+       |  FROM b e JOIN q ON e.bucket = q.probe AND e.vec_id <> q.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM c)
+       |SELECT q_id, rank, vec_id, label, bucket, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** q28 — label-centroid assignment: mean vector per label (element-wise
     * decimal-exact average via the [[VecCentroid]] typed Aggregator — one
     * pass, partial aggregation, no row amplification), then each vector's
@@ -525,7 +575,19 @@ object Similarity {
   // fewer planes, and this query is the dial that shows it.
   // ---------------------------------------------------------------------
 
-  def annAudit(s: SparkSession, d: String): DataFrame = {
+  def annAudit(s: SparkSession, d: String): DataFrame =
+    annAuditAgainst(s, d, annLsh(s, d))
+
+  /** q83 — the same audit against the multi-probe chain: the two reports
+    * side by side are the dial the q81 commentary promised — Hamming-1
+    * probing lifts far-neighbour recall at ~9× candidate cost, measured,
+    * on the unchanged production chains. */
+  def annMultiProbeAudit(s: SparkSession, d: String): DataFrame =
+    annAuditAgainst(s, d, annMultiProbe(s, d))
+
+  /** Shared audit body: exact top-5 ground truth vs any approximate
+    * chain producing (q_id, vec_id) rows. */
+  private def annAuditAgainst(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
     import s.implicits._
     val emb = withLsh(s, d).transform(Tables.maybePersist)
     val queries = emb.filter(col("vec_id") < 10)
@@ -540,7 +602,7 @@ object Similarity {
       .toDF("q_id", "top")
       .selectExpr("q_id", "explode(top) as t")
       .selectExpr("q_id", "t._1 as cos", "t._2 as vec_id")
-    val lsh = annLsh(s, d).select(col("q_id"), col("vec_id"), lit(true).as("hit"))
+    val lsh = approx.select(col("q_id"), col("vec_id"), lit(true).as("hit"))
     val tagged = queries.selectExpr("'q' as tag", "0.0 as cos", "false as hit")
       .unionAll(lsh.selectExpr("'l' as tag", "0.0 as cos", "hit"))
       .unionAll(exactTop.join(lsh, Seq("q_id", "vec_id"), "left")
@@ -557,7 +619,10 @@ object Similarity {
         "floor(missed * 1e6 + 0.5) / 1e6 as max_missed_cos")
   }
 
-  val annAuditSql: String = {
+  /** Audit SQL, parameterized by the candidate-generation CTE: `candCte`
+    * must read CTEs `b` (bucketed corpus) and `qq` (queries) and yield
+    * (q_id, vec_id, cos) rows. */
+  private def annAuditSqlFor(candCte: String): String = {
     val dot = dotSqlDuck("e.embedding", "q.qe")
     s"""WITH b AS (SELECT vec_id, label, embedding,
        |  sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm,
@@ -567,8 +632,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q.q_id ORDER BY ($dot) / (e.nrm * q.qn) DESC, e.vec_id) AS rn
        |  FROM b e CROSS JOIN qq q WHERE e.vec_id <> q.q_id),
        |ex AS (SELECT q_id, vec_id, cos FROM ex0 WHERE rn <= 5),
-       |c AS (SELECT q.q_id, e.vec_id, ($dot) / (e.nrm * q.qn) AS cos
-       |  FROM b e JOIN qq q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+       |c AS ($candCte),
        |r AS (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
        |  FROM c),
        |lsh AS (SELECT q_id, vec_id FROM r WHERE rank <= 5),
@@ -586,6 +650,23 @@ object Similarity {
        |       ELSE floor(n_hits / n_exact::DOUBLE * 1e6 + 0.5) / 1e6 END AS recall_at_5,
        |  floor(missed * 1e6 + 0.5) / 1e6 AS max_missed_cos
        |FROM cnts""".stripMargin
+  }
+
+  val annAuditSql: String = {
+    val dot = dotSqlDuck("e.embedding", "q.qe")
+    annAuditSqlFor(
+      s"""SELECT q.q_id, e.vec_id, ($dot) / (e.nrm * q.qn) AS cos
+         |  FROM b e JOIN qq q ON e.bucket = q.bucket AND e.vec_id <> q.q_id""".stripMargin)
+  }
+
+  val annMultiProbeAuditSql: String = {
+    val dot = dotSqlDuck("e.embedding", "q.qe")
+    val probes = (0 until nPlanes).map(p => s"xor(bucket, ${1L << p}::BIGINT)").mkString(", ")
+    annAuditSqlFor(
+      s"""SELECT q.q_id, e.vec_id, ($dot) / (e.nrm * q.qn) AS cos
+         |  FROM b e JOIN (SELECT q_id, qe, qn,
+         |      unnest([bucket, $probes]) AS probe FROM qq) q
+         |    ON e.bucket = q.probe AND e.vec_id <> q.q_id""".stripMargin)
   }
 
   // ---------------------------------------------------------------------
@@ -891,6 +972,8 @@ object Similarity {
     "q75_semdedup"        -> ((s, d) => semDedup(s, d)),
     "q80_semdedup_audit"  -> ((s, d) => semDedupAudit(s, d)),
     "q81_ann_audit"       -> ((s, d) => annAudit(s, d)),
+    "q82_ann_multiprobe"  -> ((s, d) => annMultiProbe(s, d)),
+    "q83_multiprobe_audit" -> ((s, d) => annMultiProbeAudit(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -902,5 +985,7 @@ object Similarity {
     "q75_semdedup"        -> semDedupSql,
     "q80_semdedup_audit"  -> semDedupAuditSql,
     "q81_ann_audit"       -> annAuditSql,
+    "q82_ann_multiprobe"  -> annMultiProbeSql,
+    "q83_multiprobe_audit" -> annMultiProbeAuditSql,
   )
 }

@@ -292,6 +292,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q82: multi-probe ANN == exact top-5 restricted to Hamming-<=1 buckets") {
+    val ann = Similarity.annMultiProbe(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val buckets = Similarity.withLsh(spark, sf)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    for (q <- 0L until 10L) {
+      val want = buckets.keys.toSeq
+        .filter(v => v != q &&
+          java.lang.Long.bitCount(buckets(v) ^ buckets(q)) <= 1)
+        .map(v => (v, cos(embs(v), embs(q))))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(ann.getOrElse(q, Seq.empty) == want, s"query $q")
+    }
+  }
+
+  test("q83: multi-probe recall dominates single-probe recall (the dial moves one way)") {
+    // same exact ground truth, strictly larger candidate set: recall can
+    // only stay equal or rise, and max_missed_cos can only fall
+    val one = Similarity.annAudit(spark, sf)
+      .select("recall_at_5", "max_missed_cos").collect().head
+    val multi = Similarity.annMultiProbeAudit(spark, sf)
+      .select("recall_at_5", "max_missed_cos").collect().head
+    assert(multi.getDouble(0) >= one.getDouble(0),
+      s"multi-probe recall ${multi.getDouble(0)} < single ${one.getDouble(0)}")
+    assert(multi.getDouble(1) <= one.getDouble(1),
+      s"multi-probe max-missed ${multi.getDouble(1)} > single ${one.getDouble(1)}")
+  }
+
   test("graft_dot (codegen Expression) is bit-identical to the HOF fold") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val both = Tables.embeddings(spark, sf)

@@ -195,5 +195,12 @@ object PlanBudgetSpec {
     // carries 10 five-row buffers, never the corpus), the q27 chain
     // re-runs unchanged, one tagged-union aggregate emits the report
     "q81_ann_audit" -> Shape(shuffles = 4, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 1, scans = 7),
+    // q82 (r12): multi-probe ANN — the probe explode multiplies the
+    // BROADCAST side only (9 probe rows per query); the corpus side is
+    // the same scan + broadcast hash join + one window exchange as q27
+    "q82_ann_multiprobe" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q83 (r12): the q81 audit body against the multi-probe chain —
+    // identical executed shape to q81 (the probe fan-out is plan-free)
+    "q83_multiprobe_audit" -> Shape(shuffles = 4, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 1, scans = 7),
   )
 }
