@@ -405,6 +405,122 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // q84 — Lloyd k-means over the embedding corpus: the clustering step of
+  // cluster-based data curation (topic balancing, cluster-stratified
+  // mixing, SemDeDup-style cell refinement — the refinement iterations
+  // q75 deliberately omits, here as their own operator). k seeds drawn
+  // in md5(vec_id) order (the q34/q79 deterministic-sample idiom, cid =
+  // ascending-md5 rank), then `iters` Lloyd rounds: assign each vector
+  // to its nearest centroid by squared L2, recompute centroids as
+  // per-dim decimal-exact means. Report: per-cluster size + inertia.
+  //
+  // Scale shape (100 TB): centroids are always a k-row frame riding a
+  // one-row broadcast (the q38 codebook shape) — assignment is per-row
+  // expression work, ZERO corpus exchange; each round's centroid update
+  // is ONE keyed exchange carrying k×partitions decimal buffers (the
+  // VecCentroid map-side partial agg — never (vec, dim) pairs). Total:
+  // iters+1 corpus passes, the canonical distributed-Lloyd cost; the
+  // iteration count is a constant, not data-dependent.
+  //
+  // Cross-engine determinism: dist² = (ee − 2·ec) + cc with each dot a
+  // left-to-right float→double-widened fold (bit-identical both
+  // engines); ties break to the LOWEST cid via lexicographic array_min
+  // on struct<d, cid> ≡ the oracle's row_number ORDER BY d, cid.
+  // Centroid means are the q28 VecCentroid discipline (decimal-exact
+  // sums, one double division). Inertia follows the q74 micro-unit
+  // rule: per-row floor(d·1e6 + 0.5) into exact BIGINT sums — no
+  // order-dependent double accumulation crosses an aggregate. Clusters
+  // that lose all members drop out (no row, both engines).
+  // ---------------------------------------------------------------------
+
+  /** One-row broadcastable codebook: cells = sorted array of
+    * struct(cid, c, cc) from a (cid, c: array<double>) frame. */
+  private def kmCellsOf(cdf: DataFrame): DataFrame =
+    cdf.selectExpr("cid", "c", s"${dotExpr("c", "c")} as cc")
+      .agg(sort_array(collect_list(struct(col("cid"), col("c"), col("cc")))).as("cells"))
+
+  /** Nearest-centroid assignment: (vec_id, embedding, ee) × cells →
+    * + (cid, d) — per-row argmin, no corpus exchange. */
+  private def kmAssign(emb: DataFrame, cells: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cells))
+      .selectExpr("vec_id", "embedding", "ee",
+        s"""array_min(transform(cells, x -> named_struct(
+           |'d', (ee - (2 * ${dotExpr("embedding", "x.c")})) + x.cc,
+           |'cid', x.cid))) as best""".stripMargin.replace("\n", " "))
+      .selectExpr("vec_id", "embedding", "best.cid as cid", "best.d as d")
+
+  /** Per-cluster decimal-exact centroid recompute (VecCentroid keyed by
+    * the round's assignment). */
+  private def kmCentroids(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    assigned.select(col("cid"), col("embedding")).as[(Int, Array[Float])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(VecCentroid.toColumn.name("c"))
+      .toDF("cid", "c")
+  }
+
+  def kmeansClusters(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame = {
+    withFns(s)
+    val emb = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding", s"${dotExpr("embedding", "embedding")} as ee")
+      .transform(Tables.maybePersist)
+    val seeds = emb
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h")).limit(k)
+      // single-partition window over k rows only (the q56 post-limit idiom)
+      .withColumn("cid", row_number().over(Window.orderBy(col("h"))) - 1)
+      .selectExpr("cid", "transform(embedding, x -> cast(x as double)) as c")
+    var cells = kmCellsOf(seeds)
+    for (_ <- 1 to iters)
+      cells = kmCellsOf(kmCentroids(kmAssign(emb, cells)))
+    kmAssign(emb, cells)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("d") * 1e6 + 0.5).cast("long")).as("im"))
+      .selectExpr("cid", "n_members", "im / 1e6 as inertia")
+  }
+
+  val kmeansClustersSql: String = {
+    val k = 10
+    val iters = 3
+    def dotDuck(a: String, b: String) = dotSqlDuck(a, b)
+    // one Lloyd round: assignment against centroid CTE `cPrev` → `aN`,
+    // then per-dim decimal means → `cN` (the q28 oracle shape, keyed by
+    // cid instead of label)
+    def round(n: Int, cPrev: String): String = {
+      val dist = s"((e.ee - (2 * ${dotDuck("e.embedding", "c.c")})) + c.cc)"
+      s"""a$n AS (SELECT vec_id, embedding, cid, d FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid, $dist AS d,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $dist, c.cid) AS rn
+         |  FROM e0 e CROSS JOIN $cPrev c) WHERE rn = 1),
+         |c$n AS (SELECT cid, list(cv ORDER BY dim) AS c,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(cv ORDER BY dim),
+         |      x -> x * x)), (p_, q_) -> p_ + q_) AS cc
+         |  FROM (SELECT cid, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+         |    FROM (SELECT cid, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+         |      FROM (SELECT cid, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM a$n))
+         |    GROUP BY cid, dim) GROUP BY cid)""".stripMargin
+    }
+    val rounds = (1 to iters).map(n => round(n, s"c${n - 1}")).mkString(",\n")
+    val distF = s"((e.ee - (2 * ${dotDuck("e.embedding", "c.c")})) + c.cc)"
+    s"""WITH e0 AS (SELECT vec_id, embedding,
+       |  ${dotDuck("embedding", "embedding")} AS ee FROM embeddings),
+       |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid, embedding
+       |  FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT $k),
+       |c0 AS (SELECT cid, list_transform(embedding, x -> x::DOUBLE) AS c,
+       |  ${dotDuck("embedding", "embedding")} AS cc FROM sd),
+       |$rounds,
+       |fin AS (SELECT vec_id, cid, d FROM (
+       |  SELECT e.vec_id, c.cid, $distF AS d,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $distF, c.cid) AS rn
+       |  FROM e0 e CROSS JOIN c$iters c) WHERE rn = 1)
+       |SELECT cid, COUNT(*)::BIGINT AS n_members,
+       |  SUM(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) / 1e6 AS inertia
+       |FROM fin GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q75 — SemDeDup-style semantic deduplication (Abbas et al. 2023): route
   // every embedding to its nearest codebook cell, then prune within-cell
   // cosine-duplicates, keeping the EARLIEST member (lowest vec_id) of each
@@ -974,6 +1090,7 @@ object Similarity {
     "q81_ann_audit"       -> ((s, d) => annAudit(s, d)),
     "q82_ann_multiprobe"  -> ((s, d) => annMultiProbe(s, d)),
     "q83_multiprobe_audit" -> ((s, d) => annMultiProbeAudit(s, d)),
+    "q84_kmeans"          -> ((s, d) => kmeansClusters(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -987,5 +1104,6 @@ object Similarity {
     "q81_ann_audit"       -> annAuditSql,
     "q82_ann_multiprobe"  -> annMultiProbeSql,
     "q83_multiprobe_audit" -> annMultiProbeAuditSql,
+    "q84_kmeans"          -> kmeansClustersSql,
   )
 }

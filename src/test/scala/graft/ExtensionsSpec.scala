@@ -321,6 +321,19 @@ class ExtensionsSpec extends SparkSpec {
       s"multi-probe max-missed ${multi.getDouble(1)} > single ${one.getDouble(1)}")
   }
 
+  test("q84: k-means conserves membership and Lloyd iterations weakly improve inertia") {
+    val n = Tables.embeddings(spark, sf).count()
+    val r3 = Similarity.kmeansClusters(spark, sf, 10, 3).collect()
+    assert(r3.map(_.getLong(1)).sum == n, "cluster sizes must sum to the corpus")
+    assert(r3.forall(_.getLong(1) >= 1), "reported clusters are non-empty by construction")
+    // Lloyd's invariant: each (assign, update) round weakly decreases the
+    // objective (exact-decimal means make the update step exact; the 1e-3
+    // slack covers double dist² and micro-unit rounding)
+    val i0 = Similarity.kmeansClusters(spark, sf, 10, 0).collect().map(_.getDouble(2)).sum
+    val i3 = r3.map(_.getDouble(2)).sum
+    assert(i3 <= i0 + 1e-3, s"3 Lloyd rounds must not raise inertia: $i3 > $i0")
+  }
+
   test("graft_dot (codegen Expression) is bit-identical to the HOF fold") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val both = Tables.embeddings(spark, sf)

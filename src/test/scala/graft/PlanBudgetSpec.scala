@@ -202,5 +202,13 @@ object PlanBudgetSpec {
     // q83 (r12): the q81 audit body against the multi-probe chain —
     // identical executed shape to q81 (the probe fan-out is plan-free)
     "q83_multiprobe_audit" -> Shape(shuffles = 4, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 1, scans = 7),
+    // q84 (r12): Lloyd k-means — centroids ride one-row broadcasts
+    // (BNLJ per assignment pass), each round's update is ONE keyed
+    // VecCentroid exchange; the corpus crosses zero assignment shuffles
+    // measured: 7 shuffles = 3 VecCentroid keyed exchanges + 3 one-row
+    // cells aggregates + the final groupBy; 4 BNLJ = the 4 broadcast
+    // codebook crossJoins (one per assignment pass); 5 scans = file +
+    // 4 in-memory passes over the persisted corpus frame
+    "q84_kmeans" -> Shape(shuffles = 7, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 4, scans = 5),
   )
 }
