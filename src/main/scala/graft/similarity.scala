@@ -441,7 +441,7 @@ object Similarity {
 
   /** Nearest-centroid assignment: (vec_id, embedding, ee) × cells →
     * + (cid, d) — per-row argmin, no corpus exchange. */
-  private def kmAssign(emb: DataFrame, cells: DataFrame): DataFrame =
+  private[graft] def kmAssign(emb: DataFrame, cells: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cells))
       .selectExpr("vec_id", "embedding", "ee",
         s"""array_min(transform(cells, x -> named_struct(
@@ -460,7 +460,9 @@ object Similarity {
       .toDF("cid", "c")
   }
 
-  def kmeansClusters(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame = {
+  /** The Lloyd loop: returns (corpus frame, final one-row cells frame). */
+  private[graft] def kmFitFrames(s: SparkSession, d: String, k: Int,
+                          iters: Int): (DataFrame, DataFrame) = {
     withFns(s)
     val emb = Tables.embeddings(s, d)
       .selectExpr("vec_id", "embedding", s"${dotExpr("embedding", "embedding")} as ee")
@@ -474,11 +476,70 @@ object Similarity {
     var cells = kmCellsOf(seeds)
     for (_ <- 1 to iters)
       cells = kmCellsOf(kmCentroids(kmAssign(emb, cells)))
+    (emb, cells)
+  }
+
+  def kmeansClusters(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame = {
+    val (emb, cells) = kmFitFrames(s, d, k, iters)
     kmAssign(emb, cells)
       .groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
         sum(floor(col("d") * 1e6 + 0.5).cast("long")).as("im"))
       .selectExpr("cid", "n_members", "im / 1e6 as inertia")
+  }
+
+  /** A fitted k-means cell: centroid + its precomputed self-dot. */
+  case class KmCell(cid: Int, c: Array[Double], cc: Double)
+
+  /** Fit the q84 centroids and collect them (k×dim doubles — always
+    * driver-sized), for the online assignment leg. */
+  def fitKmeansCells(s: SparkSession, d: String, k: Int = 10,
+                     iters: Int = 3): Array[KmCell] = {
+    import s.implicits._
+    val (_, cells) = kmFitFrames(s, d, k, iters)
+    cells.selectExpr("explode(cells) as x")
+      .selectExpr("x.cid", "x.c", "x.cc")
+      .as[(Int, Array[Double], Double)]
+      .collect().sortBy(_._1)
+      .map { case (cid, c, cc) => KmCell(cid, c, cc) }
+  }
+
+  /** q84's assignment as a stateless per-row transform (the
+    * classifierVerdict discipline) — score any (vec_id, embedding)
+    * frame, batch or streaming, against an offline-fitted codebook.
+    * Arithmetic mirrors the batch [[kmAssign]] expression operation-
+    * for-operation: ee and ec are ascending-index float→double-widened
+    * folds, d = (ee − 2·ec) + cc, and the ascending-cid
+    * strict-improvement scan ≡ array_min over struct<d, cid> (lowest d,
+    * ties to the lowest cid) — a vector lands in the SAME cell online
+    * and offline (spec-pinned bit-identity). */
+  def kmeansAssignVerdict(df: DataFrame, cells: Array[KmCell]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val sorted = cells.sortBy(_.cid)
+    df.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          var ee = 0.0
+          var i = 0
+          while (i < e.length) { val x = e(i).toDouble; ee += x * x; i += 1 }
+          var bestD = Double.PositiveInfinity
+          var bestC = Int.MaxValue
+          var p = 0
+          while (p < sorted.length) {
+            val cell = sorted(p)
+            var ec = 0.0
+            var j = 0
+            while (j < cell.c.length) { ec += e(j).toDouble * cell.c(j); j += 1 }
+            val dd = (ee - (2 * ec)) + cell.cc
+            if (dd < bestD) { bestD = dd; bestC = cell.cid }
+            p += 1
+          }
+          (id, bestC, bestD)
+        }
+      }
+      .toDF("vec_id", "cid", "d")
   }
 
   val kmeansClustersSql: String = {

@@ -497,6 +497,33 @@ class StreamingSpec extends SparkSpec {
     assert(byId(2L)._4, "fully-OOV doc must be flagged")
   }
 
+  test("kmeansAssignVerdict routes a stream with statically fitted centroids; bit-identical to batch assignment") {
+    // the q84 online form: centroids fit offline (k×dim doubles,
+    // driver-sized), assignment stateless in the stream — the
+    // fit-then-stream discipline of classifier/DSIR/perplexity
+    val cells = Similarity.fitKmeansCells(spark, sf)
+    assert(cells.nonEmpty && cells.map(_.cid).distinct.length == cells.length)
+    val rows = Tables.embeddings(spark, sf).limit(25)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.kmeansAssignVerdict(
+        in.toDF().toDF("vec_id", "embedding"), cells)
+      .writeStream.format("memory").queryName("kmverdict")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("kmverdict")
+      .select("vec_id", "cid", "d").as[(Long, Int, Double)].collect()
+      .map { case (v, c, dd) => (v, c, java.lang.Double.doubleToLongBits(dd)) }.toSet
+    val (emb, cellsDf) = Similarity.kmFitFrames(spark, sf, 10, 3)
+    val ids = rows.map(_._1).toSet
+    val batch = Similarity.kmAssign(emb, cellsDf)
+      .filter($"vec_id".isin(ids.toSeq: _*))
+      .select("vec_id", "cid", "d").as[(Long, Int, Double)].collect()
+      .map { case (v, c, dd) => (v, c, java.lang.Double.doubleToLongBits(dd)) }.toSet
+    assert(got == batch, "online assignment != batch expression on identical vectors")
+  }
+
   test("gate→classifier→mix→pack: the four-stage curation leg as ONE streaming query; == batch model") {
     // r11: the q72 scorer joins the continuous curation leg via
     // classifierVerdict (weights in the closure, zero extra plan nodes).
