@@ -200,8 +200,10 @@ object PlanBudgetSpec {
     // the same scan + broadcast hash join + one window exchange as q27
     "q82_ann_multiprobe" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q83 (r12): the q81 audit body against the multi-probe chain —
-    // identical executed shape to q81 (the probe fan-out is plan-free)
-    "q83_multiprobe_audit" -> Shape(shuffles = 4, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 1, scans = 7),
+    // q81's shape plus one exchange for the probe-exploded query frame
+    // (measured 4 solo / 5 in suite order, where q81's maybePersist of
+    // the shared withLsh frame shifts which side re-exchanges)
+    "q83_multiprobe_audit" -> Shape(shuffles = 5, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 1, scans = 7),
     // q84 (r12): Lloyd k-means — centroids ride one-row broadcasts
     // (BNLJ per assignment pass), each round's update is ONE keyed
     // VecCentroid exchange; the corpus crosses zero assignment shuffles
