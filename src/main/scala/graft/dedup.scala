@@ -243,8 +243,9 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     nearDupPairs(s, d)
 
-  /** The q23 pipeline as reusable DuckDB CTEs (ends with `ver`). */
-  private val minhashCtes: String =
+  /** The q23 sign→band stages as reusable DuckDB CTEs (through `bands`;
+    * also read by the q85 cross-frame candidate chain). */
+  private val sigBandCtes: String =
     s"""corpus AS ($corpusSqlDuck),
        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
        |sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM tk),
@@ -256,7 +257,11 @@ object Dedup {
        |  i -> list_min(list_transform(hs, h -> (h.a + i * h.b) % 1000000007))) AS sig FROM hs),
        |bands AS (SELECT doc_id, sh, b AS band_idx,
        |  concat_ws(':', sig[3 * b + 1], sig[3 * b + 2], sig[3 * b + 3]) AS band_hash
-       |  FROM (SELECT doc_id, sh, sig, unnest(range(0, 4)) AS b FROM sig)),
+       |  FROM (SELECT doc_id, sh, sig, unnest(range(0, 4)) AS b FROM sig))""".stripMargin
+
+  /** The q23 pipeline as reusable DuckDB CTEs (ends with `ver`). */
+  private val minhashCtes: String =
+    s"""$sigBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |  WHERE a.doc_id < b.doc_id),
@@ -862,6 +867,76 @@ object Dedup {
       |    ORDER BY n_chars DESC, doc_id) AS kept
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q85 — FUZZY decontamination: the near-duplicate sibling of q48/q66.
+  // Exact-fingerprint decontamination misses a contaminated document
+  // that was lightly edited (the common leakage mode — eval text pasted
+  // with a dropped word or changed whitespace); production pipelines
+  // (GPT-3 appendix C, Llama) therefore decontaminate by N-GRAM OVERLAP
+  // against the eval set. Here: the q23 MinHash chain run CROSS-FRAME —
+  // corpus bands probed against the deny slice's bands (doc_id % 20 == 0
+  // base docs model the eval set), candidates verified by exact Jaccard
+  // ≥ 0.5, and any corpus doc with a verified deny match is dropped.
+  // A deny doc matches itself at Jaccard 1.0 (dropped, = q48's exact
+  // behaviour); its planted mutated twin (first token removed) is what
+  // ONLY the fuzzy chain catches — the report splits base/twin slices
+  // so that difference is the visible result.
+  //
+  // Scale shape (100 TB): the corpus is signed ONCE (the persisted q23
+  // frame); deny bands are eval-set-sized (corpus/20 here, benchmarks
+  // in production) → BROADCAST to the corpus-side band probe, so the
+  // corpus never shuffles for candidate generation; per-task probe work
+  // is bounded by the deny side's bucket sizes (eval-sized by
+  // construction — the triangle-cap machinery stays on the self-join
+  // path where both sides are corpus-sized). The verify join shuffles
+  // only candidate pairs. Empty-shingle docs band nowhere and survive
+  // on both engines.
+  // ---------------------------------------------------------------------
+
+  def fuzzyDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = signedCorpus(s, nearDupCorpus(s, d)).transform(Tables.maybePersist)
+    val bands = lshBands(sh)
+    val denyBands = bands
+      .filter(col("doc_id") % 20 === 0 && col("doc_id") < 10000)
+      .select(col("band_idx").as("d_idx"), col("band_hash").as("d_hash"),
+        col("doc_id").as("deny_id"))
+    val cand = bands
+      .join(broadcast(denyBands),
+        col("band_idx") === col("d_idx") && col("band_hash") === col("d_hash"))
+      .select(col("doc_id").as("doc_a"), col("deny_id").as("doc_b"))
+      .distinct()
+    val dropped = verifyPairs(cand, sh)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    sh.select("doc_id")
+      .join(dropped, Seq("doc_id"), "left")
+      .selectExpr("case when doc_id < 10000 then 'base' else 'twin' end as slice",
+        "coalesce(hit, false) as hit")
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("hit"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  val fuzzyDecontaminateSql: String =
+    s"""WITH $sigBandCtes,
+       |deny AS (SELECT band_idx, band_hash, doc_id AS deny_id FROM bands
+       |  WHERE doc_id % 20 = 0 AND doc_id < 10000),
+       |cand AS (SELECT DISTINCT b.doc_id AS doc_a, dy.deny_id AS doc_b
+       |  FROM bands b JOIN deny dy
+       |    ON b.band_idx = dy.band_idx AND b.band_hash = dy.band_hash),
+       |ver AS (SELECT doc_a, doc_b,
+       |  floor((len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+       |            JOIN sh sb ON sb.doc_id = cand.doc_b),
+       |drp AS (SELECT DISTINCT doc_a AS doc_id FROM ver WHERE jaccard >= 0.5)
+       |SELECT CASE WHEN c.doc_id < 10000 THEN 'base' ELSE 'twin' END AS slice,
+       |  COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN drp.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |  SUM(CASE WHEN drp.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+       |FROM sh c LEFT JOIN drp ON drp.doc_id = c.doc_id
+       |GROUP BY slice ORDER BY slice""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact"   -> ((s, d) => exact(s, d)),
     "q23_minhash_lsh"   -> ((s, d) => minhashLsh(s, d)),
@@ -872,6 +947,7 @@ object Dedup {
     "q60_star_components" -> ((s, d) => dupComponentsStar(s, d)),
     "q70_simhash_keep"  -> ((s, d) => simhashKeep(s, d)),
     "q79_lsh_audit"     -> ((s, d) => lshAudit(s, d)),
+    "q85_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -884,5 +960,6 @@ object Dedup {
     "q60_star_components" -> dupComponentsSql,
     "q70_simhash_keep"  -> simhashKeepSql,
     "q79_lsh_audit"     -> lshAuditSql,
+    "q85_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
   )
 }

@@ -321,6 +321,22 @@ class ExtensionsSpec extends SparkSpec {
       s"multi-probe max-missed ${multi.getDouble(1)} > single ${one.getDouble(1)}")
   }
 
+  test("q85: fuzzy decontamination drops every shingled deny doc and catches mutated twins") {
+    val rows = Dedup.fuzzyDecontaminate(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val nDeny = docs.filter("doc_id % 20 = 0 and size(split(text, ' ')) >= 3").count()
+    val (nb, db, kb) = rows("base")
+    val (nt, dt, kt) = rows("twin")
+    assert(nb == n && nt == n && db + kb == nb && dt + kt == nt)
+    // a deny doc always matches itself at Jaccard 1.0 — the exact-rule floor
+    assert(db >= nDeny, s"base drops $db < shingled deny count $nDeny")
+    // the fuzzy-only catch: lightly-edited twins of deny docs must drop
+    // even though their exact fingerprints differ
+    assert(dt > 0, "the fuzzy chain must catch mutated twins the exact rule cannot")
+  }
+
   test("q84: k-means conserves membership and Lloyd iterations weakly improve inertia") {
     val n = Tables.embeddings(spark, sf).count()
     val r3 = Similarity.kmeansClusters(spark, sf, 10, 3).collect()

@@ -204,6 +204,11 @@ object PlanBudgetSpec {
     // (measured 4 solo / 5 in suite order, where q81's maybePersist of
     // the shared withLsh frame shifts which side re-exchanges)
     "q83_multiprobe_audit" -> Shape(shuffles = 5, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 1, scans = 7),
+    // q85 (r12): fuzzy decontamination — corpus signed once (persisted),
+    // deny bands BROADCAST to the corpus-side probe (no corpus shuffle
+    // for candidates); keyed exchanges = candidate distinct + dropped
+    // distinct + the report aggregate
+    "q85_fuzzy_decontaminate" -> Shape(shuffles = 4, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
     // q84 (r12): Lloyd k-means — centroids ride one-row broadcasts
     // (BNLJ per assignment pass), each round's update is ONE keyed
     // VecCentroid exchange; the corpus crosses zero assignment shuffles
