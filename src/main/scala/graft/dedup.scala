@@ -893,8 +893,9 @@ object Dedup {
   // on both engines.
   // ---------------------------------------------------------------------
 
-  def fuzzyDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val sh = signedCorpus(s, nearDupCorpus(s, d)).transform(Tables.maybePersist)
+  /** The q85 drop set: distinct corpus doc_ids with a verified deny
+    * match, from a signed corpus frame (shared with the verdict spec). */
+  private[graft] def fuzzyDroppedIds(s: SparkSession, sh: DataFrame): DataFrame = {
     val bands = lshBands(sh)
     val denyBands = bands
       .filter(col("doc_id") % 20 === 0 && col("doc_id") < 10000)
@@ -905,9 +906,13 @@ object Dedup {
         col("band_idx") === col("d_idx") && col("band_hash") === col("d_hash"))
       .select(col("doc_id").as("doc_a"), col("deny_id").as("doc_b"))
       .distinct()
-    val dropped = verifyPairs(cand, sh)
+    verifyPairs(cand, sh)
       .select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("hit", lit(true))
+  }
+
+  def fuzzyDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = signedCorpus(s, nearDupCorpus(s, d)).transform(Tables.maybePersist)
+    val dropped = fuzzyDroppedIds(s, sh).withColumn("hit", lit(true))
     sh.select("doc_id")
       .join(dropped, Seq("doc_id"), "left")
       .selectExpr("case when doc_id < 10000 then 'base' else 'twin' end as slice",
@@ -936,6 +941,81 @@ object Dedup {
        |  SUM(CASE WHEN drp.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
        |FROM sh c LEFT JOIN drp ON drp.doc_id = c.doc_id
        |GROUP BY slice ORDER BY slice""".stripMargin
+
+  /** The fitted q85 deny index: band key → deny ids, deny id → shingle
+    * set. Eval-set-sized BY CONSTRUCTION (the deny slice models the
+    * benchmark suite), so it is always driver/closure-sized — the same
+    * contract as the classifier weights and the DSIR Δ. */
+  case class DenyIndex(bands: Map[(Int, String), Array[Long]],
+                       shingles: Map[Long, Array[String]])
+
+  /** Fit the q85 deny index (the fit-then-stream discipline): sign the
+    * deny slice with the PRODUCTION signing stage and collect its band
+    * keys + shingle sets. */
+  def fitDenyIndex(s: SparkSession, d: String): DenyIndex = {
+    import s.implicits._
+    val deny = Tables.documents(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"))
+    val rows = signedCorpus(s, deny)
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .as[(Long, Array[String], Array[Long])]
+      .collect()
+    val bands = scala.collection.mutable.Map.empty[(Int, String), scala.collection.mutable.ArrayBuffer[Long]]
+    rows.foreach { case (id, _, sig) =>
+      var b = 0
+      while (b < 4) {
+        val key = (b, s"${sig(3 * b)}:${sig(3 * b + 1)}:${sig(3 * b + 2)}")
+        bands.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += id
+        b += 1
+      }
+    }
+    DenyIndex(bands.view.mapValues(_.toArray.sorted).toMap,
+      rows.map(t => t._1 -> t._2).toMap)
+  }
+
+  /** q85's check as a stateless per-row transform (the classifierVerdict
+    * discipline) — route any batch or streaming (doc_id, text) frame
+    * against an offline-fitted deny index. Arithmetic mirrors the batch
+    * chain operation-for-operation: the same shingle/signature code
+    * (shared functions, not a reimplementation), the same band keys,
+    * and the same micro-rounded Jaccard bar — a doc drops online iff it
+    * drops in the batch q85 (spec-pinned). */
+  def fuzzyDecontamVerdict(df: DataFrame, idx: DenyIndex): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val sh = shingles3(text)
+          if (sh.isEmpty) (id, 0, false)
+          else {
+            val sig = minhashSig(md, sh)
+            val cands = scala.collection.mutable.SortedSet.empty[Long]
+            var b = 0
+            while (b < 4) {
+              idx.bands.get((b, s"${sig(3 * b)}:${sig(3 * b + 1)}:${sig(3 * b + 2)}"))
+                .foreach(_.foreach(cands += _))
+              b += 1
+            }
+            val mine = sh.toSet
+            val hit = cands.exists { dId =>
+              val other = idx.shingles(dId)
+              var inter = 0
+              var i = 0
+              while (i < other.length) { if (mine.contains(other(i))) inter += 1; i += 1 }
+              val union = mine.size + other.length - inter
+              math.floor(inter.toDouble / union.toDouble * 1e6 + 0.5) / 1e6 >= 0.5
+            }
+            (id, cands.size, hit)
+          }
+        }
+      }
+      .toDF("doc_id", "n_candidates", "dropped")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_dedup_exact"   -> ((s, d) => exact(s, d)),

@@ -497,6 +497,28 @@ class StreamingSpec extends SparkSpec {
     assert(byId(2L)._4, "fully-OOV doc must be flagged")
   }
 
+  test("fuzzyDecontamVerdict drops a stream exactly like the batch q85 chain") {
+    // the q85 online form: deny index fit offline (eval-set-sized, the
+    // classifier-weights contract), per-row shingle→sign→band→probe→
+    // verify in the stream with the SHARED signing code
+    val idx = Dedup.fitDenyIndex(spark, sf)
+    assert(idx.bands.nonEmpty && idx.shingles.nonEmpty)
+    val rows = Dedup.nearDupCorpus(spark, sf)
+      .as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup.fuzzyDecontamVerdict(in.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("fuzzyverdict")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fuzzyverdict")
+      .filter($"dropped").select("doc_id").as[Long].collect().toSet
+    val sh = Dedup.signedCorpus(spark, Dedup.nearDupCorpus(spark, sf))
+    val batch = Dedup.fuzzyDroppedIds(spark, sh).as[Long].collect().toSet
+    assert(got == batch, "online drop set != batch drop set on identical rows")
+    assert(got.nonEmpty, "fixture must exercise a non-empty drop set")
+  }
+
   test("kmeansAssignVerdict routes a stream with statically fitted centroids; bit-identical to batch assignment") {
     // the q84 online form: centroids fit offline (k×dim doubles,
     // driver-sized), assignment stateless in the stream — the
