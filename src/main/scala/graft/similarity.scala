@@ -404,6 +404,71 @@ object Similarity {
        |FROM r ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** q86 — IVF search with nprobe = 2: q38's recall dial (the q82 story
+    * for the OTHER ANN family — a coarse quantizer's nearest cell can
+    * miss true neighbours that sit just across a Voronoi boundary, and
+    * the standard fix is probing the top-nprobe cells). The query routes
+    * to its TWO nearest centroids (descending cosine, ties to the lowest
+    * label — the q38 selection semantics extended to rank 2) and the
+    * exact search scans both cells: ~2/k of the corpus instead of 1/k,
+    * still never all of it. The probe expansion multiplies only the
+    * broadcast query side (2 rows); the corpus-side assignment frame is
+    * unchanged. */
+  def ivfSearchProbe2(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfAssigned(s, d)
+      .transform(Tables.maybePersist)
+    val codebook = centroidsByLabel(s, d, "c_label")
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
+    val query = assigned.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(codebook))
+      .selectExpr("embedding as qe", s"sqrt(${dotExpr("embedding", "embedding")}) as qn",
+        s"""slice(reverse(array_sort(transform(cells, c -> named_struct(
+           |  'cos', ${dotExpr("embedding", "c.centroid")} /
+           |    (sqrt(${dotExpr("embedding", "embedding")}) * sqrt(graft_dot(c.centroid, c.centroid))),
+           |  'nl', -c.c_label)))), 1, 2) as top2"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("qe", "qn", "explode(top2) as probe")
+      .selectExpr("qe", "qn", "cast(-probe.nl as int) as q_cell")
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(query), col("c_label") === col("q_cell"))
+      .selectExpr("vec_id", "label", "c_label",
+        s"${dotExpr("embedding", "qe")} / (sqrt(${dotExpr("embedding", "embedding")}) * qn) as cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .selectExpr("vec_id", "label", "c_label", "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
+  }
+
+  val ivfSearchProbe2Sql: String = {
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, label, embedding, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dotSqlDuck("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT vec_id, label, embedding, c_label FROM asg WHERE rn = 1),
+       |q AS (SELECT embedding AS qe,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS qn, c_label AS q_cell
+       |  FROM asg WHERE vec_id = 0 AND rn <= 2),
+       |r AS (SELECT a.vec_id, a.label, a.c_label,
+       |    (${dotSqlDuck("a.embedding", "q.qe")})
+       |    / (sqrt(${dotSqlDuck("a.embedding", "a.embedding")}) * q.qn) AS cos
+       |  FROM a JOIN q ON a.c_label = q.q_cell WHERE a.vec_id <> 0)
+       |SELECT vec_id, label, c_label, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM r ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // q84 — Lloyd k-means over the embedding corpus: the clustering step of
   // cluster-based data curation (topic balancing, cluster-stratified
@@ -1140,6 +1205,103 @@ object Similarity {
       |    / len(embedding)) * 1e6 + 0.5) / 1e6 END AS mean_abs_err
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q87 — int8 quantized search with exact re-rank: the memory-bound ANN
+  // scale path q47's quantization exists FOR. At 100 TB the float
+  // corpus does not fit hot storage; the index holds int8 codes (4×
+  // smaller, integer SIMD dots) and the search is two-stage: rank ALL
+  // candidates by the cheap quantized score, keep a shortlist, re-rank
+  // only the shortlist with exact float cosine. Here: per-vector
+  // symmetric max-abs/127 quantization (exactly q47's arithmetic),
+  // approx_cos = (int8·int8 dot) · s_e · s_q / (‖e‖·‖q‖) — the integer
+  // dot is EXACT in both engines (|q|≤127 ⇒ products ≤ 16129, 64-term
+  // sums ≪ 2^53, so the codegen'd graft_dot double fold is exact on the
+  // integer-valued arrays) — top-20 shortlist by approx score, exact
+  // top-10 by true cosine within it. Output carries BOTH scores, so the
+  // quantization error the re-rank absorbs is visible per row.
+  //
+  // Scale shape: quantization is per-row mapPartitions (zero shuffle,
+  // fused with the scan); the query is a one-row broadcast; the
+  // shortlist is TakeOrdered (per-partition heaps, never a full sort);
+  // the re-rank touches 20 rows. The corpus crosses no keyed exchange.
+  // ---------------------------------------------------------------------
+
+  /** Corpus quantized per q47's arithmetic: (vec_id, label, embedding,
+    * q: integer-valued array<double>, scale, nrm). */
+  private def quantizedCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, label, v) =>
+          var maxAbs = 0.0
+          var i = 0
+          while (i < v.length) {
+            val a = math.abs(v(i).toDouble); if (a > maxAbs) maxAbs = a; i += 1
+          }
+          val scale = maxAbs / 127.0
+          val q = new Array[Double](v.length)
+          var norm2 = 0.0
+          i = 0
+          while (i < v.length) {
+            val x = v(i).toDouble
+            norm2 += x * x
+            q(i) = if (scale == 0.0) 0.0 else math.floor(x / scale + 0.5)
+            i += 1
+          }
+          (id, label, v, q, scale, math.sqrt(norm2))
+        }
+      }
+      .toDF("vec_id", "label", "embedding", "q", "scale", "nrm")
+  }
+
+  def int8Search(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    val quant = quantizedCorpus(s, d).transform(Tables.maybePersist)
+    val query = quant.filter(col("vec_id") === 0)
+      .selectExpr("embedding as qe", "q as qq", "scale as qscale", "nrm as qn")
+    val shortlist = quant.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .selectExpr("vec_id", "label", "embedding", "nrm", "qe", "qn",
+        s"${dotExpr("q", "qq")} * (scale * qscale) / (nrm * qn) as approx_cos")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(20)
+    shortlist
+      .selectExpr("vec_id", "label", "approx_cos",
+        s"${dotExpr("embedding", "qe")} / (nrm * qn) as cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .selectExpr("vec_id", "label",
+        "floor((approx_cos) * 1e6 + 0.5) / 1e6 as approx_cosine",
+        "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
+  }
+
+  val int8SearchSql: String = {
+    def qv(e: String, sc: String) =
+      s"CASE WHEN $sc = 0 THEN list_transform($e, x -> 0.0::DOUBLE) ELSE list_transform($e, x -> floor(x::DOUBLE / $sc + 0.5)) END"
+    s"""WITH s AS (SELECT vec_id, label, embedding,
+       |  list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max') / 127.0 AS scale,
+       |  sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |qz AS (SELECT vec_id, label, embedding, scale, nrm,
+       |  ${qv("embedding", "scale")} AS q FROM s),
+       |qu AS (SELECT embedding AS qe, q AS qq, scale AS qscale, nrm AS qn
+       |  FROM qz WHERE vec_id = 0),
+       |ap AS (SELECT e.vec_id, e.label, e.embedding, e.nrm, q.qe, q.qn,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.q) + 1),
+       |      i -> e.q[i] * q.qq[i])), (p_, q_) -> p_ + q_) * (e.scale * q.qscale) / (e.nrm * q.qn) AS approx_cos
+       |  FROM qz e CROSS JOIN qu q WHERE e.vec_id <> 0),
+       |sl AS (SELECT * FROM ap ORDER BY approx_cos DESC, vec_id LIMIT 20),
+       |rr AS (SELECT vec_id, label, approx_cos,
+       |    (${dotSqlDuck("embedding", "qe")}) / (nrm * qn) AS cos
+       |  FROM sl)
+       |SELECT vec_id, label,
+       |  floor((approx_cos) * 1e6 + 0.5) / 1e6 AS approx_cosine,
+       |  floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM rr ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
     "q27_ann_lsh"         -> ((s, d) => annLsh(s, d)),
@@ -1152,6 +1314,8 @@ object Similarity {
     "q82_ann_multiprobe"  -> ((s, d) => annMultiProbe(s, d)),
     "q83_multiprobe_audit" -> ((s, d) => annMultiProbeAudit(s, d)),
     "q84_kmeans"          -> ((s, d) => kmeansClusters(s, d)),
+    "q86_ivf_probe2"      -> ((s, d) => ivfSearchProbe2(s, d)),
+    "q87_int8_search"     -> ((s, d) => int8Search(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1166,5 +1330,7 @@ object Similarity {
     "q82_ann_multiprobe"  -> annMultiProbeSql,
     "q83_multiprobe_audit" -> annMultiProbeAuditSql,
     "q84_kmeans"          -> kmeansClustersSql,
+    "q86_ivf_probe2"      -> ivfSearchProbe2Sql,
+    "q87_int8_search"     -> int8SearchSql,
   )
 }

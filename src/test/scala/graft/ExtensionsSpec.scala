@@ -337,6 +337,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(dt > 0, "the fuzzy chain must catch mutated twins the exact rule cannot")
   }
 
+  test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
+    // same exact scoring over a strictly larger candidate pool (top-2
+    // cells ⊇ top-1 cell): the rank-i cosine can only rise
+    val p1 = Similarity.ivfSearch(spark, sf)
+      .select("cosine").as[Double].collect()
+    val p2 = Similarity.ivfSearchProbe2(spark, sf)
+      .select("vec_id", "c_label", "cosine").as[(Long, Int, Double)].collect()
+    assert(p2.length == p1.length)
+    p2.map(_._3).sorted.reverse.zip(p1.sorted.reverse).zipWithIndex.foreach {
+      case ((two, one), i) =>
+        assert(two >= one, s"rank $i: nprobe=2 cosine $two < nprobe=1 cosine $one")
+    }
+    assert(p2.map(_._2).distinct.length <= 2, "results must come from at most 2 cells")
+  }
+
+  test("q87: int8 shortlist re-rank returns true cosines; quantization error is bounded") {
+    val rows = Similarity.int8Search(spark, sf)
+      .select("vec_id", "approx_cosine", "cosine").as[(Long, Double, Double)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (v, approx, exact) =>
+      // the exact column must equal the brute-force cosine of that row
+      val want = math.floor(cos(embs(v), embs(0L)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(exact - want) < 1e-9, s"vec $v: re-rank cosine $exact != brute force $want")
+      // per-element quantization error ≤ scale/2 ⇒ the score error is
+      // small relative to the cosine range; 0.01 is ~5x the observed max
+      assert(math.abs(approx - exact) <= 0.01, s"vec $v: |approx - exact| = ${math.abs(approx - exact)}")
+    }
+    // ordering is by EXACT cosine (the re-rank happened)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("q84: k-means conserves membership and Lloyd iterations weakly improve inertia") {
     val n = Tables.embeddings(spark, sf).count()
     val r3 = Similarity.kmeansClusters(spark, sf, 10, 3).collect()

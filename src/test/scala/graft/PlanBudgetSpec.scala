@@ -209,6 +209,13 @@ object PlanBudgetSpec {
     // for candidates); keyed exchanges = candidate distinct + dropped
     // distinct + the report aggregate
     "q85_fuzzy_decontaminate" -> Shape(shuffles = 4, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
+    // q86 (r12): IVF nprobe=2 — q38's shape plus the one-row codebook
+    // re-broadcast for the query's top-2 routing
+    "q86_ivf_probe2" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
+    // q87 (r12): int8 search — per-row quantize fused with the scan,
+    // one-row broadcast query, TakeOrdered shortlist, 20-row re-rank;
+    // the corpus crosses ZERO exchanges (measured shuffles = 0)
+    "q87_int8_search" -> Shape(shuffles = 0, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
     // q84 (r12): Lloyd k-means — centroids ride one-row broadcasts
     // (BNLJ per assignment pass), each round's update is ONE keyed
     // VecCentroid exchange; the corpus crosses zero assignment shuffles
