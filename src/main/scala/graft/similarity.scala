@@ -607,9 +607,9 @@ object Similarity {
       .toDF("vec_id", "cid", "d")
   }
 
-  val kmeansClustersSql: String = {
-    val k = 10
-    val iters = 3
+  /** The q84 Lloyd loop as reusable DuckDB CTEs (through `fin`:
+    * (vec_id, cid, d) — also read by the q88 mixing chain). */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
     def dotDuck(a: String, b: String) = dotSqlDuck(a, b)
     // one Lloyd round: assignment against centroid CTE `cPrev` → `aN`,
     // then per-dim decimal means → `cN` (the q28 oracle shape, keyed by
@@ -630,7 +630,7 @@ object Similarity {
     }
     val rounds = (1 to iters).map(n => round(n, s"c${n - 1}")).mkString(",\n")
     val distF = s"((e.ee - (2 * ${dotDuck("e.embedding", "c.c")})) + c.cc)"
-    s"""WITH e0 AS (SELECT vec_id, embedding,
+    s"""e0 AS (SELECT vec_id, embedding,
        |  ${dotDuck("embedding", "embedding")} AS ee FROM embeddings),
        |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid, embedding
        |  FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT $k),
@@ -640,10 +640,83 @@ object Similarity {
        |fin AS (SELECT vec_id, cid, d FROM (
        |  SELECT e.vec_id, c.cid, $distF AS d,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $distF, c.cid) AS rn
-       |  FROM e0 e CROSS JOIN c$iters c) WHERE rn = 1)
+       |  FROM e0 e CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+  }
+
+  val kmeansClustersSql: String =
+    s"""WITH ${kmeansCtesSql(10, 3)}
        |SELECT cid, COUNT(*)::BIGINT AS n_members,
        |  SUM(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) / 1e6 AS inertia
        |FROM fin GROUP BY cid ORDER BY cid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q88 — cluster-balanced sampling: q67's temperature-mixing discipline
+  // keyed by q84's TOPIC CLUSTERS instead of the source column — the
+  // curation step that rebalances a corpus by discovered content
+  // clusters (a dominant boilerplate cluster gets down-sampled, small
+  // topical clusters keep everything) rather than by provenance. Exactly
+  // q67's arithmetic: per cluster q_c = floor(sqrt(n_c)·1e6 + 0.5)
+  // (integer-quantized BEFORE the normalizing sum — order-independent
+  // BIGINT total), rate_c = min(1, w_c·N/n_c) with N = ⌊total/2⌋, and
+  // the q51 deterministic md5-bucket keep — no RNG, replay-stable.
+  //
+  // Scale shape: the assignment frame (from the q84 loop) crosses ONE
+  // keyed count aggregate to k rows; the rate table (k rows) broadcasts
+  // back; the keep decision is per-row hash work. The corpus crosses no
+  // additional exchange beyond the q84 assignment chain it reuses.
+  // ---------------------------------------------------------------------
+
+  def clusterBalancedMix(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame = {
+    val (emb, cells) = kmFitFrames(s, d, k, iters)
+    val assigned = kmAssign(emb, cells).select("vec_id", "cid")
+      .transform(Tables.maybePersist)
+    val stats = assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .selectExpr("cid", "n_vecs",
+        "cast(floor(sqrt(cast(n_vecs as double)) * 1e6 + 0.5) as bigint) as q")
+      .transform(Tables.maybePersist)
+    val totals = stats.agg(sum(col("q")).as("q_total"), sum(col("n_vecs")).as("vecs_total"))
+    val rates = stats.crossJoin(broadcast(totals))
+      .selectExpr("cid",
+        "cast(q as double) / cast(q_total as double) as w",
+        """least(1.0D, (cast(q as double) / cast(q_total as double)
+          |  * cast(cast(floor(cast(vecs_total as double) / 2) as bigint) as double))
+          |  / cast(n_vecs as double)) as rate""".stripMargin.replace("\n", " "))
+      .selectExpr("cid", "w",
+        "cast(floor(rate * 1e6 + 0.5) as bigint) as keep_micro")
+    val bucket =
+      "cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 1000000"
+    assigned.join(broadcast(rates), Seq("cid"))
+      .selectExpr("cid", "w", "keep_micro",
+        s"case when $bucket < keep_micro then 1 else 0 end as kept")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+           max(col("w")).as("wc"),
+           max(col("keep_micro")).as("rate_micro"),
+           sum(col("kept")).as("n_sampled"))
+      .selectExpr("cid", "n_vecs",
+        "floor(wc * 1e6 + 0.5) / 1e6 as weight", "rate_micro", "n_sampled")
+  }
+
+  val clusterBalancedMixSql: String = {
+    val b = "('0x' || substr(md5(f.vec_id::VARCHAR), 1, 8))::BIGINT % 1000000"
+    s"""WITH ${kmeansCtesSql(10, 3)},
+       |s AS (SELECT cid, COUNT(*)::BIGINT AS n_vecs FROM fin GROUP BY cid),
+       |w AS (SELECT cid, n_vecs,
+       |        floor(sqrt(n_vecs::DOUBLE) * 1e6 + 0.5)::BIGINT AS q FROM s),
+       |t AS (SELECT SUM(q)::BIGINT AS q_total, SUM(n_vecs)::BIGINT AS vecs_total FROM w),
+       |r AS (SELECT cid, q::DOUBLE / q_total::DOUBLE AS w,
+       |        floor(least(1.0, (q::DOUBLE / q_total::DOUBLE
+       |          * floor(vecs_total::DOUBLE / 2)::BIGINT::DOUBLE)
+       |          / n_vecs::DOUBLE) * 1e6 + 0.5)::BIGINT AS keep_micro
+       |      FROM w, t),
+       |kk AS (SELECT f.cid, r.w, r.keep_micro,
+       |        CASE WHEN $b < r.keep_micro THEN 1 ELSE 0 END AS kept
+       |      FROM fin f JOIN r USING (cid))
+       |SELECT cid, COUNT(*)::BIGINT AS n_vecs,
+       |  floor(max(w) * 1e6 + 0.5) / 1e6 AS weight,
+       |  max(keep_micro)::BIGINT AS rate_micro,
+       |  SUM(kept)::BIGINT AS n_sampled
+       |FROM kk GROUP BY cid ORDER BY cid""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1316,6 +1389,7 @@ object Similarity {
     "q84_kmeans"          -> ((s, d) => kmeansClusters(s, d)),
     "q86_ivf_probe2"      -> ((s, d) => ivfSearchProbe2(s, d)),
     "q87_int8_search"     -> ((s, d) => int8Search(s, d)),
+    "q88_cluster_mix"     -> ((s, d) => clusterBalancedMix(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1332,5 +1406,6 @@ object Similarity {
     "q84_kmeans"          -> kmeansClustersSql,
     "q86_ivf_probe2"      -> ivfSearchProbe2Sql,
     "q87_int8_search"     -> int8SearchSql,
+    "q88_cluster_mix"     -> clusterBalancedMixSql,
   )
 }

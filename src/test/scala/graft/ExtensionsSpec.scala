@@ -368,6 +368,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
   }
 
+  test("q88: cluster-balanced sampling flattens the mix (bigger cluster, lower rate)") {
+    val rows = Similarity.clusterBalancedMix(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "cluster sizes must sum to the corpus")
+    rows.foreach { case (cid, nv, rate, sampled) =>
+      assert(sampled <= nv && rate <= 1000000L, s"cid $cid")
+    }
+    // temperature flattening: rates are non-increasing in cluster size
+    val bySize = rows.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Array((_, n1, r1, _), (_, n2, r2, _)) if n1 < n2 =>
+        assert(r2 <= r1, s"rate must not rise with cluster size ($n1->$r1 vs $n2->$r2)")
+      case _ =>
+    }
+  }
+
   test("q84: k-means conserves membership and Lloyd iterations weakly improve inertia") {
     val n = Tables.embeddings(spark, sf).count()
     val r3 = Similarity.kmeansClusters(spark, sf, 10, 3).collect()

@@ -216,6 +216,10 @@ object PlanBudgetSpec {
     // one-row broadcast query, TakeOrdered shortlist, 20-row re-rank;
     // the corpus crosses ZERO exchanges (measured shuffles = 0)
     "q87_int8_search" -> Shape(shuffles = 0, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
+    // q88 (r12): cluster-balanced mix — the q84 assignment chain ends in
+    // a persisted (vec_id, cid) frame, so the visible plan is ONE keyed
+    // count to k rows + the broadcast rate table + the per-row keep agg
+    "q88_cluster_mix" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
     // q84 (r12): Lloyd k-means — centroids ride one-row broadcasts
     // (BNLJ per assignment pass), each round's update is ONE keyed
     // VecCentroid exchange; the corpus crosses zero assignment shuffles
