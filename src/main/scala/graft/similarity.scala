@@ -985,6 +985,70 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // q91 — HARD-NEGATIVE MINING: for each anchor query, the top-5
+  // highest-cosine corpus vectors whose label DIFFERS from the anchor's —
+  // the contrastive-training selection step (near the anchor in embedding
+  // space, semantically another class; the negatives that actually teach
+  // a retrieval/embedding model, vs. easy random negatives). Reference
+  // scope: the reference pipeline stops at enrichment; this is part of
+  // the 100 TB training-data extension suite.
+  //
+  // Scale shape: the anchor side is a 10-row broadcast; the corpus side
+  // is ONE codegen'd scan with the label-mismatch filter applied BEFORE
+  // any aggregation; per-query top-5 selection rides the map-side
+  // [[TopKCos]] reduction, so the only keyed exchange carries 10
+  // five-row buffers — never the corpus (identical discipline to q81's
+  // ground truth). The negatives' labels are then fetched by ONE
+  // broadcast join of the ≤50-row result against the corpus scan (at
+  // 100 TB this is the id→metadata sidecar lookup; here it is a second
+  // scan with zero shuffle). Determinism: left-to-right double dots
+  // (bit-identical both engines), ties break to the lowest vec_id —
+  // exactly the oracle's row_number() order.
+  // ---------------------------------------------------------------------
+
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withFns(s)
+    val emb = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "label", "embedding",
+        s"sqrt(${dotExpr("embedding", "embedding")}) as nrm")
+      .transform(Tables.maybePersist)
+    val anchors = emb.filter(col("vec_id") < 10)
+      .selectExpr("vec_id as q_id", "label as q_label", "embedding as qe", "nrm as qn")
+    // TopKCos keeps the buffer sorted by (cos desc, vec_id asc), so the
+    // explode position IS the rank.
+    val top = emb
+      .crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .selectExpr("q_id", s"${dotExpr("embedding", "qe")} / (nrm * qn) as cos", "vec_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(TopKCos.toColumn.name("top"))
+      .toDF("q_id", "top")
+      .selectExpr("q_id", "posexplode(top) as (r0, t)")
+      .selectExpr("q_id", "cast(r0 + 1 as int) as rank", "t._2 as vec_id", "t._1 as cos")
+    emb.select(col("vec_id"), col("label").as("neg_label"))
+      .join(broadcast(top), Seq("vec_id"))
+      .selectExpr("q_id", "rank", "vec_id", "neg_label",
+        "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
+  }
+
+  val hardNegativesSql: String = {
+    val dot = dotSqlDuck("e.embedding", "q.qe")
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+       |  sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe, nrm AS qn
+       |  FROM b WHERE vec_id < 10),
+       |c AS (SELECT q.q_id, e.vec_id, e.label AS neg_label, ($dot) / (e.nrm * q.qn) AS cos
+       |  FROM b e CROSS JOIN q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM c)
+       |SELECT q_id, rank::INT AS rank, vec_id, neg_label,
+       |  floor(cos * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q80 — SemDeDup AUDIT: the q79 seeded-recall protocol applied to the
   // semantic stack. q75 is approximate in exactly one place — a near-dup
   // pair is only caught if both members route to the SAME cell — so the
@@ -1390,6 +1454,7 @@ object Similarity {
     "q86_ivf_probe2"      -> ((s, d) => ivfSearchProbe2(s, d)),
     "q87_int8_search"     -> ((s, d) => int8Search(s, d)),
     "q88_cluster_mix"     -> ((s, d) => clusterBalancedMix(s, d)),
+    "q91_hard_negatives"  -> ((s, d) => hardNegatives(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1407,5 +1472,6 @@ object Similarity {
     "q86_ivf_probe2"      -> ivfSearchProbe2Sql,
     "q87_int8_search"     -> int8SearchSql,
     "q88_cluster_mix"     -> clusterBalancedMixSql,
+    "q91_hard_negatives"  -> hardNegativesSql,
   )
 }
