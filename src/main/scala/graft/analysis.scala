@@ -1298,6 +1298,82 @@ object TextAnalysis {
       |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q89 — SUBSTRING-WINDOW DEDUP: exact duplicated-span detection at
+  // character grain — the distributed expression of suffix-based
+  // substring dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+  // Language Models Better"): a fixed-width character window (40 chars,
+  // stride 20) appearing verbatim in ≥2 DISTINCT documents marks a
+  // duplicated span. Finer than q69's line grain (catches shared spans
+  // that cross line boundaries or sit mid-line) and exact, unlike the
+  // MinHash/SimHash whole-doc estimates. Each document reports its
+  // window count, duplicated-window count, and duplicated fraction —
+  // the signal pipelines trim or drop on.
+  //
+  // Fixture: the corpus is word salad (no organic cross-doc spans), so
+  // the query builds a deterministic body with BOTH engines' string
+  // concat: a 40-char universal footer (duplicated corpus-wide), a
+  // 40-char 50-variant promo line (duplicated within its variant group
+  // — both the aligned promo window and the straddling footer/promo
+  // window), then the document's own text (unique). Stride-aligned
+  // 40-char blocks make the expected dup pattern exact: windows 0–2
+  // duplicated, the text tail unique.
+  //
+  // Scale shape (100 TB): the fan-out is ~2 windows per 40 chars (the
+  // inherent cost of substring-grain dedup — Lee et al. pay a suffix
+  // array for the same coverage). "Duplicated" needs only min(doc_id)
+  // <> max(doc_id) per window — partial min/max aggregation, NOT a
+  // countDistinct, so the hyper-frequent footer window contributes ONE
+  // buffer row per map partition to the exchange, never its full
+  // occurrence list. Three corpus-scale exchanges total: window-keyed
+  // aggregate, window-keyed fact⋈dup-set join (the dup set after the
+  // min<>max cut is small but corpus-proportional — NOT broadcastable
+  // at 100 TB, unlike q69's frequent-line set; the aggregate output is
+  // already partitioned on the join key so only the fact side moves,
+  // and hyper-frequent-window skew is AQE skew-join fodder with a
+  // deduped build side), then the doc_id regroup. In production the
+  // window text would be keyed as xxhash64(win) to shrink both
+  // exchanges 5× (collision-tolerable for dedup flagging); the oracle
+  // keys the raw text so both engines count identically.
+  // ---------------------------------------------------------------------
+
+  def windowDedup(s: SparkSession, d: String): DataFrame = {
+    val body = "concat('TERMS OF SERVICE APPLY - SEE FOOTER NOTE', " +
+      "'PROMO CODE ', lpad(cast(doc_id % 50 as string), 4, '0'), " +
+      "' REDEEM AT CHECKOUT TODAY', coalesce(text, ''))"
+    // persisted: feeds the dup-set aggregate AND the rebuild join
+    val wins = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .selectExpr("doc_id", s"$body as body")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, (length(body) - 40) div 20), " +
+          "i -> substring(body, cast(1 + i * 20 as int), 40))) as win")
+      .transform(Tables.maybePersist)
+    val dup = wins.groupBy("win")
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("dup"))
+      .filter(col("dup"))
+    wins.join(dup, Seq("win"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+           sum(when(col("dup"), 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .selectExpr("doc_id", "n_windows", "n_dup",
+        "floor(n_dup / cast(n_windows as double) * 1e6 + 0.5) / 1e6 as dup_ratio")
+  }
+
+  val windowDedupSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  'TERMS OF SERVICE APPLY - SEE FOOTER NOTE' || 'PROMO CODE ' ||
+      |  lpad((doc_id % 50)::VARCHAR, 4, '0') || ' REDEEM AT CHECKOUT TODAY' ||
+      |  coalesce(text, '') AS body FROM documents),
+      |w AS (SELECT doc_id, substring(body, (1 + i * 20)::INT, 40) AS win
+      |  FROM d, unnest(range(0, ((length(body) - 40) // 20) + 1)) AS t(i)),
+      |dup AS (SELECT win FROM w GROUP BY win HAVING MIN(doc_id) <> MAX(doc_id))
+      |SELECT w.doc_id, COUNT(*)::BIGINT AS n_windows,
+      |  SUM(CASE WHEN dup.win IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+      |  floor(SUM(CASE WHEN dup.win IS NOT NULL THEN 1 ELSE 0 END)
+      |    / COUNT(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS dup_ratio
+      |FROM w LEFT JOIN dup USING (win)
+      |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q49 — boilerplate detection: a 3-gram shingle is "boilerplate" when
   // it appears in ≥ 10 distinct documents; each document reports how much
   // of its shingle set is boilerplate (the repeated-template/footer
@@ -1974,6 +2050,7 @@ object TextAnalysis {
     "q73_token_pack" -> ((s, d) => sequencePackTokens(s, d)),
     "q74_lm_perplexity" -> ((s, d) => perplexityFilter(s, d)),
     "q78_dsir_weight" -> ((s, d) => dsirWeight(s, d)),
+    "q89_window_dedup" -> ((s, d) => windowDedup(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2007,5 +2084,6 @@ object TextAnalysis {
     "q73_token_pack" -> sequencePackTokensSql,
     "q74_lm_perplexity" -> perplexityFilterSql,
     "q78_dsir_weight" -> dsirWeightSql,
+    "q89_window_dedup" -> windowDedupSql,
   )
 }
