@@ -1374,6 +1374,144 @@ object TextAnalysis {
       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q90 — CURATION FUNNEL: the four selection stages a production corpus
+  // actually chains — quality gate (q71 rule battery) → exact-dedup keep
+  // (q22 key, lowest passing doc_id wins) → benchmark decontamination
+  // (q48 deny list) → classifier threshold (q72 score ≥ 0) — run as ONE
+  // operator emitting the per-stage attrition row (n_docs → n_gate →
+  // n_dedup → n_decon → n_final + surviving chars): the funnel report a
+  // curation dashboard reads, and the proof the engine's stages compose.
+  // Stage order is the production order (cheap row-local gates first,
+  // keyed dedup on the survivors, then the per-doc model scores).
+  //
+  // Scale shape (100 TB): fingerprint and classifier score are per-row
+  // text work FUSED into one typed mapPartitions pass (computing them as
+  // separate frames would mean re-joining the corpus to its own
+  // derivatives on doc_id — two corpus⋈corpus exchanges for signals
+  // derivable in the same scan); the gate battery is appended as
+  // codegen'd HOF expressions (qualityGateVerdict); `text` drops before
+  // the only corpus-keyed exchange (the dedup-key window over the slim
+  // flag frame); the deny list is eval-set-sized → broadcast; the final
+  // report is a singleton aggregate of boolean counters. Every stage
+  // verdict matches its standalone query bit-for-bit (same expressions,
+  // same integer/floor disciplines).
+  // ---------------------------------------------------------------------
+
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dim = clfDim
+    // one pass: q21 min-shingle fingerprint + q72 classifier verdict
+    val scored = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val w = Array.tabulate(dim)(j =>
+          (((j.toLong * 1103515245L + 12345L) % 1000L) - 500L) / 1000.0)
+        def bucket(f: String): Int = {
+          val dg = md.digest(f.getBytes("UTF-8"))
+          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+        }
+        it.map { case (id, text, nChars) =>
+          val toks = text.split(" ", -1)
+          val cnt = new Array[Double](dim)
+          var n = 0L
+          var i = 0
+          while (i < toks.length) { cnt(bucket(toks(i))) += 1.0; n += 1; i += 1 }
+          i = 0
+          while (i + 1 < toks.length) {
+            cnt(bucket(toks(i) + "_" + toks(i + 1))) += 1.0; n += 1; i += 1
+          }
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += cnt(j) * w(j); j += 1 }
+          val score = math.floor(dot / n * 1e6 + 0.5) / 1e6
+          (id, text, nChars, minShingleHashOf(md, text), score >= 0)
+        }
+      }
+      .toDF("doc_id", "text", "n_chars", "fp", "clf_pass")
+    // persisted: the deny build side AND the funnel probe share it
+    val slim = qualityGateVerdict(scored)
+      .selectExpr("doc_id", "n_chars", "fp", "clf_pass", "pass",
+        "concat_ws(' ', slice(split(text, ' '), 1, 2)) as dkey")
+      .transform(Tables.maybePersist)
+    val deny = slim.filter(col("doc_id") % 20 === 0 && col("fp").isNotNull)
+      .select(col("fp").as("deny_fp")).distinct()
+    val flagged = slim
+      .join(broadcast(deny), col("fp") === col("deny_fp"), "left")
+      .withColumn("keep_id",
+        min(when(col("pass"), col("doc_id"))).over(Window.partitionBy(col("dkey"))))
+      .selectExpr("n_chars",
+        "pass as s1",
+        "pass and doc_id = keep_id as s2",
+        "pass and doc_id = keep_id and deny_fp is null as s3",
+        "pass and doc_id = keep_id and deny_fp is null and clf_pass as s4")
+    flagged.groupBy()
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("s1"), 1L).otherwise(0L)).cast("long").as("n_gate"),
+           sum(when(col("s2"), 1L).otherwise(0L)).cast("long").as("n_dedup"),
+           sum(when(col("s3"), 1L).otherwise(0L)).cast("long").as("n_decon"),
+           sum(when(col("s4"), 1L).otherwise(0L)).cast("long").as("n_final"),
+           coalesce(sum(when(col("s4"), col("n_chars"))), lit(0L))
+             .cast("long").as("kept_chars"))
+  }
+
+  val curationFunnelSql: String =
+    s"""WITH t AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, n_chars, toks,
+       |  concat_ws(' ', toks[1], toks[2]) AS dkey,
+       |  len(toks)::BIGINT AS n_words,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) AS sum_word_chars,
+       |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
+       |  len(list_intersect(list_distinct(toks), ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop_kinds,
+       |  len(list_filter(toks, x -> regexp_matches(x, '^[^a-z0-9]+$$')))::BIGINT AS n_symbol_words
+       |  FROM t),
+       |gp AS (SELECT doc_id, n_chars, dkey,
+       |  (n_words >= 50 AND n_words <= 100000
+       |    AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
+       |    AND 5 * n_alpha_words >= 4 * n_words
+       |    AND n_stop_kinds >= 1
+       |    AND 10 * n_symbol_words <= n_words) AS pass
+       |  FROM g),
+       |fpx AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+       |    list_aggregate(list_transform(range(1, len(toks) - 1),
+       |      i -> substr(md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]), 1, 16)), 'min')
+       |  ELSE NULL END AS fp FROM t),
+       |deny AS (SELECT DISTINCT fp FROM fpx WHERE doc_id % 20 = 0 AND fp IS NOT NULL),
+       |cf AS (SELECT doc_id, list_concat(toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])) AS feats FROM t),
+       |cc AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
+       |    list_transform(range(0, $clfDim), j ->
+       |      len(list_filter(feats, g2 -> ('0x' || substr(md5(g2), 1, 8))::BIGINT % $clfDim = j))::DOUBLE) AS cnt
+       |  FROM cf),
+       |csc AS (SELECT doc_id,
+       |    floor(list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range(1, ${clfDim + 1}), i -> cnt[i] *
+       |          (((((i - 1) * 1103515245 + 12345) % 1000) - 500) / 1000.0))), (a, b) -> a + b)
+       |      / n_feats::DOUBLE * 1e6 + 0.5) / 1e6 >= 0 AS clf_pass
+       |  FROM cc),
+       |k AS (SELECT gp.doc_id, gp.n_chars, gp.pass, fpx.fp, csc.clf_pass,
+       |    MIN(CASE WHEN gp.pass THEN gp.doc_id END) OVER (PARTITION BY gp.dkey) AS keep_id
+       |  FROM gp JOIN fpx USING (doc_id) JOIN csc USING (doc_id)),
+       |f AS (SELECT n_chars,
+       |    pass AS s1,
+       |    pass AND doc_id = keep_id AS s2,
+       |    pass AND doc_id = keep_id
+       |      AND NOT EXISTS (SELECT 1 FROM deny WHERE deny.fp = k.fp) AS s3,
+       |    pass AND doc_id = keep_id
+       |      AND NOT EXISTS (SELECT 1 FROM deny WHERE deny.fp = k.fp) AND clf_pass AS s4
+       |  FROM k)
+       |SELECT COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n_gate,
+       |  SUM(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n_dedup,
+       |  SUM(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n_decon,
+       |  SUM(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n_final,
+       |  coalesce(SUM(CASE WHEN s4 THEN n_chars END), 0)::BIGINT AS kept_chars
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q49 — boilerplate detection: a 3-gram shingle is "boilerplate" when
   // it appears in ≥ 10 distinct documents; each document reports how much
   // of its shingle set is boilerplate (the repeated-template/footer
@@ -2051,6 +2189,7 @@ object TextAnalysis {
     "q74_lm_perplexity" -> ((s, d) => perplexityFilter(s, d)),
     "q78_dsir_weight" -> ((s, d) => dsirWeight(s, d)),
     "q89_window_dedup" -> ((s, d) => windowDedup(s, d)),
+    "q90_curation_funnel" -> ((s, d) => curationFunnel(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2085,5 +2224,6 @@ object TextAnalysis {
     "q74_lm_perplexity" -> perplexityFilterSql,
     "q78_dsir_weight" -> dsirWeightSql,
     "q89_window_dedup" -> windowDedupSql,
+    "q90_curation_funnel" -> curationFunnelSql,
   )
 }
