@@ -1048,6 +1048,118 @@ object Similarity {
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Componentwise exact sum of pre-quantized long vectors — the
+    * map-side-combining reduction under the q92 power iteration: one
+    * 64-long buffer per map partition crosses the exchange, never
+    * (row, dim) pairs. Zero-length buffer = additive zero. */
+  object VecLongSum extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.empty[Long]
+    def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+      if (b.isEmpty) a.clone()
+      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      if (x.isEmpty) y else if (y.isEmpty) x else reduce(x, y)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  // ---------------------------------------------------------------------
+  // q92 — PCA TOP COMPONENT via power iteration: the principal direction
+  // of the (centered) embedding corpus — the spectral step of embedding
+  // curation (whitening/decorrelation before clustering, domain-shift
+  // visualization, the rotation PQ/OPQ indexes precompute). Three fixed
+  // rounds of v ← normalize(C·v) starting from e₀, with C·v computed
+  // implicitly as (1/n)·Σᵢ (eᵢ−μ)((eᵢ−μ)·v) — the covariance matrix is
+  // NEVER materialized (d² driver state, not n·d² corpus work). Output:
+  // per-dim mean and PC-1 loading.
+  //
+  // Scale shape (100 TB): μ is the q28 VecCentroid decimal-exact mean
+  // (one pass, 64-decimal buffers per partition); each iteration is ONE
+  // corpus pass whose only exchange is the [[VecLongSum]] singleton
+  // aggregate (one 64-long buffer per map partition); the 64-double
+  // iterate lives driver-side (O(d) state — the fit-then-stream
+  // discipline, like the classifier weights and LM fit). Total
+  // iters+2 passes over the persisted projection, zero corpus shuffles.
+  // Further PCs = deflation (subtract λ·vvᵀ contributions per row) with
+  // the same machinery.
+  //
+  // Cross-engine determinism: the centered dot (eᵢ−μ)·v folds
+  // left-to-right per row (bit-identical both engines); each per-row
+  // product (eᵢⱼ−μⱼ)·c quantizes to micro-units via floor(x·1e6 + 0.5)
+  // BEFORE the sum (the q74 integer-sum rule — no order-dependent
+  // double accumulation crosses the aggregate); the normalize step is
+  // the same left-to-right norm fold and division in both engines. The
+  // oracle unrolls the three rounds as chained CTEs (the q84 idiom).
+  // ---------------------------------------------------------------------
+
+  def pcaPower(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val embDf = Tables.embeddings(s, d).select(col("embedding"))
+      .transform(Tables.maybePersist)
+    val emb = embDf.as[Array[Float]]
+    val n = embDf.count()
+    val mu: Array[Double] = emb.select(VecCentroid.toColumn).head()
+    val dims = mu.length
+    var v = Array.tabulate(dims)(j => if (j == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val muL = mu
+      val vL = v
+      val sums = emb.mapPartitions { it =>
+        it.map { e =>
+          var c = 0.0
+          var j = 0
+          while (j < e.length) { c += (e(j).toDouble - muL(j)) * vL(j); j += 1 }
+          val out = new Array[Long](e.length)
+          j = 0
+          while (j < e.length) {
+            out(j) = math.floor((e(j).toDouble - muL(j)) * c * 1e6 + 0.5).toLong
+            j += 1
+          }
+          out
+        }
+      }.select(VecLongSum.toColumn).head()
+      val u = sums.map(x => x / 1e6 / n)
+      val nrm = math.sqrt(u.foldLeft(0.0)((a, y) => a + y * y))
+      v = u.map(_ / nrm)
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    (0 until dims).map(j => (j.toLong, r6(mu(j)), r6(v(j))))
+      .toDF("dim", "mu", "loading")
+  }
+
+  val pcaPowerSql: String = {
+    def iter(i: Int, prevV: String): String =
+      s"""c$i AS (SELECT embedding, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      j -> (embedding[j]::DOUBLE - mu[j]) * v[j])), (a, b) -> a + b) AS c
+         |  FROM embeddings, muA, $prevV),
+         |s$i AS (SELECT (j - 1) AS dim,
+         |    SUM(CAST(floor((embedding[j]::DOUBLE - mu[j]) * c * 1e6 + 0.5) AS BIGINT)) AS sq
+         |  FROM (SELECT embedding, c, unnest(range(1, len(embedding) + 1)) AS j FROM c$i), muA
+         |  GROUP BY j),
+         |u$i AS (SELECT list(sq / 1e6 / (SELECT n FROM n) ORDER BY dim) AS u FROM s$i),
+         |v$i AS (SELECT list_transform(u, x -> x / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(u, y -> y * y)), (a, b) -> a + b))) AS v FROM u$i)""".stripMargin
+    s"""WITH n AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+       |md AS (SELECT (i - 1) AS dim,
+       |    CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+       |  GROUP BY i),
+       |muA AS (SELECT list(m ORDER BY dim) AS mu FROM md),
+       |v0 AS (SELECT list_transform(range(1, len(mu) + 1),
+       |    j -> CASE WHEN j = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS v FROM muA),
+       |${iter(1, "v0")},
+       |${iter(2, "v1")},
+       |${iter(3, "v2")}
+       |SELECT md.dim::BIGINT AS dim, floor(md.m * 1e6 + 0.5) / 1e6 AS mu,
+       |  floor(v3.v[(md.dim + 1)::INT] * 1e6 + 0.5) / 1e6 AS loading
+       |FROM md, v3 ORDER BY dim""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // q80 — SemDeDup AUDIT: the q79 seeded-recall protocol applied to the
   // semantic stack. q75 is approximate in exactly one place — a near-dup
@@ -1455,6 +1567,7 @@ object Similarity {
     "q87_int8_search"     -> ((s, d) => int8Search(s, d)),
     "q88_cluster_mix"     -> ((s, d) => clusterBalancedMix(s, d)),
     "q91_hard_negatives"  -> ((s, d) => hardNegatives(s, d)),
+    "q92_pca_power"       -> ((s, d) => pcaPower(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1473,5 +1586,6 @@ object Similarity {
     "q87_int8_search"     -> int8SearchSql,
     "q88_cluster_mix"     -> clusterBalancedMixSql,
     "q91_hard_negatives"  -> hardNegativesSql,
+    "q92_pca_power"       -> pcaPowerSql,
   )
 }
