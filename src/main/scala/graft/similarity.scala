@@ -719,6 +719,54 @@ object Similarity {
        |FROM kk GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  /** Fit the q88 per-cluster keep rates offline (k rows — driver-sized
+    * by construction), for the online mixing leg: returns the fitted
+    * cells plus cid → keep_micro, derived with EXACTLY the batch
+    * expressions (same integer quantization, same floor discipline). */
+  def fitClusterRates(s: SparkSession, d: String, k: Int = 10,
+                      iters: Int = 3): (Array[KmCell], Map[Int, Long]) = {
+    import s.implicits._
+    val (emb, cells) = kmFitFrames(s, d, k, iters)
+    val stats = kmAssign(emb, cells).groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"))
+      .selectExpr("cid", "n_vecs",
+        "cast(floor(sqrt(cast(n_vecs as double)) * 1e6 + 0.5) as bigint) as q")
+      .transform(Tables.maybePersist)
+    val totals = stats.agg(sum(col("q")).as("q_total"), sum(col("n_vecs")).as("vecs_total"))
+    val rates = stats.crossJoin(broadcast(totals))
+      .selectExpr("cid",
+        """cast(floor(least(1.0D, (cast(q as double) / cast(q_total as double)
+          |  * cast(cast(floor(cast(vecs_total as double) / 2) as bigint) as double))
+          |  / cast(n_vecs as double)) * 1e6 + 0.5) as bigint) as keep_micro"""
+          .stripMargin.replace("\n", " "))
+      .as[(Int, Long)].collect().toMap
+    val fitted = cells.selectExpr("explode(cells) as x")
+      .selectExpr("x.cid", "x.c", "x.cc")
+      .as[(Int, Array[Double], Double)]
+      .collect().sortBy(_._1)
+      .map { case (cid, c, cc) => KmCell(cid, c, cc) }
+    (fitted, rates)
+  }
+
+  /** q88's keep decision as a stateless per-row transform for the online
+    * curation leg: route the vector with the SAME compiled assignment
+    * the batch/stream q84 leg uses ([[kmeansAssignVerdict]]), then apply
+    * the offline-fitted rate via the q51 md5-bucket keep — no RNG, so a
+    * replayed row gets the same verdict (at-least-once safe). The rate
+    * table rides a k-entry literal map expression (codegen'd), the
+    * corpus crosses zero exchanges. */
+  def clusterMixVerdict(df: DataFrame, cells: Array[KmCell],
+                        rates: Map[Int, Long]): DataFrame = {
+    val rateMap = map(rates.toSeq.sortBy(_._1).flatMap {
+      case (cid, micro) => Seq(lit(cid), lit(micro)) }: _*)
+    val bucket =
+      "cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 1000000"
+    kmeansAssignVerdict(df, cells)
+      .withColumn("keep_micro", element_at(rateMap, col("cid")))
+      .selectExpr("vec_id", "cid",
+        s"case when $bucket < keep_micro then true else false end as kept")
+  }
+
   // ---------------------------------------------------------------------
   // q75 — SemDeDup-style semantic deduplication (Abbas et al. 2023): route
   // every embedding to its nearest codebook cell, then prune within-cell

@@ -546,6 +546,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "online assignment != batch expression on identical vectors")
   }
 
+  test("clusterMixVerdict applies offline-fitted rates in a stream; per-cluster totals == batch q88") {
+    // the q88 online form: cells AND the k-row rate table fit offline
+    // (fitClusterRates, same integer/floor expressions as the batch
+    // query), keep decision per-row md5-bucket — replay-stable, no RNG
+    val (cells, rates) = Similarity.fitClusterRates(spark, sf)
+    assert(rates.nonEmpty && rates.values.forall(m => m >= 0L && m <= 1000000L))
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.clusterMixVerdict(
+        in.toDF().toDF("vec_id", "embedding"), cells, rates)
+      .writeStream.format("memory").queryName("cmixverdict")
+      .outputMode("append").start()
+    // two micro-batches: the per-row decision must not depend on batching
+    in.addData(rows.take(100): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(100): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cmixverdict")
+      .groupBy("cid").agg(count(lit(1)).as("n_vecs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_sampled"))
+      .select("cid", "n_vecs", "n_sampled").as[(Int, Long, Long)].collect().toSet
+    val batch = Similarity.clusterBalancedMix(spark, sf)
+      .select("cid", "n_vecs", "n_sampled").as[(Int, Long, Long)].collect().toSet
+    assert(got == batch, "streamed per-cluster keep totals != batch q88")
+    assert(got.exists(_._3 > 0L) && got.exists(t => t._3 < t._2),
+      "fixture must exercise a non-trivial keep split")
+  }
+
   test("gate→classifier→mix→pack: the four-stage curation leg as ONE streaming query; == batch model") {
     // r11: the q72 scorer joins the continuous curation leg via
     // classifierVerdict (weights in the closure, zero extra plan nodes).
