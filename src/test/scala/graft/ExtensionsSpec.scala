@@ -995,6 +995,78 @@ class ExtensionsSpec extends SparkSpec {
       s"rates not monotone vs size: ${bySize.map(r => (r._2, r._4)).toSeq}")
   }
 
+  test("q89: window dedup — planted spans flagged, window count matches the body arithmetic") {
+    // fixture bodies: 40-char universal footer + 40-char 50-variant
+    // promo + text. Stride alignment makes exactly windows 0-2 shared
+    // (footer / footer+promo straddle / promo; every doc_id%50 group
+    // has >= 2 members at any tested SF) and the text tail unique
+    // unless the corpus carries organic cross-doc spans.
+    val rows = TextAnalysis.windowDedup(spark, sf)
+      .select("doc_id", "n_windows", "n_dup").as[(Long, Long, Long)].collect()
+    val lens = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap.view.mapValues(_.length).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nw, nd) =>
+      assert(nw == (80L + lens(id) - 40L) / 20L + 1L,
+        s"doc $id window count $nw != body arithmetic")
+      assert(nd >= 3L, s"doc $id missed a planted duplicated span ($nd)")
+      assert(nd <= nw)
+    }
+  }
+
+  test("q90: curation funnel — monotone attrition, stage counts match the standalone operators") {
+    val Array((nDocs, nGate, nDedup, nDecon, nFinal, kept)) =
+      TextAnalysis.curationFunnel(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(nDocs >= nGate && nGate >= nDedup && nDedup >= nDecon && nDecon >= nFinal,
+      s"funnel not monotone: $nDocs/$nGate/$nDedup/$nDecon/$nFinal")
+    assert(nFinal > 0 && kept > 0, "fixture must keep a non-empty final slice")
+    // stage 0/1 match the standalone corpus count and q71 gate exactly
+    assert(nDocs == Tables.documents(spark, sf).count())
+    assert(nGate == TextAnalysis.qualityGate(spark, sf)
+      .filter(col("pass")).count(), "funnel gate != standalone q71 pass count")
+    // every stage must actually bite on the fixture (a stage that drops
+    // nothing is a vacuous composition test)
+    assert(nGate < nDocs && nDedup < nGate && nDecon < nDedup && nFinal < nDecon)
+  }
+
+  test("q91: hard negatives == brute-force different-label top-5; labels genuinely differ") {
+    val got = Similarity.hardNegatives(spark, sf)
+      .select("q_id", "rank", "vec_id", "neg_label")
+      .as[(Long, Int, Long, Int)].collect()
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val labels = emb.map(t => t._1 -> t._2).toMap
+    val anchors = emb.filter(_._1 < 10)
+    assert(got.forall { case (q, _, v, nl) =>
+      labels(v) == nl && nl != labels(q) }, "a negative shares its anchor's label")
+    // driver-side brute force with the same fold arithmetic
+    val expected = anchors.flatMap { case (qid, qlab, qe) =>
+      emb.filter(t => t._1 != qid && t._2 != qlab)
+        .map(t => (qid, t._1, cos(qe.toSeq, t._3.toSeq)))
+        .sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((q, v, _), i) => (q, i + 1, v) }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == expected,
+      "hard negatives != brute-force different-label top-5")
+  }
+
+  test("q92: PCA loading is unit-norm, not the start vector, and deterministic") {
+    val a = Similarity.pcaPower(spark, sf)
+      .select("dim", "loading").as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.length == 64)
+    val norm = a.map(_._2).map(x => x * x).sum
+    // components round to 1e-6 for display; 64 dims of rounding slack
+    assert(math.abs(norm - 1.0) < 1e-3, s"loading norm^2 = $norm")
+    assert(a.count(_._2 != 0.0) > 1, "iteration never left the start vector e0")
+    val b = Similarity.pcaPower(spark, sf)
+      .select("dim", "loading").as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.map(_._2).map(java.lang.Double.doubleToLongBits).toSeq ==
+      b.map(_._2).map(java.lang.Double.doubleToLongBits).toSeq,
+      "power iteration must be bit-deterministic across runs")
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous

@@ -228,5 +228,26 @@ object PlanBudgetSpec {
     // codebook crossJoins (one per assignment pass); 5 scans = file +
     // 4 in-memory passes over the persisted corpus frame
     "q84_kmeans" -> Shape(shuffles = 7, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 4, scans = 5),
+    // q89 (r12): substring-window dedup — ONE visible keyed exchange at
+    // fixture scale (window-df aggregate; AQE broadcasts the post-cut
+    // dup set here, and the doc regroup reuses the fan-out
+    // partitioning). At 100 TB the dup-set join adds its keyed exchange
+    // — the documented 3-exchange shape; the ceiling pins the fixture
+    // plan so an injected rejoin still trips scans/joins
+    "q89_window_dedup" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q90 (r12): curation funnel — the fused per-row pass, ONE
+    // corpus-keyed exchange (the dedup-key window over the slim frame),
+    // the broadcast deny join, and the singleton report aggregate
+    "q90_curation_funnel" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q91 (r12): hard negatives — TopKCos keyed exchange of 10 five-row
+    // buffers; the anchor frame and the ≤50-row label fetch ride
+    // broadcasts (the crossJoin is the one-row-side BNLJ)
+    "q91_hard_negatives" -> Shape(shuffles = 1, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
+    // q92 (r12): PCA power iteration — the RETURNED frame is the 64-row
+    // driver-built result (all zeros by construction); the corpus work
+    // runs in the fit jobs (VecCentroid + 3 VecLongSum singleton
+    // aggregates over the persisted projection), each a zero-shuffle
+    // scan + one-buffer-per-partition reduction, not visible here
+    "q92_pca_power" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
   )
 }
