@@ -783,6 +783,122 @@ object TextAnalysis {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q93 — HEAVY HITTERS via a mergeable Misra-Gries summary: the
+  // bounded-memory frequent-items sketch (Misra & Gries 1982; mergeable
+  // form per Agarwal et al., "Mergeable Summaries", PODS 2012) — the
+  // missing member of the suite's sketch family (q64 quantiles, q65
+  // HLL, q66 Bloom). At 100 TB the exact token-frequency top-k (q56)
+  // costs a token-keyed shuffle of the whole stream; the MG summary
+  // costs ONE ≤k-counter buffer per map partition with a merge tree,
+  // and still guarantees: every item with true count > n/(k+1) is
+  // present, with est ∈ [true − n/(k+1), true].
+  //
+  // Fixture: the corpus vocabulary is 31 near-uniform words — no head —
+  // so the query plants one (the q61/q69/q89 idiom): each doc appends
+  // ⌊n_chars/4⌋ copies of its `hot-(doc_id%4)` tag, giving 4 heavy
+  // tokens (~14% of the stream each) over the 35-token alphabet. With
+  // k = 16 < 35 the decrement path genuinely fires and exactly the four
+  // hot tags clear the n/17 guarantee bar.
+  //
+  // Verdict-pinned oracle (the q64/q65 discipline): summary CONTENT
+  // depends on partition/merge order, so the output carries the exact
+  // counts of the guaranteed set plus two contract verdicts —
+  // membership (guaranteed item present in the summary) and the error
+  // bound (0 ≤ exact − est ≤ n/(k+1), integer-exact as cross-
+  // multiplied comparisons) — which a correct sketch earns as TRUE on
+  // every row regardless of merge order. Production ships ONLY the
+  // sketch pass; the exact side here is the harness's yardstick.
+  // ---------------------------------------------------------------------
+
+  private[graft] val mgK = 16
+
+  /** Mergeable Misra-Gries buffer: stream length + ≤k counters
+    * (Kryo-encoded; one per map partition crosses the exchange). */
+  case class MgBuf(var n: Long, cnt: scala.collection.mutable.HashMap[String, Long])
+
+  object MisraGries extends org.apache.spark.sql.expressions.Aggregator[
+      Array[String], MgBuf, Map[String, Long]] {
+    def zero: MgBuf = MgBuf(0L, scala.collection.mutable.HashMap.empty)
+    def reduce(b: MgBuf, toks: Array[String]): MgBuf = {
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        b.n += 1
+        b.cnt.get(t) match {
+          case Some(c) => b.cnt(t) = c + 1
+          case None if b.cnt.size < mgK => b.cnt(t) = 1L
+          case None => // classic decrement step: all counters down one
+            val dead = b.cnt.iterator.flatMap { case (k, c) =>
+              if (c == 1L) Some(k) else { b.cnt(k) = c - 1; None } }.toList
+            dead.foreach(b.cnt.remove)
+        }
+        i += 1
+      }
+      b
+    }
+    def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      // pairwise counter sum, then subtract the (k+1)-th largest and
+      // drop non-positives — the PODS'12 merge that preserves the
+      // eps·n = n/(k+1) bound across any merge tree
+      y.cnt.foreach { case (k, c) => x.cnt(k) = x.cnt.getOrElse(k, 0L) + c }
+      if (x.cnt.size > mgK) {
+        val cut = x.cnt.values.toArray.sortBy(-_).apply(mgK)
+        val dead = x.cnt.iterator.flatMap { case (k, c) =>
+          if (c - cut <= 0L) Some(k) else { x.cnt(k) = c - cut; None } }.toList
+        dead.foreach(x.cnt.remove)
+      }
+      x.n += y.n
+      x
+    }
+    def finish(b: MgBuf): Map[String, Long] = b.cnt.toMap
+    def bufferEncoder: org.apache.spark.sql.Encoder[MgBuf] =
+      org.apache.spark.sql.Encoders.kryo[MgBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** The q93 planted-head token stream, shared by the sketch pass, the
+    * exact yardstick, and the spec's driver model. */
+  private[graft] def hotTokenStream(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .selectExpr(
+        """concat(split(text, ' '),
+          |  array_repeat(concat('hot-', cast(doc_id % 4 as string)),
+          |    cast(n_chars div 4 as int))) as toks"""
+          .stripMargin.replace("\n", " "))
+
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = hotTokenStream(s, d).transform(Tables.maybePersist)
+    val est = toks.as[Array[String]].select(MisraGries.toColumn).head()
+    val estLit = map(est.toSeq.sortBy(_._1).flatMap {
+      case (t, c) => Seq(lit(t), lit(c)) }: _*)
+    val exact = toks.selectExpr("explode(toks) as tok")
+      .groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val totals = exact.agg(sum(col("exact_cnt")).as("n"))
+    exact.crossJoin(broadcast(totals))
+      .filter(col("exact_cnt") * (mgK + 1) > col("n"))
+      .withColumn("est", element_at(estLit, col("tok")))
+      .selectExpr("tok", "exact_cnt",
+        "est is not null as in_summary",
+        s"""est is not null and est <= exact_cnt
+           |and (exact_cnt - est) * ${mgK + 1} <= n as est_ok"""
+          .stripMargin.replace("\n", " "))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH d AS (SELECT doc_id, list_concat(string_split(text, ' '),
+       |    list_transform(range(0, n_chars // 4),
+       |      x -> 'hot-' || (doc_id % 4)::VARCHAR)) AS toks FROM documents),
+       |tk AS (SELECT unnest(toks) AS tok FROM d),
+       |c AS (SELECT tok, COUNT(*)::BIGINT AS exact_cnt FROM tk GROUP BY tok),
+       |t AS (SELECT SUM(exact_cnt)::BIGINT AS n FROM c)
+       |SELECT tok, exact_cnt, TRUE AS in_summary, TRUE AS est_ok
+       |FROM c, t WHERE exact_cnt * ${mgK + 1} > n
+       |ORDER BY exact_cnt DESC, tok""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q48 — benchmark decontamination: drop every corpus document whose
   // content fingerprint collides with an "eval set" denylist (here:
   // every 20th doc's q21 min-shingle fingerprint — a deterministic
@@ -2190,6 +2306,7 @@ object TextAnalysis {
     "q78_dsir_weight" -> ((s, d) => dsirWeight(s, d)),
     "q89_window_dedup" -> ((s, d) => windowDedup(s, d)),
     "q90_curation_funnel" -> ((s, d) => curationFunnel(s, d)),
+    "q93_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2225,5 +2342,6 @@ object TextAnalysis {
     "q78_dsir_weight" -> dsirWeightSql,
     "q89_window_dedup" -> windowDedupSql,
     "q90_curation_funnel" -> curationFunnelSql,
+    "q93_heavy_hitters" -> heavyHittersSql,
   )
 }

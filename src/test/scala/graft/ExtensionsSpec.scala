@@ -1067,6 +1067,40 @@ class ExtensionsSpec extends SparkSpec {
       "power iteration must be bit-deterministic across runs")
   }
 
+  test("q93: Misra-Gries summary is bounded, decrements fire, guarantee holds vs exact counts") {
+    import TextAnalysis.{mgK, MisraGries}
+    val toks = TextAnalysis.hotTokenStream(spark, sf)
+      .as[Array[String]].collect()
+    val est = TextAnalysis.hotTokenStream(spark, sf)
+      .as[Array[String]].select(MisraGries.toColumn).head()
+    val exact = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.iterator.map(_.length.toLong).sum
+    assert(est.size <= mgK, s"summary exceeded its ${mgK}-counter bound: ${est.size}")
+    assert(exact.size > mgK, "fixture must overflow the counters or the decrement path is untested")
+    assert(exact.keys.exists(t => !est.contains(t)),
+      "bounded memory unproven: every stream token fit in the summary")
+    val bar = n / (mgK + 1).toLong
+    val guaranteed = exact.filter(_._2 > bar)
+    assert(guaranteed.keySet == (0 to 3).map(i => s"hot-$i").toSet,
+      s"fixture head must be exactly the four hot tags: ${guaranteed.keySet}")
+    guaranteed.foreach { case (t, c) =>
+      val e = est.getOrElse(t, fail(s"guaranteed item $t missing from summary"))
+      assert(e <= c && (c - e) <= bar, s"$t: est $e vs exact $c breaks the n/(k+1) bound")
+    }
+    // merge semantics unit check: combined counters minus the (k+1)-th
+    // largest, non-positives dropped (the PODS'12 mergeable step)
+    def buf(m: (String, Long)*): TextAnalysis.MgBuf =
+      TextAnalysis.MgBuf(m.map(_._2).sum, scala.collection.mutable.HashMap(m: _*))
+    val x = buf((1 to mgK).map(i => s"a$i" -> i.toLong): _*)
+    val y = buf((1 to mgK).map(i => s"b$i" -> i.toLong): _*)
+    val m = MisraGries.merge(x, y)
+    val cut = (1 to mgK).flatMap(i => Seq(i.toLong, i.toLong)).sortBy(-_).apply(mgK)
+    assert(m.cnt.size <= mgK)
+    assert(m.cnt.forall { case (k0, c) =>
+      val orig = k0.substring(1).toInt.toLong
+      c == orig - cut && c > 0L })
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous

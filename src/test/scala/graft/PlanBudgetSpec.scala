@@ -243,6 +243,12 @@ object PlanBudgetSpec {
     // buffers; the anchor frame and the ≤50-row label fetch ride
     // broadcasts (the crossJoin is the one-row-side BNLJ)
     "q91_hard_negatives" -> Shape(shuffles = 1, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
+    // q93 (r12): heavy hitters — the sketch pass is a singleton typed
+    // aggregate (one buffer per partition); the visible exchanges are
+    // the exact-yardstick token groupBy + its one-row total broadcast
+    // (4 shuffles = gated fan-out + token groupBy + total agg + the
+    // presentation sort's range exchange)
+    "q93_heavy_hitters" -> Shape(shuffles = 4, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
     // q92 (r12): PCA power iteration — the RETURNED frame is the 64-row
     // driver-built result (all zeros by construction); the corpus work
     // runs in the fit jobs (VecCentroid + 3 VecLongSum singleton
