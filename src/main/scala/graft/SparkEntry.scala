@@ -40,6 +40,7 @@ object SparkEntry {
     "q36_range_join"       -> ((s, d) => RelOps.purchaseClickWindow(s, d)),
     "q76_ab_ttest"         -> ((s, d) => RelOps.abTest(s, d)),
     "q77_ab_chisq"         -> ((s, d) => RelOps.abChiSq(s, d)),
+    "q94_psi_drift"        -> ((s, d) => RelOps.psiDrift(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ MediaOps.queries ++ Enrich.queries ++ Routing.queries
@@ -208,6 +209,7 @@ object SparkEntry {
         |ORDER BY p.p_event_id""".stripMargin,
     "q76_ab_ttest" -> RelOps.abTestSql,
     "q77_ab_chisq" -> RelOps.abChiSqSql,
+    "q94_psi_drift" -> RelOps.psiDriftSql,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
     Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle ++ Routing.oracle
 }

@@ -611,6 +611,86 @@ object RelOps {
       |  chi2 >= 3.841 AS significant
       |FROM r ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q94 — POPULATION-STABILITY-INDEX drift monitor: per event_type, PSI
+  // between every pair of consecutive weekly windows over the `value`
+  // distribution — the standard data-quality dial a training pipeline
+  // watches for input drift (features, label rates, telemetry) before a
+  // model silently degrades. value range is binned into 10 equal-width
+  // buckets over the GLOBAL [min, max] (one-row broadcast — the fixed
+  // reference frame PSI needs); per-bin shares are Laplace-smoothed
+  // ((cnt+1)/(tot+10), every bin defined — no zero-share special case),
+  // and PSI = Σ_b (p_to − p_from)·ln(p_to/p_from), each term ≥ 0.
+  // Flag at the industry 0.2 threshold.
+  //
+  // Scale shape (100 TB): ONE corpus-keyed exchange (the (type, week,
+  // bin) count aggregate, map-side combined); everything downstream —
+  // dense 10-bin expansion, consecutive-week self-join, the PSI fold —
+  // operates on the aggregate (types × weeks × 10 rows). Determinism:
+  // counts are exact longs; each bin's term is micro-quantized
+  // (floor(x·1e6 + 0.5) BIGINT) before the sum — the q74 rule, with the
+  // same ~1-ulp-ln-on-a-1e-6-grid argument; smoothed shares are double
+  // divisions of exact integers, identical both engines.
+  // ---------------------------------------------------------------------
+
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).selectExpr("event_type", "ts_us", "value")
+    val ext = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val counts = ev.crossJoin(broadcast(ext))
+      .selectExpr("event_type", "ts_us div 604800000000 as week",
+        "least(9, cast(floor((value - vmin) * 10.0 / (vmax - vmin)) as int)) as bin")
+      .groupBy("event_type", "week", "bin").agg(count(lit(1)).as("cnt"))
+      .transform(Tables.maybePersist)
+    val dense = counts.groupBy("event_type", "week").agg(sum(col("cnt")).as("tot"))
+      .selectExpr("event_type", "week", "tot", "explode(sequence(0, 9)) as bin")
+      .join(counts, Seq("event_type", "week", "bin"), "left")
+      .selectExpr("event_type", "week", "tot", "bin", "coalesce(cnt, 0L) as cnt")
+    val from = dense.selectExpr("event_type", "week as week_from", "bin",
+      "cnt as cnt_f", "tot as tot_f")
+    val to = dense.selectExpr("event_type", "week - 1 as week_from", "bin",
+      "cnt as cnt_t", "tot as tot_t")
+    from.join(to, Seq("event_type", "week_from", "bin"))
+      .selectExpr("event_type", "week_from", "week_from + 1 as week_to",
+        "tot_f", "tot_t",
+        """cast(floor((
+          |  (cnt_t + 1) / cast(tot_t + 10 as double)
+          |  - (cnt_f + 1) / cast(tot_f + 10 as double))
+          |  * ln(((cnt_t + 1) / cast(tot_t + 10 as double))
+          |       / ((cnt_f + 1) / cast(tot_f + 10 as double)))
+          |  * 1e6 + 0.5) as bigint) as term_micro"""
+          .stripMargin.replace("\n", " "))
+      .groupBy("event_type", "week_from", "week_to", "tot_f", "tot_t")
+      .agg(sum(col("term_micro")).as("psi_micro"))
+      .selectExpr("event_type", "week_from", "week_to",
+        "tot_f as n_from", "tot_t as n_to",
+        "psi_micro / 1e6 as psi", "psi_micro >= 200000 as drift")
+  }
+
+  val psiDriftSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+      |x AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM e),
+      |c AS (SELECT event_type, ts_us // 604800000000 AS week,
+      |    least(9, floor((value - vmin) * 10.0 / (vmax - vmin))::INT) AS bin,
+      |    COUNT(*)::BIGINT AS cnt
+      |  FROM e, x GROUP BY 1, 2, 3),
+      |t AS (SELECT event_type, week, SUM(cnt)::BIGINT AS tot FROM c GROUP BY 1, 2),
+      |dn AS (SELECT g.event_type, g.week, g.tot, g.bin, coalesce(c.cnt, 0) AS cnt
+      |  FROM (SELECT event_type, week, tot, unnest(range(0, 10))::INT AS bin FROM t) g
+      |  LEFT JOIN c ON c.event_type = g.event_type AND c.week = g.week AND c.bin = g.bin),
+      |p AS (SELECT f.event_type, f.week AS week_from, f.week + 1 AS week_to,
+      |    f.tot AS tot_f, o.tot AS tot_t,
+      |    floor((
+      |      (o.cnt + 1) / ((o.tot + 10)::DOUBLE)
+      |      - (f.cnt + 1) / ((f.tot + 10)::DOUBLE))
+      |      * ln(((o.cnt + 1) / ((o.tot + 10)::DOUBLE))
+      |           / ((f.cnt + 1) / ((f.tot + 10)::DOUBLE)))
+      |      * 1e6 + 0.5)::BIGINT AS term_micro
+      |  FROM dn f JOIN dn o ON o.event_type = f.event_type
+      |    AND o.week = f.week + 1 AND o.bin = f.bin)
+      |SELECT event_type, week_from, week_to, tot_f AS n_from, tot_t AS n_to,
+      |  SUM(term_micro) / 1e6 AS psi, SUM(term_micro) >= 200000 AS drift
+      |FROM p GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2""".stripMargin
+
   val abTestSql: String =
     """WITH e AS (SELECT event_type, value,
       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v

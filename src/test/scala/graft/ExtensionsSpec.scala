@@ -1101,6 +1101,34 @@ class ExtensionsSpec extends SparkSpec {
       c == orig - cut && c > 0L })
   }
 
+  test("q94: PSI is nonnegative and matches a driver-side model recompute") {
+    val got = RelOps.psiDrift(spark, sf)
+      .select("event_type", "week_from", "n_from", "n_to", "psi")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._5 >= 0.0), "PSI terms share sign with their log — sum must be >= 0")
+    // independent model: raw events → weekly 10-bin histograms →
+    // smoothed-share PSI with the same micro-quantization
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts_us div 604800000000 as week", "value")
+      .as[(String, Long, Double)].collect()
+    val vmin = ev.map(_._3).min
+    val vmax = ev.map(_._3).max
+    def bin(v: Double): Int = math.min(9, math.floor((v - vmin) * 10.0 / (vmax - vmin)).toInt)
+    val hist = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.groupBy(e => bin(e._3)).view.mapValues(_.size.toLong).toMap).toMap
+    got.foreach { case (et, wf, nf, nt, psi) =>
+      val f = hist((et, wf)); val o = hist((et, wf + 1))
+      assert(nf == f.values.sum && nt == o.values.sum)
+      val micro = (0 to 9).map { b =>
+        val pf = (f.getOrElse(b, 0L) + 1) / (nf + 10).toDouble
+        val pt = (o.getOrElse(b, 0L) + 1) / (nt + 10).toDouble
+        math.floor((pt - pf) * math.log(pt / pf) * 1e6 + 0.5).toLong
+      }.sum
+      assert(psi == micro / 1e6, s"$et week $wf: query $psi != model ${micro / 1e6}")
+    }
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous

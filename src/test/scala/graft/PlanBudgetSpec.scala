@@ -249,6 +249,12 @@ object PlanBudgetSpec {
     // (4 shuffles = gated fan-out + token groupBy + total agg + the
     // presentation sort's range exchange)
     "q93_heavy_hitters" -> Shape(shuffles = 4, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
+    // q94 (r12): PSI drift — the corpus crosses the (type, week, bin)
+    // count aggregate plus the value-extremes singleton (2 shuffles);
+    // the dense expansion, week self-join, and PSI fold run on the tiny
+    // aggregate (AQE broadcasts both post-agg joins; the extremes row
+    // is the third broadcast)
+    "q94_psi_drift" -> Shape(shuffles = 2, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
     // q92 (r12): PCA power iteration — the RETURNED frame is the 64-row
     // driver-built result (all zeros by construction); the corpus work
     // runs in the fit jobs (VecCentroid + 3 VecLongSum singleton
