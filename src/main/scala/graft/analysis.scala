@@ -783,6 +783,55 @@ object TextAnalysis {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q96 — SPLIT-LEAKAGE AUDIT: near-identical documents that land on
+  // opposite sides of the train/val/test split leak evaluation signal —
+  // the QA check every pipeline should run AFTER splitting (q34) and
+  // dedup (q22): group documents by their q21 content fingerprint,
+  // collect which splits each fingerprint reaches, and report the
+  // fingerprint/document counts per split combination — `train+test`
+  // rows ARE the leak. On the fixture 32 fingerprint groups span two
+  // splits (the duplicate groups q48's denylist relies on, split by the
+  // doc_id-hash bucket ~independently of content — exactly the failure
+  // mode content-hash splitting exists to prevent, measured).
+  //
+  // Scale shape: fingerprint + split bucket are the one fused per-row
+  // pass (fingerprintWithMeta discipline); ONE fp-keyed exchange
+  // (map-side combined); the combination regroup runs on the collapsed
+  // fingerprint frame. Determinism: collect_set orders arbitrarily →
+  // array_sort before joining; counts exact longs.
+  // ---------------------------------------------------------------------
+
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val sp = fingerprintWithMeta(s, d)
+      .filter(col("min_shingle_hash").isNotNull)
+      .selectExpr("min_shingle_hash as f", s"$bucketCol as bucket")
+      .selectExpr("f",
+        """CASE WHEN bucket < 80 THEN 'train'
+          |WHEN bucket < 90 THEN 'val' ELSE 'test' END as split"""
+          .stripMargin.replace("\n", " "))
+    sp.groupBy("f")
+      .agg(count(lit(1)).as("nd"),
+           array_join(array_sort(collect_set(col("split"))), "+").as("splits"))
+      .groupBy("splits")
+      .agg(count(lit(1)).as("n_fps"), sum(col("nd")).cast("long").as("n_docs"))
+      .withColumn("leaky", col("splits").contains("+"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH $fingerprintCtes,
+       |sp AS (SELECT min_shingle_hash AS f,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT min_shingle_hash,
+       |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+       |        FROM fp WHERE min_shingle_hash IS NOT NULL)),
+       |g AS (SELECT f, COUNT(*)::BIGINT AS nd,
+       |    array_to_string(list_sort(list_distinct(list(split))), '+') AS splits
+       |  FROM sp GROUP BY f)
+       |SELECT splits, COUNT(*)::BIGINT AS n_fps, SUM(nd)::BIGINT AS n_docs,
+       |  contains(splits, '+') AS leaky
+       |FROM g GROUP BY splits ORDER BY splits""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q93 — HEAVY HITTERS via a mergeable Misra-Gries summary: the
   // bounded-memory frequent-items sketch (Misra & Gries 1982; mergeable
   // form per Agarwal et al., "Mergeable Summaries", PODS 2012) — the
@@ -897,6 +946,100 @@ object TextAnalysis {
        |SELECT tok, exact_cnt, TRUE AS in_summary, TRUE AS est_ok
        |FROM c, t WHERE exact_cnt * ${mgK + 1} > n
        |ORDER BY exact_cnt DESC, tok""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q95 — BPE MERGE INDUCTION: the first `rounds` merges of byte-pair
+  // encoding learned from the corpus (Sennrich et al. 2016 — the
+  // tokenizer-training step of a data pipeline, here as a corpus-scale
+  // operator): count adjacent symbol pairs weighted by WORD FREQUENCY,
+  // merge the most frequent pair everywhere, repeat. Output per round:
+  // the learned merge, its weighted count, and the corpus symbol count
+  // after applying it (the compression curve).
+  //
+  // Scale shape (100 TB): the corpus crosses exactly ONE keyed exchange
+  // — the word-frequency aggregate; every subsequent round runs on the
+  // VOCABULARY table (Heap's law: ≪ corpus), so pair counting, the
+  // top-1 selection, and the merge rewrite are vocab-sized jobs. This
+  // is the classical BPE formulation (frequencies over the word-count
+  // table, not the raw stream).
+  //
+  // Cross-engine determinism: symbol sequences are space-joined strings;
+  // applying merge (a b) = literal replace of ' a b ' in the
+  // space-padded string — left-to-right non-overlapping in BOTH engines
+  // (and exactly BPE's greedy merge order); pair counts are exact longs
+  // (overlapping pairs count toward frequency, as in reference BPE);
+  // top-1 ties break to the lexicographically first pair. The oracle
+  // unrolls the rounds as chained CTEs (the q84/q92 idiom).
+  // ---------------------------------------------------------------------
+
+  private def bpePairsExpr: String =
+    """explode(transform(
+      |  filter(sequence(1, size(split(sym, ' '))), i -> i < size(split(sym, ' '))),
+      |  i -> concat(element_at(split(sym, ' '), i), ' ',
+      |              element_at(split(sym, ' '), i + 1)))) as pair"""
+      .stripMargin.replace("\n", " ")
+
+  def bpeMerges(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    // corpus → word-frequency table: the only corpus-keyed exchange.
+    // length >= 1 guard: an empty token would make sequence(1, 0) step
+    // DOWNWARD in Spark while DuckDB's range(1, 1) is empty (q74 note).
+    var vocab = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .selectExpr("explode(split(text, ' ')) as w")
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .selectExpr("freq",
+        "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1))) as sym")
+      .transform(Tables.maybePersist)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    for (r <- 1 to rounds) {
+      val (pair, cnt) = vocab.selectExpr("freq", bpePairsExpr)
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .as[(String, Long)].head()
+      val q = pair.replace("'", "''")
+      val merged = q.replace(" ", "")
+      vocab = vocab.selectExpr("freq",
+          s"trim(replace(concat(' ', sym, ' '), ' $q ', ' $merged ')) as sym")
+        .transform(Tables.maybePersist)
+      val nsym = vocab.selectExpr("freq * size(split(sym, ' ')) as ns")
+        .agg(sum(col("ns")).as("n")).as[Long].head()
+      out += ((r, pair, cnt, nsym))
+    }
+    out.toSeq.toDF("round", "merge_pair", "pair_count", "n_symbols_after")
+  }
+
+  val bpeMergesSql: String = {
+    def pairs(v: String): String =
+      s"""SELECT pair, SUM(freq)::BIGINT AS cnt FROM (
+         |  SELECT freq, sy[i::INT] || ' ' || sy[(i + 1)::INT] AS pair
+         |  FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i
+         |        FROM (SELECT freq, string_split(sym, ' ') AS sy FROM $v)))
+         |GROUP BY pair""".stripMargin
+    def round(n: Int): String = {
+      val prev = s"v${n - 1}"
+      s"""p$n AS (${pairs(prev)}),
+         |t$n AS (SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT 1),
+         |v$n AS (SELECT freq, trim(replace(' ' || sym || ' ',
+         |    ' ' || (SELECT pair FROM t$n) || ' ',
+         |    ' ' || replace((SELECT pair FROM t$n), ' ', '') || ' ')) AS sym FROM $prev),
+         |n$n AS (SELECT SUM(freq * len(string_split(sym, ' ')))::BIGINT AS ns FROM v$n)"""
+        .stripMargin
+    }
+    s"""WITH v0 AS (SELECT freq,
+       |    array_to_string(list_transform(range(1, length(w) + 1), i -> w[i::INT]), ' ') AS sym
+       |  FROM (SELECT w, COUNT(*)::BIGINT AS freq
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE length(w) >= 1 GROUP BY w)),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT 1 AS round, (SELECT pair FROM t1) AS merge_pair,
+       |  (SELECT cnt FROM t1) AS pair_count, (SELECT ns FROM n1) AS n_symbols_after
+       |UNION ALL SELECT 2, (SELECT pair FROM t2), (SELECT cnt FROM t2), (SELECT ns FROM n2)
+       |UNION ALL SELECT 3, (SELECT pair FROM t3), (SELECT cnt FROM t3), (SELECT ns FROM n3)
+       |ORDER BY round""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q48 — benchmark decontamination: drop every corpus document whose
@@ -2307,6 +2450,8 @@ object TextAnalysis {
     "q89_window_dedup" -> ((s, d) => windowDedup(s, d)),
     "q90_curation_funnel" -> ((s, d) => curationFunnel(s, d)),
     "q93_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "q95_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "q96_split_leakage" -> ((s, d) => splitLeakage(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2343,5 +2488,7 @@ object TextAnalysis {
     "q89_window_dedup" -> windowDedupSql,
     "q90_curation_funnel" -> curationFunnelSql,
     "q93_heavy_hitters" -> heavyHittersSql,
+    "q95_bpe_merges" -> bpeMergesSql,
+    "q96_split_leakage" -> splitLeakageSql,
   )
 }

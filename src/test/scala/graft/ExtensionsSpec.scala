@@ -1129,6 +1129,64 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q95: BPE merges == driver-side reference model; symbol count strictly decreases") {
+    val got = TextAnalysis.bpeMerges(spark, sf)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 3)
+    assert(got.map(_._4).toSeq.sliding(2).forall { case Seq(a, b) => b < a },
+      "each merge must strictly shrink the corpus symbol count")
+    // reference model over the word-frequency table, same tie-break and
+    // the same left-to-right non-overlapping replace semantics
+    var vocab = Tables.documents(spark, sf)
+      .selectExpr("explode(split(text, ' ')) as w").filter(length($"w") >= 1)
+      .groupBy("w").agg(count(lit(1)).as("f")).as[(String, Long)].collect()
+      .map { case (w, f) => (w.toCharArray.mkString(" "), f) }
+    got.foreach { case (_, pair, cnt, nsym) =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (sym, f) =>
+        val sy = sym.split(" ")
+        (0 until sy.length - 1).foreach { i =>
+          val p = sy(i) + " " + sy(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val best = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      assert((best._1, best._2) == (pair, cnt),
+        s"model picked $best, query picked ($pair, $cnt)")
+      vocab = vocab.map { case (sym, f) =>
+        ((" " + sym + " ").replace(" " + pair + " ", " " + pair.replace(" ", "") + " ").trim, f)
+      }
+      val modelN = vocab.map { case (sym, f) => f * sym.split(" ").length }.sum
+      assert(modelN == nsym, s"model symbol count $modelN != query $nsym after merging '$pair'")
+    }
+  }
+
+  test("q96: split-leakage report == driver recompute from q21 fingerprints; totals conserve") {
+    val got = TextAnalysis.splitLeakage(spark, sf)
+      .select("splits", "n_fps", "n_docs", "leaky")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def split(id: Long): String = {
+      val b = bucket(id); if (b < 80) "train" else if (b < 90) "val" else "test" }
+    val fps = TextAnalysis.fingerprint(spark, sf)
+      .select("doc_id", "min_shingle_hash").as[(Long, Option[String])].collect()
+      .collect { case (id, Some(f)) => (f, split(id)) }
+    val expected = fps.groupBy(_._1).values.toSeq
+      .map(g => (g.map(_._2).distinct.sorted.mkString("+"), g.size.toLong))
+      .groupBy(_._1).map { case (k, gs) =>
+        (k, gs.size.toLong, gs.map(_._2).sum, k.contains("+")) }.toSet
+    assert(got == expected, s"report != driver model:\n got $got\n exp $expected")
+    assert(got.exists(_._4), "fixture must exhibit cross-split leakage")
+    assert(got.filter(_._4).forall(r => r._3 >= 2 * r._2),
+      "a leaky fingerprint needs at least two docs")
+    assert(got.toSeq.map(_._3).sum == fps.length.toLong, "document totals must conserve")
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous

@@ -255,6 +255,15 @@ object PlanBudgetSpec {
     // aggregate (AQE broadcasts both post-agg joins; the extremes row
     // is the third broadcast)
     "q94_psi_drift" -> Shape(shuffles = 2, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
+    // q95 (r12): BPE induction — the RETURNED frame is the 3-row
+    // driver-built merge table (all zeros by construction, like q92);
+    // the corpus work runs in the fit jobs: ONE word-frequency keyed
+    // exchange, then vocab-sized pair aggregates per round
+    "q95_bpe_merges" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
+    // q96 (r12): split leakage — the fused fingerprint+bucket per-row
+    // pass, one fp-keyed exchange, the combination regroup on the
+    // collapsed frame (pin from PlanBudgetReport)
+    "q96_split_leakage" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     // q92 (r12): PCA power iteration — the RETURNED frame is the 64-row
     // driver-built result (all zeros by construction); the corpus work
     // runs in the fit jobs (VecCentroid + 3 VecLongSum singleton
