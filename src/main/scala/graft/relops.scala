@@ -666,6 +666,15 @@ object RelOps {
         "psi_micro / 1e6 as psi", "psi_micro >= 200000 as drift")
   }
 
+  /** The q94 binning frame for the online monitor: global value
+    * extremes — a cross-key aggregate the per-type monitor cannot see,
+    * fit offline (the fitChiDesign discipline). */
+  def fitPsiDesign(s: SparkSession, dir: String): graft.streaming.PsiDesign = {
+    val r = Tables.events(s, dir)
+      .agg(min(col("value")), max(col("value"))).head()
+    graft.streaming.PsiDesign(r.getDouble(0), r.getDouble(1))
+  }
+
   val psiDriftSql: String =
     """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
       |x AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM e),

@@ -81,6 +81,22 @@ private[streaming] case class ChiUser(c: Long, v: Long, crossed: Boolean)
 private[streaming] case class ChiState(rev: Long, maxId: Long,
   convA: Long, convB: Long, users: Map[Long, ChiUser], dropped: Long)
 
+/** One event for the online PSI drift monitor (q94's streaming twin):
+  * value lands in a weekly bin; `event_id` carries the in-order
+  * id-dedup contract the other monitors use. */
+case class PsiEvent(event_type: String, event_id: Long, ts_us: Long, value: Double)
+/** The fixed binning frame for the online PSI: global value extremes,
+  * fit OFFLINE ([[graft.RelOps.fitPsiDesign]]) — a cross-key aggregate
+  * a per-type monitor cannot see (the fitChiDesign discipline). */
+case class PsiDesign(vmin: Double, vmax: Double)
+/** One report per (event_type, consecutive-week pair, micro-batch) —
+  * the batch q94 row plus the rev/dropped monitor contract. */
+case class PsiReport(event_type: String, rev: Long, week_from: Long,
+                     week_to: Long, n_from: Long, n_to: Long, psi: Double,
+                     drift: Boolean, dropped: Long)
+private[streaming] case class PsiState(rev: Long, maxId: Long,
+  weeks: Map[Long, Seq[Long]], dropped: Long)
+
 /** A vector routed to its coarse cell — input to the online semantic-
   * dedup fold (q75's streaming twin). Produced by
   * [[graft.Similarity.assignCells]] (stateless closure-codebook
@@ -699,6 +715,58 @@ object StreamingOps {
           ChiReport(key, st.rev, design.nA, design.nB, st.convA, st.convB,
             math.floor(chi2 * 1e6 + 0.5) / 1e6, significant = chi2 >= 3.841,
             dropped = st.dropped)
+      }
+  }
+
+  /** q94's streaming twin: per-type keyed state of weekly 10-bin
+    * histograms (exact longs); every micro-batch re-emits the batch q94
+    * row for each consecutive-week pair seen so far — arithmetic mirrors
+    * the batch expression operation for operation (same bin formula,
+    * same Laplace-smoothed shares, ln on the same doubles, the same
+    * micro-quantized term sum), so once all events are delivered the
+    * latest-rev report set equals batch q94 exactly. Replays (at-or-
+    * below the per-type high-water id) freeze the stats and are COUNTED
+    * via the `dropped` observability contract the other monitors carry.
+    * State is weeks×10 longs per event_type — bounded by the stream's
+    * week span; a production monitor would retire weeks older than its
+    * comparison horizon (the semDedupStream TTL discipline). */
+  def psiDriftStream(events: Dataset[PsiEvent], design: PsiDesign):
+      Dataset[PsiReport] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[PsiState, PsiReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[PsiEvent], state: GroupState[PsiState]) =>
+          var st = if (state.exists) state.get
+                   else PsiState(0L, Long.MinValue, Map.empty, 0L)
+          val arrivals = it.toArray
+          val fresh = arrivals.filter(_.event_id > st.maxId)
+          st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
+          fresh.sortBy(_.event_id).foreach { e =>
+            val wk = e.ts_us / 604800000000L
+            val b = math.min(9,
+              math.floor((e.value - design.vmin) * 10.0 / (design.vmax - design.vmin)).toInt)
+            val bins = st.weeks.getOrElse(wk, Seq.fill(10)(0L))
+            st = st.copy(maxId = e.event_id,
+              weeks = st.weeks.updated(wk, bins.updated(b, bins(b) + 1L)))
+          }
+          st = st.copy(rev = st.rev + 1L)
+          state.update(st)
+          st.weeks.keys.toSeq.sorted.filter(w => st.weeks.contains(w + 1L))
+            .iterator.map { w =>
+              val f = st.weeks(w)
+              val o = st.weeks(w + 1L)
+              val nf = f.sum
+              val nt = o.sum
+              val micro = (0 until 10).map { i =>
+                val pf = (f(i) + 1L) / (nf + 10L).toDouble
+                val pt = (o(i) + 1L) / (nt + 10L).toDouble
+                math.floor((pt - pf) * math.log(pt / pf) * 1e6 + 0.5).toLong
+              }.sum
+              PsiReport(key, st.rev, w, w + 1L, nf, nt,
+                micro / 1e6, drift = micro >= 200000L, dropped = st.dropped)
+            }
       }
   }
 

@@ -546,6 +546,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "online assignment != batch expression on identical vectors")
   }
 
+  test("psiDriftStream: online drift monitor == batch q94 after full delivery; replay counted, stats frozen") {
+    import graft.streaming.{PsiEvent, PsiReport}
+    val batch = RelOps.psiDrift(spark, sf)
+      .select("event_type", "week_from", "week_to", "n_from", "n_to", "psi", "drift")
+      .as[(String, Long, Long, Long, Long, Double, Boolean)]
+      .collect().toSet
+    // binning frame fit offline (global extremes — the fit-then-stream rule)
+    val design = RelOps.fitPsiDesign(spark, sf)
+    assert(design.vmax > design.vmin)
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "event_id", "ts_us", "value")
+      .as[PsiEvent].collect().sortBy(_.event_id)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[PsiEvent](spark)
+    val q = StreamingOps.psiDriftStream(in.toDS(), design)
+      .writeStream.format("memory").queryName("psimonitor")
+      .outputMode("update").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    def latest(): Seq[PsiReport] = {
+      val all = spark.table("psimonitor").as[PsiReport].collect()
+      val rev = all.groupBy(_.event_type).view.mapValues(_.map(_.rev).max).toMap
+      all.filter(r => r.rev == rev(r.event_type)).toSeq
+    }
+    val afterAll = latest()
+    val gotFinal = afterAll.map(r =>
+      (r.event_type, r.week_from, r.week_to, r.n_from, r.n_to, r.psi, r.drift)).toSet
+    assert(gotFinal == batch, "online PSI monitor's final report != batch q94")
+    assert(afterAll.forall(_.dropped == 0L), "clean run reported drops")
+    // at-least-once redelivery: stats frozen, drops counted per key
+    in.addData(b1: _*); q.processAllAvailable(); q.stop()
+    val afterReplay = latest()
+    val replayFinal = afterReplay.map(r =>
+      (r.event_type, r.week_from, r.week_to, r.n_from, r.n_to, r.psi, r.drift)).toSet
+    assert(replayFinal == batch, "replayed batch moved the monitor's stats")
+    val b1ByKey = b1.groupBy(_.event_type).map { case (k, es) => k -> es.length.toLong }
+    afterReplay.groupBy(_.event_type).foreach { case (k, rs) =>
+      assert(rs.forall(_.dropped == b1ByKey(k)),
+        s"key $k: dropped != replayed share ${b1ByKey(k)}")
+    }
+  }
+
   test("clusterMixVerdict applies offline-fitted rates in a stream; per-cluster totals == batch q88") {
     // the q88 online form: cells AND the k-row rate table fit offline
     // (fitClusterRates, same integer/floor expressions as the batch
