@@ -783,6 +783,47 @@ object TextAnalysis {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q97 — DSIR IMPORTANCE RESAMPLING: the sampling step q78's weights
+  // exist FOR (Xie et al. 2023 resample with probability ∝ the
+  // importance weight; here the deterministic engine form): keep rate =
+  // min(1, exp(T·logw / n_feats)) with temperature T = 10 — the
+  // per-feature-normalized likelihood ratio, contrast-amplified so the
+  // near-homogeneous fixture still yields a measurable split;
+  // target-like documents (logw ≥ 0) keep everything and raw-like
+  // documents down-sample by their amplified ratio — applied
+  // through the q51 md5-bucket keep (no RNG, replay-stable, the same
+  // verdict on redelivery). Completes the DSIR leg: q78 scores, q97
+  // selects.
+  //
+  // Scale shape: q78's chain (two 128-row aggregates, one-row Δ
+  // broadcast, zero corpus keyed exchange) plus a per-row projection.
+  // Determinism: logw_micro is exact-integer (q78); the rate passes
+  // through the floor(exp(·)·1e6 + 0.5) micro grid (the q74 ~1-ulp
+  // argument); the keep is integer hash arithmetic.
+  // ---------------------------------------------------------------------
+
+  def dsirResample(s: SparkSession, d: String): DataFrame =
+    dsirWeight(s, d)
+      .selectExpr("doc_id", "n_feats", "logw_micro",
+        """least(cast(1000000 as bigint),
+          |cast(floor(exp((logw_micro / cast(n_feats as double)) / 1e6 * 10.0) * 1e6 + 0.5) as bigint)) as keep_micro"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("doc_id", "n_feats", "logw_micro", "keep_micro",
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000 < keep_micro as kept")
+
+  // lazy: derives from dsirWeightSql, declared later in this object
+  lazy val dsirResampleSql: String = dsirWeightSql.replace(
+    """SELECT doc_id, n_feats, logw_micro, logw_micro > 0 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin,
+    """, km AS (SELECT doc_id, n_feats, logw_micro,
+      |    least(1000000::BIGINT,
+      |      floor(exp((logw_micro / n_feats::DOUBLE) / 1e6 * 10.0) * 1e6 + 0.5)::BIGINT) AS keep_micro
+      |  FROM sc)
+      |SELECT doc_id, n_feats, logw_micro, keep_micro,
+      |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < keep_micro AS kept
+      |FROM km ORDER BY doc_id""".stripMargin)
+
+  // ---------------------------------------------------------------------
   // q96 — SPLIT-LEAKAGE AUDIT: near-identical documents that land on
   // opposite sides of the train/val/test split leak evaluation signal —
   // the QA check every pipeline should run AFTER splitting (q34) and
@@ -2452,6 +2493,7 @@ object TextAnalysis {
     "q93_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q95_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "q96_split_leakage" -> ((s, d) => splitLeakage(s, d)),
+    "q97_dsir_resample" -> ((s, d) => dsirResample(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2490,5 +2532,6 @@ object TextAnalysis {
     "q93_heavy_hitters" -> heavyHittersSql,
     "q95_bpe_merges" -> bpeMergesSql,
     "q96_split_leakage" -> splitLeakageSql,
+    "q97_dsir_resample" -> dsirResampleSql,
   )
 }

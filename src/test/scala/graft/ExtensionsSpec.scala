@@ -1187,6 +1187,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq.map(_._3).sum == fps.length.toLong, "document totals must conserve")
   }
 
+  test("q97: DSIR resampling == driver model over q78 weights; both classes non-trivial") {
+    val got = TextAnalysis.dsirResample(spark, sf)
+      .select("doc_id", "n_feats", "logw_micro", "keep_micro", "kept")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val weights = TextAnalysis.dsirWeight(spark, sf)
+      .select("doc_id", "n_feats", "logw_micro")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    got.foreach { case (id, nf, lw, km, kept) =>
+      val (enf, elw) = weights(id)
+      assert((nf, lw) == (enf, elw), s"doc $id: weight columns diverge from q78")
+      val ekm = math.min(1000000L,
+        math.floor(math.exp(lw / nf.toDouble / 1e6 * 10.0) * 1e6 + 0.5).toLong)
+      assert(km == ekm, s"doc $id: keep_micro $km != model $ekm")
+      assert(kept == (bucket(id) < km), s"doc $id: kept flag != md5-bucket rule")
+    }
+    // target-like docs keep everything; the split must genuinely bite
+    assert(got.count(_._5) > 0 && got.count(!_._5) > 0)
+    assert(got.filter(t => t._3 >= 0L).forall(_._4 == 1000000L),
+      "a non-negative log-weight must keep at rate 1.0")
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous

@@ -264,6 +264,10 @@ object PlanBudgetSpec {
     // pass, one fp-keyed exchange, the combination regroup on the
     // collapsed frame (pin from PlanBudgetReport)
     "q96_split_leakage" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // q97 (r12): DSIR resampling — q78's chain (two 128-row bucket
+    // aggregates, one-row delta broadcast, zero corpus keyed exchange)
+    // plus a per-row keep projection (pin from PlanBudgetReport)
+    "q97_dsir_resample" -> Shape(shuffles = 5, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
     // q92 (r12): PCA power iteration — the RETURNED frame is the 64-row
     // driver-built result (all zeros by construction); the corpus work
     // runs in the fit jobs (VecCentroid + 3 VecLongSum singleton
