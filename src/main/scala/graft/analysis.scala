@@ -805,8 +805,11 @@ object TextAnalysis {
   def dsirResample(s: SparkSession, d: String): DataFrame =
     dsirWeight(s, d)
       .selectExpr("doc_id", "n_feats", "logw_micro",
-        """least(cast(1000000 as bigint),
-          |cast(floor(exp((logw_micro / cast(n_feats as double)) / 1e6 * 10.0) * 1e6 + 0.5) as bigint)) as keep_micro"""
+        // exponent clamped to <= 0 (exp(min(0,x)) == min(1, exp(x)) for
+        // all finite x) so an extreme weight can never push exp() to
+        // +inf — whose BIGINT cast DuckDB rejects while Spark saturates
+        """cast(floor(exp(least(cast(0.0 as double),
+          |(logw_micro / cast(n_feats as double)) / 1e6 * 10.0)) * 1e6 + 0.5) as bigint) as keep_micro"""
           .stripMargin.replace("\n", " "))
       .selectExpr("doc_id", "n_feats", "logw_micro", "keep_micro",
         "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000 < keep_micro as kept")
@@ -816,8 +819,8 @@ object TextAnalysis {
     """SELECT doc_id, n_feats, logw_micro, logw_micro > 0 AS keep
       |FROM sc ORDER BY doc_id""".stripMargin,
     """, km AS (SELECT doc_id, n_feats, logw_micro,
-      |    least(1000000::BIGINT,
-      |      floor(exp((logw_micro / n_feats::DOUBLE) / 1e6 * 10.0) * 1e6 + 0.5)::BIGINT) AS keep_micro
+      |    floor(exp(least(0.0::DOUBLE, (logw_micro / n_feats::DOUBLE) / 1e6 * 10.0))
+      |      * 1e6 + 0.5)::BIGINT AS keep_micro
       |  FROM sc)
       |SELECT doc_id, n_feats, logw_micro, keep_micro,
       |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < keep_micro AS kept

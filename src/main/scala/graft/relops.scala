@@ -638,7 +638,9 @@ object RelOps {
     val ext = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     val counts = ev.crossJoin(broadcast(ext))
       .selectExpr("event_type", "ts_us div 604800000000 as week",
-        "least(9, cast(floor((value - vmin) * 10.0 / (vmax - vmin)) as int)) as bin")
+        """case when vmax = vmin then 0
+          |else least(9, cast(floor((value - vmin) * 10.0 / (vmax - vmin)) as int)) end as bin"""
+          .stripMargin.replace("\n", " "))
       .groupBy("event_type", "week", "bin").agg(count(lit(1)).as("cnt"))
       .transform(Tables.maybePersist)
     val dense = counts.groupBy("event_type", "week").agg(sum(col("cnt")).as("tot"))
@@ -679,7 +681,8 @@ object RelOps {
     """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
       |x AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM e),
       |c AS (SELECT event_type, ts_us // 604800000000 AS week,
-      |    least(9, floor((value - vmin) * 10.0 / (vmax - vmin))::INT) AS bin,
+      |    CASE WHEN vmax = vmin THEN 0
+      |    ELSE least(9, floor((value - vmin) * 10.0 / (vmax - vmin))::INT) END AS bin,
       |    COUNT(*)::BIGINT AS cnt
       |  FROM e, x GROUP BY 1, 2, 3),
       |t AS (SELECT event_type, week, SUM(cnt)::BIGINT AS tot FROM c GROUP BY 1, 2),

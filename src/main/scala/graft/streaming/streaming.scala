@@ -745,8 +745,11 @@ object StreamingOps {
           st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
           fresh.sortBy(_.event_id).foreach { e =>
             val wk = e.ts_us / 604800000000L
-            val b = math.min(9,
-              math.floor((e.value - design.vmin) * 10.0 / (design.vmax - design.vmin)).toInt)
+            // degenerate-range guard mirrors the batch CASE (a constant
+            // value column bins everything to 0 on both sides)
+            val b = if (design.vmax == design.vmin) 0
+              else math.min(9,
+                math.floor((e.value - design.vmin) * 10.0 / (design.vmax - design.vmin)).toInt)
             val bins = st.weeks.getOrElse(wk, Seq.fill(10)(0L))
             st = st.copy(maxId = e.event_id,
               weeks = st.weeks.updated(wk, bins.updated(b, bins(b) + 1L)))

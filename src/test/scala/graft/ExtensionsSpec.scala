@@ -1203,8 +1203,8 @@ class ExtensionsSpec extends SparkSpec {
     got.foreach { case (id, nf, lw, km, kept) =>
       val (enf, elw) = weights(id)
       assert((nf, lw) == (enf, elw), s"doc $id: weight columns diverge from q78")
-      val ekm = math.min(1000000L,
-        math.floor(math.exp(lw / nf.toDouble / 1e6 * 10.0) * 1e6 + 0.5).toLong)
+      val ekm =
+        math.floor(math.exp(math.min(0.0, lw / nf.toDouble / 1e6 * 10.0)) * 1e6 + 0.5).toLong
       assert(km == ekm, s"doc $id: keep_micro $km != model $ekm")
       assert(kept == (bucket(id) < km), s"doc $id: kept flag != md5-bucket rule")
     }
