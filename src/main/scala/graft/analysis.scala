@@ -827,6 +827,93 @@ object TextAnalysis {
       |FROM km ORDER BY doc_id""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // q99 — GATE×CLASSIFIER CALIBRATION REPORT: the 2×2 agreement table
+  // between the rule battery (q71 gate) and the learned scorer (q72
+  // classifier) with per-cell counts and decimal-exact mean scores —
+  // the calibration read a pipeline does before trusting one filter to
+  // replace the other (disagreement cells are the docs to hand-audit).
+  // Scale shape: classifier score in the per-row typed pass (q90's
+  // fusion), gate appended as codegen'd HOFs, then ONE 4-row aggregate
+  // — the corpus crosses a single tiny keyed exchange. Mean scores
+  // accumulate in DECIMAL(25,6) (scores are 1e-6-rounded per doc, so
+  // the cast is exact) — order-independent, bit-equal both engines.
+  // ---------------------------------------------------------------------
+
+  def calibrationReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = clfDim
+    val scored = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val w = Array.tabulate(dim)(j =>
+          (((j.toLong * 1103515245L + 12345L) % 1000L) - 500L) / 1000.0)
+        def bucket(f: String): Int = {
+          val dg = md.digest(f.getBytes("UTF-8"))
+          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+        }
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val cnt = new Array[Double](dim)
+          var n = 0L
+          var i = 0
+          while (i < toks.length) { cnt(bucket(toks(i))) += 1.0; n += 1; i += 1 }
+          i = 0
+          while (i + 1 < toks.length) {
+            cnt(bucket(toks(i) + "_" + toks(i + 1))) += 1.0; n += 1; i += 1
+          }
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += cnt(j) * w(j); j += 1 }
+          (id, text, math.floor(dot / n * 1e6 + 0.5) / 1e6)
+        }
+      }
+      .toDF("doc_id", "text", "clf_score")
+    qualityGateVerdict(scored)
+      .groupBy(col("pass").as("gate_pass"), (col("clf_score") >= 0).as("clf_label"))
+      .agg(count(lit(1)).as("n_docs"),
+           expr("cast(sum(cast(clf_score as decimal(25,6))) as double)").as("ssum"))
+      .selectExpr("gate_pass", "clf_label", "n_docs",
+        "floor(ssum / n_docs * 1e6 + 0.5) / 1e6 as mean_score")
+  }
+
+  val calibrationReportSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |  len(toks)::BIGINT AS n_words,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) AS sum_word_chars,
+       |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
+       |  len(list_intersect(list_distinct(toks), ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop_kinds,
+       |  len(list_filter(toks, x -> regexp_matches(x, '^[^a-z0-9]+$$')))::BIGINT AS n_symbol_words
+       |  FROM t),
+       |gp AS (SELECT doc_id,
+       |  (n_words >= 50 AND n_words <= 100000
+       |    AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
+       |    AND 5 * n_alpha_words >= 4 * n_words
+       |    AND n_stop_kinds >= 1
+       |    AND 10 * n_symbol_words <= n_words) AS pass
+       |  FROM g),
+       |cf AS (SELECT doc_id, list_concat(toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])) AS feats FROM t),
+       |cc AS (SELECT doc_id, len(feats)::BIGINT AS n_feats,
+       |    list_transform(range(0, $clfDim), j ->
+       |      len(list_filter(feats, g2 -> ('0x' || substr(md5(g2), 1, 8))::BIGINT % $clfDim = j))::DOUBLE) AS cnt
+       |  FROM cf),
+       |csc AS (SELECT doc_id,
+       |    floor(list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range(1, ${clfDim + 1}), i -> cnt[i] *
+       |          (((((i - 1) * 1103515245 + 12345) % 1000) - 500) / 1000.0))), (a, b) -> a + b)
+       |      / n_feats::DOUBLE * 1e6 + 0.5) / 1e6 AS score
+       |  FROM cc)
+       |SELECT gp.pass AS gate_pass, csc.score >= 0 AS clf_label,
+       |  COUNT(*)::BIGINT AS n_docs,
+       |  floor(CAST(SUM(CAST(csc.score AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_score
+       |FROM gp JOIN csc USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q96 — SPLIT-LEAKAGE AUDIT: near-identical documents that land on
   // opposite sides of the train/val/test split leak evaluation signal —
   // the QA check every pipeline should run AFTER splitting (q34) and
@@ -2497,6 +2584,7 @@ object TextAnalysis {
     "q95_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "q96_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "q97_dsir_resample" -> ((s, d) => dsirResample(s, d)),
+    "q99_calibration" -> ((s, d) => calibrationReport(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2536,5 +2624,6 @@ object TextAnalysis {
     "q95_bpe_merges" -> bpeMergesSql,
     "q96_split_leakage" -> splitLeakageSql,
     "q97_dsir_resample" -> dsirResampleSql,
+    "q99_calibration" -> calibrationReportSql,
   )
 }

@@ -1209,6 +1209,90 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // q98 — JOHNSON-LINDENSTRAUSS PROJECTION + DISTORTION AUDIT: project
+  // the 64-d embeddings to 16-d with a deterministic ±1 sign matrix
+  // (Achlioptas 2003 database-friendly random projections — the cheap
+  // dimensionality-reduction rung below q92's PCA: data-independent, no
+  // fit pass) and MEASURE what the compression does to pairwise
+  // distances — the JL lemma's ε, observed: for the md5-lowest 20
+  // vectors, every pair's original vs projected Euclidean distance and
+  // the distortion ratio.
+  //
+  // Scale shape: projection is pure per-row work (16 ascending-index
+  // folds over 64 terms, sign from integer LCG arithmetic — zero state,
+  // zero shuffle at any scale; the 100 TB use is a 4× smaller ANN
+  // index); the audit is SAMPLE-sized by construction (20-row broadcast
+  // self-join, the q79/q80 discipline). Determinism: the sign matrix is
+  // pure integer arithmetic identical in both engines; distance folds
+  // are left-to-right (bit-identical); zero-distance pairs guard to 0.0
+  // ratio on both sides.
+  // ---------------------------------------------------------------------
+
+  def jlDistortion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val sample = Tables.embeddings(s, d)
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h")).limit(20)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          val p = new Array[Double](k)
+          var j = 0
+          while (j < k) {
+            var acc = 0.0
+            var i = 0
+            while (i < e.length) {
+              val sign =
+                if (((i + 1).toLong * 1103515245L + (j + 1).toLong * 12345L) % 1000L < 500L) 1.0
+                else -1.0
+              acc += e(i).toDouble * sign
+              i += 1
+            }
+            p(j) = acc / 4.0 // 1/sqrt(16), exact
+            j += 1
+          }
+          (id, e, p)
+        }
+      }.toDF("vec_id", "e", "p")
+      .transform(Tables.maybePersist)
+    val a = sample.selectExpr("vec_id as va", "e as ea", "p as pa")
+    val b = sample.selectExpr("vec_id as vb", "e as eb", "p as pb")
+    a.join(broadcast(b), col("va") < col("vb"))
+      .selectExpr("va", "vb",
+        "sqrt(aggregate(zip_with(ea, eb, (x, y) -> (double(x) - double(y)) * (double(x) - double(y))), 0d, (acc, v) -> acc + v)) as do_",
+        "sqrt(aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), 0d, (acc, v) -> acc + v)) as dp_")
+      .selectExpr("va", "vb",
+        "floor(do_ * 1e6 + 0.5) / 1e6 as d_orig",
+        "floor(dp_ * 1e6 + 0.5) / 1e6 as d_proj",
+        "case when do_ = 0d then cast(0.0 as double) else floor(dp_ / do_ * 1e6 + 0.5) / 1e6 end as ratio")
+  }
+
+  val jlDistortionSql: String =
+    """WITH sm AS (SELECT vec_id, embedding FROM embeddings
+      |  ORDER BY md5(vec_id::VARCHAR) LIMIT 20),
+      |pr AS (SELECT vec_id, embedding, list_transform(range(1, 17), j ->
+      |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i::INT]::DOUBLE *
+      |        (CASE WHEN (i * 1103515245 + j * 12345) % 1000 < 500
+      |         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))),
+      |      (a, b) -> a + b) / 4.0) AS p
+      |  FROM sm),
+      |m AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.embedding) + 1),
+      |    i -> (a.embedding[i::INT]::DOUBLE - b.embedding[i::INT]::DOUBLE)
+      |       * (a.embedding[i::INT]::DOUBLE - b.embedding[i::INT]::DOUBLE))), (x, y) -> x + y)) AS do_,
+      |  sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 17),
+      |    j -> (a.p[j::INT] - b.p[j::INT]) * (a.p[j::INT] - b.p[j::INT]))), (x, y) -> x + y)) AS dp_
+      |  FROM pr a JOIN pr b ON a.vec_id < b.vec_id)
+      |SELECT va, vb,
+      |  floor(do_ * 1e6 + 0.5) / 1e6 AS d_orig,
+      |  floor(dp_ * 1e6 + 0.5) / 1e6 AS d_proj,
+      |  CASE WHEN do_ = 0 THEN 0.0 ELSE floor(dp_ / do_ * 1e6 + 0.5) / 1e6 END AS ratio
+      |FROM m ORDER BY va, vb""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q80 — SemDeDup AUDIT: the q79 seeded-recall protocol applied to the
   // semantic stack. q75 is approximate in exactly one place — a near-dup
   // pair is only caught if both members route to the SAME cell — so the
@@ -1616,6 +1700,7 @@ object Similarity {
     "q88_cluster_mix"     -> ((s, d) => clusterBalancedMix(s, d)),
     "q91_hard_negatives"  -> ((s, d) => hardNegatives(s, d)),
     "q92_pca_power"       -> ((s, d) => pcaPower(s, d)),
+    "q98_jl_distortion"   -> ((s, d) => jlDistortion(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1635,5 +1720,6 @@ object Similarity {
     "q88_cluster_mix"     -> clusterBalancedMixSql,
     "q91_hard_negatives"  -> hardNegativesSql,
     "q92_pca_power"       -> pcaPowerSql,
+    "q98_jl_distortion"   -> jlDistortionSql,
   )
 }

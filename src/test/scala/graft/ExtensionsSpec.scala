@@ -1214,6 +1214,32 @@ class ExtensionsSpec extends SparkSpec {
       "a non-negative log-weight must keep at rate 1.0")
   }
 
+  test("q98: JL distortion — 190 sample pairs, ratios concentrate near 1, mean within JL bounds") {
+    val rows = Similarity.jlDistortion(spark, sf)
+      .select("va", "vb", "d_orig", "d_proj", "ratio")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.length == 190, s"20-sample must yield 190 pairs, got ${rows.length}")
+    assert(rows.forall(r => r._3 > 0.0 && r._4 > 0.0 && r._5 > 0.0))
+    val mean = rows.map(_._5).sum / rows.length
+    // k=16 concentration: the mean ratio sits near 1 even though single
+    // pairs spread; a sign-matrix bug (all-ones, transposed indices)
+    // collapses projected distances and lands far outside this window
+    assert(mean > 0.8 && mean < 1.25, s"mean distortion ratio $mean outside JL window")
+  }
+
+  test("q99: calibration cells reconcile with the standalone gate and classifier counts") {
+    val cells = TextAnalysis.calibrationReport(spark, sf)
+      .select("gate_pass", "clf_label", "n_docs")
+      .as[(Boolean, Boolean, Long)].collect()
+    assert(cells.length == 4, "fixture must populate every agreement cell")
+    val total = cells.map(_._3).sum
+    assert(total == Tables.documents(spark, sf).count())
+    val gatePass = cells.filter(_._1).map(_._3).sum
+    assert(gatePass == TextAnalysis.qualityGate(spark, sf).filter(col("pass")).count())
+    val clfTrue = cells.filter(_._2).map(_._3).sum
+    assert(clfTrue == TextAnalysis.classifierScore(spark, sf).filter(col("label")).count())
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous

@@ -268,6 +268,12 @@ object PlanBudgetSpec {
     // aggregates, one-row delta broadcast, zero corpus keyed exchange)
     // plus a per-row keep projection (pin from PlanBudgetReport)
     "q97_dsir_resample" -> Shape(shuffles = 5, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
+    // q98 (r12): JL distortion — per-row projection on the 20-row
+    // md5-sample, broadcast self-join, everything sample-sized
+    "q98_jl_distortion" -> Shape(shuffles = 0, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
+    // q99 (r12): calibration — fused per-row scoring + ONE 4-row
+    // aggregate; the corpus crosses a single tiny keyed exchange
+    "q99_calibration" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     // q92 (r12): PCA power iteration — the RETURNED frame is the 64-row
     // driver-built result (all zeros by construction); the corpus work
     // runs in the fit jobs (VecCentroid + 3 VecLongSum singleton
