@@ -1787,14 +1787,18 @@ object TextAnalysis {
   // same integer/floor disciplines).
   // ---------------------------------------------------------------------
 
-  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+  /** The funnel's per-doc stage flags (doc_id, source, n_chars, s1–s4,
+    * split) — shared by the q90 attrition report and the q100 export
+    * leg. Slim by construction: `text` drops before the only
+    * corpus-keyed exchange (the dedup-key window). */
+  private[graft] def funnelFlags(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val dim = clfDim
     // one pass: q21 min-shingle fingerprint + q72 classifier verdict
     val scored = Tables.fanOut(Tables.documents(s, d), "doc_id")
-      .select(col("doc_id"), col("text"), col("n_chars"))
-      .as[(Long, String, Long)]
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val w = Array.tabulate(dim)(j =>
@@ -1804,7 +1808,7 @@ object TextAnalysis {
           ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
             ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
         }
-        it.map { case (id, text, nChars) =>
+        it.map { case (id, text, source, nChars) =>
           val toks = text.split(" ", -1)
           val cnt = new Array[Double](dim)
           var n = 0L
@@ -1818,27 +1822,36 @@ object TextAnalysis {
           var j = 0
           while (j < dim) { dot += cnt(j) * w(j); j += 1 }
           val score = math.floor(dot / n * 1e6 + 0.5) / 1e6
-          (id, text, nChars, minShingleHashOf(md, text), score >= 0)
+          (id, text, source, nChars, minShingleHashOf(md, text), score >= 0)
         }
       }
-      .toDF("doc_id", "text", "n_chars", "fp", "clf_pass")
+      .toDF("doc_id", "text", "source", "n_chars", "fp", "clf_pass")
     // persisted: the deny build side AND the funnel probe share it
     val slim = qualityGateVerdict(scored)
-      .selectExpr("doc_id", "n_chars", "fp", "clf_pass", "pass",
+      .selectExpr("doc_id", "source", "n_chars", "fp", "clf_pass", "pass",
         "concat_ws(' ', slice(split(text, ' '), 1, 2)) as dkey")
       .transform(Tables.maybePersist)
     val deny = slim.filter(col("doc_id") % 20 === 0 && col("fp").isNotNull)
       .select(col("fp").as("deny_fp")).distinct()
-    val flagged = slim
+    slim
       .join(broadcast(deny), col("fp") === col("deny_fp"), "left")
       .withColumn("keep_id",
         min(when(col("pass"), col("doc_id"))).over(Window.partitionBy(col("dkey"))))
-      .selectExpr("n_chars",
+      .selectExpr("doc_id", "source", "n_chars",
         "pass as s1",
         "pass and doc_id = keep_id as s2",
         "pass and doc_id = keep_id and deny_fp is null as s3",
-        "pass and doc_id = keep_id and deny_fp is null and clf_pass as s4")
-    flagged.groupBy()
+        "pass and doc_id = keep_id and deny_fp is null and clf_pass as s4",
+        // bucket projected once (q34 note: no CSE across WHEN branches)
+        s"$bucketCol as bucket")
+      .selectExpr("doc_id", "source", "n_chars", "s1", "s2", "s3", "s4",
+        """CASE WHEN bucket < 80 THEN 'train'
+          |WHEN bucket < 90 THEN 'val' ELSE 'test' END as split"""
+          .stripMargin.replace("\n", " "))
+  }
+
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    funnelFlags(s, d).groupBy()
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("s1"), 1L).otherwise(0L)).cast("long").as("n_gate"),
            sum(when(col("s2"), 1L).otherwise(0L)).cast("long").as("n_dedup"),
@@ -1848,9 +1861,11 @@ object TextAnalysis {
              .cast("long").as("kept_chars"))
   }
 
-  val curationFunnelSql: String =
-    s"""WITH t AS (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks FROM documents),
-       |g AS (SELECT doc_id, n_chars, toks,
+  /** The funnel's per-doc flag CTEs (through `fl`: doc_id, source,
+    * n_chars, split, s1–s4) — shared by the q90 and q100 oracles. */
+  private val funnelCtesSql: String =
+    s"""t AS (SELECT doc_id, source, n_chars, text, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, source, n_chars, toks,
        |  concat_ws(' ', toks[1], toks[2]) AS dkey,
        |  len(toks)::BIGINT AS n_words,
        |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) AS sum_word_chars,
@@ -1858,7 +1873,7 @@ object TextAnalysis {
        |  len(list_intersect(list_distinct(toks), ['the','be','to','of','and','that','have','with']))::BIGINT AS n_stop_kinds,
        |  len(list_filter(toks, x -> regexp_matches(x, '^[^a-z0-9]+$$')))::BIGINT AS n_symbol_words
        |  FROM t),
-       |gp AS (SELECT doc_id, n_chars, dkey,
+       |gp AS (SELECT doc_id, source, n_chars, dkey,
        |  (n_words >= 50 AND n_words <= 100000
        |    AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
        |    AND 5 * n_alpha_words >= 4 * n_words
@@ -1882,24 +1897,68 @@ object TextAnalysis {
        |          (((((i - 1) * 1103515245 + 12345) % 1000) - 500) / 1000.0))), (a, b) -> a + b)
        |      / n_feats::DOUBLE * 1e6 + 0.5) / 1e6 >= 0 AS clf_pass
        |  FROM cc),
-       |k AS (SELECT gp.doc_id, gp.n_chars, gp.pass, fpx.fp, csc.clf_pass,
-       |    MIN(CASE WHEN gp.pass THEN gp.doc_id END) OVER (PARTITION BY gp.dkey) AS keep_id
+       |k AS (SELECT gp.doc_id, gp.source, gp.n_chars, gp.pass, fpx.fp, csc.clf_pass,
+       |    MIN(CASE WHEN gp.pass THEN gp.doc_id END) OVER (PARTITION BY gp.dkey) AS keep_id,
+       |    CASE WHEN ('0x' || substr(md5(gp.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+       |    WHEN ('0x' || substr(md5(gp.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+       |    ELSE 'test' END AS split
        |  FROM gp JOIN fpx USING (doc_id) JOIN csc USING (doc_id)),
-       |f AS (SELECT n_chars,
+       |fl AS (SELECT doc_id, source, n_chars, split,
        |    pass AS s1,
        |    pass AND doc_id = keep_id AS s2,
        |    pass AND doc_id = keep_id
        |      AND NOT EXISTS (SELECT 1 FROM deny WHERE deny.fp = k.fp) AS s3,
        |    pass AND doc_id = keep_id
        |      AND NOT EXISTS (SELECT 1 FROM deny WHERE deny.fp = k.fp) AND clf_pass AS s4
-       |  FROM k)
+       |  FROM k)""".stripMargin
+
+  val curationFunnelSql: String =
+    s"""WITH $funnelCtesSql
        |SELECT COUNT(*)::BIGINT AS n_docs,
        |  SUM(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n_gate,
        |  SUM(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n_dedup,
        |  SUM(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n_decon,
        |  SUM(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n_final,
        |  coalesce(SUM(CASE WHEN s4 THEN n_chars END), 0)::BIGINT AS kept_chars
-       |FROM f""".stripMargin
+       |FROM fl""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q100 — CURATED-CORPUS EXPORT MANIFEST + the export itself: the ship
+  // step. [[exportManifest]] (the oracle-gated query) is the stats
+  // manifest a training job reads before consuming the corpus — per
+  // (split, source): surviving docs and characters, over the q90 funnel
+  // survivors bucketed by the q34 content-hash split.
+  // [[exportCurated]] performs the write: the slim per-doc flag frame
+  // selects survivors, joins BACK to the corpus on doc_id (the one
+  // corpus-keyed exchange an export needs — the flags never carried
+  // `text`), and writes parquet partitioned by split — the layout a
+  // trainer consumes split-by-split with partition pruning.
+  // Side-effectful → spec-verified (ExtensionsSpec: read-back set ==
+  // survivor set, partition dirs exist, manifest reconciles); the
+  // manifest query is pure and oracle-gated.
+  // ---------------------------------------------------------------------
+
+  def exportManifest(s: SparkSession, d: String): DataFrame =
+    funnelFlags(s, d).filter(col("s4"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+
+  val exportManifestSql: String =
+    s"""WITH $funnelCtesSql
+       |SELECT split, source, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(n_chars)::BIGINT AS sum_chars
+       |FROM fl WHERE s4 GROUP BY split, source ORDER BY split, source""".stripMargin
+
+  /** Write the curated corpus to `outPath`, partitioned by split.
+    * Returns the count written (one action drives the whole plan). */
+  def exportCurated(s: SparkSession, d: String, outPath: String): Long = {
+    val kept = funnelFlags(s, d).filter(col("s4")).select("doc_id", "split")
+    Tables.documents(s, d)
+      .join(kept, Seq("doc_id"))
+      .select("doc_id", "source", "lang", "n_chars", "text", "split")
+      .write.mode("overwrite").partitionBy("split").parquet(outPath)
+    s.read.parquet(outPath).count()
+  }
 
   // ---------------------------------------------------------------------
   // q49 — boilerplate detection: a 3-gram shingle is "boilerplate" when
@@ -2585,6 +2644,7 @@ object TextAnalysis {
     "q96_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "q97_dsir_resample" -> ((s, d) => dsirResample(s, d)),
     "q99_calibration" -> ((s, d) => calibrationReport(s, d)),
+    "q100_export_manifest" -> ((s, d) => exportManifest(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2625,5 +2685,6 @@ object TextAnalysis {
     "q96_split_leakage" -> splitLeakageSql,
     "q97_dsir_resample" -> dsirResampleSql,
     "q99_calibration" -> calibrationReportSql,
+    "q100_export_manifest" -> exportManifestSql,
   )
 }

@@ -1240,6 +1240,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(clfTrue == TextAnalysis.classifierScore(spark, sf).filter(col("label")).count())
   }
 
+  test("q100: curated export writes split-partitioned parquet; read-back reconciles with the manifest") {
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+    try {
+      val n = TextAnalysis.exportCurated(spark, sf, out)
+      val expected = TextAnalysis.funnelFlags(spark, sf).filter($"s4")
+        .select("doc_id").as[Long].collect().toSet
+      assert(n == expected.size.toLong, "written count != survivor count")
+      // partition layout: one dir per present split, prunable by a trainer
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("split=")).toSet
+      assert(dirs.nonEmpty && dirs.subsetOf(Set("split=train", "split=val", "split=test")))
+      val back = spark.read.parquet(out)
+      assert(back.select("doc_id").as[Long].collect().toSet == expected,
+        "read-back doc set != survivor set")
+      // the manifest is exactly the read-back group counts
+      val manifest = TextAnalysis.exportManifest(spark, sf)
+        .select("split", "source", "n_docs", "sum_chars")
+        .as[(String, String, Long, Long)].collect().toSet
+      val fromFiles = back.groupBy("split", "source")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("c"))
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(manifest == fromFiles, "manifest != exported files")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous

@@ -274,6 +274,9 @@ object PlanBudgetSpec {
     // q99 (r12): calibration — fused per-row scoring + ONE 4-row
     // aggregate; the corpus crosses a single tiny keyed exchange
     "q99_calibration" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // q100 (r12): export manifest — q90's flag chain grouped by
+    // (split, source); same corpus shape as q90 plus the tiny regroup
+    "q100_export_manifest" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q92 (r12): PCA power iteration — the RETURNED frame is the 64-row
     // driver-built result (all zeros by construction); the corpus work
     // runs in the fit jobs (VecCentroid + 3 VecLongSum singleton
