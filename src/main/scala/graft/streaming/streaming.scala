@@ -97,6 +97,17 @@ case class PsiReport(event_type: String, rev: Long, week_from: Long,
 private[streaming] case class PsiState(rev: Long, maxId: Long,
   weeks: Map[Long, Seq[Long]], dropped: Long)
 
+/** One tokenized document for the online trending-tokens monitor
+  * (q93's streaming twin); `doc_id` carries the id-dedup contract. */
+case class TrendDoc(source: String, doc_id: Long, toks: Array[String])
+/** One summary entry per (source, micro-batch): a Misra-Gries counter
+  * with the stream length — the q93 guarantee holds against (est, n)
+  * at any revision. Same rev/dropped contract as the other monitors. */
+case class TrendReport(source: String, rev: Long, tok: String, est: Long,
+                       n: Long, dropped: Long)
+private[streaming] case class TrendState(rev: Long, maxId: Long, n: Long,
+  cnt: Map[String, Long], dropped: Long)
+
 /** A vector routed to its coarse cell — input to the online semantic-
   * dedup fold (q75's streaming twin). Produced by
   * [[graft.Similarity.assignCells]] (stateless closure-codebook
@@ -715,6 +726,46 @@ object StreamingOps {
           ChiReport(key, st.rev, design.nA, design.nB, st.convA, st.convB,
             math.floor(chi2 * 1e6 + 0.5) / 1e6, significant = chi2 >= 3.841,
             dropped = st.dropped)
+      }
+  }
+
+  /** q93's streaming twin: per-source trending-token summaries held as
+    * Misra-Gries counters in keyed state — the bounded-memory
+    * frequent-items monitor a 100 TB stream can actually afford (state
+    * per key = ≤k counters + two longs, independent of stream length).
+    * The fold IS the batch aggregator's reduce
+    * ([[graft.TextAnalysis.MisraGries]].reduce — shared code, the
+    * assignCells discipline), so the online summary carries exactly the
+    * batch guarantee at every revision: any token with true count >
+    * n/(k+1) for this source is present, with est ∈ [true − n/(k+1),
+    * true] (spec-pinned against exact counts after full delivery).
+    * Summary CONTENT is arrival-order-dependent — the guarantee, not
+    * the content, is the contract (q93's verdict-pin discipline).
+    * Replays freeze the summary and are counted via `dropped`. */
+  def trendingStream(docs: Dataset[TrendDoc]): Dataset[TrendReport] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[TrendState, TrendReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[TrendDoc], state: GroupState[TrendState]) =>
+          var st = if (state.exists) state.get
+                   else TrendState(0L, Long.MinValue, 0L, Map.empty, 0L)
+          val arrivals = it.toArray
+          val fresh = arrivals.filter(_.doc_id > st.maxId)
+          val buf = graft.TextAnalysis.MgBuf(st.n,
+            scala.collection.mutable.HashMap(st.cnt.toSeq: _*))
+          fresh.sortBy(_.doc_id).foreach { d =>
+            graft.TextAnalysis.MisraGries.reduce(buf, d.toks); ()
+          }
+          st = TrendState(st.rev + 1L,
+            if (fresh.isEmpty) st.maxId else fresh.map(_.doc_id).max,
+            buf.n, buf.cnt.toMap,
+            st.dropped + (arrivals.length - fresh.length))
+          state.update(st)
+          st.cnt.toSeq.sortBy { case (t, c) => (-c, t) }.iterator.map {
+            case (tok, est) => TrendReport(key, st.rev, tok, est, st.n, st.dropped)
+          }
       }
   }
 

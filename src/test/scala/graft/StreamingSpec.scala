@@ -546,6 +546,59 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "online assignment != batch expression on identical vectors")
   }
 
+  test("trendingStream: per-source MG summaries carry the q93 guarantee online; replay counted, frozen") {
+    import graft.streaming.{TrendDoc, TrendReport}
+    // per-doc planted head (the q93 fixture idiom): heavy 'hot' tag per
+    // source so the per-source guarantee set is non-empty while the
+    // 31-word base stays under the bar and overflows the counters
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "doc_id",
+        "concat(split(text, ' '), array_repeat('hot', cast(n_chars div 4 as int))) as toks")
+      .as[TrendDoc].collect().sortBy(_.doc_id)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[TrendDoc](spark)
+    val q = StreamingOps.trendingStream(in.toDS())
+      .writeStream.format("memory").queryName("trendmonitor")
+      .outputMode("update").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    def latest(): Map[String, Seq[TrendReport]] = {
+      val all = spark.table("trendmonitor").as[TrendReport].collect()
+      val rev = all.groupBy(_.source).view.mapValues(_.map(_.rev).max).toMap
+      all.filter(r => r.rev == rev(r.source)).groupBy(_.source)
+        .view.mapValues(_.toSeq).toMap
+    }
+    val fin = latest()
+    val exact = docs.groupBy(_.source).view.mapValues { ds =>
+      (ds.iterator.map(_.toks.length.toLong).sum,
+       ds.flatMap(_.toks).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }.toMap
+    exact.foreach { case (src, (n, counts)) =>
+      val summary = fin(src)
+      assert(summary.length <= TextAnalysis.mgK, s"$src summary exceeds the counter bound")
+      assert(summary.head.n == n, s"$src stream length diverged")
+      assert(counts.size > TextAnalysis.mgK, "fixture must overflow the counters per source")
+      val bar = n / (TextAnalysis.mgK + 1).toLong
+      val est = summary.map(r => r.tok -> r.est).toMap
+      counts.filter(_._2 > bar).foreach { case (t, c) =>
+        val e = est.getOrElse(t, fail(s"$src: guaranteed item $t missing online"))
+        assert(e <= c && (c - e) <= bar, s"$src/$t: est $e vs exact $c breaks the bound")
+      }
+      assert(counts.keys.exists(t => !est.contains(t)),
+        s"$src: bounded memory unproven — every token fit")
+    }
+    // replay: summaries frozen, drops counted per key
+    in.addData(b1: _*); q.processAllAvailable(); q.stop()
+    val after = latest()
+    after.foreach { case (src, rs) =>
+      val before = fin(src).map(r => (r.tok, r.est, r.n)).toSet
+      assert(rs.map(r => (r.tok, r.est, r.n)).toSet == before,
+        s"$src: replay moved the summary")
+      val share = b1.count(_.source == src).toLong
+      assert(rs.forall(_.dropped == share), s"$src: dropped != replayed share $share")
+    }
+  }
+
   test("psiDriftStream: online drift monitor == batch q94 after full delivery; replay counted, stats frozen") {
     import graft.streaming.{PsiEvent, PsiReport}
     val batch = RelOps.psiDrift(spark, sf)
