@@ -239,6 +239,57 @@ object Dedup {
     verifyPairs(cand, sh)
   }
 
+  // ---------------------------------------------------------------------
+  // q101 — EDIT-DISTANCE VERIFICATION of LSH candidates: the q23 chain
+  // with a CHARACTER-level verifier — Levenshtein distance on the raw
+  // text, matched when lev ≤ max(len)/5 (the 0.2 relative bar as an
+  // integer cross-multiplication). Where Jaccard-on-shingles (q23) is
+  // order-insensitive at 3-gram grain, edit distance certifies
+  // near-identity at character grain — the verifier of record when the
+  // dedup policy must survive audits ("these two documents really are
+  // the same text"). O(m·n) DP per pair is exactly WHY pipelines only
+  // ever run it on banding candidates: the LSH stage bounds the pair
+  // count, the verifier bounds the false positives.
+  //
+  // Scale shape: identical to q23 through the candidate stage (signing
+  // per row, triangle-blocked band join); the verify joins candidates
+  // back to the persisted corpus for text (two keyed joins — the same
+  // shape as verifyPairs' shingle joins) and the DP runs inside
+  // codegen (both engines ship native levenshtein with the unit-cost
+  // insert/delete/substitute definition — cross-checked by the oracle).
+  // ---------------------------------------------------------------------
+
+  def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    val corpus = nearDupCorpus(s, d).transform(Tables.maybePersist)
+    val sh = signedCorpus(s, corpus).transform(Tables.maybePersist)
+    val cand = boundedBandCandidates(s, lshBands(sh), cap = 1024)
+    cand
+      .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .selectExpr("doc_a", "doc_b", "lev",
+        "cast(length(ta) as bigint) as len_a", "cast(length(tb) as bigint) as len_b")
+      .filter(expr("5 * lev <= greatest(len_a, len_b)"))
+      .selectExpr("doc_a", "doc_b", "lev", "len_a", "len_b",
+        "floor(lev / cast(greatest(len_a, len_b) as double) * 1e6 + 0.5) / 1e6 as rel_dist")
+  }
+
+  // lazy: interpolates sigBandCtes, declared later in this object
+  lazy val editDistancePairsSql: String =
+    s"""WITH $sigBandCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |m AS (SELECT doc_a, doc_b,
+       |    levenshtein(ca.text, cb.text)::BIGINT AS lev,
+       |    length(ca.text)::BIGINT AS len_a, length(cb.text)::BIGINT AS len_b
+       |  FROM cand JOIN corpus ca ON ca.doc_id = cand.doc_a
+       |            JOIN corpus cb ON cb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, lev, len_a, len_b,
+       |  floor(lev / greatest(len_a, len_b)::DOUBLE * 1e6 + 0.5) / 1e6 AS rel_dist
+       |FROM m WHERE 5 * lev <= greatest(len_a, len_b)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q23 — the near-dup pair pipeline above as the query surface. */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     nearDupPairs(s, d)
@@ -1028,6 +1079,7 @@ object Dedup {
     "q70_simhash_keep"  -> ((s, d) => simhashKeep(s, d)),
     "q79_lsh_audit"     -> ((s, d) => lshAudit(s, d)),
     "q85_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
+    "q101_edit_verify"  -> ((s, d) => editDistancePairs(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1041,5 +1093,6 @@ object Dedup {
     "q70_simhash_keep"  -> simhashKeepSql,
     "q79_lsh_audit"     -> lshAuditSql,
     "q85_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
+    "q101_edit_verify"  -> editDistancePairsSql,
   )
 }

@@ -1271,6 +1271,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q101: edit-distance verify certifies every planted twin; lev equals the dropped-token cost") {
+    val got = Dedup.editDistancePairs(spark, sf)
+      .select("doc_a", "doc_b", "lev").as[(Long, Long, Long)].collect()
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val planted = texts.filter(_._2.split(" ").length >= 10)
+      .map { case (id, _) => (id, id + 10000L) }.toSet
+    assert(planted.subsetOf(pairs), s"missing ${(planted -- pairs).take(5)}")
+    // for a twin, the distance is exactly the dropped first token + its
+    // separating space
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    texts.filter(_._2.split(" ").length >= 10).foreach { case (id, text) =>
+      val expected = text.split(" ", 2).head.length.toLong + 1L
+      assert(byPair((id, id + 10000L)) == expected,
+        s"doc $id: lev ${byPair((id, id + 10000L))} != dropped-token cost $expected")
+    }
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous
