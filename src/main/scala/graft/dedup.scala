@@ -264,6 +264,20 @@ object Dedup {
     val sh = signedCorpus(s, corpus).transform(Tables.maybePersist)
     val cand = boundedBandCandidates(s, lshBands(sh), cap = 1024)
     cand
+      // per-row CPU gate BEFORE the joins (the Tables.fanOut rationale,
+      // applied manually — fanOut passes through frames that already
+      // contain an exchange): the candidate frame is BYTES-tiny, so AQE
+      // coalesces its shuffle to ONE partition, and every downstream
+      // evaluation of the O(m·n) DP — including the threshold filter,
+      // which Catalyst inlines and pushes down — would run serially
+      // there. An explicit numbered repartition is exempt from AQE
+      // coalescing (REPARTITION_BY_NUM) and the broadcast text joins
+      // preserve its partitioning, so the DP always evaluates on all
+      // cores: measured 12.3 → ~1.6 s at sf0.1 on local[32] (a
+      // post-join repartition is NOT equivalent — the pushed-down
+      // filter still evaluated lev on the coalesced side, 7.8 s)
+      .transform(df => df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col("doc_a")))
       .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
       .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))

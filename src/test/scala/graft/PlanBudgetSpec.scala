@@ -278,8 +278,10 @@ object PlanBudgetSpec {
     // (split, source); same corpus shape as q90 plus the tiny regroup
     "q100_export_manifest" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q101 (r12): edit-distance verify — q23's shape through the
-    // candidate stage, then two corpus text joins for the DP verifier
-    "q101_edit_verify" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    // candidate stage, the REPARTITION_BY_NUM per-row-CPU gate (+1
+    // shuffle, deliberately uncoalescible), then two broadcast text
+    // joins for the DP verifier
+    "q101_edit_verify" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     // q92 (r12): PCA power iteration — the RETURNED frame is the 64-row
     // driver-built result (all zeros by construction); the corpus work
     // runs in the fit jobs (VecCentroid + 3 VecLongSum singleton
