@@ -174,6 +174,49 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("q94 psiDriftStream (weekly histogram state) runs on RocksDB") {
+    withRocksDb {
+      import graft.streaming.{PsiDesign, PsiEvent, PsiReport}
+      val in = MemoryStream[PsiEvent](spark)
+      val design = PsiDesign(0.0, 10.0)
+      val week = 604800000000L
+      val q = StreamingOps.psiDriftStream(in.toDS(), design)
+        .writeStream.format("memory").queryName("rocks_psi")
+        .outputMode("update").start()
+      in.addData((1L to 20L).map(i => PsiEvent("click", i, week, (i % 10).toDouble)): _*)
+      q.processAllAvailable()
+      in.addData((21L to 40L).map(i => PsiEvent("click", i, 2 * week, 9.0)): _*)
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("rocks_psi").as[PsiReport].collect()
+      val fin = rows.maxBy(_.rev)
+      assert(fin.week_from == 1L && fin.week_to == 2L && fin.n_from == 20L && fin.n_to == 20L)
+      assert(fin.psi > 0.2 && fin.drift, s"forced shift must flag: $fin")
+    }
+  }
+
+  test("q93 trendingStream (Misra-Gries counter state) runs on RocksDB") {
+    withRocksDb {
+      import graft.streaming.{TrendDoc, TrendReport}
+      val in = MemoryStream[TrendDoc](spark)
+      val q = StreamingOps.trendingStream(in.toDS())
+        .writeStream.format("memory").queryName("rocks_trend")
+        .outputMode("update").start()
+      // 20 distinct rare tokens + one heavy token across two batches:
+      // counters overflow (k=16) and the heavy token must survive
+      in.addData((1L to 10L).map(i =>
+        TrendDoc("s", i, Array(s"rare$i") ++ Array.fill(10)("hot"))): _*)
+      q.processAllAvailable()
+      in.addData((11L to 20L).map(i =>
+        TrendDoc("s", i, Array(s"rare$i") ++ Array.fill(10)("hot"))): _*)
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("rocks_trend").as[TrendReport].collect()
+      val fin = rows.filter(_.rev == rows.map(_.rev).max)
+      assert(fin.length <= TextAnalysis.mgK)
+      val hot = fin.find(_.tok == "hot").getOrElse(fail("heavy token lost"))
+      assert(hot.n == 220L && hot.est <= 200L && (200L - hot.est) <= 220L / 17L)
+    }
+  }
+
   test("stream-stream click/purchase join (watermark-bounded state) runs on RocksDB") {
     withRocksDb {
       val cIn = MemoryStream[(Long, Timestamp, Long)](spark)
