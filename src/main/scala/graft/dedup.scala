@@ -304,6 +304,108 @@ object Dedup {
        |FROM m WHERE 5 * lev <= greatest(len_a, len_b)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q102 — INCREMENTAL INGESTION DEDUP: the nightly-crawl shape — a
+  // small DELTA batch probed against the standing corpus index, the
+  // reverse asymmetry of q85 (there the deny side was small; here the
+  // INDEX is the 100 TB side and the delta is broadcast). Per delta
+  // document: how many index documents it near-duplicates (exact
+  // Jaccard ≥ 0.5 on the q23 chain) and whether it is genuinely new —
+  // the admit/drop decision an ingestion pipeline makes per batch.
+  //
+  // Fixture: delta = mutated twins of the doc_id%10==7 slice (must
+  // match their originals) ∪ token-REVERSED texts of the %10==3 slice
+  // (reversal shares no word-3-gram with the original — genuinely new),
+  // both built with the same expressions in both engines.
+  //
+  // Scale shape: the index signs once (in production it is PRE-BUILT
+  // and stored — banding signatures are write-once artifacts; here it
+  // is computed inline); the delta signs per-row and its bands
+  // BROADCAST to the index band side, so the index never shuffles for
+  // candidate generation; verification joins the delta-sized candidate
+  // set against index shingles (broadcast delta side again — at scale
+  // a broadcast semi-join against the index scan). The per-delta
+  // verdict aggregate is delta-sized.
+  // ---------------------------------------------------------------------
+
+  private[graft] def deltaBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 7)
+      .selectExpr("doc_id + 20000 as doc_id",
+        "substring(text, instr(text, ' ') + 1) as text")
+      .unionAll(docs.filter(col("doc_id") % 10 === 3)
+        .selectExpr("doc_id + 30000 as doc_id",
+          "array_join(reverse(split(text, ' ')), ' ') as text"))
+
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val index = signedCorpus(s, docs.select(col("doc_id"), col("text")))
+      .transform(Tables.maybePersist)
+    val delta = deltaBatch(docs)
+    val deltaSh = signedCorpus(s, delta).transform(Tables.maybePersist)
+    val cand = lshBands(index)
+      .join(broadcast(lshBands(deltaSh)
+          .select(col("band_idx").as("d_idx"), col("band_hash").as("d_hash"),
+            col("doc_id").as("delta_id"))),
+        col("band_idx") === col("d_idx") && col("band_hash") === col("d_hash"))
+      .select(col("delta_id").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    // verifyPairs' Jaccard, across the two frames (delta side broadcast)
+    val verified = cand
+      .join(broadcast(deltaSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
+      .join(index.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", floor((
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double")) * 1e6 + 0.5) / 1e6)
+      .filter(col("jaccard") >= 0.5)
+    delta.select(col("doc_id").as("delta_id"))
+      .join(verified.groupBy("doc_a")
+          .agg(count(lit(1)).as("nm"), max(col("jaccard")).as("bj"))
+          .withColumnRenamed("doc_a", "delta_id"),
+        Seq("delta_id"), "left")
+      .selectExpr("delta_id", "cast(coalesce(nm, 0) as bigint) as n_matches",
+        "coalesce(bj, 0.0) as best_jaccard", "nm is null as is_new")
+  }
+
+  /** The q23 sign→band CTE chain for an arbitrary (doc_id, text) source
+    * CTE, name-prefixed so two chains coexist in one query. */
+  private def sigChainSql(src: String, p: String): String =
+    s"""${p}tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+       |${p}sh AS (SELECT doc_id, $shinglesSqlDuck AS sh FROM ${p}tk),
+       |${p}hs AS (SELECT doc_id, sh, list_transform(sh, x -> {'a':
+       |    ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007, 'b':
+       |    ('0x' || substr(md5(x), 17, 15))::BIGINT % 1000000007}) AS hs
+       |  FROM ${p}sh WHERE len(sh) > 0),
+       |${p}sig AS (SELECT doc_id, sh, list_transform(range(0, 12),
+       |  i -> list_min(list_transform(hs, h -> (h.a + i * h.b) % 1000000007))) AS sig FROM ${p}hs),
+       |${p}bands AS (SELECT doc_id, sh, b AS band_idx,
+       |  concat_ws(':', sig[3 * b + 1], sig[3 * b + 2], sig[3 * b + 3]) AS band_hash
+       |  FROM (SELECT doc_id, sh, sig, unnest(range(0, 4)) AS b FROM ${p}sig))""".stripMargin
+
+  lazy val incrementalDedupSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |delta AS (SELECT doc_id + 20000 AS doc_id,
+       |    substr(text, strpos(text, ' ') + 1) AS text FROM base WHERE doc_id % 10 = 7
+       |  UNION ALL SELECT doc_id + 30000,
+       |    array_to_string(list_reverse(string_split(text, ' ')), ' ') FROM base WHERE doc_id % 10 = 3),
+       |${sigChainSql("base", "i_")},
+       |${sigChainSql("delta", "d_")},
+       |cand AS (SELECT DISTINCT d.doc_id AS doc_a, i.doc_id AS doc_b
+       |  FROM i_bands i JOIN d_bands d
+       |    ON i.band_idx = d.band_idx AND i.band_hash = d.band_hash),
+       |ver AS (SELECT doc_a, doc_b,
+       |    floor((len(list_intersect(sa.sh, sb.sh))
+       |      / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
+       |  FROM cand JOIN d_sh sa ON sa.doc_id = cand.doc_a
+       |            JOIN i_sh sb ON sb.doc_id = cand.doc_b),
+       |agg AS (SELECT doc_a, COUNT(*)::BIGINT AS nm, MAX(jaccard) AS bj
+       |  FROM ver WHERE jaccard >= 0.5 GROUP BY doc_a)
+       |SELECT delta.doc_id AS delta_id,
+       |  coalesce(agg.nm, 0)::BIGINT AS n_matches,
+       |  coalesce(agg.bj, 0.0) AS best_jaccard,
+       |  agg.nm IS NULL AS is_new
+       |FROM delta LEFT JOIN agg ON agg.doc_a = delta.doc_id
+       |ORDER BY delta_id""".stripMargin
+
   /** q23 — the near-dup pair pipeline above as the query surface. */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     nearDupPairs(s, d)
@@ -1094,6 +1196,7 @@ object Dedup {
     "q79_lsh_audit"     -> ((s, d) => lshAudit(s, d)),
     "q85_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
     "q101_edit_verify"  -> ((s, d) => editDistancePairs(s, d)),
+    "q102_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1108,5 +1211,6 @@ object Dedup {
     "q79_lsh_audit"     -> lshAuditSql,
     "q85_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
     "q101_edit_verify"  -> editDistancePairsSql,
+    "q102_incremental_dedup" -> incrementalDedupSql,
   )
 }

@@ -1290,6 +1290,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q102: incremental dedup admits every genuinely-new doc and drops every twin") {
+    val rows = Dedup.incrementalDedup(spark, sf)
+      .select("delta_id", "n_matches", "is_new")
+      .as[(Long, Long, Boolean)].collect()
+    val twins = rows.filter(r => r._1 >= 20000L && r._1 < 30000L)
+    val fresh = rows.filter(_._1 >= 30000L)
+    assert(twins.nonEmpty && fresh.nonEmpty)
+    // every mutated twin of a >=10-token doc must land on its original
+    val lens = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap.view.mapValues(_.split(" ").length).toMap
+    twins.filter(t => lens(t._1 - 20000L) >= 10).foreach { case (id, nm, isNew) =>
+      assert(!isNew && nm >= 1L, s"twin $id escaped the index probe")
+    }
+    // reversal shares no word-3-gram with the original: all new
+    fresh.foreach { case (id, nm, isNew) =>
+      assert(isNew && nm == 0L, s"reversed doc $id falsely matched the index")
+    }
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous

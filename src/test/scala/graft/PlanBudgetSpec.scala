@@ -282,6 +282,10 @@ object PlanBudgetSpec {
     // shuffle, deliberately uncoalescible), then two broadcast text
     // joins for the DP verifier
     "q101_edit_verify" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    // q102 (r12): incremental dedup — index signs once, delta bands and
+    // shingles BROADCAST to the index side (candidates and verify never
+    // shuffle the index); the verdict aggregate is delta-sized
+    "q102_incremental_dedup" -> Shape(shuffles = 3, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 6),
     // q92 (r12): PCA power iteration — the RETURNED frame is the 64-row
     // driver-built result (all zeros by construction); the corpus work
     // runs in the fit jobs (VecCentroid + 3 VecLongSum singleton
