@@ -201,6 +201,18 @@ object TextAnalysis {
 
   private[graft] val clfDim = 128
 
+  /** q72's md5 feature bucket — THE hashing contract every
+    * classifier-family operator (q72/q78/q90/q97/q99) shares: first 4
+    * digest bytes as unsigned mod dim, kept in lockstep with the
+    * oracles' ('0x' || substr(md5(g), 1, 8))::BIGINT % dim idiom.
+    * Takes the partition's digest instance (one per mapPartitions). */
+  private def clfBucket(md: java.security.MessageDigest, f: String, dim: Int): Int = {
+    val dg = md.digest(f.getBytes("UTF-8"))
+    ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+      ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
+  }
+
+
   /** The q72 weight row: w[j] = (((j·1103515245 + 12345) mod 1000) − 500)
     * / 1000 — pure integer arithmetic until the final division, exact in
     * both engines. */
@@ -218,14 +230,7 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        // first 4 digest bytes as unsigned == parsing the first 8 md5 hex
-        // chars base-16 (the keepBucketSql idiom, kept in lockstep with
-        // the oracle's ('0x' || substr(md5(g), 1, 8))::BIGINT)
-        def bucket(f: String): Int = {
-          val dg = md.digest(f.getBytes("UTF-8"))
-          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
-            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
-        }
+        def bucket(f: String): Int = clfBucket(md, f, dim)
         it.map { case (id, text) =>
           val toks = text.split(" ", -1)
           val cnt = new Array[Double](dim)
@@ -264,11 +269,7 @@ object TextAnalysis {
         val md = java.security.MessageDigest.getInstance("MD5")
         val w = Array.tabulate(dim)(j =>
           (((j.toLong * 1103515245L + 12345L) % 1000L) - 500L) / 1000.0)
-        def bucket(f: String): Int = {
-          val dg = md.digest(f.getBytes("UTF-8"))
-          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
-            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
-        }
+        def bucket(f: String): Int = clfBucket(md, f, dim)
         it.map { case (id, src, text) =>
           val toks = text.split(" ", -1)
           val cnt = new Array[Double](dim)
@@ -849,11 +850,7 @@ object TextAnalysis {
         val md = java.security.MessageDigest.getInstance("MD5")
         val w = Array.tabulate(dim)(j =>
           (((j.toLong * 1103515245L + 12345L) % 1000L) - 500L) / 1000.0)
-        def bucket(f: String): Int = {
-          val dg = md.digest(f.getBytes("UTF-8"))
-          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
-            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
-        }
+        def bucket(f: String): Int = clfBucket(md, f, dim)
         it.map { case (id, text) =>
           val toks = text.split(" ", -1)
           val cnt = new Array[Double](dim)
@@ -1803,11 +1800,7 @@ object TextAnalysis {
         val md = java.security.MessageDigest.getInstance("MD5")
         val w = Array.tabulate(dim)(j =>
           (((j.toLong * 1103515245L + 12345L) % 1000L) - 500L) / 1000.0)
-        def bucket(f: String): Int = {
-          val dg = md.digest(f.getBytes("UTF-8"))
-          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
-            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
-        }
+        def bucket(f: String): Int = clfBucket(md, f, dim)
         it.map { case (id, text, source, nChars) =>
           val toks = text.split(" ", -1)
           val cnt = new Array[Double](dim)
@@ -2332,11 +2325,7 @@ object TextAnalysis {
     df.select(col("text")).as[String]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def bucket(f: String): Int = {
-          val dg = md.digest(f.getBytes("UTF-8"))
-          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
-            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
-        }
+        def bucket(f: String): Int = clfBucket(md, f, dim)
         it.map { text =>
           val toks = text.split(" ", -1)
           val cnt = new Array[Long](dim)
@@ -2376,11 +2365,7 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def bucket(f: String): Int = {
-          val dg = md.digest(f.getBytes("UTF-8"))
-          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
-            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
-        }
+        def bucket(f: String): Int = clfBucket(md, f, dim)
         it.map { case (id, text) =>
           val toks = text.split(" ", -1)
           val cnt = new Array[Double](dim)
@@ -2431,11 +2416,7 @@ object TextAnalysis {
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def bucket(f: String): Int = {
-          val dg = md.digest(f.getBytes("UTF-8"))
-          ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
-            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % dim).toInt
-        }
+        def bucket(f: String): Int = clfBucket(md, f, dim)
         it.map { case (id, src, text) =>
           val toks = text.split(" ", -1)
           val cnt = new Array[Double](dim)
