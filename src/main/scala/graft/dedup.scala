@@ -259,30 +259,64 @@ object Dedup {
   // insert/delete/substitute definition — cross-checked by the oracle).
   // ---------------------------------------------------------------------
 
+  /** Classic Wagner-Fischer unit-cost edit distance (two-row DP). The
+    * VALUE is implementation-unambiguous — identical to both engines'
+    * native levenshtein(), which the oracle keeps using. Native here
+    * per the suite playbook (hot per-row loops go JVM), and crucially
+    * it sits behind a typed-object boundary: Catalyst cannot inline it
+    * into the threshold filter and push the O(m·n) work below the
+    * parallelism gate. */
+  private def levDp(a: String, b: String): Int = {
+    if (a == b) 0
+    else {
+      val (s0, t0) = if (a.length <= b.length) (a, b) else (b, a)
+      val n = s0.length
+      var prev = Array.tabulate(n + 1)(identity)
+      var cur = new Array[Int](n + 1)
+      var i = 1
+      while (i <= t0.length) {
+        cur(0) = i
+        val tc = t0.charAt(i - 1)
+        var j = 1
+        while (j <= n) {
+          val cost = if (s0.charAt(j - 1) == tc) 0 else 1
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+          j += 1
+        }
+        val tmp = prev; prev = cur; cur = tmp
+        i += 1
+      }
+      prev(n)
+    }
+  }
+
   def editDistancePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val corpus = nearDupCorpus(s, d).transform(Tables.maybePersist)
     val sh = signedCorpus(s, corpus).transform(Tables.maybePersist)
     val cand = boundedBandCandidates(s, lshBands(sh), cap = 1024)
     cand
-      // per-row CPU gate BEFORE the joins (the Tables.fanOut rationale,
-      // applied manually — fanOut passes through frames that already
-      // contain an exchange): the candidate frame is BYTES-tiny, so AQE
-      // coalesces its shuffle to ONE partition, and every downstream
-      // evaluation of the O(m·n) DP — including the threshold filter,
-      // which Catalyst inlines and pushes down — would run serially
-      // there. An explicit numbered repartition is exempt from AQE
-      // coalescing (REPARTITION_BY_NUM) and the broadcast text joins
-      // preserve its partitioning, so the DP always evaluates on all
-      // cores: measured 12.3 → ~1.6 s at sf0.1 on local[32] (a
-      // post-join repartition is NOT equivalent — the pushed-down
-      // filter still evaluated lev on the coalesced side, 7.8 s)
-      .transform(df => df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, col("doc_a")))
       .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
-      .selectExpr("doc_a", "doc_b", "lev",
-        "cast(length(ta) as bigint) as len_a", "cast(length(tb) as bigint) as len_b")
+      // per-row CPU gate AFTER the joins, immediately before the typed
+      // DP pass: the candidate frame is BYTES-tiny, so every exchange
+      // AQE may plan around the joins coalesces to ~one partition (at
+      // replica scale the text side outgrows the broadcast threshold
+      // and the doc_b SMJ re-shuffles the pairs — the r12 audit caught
+      // the DP serializing there at 10×). An explicit numbered
+      // repartition is exempt from AQE coalescing (REPARTITION_BY_NUM),
+      // and the typed mapPartitions below is an optimizer barrier — the
+      // threshold filter CANNOT be inlined-and-pushed beneath the gate
+      // (the first fix's failure mode). Measured: 12.3 → 1.6 s at
+      // sf0.1; 32 → ~3 s at the 10× replica.
+      .transform(df => df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col("doc_a")))
+      .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions(it => it.map { case (a, b, ta, tb) =>
+        (a, b, levDp(ta, tb).toLong, ta.length.toLong, tb.length.toLong)
+      })
+      .toDF("doc_a", "doc_b", "lev", "len_a", "len_b")
       .filter(expr("5 * lev <= greatest(len_a, len_b)"))
       .selectExpr("doc_a", "doc_b", "lev", "len_a", "len_b",
         "floor(lev / cast(greatest(len_a, len_b) as double) * 1e6 + 0.5) / 1e6 as rel_dist")
