@@ -1723,17 +1723,23 @@ object TextAnalysis {
   // keys the raw text so both engines count identically.
   // ---------------------------------------------------------------------
 
-  def windowDedup(s: SparkSession, d: String): DataFrame = {
+  /** The q89 window-occurrence frame (doc_id, win) — also the input of
+    * the online leg (frequentLines at threshold 2 over windows: a
+    * window crossing two distinct docs IS the duplicated-span event). */
+  private[graft] def windowOccurrences(s: SparkSession, d: String): DataFrame = {
     val body = "concat('TERMS OF SERVICE APPLY - SEE FOOTER NOTE', " +
       "'PROMO CODE ', lpad(cast(doc_id % 50 as string), 4, '0'), " +
       "' REDEEM AT CHECKOUT TODAY', coalesce(text, ''))"
-    // persisted: feeds the dup-set aggregate AND the rebuild join
-    val wins = Tables.fanOut(Tables.documents(s, d), "doc_id")
+    Tables.fanOut(Tables.documents(s, d), "doc_id")
       .selectExpr("doc_id", s"$body as body")
       .selectExpr("doc_id",
         "explode(transform(sequence(0, (length(body) - 40) div 20), " +
           "i -> substring(body, cast(1 + i * 20 as int), 40))) as win")
-      .transform(Tables.maybePersist)
+  }
+
+  def windowDedup(s: SparkSession, d: String): DataFrame = {
+    // persisted: feeds the dup-set aggregate AND the rebuild join
+    val wins = windowOccurrences(s, d).transform(Tables.maybePersist)
     val dup = wins.groupBy("win")
       .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("dup"))
       .filter(col("dup"))

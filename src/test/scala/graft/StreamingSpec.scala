@@ -546,6 +546,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "online assignment != batch expression on identical vectors")
   }
 
+  test("q89's online form: frequentLines at threshold 2 over windows == the batch dup-window set") {
+    // a duplicated SPAN is a window reaching two distinct docs — the
+    // q69 frequent-line machinery at threshold 2, reused verbatim over
+    // the q89 window-occurrence stream (shared code, not a twin impl)
+    import graft.streaming.{LineOcc, FrequentLine}
+    val occs = TextAnalysis.windowOccurrences(spark, sf)
+      .selectExpr("win as line", "doc_id").as[LineOcc].collect().sortBy(_.doc_id)
+    val batchDup = TextAnalysis.windowOccurrences(spark, sf)
+      .groupBy("win")
+      .agg((min($"doc_id") =!= max($"doc_id")).as("dup"))
+      .filter($"dup").select("win").as[String].collect().toSet
+    val (b1, b2) = occs.splitAt(occs.length / 2)
+    val in = MemoryStream[LineOcc](spark)
+    val q = StreamingOps.frequentLines(in.toDS(), threshold = 2L)
+      .writeStream.format("memory").queryName("windupes")
+      .outputMode("append").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("windupes").as[FrequentLine].collect()
+    assert(got.map(_.line).toSet == batchDup,
+      "online dup-window set != batch q89 dup set")
+    assert(got.forall(_.df >= 2L))
+    assert(got.map(_.line).distinct.length == got.length, "a window emitted twice")
+  }
+
   test("trendingStream: per-source MG summaries carry the q93 guarantee online; replay counted, frozen") {
     import graft.streaming.{TrendDoc, TrendReport}
     // per-doc planted head (the q93 fixture idiom): heavy 'hot' tag per
