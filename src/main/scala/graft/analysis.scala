@@ -911,6 +911,46 @@ object TextAnalysis {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q103 — WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+  // 2006, A-Res): draw k = 50 documents with inclusion probability ∝
+  // n_chars by ranking on key = ln(u)/w with u a per-doc deterministic
+  // md5-uniform — the one-pass distributed scheme for exact-k weighted
+  // draws (the data-mixing cousin of q51's rate-based keep: rates give
+  // a BINOMIAL sample size, this gives exactly k). No RNG: u derives
+  // from md5(doc_id), so the draw is reproducible and replay-stable.
+  //
+  // Scale shape: the key is per-row arithmetic; exact top-k collapses
+  // to TakeOrderedAndProject (per-partition heaps + a driver merge of
+  // k×partitions rows — the q26 discipline); the corpus never
+  // shuffles. Determinism: u is an exact integer /2^32; ln/pow agree
+  // across engines to ~1 ulp, so the SELECTION comparator uses the
+  // micro-grid discipline one level stronger — key quantized to 1e-9
+  // nats as BIGINT (floor, exact both engines), ties to the lowest
+  // doc_id; an integer comparator cannot flip across engines.
+  // ---------------------------------------------------------------------
+
+  def weightedSample(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val keyExpr =
+      // u in (0, 1]: (bucket + 1) / 2^32 over the first 8 md5 hex chars
+      """cast(floor(ln((cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) + 1)
+        |  / 4294967296.0D) / cast(n_chars as double) * 1e9) as bigint)"""
+        .stripMargin.replace("\n", " ")
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "n_chars", s"$keyExpr as key_nano")
+      .orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(k)
+      .selectExpr("doc_id", "n_chars", "key_nano")
+  }
+
+  val weightedSampleSql: String =
+    """WITH s AS (SELECT doc_id, n_chars,
+      |    floor(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+      |      / 4294967296.0) / n_chars::DOUBLE * 1e9)::BIGINT AS key_nano
+      |  FROM documents)
+      |SELECT doc_id, n_chars, key_nano FROM s
+      |ORDER BY key_nano DESC, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q96 — SPLIT-LEAKAGE AUDIT: near-identical documents that land on
   // opposite sides of the train/val/test split leak evaluation signal —
   // the QA check every pipeline should run AFTER splitting (q34) and
@@ -2631,6 +2671,7 @@ object TextAnalysis {
     "q96_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "q97_dsir_resample" -> ((s, d) => dsirResample(s, d)),
     "q99_calibration" -> ((s, d) => calibrationReport(s, d)),
+    "q103_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "q100_export_manifest" -> ((s, d) => exportManifest(s, d)),
   )
 
@@ -2672,6 +2713,7 @@ object TextAnalysis {
     "q96_split_leakage" -> splitLeakageSql,
     "q97_dsir_resample" -> dsirResampleSql,
     "q99_calibration" -> calibrationReportSql,
+    "q103_weighted_sample" -> weightedSampleSql,
     "q100_export_manifest" -> exportManifestSql,
   )
 }

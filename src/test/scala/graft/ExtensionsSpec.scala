@@ -1309,6 +1309,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q103: weighted sample == driver A-Res model; weighting measurably biases toward long docs") {
+    val got = TextAnalysis.weightedSample(spark, sf)
+      .select("doc_id", "n_chars", "key_nano")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 50)
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .as[(Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keyOf(id: Long, w: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L) / 4294967296.0
+      math.floor(math.log(u) / w.toDouble * 1e9).toLong
+    }
+    val expected = docs.map { case (id, w) => (id, w, keyOf(id, w)) }
+      .sortBy(t => (-t._3, t._1)).take(50).toSeq
+    assert(got.sortBy(t => (-t._3, t._1)).toSeq == expected,
+      "sample != driver-side Efraimidis-Spirakis model")
+    // inclusion probability ∝ n_chars: the sample mean length must sit
+    // clearly above the corpus mean on this fixture
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean * 1.05,
+      s"weighting did not bite: sample $sampleMean vs corpus $corpusMean")
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous
