@@ -41,6 +41,7 @@ object SparkEntry {
     "q76_ab_ttest"         -> ((s, d) => RelOps.abTest(s, d)),
     "q77_ab_chisq"         -> ((s, d) => RelOps.abChiSq(s, d)),
     "q94_psi_drift"        -> ((s, d) => RelOps.psiDrift(s, d)),
+    "q104_key_skew"        -> ((s, d) => RelOps.keySkewReport(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ MediaOps.queries ++ Enrich.queries ++ Routing.queries
@@ -210,6 +211,7 @@ object SparkEntry {
     "q76_ab_ttest" -> RelOps.abTestSql,
     "q77_ab_chisq" -> RelOps.abChiSqSql,
     "q94_psi_drift" -> RelOps.psiDriftSql,
+    "q104_key_skew" -> RelOps.keySkewReportSql,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
     Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle ++ Routing.oracle
 }

@@ -703,6 +703,46 @@ object RelOps {
       |  SUM(term_micro) / 1e6 AS psi, SUM(term_micro) >= 200000 AS drift
       |FROM p GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q104 — JOIN-KEY SKEW DIAGNOSTICS: per event_type, the distribution
+  // shape of the user_id key — distinct keys, total rows, the heaviest
+  // key and its count, and the skew factor max/avg — the report an
+  // engineer reads BEFORE sizing a 100 TB shuffle on that key (a skew
+  // factor in the tens means salting or AQE skew-join handling; ~1
+  // means plain hash partitioning is fine). The engine's own q23/q75
+  // triangle-blocking exists precisely for the high end of this dial.
+  //
+  // Scale shape: ONE keyed count aggregate (map-side combined), then a
+  // per-type argmax over the collapsed key frame (tiny). Determinism:
+  // integer counts; the skew factor is integer-quantized
+  // (floor(max·n_keys·1e6/total + 0.5) — cross-multiplied, no
+  // intermediate float division); the heaviest key ties to the lowest
+  // user_id via the max-struct trick (lexicographic, exact).
+  // ---------------------------------------------------------------------
+
+  def keySkewReport(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+           sum(col("cnt")).as("n_rows"),
+           max(struct(col("cnt"), (-col("user_id")).as("nu"))).as("top"))
+      .selectExpr("event_type", "n_keys", "n_rows",
+        "top.cnt as max_cnt", "cast(-top.nu as bigint) as hottest_key",
+        "floor(top.cnt * n_keys * 1e6 / cast(n_rows as double) + 0.5) / 1e6 as skew_factor")
+
+  val keySkewReportSql: String =
+    """WITH c AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type,
+      |    COUNT(*)::BIGINT AS n_keys, SUM(cnt)::BIGINT AS n_rows,
+      |    MAX(struct_pack(cnt := cnt, nu := -user_id)) AS top
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, n_keys, n_rows,
+      |  top.cnt AS max_cnt, (-top.nu)::BIGINT AS hottest_key,
+      |  floor(top.cnt * n_keys * 1e6 / n_rows::DOUBLE + 0.5) / 1e6 AS skew_factor
+      |FROM r ORDER BY event_type""".stripMargin
+
   val abTestSql: String =
     """WITH e AS (SELECT event_type, value,
       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v

@@ -1335,6 +1335,23 @@ class ExtensionsSpec extends SparkSpec {
       s"weighting did not bite: sample $sampleMean vs corpus $corpusMean")
   }
 
+  test("q104: key-skew report == driver recompute; factor >= 1 by construction") {
+    val got = RelOps.keySkewReport(spark, sf)
+      .select("event_type", "n_keys", "n_rows", "max_cnt", "hottest_key", "skew_factor")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf).select("event_type", "user_id")
+      .as[(String, Long)].collect()
+    got.foreach { case (et, nKeys, nRows, maxCnt, hot, skew) =>
+      val counts = ev.filter(_._1 == et).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(nKeys == counts.size.toLong && nRows == counts.values.sum)
+      val (eHot, eMax) = counts.toSeq.minBy { case (k, c) => (-c, k) }
+      assert((hot, maxCnt) == (eHot, eMax), s"$et: hottest $hot/$maxCnt != model $eHot/$eMax")
+      assert(skew >= 1.0, s"$et: max/avg cannot sit below 1")
+      assert(skew == math.floor(eMax * counts.size * 1e6 / nRows.toDouble + 0.5) / 1e6)
+    }
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous
