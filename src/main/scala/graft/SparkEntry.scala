@@ -42,6 +42,7 @@ object SparkEntry {
     "q77_ab_chisq"         -> ((s, d) => RelOps.abChiSq(s, d)),
     "q94_psi_drift"        -> ((s, d) => RelOps.psiDrift(s, d)),
     "q104_key_skew"        -> ((s, d) => RelOps.keySkewReport(s, d)),
+    "q105_first_touch"     -> ((s, d) => RelOps.firstTouchAttribution(s, d)),
     )
     base ++ TextQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ MediaOps.queries ++ Enrich.queries ++ Routing.queries
@@ -212,6 +213,7 @@ object SparkEntry {
     "q77_ab_chisq" -> RelOps.abChiSqSql,
     "q94_psi_drift" -> RelOps.psiDriftSql,
     "q104_key_skew" -> RelOps.keySkewReportSql,
+    "q105_first_touch" -> RelOps.firstTouchAttributionSql,
   ) ++ TextQueries.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
     Similarity.oracle ++ MediaOps.oracle ++ Enrich.oracle ++ Routing.oracle
 }

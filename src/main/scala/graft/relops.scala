@@ -743,6 +743,54 @@ object RelOps {
       |  floor(top.cnt * n_keys * 1e6 / n_rows::DOUBLE + 0.5) / 1e6 AS skew_factor
       |FROM r ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q105 — FIRST-TOUCH ATTRIBUTION: for each purchase, the user's FIRST
+  // click within the 7 days before it — the asof family's other
+  // direction (q35 finds the LAST purchase before a click; attribution
+  // wants the EARLIEST qualifying touch) plus a bounded lookback, the
+  // shape marketing/causal event analysis runs. Unattributed purchases
+  // survive (LEFT join) with null touch columns.
+  //
+  // Scale shape: one user-keyed exchange for the range join (both
+  // sides partition by user_id — the q36 discipline); the per-purchase
+  // earliest-click selection is a min over a lexicographic struct
+  // (exact integers, ties to the lowest event_id), map-side combined.
+  // ---------------------------------------------------------------------
+
+  def firstTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id as p_event_id", "ts_us as p_ts_us")
+    val c = ev.filter(col("event_type") === "click")
+      .selectExpr("user_id", "event_id as c_event_id", "ts_us as c_ts_us")
+    p.join(c,
+        p("user_id") === c("user_id") &&
+          col("c_ts_us") <= col("p_ts_us") &&
+          col("c_ts_us") > col("p_ts_us") - lit(604800000000L), "left")
+      .groupBy(p("user_id"), col("p_event_id"), col("p_ts_us"))
+      .agg(min(when(col("c_event_id").isNotNull,
+        struct(col("c_ts_us"), col("c_event_id")))).as("first"))
+      .selectExpr("user_id", "p_event_id", "p_ts_us",
+        "first.c_event_id as first_click_id",
+        "p_ts_us - first.c_ts_us as lag_us")
+  }
+
+  val firstTouchAttributionSql: String =
+    """WITH p AS (SELECT user_id, event_id AS p_event_id, epoch_us(ts) AS p_ts_us
+      |    FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS c_event_id, epoch_us(ts) AS c_ts_us
+      |    FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.user_id, p.p_event_id, p.p_ts_us,
+      |    MIN(CASE WHEN c.c_event_id IS NOT NULL
+      |        THEN struct_pack(c_ts_us := c.c_ts_us, c_event_id := c.c_event_id) END) AS first
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |    AND c.c_ts_us <= p.p_ts_us AND c.c_ts_us > p.p_ts_us - 604800000000
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, p_event_id, p_ts_us,
+      |  first.c_event_id AS first_click_id,
+      |  p_ts_us - first.c_ts_us AS lag_us
+      |FROM j ORDER BY p_event_id""".stripMargin
+
   val abTestSql: String =
     """WITH e AS (SELECT event_type, value,
       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2 AS v

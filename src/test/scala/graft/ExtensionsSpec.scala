@@ -1352,6 +1352,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q105: first-touch attribution == driver model; lookback bound respected") {
+    val got = RelOps.firstTouchAttribution(spark, sf)
+      .select("user_id", "p_event_id", "p_ts_us", "first_click_id", "lag_us")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty),
+      "fixture must exercise both attribution branches")
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts_us")
+      .as[(Long, Long, String, Long)].collect()
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._1)
+    val week = 604800000000L
+    got.foreach { case (u, pid, pts, fc, lag) =>
+      val qualifying = clicksByUser.getOrElse(u, Array.empty)
+        .filter(c => c._4 <= pts && c._4 > pts - week)
+      if (qualifying.isEmpty) assert(fc.isEmpty && lag.isEmpty, s"purchase $pid: false touch")
+      else {
+        val first = qualifying.minBy(c => (c._4, c._2))
+        assert(fc.contains(first._2), s"purchase $pid: touch ${fc} != model ${first._2}")
+        assert(lag.contains(pts - first._4) && lag.get >= 0L && lag.get < week)
+      }
+    }
+    assert(got.length == ev.count(_._3 == "purchase"),
+      "every purchase must appear exactly once")
+  }
+
   test("qualityGateVerdict rejects reserved-column collisions and missing text up front") {
     // ADVICE r9: a frame already carrying an appended name (n_words, pass,
     // ok_*, __graft_gate_toks) would silently yield duplicate/ambiguous
