@@ -816,16 +816,24 @@ object TextAnalysis {
         "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 1000000 < keep_micro as kept")
 
   // lazy: derives from dsirWeightSql, declared later in this object
-  lazy val dsirResampleSql: String = dsirWeightSql.replace(
-    """SELECT doc_id, n_feats, logw_micro, logw_micro > 0 AS keep
-      |FROM sc ORDER BY doc_id""".stripMargin,
-    """, km AS (SELECT doc_id, n_feats, logw_micro,
-      |    floor(exp(least(0.0::DOUBLE, (logw_micro / n_feats::DOUBLE) / 1e6 * 10.0))
-      |      * 1e6 + 0.5)::BIGINT AS keep_micro
-      |  FROM sc)
-      |SELECT doc_id, n_feats, logw_micro, keep_micro,
-      |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < keep_micro AS kept
-      |FROM km ORDER BY doc_id""".stripMargin)
+  lazy val dsirResampleSql: String = {
+    val anchor =
+      """SELECT doc_id, n_feats, logw_micro, logw_micro > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin
+    // anchor drift would make replace() a silent no-op and hand q97 the
+    // q78 oracle (missing keep_micro/kept), surfacing only at compare
+    // time — fail fast at first use instead
+    require(dsirWeightSql.contains(anchor),
+      "dsirResampleSql: tail anchor no longer present in dsirWeightSql")
+    dsirWeightSql.replace(anchor,
+      """, km AS (SELECT doc_id, n_feats, logw_micro,
+        |    floor(exp(least(0.0::DOUBLE, (logw_micro / n_feats::DOUBLE) / 1e6 * 10.0))
+        |      * 1e6 + 0.5)::BIGINT AS keep_micro
+        |  FROM sc)
+        |SELECT doc_id, n_feats, logw_micro, keep_micro,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < keep_micro AS kept
+        |FROM km ORDER BY doc_id""".stripMargin)
+  }
 
   // ---------------------------------------------------------------------
   // q99 — GATE×CLASSIFIER CALIBRATION REPORT: the 2×2 agreement table
@@ -1165,10 +1173,15 @@ object TextAnalysis {
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .as[(String, Long)].head()
-      val q = pair.replace("'", "''")
-      val merged = q.replace(" ", "")
-      vocab = vocab.selectExpr("freq",
-          s"trim(replace(concat(' ', sym, ' '), ' $q ', ' $merged ')) as sym")
+      // the merge target rides in as a lit() Column, never a SQL string
+      // literal — no escaping surface (a corpus token containing \ or '
+      // would otherwise need Spark-literal escaping the DuckDB twin and
+      // the spec's driver model don't apply)
+      val merged = pair.replace(" ", "")
+      vocab = vocab.select(col("freq"),
+          trim(org.apache.spark.sql.functions.replace(
+            concat(lit(" "), col("sym"), lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))).as("sym"))
         .transform(Tables.maybePersist)
       val nsym = vocab.selectExpr("freq * size(split(sym, ' ')) as ns")
         .agg(sum(col("ns")).as("n")).as[Long].head()

@@ -247,9 +247,12 @@ object Dedup {
   // order-insensitive at 3-gram grain, edit distance certifies
   // near-identity at character grain — the verifier of record when the
   // dedup policy must survive audits ("these two documents really are
-  // the same text"). O(m·n) DP per pair is exactly WHY pipelines only
+  // the same text"). DP cost per pair is exactly WHY pipelines only
   // ever run it on banding candidates: the LSH stage bounds the pair
-  // count, the verifier bounds the false positives.
+  // count, the verifier bounds the false positives — and the verifier
+  // itself runs BANDED at the acceptance threshold ([[levDpBounded]]),
+  // O(len·len/5) instead of O(len²) with early exits on the dominant
+  // reject path.
   //
   // Scale shape: identical to q23 through the candidate stage (signing
   // per row, triangle-blocked band join); the verify joins candidates
@@ -265,8 +268,9 @@ object Dedup {
     * per the suite playbook (hot per-row loops go JVM), and crucially
     * it sits behind a typed-object boundary: Catalyst cannot inline it
     * into the threshold filter and push the O(m·n) work below the
-    * parallelism gate. */
-  private def levDp(a: String, b: String): Int = {
+    * parallelism gate. Kept as the unbounded reference —
+    * ExtensionsSpec pins [[levDpBounded]] against it. */
+  private[graft] def levDp(a: String, b: String): Int = {
     if (a == b) 0
     else {
       val (s0, t0) = if (a.length <= b.length) (a, b) else (b, a)
@@ -287,6 +291,63 @@ object Dedup {
         i += 1
       }
       prev(n)
+    }
+  }
+
+  /** BANDED (Ukkonen 1985) unit-cost edit distance with threshold
+    * `bound` (r13, VERDICT r12 #3): exact whenever the true distance is
+    * ≤ bound, and returns bound+1 otherwise — which is ALL the q101
+    * verdict needs, since its acceptance test is lev ≤ ⌊max(len)/5⌋.
+    * Only cells with |i−j| ≤ bound are computed (any cheaper path is
+    * impossible: D(i,j) ≥ |i−j|), so per-pair cost drops from O(m·n)
+    * to O(max(len)·bound) ≈ max(len)²/5 — the suite's hottest per-row
+    * CPU cut ~5× on its dominant reject path — with two further early
+    * exits: a length-difference pre-reject (lev ≥ |m−n|) and a
+    * row-minimum cutoff (row minima are non-decreasing along any DP
+    * path). Boundary cells just outside the band are pinned to INF
+    * each row so the rolling two-row arrays never read a stale value
+    * from two rows back. */
+  private[graft] def levDpBounded(a: String, b: String, bound: Int): Int = {
+    if (a == b) 0
+    else if (bound < 0) 1 // degenerate caller bound: anything unequal rejects
+    else {
+      val (s0, t0) = if (a.length <= b.length) (a, b) else (b, a)
+      val n = s0.length
+      val m = t0.length
+      if (m - n > bound) bound + 1
+      else {
+        val INF = Int.MaxValue / 2
+        var prev = new Array[Int](n + 1)
+        var cur = new Array[Int](n + 1)
+        java.util.Arrays.fill(prev, INF)
+        java.util.Arrays.fill(cur, INF)
+        var j = 0
+        while (j <= math.min(n, bound)) { prev(j) = j; j += 1 }
+        var i = 1
+        var cut = false
+        while (i <= m && !cut) {
+          val lo = math.max(1, i - bound)
+          val hi = math.min(n, i + bound)
+          cur(0) = if (i <= bound) i else INF
+          if (lo > 1) cur(lo - 1) = INF
+          val tc = t0.charAt(i - 1)
+          var rowMin = cur(0)
+          j = lo
+          while (j <= hi) {
+            val cost = if (s0.charAt(j - 1) == tc) 0 else 1
+            val v = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+              prev(j - 1) + cost)
+            cur(j) = v
+            if (v < rowMin) rowMin = v
+            j += 1
+          }
+          if (hi < n) cur(hi + 1) = INF
+          if (rowMin > bound) cut = true
+          val tmp = prev; prev = cur; cur = tmp
+          i += 1
+        }
+        if (cut) bound + 1 else math.min(prev(n), bound + 1)
+      }
     }
   }
 
@@ -313,8 +374,15 @@ object Dedup {
         df.sparkSession.sparkContext.defaultParallelism, col("doc_a")))
       .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"))
       .as[(Long, Long, String, String)]
+      // banded DP at exactly the acceptance bound ⌊max(len)/5⌋: accepted
+      // pairs get the EXACT distance (band ≥ true distance there),
+      // rejected pairs get bound+1 which the filter below drops — the
+      // verdict set and every emitted lev are provably identical to the
+      // full-matrix form (ExtensionsSpec pins it against levDp)
       .mapPartitions(it => it.map { case (a, b, ta, tb) =>
-        (a, b, levDp(ta, tb).toLong, ta.length.toLong, tb.length.toLong)
+        val bound = math.max(ta.length, tb.length) / 5
+        (a, b, levDpBounded(ta, tb, bound).toLong,
+          ta.length.toLong, tb.length.toLong)
       })
       .toDF("doc_a", "doc_b", "lev", "len_a", "len_b")
       .filter(expr("5 * lev <= greatest(len_a, len_b)"))
@@ -352,14 +420,19 @@ object Dedup {
   // (reversal shares no word-3-gram with the original — genuinely new),
   // both built with the same expressions in both engines.
   //
-  // Scale shape: the index signs once (in production it is PRE-BUILT
-  // and stored — banding signatures are write-once artifacts; here it
-  // is computed inline); the delta signs per-row and its bands
-  // BROADCAST to the index band side, so the index never shuffles for
-  // candidate generation; verification joins the delta-sized candidate
-  // set against index shingles (broadcast delta side again — at scale
-  // a broadcast semi-join against the index scan). The per-delta
-  // verdict aggregate is delta-sized.
+  // Scale shape: the index signs ONCE and is STORED (r13, VERDICT r12
+  // #4): [[buildDedupIndex]] writes the banding signatures + shingle
+  // sets as write-once parquet artifacts and the q102 entry PROBES the
+  // stored index ([[incrementalDedupStored]]) — the shape a nightly
+  // 100 TB crawl actually runs (sign each batch once, append to the
+  // artifact, never re-sign the corpus). The delta signs per-row and
+  // its bands BROADCAST to the index band side, so the index never
+  // shuffles for candidate generation; verification joins the
+  // delta-sized candidate set against index shingles (broadcast delta
+  // side again — at scale a broadcast semi-join against the index
+  // scan). The per-delta verdict aggregate is delta-sized. The inline
+  // form ([[incrementalDedup]]) is kept as the reference —
+  // ExtensionsSpec pins stored ≡ inline.
   // ---------------------------------------------------------------------
 
   private[graft] def deltaBatch(docs: DataFrame): DataFrame =
@@ -370,13 +443,15 @@ object Dedup {
         .selectExpr("doc_id + 30000 as doc_id",
           "array_join(reverse(split(text, ' ')), ' ') as text"))
 
-  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val index = signedCorpus(s, docs.select(col("doc_id"), col("text")))
-      .transform(Tables.maybePersist)
+  /** The probe chain shared by the inline and stored-index forms:
+    * delta bands broadcast against the standing `idxBands`, Jaccard
+    * verify against `idxSh` (doc_id, sh), delta-sized verdict. */
+  private def incrementalDedupProbe(s: SparkSession, docs: DataFrame,
+                                    idxBands: DataFrame,
+                                    idxSh: DataFrame): DataFrame = {
     val delta = deltaBatch(docs)
     val deltaSh = signedCorpus(s, delta).transform(Tables.maybePersist)
-    val cand = lshBands(index)
+    val cand = idxBands
       .join(broadcast(lshBands(deltaSh)
           .select(col("band_idx").as("d_idx"), col("band_hash").as("d_hash"),
             col("doc_id").as("delta_id"))),
@@ -386,7 +461,7 @@ object Dedup {
     // verifyPairs' Jaccard, across the two frames (delta side broadcast)
     val verified = cand
       .join(broadcast(deltaSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
-      .join(index.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(idxSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", floor((
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double")) * 1e6 + 0.5) / 1e6)
@@ -399,6 +474,47 @@ object Dedup {
       .selectExpr("delta_id", "cast(coalesce(nm, 0) as bigint) as n_matches",
         "coalesce(bj, 0.0) as best_jaccard", "nm is null as is_new")
   }
+
+  /** Inline reference form: index computed in the same plan. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val index = signedCorpus(s, docs.select(col("doc_id"), col("text")))
+      .transform(Tables.maybePersist)
+    incrementalDedupProbe(s, docs, lshBands(index),
+      index.select(col("doc_id"), col("sh")))
+  }
+
+  /** Build the STANDING dedup index as parquet artifacts (the q100
+    * export discipline): `path/shingles` = (doc_id, sh) and
+    * `path/bands` = (doc_id, band_idx, band_hash). Write-once: a
+    * production pipeline appends each admitted batch's rows; the 100 TB
+    * corpus is signed exactly once in its life. Returns the band-row
+    * count read BACK from the artifact (one action drives the write and
+    * proves the read path). */
+  def buildDedupIndex(s: SparkSession, d: String, path: String): Long = {
+    val index = signedCorpus(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .transform(Tables.maybePersist)
+    index.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    lshBands(index).write.mode("overwrite").parquet(s"$path/bands")
+    s.read.parquet(s"$path/bands").count()
+  }
+
+  /** Probe the STORED index — the production q102 path: candidates and
+    * verification read the parquet artifacts, never re-signing the
+    * corpus (delta verdicts identical to the inline form;
+    * ExtensionsSpec pins it). */
+  def incrementalDedupStored(s: SparkSession, d: String, path: String): DataFrame =
+    incrementalDedupProbe(s, Tables.documents(s, d),
+      s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/shingles"))
+
+  /** Deterministic scratch location for the q102 artifact of one
+    * testdata dir (bench/verify/test runs on different sf dirs get
+    * disjoint paths). */
+  private[graft] def indexPathFor(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-q102-index-" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** The q23 sign→band CTE chain for an arbitrary (doc_id, text) source
     * CTE, name-prefixed so two chains coexist in one query. */
@@ -1230,7 +1346,14 @@ object Dedup {
     "q79_lsh_audit"     -> ((s, d) => lshAudit(s, d)),
     "q85_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
     "q101_edit_verify"  -> ((s, d) => editDistancePairs(s, d)),
-    "q102_incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
+    // q102 runs the PRODUCTION shape: build (or refresh) the stored
+    // index artifact, then probe it — the write+read path is part of
+    // what the gate certifies (r13)
+    "q102_incremental_dedup" -> ((s, d) => {
+      val path = indexPathFor(d)
+      buildDedupIndex(s, d, path)
+      incrementalDedupStored(s, d, path)
+    }),
   )
 
   def oracle: Map[String, String] = Map(

@@ -714,9 +714,12 @@ object RelOps {
   //
   // Scale shape: ONE keyed count aggregate (map-side combined), then a
   // per-type argmax over the collapsed key frame (tiny). Determinism:
-  // integer counts; the skew factor is integer-quantized
-  // (floor(max·n_keys·1e6/total + 0.5) — cross-multiplied, no
-  // intermediate float division); the heaviest key ties to the lowest
+  // integer counts; the skew factor promotes max_cnt to DOUBLE BEFORE
+  // the ·n_keys multiply — long·long would silently wrap in Spark but
+  // raise in DuckDB (a cross-engine divergence at extreme counts),
+  // while the double product is exact up to 2^53 (far past any
+  // per-key count × key count this report meets) and identical IEEE
+  // arithmetic on both engines; the heaviest key ties to the lowest
   // user_id via the max-struct trick (lexicographic, exact).
   // ---------------------------------------------------------------------
 
@@ -729,7 +732,7 @@ object RelOps {
            max(struct(col("cnt"), (-col("user_id")).as("nu"))).as("top"))
       .selectExpr("event_type", "n_keys", "n_rows",
         "top.cnt as max_cnt", "cast(-top.nu as bigint) as hottest_key",
-        "floor(top.cnt * n_keys * 1e6 / cast(n_rows as double) + 0.5) / 1e6 as skew_factor")
+        "floor(cast(top.cnt as double) * n_keys * 1e6 / cast(n_rows as double) + 0.5) / 1e6 as skew_factor")
 
   val keySkewReportSql: String =
     """WITH c AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS cnt
@@ -740,7 +743,7 @@ object RelOps {
       |  FROM c GROUP BY event_type)
       |SELECT event_type, n_keys, n_rows,
       |  top.cnt AS max_cnt, (-top.nu)::BIGINT AS hottest_key,
-      |  floor(top.cnt * n_keys * 1e6 / n_rows::DOUBLE + 0.5) / 1e6 AS skew_factor
+      |  floor(top.cnt::DOUBLE * n_keys * 1e6 / n_rows::DOUBLE + 0.5) / 1e6 AS skew_factor
       |FROM r ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------

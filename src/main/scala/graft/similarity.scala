@@ -795,20 +795,33 @@ object Similarity {
   // outgrows a task: the next rung is the same construction recursed one
   // level deeper (log_√k depth), mechanical from this shape.
   //
-  // Scale shape: the codebook fits as plain data — two driver jobs (one
-  // combined count aggregate, one TakeOrdered sample of k rows) — and
-  // ships to tasks in the closure (the q72 classifier discipline:
-  // parameters move once, the corpus never does). Assignment is ONE
-  // compiled mapPartitions pass over the scan ([[assignCells]] — the
-  // SAME code path the streaming twin uses, so online/offline
-  // bit-identity is by construction, not by parallel maintenance), ZERO
-  // corpus shuffle; candidate pairs shuffle ONCE keyed by cell and are
-  // triangle-blocked (boundedBucketPairs) so an oversize cell bounds
-  // per-task pairs at cap² instead of |cell|² — SemDeDup's cluster-size
-  // cap, expressed as blocking. The verdict joins back keyed on vec_id
-  // (the drop set is a duplicate-rate fraction of the corpus; AQE
-  // broadcasts it at test scale, a keyed exchange co-partitions it at
-  // 100 TB — either way text/embeddings never move twice).
+  // Scale shape (r13 — the de-drivered form, VERDICT r12 #2): with
+  // k ∝ corpus, the k-row codebook can NO LONGER live on the driver or
+  // in task closures (at targetCellSize=1000 a 100 TB corpus implies
+  // k ~ 10⁷⁺ → multi-GB closure and an Int-bounded limit). The fit now
+  // keeps only the ⌈√k⌉ SUPER-seeds driver-side (≤10⁴ rows up to
+  // k=10⁸ — always closure-sized) and holds the k seeds as a
+  // DISTRIBUTED frame keyed by super-cell ([[SeedPlan]]): seed
+  // selection is an approx-quantile prefilter + exact distributed rank
+  // (zero corpus shuffle, no driver TakeOrdered, no Int bound), and
+  // level-2 routing is a JOIN on the super-cell key
+  // ([[assignCellsJoined]]) — broadcast at test scale, a keyed exchange
+  // at 10⁷⁺ seeds — followed by a per-vector max-struct argmax. That
+  // argmax is the one corpus exchange the de-drivered form pays; it
+  // replaces a codebook broadcast that stops fitting long before the
+  // corpus stops growing. Candidate pairs then shuffle ONCE keyed by
+  // cell and are triangle-blocked (boundedBucketPairs) so an oversize
+  // cell bounds per-task pairs at cap² instead of |cell|² — SemDeDup's
+  // cluster-size cap, expressed as blocking. The verdict joins back
+  // keyed on vec_id (the drop set is a duplicate-rate fraction of the
+  // corpus; AQE broadcasts it at test scale, a keyed exchange
+  // co-partitions it at 100 TB — either way text/embeddings never move
+  // twice). The CLOSURE assignment ([[assignCells]], fed by
+  // [[fitCellCodebook]] — now a collect() of the same distributed seed
+  // frame, so both forms share one fit) remains the right plan when the
+  // codebook fits a task — the streaming twin's per-row stateless
+  // routing — and ExtensionsSpec pins the two assignment routes
+  // bit-identical over the corpus.
   //
   // Determinism: the pair loop and the oracle fold both run
   // left-to-right double dots (the q32 contract); every argmax breaks
@@ -823,14 +836,13 @@ object Similarity {
 
   def semDedup(s: SparkSession, d: String, targetCellSize: Int = 1000): DataFrame = {
     withFns(s)
-    val cb = fitCellCodebook(s, d, targetCellSize)
+    val plan = fitSeedPlan(s, d, targetCellSize)
     val base = Tables.embeddings(s, d)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
     val corpus = base.unionAll(
       base.selectExpr("vec_id + 10000 as vec_id",
         "zip_with(e, sequence(0, 63), (x, i) -> x + 0.004 * cast(i % 5 as double)) as e"))
-    val assigned = assignCells(corpus, cb)
-      .toDF("c_label", "vec_id", "e", "nrm")
+    val assigned = assignCellsJoined(corpus, plan)
       .transform(Tables.maybePersist)
     val drops = Dedup.boundedBucketPairs(s,
         assigned.selectExpr("cast(c_label as bigint) as bucket", "vec_id", "e", "nrm"),
@@ -1132,8 +1144,8 @@ object Similarity {
   // iterate lives driver-side (O(d) state — the fit-then-stream
   // discipline, like the classifier weights and LM fit). Total
   // iters+2 passes over the persisted projection, zero corpus shuffles.
-  // Further PCs = deflation (subtract λ·vvᵀ contributions per row) with
-  // the same machinery.
+  // Further PCs = deflation with the same machinery — implemented in
+  // [[pcaTop2]] (q106, r13).
   //
   // Cross-engine determinism: the centered dot (eᵢ−μ)·v folds
   // left-to-right per row (bit-identical both engines); each per-row
@@ -1152,28 +1164,10 @@ object Similarity {
     val n = embDf.count()
     val mu: Array[Double] = emb.select(VecCentroid.toColumn).head()
     val dims = mu.length
-    var v = Array.tabulate(dims)(j => if (j == 0) 1.0 else 0.0)
-    for (_ <- 1 to iters) {
-      val muL = mu
-      val vL = v
-      val sums = emb.mapPartitions { it =>
-        it.map { e =>
-          var c = 0.0
-          var j = 0
-          while (j < e.length) { c += (e(j).toDouble - muL(j)) * vL(j); j += 1 }
-          val out = new Array[Long](e.length)
-          j = 0
-          while (j < e.length) {
-            out(j) = math.floor((e(j).toDouble - muL(j)) * c * 1e6 + 0.5).toLong
-            j += 1
-          }
-          out
-        }
-      }.select(VecLongSum.toColumn).head()
-      val u = sums.map(x => x / 1e6 / n)
-      val nrm = math.sqrt(u.foldLeft(0.0)((a, y) => a + y * y))
-      v = u.map(_ / nrm)
-    }
+    // shared kernel, zero deflation terms — arithmetic unchanged (q106
+    // reuses the same kernel with one deflation term)
+    val v = powerIterate(emb, n, mu, Array.empty,
+      Array.tabulate(dims)(j => if (j == 0) 1.0 else 0.0), iters)
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     (0 until dims).map(j => (j.toLong, r6(mu(j)), r6(v(j))))
       .toDF("dim", "mu", "loading")
@@ -1206,6 +1200,153 @@ object Similarity {
        |SELECT md.dim::BIGINT AS dim, floor(md.m * 1e6 + 0.5) / 1e6 AS mu,
        |  floor(v3.v[(md.dim + 1)::INT] * 1e6 + 0.5) / 1e6 AS loading
        |FROM md, v3 ORDER BY dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q106 — PCA TOP-2 COMPONENTS via DEFLATION (r13, VERDICT r12 #6):
+  // q92's power iteration run twice, the second pass on DATA-DEFLATED
+  // rows — per row, the PC-1 projection is subtracted from the centered
+  // vector (cen′ = cen − (cen·v₁)·v₁) before the covariance-product
+  // fold, so iteration 2 converges in the orthogonal complement. Data
+  // deflation (not C − λ·v₁v₁ᵀ) needs no eigenvalue estimate and keeps
+  // every step a per-row fold. Output: per-dim mean + both loadings —
+  // the 2-d projection basis an embedding-drift scatter plot or OPQ
+  // rotation starts from.
+  //
+  // Scale shape: exactly q92 × 2 — each of the 2·iters passes is one
+  // corpus scan whose only exchange is the VecLongSum singleton
+  // aggregate (one 64-long buffer per map partition, zero corpus
+  // shuffles); the deflation adds two more per-row folds (t = cen·v₁,
+  // then the subtract), CPU-only. Both iterates live driver-side (O(d)
+  // — the fit-then-stream discipline).
+  //
+  // Cross-engine determinism: the q92 contract extended — cen′ⱼ =
+  // (eⱼ−μⱼ) − t·v₁ⱼ is one multiply-subtract per element with t a
+  // left-to-right fold, identical IEEE in both engines; v₁ enters
+  // deflation UNROUNDED (the oracle's v3 CTE list, not the 1e-6 display
+  // grid); per-row products micro-quantize BEFORE the sum (the q74
+  // integer-sum rule). The oracle unrolls both components' rounds as
+  // chained CTEs (the q84/q92 idiom).
+  // ---------------------------------------------------------------------
+
+  /** Shared power-iteration kernel: `iters` rounds of v ← normalize(
+    * Σᵢ cen′ᵢ (cen′ᵢ·v) / 1e6-grid / n) where cen′ is the centered row
+    * deflated against `prev` (earlier components, possibly empty). */
+  private def powerIterate(emb: Dataset[Array[Float]], n: Long,
+                           mu: Array[Double], prev: Array[Array[Double]],
+                           start: Array[Double], iters: Int): Array[Double] = {
+    implicit val longArrEnc: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    var v = start
+    for (_ <- 1 to iters) {
+      val muL = mu
+      val prevL = prev
+      val vL = v
+      val sums = emb.mapPartitions { it =>
+        it.map { e =>
+          val dims = e.length
+          val cen = new Array[Double](dims)
+          var j = 0
+          while (j < dims) { cen(j) = e(j).toDouble - muL(j); j += 1 }
+          var q = 0
+          while (q < prevL.length) {
+            val vq = prevL(q)
+            var t = 0.0
+            j = 0
+            while (j < dims) { t += cen(j) * vq(j); j += 1 }
+            j = 0
+            while (j < dims) { cen(j) = cen(j) - t * vq(j); j += 1 }
+            q += 1
+          }
+          var c = 0.0
+          j = 0
+          while (j < dims) { c += cen(j) * vL(j); j += 1 }
+          val out = new Array[Long](dims)
+          j = 0
+          while (j < dims) {
+            out(j) = math.floor(cen(j) * c * 1e6 + 0.5).toLong
+            j += 1
+          }
+          out
+        }
+      }.select(VecLongSum.toColumn).head()
+      val u = sums.map(x => x / 1e6 / n)
+      val nrm = math.sqrt(u.foldLeft(0.0)((a, y) => a + y * y))
+      v = u.map(_ / nrm)
+    }
+    v
+  }
+
+  def pcaTop2(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val embDf = Tables.embeddings(s, d).select(col("embedding"))
+      .transform(Tables.maybePersist)
+    val emb = embDf.as[Array[Float]]
+    val n = embDf.count()
+    val mu: Array[Double] = emb.select(VecCentroid.toColumn).head()
+    val dims = mu.length
+    def basis(b: Int) = Array.tabulate(dims)(j => if (j == b) 1.0 else 0.0)
+    val v1 = powerIterate(emb, n, mu, Array.empty, basis(0), iters)
+    val v2 = powerIterate(emb, n, mu, Array(v1), basis(1), iters)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    (0 until dims).map(j => (j.toLong, r6(mu(j)), r6(v1(j)), r6(v2(j))))
+      .toDF("dim", "mu", "loading1", "loading2")
+  }
+
+  val pcaTop2Sql: String = {
+    // PC-1 rounds: the exact q92 chain (cen = e − μ)
+    def iter1(i: Int, prevV: String): String =
+      s"""c$i AS (SELECT embedding, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      j -> (embedding[j]::DOUBLE - mu[j]) * v[j])), (a, b) -> a + b) AS c
+         |  FROM embeddings, muA, $prevV),
+         |s$i AS (SELECT (j - 1) AS dim,
+         |    SUM(CAST(floor((embedding[j]::DOUBLE - mu[j]) * c * 1e6 + 0.5) AS BIGINT)) AS sq
+         |  FROM (SELECT embedding, c, unnest(range(1, len(embedding) + 1)) AS j FROM c$i), muA
+         |  GROUP BY j),
+         |u$i AS (SELECT list(sq / 1e6 / (SELECT n FROM n) ORDER BY dim) AS u FROM s$i),
+         |v$i AS (SELECT list_transform(u, x -> x / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(u, y -> y * y)), (a, b) -> a + b))) AS v FROM u$i)""".stripMargin
+    // PC-2 rounds over the DEFLATED rows (cen2 fixed per row given w1)
+    def iter2(i: Int, prevV: String): String =
+      s"""d$i AS (SELECT cen2, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, len(cen2) + 1),
+         |      j -> cen2[j] * v[j])), (a, b) -> a + b) AS c
+         |  FROM defl, $prevV),
+         |t$i AS (SELECT (j - 1) AS dim,
+         |    SUM(CAST(floor(cen2[j] * c * 1e6 + 0.5) AS BIGINT)) AS sq
+         |  FROM (SELECT cen2, c, unnest(range(1, len(cen2) + 1)) AS j FROM d$i)
+         |  GROUP BY j),
+         |x$i AS (SELECT list(sq / 1e6 / (SELECT n FROM n) ORDER BY dim) AS u FROM t$i),
+         |w$i AS (SELECT list_transform(u, x -> x / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(u, y -> y * y)), (a, b) -> a + b))) AS v FROM x$i)""".stripMargin
+    s"""WITH n AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+       |md AS (SELECT (i - 1) AS dim,
+       |    CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+       |  GROUP BY i),
+       |muA AS (SELECT list(m ORDER BY dim) AS mu FROM md),
+       |v0 AS (SELECT list_transform(range(1, len(mu) + 1),
+       |    j -> CASE WHEN j = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS v FROM muA),
+       |${iter1(1, "v0")},
+       |${iter1(2, "v1")},
+       |${iter1(3, "v2")},
+       |cen0 AS (SELECT list_transform(range(1, len(embedding) + 1),
+       |    j -> embedding[j]::DOUBLE - mu[j]) AS cen FROM embeddings, muA),
+       |tp AS (SELECT cen, list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(1, len(cen) + 1), j -> cen[j] * v[j])),
+       |    (a, b) -> a + b) AS t FROM cen0, v3),
+       |defl AS (SELECT list_transform(range(1, len(cen) + 1),
+       |    j -> cen[j] - t * v[j]) AS cen2 FROM tp, v3),
+       |w0 AS (SELECT list_transform(range(1, len(mu) + 1),
+       |    j -> CASE WHEN j = 2 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS v FROM muA),
+       |${iter2(1, "w0")},
+       |${iter2(2, "w1")},
+       |${iter2(3, "w2")}
+       |SELECT md.dim::BIGINT AS dim, floor(md.m * 1e6 + 0.5) / 1e6 AS mu,
+       |  floor(v3.v[(md.dim + 1)::INT] * 1e6 + 0.5) / 1e6 AS loading1,
+       |  floor(w3.v[(md.dim + 1)::INT] * 1e6 + 0.5) / 1e6 AS loading2
+       |FROM md, v3, w3 ORDER BY dim""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1318,7 +1459,7 @@ object Similarity {
   def semDedupAudit(s: SparkSession, d: String, sampleK: Int = 50,
                     targetCellSize: Int = 1000): DataFrame = {
     withFns(s)
-    val cb = fitCellCodebook(s, d, targetCellSize)
+    val plan = fitSeedPlan(s, d, targetCellSize)
     val base = Tables.embeddings(s, d)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
     val corpus = base.unionAll(
@@ -1329,8 +1470,7 @@ object Similarity {
       .orderBy("h").limit(sampleK).select("vec_id")
     val sampIds = sampBase.unionAll(
       sampBase.select((col("vec_id") + 10000).as("vec_id")))
-    val assigned = assignCells(corpus.join(broadcast(sampIds), "vec_id"), cb)
-      .toDF("c_label", "vec_id", "e", "nrm")
+    val assigned = assignCellsJoined(corpus.join(broadcast(sampIds), "vec_id"), plan)
       .transform(Tables.maybePersist)
     val pairs = assigned.selectExpr("vec_id as va", "c_label as ca", "e as ea", "nrm as na")
       .join(broadcast(assigned.selectExpr(
@@ -1412,73 +1552,189 @@ object Similarity {
        |FROM cnts""".stripMargin
   }
 
-  /** q75's hierarchical codebook as plain data (the fitBigramLm model-fit
-    * discipline: parameters come to the driver once — k seeds × dim
-    * doubles — documents/vectors never do). `seedNorms`/`supNorms`
-    * pre-compute each seed's L2 norm with the same ascending-dot + sqrt
-    * chain the batch assignment runs, so closure-side scoring stays
-    * bit-identical. `supIds` holds only NON-EMPTY super-cells (ascending),
-    * mirroring the batch inner join; `seedSups` is each seed's routed
-    * super-cell, fit with the same argmax discipline. */
+  /** In-task L2 norm — the exact ascending-index fold every assignment
+    * route (closure, joined, streaming) and the DuckDB oracle run, so
+    * norms are bit-identical everywhere they are computed. */
+  private def l2norm(c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** q75's codebook in its SCALE form (r13): only the ⌈√k⌉ super-seeds
+    * are driver/closure-resident (`supIds`/`supVecs`/`supNorms` — LIVE,
+    * i.e. non-empty, super-cells only, ascending); the k seeds live in
+    * `seeds`, a persisted DISTRIBUTED frame (sup: int, sid: bigint,
+    * e: array<double>, nrm: double) keyed by super-cell. Nothing
+    * k-sized ever crosses to the driver and no Int bound caps k. */
+  case class SeedPlan(k: Long, sq: Int,
+                      supIds: Array[Int],
+                      supVecs: Array[Array[Double]],
+                      supNorms: Array[Double],
+                      seeds: DataFrame)
+
+  /** The closure-resident codebook — the SMALL-k / streaming form (a
+    * per-row stateless router needs its parameters in the task, the
+    * fitBigramLm model-fit contract — models fit the driver by
+    * definition; the batch path at k ∝ corpus uses [[SeedPlan]]).
+    * `seedNorms`/`supNorms` pre-compute each seed's L2 norm with the
+    * same ascending-dot + sqrt chain the batch assignment runs, so
+    * closure-side scoring stays bit-identical. `supIds` holds only
+    * NON-EMPTY super-cells (ascending); `seedSups` is each seed's
+    * routed super-cell; `supSeedIdx` (r13, VERDICT r12 #1) is the
+    * sup→seed-index table — parallel to `supIds`, each entry the
+    * ascending seed positions of that super-cell — so level-2 routing
+    * touches only the chosen super-cell's ~√k seeds instead of guard-
+    * scanning all k (an O(n·k) comparison term once k ∝ corpus). */
   case class CellCodebook(supIds: Array[Int],
                           supVecs: Array[Array[Double]],
                           supNorms: Array[Double],
                           seedIds: Array[Int],
                           seedSups: Array[Int],
                           seedVecs: Array[Array[Double]],
-                          seedNorms: Array[Double])
+                          seedNorms: Array[Double],
+                          supSeedIdx: Array[Array[Int]])
 
-  def fitCellCodebook(s: SparkSession, d: String,
-                      targetCellSize: Int = 1000): CellCodebook = {
+  /** Fit the distributed seed plan. Seed selection = the k md5-lowest
+    * base vectors with sid = exact global md5 rank (the oracle's
+    * row_number() OVER (ORDER BY md5(vec_id)) - 1), computed WITHOUT a
+    * driver TakeOrdered and WITHOUT shuffling the corpus:
+    *
+    *  1. approx-quantile PREFILTER on the 48-bit numeric prefix of the
+    *     md5 (exact in double; a monotone coarsening of the md5 order,
+    *     so `prefix ≤ t` keeps a clean md5-prefix superset) cuts the
+    *     rank candidates from n to ~1.5k rows in one aggregate pass +
+    *     one filter scan — zero exchanges over the corpus. A count
+    *     guard re-widens the threshold (and ultimately falls back to
+    *     no filter) if the approx quantile under-shot, so the true
+    *     k-smallest are provably inside the candidate set.
+    *  2. exact two-phase rank of the candidates: range-exchange on the
+    *     md5, sort within partitions, per-partition counts (≤P rows to
+    *     the driver) turn local positions into the global rank.
+    *
+    * Super-seeds (sid < ⌈√k⌉) come to the driver — √k rows, closure-
+    * sized up to k ~ 10⁸ (beyond that: recurse the hierarchy, see the
+    * q75 header). Each seed then routes to its nearest super-seed
+    * IN-TASK (one mapPartitions over the k-row frame — the k·√k fit
+    * work never touches the driver), and only NON-EMPTY super-cells
+    * survive into `supIds`. */
+  def fitSeedPlan(s: SparkSession, d: String,
+                  targetCellSize: Int = 1000): SeedPlan = {
     import s.implicits._
-    val base = Tables.embeddings(s, d)
-      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
     // one combined count job: corpus cardinality (the planted-twin union
     // doubles the base) + label count (the k floor)
-    val (nBase, nLabels) = {
-      import s.implicits._
+    val (nBase, nLabels) =
       Tables.embeddings(s, d)
         .agg(count(lit(1)), countDistinct(col("label")))
         .as[(Long, Long)].head()
-    }
     val n = 2L * nBase
     val k = math.max(nLabels, math.ceil(n / targetCellSize.toDouble).toLong)
     val sq = math.ceil(math.sqrt(k.toDouble)).toInt
-    val seedVecs = base
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
       .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h")).limit(k.toInt)
-      .select(col("h"), col("e")).as[(String, Array[Double])]
-      .collect().sortBy(_._1).map(_._2) // ascending md5 ≡ sid order
-    def nrm(c: Array[Double]): Double = {
-      var acc = 0.0
-      var i = 0
-      while (i < c.length) { acc += c(i) * c(i); i += 1 }
-      math.sqrt(acc)
-    }
-    val seedNorms = seedVecs.map(nrm)
-    val supAll = seedVecs.take(sq)
-    val supAllNorms = seedNorms.take(sq)
-    // route each seed to its nearest super-seed — strict-improvement scan
-    // in ascending sup order ≡ the batch array_max over (cos, -sup)
-    val seedSups = seedVecs.indices.map { i =>
-      val e = seedVecs(i)
-      var bestCos = Double.NegativeInfinity
-      var best = Int.MaxValue
-      var p = 0
-      while (p < supAll.length) {
-        val sv = supAll(p)
-        var dot = 0.0
-        var j = 0
-        while (j < sv.length) { dot += e(j) * sv(j); j += 1 }
-        val cos = dot / (seedNorms(i) * supAllNorms(p))
-        if (cos > bestCos) { bestCos = cos; best = p }
-        p += 1
+    // --- 1. prefilter (skipped when k is already a large fraction of n:
+    // ranking everything beats two extra passes)
+    val cand =
+      if (k * 20L >= nBase) base
+      else {
+        val withHl = base.withColumn("hl",
+          conv(substring(col("h"), 1, 12), 16, 10).cast("long"))
+        var frac = math.min(1.0, k.toDouble / nBase * 1.5 + 1e-4)
+        var out: DataFrame = null
+        while (out == null) {
+          val t = withHl.stat.approxQuantile("hl", Array(frac), 0.001).head
+          val f = withHl.filter(col("hl") <= lit(t.toLong)).persist()
+          if (f.count() >= k || frac >= 1.0) out = f
+          else { f.unpersist(); frac = math.min(1.0, frac * 4.0) }
+        }
+        out.drop("hl")
       }
-      best
-    }.toArray
-    val live = seedSups.distinct.sorted // non-empty super-cells only
-    CellCodebook(live, live.map(supAll), live.map(supAllNorms),
-      seedVecs.indices.toArray, seedSups, seedVecs, seedNorms)
+    // --- 2. exact distributed rank of the candidates. Real persist (not
+    // maybePersist): the counts job and the rank job MUST read the same
+    // frozen partition layout.
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val sorted = cand.select(col("h"), col("e"))
+      .repartitionByRange(parts, col("h"))
+      .sortWithinPartitions("h")
+      .as[(String, Array[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offs = counts.scanLeft(0L)(_ + _)
+    val kCap = k // stable closure capture
+    val seedsRanked = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var r = offs(i)
+        it.flatMap { case (_, e) =>
+          val sid = r; r += 1
+          if (sid < kCap) Iterator((sid, e)) else Iterator.empty
+        }
+      }
+    val seedsDf = s.createDataset(seedsRanked).toDF("sid", "e")
+    // --- super-seeds to the driver (√k rows), ascending sid
+    val supRows = seedsDf.filter(col("sid") < sq)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val supAll = supRows.map(_._2)
+    val supAllNorms = supAll.map(l2norm)
+    // --- route each seed to its nearest super-seed IN-TASK —
+    // strict-improvement scan in ascending sup order ≡ the batch
+    // array_max over (cos, -sup)
+    val routed = seedsDf.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (sid, e) =>
+          val nr = l2norm(e)
+          var bestCos = Double.NegativeInfinity
+          var best = Int.MaxValue
+          var p = 0
+          while (p < supAll.length) {
+            val sv = supAll(p)
+            var dot = 0.0
+            var j = 0
+            while (j < sv.length) { dot += e(j) * sv(j); j += 1 }
+            val cos = dot / (nr * supAllNorms(p))
+            if (cos > bestCos) { bestCos = cos; best = p }
+            p += 1
+          }
+          (best, sid, e, nr)
+        }
+      }
+      .toDF("sup", "sid", "e", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // non-empty super-cells only (≤√k values through the driver)
+    val live = routed.select(col("sup")).distinct()
+      .as[Int].collect().sorted
+    sorted.unpersist()
+    SeedPlan(k, sq, live, live.map(supAll), live.map(supAllNorms), routed)
+  }
+
+  /** The closure codebook, collected from the SAME distributed fit —
+    * one code path for both forms, so the streaming router and the
+    * batch join route share every fitted double bit-for-bit. Only the
+    * small-k / streaming leg calls this (the collect is the model-fit
+    * contract: a per-row stateless router's parameters must fit a
+    * task). */
+  def fitCellCodebook(s: SparkSession, d: String,
+                      targetCellSize: Int = 1000): CellCodebook = {
+    import s.implicits._
+    val plan = fitSeedPlan(s, d, targetCellSize)
+    val rows = plan.seeds.select(col("sid"), col("sup"), col("e"), col("nrm"))
+      .as[(Long, Int, Array[Double], Double)]
+      .collect().sortBy(_._1) // ascending sid
+    val seedSups = rows.map(_._2)
+    // sup→seed-index table: per live super-cell, that cell's seed
+    // positions in ascending sid order (VERDICT r12 #1 — level-2 looks
+    // up ~√k seeds instead of guard-scanning all k)
+    val posOf = plan.supIds.zipWithIndex.toMap
+    val idxBuf = Array.fill(plan.supIds.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i < seedSups.length) { idxBuf(posOf(seedSups(i))) += i; i += 1 }
+    CellCodebook(plan.supIds, plan.supVecs, plan.supNorms,
+      rows.map(_._1.toInt), seedSups, rows.map(_._3), rows.map(_._4),
+      idxBuf.map(_.toArray))
   }
 
   /** Route (vec_id, e: array<double>) rows to their nearest codebook
@@ -1501,7 +1757,7 @@ object Similarity {
           while (k < e.length) { acc += e(k) * e(k); k += 1 }
           val nrm = math.sqrt(acc)
           var bestCos = Double.NegativeInfinity
-          var bestSup = Int.MaxValue
+          var bestPos = -1
           var c = 0
           while (c < cb.supIds.length) {
             val cen = cb.supVecs(c)
@@ -1509,26 +1765,80 @@ object Similarity {
             k = 0
             while (k < cen.length) { dot += e(k) * cen(k); k += 1 }
             val cos = dot / (nrm * cb.supNorms(c))
-            if (cos > bestCos) { bestCos = cos; bestSup = cb.supIds(c) }
+            if (cos > bestCos) { bestCos = cos; bestPos = c }
             c += 1
           }
+          // level 2 over the chosen super-cell's OWN seeds only (the
+          // supSeedIdx table, ascending sid — r12's guard scan over all
+          // k seeds was an O(n·k) comparison term once k ∝ corpus)
           bestCos = Double.NegativeInfinity
           var bestSid = Int.MaxValue
-          var i = 0
-          while (i < cb.seedIds.length) {
-            if (cb.seedSups(i) == bestSup) {
-              val cen = cb.seedVecs(i)
-              var dot = 0.0
-              k = 0
-              while (k < cen.length) { dot += e(k) * cen(k); k += 1 }
-              val cos = dot / (nrm * cb.seedNorms(i))
-              if (cos > bestCos) { bestCos = cos; bestSid = cb.seedIds(i) }
-            }
-            i += 1
+          val idx = cb.supSeedIdx(bestPos)
+          var ii = 0
+          while (ii < idx.length) {
+            val i = idx(ii)
+            val cen = cb.seedVecs(i)
+            var dot = 0.0
+            k = 0
+            while (k < cen.length) { dot += e(k) * cen(k); k += 1 }
+            val cos = dot / (nrm * cb.seedNorms(i))
+            if (cos > bestCos) { bestCos = cos; bestSid = cb.seedIds(i) }
+            ii += 1
           }
           graft.streaming.SemVec(bestSid, id, e, nrm)
         }
       }
+  }
+
+  /** The DISTRIBUTED assignment (r13, VERDICT r12 #2) — bit-identical to
+    * [[assignCells]] (ExtensionsSpec pins it) but with the k seeds on
+    * the executors instead of in the closure. Level 1 routes per-row
+    * against the closure-sized live super-seeds (the exact assignCells
+    * loop); level 2 is a join on the super-cell key against the
+    * distributed seed frame — AQE broadcasts it at test scale, a keyed
+    * exchange co-partitions it at 10⁷⁺ seeds — then ONE per-vector
+    * max-struct argmax (cos via the codegen'd graft_dot ≡ the closure's
+    * ascending fold; ties to the smaller sid via the negated-sid
+    * field, exactly the closure's strict-improvement scan). The argmax
+    * group-by is the one corpus exchange this form pays for unbounded
+    * k; e/nrm ride the max struct ((cos, -sid) is unique per group, so
+    * they are never compared) to spare a join-back. */
+  def assignCellsJoined(corpus: DataFrame, plan: SeedPlan): DataFrame = {
+    val s = corpus.sparkSession
+    withFns(s)
+    import s.implicits._
+    val supIds = plan.supIds
+    val supVecs = plan.supVecs
+    val supNorms = plan.supNorms
+    val l1 = corpus.select(col("vec_id").cast("long"), col("e"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          val nrm = l2norm(e)
+          var bestCos = Double.NegativeInfinity
+          var bestSup = Int.MaxValue
+          var c = 0
+          while (c < supIds.length) {
+            val cen = supVecs(c)
+            var dot = 0.0
+            var k = 0
+            while (k < cen.length) { dot += e(k) * cen(k); k += 1 }
+            val cos = dot / (nrm * supNorms(c))
+            if (cos > bestCos) { bestCos = cos; bestSup = supIds(c) }
+            c += 1
+          }
+          (id, e, nrm, bestSup)
+        }
+      }
+      .toDF("vec_id", "e", "nrm", "sup")
+    l1.join(plan.seeds.selectExpr("sup", "sid", "e as se", "nrm as sn"), "sup")
+      .selectExpr("vec_id", "e", "nrm", "sid",
+        s"${dotExpr("e", "se")} / (nrm * sn) as cos")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("sid")).as("nsid"),
+        col("e"), col("nrm"))).as("m"))
+      .selectExpr("cast(-m.nsid as int) as c_label", "vec_id",
+        "m.e as e", "m.nrm as nrm")
   }
 
   /** q47 — int8 symmetric quantization of the embedding column: per
@@ -1701,6 +2011,7 @@ object Similarity {
     "q91_hard_negatives"  -> ((s, d) => hardNegatives(s, d)),
     "q92_pca_power"       -> ((s, d) => pcaPower(s, d)),
     "q98_jl_distortion"   -> ((s, d) => jlDistortion(s, d)),
+    "q106_pca_deflation"  -> ((s, d) => pcaTop2(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1721,5 +2032,6 @@ object Similarity {
     "q91_hard_negatives"  -> hardNegativesSql,
     "q92_pca_power"       -> pcaPowerSql,
     "q98_jl_distortion"   -> jlDistortionSql,
+    "q106_pca_deflation"  -> pcaTop2Sql,
   )
 }

@@ -613,12 +613,17 @@ object StreamingOps {
           def d6(x: Double): java.math.BigDecimal =
             java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
           val arrivals = it.toArray
+          // discarded = at-or-below-high-water replays across batches
+          // PLUS duplicate ids within this batch (both redelivery shapes
+          // an at-least-once source can produce — distinctBy keeps the
+          // first of an id after the sort, so a same-batch redelivery
+          // counts once, exactly like a cross-batch one); a growing
+          // count WITHOUT source redelivery flags out-of-order delivery
+          // (see AbReport.dropped)
           val fresh = arrivals.filter(_.event_id > st.maxId)
-          // discarded-at-or-below-high-water: replays under the in-order
-          // contract; a growing count WITHOUT source redelivery flags
-          // out-of-order delivery (see AbReport.dropped)
+            .sortBy(_.event_id).distinctBy(_.event_id)
           st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
-          fresh.sortBy(_.event_id).foreach { e =>
+          fresh.foreach { e =>
             st =
               if (e.v == 0L)
                 st.copy(maxId = e.event_id, nA = st.nA + 1L,
@@ -698,9 +703,12 @@ object StreamingOps {
           var st = if (state.exists) state.get
                    else ChiState(0L, Long.MinValue, 0L, 0L, Map.empty, 0L)
           val arrivals = it.toArray
+          // cross-batch replays AND same-batch duplicate ids both drop
+          // (and count) — the abTestStream dedup contract
           val fresh = arrivals.filter(_.event_id > st.maxId)
+            .sortBy(_.event_id).distinctBy(_.event_id)
           st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
-          fresh.sortBy(_.event_id).foreach { p =>
+          fresh.foreach { p =>
             val u = st.users.getOrElse(p.user_id, ChiUser(0L, p.v, crossed = false))
             val c = u.c + 1L
             val crosses = !u.crossed && c.toDouble > design.bar
@@ -752,10 +760,13 @@ object StreamingOps {
           var st = if (state.exists) state.get
                    else TrendState(0L, Long.MinValue, 0L, Map.empty, 0L)
           val arrivals = it.toArray
+          // cross-batch replays AND same-batch duplicate ids both drop
+          // (and count) — the abTestStream dedup contract
           val fresh = arrivals.filter(_.doc_id > st.maxId)
+            .sortBy(_.doc_id).distinctBy(_.doc_id)
           val buf = graft.TextAnalysis.MgBuf(st.n,
             scala.collection.mutable.HashMap(st.cnt.toSeq: _*))
-          fresh.sortBy(_.doc_id).foreach { d =>
+          fresh.foreach { d =>
             graft.TextAnalysis.MisraGries.reduce(buf, d.toks); ()
           }
           st = TrendState(st.rev + 1L,
@@ -792,9 +803,12 @@ object StreamingOps {
           var st = if (state.exists) state.get
                    else PsiState(0L, Long.MinValue, Map.empty, 0L)
           val arrivals = it.toArray
+          // cross-batch replays AND same-batch duplicate ids both drop
+          // (and count) — the abTestStream dedup contract
           val fresh = arrivals.filter(_.event_id > st.maxId)
+            .sortBy(_.event_id).distinctBy(_.event_id)
           st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
-          fresh.sortBy(_.event_id).foreach { e =>
+          fresh.foreach { e =>
             val wk = e.ts_us / 604800000000L
             // degenerate-range guard mirrors the batch CASE (a constant
             // value column bins everything to 0 on both sides)

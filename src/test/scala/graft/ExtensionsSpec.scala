@@ -1392,4 +1392,66 @@ class ExtensionsSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](TextAnalysis.qualityGateVerdict(noText))
     assert(e2.getMessage.contains("text"))
   }
+
+  test("q102: stored-index probe == inline form; artifact reads back complete (r13)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-q102-spec").toString
+    val nBands = Dedup.buildDedupIndex(spark, sf, path)
+    // 4 bands per indexed doc (zero-shingle docs band nothing)
+    assert(nBands > 0 && nBands % 4 == 0, s"band rows: $nBands")
+    val stored = Dedup.incrementalDedupStored(spark, sf, path)
+      .orderBy("delta_id").collect().map(_.toSeq).toSeq
+    val inline = Dedup.incrementalDedup(spark, sf)
+      .orderBy("delta_id").collect().map(_.toSeq).toSeq
+    assert(stored == inline, "stored-index verdicts must equal the inline form")
+  }
+
+  test("levDpBounded == min(levDp, bound+1) over corpus pairs and adversarial cases (r13)") {
+    // contract: exact whenever true distance <= bound, bound+1 otherwise
+    // — so the q101 verdict set and every emitted lev are unchanged
+    val texts = Tables.documents(spark, sf).select("text")
+      .as[String].collect().take(30)
+    val cases = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (i <- texts.indices; j <- (i + 1) until math.min(texts.length, i + 4))
+      cases += ((texts(i), texts(j)))
+    for (t <- texts.take(10)) {
+      cases += ((t, t))                                      // equal
+      cases += ((t, t.drop(math.min(7, t.length))))          // prefix drop
+      cases += ((t, t.replace('e', 'x')))                    // substitutions
+      cases += ((t, ""))                                     // empty side
+      cases += ((t, t.reverse))                              // far pair
+    }
+    for ((a, b) <- cases; bound <- Seq(0, 1, 3, math.max(a.length, b.length) / 5,
+        math.max(a.length, b.length))) {
+      val exact = Dedup.levDp(a, b)
+      val banded = Dedup.levDpBounded(a, b, bound)
+      assert(banded == math.min(exact, bound + 1),
+        s"bound=$bound exact=$exact banded=$banded a=${a.take(20)} b=${b.take(20)}")
+    }
+  }
+
+  test("assignCellsJoined (distributed seeds) is bit-identical to the closure assignCells (r13)") {
+    // the q75 corpus (base + planted twins) through BOTH assignment
+    // routes; fitCellCodebook collects the same distributed fit, so any
+    // arithmetic divergence between routes must surface here
+    val base = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val corpus = base.unionAll(
+      base.selectExpr("vec_id + 10000 as vec_id",
+        "zip_with(e, sequence(0, 63), (x, i) -> x + 0.004 * cast(i % 5 as double)) as e"))
+    val plan = Similarity.fitSeedPlan(spark, sf)
+    val cb = Similarity.fitCellCodebook(spark, sf)
+    val viaJoin = Similarity.assignCellsJoined(corpus, plan)
+      .select("vec_id", "c_label", "nrm", "e")
+      .as[(Long, Int, Double, Array[Double])].collect()
+      .map(r => (r._1, (r._2, r._3, r._4.toSeq))).toMap
+    val viaClosure = Similarity.assignCells(corpus, cb).collect()
+      .map(v => (v.vec_id, (v.cell, v.nrm, v.e.toSeq))).toMap
+    assert(viaJoin.keySet == viaClosure.keySet)
+    // supSeedIdx covers every seed exactly once (the level-2 index table)
+    assert(cb.supSeedIdx.map(_.length).sum == cb.seedIds.length)
+    assert(cb.supSeedIdx.flatten.sorted.toSeq == cb.seedIds.indices.toSeq)
+    viaJoin.foreach { case (id, got) =>
+      assert(got == viaClosure(id), s"vec $id: joined=$got closure=${viaClosure(id)}")
+    }
+  }
 }

@@ -161,12 +161,13 @@ object PlanBudgetSpec {
     // bigram, V) that come back as the 3 broadcasts; the corpus itself
     // crosses only the gated fan-out + the per-doc fold
     "q74_lm_perplexity" -> Shape(shuffles = 5, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 1, scans = 4),
-    // q75 (r12, corpus-scaled hierarchical codebook): codebook fits
-    // driver-side (count agg + TakeOrdered sample — jobs, not plan
-    // nodes) and assignment is a compiled mapPartitions closure shared
-    // with the streaming twin — the corpus crosses ZERO assignment
-    // exchanges; visible shuffles = triangle-block pair exchange +
-    // block-sizes agg + drop-set fold
+    // q75 (r13, DE-DRIVERED codebook): seed fit = quantile-prefilter +
+    // distributed rank (jobs, not plan nodes — nothing k-sized on the
+    // driver); level-2 assignment is a JOIN against the distributed
+    // seed frame (broadcast at fixture, keyed exchange at 10⁷⁺ seeds)
+    // + the per-vector argmax fold; with AQE the measured shape is
+    // UNCHANGED from r12's closure form — the argmax fold coalesced
+    // into the pair-exchange stage budget
     "q75_semdedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     // q76: the gated fan-out + ONE keyed aggregate (six conditional
     // moment sums in a single pass — no pivot, no self-join)
@@ -185,10 +186,12 @@ object PlanBudgetSpec {
     // q77: pair-count aggregate + user-distinct + the tiny per-type
     // aggregate; mean and variant totals ride one-row broadcasts (BNLJ)
     "q77_ab_chisq" -> Shape(shuffles = 4, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
-    // q80 (r12): the semantic-dedup audit — codebook fit is driver jobs
-    // (not plan nodes); sample filter broadcasts, exact ground truth is
-    // a broadcast self-join over the 100-row sample, and the whole
-    // report is ONE tagged-union conditional aggregate
+    // q80 (r13): the semantic-dedup audit through the SAME de-drivered
+    // assignment as q75 (seed fit = separate jobs; assignment join +
+    // argmax); sample filter broadcasts, exact ground truth is a
+    // broadcast self-join over the 100-row sample, and the whole
+    // report is ONE tagged-union conditional aggregate — measured
+    // shape unchanged from r12
     "q80_semdedup_audit" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
     // q81 (r12): the ANN recall audit — exact ground truth reduces
     // per-partition through the TopKCos aggregator (the keyed exchange
