@@ -510,10 +510,15 @@ object Dedup {
       s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/shingles"))
 
   /** Deterministic scratch location for the q102 artifact of one
-    * testdata dir (bench/verify/test runs on different sf dirs get
-    * disjoint paths). */
+    * testdata dir. Per-PROCESS (the PID token, r14 advice fix): two
+    * concurrent runs over the same sf dir (e.g. bench and verify) used
+    * to share one path and could race an overwrite-mode write against a
+    * concurrent read; now each process owns its artifact, while within
+    * a process the path is stable so the build-once/probe-many shape
+    * holds. Different sf dirs stay disjoint as before. */
   private[graft] def indexPathFor(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-q102-index-" +
+      s"p${ProcessHandle.current().pid()}-" +
       d.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** The q23 sign→band CTE chain for an arbitrary (doc_id, text) source
@@ -555,6 +560,14 @@ object Dedup {
        |  agg.nm IS NULL AS is_new
        |FROM delta LEFT JOIN agg ON agg.doc_a = delta.doc_id
        |ORDER BY delta_id""".stripMargin
+
+  /** q102b's oracle: the standing index's band-row count — the q23 sign
+    * chain over the corpus, counted (what [[buildDedupIndex]] reads back
+    * from the written artifact). */
+  lazy val indexBuildSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |${sigChainSql("base", "i_")}
+       |SELECT COUNT(*)::BIGINT AS n_band_rows FROM i_bands""".stripMargin
 
   /** q23 — the near-dup pair pipeline above as the query surface. */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
@@ -1346,13 +1359,23 @@ object Dedup {
     "q79_lsh_audit"     -> ((s, d) => lshAudit(s, d)),
     "q85_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
     "q101_edit_verify"  -> ((s, d) => editDistancePairs(s, d)),
-    // q102 runs the PRODUCTION shape: build (or refresh) the stored
-    // index artifact, then probe it — the write+read path is part of
-    // what the gate certifies (r13)
+    // q102 is the nightly PROBE against the standing artifact; q102b is
+    // the once-per-life index BUILD (r14, VERDICT r13 #5 — one fused
+    // entry conflated a one-time cost with the repeated probe, so the
+    // bench now carries them as separate ledger rows). The probe entry
+    // builds lazily if this process has no artifact yet (first warmup /
+    // verify pass), then every timed run measures ONLY what production
+    // repeats; both paths stay gate-certified (q102b's oracle counts
+    // the band rows read BACK from the artifact).
     "q102_incremental_dedup" -> ((s, d) => {
       val path = indexPathFor(d)
-      buildDedupIndex(s, d, path)
+      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+        buildDedupIndex(s, d, path)
       incrementalDedupStored(s, d, path)
+    }),
+    "q102b_index_build" -> ((s, d) => {
+      import s.implicits._
+      Seq(buildDedupIndex(s, d, indexPathFor(d))).toDF("n_band_rows")
     }),
   )
 
@@ -1369,5 +1392,6 @@ object Dedup {
     "q85_fuzzy_decontaminate" -> fuzzyDecontaminateSql,
     "q101_edit_verify"  -> editDistancePairsSql,
     "q102_incremental_dedup" -> incrementalDedupSql,
+    "q102b_index_build" -> indexBuildSql,
   )
 }

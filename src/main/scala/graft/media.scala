@@ -151,13 +151,172 @@ object MediaOps {
        |FROM m GROUP BY mime ORDER BY mime""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q107 — IMAGE-GRAIN NEAR-DUP DEDUP (r14, VERDICT r13 #1): the one
+  // payload family the dedup engine never inspected. Every other dedup
+  // operator keys on text or text embeddings, so a re-encoded
+  // near-identical image sails through the whole curation funnel; this
+  // closes it with the standard perceptual-hash pipeline — dHash-64
+  // over the decoded luma grid, Hamming-banded candidates through the
+  // existing [[Dedup.boundedBandCandidates]] machinery, exact-Hamming
+  // verify. Reference motivation: the E2 media path
+  // (`Slack Event Server/slackEventServer.js:157-184`) carries image
+  // bytes end-to-end; a curation pipeline at 100 TB must dedup them at
+  // PIXEL grain, not byte grain (re-encode/resize changes every byte
+  // but almost no luma structure).
+  //
+  // dHash: downsample the luma raster to an 8-row × 9-column grid
+  // (box-filter cell means), emit bit b = 1 iff cell (r, c+1) is
+  // brighter than cell (r, c) — 8 horizontal gradients × 8 rows = 64
+  // bits, stored as FOUR 16-bit band values (v[0..3]). The 16-bit
+  // bands double as the LSH keys: two images whose Hamming distance is
+  // ≤ 6 agree on at least one of the 4 bands unless all differing bits
+  // spread across every band, so band-equality collisions are the
+  // candidate generator (exactly the q23 banding argument, in Hamming
+  // space). NOTE: equal cell sums ⇒ bit 0 (ties are "not brighter"),
+  // and the 4×16-bit representation is deliberate — a single packed
+  // 64-bit value would need bit 63, which the DuckDB oracle's BIGINT
+  // shift refuses (overflow), while per-band xor + bit_count is
+  // integer-exact in both engines.
+  //
+  // The decode step rides the SAME deterministic stub discipline as
+  // q29/q30: the "luma raster" is the payload byte stream itself
+  // (values 0..255 — exactly what a real decoder's luma plane is), so
+  // the DuckDB twin reproduces it via ascii(); a real decoder swap-in
+  // touches only the bytes→codes step. The planted twin models a
+  // RE-ENCODE: +1 luma on every 17th pixel (compression noise), which
+  // byte-grain dedup (md5, q22) can never match but the box-filtered
+  // dHash absorbs — the q32 perturbed-twin discipline at image grain.
+  //
+  // Scale shape (100 TB): hashing is one mapPartitions pass fused with
+  // the scan (base + twin signed in the same pass — zero shuffle);
+  // candidates shuffle ONLY (band_idx, band_hash, doc_id) triples with
+  // per-task work triangle-capped under band skew (an all-black-images
+  // bucket cannot straggle); the verify joins hash vectors (4 ints per
+  // row) over the candidate set only. Images below 72 luma samples are
+  // excluded up front (no 8×9 grid exists) — documented precondition,
+  // enforced identically in both engines.
+  // ---------------------------------------------------------------------
+
+  /** dHash-64 of one luma byte stream as four 16-bit band values.
+    * Grid cell c (0..71) = sum of the seg = ⌊n/72⌋ luma values in
+    * [c·seg, (c+1)·seg) — comparing sums of equal-width cells ≡
+    * comparing box-filter means, integer-exact. Bit b (0..63): row
+    * r = b/8, col c = b%8, set iff cell(r·9+c+1) > cell(r·9+c).
+    * PRECONDITION: codes.length ≥ 72 (callers filter). */
+  private[graft] def dhash4x16(codes: Array[Int]): Array[Int] = {
+    val seg = codes.length / 72
+    val s = new Array[Long](72)
+    var c = 0
+    while (c < 72) {
+      var acc = 0L
+      var i = c * seg
+      val end = i + seg
+      while (i < end) { acc += codes(i); i += 1 }
+      s(c) = acc
+      c += 1
+    }
+    val v = new Array[Int](4)
+    var b = 0
+    while (b < 64) {
+      val cell = (b / 8) * 9 + (b % 8)
+      if (s(cell + 1) > s(cell)) v(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    v
+  }
+
+  /** The image corpus + its re-encoded twins, dHashed: (doc_id, v) with
+    * v the 4×16-bit dHash bands. One decoder-shaped mapPartitions pass
+    * signs base AND twin (the twin's luma derives from the same decoded
+    * row — a second scan would double the decode cost at 100 TB). */
+  private[graft] def imageHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaCorpus(s, d)
+      .filter(col("mime") === "image/png" && length(col("media")) >= 72)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          val base = new Array[Int](n)
+          val twin = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val luma = bytes(i) & 0xFF
+            base(i) = luma
+            twin(i) = if (i % 17 == 0) luma + 1 else luma
+            i += 1
+          }
+          Iterator((id, dhash4x16(base)), (id + 10000L, dhash4x16(twin)))
+        }
+      }
+      .toDF("doc_id", "v")
+  }
+
+  /** q107 — image near-dup pairs: dHash → 16-bit Hamming bands →
+    * triangle-capped band-collision candidates → exact Hamming ≤ 6. */
+  def imageDedup(s: SparkSession, d: String): DataFrame = {
+    // persisted: feeds the band explode and BOTH verify-join sides
+    val hashes = imageHashes(s, d).transform(Tables.maybePersist)
+    val bands = hashes.selectExpr("doc_id",
+      "posexplode(transform(v, x -> cast(x as string))) as (band_idx, band_hash)")
+    val cand = Dedup.boundedBandCandidates(s, bands, cap = 1024)
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(hashes.select(col("doc_id").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        """aggregate(zip_with(va, vb,
+          |  (x, y) -> bit_count(cast(x as bigint) ^ cast(y as bigint))),
+          |  cast(0 as bigint), (a, h) -> a + cast(h as bigint)) as hamming"""
+          .stripMargin.replace("\n", " "))
+      .filter(col("hamming") <= 6)
+      .selectExpr("doc_a", "doc_b", "hamming", "doc_b = doc_a + 10000 as is_twin")
+  }
+
+  val imageDedupSql: String =
+    """WITH imgs AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE doc_id % 3 = 0 AND length(text) >= 72),
+      |corpus AS (
+      |  SELECT doc_id, n, list_transform(range(1, n + 1),
+      |    i -> ascii(substr(text, i::INT, 1))) AS cs FROM imgs
+      |  UNION ALL
+      |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
+      |    i -> ascii(substr(text, i::INT, 1))
+      |         + CASE WHEN (i - 1) % 17 = 0 THEN 1 ELSE 0 END) FROM imgs),
+      |cells AS (SELECT doc_id, n // 72 AS seg, cs FROM corpus),
+      |sums AS (SELECT doc_id, list_transform(range(0, 72),
+      |    c -> list_aggregate(cs[(c * seg + 1)::INT:(c * seg + seg)::INT], 'sum')) AS s
+      |  FROM cells),
+      |bv AS (SELECT doc_id, list_transform(range(0, 4),
+      |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+      |      j -> CASE WHEN s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 2)::INT]
+      |                   > s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 1)::INT]
+      |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+      |      (a, b) -> a + b)) AS v FROM sums),
+      |bands AS (SELECT doc_id, b AS band_idx, v[b + 1]::VARCHAR AS band_hash
+      |  FROM (SELECT doc_id, v, unnest(range(0, 4)) AS b FROM bv)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |  WHERE a.doc_id < b.doc_id),
+      |ham AS (SELECT doc_a, doc_b,
+      |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
+      |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
+      |  FROM cand JOIN bv va ON va.doc_id = cand.doc_a
+      |            JOIN bv vb ON vb.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b, hamming, doc_b = doc_a + 10000 AS is_twin
+      |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "q30_media_stats"    -> ((s, d) => mediaStats(s, d)),
+    "q107_image_dedup"   -> ((s, d) => imageDedup(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
     "q29_media_features" -> mediaFeaturesSql,
     "q30_media_stats"    -> mediaStatsSql,
+    "q107_image_dedup"   -> imageDedupSql,
   )
 }

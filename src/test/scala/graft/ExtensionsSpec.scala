@@ -1454,4 +1454,65 @@ class ExtensionsSpec extends SparkSpec {
       assert(got == viaClosure(id), s"vec $id: joined=$got closure=${viaClosure(id)}")
     }
   }
+
+  test("q107: dHash absorbs re-encode noise, separates distinct images (r14)") {
+    // controlled raster: adjacent cell sums differ by >= seg (each cell's
+    // values are constant at 40 + 8*(cell % 7), so |sum(c+1) - sum(c)|
+    // >= 8*seg), while the +1-every-17th re-encode perturbation moves any
+    // cell sum by at most ceil(seg/17)+1 < 8*seg — NO bit can flip, so
+    // the twin's dHash is IDENTICAL (hamming 0), not merely close
+    val seg = 5
+    val base = Array.tabulate(72 * seg)(i => 40 + 8 * ((i / seg) % 7))
+    val twin = base.zipWithIndex.map { case (v, i) => if (i % 17 == 0) v + 1 else v }
+    val hb = MediaOps.dhash4x16(base)
+    val ht = MediaOps.dhash4x16(twin)
+    assert(hb.toSeq == ht.toSeq, "re-encode noise must not move the dHash")
+    assert(hb.forall(v => v >= 0 && v <= 0xFFFF), "band values are 16-bit")
+    // a genuinely different image (reversed gradient) lands far away
+    val other = MediaOps.dhash4x16(base.reverse)
+    val ham = hb.zip(other).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(ham > 6, s"distinct images must exceed the match bar (got $ham)")
+    // determinism (the decode-stub discipline)
+    assert(MediaOps.dhash4x16(base).toSeq == hb.toSeq)
+  }
+
+  test("q107: image dedup finds EVERY planted re-encoded twin; bar enforced (r14)") {
+    val nImages = Tables.documents(spark, sf)
+      .where("doc_id % 3 = 0 AND length(text) >= 72").count()
+    val pairs = MediaOps.imageDedup(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val twins = pairs.filter(p => p._2 == p._1 + 10000 && p._4)
+    assert(twins.length == nImages,
+      s"planted-twin recall: ${twins.length}/$nImages")
+    assert(pairs.forall(_._3 <= 6), "no emitted pair may exceed the Hamming bar")
+    assert(pairs.forall(p => p._1 < p._2), "pairs are ordered (a < b)")
+    // is_twin is exactly the id relation (no mislabeled rows)
+    assert(pairs.forall(p => p._4 == (p._2 == p._1 + 10000)))
+  }
+
+  test("assignment routes reject degenerate (zero-norm) embeddings in LOCKSTEP (r14)") {
+    // the advice finding: joined max-struct ranked NaN cos greatest while
+    // the closure scan skipped it — now BOTH routes refuse the row at the
+    // same stage with the same message (documented precondition)
+    val degenerate = Tables.embeddings(spark, sf).limit(3)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(0.0 as double)) as e")
+    def messageOf(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    val plan = Similarity.fitSeedPlan(spark, sf)
+    val cb = Similarity.fitCellCodebook(spark, sf)
+    val eJoin = intercept[Throwable] {
+      Similarity.assignCellsJoined(degenerate, plan).collect()
+    }
+    val eClosure = intercept[Throwable] {
+      Similarity.assignCells(degenerate, cb).collect()
+    }
+    Seq(eJoin, eClosure).foreach { e =>
+      assert(messageOf(e).contains("cosine cell routing is undefined"),
+        s"expected the shared precondition message, got: ${messageOf(e).take(300)}")
+    }
+  }
 }

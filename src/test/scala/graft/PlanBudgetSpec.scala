@@ -295,5 +295,10 @@ object PlanBudgetSpec {
     // aggregates over the persisted projection), each a zero-shuffle
     // scan + one-buffer-per-partition reduction, not visible here
     "q92_pca_power" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
+    // q107 (r14): image dHash dedup — one mapPartitions signing pass
+    // (base + twin in the same pass), band-blocked candidates (the q23
+    // triangle machinery), hash-vector verify joins over the persisted
+    // 4-int hash frame (broadcast at fixture scale)
+    "q107_image_dedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
   )
 }
