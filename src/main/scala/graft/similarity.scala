@@ -1277,7 +1277,15 @@ object Similarity {
     v
   }
 
-  def pcaTop2(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+  /** Shared model fit for q106/q108: the per-dim mean and the top-m
+    * principal directions, each component one [[powerIterate]] run
+    * data-deflated against every earlier component (sequentially — the
+    * c-th projection is removed from the ALREADY-deflated row, exactly
+    * what the chained oracle CTEs compute). Split from the query
+    * surface so ExtensionsSpec can assert orthonormality on the
+    * UNROUNDED basis. */
+  private[graft] def pcaComponents(s: SparkSession, d: String, m: Int,
+                                   iters: Int): (Array[Double], Array[Array[Double]]) = {
     import s.implicits._
     val embDf = Tables.embeddings(s, d).select(col("embedding"))
       .transform(Tables.maybePersist)
@@ -1285,11 +1293,19 @@ object Similarity {
     val n = embDf.count()
     val mu: Array[Double] = emb.select(VecCentroid.toColumn).head()
     val dims = mu.length
+    require(m >= 1 && m <= dims, s"m=$m out of range for $dims dims")
     def basis(b: Int) = Array.tabulate(dims)(j => if (j == b) 1.0 else 0.0)
-    val v1 = powerIterate(emb, n, mu, Array.empty, basis(0), iters)
-    val v2 = powerIterate(emb, n, mu, Array(v1), basis(1), iters)
+    val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (c <- 0 until m)
+      vs += powerIterate(emb, n, mu, vs.toArray, basis(c), iters)
+    (mu, vs.toArray)
+  }
+
+  def pcaTop2(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val (mu, vs) = pcaComponents(s, d, m = 2, iters)
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    (0 until dims).map(j => (j.toLong, r6(mu(j)), r6(v1(j)), r6(v2(j))))
+    mu.indices.map(j => (j.toLong, r6(mu(j)), r6(vs(0)(j)), r6(vs(1)(j))))
       .toDF("dim", "mu", "loading1", "loading2")
   }
 
@@ -1347,6 +1363,96 @@ object Similarity {
        |  floor(v3.v[(md.dim + 1)::INT] * 1e6 + 0.5) / 1e6 AS loading1,
        |  floor(w3.v[(md.dim + 1)::INT] * 1e6 + 0.5) / 1e6 AS loading2
        |FROM md, v3, w3 ORDER BY dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q108 — PCA TOP-m VIA CHAINED DEFLATION (r14, VERDICT r13 #8): q106's
+  // two-component deflation generalized to an m-component basis on the
+  // SAME [[powerIterate]] kernel — component c runs on rows sequentially
+  // deflated against components 1..c-1 (cen ← cen − (cen·vq)·vq in
+  // ascending q, per row, per pass). m = 4 here: the 4-d projection
+  // basis the OPQ/whitening rungs above it consume. Deflation makes
+  // each new iterate converge in the orthogonal complement of the span
+  // so far, so the basis is orthonormal up to convergence error —
+  // ExtensionsSpec asserts |vᵢ·vⱼ| on the unrounded vectors and that
+  // the m=2 prefix is BIT-IDENTICAL to q106 (shared kernel, shared
+  // starts).
+  //
+  // Scale shape: exactly q92 × (m·iters) — every pass is one corpus
+  // scan whose only exchange is the VecLongSum singleton aggregate (one
+  // 64-long buffer per partition); all m iterates live driver-side
+  // (O(m·d) doubles — the fit-then-stream discipline). The oracle
+  // unrolls all m components' rounds as GENERATED chained CTEs (the
+  // q106 idiom, parameterized by m), so the gate covers every
+  // component, not just the first two.
+  // ---------------------------------------------------------------------
+
+  def pcaTopM(s: SparkSession, d: String, m: Int = 4, iters: Int = 3): DataFrame = {
+    val (mu, vs) = pcaComponents(s, d, m, iters)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("dim",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("mu",
+            org.apache.spark.sql.types.DoubleType, nullable = false)) ++
+      (1 to m).map(c => org.apache.spark.sql.types.StructField(s"loading$c",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rows = mu.indices.map { j =>
+      org.apache.spark.sql.Row.fromSeq(
+        j.toLong +: r6(mu(j)) +: vs.map(v => r6(v(j))).toSeq)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** The q108 oracle, GENERATED by (m, iters): r0 = centered rows, then
+    * per component c — `iters` power rounds over r{c-1} (the q106 iter2
+    * pattern) followed by one deflation CTE producing r{c}. Every CTE
+    * is `AS MATERIALIZED`: DuckDB inlines plain CTEs per reference, and
+    * with m·iters chained rounds each referencing its predecessors the
+    * inlined expansion grows exponentially (the un-hinted m=4 query
+    * planned for minutes; materialized it runs in ~0.3 s — values
+    * identical, it is purely an evaluation hint). */
+  def pcaTopMSql(m: Int = 4, iters: Int = 3): String = {
+    def dot(vecA: String, vecB: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+         |range(1, len($vecA) + 1), j -> $vecA[j] * $vecB[j])), (a, b) -> a + b)"""
+        .stripMargin.replace("\n", " ")
+    def iterBlock(c: Int, i: Int, prevV: String): String =
+      s"""p${c}_$i AS MATERIALIZED (SELECT cen, ${dot("cen", "v")} AS c FROM r${c - 1}, $prevV),
+         |t${c}_$i AS MATERIALIZED (SELECT (j - 1) AS dim,
+         |    SUM(CAST(floor(cen[j] * c * 1e6 + 0.5) AS BIGINT)) AS sq
+         |  FROM (SELECT cen, c, unnest(range(1, len(cen) + 1)) AS j FROM p${c}_$i)
+         |  GROUP BY j),
+         |x${c}_$i AS MATERIALIZED (SELECT list(sq / 1e6 / (SELECT n FROM n) ORDER BY dim) AS u FROM t${c}_$i),
+         |v${c}_$i AS MATERIALIZED (SELECT list_transform(u, x -> x / sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(u, y -> y * y)), (a, b) -> a + b))) AS v FROM x${c}_$i)""".stripMargin
+    val comps = (1 to m).map { c =>
+      val start =
+        s"""v${c}_0 AS MATERIALIZED (SELECT list_transform(range(1, len(mu) + 1),
+           |    j -> CASE WHEN j = $c THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS v FROM muA)"""
+          .stripMargin
+      val rounds = (1 to iters).map(i => iterBlock(c, i, s"v${c}_${i - 1}"))
+      val defl = if (c == m) Nil else Seq(
+        s"""d$c AS MATERIALIZED (SELECT cen, ${dot("cen", "v")} AS t FROM r${c - 1}, v${c}_$iters),
+           |r$c AS MATERIALIZED (SELECT list_transform(range(1, len(cen) + 1),
+           |    j -> cen[j] - t * v[j]) AS cen FROM d$c, v${c}_$iters)""".stripMargin)
+      (Seq(start) ++ rounds ++ defl).mkString(",\n")
+    }
+    val loadings = (1 to m).map(c =>
+      s"floor(v${c}_$iters.v[(md.dim + 1)::INT] * 1e6 + 0.5) / 1e6 AS loading$c")
+    s"""WITH n AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+       |md AS MATERIALIZED (SELECT (i - 1) AS dim,
+       |    CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+       |  GROUP BY i),
+       |muA AS MATERIALIZED (SELECT list(m ORDER BY dim) AS mu FROM md),
+       |r0 AS MATERIALIZED (SELECT list_transform(range(1, len(embedding) + 1),
+       |    j -> embedding[j]::DOUBLE - mu[j]) AS cen FROM embeddings, muA),
+       |${comps.mkString(",\n")}
+       |SELECT md.dim::BIGINT AS dim, floor(md.m * 1e6 + 0.5) / 1e6 AS mu,
+       |  ${loadings.mkString(",\n  ")}
+       |FROM md, ${(1 to m).map(c => s"v${c}_$iters").mkString(", ")}
+       |ORDER BY dim""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -2067,6 +2173,7 @@ object Similarity {
     "q92_pca_power"       -> ((s, d) => pcaPower(s, d)),
     "q98_jl_distortion"   -> ((s, d) => jlDistortion(s, d)),
     "q106_pca_deflation"  -> ((s, d) => pcaTop2(s, d)),
+    "q108_pca_topm"       -> ((s, d) => pcaTopM(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2088,5 +2195,6 @@ object Similarity {
     "q92_pca_power"       -> pcaPowerSql,
     "q98_jl_distortion"   -> jlDistortionSql,
     "q106_pca_deflation"  -> pcaTop2Sql,
+    "q108_pca_topm"       -> pcaTopMSql(),
   )
 }

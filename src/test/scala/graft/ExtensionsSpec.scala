@@ -1515,4 +1515,29 @@ class ExtensionsSpec extends SparkSpec {
         s"expected the shared precondition message, got: ${messageOf(e).take(300)}")
     }
   }
+
+  test("q108: top-m deflation basis is orthonormal; m=2 prefix == q106 bit-exact (r14)") {
+    val (_, vs) = Similarity.pcaComponents(spark, sf, m = 4, iters = 3)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    for (i <- vs.indices) {
+      assert(math.abs(math.sqrt(dot(vs(i), vs(i))) - 1.0) < 1e-12,
+        s"component $i not unit-norm")
+      // deflation removes each earlier component from the DATA, so later
+      // iterates live in the orthogonal complement up to convergence
+      // error of the 3-round power iteration
+      for (j <- 0 until i)
+        assert(math.abs(dot(vs(i), vs(j))) < 1e-3,
+          s"components $j,$i not orthogonal: ${dot(vs(i), vs(j))}")
+    }
+    // shared kernel + shared starts: the m=2 prefix of q108 must be the
+    // q106 result EXACTLY (same rounded grid, same columns)
+    val top2 = Similarity.pcaTop2(spark, sf)
+      .select("dim", "mu", "loading1", "loading2")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    val topM = Similarity.pcaTopM(spark, sf, m = 4)
+      .select("dim", "mu", "loading1", "loading2")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(topM == top2, "q108's first two loadings must equal q106")
+  }
 }
