@@ -792,8 +792,11 @@ object Similarity {
   // instead of O(k). Level-1 targets only NON-EMPTY super-cells (inner
   // join with the seed routing), so no vector can strand in a seedless
   // super-cell. Beyond ~10⁶ cells the one-row broadcast codebook itself
-  // outgrows a task: the next rung is the same construction recursed one
-  // level deeper (log_√k depth), mechanical from this shape.
+  // outgrows a task: the next rung is the same construction recursed —
+  // SHIPPED r14 as the general-L [[fitHierPlan]]/[[assignCellsHierJoined]]
+  // (fan = k^(1/L) per tier, O(L·fan·d) dots/row, closure residency
+  // O(fan·d) at any k; spec-pinned ≡ this 2-level form at L=2 and
+  // join ≡ closure at L=3, HierScale audits 30× linear).
   //
   // Scale shape (r13 — the de-drivered form, VERDICT r12 #2): with
   // k ∝ corpus, the k-row codebook can NO LONGER live on the driver or
@@ -1720,8 +1723,8 @@ object Similarity {
     *     the driver) turn local positions into the global rank.
     *
     * Super-seeds (sid < ⌈√k⌉) come to the driver — √k rows, closure-
-    * sized up to k ~ 10⁸ (beyond that: recurse the hierarchy, see the
-    * q75 header). Each seed then routes to its nearest super-seed
+    * sized up to k ~ 10⁸ (beyond that: [[fitHierPlan]], the general-L
+    * recursion of this construction, r14). Each seed then routes to its nearest super-seed
     * IN-TASK (one mapPartitions over the k-row frame — the k·√k fit
     * work never touches the driver), and only NON-EMPTY super-cells
     * survive into `supIds`. */
@@ -1742,8 +1745,14 @@ object Similarity {
     * prefilter always runs. */
   private val prefilterFloorRows: Long = 1L << 22
 
-  def fitSeedPlan(s: SparkSession, d: String,
-                  targetCellSize: Int = 1000): SeedPlan = {
+  /** Ranked-seed stage shared by the 2-level [[fitSeedPlan]] and the
+    * L-level [[fitHierPlan]]: the fused stats job, the ladder
+    * prefilter, and the exact distributed rank. Returns (k,
+    * seeds(sid, e), release) — `release` frees the rank stage's
+    * persisted frame once the caller's derived frames are
+    * materialized. */
+  private def fitRankedSeeds(s: SparkSession, d: String,
+                             targetCellSize: Int): (Long, DataFrame, () => Unit) = {
     import s.implicits._
     val src = Tables.embeddings(s, d)
       .selectExpr("vec_id", "label",
@@ -1763,7 +1772,6 @@ object Similarity {
       .as[(Long, Long, Seq[Long])].head()
     val n = 2L * nBase
     val k = math.max(nLabels, math.ceil(n / targetCellSize.toDouble).toLong)
-    val sq = math.ceil(math.sqrt(k.toDouble)).toInt
     // --- 1. prefilter — only when the candidate cut can pay for itself:
     // skipped when k is already a large fraction of n (ranking everything
     // beats two extra passes) OR when n sits under the row floor
@@ -1815,6 +1823,14 @@ object Similarity {
         }
       }
     val seedsDf = s.createDataset(seedsRanked).toDF("sid", "e")
+    (k, seedsDf, () => sorted.unpersist())
+  }
+
+  def fitSeedPlan(s: SparkSession, d: String,
+                  targetCellSize: Int = 1000): SeedPlan = {
+    import s.implicits._
+    val (k, seedsDf, release) = fitRankedSeeds(s, d, targetCellSize)
+    val sq = math.ceil(math.sqrt(k.toDouble)).toInt
     // --- super-seeds to the driver (√k rows), ascending sid
     val supRows = seedsDf.filter(col("sid") < sq)
       .as[(Long, Array[Double])].collect().sortBy(_._1)
@@ -1847,7 +1863,7 @@ object Similarity {
     // non-empty super-cells only (≤√k values through the driver)
     val live = routed.select(col("sup")).distinct()
       .as[Int].collect().sorted
-    sorted.unpersist()
+    release()
     SeedPlan(k, sq, live, live.map(supAll), live.map(supAllNorms), routed)
   }
 
@@ -2000,6 +2016,233 @@ object Similarity {
         col("e"), col("nrm"))).as("m"))
       .selectExpr("cast(-m.nsid as int) as c_label", "vec_id",
         "m.e as e", "m.nrm as nrm")
+  }
+
+  // ---------------------------------------------------------------------
+  // L-LEVEL HIERARCHICAL ROUTING (r14, VERDICT r13 #3): the 2-level
+  // SeedPlan's documented ceilings were (a) the O(√k·d) dots per row —
+  // an O(n^1.5) total once k ∝ corpus — and (b) the √k super-seed
+  // closure array, which stops fitting a task around k ~ 10⁸. The
+  // general-L form routes through `levels` tiers with fan-out
+  // fan = ⌈k^(1/L)⌉ per tier: per-row cost O(L·fan·d), closure
+  // residency O(fan·d) (level 0 only — fan ≤ 10⁴ even at k = 10¹²,
+  // L = 3), and the corpus pays L−1 join+argmax exchanges against
+  // level frames keyed by parent. Level ℓ's node set is the
+  // min(k, fan^(ℓ+1)) lowest-rank seeds — the same md5 rank the
+  // 2-level fit uses, so the hierarchy is deterministic.
+  //
+  // Upper-level nodes SELF-ROUTE (a level-ℓ node's level-(ℓ−1) parent
+  // is itself). This coincides with nearest-routing except when two
+  // seeds are exact duplicate directions (cos 1.0 ties break to the
+  // smaller sid), and it guarantees every node has ≥1 child — the
+  // descent joins can never strand a vector on a childless branch, so
+  // no liveness pruning pass is needed at any depth. The L=2
+  // production form ([[fitSeedPlan]]/[[assignCellsJoined]], which the
+  // q75/q80 oracles encode) keeps pure nearest-routing; ExtensionsSpec
+  // pins hier(L=2) ≡ the production assignment on the fixture corpus
+  // and join ≡ closure in lockstep at L=3.
+  // ---------------------------------------------------------------------
+
+  /** The L-level plan: roots closure-resident, each deeper level a
+    * persisted distributed frame (parent, sid, e, nrm) keyed by its
+    * level-(ℓ−1) parent; frames(levels−2)'s sid is the cell label. */
+  case class HierPlan(k: Long, fan: Int, levels: Int,
+                      rootIds: Array[Long],
+                      rootVecs: Array[Array[Double]],
+                      rootNorms: Array[Double],
+                      frames: IndexedSeq[DataFrame])
+
+  /** Closure twin of [[HierPlan]] for the small-k / streaming leg: per
+    * level, nodes ascending by sid plus the parent-sid → child-position
+    * index (the supSeedIdx table generalized to depth). */
+  case class HierCodebook(rootIds: Array[Long],
+                          rootVecs: Array[Array[Double]],
+                          rootNorms: Array[Double],
+                          levelIds: IndexedSeq[Array[Long]],
+                          levelVecs: IndexedSeq[Array[Array[Double]]],
+                          levelNorms: IndexedSeq[Array[Double]],
+                          levelChildIdx: IndexedSeq[Map[Long, Array[Int]]])
+
+  /** Generalized joined descent: level-0 closure scan over the roots
+    * (the exact assignCells level-1 loop), then one join + max-struct
+    * argmax per deeper level — per level the same arithmetic as
+    * [[assignCellsJoined]]'s level 2 (graft_dot cos ≡ the ascending
+    * fold, ties to the smaller sid via the negated-sid field, e/nrm
+    * riding the unique-keyed max struct). Returns (vec_id, e, nrm,
+    * parent) with parent the chosen node of the DEEPEST frame given. */
+  private def descendJoined(vecs: DataFrame, rootIds: Array[Long],
+      rootVecs: Array[Array[Double]], rootNorms: Array[Double],
+      frames: Seq[DataFrame]): DataFrame = {
+    val s = vecs.sparkSession
+    withFns(s)
+    import s.implicits._
+    val l0 = vecs.select(col("vec_id").cast("long"), col("e"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          val nrm = l2norm(e)
+          requireRoutableNorm(id, nrm)
+          var bestCos = Double.NegativeInfinity
+          var best = Long.MaxValue
+          var c = 0
+          while (c < rootIds.length) {
+            val cen = rootVecs(c)
+            var dot = 0.0
+            var j = 0
+            while (j < cen.length) { dot += e(j) * cen(j); j += 1 }
+            val cos = dot / (nrm * rootNorms(c))
+            if (cos > bestCos) { bestCos = cos; best = rootIds(c) }
+            c += 1
+          }
+          (id, e, nrm, best)
+        }
+      }
+      .toDF("vec_id", "e", "nrm", "parent")
+    frames.foldLeft(l0) { (cur, fr) =>
+      cur.join(fr.selectExpr("parent as fp", "sid", "e as se", "nrm as sn"),
+          col("parent") === col("fp"))
+        .selectExpr("vec_id", "e", "nrm", "sid",
+          s"${dotExpr("e", "se")} / (nrm * sn) as cos")
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("sid")).as("nsid"),
+          col("e"), col("nrm"))).as("m"))
+        .selectExpr("vec_id", "m.e as e", "m.nrm as nrm",
+          "-m.nsid as parent")
+    }
+  }
+
+  def fitHierPlan(s: SparkSession, d: String, targetCellSize: Int = 1000,
+                  levels: Int = 2): HierPlan = {
+    import s.implicits._
+    require(levels >= 2, s"hierarchical routing needs >= 2 levels, got $levels")
+    val (k, seedsDf, release) = fitRankedSeeds(s, d, targetCellSize)
+    val fan = math.max(2, math.ceil(math.pow(k.toDouble, 1.0 / levels)).toInt)
+    // cumulative level sizes fan, fan², …, k (overflow-safe multiply)
+    val sizes = new Array[Long](levels)
+    sizes(0) = math.min(k, fan.toLong)
+    for (l <- 1 until levels)
+      sizes(l) = if (sizes(l - 1) >= (k + fan - 1) / fan) k
+                 else sizes(l - 1) * fan
+    sizes(levels - 1) = k
+    // roots to the driver — fan rows, ascending sid (= rank, contiguous)
+    val rootRows = seedsDf.filter(col("sid") < sizes(0))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val rootIds = rootRows.map(_._1)
+    val rootVecs = rootRows.map(_._2)
+    val rootNorms = rootVecs.map(l2norm)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (l <- 1 until levels) {
+      val upper = sizes(l - 1)
+      // upper nodes self-route (parent = own sid); fresh nodes descend
+      // through the levels fitted so far — the fit work per level is a
+      // distributed descent, nothing level-sized visits the driver
+      val self = seedsDf.filter(col("sid") < upper)
+        .as[(Long, Array[Double])]
+        .mapPartitions(it => it.map { case (sid, e) => (sid, sid, e, l2norm(e)) })
+        .toDF("parent", "sid", "e", "nrm")
+      val fresh = seedsDf
+        .filter(col("sid") >= upper && col("sid") < sizes(l))
+        .selectExpr("sid as vec_id", "e")
+      val descended = descendJoined(fresh, rootIds, rootVecs, rootNorms,
+          frames.toSeq)
+        .selectExpr("parent", "vec_id as sid", "e", "nrm")
+      val frame = self.select("parent", "sid", "e", "nrm")
+        .unionAll(descended.select("parent", "sid", "e", "nrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frames += frame
+    }
+    frames.last.count() // materialize the cascade before freeing the rank stage
+    release()
+    HierPlan(k, fan, levels, rootIds, rootVecs, rootNorms, frames.toIndexedSeq)
+  }
+
+  /** The L-level corpus assignment, joined form — output schema matches
+    * [[assignCellsJoined]] (c_label, vec_id, e, nrm). */
+  def assignCellsHierJoined(corpus: DataFrame, plan: HierPlan): DataFrame =
+    descendJoined(corpus, plan.rootIds, plan.rootVecs, plan.rootNorms,
+        plan.frames)
+      .selectExpr("cast(parent as int) as c_label", "vec_id", "e", "nrm")
+
+  /** Collect the L-level plan into closure form (the fitCellCodebook
+    * contract: small-k / streaming only — parameters must fit a task).
+    * Frees each collected frame's cache as it goes. */
+  def fitHierCodebook(s: SparkSession, d: String, targetCellSize: Int = 1000,
+                      levels: Int = 2): HierCodebook = {
+    import s.implicits._
+    val plan = fitHierPlan(s, d, targetCellSize, levels)
+    val collected = plan.frames.map { fr =>
+      val rows = fr.select(col("parent"), col("sid"), col("e"), col("nrm"))
+        .as[(Long, Long, Array[Double], Double)]
+        .collect().sortBy(_._2) // ascending sid
+      fr.unpersist(blocking = false)
+      rows
+    }
+    HierCodebook(plan.rootIds, plan.rootVecs, plan.rootNorms,
+      collected.map(_.map(_._2)),
+      collected.map(_.map(_._3)),
+      collected.map(_.map(_._4)),
+      collected.map { rows =>
+        val byParent = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Int]]
+        var i = 0
+        while (i < rows.length) {
+          byParent.getOrElseUpdate(rows(i)._1,
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+          i += 1
+        }
+        byParent.view.mapValues(_.toArray).toMap
+      })
+  }
+
+  /** The L-level closure assignment — per level the exact
+    * strict-improvement scan of [[assignCells]], candidates looked up
+    * through the parent→children index (the supSeedIdx discipline at
+    * every depth). Output schema matches [[assignCellsHierJoined]];
+    * ExtensionsSpec pins the two routes bit-identical at L=3. */
+  def assignCellsHier(df: DataFrame, cb: HierCodebook): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("vec_id").cast("long"), col("e"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          val nrm = l2norm(e)
+          requireRoutableNorm(id, nrm)
+          var parent = Long.MaxValue
+          var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < cb.rootIds.length) {
+            val cen = cb.rootVecs(c)
+            var dot = 0.0
+            var j = 0
+            while (j < cen.length) { dot += e(j) * cen(j); j += 1 }
+            val cos = dot / (nrm * cb.rootNorms(c))
+            if (cos > bestCos) { bestCos = cos; parent = cb.rootIds(c) }
+            c += 1
+          }
+          var l = 0
+          while (l < cb.levelIds.length) {
+            val idx = cb.levelChildIdx(l)(parent)
+            bestCos = Double.NegativeInfinity
+            var best = Long.MaxValue
+            var ii = 0
+            while (ii < idx.length) {
+              val i = idx(ii)
+              val cen = cb.levelVecs(l)(i)
+              var dot = 0.0
+              var j = 0
+              while (j < cen.length) { dot += e(j) * cen(j); j += 1 }
+              val cos = dot / (nrm * cb.levelNorms(l)(i))
+              if (cos > bestCos) { bestCos = cos; best = cb.levelIds(l)(i) }
+              ii += 1
+            }
+            parent = best
+            l += 1
+          }
+          (parent.toInt, id, e, nrm)
+        }
+      }
+      .toDF("c_label", "vec_id", "e", "nrm")
   }
 
   /** q47 — int8 symmetric quantization of the embedding column: per

@@ -1516,6 +1516,59 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical routing: L=2 == the production 2-level assignment (r14)") {
+    // the general-L machinery instantiated at depth 2 must reproduce the
+    // oracle-gated q75 assignment exactly (self-routing == nearest-
+    // routing in the absence of exact-duplicate seeds — the fixture has
+    // none, and the contract is documented at the HierPlan header)
+    val base = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val corpus = base.unionAll(
+      base.selectExpr("vec_id + 10000 as vec_id",
+        "zip_with(e, sequence(0, 63), (x, i) -> x + 0.004 * cast(i % 5 as double)) as e"))
+    val prod = Similarity.assignCellsJoined(corpus, Similarity.fitSeedPlan(spark, sf))
+      .select("vec_id", "c_label", "nrm", "e")
+      .as[(Long, Int, Double, Array[Double])].collect()
+      .map(r => (r._1, (r._2, r._3, r._4.toSeq))).toMap
+    val hier = Similarity.assignCellsHierJoined(corpus,
+        Similarity.fitHierPlan(spark, sf, levels = 2))
+      .select("vec_id", "c_label", "nrm", "e")
+      .as[(Long, Int, Double, Array[Double])].collect()
+      .map(r => (r._1, (r._2, r._3, r._4.toSeq))).toMap
+    assert(hier.keySet == prod.keySet, "no vector may be dropped or duplicated")
+    hier.foreach { case (id, got) =>
+      assert(got == prod(id), s"vec $id: hier=$got prod=${prod(id)}")
+    }
+  }
+
+  test("hierarchical routing: L=3 join == closure in lockstep; descent never strands (r14)") {
+    // small targetCellSize forces k large enough for three genuine
+    // tiers (fan = ceil(k^(1/3))); the joined route and the collected
+    // closure route must agree bit-for-bit, every corpus vector must
+    // come back exactly once, and every label must be a real seed rank
+    val base = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val plan = Similarity.fitHierPlan(spark, sf, targetCellSize = 1, levels = 3)
+    assert(plan.levels == 3 && plan.fan.toLong * plan.fan * plan.fan >= plan.k)
+    assert(plan.rootIds.length <= plan.fan, "level 0 stays fan-sized (closure bound)")
+    val cb = Similarity.fitHierCodebook(spark, sf, targetCellSize = 1, levels = 3)
+    val viaJoin = Similarity.assignCellsHierJoined(base, plan)
+      .select("vec_id", "c_label", "nrm", "e")
+      .as[(Long, Int, Double, Array[Double])].collect()
+      .map(r => (r._1, (r._2, r._3, r._4.toSeq))).toMap
+    val viaClosure = Similarity.assignCellsHier(base, cb)
+      .select("vec_id", "c_label", "nrm", "e")
+      .as[(Long, Int, Double, Array[Double])].collect()
+      .map(r => (r._1, (r._2, r._3, r._4.toSeq))).toMap
+    val n = base.count()
+    assert(viaJoin.size.toLong == n, "descent must assign every vector exactly once")
+    assert(viaJoin.keySet == viaClosure.keySet)
+    viaJoin.foreach { case (id, got) =>
+      assert(got == viaClosure(id), s"vec $id: joined=$got closure=${viaClosure(id)}")
+      assert(got._1 >= 0 && got._1 < plan.k, s"vec $id: label ${got._1} not a seed rank")
+    }
+  }
+
   test("q108: top-m deflation basis is orthonormal; m=2 prefix == q106 bit-exact (r14)") {
     val (_, vs) = Similarity.pcaComponents(spark, sf, m = 4, iters = 3)
     def dot(a: Array[Double], b: Array[Double]): Double =
