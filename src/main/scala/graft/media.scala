@@ -308,6 +308,82 @@ object MediaOps {
       |SELECT doc_a, doc_b, hamming, doc_b = doc_a + 10000 AS is_twin
       |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The fitted image DENYLIST index (the q85 DenyIndex discipline at
+    * image grain — the production shape of a perceptual-hash blocklist:
+    * the deny side is a bounded curated list, so it is closure-sized BY
+    * CONSTRUCTION, the same contract as the classifier weights and the
+    * q85 deny bands; the unbounded-corpus image shape is q107's batch
+    * chain). `bands(k)`: band-k value → deny ids; `hashes`: deny id →
+    * its 4 band values. */
+  case class ImageDenyIndex(bands: Array[Map[Int, Array[Long]]],
+                            hashes: Map[Long, Array[Int]])
+
+  /** Fit the deny index over the doc_id % 20 == 0 image slice with the
+    * PRODUCTION hashing stage (shared [[dhash4x16]], not a
+    * reimplementation). */
+  def fitImageDenyIndex(s: SparkSession, d: String): ImageDenyIndex = {
+    import s.implicits._
+    val rows = mediaCorpus(s, d)
+      .filter(col("mime") === "image/png" && length(col("media")) >= 72 &&
+        col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val codes = new Array[Int](bytes.length)
+          var i = 0
+          while (i < bytes.length) { codes(i) = bytes(i) & 0xFF; i += 1 }
+          (id, dhash4x16(codes))
+        }
+      }
+      .collect()
+    val bandMaps = Array.tabulate(4) { b =>
+      rows.groupBy(_._2(b)).view
+        .mapValues(_.map(_._1).sorted).toMap
+    }
+    ImageDenyIndex(bandMaps, rows.map(t => t._1 -> t._2).toMap)
+  }
+
+  /** q107's check as a stateless per-row transform (the
+    * fuzzyDecontamVerdict discipline): route any batch or streaming
+    * (doc_id, media) frame against the fitted denylist — dHash the
+    * payload, probe the 4 band maps for candidates, verify exact
+    * Hamming ≤ 6. An image drops online iff the batch chain would pair
+    * it with a deny image (spec-pinned against a driver model).
+    * Images under 72 luma samples carry no grid and always pass. */
+  def imageDenyVerdict(df: DataFrame, idx: ImageDenyIndex): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          if (bytes.length < 72) (id, 0, false)
+          else {
+            val codes = new Array[Int](bytes.length)
+            var i = 0
+            while (i < bytes.length) { codes(i) = bytes(i) & 0xFF; i += 1 }
+            val v = dhash4x16(codes)
+            val cands = scala.collection.mutable.SortedSet.empty[Long]
+            var b = 0
+            while (b < 4) {
+              idx.bands(b).get(v(b)).foreach(_.foreach(cands += _))
+              b += 1
+            }
+            val hit = cands.exists { dId =>
+              val dv = idx.hashes(dId)
+              var ham = 0
+              var k = 0
+              while (k < 4) { ham += Integer.bitCount(v(k) ^ dv(k)); k += 1 }
+              ham <= 6
+            }
+            (id, cands.size, hit)
+          }
+        }
+      }
+      .toDF("doc_id", "n_candidates", "dropped")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "q30_media_stats"    -> ((s, d) => mediaStats(s, d)),

@@ -1288,7 +1288,7 @@ object Similarity {
     * surface so ExtensionsSpec can assert orthonormality on the
     * UNROUNDED basis. */
   private[graft] def pcaComponents(s: SparkSession, d: String, m: Int,
-                                   iters: Int): (Array[Double], Array[Array[Double]]) = {
+      iters: Int): (Long, Array[Double], Array[Array[Double]], Dataset[Array[Float]]) = {
     import s.implicits._
     val embDf = Tables.embeddings(s, d).select(col("embedding"))
       .transform(Tables.maybePersist)
@@ -1301,12 +1301,12 @@ object Similarity {
     val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     for (c <- 0 until m)
       vs += powerIterate(emb, n, mu, vs.toArray, basis(c), iters)
-    (mu, vs.toArray)
+    (n, mu, vs.toArray, emb)
   }
 
   def pcaTop2(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
     import s.implicits._
-    val (mu, vs) = pcaComponents(s, d, m = 2, iters)
+    val (_, mu, vs, _) = pcaComponents(s, d, m = 2, iters)
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     mu.indices.map(j => (j.toLong, r6(mu(j)), r6(vs(0)(j)), r6(vs(1)(j))))
       .toDF("dim", "mu", "loading1", "loading2")
@@ -1391,7 +1391,7 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   def pcaTopM(s: SparkSession, d: String, m: Int = 4, iters: Int = 3): DataFrame = {
-    val (mu, vs) = pcaComponents(s, d, m, iters)
+    val (_, mu, vs, _) = pcaComponents(s, d, m, iters)
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val schema = org.apache.spark.sql.types.StructType(
       Seq(org.apache.spark.sql.types.StructField("dim",
@@ -1456,6 +1456,101 @@ object Similarity {
        |  ${loadings.mkString(",\n  ")}
        |FROM md, ${(1 to m).map(c => s"v${c}_$iters").mkString(", ")}
        |ORDER BY dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q109 — PCA WHITENING AUDIT (r14): the rung the q108 basis exists FOR
+  // — whiten the corpus onto the top-m directions (z_c = (cen·v_c)/√λ_c,
+  // λ_c the empirical variance of projection c) and MEASURE that the
+  // whitened coordinates are unit-variance and decorrelated: the full
+  // m×m whitened Gram matrix, diag exactly 1 by construction (proving
+  // the normalization is self-consistent), off-diag ≈ 0 (the
+  // decorrelation the OPQ rotation / embedding-preprocessing consumer
+  // assumes). λ and the cross-moments come from ONE extra corpus pass:
+  // per row the m projections fold left-to-right, the m(m+1)/2 products
+  // micro-quantize to exact longs (the q74 rule) and reduce through the
+  // same VecLongSum singleton aggregate as the power kernel — zero
+  // corpus shuffles at any scale, O(m²) driver state.
+  //
+  // Cross-engine determinism: v enters UNROUNDED on both sides (the
+  // oracle reuses the q108 CTE chain); per-row t_c are identical folds;
+  // the moment sums are exact integers; λ = M_cc and
+  // gram = M_ij/√(λ_i·λ_j) are the same exactly-rounded double ops in
+  // the same order.
+  // ---------------------------------------------------------------------
+
+  def pcaWhitenAudit(s: SparkSession, d: String, m: Int = 4, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val (n, mu, vs, emb) = pcaComponents(s, d, m, iters)
+    val pairs = (for { i <- 0 until m; j <- i until m } yield (i, j)).toArray
+    val muL = mu
+    val vsL = vs
+    val pairsL = pairs
+    val sums = emb.mapPartitions { it =>
+      it.map { e =>
+        val dims = e.length
+        val cen = new Array[Double](dims)
+        var j = 0
+        while (j < dims) { cen(j) = e(j).toDouble - muL(j); j += 1 }
+        val t = new Array[Double](vsL.length)
+        var c = 0
+        while (c < vsL.length) {
+          val v = vsL(c)
+          var acc = 0.0
+          j = 0
+          while (j < dims) { acc += cen(j) * v(j); j += 1 }
+          t(c) = acc
+          c += 1
+        }
+        val out = new Array[Long](pairsL.length)
+        var p = 0
+        while (p < pairsL.length) {
+          out(p) = math.floor(t(pairsL(p)._1) * t(pairsL(p)._2) * 1e6 + 0.5).toLong
+          p += 1
+        }
+        out
+      }
+    }.select(VecLongSum.toColumn).head()
+    val moments = sums.map(_ / 1e6 / n)
+    val lam = new Array[Double](m)
+    pairs.indices.foreach { p =>
+      if (pairs(p)._1 == pairs(p)._2) lam(pairs(p)._1) = moments(p)
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    pairs.indices.map { p =>
+      val (i, j) = pairs(p)
+      (i.toLong, j.toLong, r6(moments(p)),
+        r6(moments(p) / math.sqrt(lam(i) * lam(j))))
+    }.toDF("ci", "cj", "cross_moment", "whitened_gram")
+  }
+
+  /** The q109 oracle: the q108 component chain (shared generator —
+    * MATERIALIZED for the same inlining reason), then per-row
+    * projections onto the m-vector list and the micro-quantized
+    * moment sums per (ci ≤ cj) pair. */
+  def pcaWhitenAuditSql(m: Int = 4, iters: Int = 3): String = {
+    val topm = pcaTopMSql(m, iters)
+    // reuse everything up to the final SELECT of the q108 oracle
+    val ctes = topm.substring(0, topm.lastIndexOf("SELECT md.dim"))
+    val vsList = (1 to m).map(c => s"v${c}_$iters.v").mkString("[", ", ", "]")
+    val vsFrom = (1 to m).map(c => s"v${c}_$iters").mkString(", ")
+    s"""${ctes.trim.stripSuffix(",")},
+       |va AS MATERIALIZED (SELECT $vsList AS vs FROM $vsFrom),
+       |tt AS MATERIALIZED (SELECT list_transform(range(1, ${m + 1}),
+       |    c -> list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+       |      range(1, len(cen) + 1), j -> cen[j] * vs[c][j])), (a, b) -> a + b)) AS t
+       |  FROM r0, va),
+       |mm AS MATERIALIZED (SELECT ci, cj,
+       |    SUM(CAST(floor(t[ci] * t[cj] * 1e6 + 0.5) AS BIGINT)) AS s
+       |  FROM tt, (SELECT unnest(range(1, ${m + 1})) AS ci) a,
+       |       (SELECT unnest(range(1, ${m + 1})) AS cj) b
+       |  WHERE ci <= cj GROUP BY ci, cj),
+       |lam AS (SELECT ci AS c, s / 1e6 / (SELECT n FROM n) AS lambda FROM mm WHERE ci = cj)
+       |SELECT (mm.ci - 1)::BIGINT AS ci, (mm.cj - 1)::BIGINT AS cj,
+       |  floor((mm.s / 1e6 / (SELECT n FROM n)) * 1e6 + 0.5) / 1e6 AS cross_moment,
+       |  floor((mm.s / 1e6 / (SELECT n FROM n)) / sqrt(li.lambda * lj.lambda) * 1e6 + 0.5) / 1e6 AS whitened_gram
+       |FROM mm JOIN lam li ON li.c = mm.ci JOIN lam lj ON lj.c = mm.cj
+       |ORDER BY ci, cj""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -1748,11 +1843,23 @@ object Similarity {
   /** Ranked-seed stage shared by the 2-level [[fitSeedPlan]] and the
     * L-level [[fitHierPlan]]: the fused stats job, the ladder
     * prefilter, and the exact distributed rank. Returns (k,
-    * seeds(sid, e), release) — `release` frees the rank stage's
-    * persisted frame once the caller's derived frames are
-    * materialized. */
-  private def fitRankedSeeds(s: SparkSession, d: String,
-                             targetCellSize: Int): (Long, DataFrame, () => Unit) = {
+    * seeds(sid, e), top, release) — `release` frees the rank stage's
+    * persisted frame once the caller's derived frames are materialized.
+    *
+    * `top` (r14, the fit's job-count floor): the caller's top-level
+    * rows (global rank < prefix(k)) PIGGYBACKED on the counts job when
+    * the overshoot is bounded. The rank frame is RANGE-partitioned and
+    * locally sorted, so the global first-`prefix` rows are contained in
+    * the per-partition prefixes of that length; each task ships
+    * min(n_p, prefix) rows, the driver drops the overshoot once the
+    * offsets are known. Fused ONLY while P·prefix stays tiny
+    * (≤ 20k rows — the fixture/streaming regime); at production P the
+    * gate is off, `top` comes back None, and the caller pays its own
+    * collect job exactly as before — what crosses the driver never
+    * grows with the gate. */
+  private def fitRankedSeeds(s: SparkSession, d: String, targetCellSize: Int,
+      prefix: Long => Int): (Long, DataFrame,
+        Option[Array[(Long, Array[Double])]], () => Unit) = {
     import s.implicits._
     val src = Tables.embeddings(s, d)
       .selectExpr("vec_id", "label",
@@ -1805,14 +1912,34 @@ object Similarity {
       .sortWithinPartitions("h")
       .as[(String, Array[Double])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
+    val pfx = prefix(k)
+    val fusePrefix = parts.toLong * pfx <= 20000L
+    val pfxCap = if (fusePrefix) pfx else 0
+    val partStats = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        var cnt = 0L
+        it.foreach { case (_, e) =>
+          if (cnt < pfxCap) buf += e
+          cnt += 1
+        }
+        Iterator((i, cnt, buf.toArray))
+      }
+      .collect().sortBy(_._1)
+    val counts = partStats.map(_._2)
     // the counts job materialized `sorted`; the prefilter frame is never
     // read again (r14 advice fix — it used to stay cached for the
     // session lifetime)
     prefiltered.foreach(_.unpersist(blocking = false))
     val offs = counts.scanLeft(0L)(_ + _)
+    val top =
+      if (!fusePrefix) None
+      else Some(partStats.flatMap { case (i, _, rows) =>
+        rows.zipWithIndex.flatMap { case (e, j) =>
+          val sid = offs(i) + j
+          if (sid < pfx && sid < k) Some((sid, e)) else None
+        }
+      }.sortBy(_._1))
     val kCap = k // stable closure capture
     val seedsRanked = sorted.rdd
       .mapPartitionsWithIndex { (i, it) =>
@@ -1823,17 +1950,19 @@ object Similarity {
         }
       }
     val seedsDf = s.createDataset(seedsRanked).toDF("sid", "e")
-    (k, seedsDf, () => sorted.unpersist())
+    (k, seedsDf, top, () => sorted.unpersist())
   }
 
   def fitSeedPlan(s: SparkSession, d: String,
                   targetCellSize: Int = 1000): SeedPlan = {
     import s.implicits._
-    val (k, seedsDf, release) = fitRankedSeeds(s, d, targetCellSize)
-    val sq = math.ceil(math.sqrt(k.toDouble)).toInt
-    // --- super-seeds to the driver (√k rows), ascending sid
-    val supRows = seedsDf.filter(col("sid") < sq)
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val sqOf = (k: Long) => math.ceil(math.sqrt(k.toDouble)).toInt
+    val (k, seedsDf, top, release) = fitRankedSeeds(s, d, targetCellSize, sqOf)
+    val sq = sqOf(k)
+    // --- super-seeds to the driver (√k rows), ascending sid — fused
+    // into the counts job when the gate held, otherwise one collect
+    val supRows = top.getOrElse(seedsDf.filter(col("sid") < sq)
+      .as[(Long, Array[Double])].collect().sortBy(_._1))
     val supAll = supRows.map(_._2)
     val supAllNorms = supAll.map(l2norm)
     // --- route each seed to its nearest super-seed IN-TASK —
@@ -1860,9 +1989,14 @@ object Similarity {
       }
       .toDF("sup", "sid", "e", "nrm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // non-empty super-cells only (≤√k values through the driver)
-    val live = routed.select(col("sup")).distinct()
-      .as[Int].collect().sorted
+    // non-empty super-cells only (≤√k values through the driver) — a
+    // per-partition distinct fold over the persisted frame (r14: this
+    // collect is also the job that MATERIALIZES `routed`, so folding the
+    // distinct in-task drops the old shuffle+distinct job's exchange;
+    // each task ships ≤ live-count ints)
+    val live = routed.select(col("sup")).as[Int]
+      .mapPartitions(it => it.toSet.iterator)
+      .collect().distinct.sorted
     release()
     SeedPlan(k, sq, live, live.map(supAll), live.map(supAllNorms), routed)
   }
@@ -2115,8 +2249,10 @@ object Similarity {
                   levels: Int = 2): HierPlan = {
     import s.implicits._
     require(levels >= 2, s"hierarchical routing needs >= 2 levels, got $levels")
-    val (k, seedsDf, release) = fitRankedSeeds(s, d, targetCellSize)
-    val fan = math.max(2, math.ceil(math.pow(k.toDouble, 1.0 / levels)).toInt)
+    val fanOf = (k: Long) =>
+      math.max(2, math.ceil(math.pow(k.toDouble, 1.0 / levels)).toInt)
+    val (k, seedsDf, top, release) = fitRankedSeeds(s, d, targetCellSize, fanOf)
+    val fan = fanOf(k)
     // cumulative level sizes fan, fan², …, k (overflow-safe multiply)
     val sizes = new Array[Long](levels)
     sizes(0) = math.min(k, fan.toLong)
@@ -2124,9 +2260,11 @@ object Similarity {
       sizes(l) = if (sizes(l - 1) >= (k + fan - 1) / fan) k
                  else sizes(l - 1) * fan
     sizes(levels - 1) = k
-    // roots to the driver — fan rows, ascending sid (= rank, contiguous)
-    val rootRows = seedsDf.filter(col("sid") < sizes(0))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // roots to the driver — fan rows, ascending sid (= rank, contiguous;
+    // fused into the counts job when the gate held)
+    val rootRows = top.map(_.filter(_._1 < sizes(0)))
+      .getOrElse(seedsDf.filter(col("sid") < sizes(0))
+        .as[(Long, Array[Double])].collect().sortBy(_._1))
     val rootIds = rootRows.map(_._1)
     val rootVecs = rootRows.map(_._2)
     val rootNorms = rootVecs.map(l2norm)
@@ -2417,6 +2555,7 @@ object Similarity {
     "q98_jl_distortion"   -> ((s, d) => jlDistortion(s, d)),
     "q106_pca_deflation"  -> ((s, d) => pcaTop2(s, d)),
     "q108_pca_topm"       -> ((s, d) => pcaTopM(s, d)),
+    "q109_pca_whitening"  -> ((s, d) => pcaWhitenAudit(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2439,5 +2578,6 @@ object Similarity {
     "q98_jl_distortion"   -> jlDistortionSql,
     "q106_pca_deflation"  -> pcaTop2Sql,
     "q108_pca_topm"       -> pcaTopMSql(),
+    "q109_pca_whitening"  -> pcaWhitenAuditSql(),
   )
 }

@@ -1490,6 +1490,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs.forall(p => p._4 == (p._2 == p._1 + 10000)))
   }
 
+  test("image deny verdict (online leg) == exact band-probe model; twins of deny images drop (r14)") {
+    val idx = MediaOps.fitImageDenyIndex(spark, sf)
+    val imgs = MediaOps.mediaCorpus(spark, sf)
+      .where("mime = 'image/png' AND length(media) >= 72")
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect()
+    val twins = imgs.map { case (id, b) =>
+      (id + 10000L, b.zipWithIndex.map { case (x, i) =>
+        if (i % 17 == 0) (x + 1).toByte else x })
+    }
+    val input = spark.createDataset((imgs ++ twins).toSeq).toDF("doc_id", "media")
+    val verdict = MediaOps.imageDenyVerdict(input, idx)
+      .as[(Long, Int, Boolean)].collect().map(t => t._1 -> t._3).toMap
+    // driver model: the verdict's own semantics recomputed independently
+    // over the production hash frame — candidate iff ANY 16-bit band
+    // matches a deny hash, dropped iff a candidate verifies Hamming <= 6
+    val hash = MediaOps.imageHashes(spark, sf)
+      .as[(Long, Array[Int])].collect().toMap
+    val denyIds = imgs.map(_._1).filter(_ % 20 == 0)
+    assert(denyIds.nonEmpty, "fixture must populate the deny slice")
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    def expect(v: Array[Int]): Boolean = denyIds.exists { d =>
+      val dv = hash(d)
+      (0 until 4).exists(b => v(b) == dv(b)) && ham(v, dv) <= 6
+    }
+    hash.foreach { case (id, v) =>
+      assert(verdict(id) == expect(v), s"image $id: online=${verdict(id)} model=${expect(v)}")
+    }
+    // the leg bites: every deny image drops (self-match at Hamming 0),
+    // and so does every re-encoded twin of one (the dHash absorbed the
+    // perturbation — the capability q107 exists for); non-deny images
+    // are not all swept up
+    denyIds.foreach { d =>
+      assert(verdict(d), s"deny image $d must drop")
+      assert(verdict(d + 10000L), s"re-encoded twin of deny image $d must drop")
+    }
+    assert(imgs.map(_._1).exists(id => !verdict(id)), "some non-deny image survives")
+  }
+
   test("assignment routes reject degenerate (zero-norm) embeddings in LOCKSTEP (r14)") {
     // the advice finding: joined max-struct ranked NaN cos greatest while
     // the closure scan skipped it — now BOTH routes refuse the row at the
@@ -1570,7 +1609,7 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("q108: top-m deflation basis is orthonormal; m=2 prefix == q106 bit-exact (r14)") {
-    val (_, vs) = Similarity.pcaComponents(spark, sf, m = 4, iters = 3)
+    val (_, _, vs, _) = Similarity.pcaComponents(spark, sf, m = 4, iters = 3)
     def dot(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
     for (i <- vs.indices) {
