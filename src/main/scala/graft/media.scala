@@ -254,11 +254,11 @@ object MediaOps {
       .toDF("doc_id", "v")
   }
 
-  /** q107 — image near-dup pairs: dHash → 16-bit Hamming bands →
-    * triangle-capped band-collision candidates → exact Hamming ≤ 6. */
-  def imageDedup(s: SparkSession, d: String): DataFrame = {
-    // persisted: feeds the band explode and BOTH verify-join sides
-    val hashes = imageHashes(s, d).transform(Tables.maybePersist)
+  /** The q107 pair chain from a (persisted) hash frame: Hamming bands →
+    * triangle-capped band-collision candidates → exact Hamming ≤ 6.
+    * Shared by q107 (pair surface) and q110 (clustering consumes the
+    * pairs as edges). */
+  private[graft] def imagePairs(s: SparkSession, hashes: DataFrame): DataFrame = {
     val bands = hashes.selectExpr("doc_id",
       "posexplode(transform(v, x -> cast(x as string))) as (band_idx, band_hash)")
     val cand = Dedup.boundedBandCandidates(s, bands, cap = 1024)
@@ -271,11 +271,63 @@ object MediaOps {
           |  cast(0 as bigint), (a, h) -> a + cast(h as bigint)) as hamming"""
           .stripMargin.replace("\n", " "))
       .filter(col("hamming") <= 6)
+  }
+
+  /** q107 — image near-dup pairs: dHash → 16-bit Hamming bands →
+    * triangle-capped band-collision candidates → exact Hamming ≤ 6. */
+  def imageDedup(s: SparkSession, d: String): DataFrame = {
+    // persisted: feeds the band explode and BOTH verify-join sides
+    val hashes = imageHashes(s, d).transform(Tables.maybePersist)
+    imagePairs(s, hashes)
       .selectExpr("doc_a", "doc_b", "hamming", "doc_b = doc_a + 10000 as is_twin")
   }
 
-  val imageDedupSql: String =
-    """WITH imgs AS (SELECT doc_id, text, length(text) AS n FROM documents
+  // ---------------------------------------------------------------------
+  // q110 — IMAGE CLUSTERING + CANONICAL KEEP (r14): the q41→q70
+  // composition at image grain — connected components over the q107
+  // pair graph, then per cluster keep the LARGEST payload (most pixels
+  // decoded = most content; tie → lowest doc_id), drop the rest. This
+  // is the decision an image-curation pipeline actually emits: q107
+  // finds the re-encode twins, this picks which copy survives.
+  //
+  // Scale shape: the pair chain is q107's (band-blocked, never
+  // all-pairs); the pair frame is localCheckpoint'ed ONCE so the CC
+  // loop iterates over materialized id-pairs (the q41 discipline);
+  // hash-min CC is 2 exchanges/round over (id, root) longs; the keep
+  // argmax is one window over (id, root, n_bytes) triples — payload
+  // bytes never enter any exchange.
+  // ---------------------------------------------------------------------
+
+  def imageKeep(s: SparkSession, d: String): DataFrame = {
+    val base = mediaCorpus(s, d)
+      .filter(col("mime") === "image/png" && length(col("media")) >= 72)
+      .select(col("doc_id"), length(col("media")).cast("long").as("n_bytes"))
+    // twins carry the same byte length (the +1 luma perturbation is
+    // value-level, not length-level)
+    val lens = base.unionAll(
+      base.select((col("doc_id") + 10000).as("doc_id"), col("n_bytes")))
+    val hashes = imageHashes(s, d).transform(Tables.maybePersist)
+    val pairs = imagePairs(s, hashes)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
+    val lab = Dedup.connectedComponents(
+      lens.select(col("doc_id").as("id")), pairs)
+    val sizes = lab.groupBy(col("root")).agg(count(lit(1)).as("n_members"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("root"))
+      .orderBy(col("n_bytes").desc, col("doc_id"))
+    lab.select(col("id").as("doc_id"), col("root"))
+      .join(lens, Seq("doc_id"))
+      .join(sizes, Seq("root"))
+      .withColumn("keep_doc_id", first(col("doc_id")).over(w))
+      .withColumn("kept", col("doc_id") === col("keep_doc_id"))
+      .select("doc_id", "root", "n_bytes", "keep_doc_id", "n_members", "kept")
+  }
+
+  /** The q107 sign→band→candidate→Hamming CTE chain (through `ham`),
+    * shared by the q107 pair surface and the q110 clustering oracle. */
+  private val imageChainCtes: String =
+    """imgs AS (SELECT doc_id, text, length(text) AS n FROM documents
       |  WHERE doc_id % 3 = 0 AND length(text) >= 72),
       |corpus AS (
       |  SELECT doc_id, n, list_transform(range(1, n + 1),
@@ -304,9 +356,35 @@ object MediaOps {
       |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
       |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
       |  FROM cand JOIN bv va ON va.doc_id = cand.doc_a
-      |            JOIN bv vb ON vb.doc_id = cand.doc_b)
-      |SELECT doc_a, doc_b, hamming, doc_b = doc_a + 10000 AS is_twin
-      |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+      |            JOIN bv vb ON vb.doc_id = cand.doc_b)""".stripMargin
+
+  val imageDedupSql: String =
+    s"""WITH $imageChainCtes
+       |SELECT doc_a, doc_b, hamming, doc_b = doc_a + 10000 AS is_twin
+       |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+
+  val imageKeepSql: String =
+    s"""WITH RECURSIVE $imageChainCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 6),
+       |lens AS (SELECT doc_id, n::BIGINT AS n_bytes FROM imgs
+       |  UNION ALL SELECT doc_id + 10000, n::BIGINT FROM imgs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |verts AS (SELECT doc_id AS id FROM lens),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |roots AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+       |sizes AS (SELECT root, COUNT(*)::BIGINT AS n_members FROM roots GROUP BY root)
+       |SELECT roots.id AS doc_id, roots.root, lens.n_bytes,
+       |  first_value(roots.id) OVER (PARTITION BY roots.root
+       |    ORDER BY lens.n_bytes DESC, roots.id) AS keep_doc_id,
+       |  sizes.n_members,
+       |  roots.id = first_value(roots.id) OVER (PARTITION BY roots.root
+       |    ORDER BY lens.n_bytes DESC, roots.id) AS kept
+       |FROM roots JOIN lens ON lens.doc_id = roots.id JOIN sizes USING (root)
+       |ORDER BY doc_id""".stripMargin
 
   /** The fitted image DENYLIST index (the q85 DenyIndex discipline at
     * image grain — the production shape of a perceptual-hash blocklist:
@@ -388,11 +466,13 @@ object MediaOps {
     "q29_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "q30_media_stats"    -> ((s, d) => mediaStats(s, d)),
     "q107_image_dedup"   -> ((s, d) => imageDedup(s, d)),
+    "q110_image_keep"    -> ((s, d) => imageKeep(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
     "q29_media_features" -> mediaFeaturesSql,
     "q30_media_stats"    -> mediaStatsSql,
     "q107_image_dedup"   -> imageDedupSql,
+    "q110_image_keep"    -> imageKeepSql,
   )
 }

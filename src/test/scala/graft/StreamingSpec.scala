@@ -519,6 +519,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must exercise a non-empty drop set")
   }
 
+  test("imageDenyVerdict drops a stream exactly like its batch form (r14)") {
+    // the q107 online form: perceptual-hash denylist fit offline
+    // (bounded list, the fitDenyIndex contract), per-row dHash→band-
+    // probe→Hamming-verify in the stream with the SHARED hashing code
+    val idx = MediaOps.fitImageDenyIndex(spark, sf)
+    assert(idx.hashes.nonEmpty)
+    val rows = MediaOps.mediaCorpus(spark, sf)
+      .where("mime = 'image/png'")
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val q = MediaOps.imageDenyVerdict(in.toDF().toDF("doc_id", "media"), idx)
+      .writeStream.format("memory").queryName("imagedeny")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val online = spark.table("imagedeny")
+      .select("doc_id", "n_candidates", "dropped")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = MediaOps.imageDenyVerdict(
+        rows.toDF("doc_id", "media"), idx)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(online == batch, "online verdicts != batch verdicts on identical rows")
+    assert(online.exists(_._3) && online.exists(!_._3),
+      "fixture must exercise both drop and keep")
+  }
+
   test("kmeansAssignVerdict routes a stream with statically fitted centroids; bit-identical to batch assignment") {
     // the q84 online form: centroids fit offline (k×dim doubles,
     // driver-sized), assignment stateless in the stream — the
