@@ -386,6 +386,122 @@ object MediaOps {
        |FROM roots JOIN lens ON lens.doc_id = roots.id JOIN sizes USING (root)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q111 — VIDEO FRAME-HASH NEAR-DUP (r14): dedup at the VIDEO grain —
+  // per video, F = 3 sampled frames (equal byte-stride thirds of the
+  // decoded stream, the q29 frame-sample discipline), each frame
+  // dHashed with the SHARED [[dhash4x16]]; two videos near-duplicate
+  // when ≥ 2 of 3 FRAME-ALIGNED dHashes sit within Hamming 6 — the
+  // temporal-structure test image-grain q107 cannot express (a video
+  // is a sequence, not a bag of pixels). LSH keys = (frame_idx × 4 +
+  // band_idx, band value): 12 collision chances per pair, through the
+  // same triangle-capped band machinery. The re-encode twin (+1 luma
+  // every 17th byte of the whole stream) recalls 100% at every
+  // fixture with all 3 frames matching; videos under 216 bytes carry
+  // no 3×(8×9) grid and are excluded up front (the q107 precondition,
+  // per frame).
+  //
+  // Scale shape: hashing one mapPartitions pass (base + twin, F
+  // dHashes per row — still O(bytes) per video); candidates shuffle
+  // (band_idx, band_hash, doc_id) triples only; verify joins 12-int
+  // hash vectors over candidates. Payloads never shuffle.
+  // ---------------------------------------------------------------------
+
+  /** Per-video frame dHashes: (doc_id, v) with v = 3 frames × 4 bands
+    * flattened (frame f's bands at positions 4f..4f+3). */
+  private[graft] def videoFrameHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaCorpus(s, d)
+      .filter(col("mime") === "video/mp4" && length(col("media")) >= 216)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          val base = new Array[Int](n)
+          val twin = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val luma = bytes(i) & 0xFF
+            base(i) = luma
+            twin(i) = if (i % 17 == 0) luma + 1 else luma
+            i += 1
+          }
+          val frameLen = n / 3
+          def hashFrames(codes: Array[Int]): Array[Int] =
+            (0 until 3).flatMap { f =>
+              dhash4x16(java.util.Arrays.copyOfRange(
+                codes, f * frameLen, f * frameLen + frameLen))
+            }.toArray
+          Iterator((id, hashFrames(base)), (id + 10000L, hashFrames(twin)))
+        }
+      }
+      .toDF("doc_id", "v")
+  }
+
+  /** q111 — video near-dup pairs: frame dHashes → 12 Hamming band keys
+    * → triangle-capped candidates → per-frame exact Hamming, matched
+    * when ≥ 2 of 3 aligned frames verify. */
+  def videoDedup(s: SparkSession, d: String): DataFrame = {
+    val hashes = videoFrameHashes(s, d).transform(Tables.maybePersist)
+    val bands = hashes.selectExpr("doc_id",
+      "posexplode(transform(v, x -> cast(x as string))) as (band_idx, band_hash)")
+    val cand = Dedup.boundedBandCandidates(s, bands, cap = 1024)
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(hashes.select(col("doc_id").as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        """cast(size(filter(sequence(0, 2), f ->
+          |  aggregate(transform(sequence(0, 3), b ->
+          |    bit_count(cast(element_at(va, f * 4 + b + 1) as bigint)
+          |      ^ cast(element_at(vb, f * 4 + b + 1) as bigint))),
+          |    cast(0 as bigint), (a, x) -> a + cast(x as bigint)) <= 6))
+          |as bigint) as matched_frames"""
+          .stripMargin.replace("\n", " "))
+      .filter(col("matched_frames") >= 2)
+      .selectExpr("doc_a", "doc_b", "matched_frames",
+        "doc_b = doc_a + 10000 as is_twin")
+  }
+
+  val videoDedupSql: String =
+    """WITH vids AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE doc_id % 3 = 2 AND length(text) >= 216),
+      |corpus AS (
+      |  SELECT doc_id, n, list_transform(range(1, n + 1),
+      |    i -> ascii(substr(text, i::INT, 1))) AS cs FROM vids
+      |  UNION ALL
+      |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
+      |    i -> ascii(substr(text, i::INT, 1))
+      |         + CASE WHEN (i - 1) % 17 = 0 THEN 1 ELSE 0 END) FROM vids),
+      |cells AS (SELECT doc_id, n // 3 AS L, (n // 3) // 72 AS seg, cs FROM corpus),
+      |fsums AS (SELECT doc_id, f, list_transform(range(0, 72),
+      |    c -> list_aggregate(cs[(f * L + c * seg + 1)::INT:(f * L + c * seg + seg)::INT], 'sum')) AS s
+      |  FROM cells, (SELECT unnest(range(0, 3)) AS f)),
+      |fb AS (SELECT doc_id, f, list_transform(range(0, 4),
+      |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+      |      j -> CASE WHEN s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 2)::INT]
+      |                   > s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 1)::INT]
+      |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+      |      (a, b) -> a + b)) AS fv FROM fsums),
+      |bv AS (SELECT doc_id, flatten(list(fv ORDER BY f)) AS v FROM fb GROUP BY doc_id),
+      |bands AS (SELECT doc_id, (f * 4 + b) AS band_idx,
+      |    v[(f * 4 + b + 1)::INT]::VARCHAR AS band_hash
+      |  FROM (SELECT doc_id, v, unnest(range(0, 3)) AS f FROM bv),
+      |       (SELECT unnest(range(0, 4)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |  WHERE a.doc_id < b.doc_id),
+      |mf AS (SELECT doc_a, doc_b,
+      |    len(list_filter(range(0, 3), f ->
+      |      list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 4),
+      |        b -> bit_count(xor(va.v[(f * 4 + b + 1)::INT], vb.v[(f * 4 + b + 1)::INT]))::BIGINT)),
+      |        (a2, x) -> a2 + x) <= 6))::BIGINT AS matched_frames
+      |  FROM cand JOIN bv va ON va.doc_id = cand.doc_a
+      |            JOIN bv vb ON vb.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b, matched_frames, doc_b = doc_a + 10000 AS is_twin
+      |FROM mf WHERE matched_frames >= 2 ORDER BY doc_a, doc_b""".stripMargin
+
   /** The fitted image DENYLIST index (the q85 DenyIndex discipline at
     * image grain — the production shape of a perceptual-hash blocklist:
     * the deny side is a bounded curated list, so it is closure-sized BY
@@ -467,6 +583,7 @@ object MediaOps {
     "q30_media_stats"    -> ((s, d) => mediaStats(s, d)),
     "q107_image_dedup"   -> ((s, d) => imageDedup(s, d)),
     "q110_image_keep"    -> ((s, d) => imageKeep(s, d)),
+    "q111_video_dedup"   -> ((s, d) => videoDedup(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -474,5 +591,6 @@ object MediaOps {
     "q30_media_stats"    -> mediaStatsSql,
     "q107_image_dedup"   -> imageDedupSql,
     "q110_image_keep"    -> imageKeepSql,
+    "q111_video_dedup"   -> videoDedupSql,
   )
 }

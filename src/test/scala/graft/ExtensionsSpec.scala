@@ -1554,6 +1554,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q111: video frame dedup recalls every re-encoded twin; frame grain is real (r14)") {
+    val nVideos = Tables.documents(spark, sf)
+      .where("doc_id % 3 = 2 AND length(text) >= 216").count()
+    assert(nVideos > 0, "fixture must populate the video slice")
+    val hashes = MediaOps.videoFrameHashes(spark, sf)
+      .as[(Long, Array[Int])].collect()
+    assert(hashes.length.toLong == 2 * nVideos)
+    hashes.foreach { case (id, v) =>
+      assert(v.length == 12, s"video $id: 3 frames x 4 bands")
+      assert(v.forall(x => x >= 0 && x <= 0xFFFF), s"video $id: 16-bit bands")
+    }
+    // frames carry DISTINCT content: within a video the 3 frame hashes
+    // are not all identical (else the frame grain would be vacuous)
+    val distinctFrames = hashes.count { case (_, v) =>
+      val frames = v.grouped(4).map(_.toSeq).toSeq
+      frames.distinct.length > 1
+    }
+    assert(distinctFrames > hashes.length / 2,
+      "most videos must have non-identical frames")
+    val pairs = MediaOps.videoDedup(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val twins = pairs.filter(p => p._2 == p._1 + 10000 && p._4)
+    assert(twins.length.toLong == nVideos,
+      s"planted-twin recall: ${twins.length}/$nVideos")
+    assert(pairs.forall(p => p._3 >= 2 && p._3 <= 3), "match bar enforced")
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
   test("q109: whitened Gram has unit diagonal and near-zero off-diagonals (r14)") {
     val g = Similarity.pcaWhitenAudit(spark, sf)
       .as[(Long, Long, Double, Double)].collect()
