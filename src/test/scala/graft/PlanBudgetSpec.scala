@@ -300,5 +300,14 @@ object PlanBudgetSpec {
     // triangle machinery), hash-vector verify joins over the persisted
     // 4-int hash frame (broadcast at fixture scale)
     "q107_image_dedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    // q108/q109 (r14): like q92, the RETURNED frame is driver-built
+    // (the corpus work runs in the m·iters fit jobs / the moment pass)
+    "q108_pca_topm" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
+    "q109_pca_whitening" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
+    // q110 (r14): q107's pair chain feeds a checkpointed edge frame; the
+    // visible plan is the CC fixpoint join + sizes agg + keep window
+    "q110_image_keep" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q111 (r14): the q107 shape with 12 band keys per video
+    "q111_video_dedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
   )
 }
