@@ -2535,6 +2535,190 @@ object Similarity {
        |FROM rr ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q112 — PRODUCT-QUANTIZATION (PQ) ADC SEARCH with exact re-rank: the
+  // memory rung BELOW q87's int8 codes. int8 keeps 1 byte per DIMENSION
+  // (64 B/vector); PQ keeps one code per SUBSPACE (m=4 bytes/vector at
+  // d=64) — the standard billion-scale ANN index layout (IVF-PQ), here
+  // as the flat-PQ stage so the codebook fit, the asymmetric-distance
+  // computation (ADC), and the re-rank are each separately visible.
+  //
+  // Fit: the embedding splits into m=4 contiguous 16-dim sub-vectors;
+  // each subspace gets its own k=8-cell Lloyd codebook (seeds = the
+  // q84 md5-rank draw, 2 rounds, decimal-exact means via VecCentroid —
+  // all four subspaces fit in the SAME jobs, keyed by (s, cid), not one
+  // job per subspace). Encode: per row, argmin-L2 code per subspace
+  // (ties to the lowest cid — the q84 discipline). Search: the query
+  // (vec 0) precomputes a 4×8 ADC table ||q_s − c_{s,j}||²; a row's
+  // approximate distance is the ascending-s fold of its codes' table
+  // entries; top-20 shortlist by (adc_d, vec_id), exact-L2 re-rank to
+  // top-10. Output carries BOTH distances so the quantization error the
+  // re-rank absorbs is visible per row (the q87 contract).
+  //
+  // Scale shape (100 TB): the codebook is m·k = 32 rows riding a
+  // one-row broadcast (the q38/q84 codebook shape) — encode and ADC are
+  // per-row expression work, ZERO corpus exchange; each fit round's
+  // centroid update is ONE keyed exchange of (s, cid)-bucketed decimal
+  // buffers (m·k·partitions, corpus-independent); the shortlist is
+  // TakeOrdered (per-partition heaps). The corpus crosses no keyed
+  // exchange end-to-end. Cross-engine determinism: every dot is the
+  // ascending-index float→double-widened fold (graft_dot ≡ the oracle's
+  // list_reduce), the ADC sum is an ascending-s fold both sides, ties
+  // break (d, cid) / (d, vec_id) via array_min-struct ≡ row_number.
+  // ---------------------------------------------------------------------
+
+  private val PqM = 4; private val PqSub = 16
+  private val PqK = 8; private val PqIters = 2
+
+  /** Sub-vector view of the corpus: per row, `subs` = m structs
+    * (s, v = float sub-slice, vv = its self-dot). One scan, no exchange. */
+  private def pqCorpus(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "label", "embedding",
+        s"${dotExpr("embedding", "embedding")} as ee",
+        s"""transform(sequence(0, ${PqM - 1}), sx -> named_struct(
+           |'s', sx, 'v', slice(embedding, sx * $PqSub + 1, $PqSub))) as sub0"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("vec_id", "label", "embedding", "ee",
+        s"""transform(sub0, x -> named_struct('s', x.s, 'v', x.v,
+           |'vv', ${dotExpr("x.v", "x.v")})) as subs"""
+          .stripMargin.replace("\n", " "))
+  }
+
+  /** One-row broadcastable PQ codebook from a (s, cid, c) frame: `cells`
+    * flat (dtab build) + `bys` grouped per subspace — the per-s filter
+    * runs ONCE on the broadcast side, never per corpus row. */
+  private def pqCellsOf(cdf: DataFrame): DataFrame =
+    cdf.selectExpr("s", "cid", "c", s"${dotExpr("c", "c")} as cc")
+      .agg(sort_array(collect_list(
+        struct(col("s"), col("cid"), col("c"), col("cc")))).as("cells"))
+      .selectExpr("cells",
+        s"transform(sequence(0, ${PqM - 1}), sx -> filter(cells, cx -> cx.s = sx)) as bys")
+
+  /** Per-row, per-subspace argmin code (needs `subs` + broadcast `bys`
+    * in scope): best = array over s of struct(d, cid), ties → lowest cid. */
+  private val pqBestExpr: String =
+    s"""transform(sequence(0, ${PqM - 1}), sx -> array_min(transform(bys[sx],
+       |cx -> named_struct('d', (subs[sx].vv - (2 * ${dotExpr("subs[sx].v", "cx.c")})) + cx.cc,
+       |'cid', cx.cid)))) as best""".stripMargin.replace("\n", " ")
+
+  /** Decimal-exact per-(s, cid) centroid recompute — all m subspaces in
+    * one keyed aggregate (the VecCentroid discipline). */
+  private def pqCentroids(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    assigned.selectExpr(
+        s"""inline(transform(sequence(0, ${PqM - 1}), sx -> named_struct(
+           |'s', sx, 'cid', best[sx].cid, 'v', subs[sx].v)))"""
+          .stripMargin.replace("\n", " "))
+      .as[(Int, Int, Array[Float])]
+      .groupByKey(t => (t._1, t._2)).mapValues(_._3)
+      .agg(VecCentroid.toColumn.name("c"))
+      .map { case ((sx, cid), c) => (sx, cid, c) }
+      .toDF("s", "cid", "c")
+  }
+
+  /** The PQ fit: (persisted corpus frame, final one-row codebook). */
+  private[graft] def pqFitFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val corpus = pqCorpus(s, d).transform(Tables.maybePersist)
+    val seeds = corpus
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h")).limit(PqK)
+      // single-partition window over k rows only (the q56 post-limit idiom)
+      .withColumn("cid", row_number().over(Window.orderBy(col("h"))) - 1)
+      .selectExpr(
+        """inline(transform(subs, x -> named_struct('s', x.s, 'cid', cid,
+          |'c', transform(x.v, y -> cast(y as double)))))"""
+          .stripMargin.replace("\n", " "))
+    var cells = pqCellsOf(seeds)
+    for (_ <- 1 to PqIters)
+      cells = pqCellsOf(pqCentroids(
+        corpus.crossJoin(broadcast(cells)).selectExpr("vec_id", "subs", pqBestExpr)))
+    (corpus, cells)
+  }
+
+  def pqSearch(s: SparkSession, d: String): DataFrame = {
+    val (corpus, cells) = pqFitFrames(s, d)
+    // query row → 4×8 ADC table, one-row broadcast
+    val query = corpus.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(cells))
+      .selectExpr("embedding as qe", "ee as qee",
+        s"""transform(bys, sc -> transform(sc, cx -> named_struct('cid', cx.cid,
+           |'dq', (subs[cx.s].vv - (2 * ${dotExpr("subs[cx.s].v", "cx.c")})) + cx.cc))) as dtab"""
+          .stripMargin.replace("\n", " "))
+    val shortlist = corpus.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cells)).crossJoin(broadcast(query))
+      .selectExpr("vec_id", "label", "embedding", "ee", "qe", "qee", "dtab", pqBestExpr)
+      .selectExpr("vec_id", "label", "embedding", "ee", "qe", "qee",
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
+           |(acc, sx) -> acc + element_at(filter(dtab[sx], tx -> tx.cid = best[sx].cid), 1).dq) as adc_d"""
+          .stripMargin.replace("\n", " "))
+      .orderBy(col("adc_d"), col("vec_id")).limit(20)
+    val out = shortlist
+      .selectExpr("vec_id", "label", "adc_d",
+        s"(ee - (2 * ${dotExpr("embedding", "qe")})) + qee as d")
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .selectExpr("vec_id", "label",
+        "floor(adc_d * 1e6 + 0.5) / 1e6 as adc_dist",
+        "floor(d * 1e6 + 0.5) / 1e6 as dist")
+    out
+  }
+
+  /** The q112 oracle: the same fit/encode/ADC/re-rank chain as DuckDB
+    * CTEs — all m subspaces ride ONE exploded (vec_id, s) relation, the
+    * Lloyd rounds are the q84 chained-CTE idiom keyed by (s, cid). */
+  def pqSearchSql(m: Int = PqM, sub: Int = PqSub, k: Int = PqK,
+                  iters: Int = PqIters): String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    def round(n: Int, cPrev: String): String = {
+      val d = s"((b.vv - (2 * ${dot("b.v", "c.c")})) + c.cc)"
+      s"""a$n AS (SELECT vec_id, s, v, vv, cid, d FROM (
+         |  SELECT b.vec_id, b.s, b.v, b.vv, c.cid, $d AS d,
+         |    row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY $d, c.cid) AS rn
+         |  FROM subd b JOIN $cPrev c ON c.s = b.s) WHERE rn = 1),
+         |c$n AS (SELECT s, cid, list(cv ORDER BY dim) AS c,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(cv ORDER BY dim),
+         |      x -> x * x)), (p_, q_) -> p_ + q_) AS cc
+         |  FROM (SELECT s, cid, dim, CAST(SUM(CAST(vx AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+         |    FROM (SELECT s, cid, (i - 1)::INT AS dim, v[i]::DOUBLE AS vx
+         |      FROM (SELECT s, cid, v, unnest(range(1, len(v) + 1)) AS i FROM a$n))
+         |    GROUP BY s, cid, dim) GROUP BY s, cid)""".stripMargin
+    }
+    val rounds = (1 to iters).map(n => round(n, s"c${n - 1}")).mkString(",\n")
+    val slice = s"embedding[s * $sub + 1 : s * $sub + $sub]"
+    val dEnc = s"((b.vv - (2 * ${dot("b.v", "c.c")})) + c.cc)"
+    s"""WITH e0 AS (SELECT vec_id, label, embedding,
+       |  ${dot("embedding", "embedding")} AS ee FROM embeddings),
+       |subd AS (SELECT vec_id, s, $slice AS v, ${dot(slice, slice)} AS vv
+       |  FROM e0 CROSS JOIN (SELECT unnest(range(0, $m)) AS s)),
+       |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid, vec_id
+       |  FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT $k),
+       |c0 AS (SELECT b.s, sd.cid, list_transform(b.v, x -> x::DOUBLE) AS c, b.vv AS cc
+       |  FROM sd JOIN subd b ON b.vec_id = sd.vec_id),
+       |$rounds,
+       |enc AS (SELECT vec_id, s, cid FROM (
+       |  SELECT b.vec_id, b.s, c.cid, $dEnc AS d,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY $dEnc, c.cid) AS rn
+       |  FROM subd b JOIN c$iters c ON c.s = b.s) WHERE rn = 1),
+       |qsub AS (SELECT s, v AS qv, vv AS qvv FROM subd WHERE vec_id = 0),
+       |qfull AS (SELECT embedding AS qe, ee AS qee FROM e0 WHERE vec_id = 0),
+       |dtab AS (SELECT c.s, c.cid, ((q.qvv - (2 * ${dot("q.qv", "c.c")})) + c.cc) AS dq
+       |  FROM c$iters c JOIN qsub q ON q.s = c.s),
+       |adc AS (SELECT a.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(t.dq ORDER BY a.s)), (p, q) -> p + q) AS adc_d
+       |  FROM enc a JOIN dtab t ON t.s = a.s AND t.cid = a.cid
+       |  WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+       |sl AS (SELECT vec_id, adc_d FROM adc ORDER BY adc_d, vec_id LIMIT 20),
+       |rr AS (SELECT sl.vec_id, e.label, sl.adc_d,
+       |    ((e.ee - (2 * ${dot("e.embedding", "q.qe")})) + q.qee) AS d
+       |  FROM sl JOIN e0 e ON e.vec_id = sl.vec_id CROSS JOIN qfull q)
+       |SELECT vec_id, label,
+       |  floor(adc_d * 1e6 + 0.5) / 1e6 AS adc_dist,
+       |  floor(d * 1e6 + 0.5) / 1e6 AS dist
+       |FROM rr ORDER BY d, vec_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
     "q27_ann_lsh"         -> ((s, d) => annLsh(s, d)),
@@ -2556,6 +2740,7 @@ object Similarity {
     "q106_pca_deflation"  -> ((s, d) => pcaTop2(s, d)),
     "q108_pca_topm"       -> ((s, d) => pcaTopM(s, d)),
     "q109_pca_whitening"  -> ((s, d) => pcaWhitenAudit(s, d)),
+    "q112_pq_search"      -> ((s, d) => pqSearch(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2579,5 +2764,6 @@ object Similarity {
     "q106_pca_deflation"  -> pcaTop2Sql,
     "q108_pca_topm"       -> pcaTopMSql(),
     "q109_pca_whitening"  -> pcaWhitenAuditSql(),
+    "q112_pq_search"      -> pqSearchSql(),
   )
 }

@@ -309,5 +309,14 @@ object PlanBudgetSpec {
     "q110_image_keep" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q111 (r14): the q107 shape with 12 band keys per video
     "q111_video_dedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    // q112 (r14): PQ-ADC search — like q84, the whole lazy chain (fit +
+    // encode + search) is one plan: 7 BNLJ = the one-row broadcast
+    // crossJoins (2 Lloyd assign passes, seed slice, ADC-table build,
+    // shortlist's codebook + query + dtab sides); 8 shuffles = the
+    // 2×(s,cid) centroid exchanges + cells one-row aggs + seed window +
+    // shortlist/re-rank TakeOrdereds; 8 scans = file + in-memory passes
+    // over the persisted sub-vector corpus. The CORPUS itself never
+    // crosses a keyed exchange — the exchanges carry m·k-row frames
+    "q112_pq_search" -> Shape(shuffles = 8, broadcasts = 7, joins = 7, smj = 0, cartesian = 0, bnlj = 7, scans = 8),
   )
 }
