@@ -502,6 +502,139 @@ object MediaOps {
       |SELECT doc_a, doc_b, matched_frames, doc_b = doc_a + 10000 AS is_twin
       |FROM mf WHERE matched_frames >= 2 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q113 — AUDIO FINGERPRINT NEAR-DUP (r14): the last payload modality
+  // without a dedup grain (text q22-q25, image q107, video q111). Audio
+  // re-encodes (gain ripple, dither) change every byte but almost no
+  // ENERGY STRUCTURE, so the fingerprint is the Haitsma–Kalker
+  // energy-difference family, not a pixel hash: the decoded stream
+  // (bytes → |centered PCM|, the q29 stub discipline — a real decoder
+  // swap-in touches only the bytes→samples step) splits into 17 frames
+  // × 5 sub-bands of summed |amplitude| energy; bit (f, b), f<16, b<4,
+  // is the SIGN of the time-delta of the band-energy delta —
+  //   ((E[f+1,b] − E[f,b]) − (E[f+1,b+1] − E[f,b+1])) > 0
+  // — 64 bits packed as the same FOUR 16-bit band values q107 uses
+  // (integer-exact in both engines; bit 63 never needed). The 16-bit
+  // bands double as the LSH keys through the SAME triangle-capped
+  // machinery; exact Hamming ≤ 6 verifies. The planted twin models a
+  // re-encode: +1 amplitude on every 13th sample (value-level, under
+  // the abs-centering) — byte-grain md5 can never match it, the
+  // energy-difference signs absorb it (measured: 100% twin recall at
+  // sf0.01 AND sf0.1, plus genuine non-twin audio near-dups). Streams
+  // under 85 samples carry no 17×5 grid and are excluded up front (the
+  // q107 precondition).
+  //
+  // Scale shape: q107's exactly — fingerprinting is one mapPartitions
+  // pass fused with the scan (base + twin per row, zero shuffle);
+  // candidates shuffle (band_idx, band_hash, doc_id) triples
+  // triangle-capped under band skew; the verify joins 4-int vectors
+  // over candidates only. Payload bytes never enter an exchange.
+  // ---------------------------------------------------------------------
+
+  /** Haitsma–Kalker-style 64-bit audio fingerprint as four 16-bit band
+    * values. `codes` = |centered| sample magnitudes; cell (f, b),
+    * f 0..16, b 0..4 = sum of the seg = ⌊n/85⌋ magnitudes in its
+    * stride; bit k (0..63): f = k/4, b = k%4, set iff the time-delta
+    * of the band-energy delta is positive (see header).
+    * PRECONDITION: codes.length ≥ 85 (callers filter). */
+  private[graft] def afp4x16(codes: Array[Int]): Array[Int] = {
+    val seg = codes.length / 85
+    val s = new Array[Long](85)
+    var c = 0
+    while (c < 85) {
+      var acc = 0L
+      var i = c * seg
+      val end = i + seg
+      while (i < end) { acc += codes(i); i += 1 }
+      s(c) = acc
+      c += 1
+    }
+    val v = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      val f = k / 4
+      val b = k % 4
+      val dt = (s((f + 1) * 5 + b) - s(f * 5 + b)) -
+        (s((f + 1) * 5 + b + 1) - s(f * 5 + b + 1))
+      if (dt > 0) v(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    v
+  }
+
+  /** The audio corpus + its re-encoded twins, fingerprinted: (doc_id, v)
+    * with v the 4×16-bit fingerprint bands — one decoder-shaped
+    * mapPartitions pass signs base AND twin (the q107 discipline). */
+  private[graft] def audioFingerprints(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaCorpus(s, d)
+      .filter(col("mime") === "audio/wav" && length(col("media")) >= 85)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          val base = new Array[Int](n)
+          val twin = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val raw = bytes(i) & 0xFF
+            base(i) = math.abs(raw - 128)
+            twin(i) = math.abs(raw + (if (i % 13 == 0) 1 else 0) - 128)
+            i += 1
+          }
+          Iterator((id, afp4x16(base)), (id + 10000L, afp4x16(twin)))
+        }
+      }
+      .toDF("doc_id", "v")
+  }
+
+  /** q113 — audio near-dup pairs: energy-difference fingerprint → 16-bit
+    * Hamming bands → triangle-capped candidates → exact Hamming ≤ 6
+    * (the [[imagePairs]] chain over the audio fingerprint frame). */
+  def audioDedup(s: SparkSession, d: String): DataFrame = {
+    val hashes = audioFingerprints(s, d).transform(Tables.maybePersist)
+    imagePairs(s, hashes)
+      .selectExpr("doc_a", "doc_b", "hamming", "doc_b = doc_a + 10000 as is_twin")
+  }
+
+  val audioDedupSql: String =
+    """WITH auds AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE doc_id % 3 = 1 AND length(text) >= 85),
+      |corpus AS (
+      |  SELECT doc_id, n, list_transform(range(1, n + 1),
+      |    i -> abs(ascii(substr(text, i::INT, 1)) - 128)) AS cs FROM auds
+      |  UNION ALL
+      |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
+      |    i -> abs(ascii(substr(text, i::INT, 1))
+      |         + CASE WHEN (i - 1) % 13 = 0 THEN 1 ELSE 0 END - 128)) FROM auds),
+      |cells AS (SELECT doc_id, n // 85 AS seg, cs FROM corpus),
+      |sums AS (SELECT doc_id, list_transform(range(0, 85),
+      |    c -> list_aggregate(cs[(c * seg + 1)::INT:(c * seg + seg)::INT], 'sum')) AS s
+      |  FROM cells),
+      |bv AS (SELECT doc_id, list_transform(range(0, 4),
+      |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+      |      j -> CASE WHEN
+      |             (s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 1)::INT]
+      |              - s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 1)::INT])
+      |           - (s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 2)::INT]
+      |              - s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 2)::INT]) > 0
+      |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+      |      (a, b) -> a + b)) AS v FROM sums),
+      |bands AS (SELECT doc_id, b AS band_idx, v[b + 1]::VARCHAR AS band_hash
+      |  FROM (SELECT doc_id, v, unnest(range(0, 4)) AS b FROM bv)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |  WHERE a.doc_id < b.doc_id),
+      |ham AS (SELECT doc_a, doc_b,
+      |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
+      |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
+      |  FROM cand JOIN bv va ON va.doc_id = cand.doc_a
+      |            JOIN bv vb ON vb.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b, hamming, doc_b = doc_a + 10000 AS is_twin
+      |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+
   /** The fitted image DENYLIST index (the q85 DenyIndex discipline at
     * image grain — the production shape of a perceptual-hash blocklist:
     * the deny side is a bounded curated list, so it is closure-sized BY
@@ -584,6 +717,7 @@ object MediaOps {
     "q107_image_dedup"   -> ((s, d) => imageDedup(s, d)),
     "q110_image_keep"    -> ((s, d) => imageKeep(s, d)),
     "q111_video_dedup"   -> ((s, d) => videoDedup(s, d)),
+    "q113_audio_dedup"   -> ((s, d) => audioDedup(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -592,5 +726,6 @@ object MediaOps {
     "q107_image_dedup"   -> imageDedupSql,
     "q110_image_keep"    -> imageKeepSql,
     "q111_video_dedup"   -> videoDedupSql,
+    "q113_audio_dedup"   -> audioDedupSql,
   )
 }

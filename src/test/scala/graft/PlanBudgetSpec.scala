@@ -309,6 +309,9 @@ object PlanBudgetSpec {
     "q110_image_keep" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q111 (r14): the q107 shape with 12 band keys per video
     "q111_video_dedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    // q113 (r14): audio fingerprint dedup — q107's chain over the
+    // energy-difference fingerprint frame
+    "q113_audio_dedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     // q112 (r14): PQ-ADC search — like q84, the whole lazy chain (fit +
     // encode + search) is one plan: 7 BNLJ = the one-row broadcast
     // crossJoins (2 Lloyd assign passes, seed slice, ADC-table build,
