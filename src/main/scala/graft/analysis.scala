@@ -1155,16 +1155,23 @@ object TextAnalysis {
       |              element_at(split(sym, ' '), i + 1)))) as pair"""
       .stripMargin.replace("\n", " ")
 
-  def bpeMerges(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+  /** The shared BPE vocab fit (q95 induction / q114 encode): corpus →
+    * word-frequency table (the ONLY corpus-keyed exchange), then
+    * `rounds` top-pair merges rewritten on the vocab. Returns the final
+    * (w, freq, sym) vocab plus the per-round ledger; the
+    * `n_symbols_after` compression-curve job only runs when `trackCurve`
+    * (q95's output needs it, q114's doesn't — one fewer job per round). */
+  private def bpeFitLoop(s: SparkSession, d: String, rounds: Int,
+                         trackCurve: Boolean):
+      (DataFrame, Seq[(Int, String, Long, Long)]) = {
     import s.implicits._
-    // corpus → word-frequency table: the only corpus-keyed exchange.
     // length >= 1 guard: an empty token would make sequence(1, 0) step
     // DOWNWARD in Spark while DuckDB's range(1, 1) is empty (q74 note).
     var vocab = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .selectExpr("explode(split(text, ' ')) as w")
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .selectExpr("freq",
+      .selectExpr("w", "freq",
         "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1))) as sym")
       .transform(Tables.maybePersist)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
@@ -1178,16 +1185,25 @@ object TextAnalysis {
       // would otherwise need Spark-literal escaping the DuckDB twin and
       // the spec's driver model don't apply)
       val merged = pair.replace(" ", "")
-      vocab = vocab.select(col("freq"),
+      vocab = vocab.select(col("w"), col("freq"),
           trim(org.apache.spark.sql.functions.replace(
             concat(lit(" "), col("sym"), lit(" ")),
             lit(s" $pair "), lit(s" $merged "))).as("sym"))
         .transform(Tables.maybePersist)
-      val nsym = vocab.selectExpr("freq * size(split(sym, ' ')) as ns")
-        .agg(sum(col("ns")).as("n")).as[Long].head()
+      val nsym =
+        if (trackCurve)
+          vocab.selectExpr("freq * size(split(sym, ' ')) as ns")
+            .agg(sum(col("ns")).as("n")).as[Long].head()
+        else 0L
       out += ((r, pair, cnt, nsym))
     }
-    out.toSeq.toDF("round", "merge_pair", "pair_count", "n_symbols_after")
+    (vocab, out.toSeq)
+  }
+
+  def bpeMerges(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val (_, ledger) = bpeFitLoop(s, d, rounds, trackCurve = true)
+    ledger.toDF("round", "merge_pair", "pair_count", "n_symbols_after")
   }
 
   val bpeMergesSql: String = {
@@ -1220,6 +1236,73 @@ object TextAnalysis {
        |UNION ALL SELECT 2, (SELECT pair FROM t2), (SELECT cnt FROM t2), (SELECT ns FROM n2)
        |UNION ALL SELECT 3, (SELECT pair FROM t3), (SELECT cnt FROM t3), (SELECT ns FROM n3)
        |ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q114 — BPE ENCODE + TOKEN COUNTING (r14): the APPLICATION side of
+  // q95's induction — the tokenizer-sizing pass every training-data
+  // pipeline runs (token counts drive mixture weights, packing, cost
+  // estimates). The q95 fit loop learns the merge table; encoding then
+  // happens on the VOCABULARY (each distinct word's symbol sequence
+  // already carries all merges applied in rank order), and the corpus
+  // gets its per-document token counts by JOINING words to the encoded
+  // vocab — never by re-running merges per occurrence. Output per doc:
+  // word count, character count, post-BPE token count.
+  //
+  // Scale shape (100 TB): the fit is q95's (corpus crosses ONE keyed
+  // exchange into word frequencies; every merge round is vocab-sized).
+  // The encode adds: corpus word explode → join to the Heap's-law-sized
+  // (w, n_tok) table (AQE broadcasts it at fixture scale; at corpus
+  // scale it degrades to a keyed co-partition — either way the payload
+  // side carries only (doc_id, w)) → ONE partial-aggregated exchange to
+  // per-doc counts. All counts are exact longs — no doubles anywhere.
+  // ---------------------------------------------------------------------
+
+  def bpeEncode(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    val (vocab, _) = bpeFitLoop(s, d, rounds, trackCurve = false)
+    val enc = vocab.selectExpr("w", "size(split(sym, ' ')) as n_tok")
+    Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .selectExpr("doc_id", "explode(split(text, ' ')) as w")
+      .filter(length(col("w")) >= 1)
+      .join(enc, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_tok").cast("long")).as("n_tokens"))
+  }
+
+  val bpeEncodeSql: String = {
+    def pairs(v: String): String =
+      s"""SELECT pair, SUM(freq)::BIGINT AS cnt FROM (
+         |  SELECT freq, sy[i::INT] || ' ' || sy[(i + 1)::INT] AS pair
+         |  FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i
+         |        FROM (SELECT freq, string_split(sym, ' ') AS sy FROM $v)))
+         |GROUP BY pair""".stripMargin
+    def round(n: Int): String = {
+      val prev = s"v${n - 1}"
+      s"""p$n AS (${pairs(prev)}),
+         |t$n AS (SELECT pair, cnt FROM p$n ORDER BY cnt DESC, pair LIMIT 1),
+         |v$n AS (SELECT w, freq, trim(replace(' ' || sym || ' ',
+         |    ' ' || (SELECT pair FROM t$n) || ' ',
+         |    ' ' || replace((SELECT pair FROM t$n), ' ', '') || ' ')) AS sym FROM $prev)"""
+        .stripMargin
+    }
+    s"""WITH v0 AS (SELECT w, freq,
+       |    array_to_string(list_transform(range(1, length(w) + 1), i -> w[i::INT]), ' ') AS sym
+       |  FROM (SELECT w, COUNT(*)::BIGINT AS freq
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE length(w) >= 1 GROUP BY w)),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |toks AS (SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1)
+       |SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(length(t.w))::BIGINT AS n_chars,
+       |  SUM(len(string_split(v.sym, ' ')))::BIGINT AS n_tokens
+       |FROM toks t JOIN v3 v ON v.w = t.w
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -2681,6 +2764,7 @@ object TextAnalysis {
     "q90_curation_funnel" -> ((s, d) => curationFunnel(s, d)),
     "q93_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q95_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "q114_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "q96_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "q97_dsir_resample" -> ((s, d) => dsirResample(s, d)),
     "q99_calibration" -> ((s, d) => calibrationReport(s, d)),
@@ -2723,6 +2807,7 @@ object TextAnalysis {
     "q90_curation_funnel" -> curationFunnelSql,
     "q93_heavy_hitters" -> heavyHittersSql,
     "q95_bpe_merges" -> bpeMergesSql,
+    "q114_bpe_encode" -> bpeEncodeSql,
     "q96_split_leakage" -> splitLeakageSql,
     "q97_dsir_resample" -> dsirResampleSql,
     "q99_calibration" -> calibrationReportSql,

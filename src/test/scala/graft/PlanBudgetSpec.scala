@@ -309,6 +309,11 @@ object PlanBudgetSpec {
     "q110_image_keep" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q111 (r14): the q107 shape with 12 band keys per video
     "q111_video_dedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    // q114 (r14): BPE encode — corpus word explode joins the encoded
+    // vocab (persisted from the fit loop, AQE-broadcast at fixture
+    // scale) + ONE partial-aggregated doc-count exchange; the fit's own
+    // exchanges sit behind the persisted vocab frame
+    "q114_bpe_encode" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q113 (r14): audio fingerprint dedup — q107's chain over the
     // energy-difference fingerprint frame
     "q113_audio_dedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
