@@ -690,21 +690,80 @@ object MediaOps {
             val codes = new Array[Int](bytes.length)
             var i = 0
             while (i < bytes.length) { codes(i) = bytes(i) & 0xFF; i += 1 }
-            val v = dhash4x16(codes)
-            val cands = scala.collection.mutable.SortedSet.empty[Long]
-            var b = 0
-            while (b < 4) {
-              idx.bands(b).get(v(b)).foreach(_.foreach(cands += _))
-              b += 1
-            }
-            val hit = cands.exists { dId =>
-              val dv = idx.hashes(dId)
-              var ham = 0
-              var k = 0
-              while (k < 4) { ham += Integer.bitCount(v(k) ^ dv(k)); k += 1 }
-              ham <= 6
-            }
-            (id, cands.size, hit)
+            val (n, hit) = denyProbe(dhash4x16(codes), idx)
+            (id, n, hit)
+          }
+        }
+      }
+      .toDF("doc_id", "n_candidates", "dropped")
+  }
+
+  /** Fit the AUDIO deny index over the doc_id % 20 == 0 audio slice with
+    * the PRODUCTION fingerprint stage (shared [[afp4x16]]) — the same
+    * bounded-curated-list contract as [[fitImageDenyIndex]], so the
+    * index shape (band value → deny ids, deny id → 4 band values) is
+    * shared too. */
+  def fitAudioDenyIndex(s: SparkSession, d: String): ImageDenyIndex = {
+    import s.implicits._
+    val rows = mediaCorpus(s, d)
+      .filter(col("mime") === "audio/wav" && length(col("media")) >= 85 &&
+        col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val codes = new Array[Int](bytes.length)
+          var i = 0
+          while (i < bytes.length) { codes(i) = math.abs((bytes(i) & 0xFF) - 128); i += 1 }
+          (id, afp4x16(codes))
+        }
+      }
+      .collect()
+    val bandMaps = Array.tabulate(4) { b =>
+      rows.groupBy(_._2(b)).view
+        .mapValues(_.map(_._1).sorted).toMap
+    }
+    ImageDenyIndex(bandMaps, rows.map(t => t._1 -> t._2).toMap)
+  }
+
+  /** Band-probe + exact-Hamming verify of one 4×16-bit fingerprint
+    * against a deny index — the per-row kernel both deny verdicts share:
+    * candidate iff ANY band matches, dropped iff a candidate verifies
+    * Hamming ≤ 6. Returns (n_candidates, dropped). */
+  private def denyProbe(v: Array[Int], idx: ImageDenyIndex): (Int, Boolean) = {
+    val cands = scala.collection.mutable.SortedSet.empty[Long]
+    var b = 0
+    while (b < 4) {
+      idx.bands(b).get(v(b)).foreach(_.foreach(cands += _))
+      b += 1
+    }
+    val hit = cands.exists { dId =>
+      val dv = idx.hashes(dId)
+      var ham = 0
+      var k = 0
+      while (k < 4) { ham += Integer.bitCount(v(k) ^ dv(k)); k += 1 }
+      ham <= 6
+    }
+    (cands.size, hit)
+  }
+
+  /** The q113 online form: audio deny fingerprints fit offline (bounded
+    * list), per-row fingerprint→band-probe→Hamming-verify in the stream
+    * with the SHARED [[afp4x16]] stage — batch or streaming input. */
+  def audioDenyVerdict(df: DataFrame, idx: ImageDenyIndex): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          if (bytes.length < 85) (id, 0, false)
+          else {
+            val codes = new Array[Int](bytes.length)
+            var i = 0
+            while (i < bytes.length) { codes(i) = math.abs((bytes(i) & 0xFF) - 128); i += 1 }
+            val (n, hit) = denyProbe(afp4x16(codes), idx)
+            (id, n, hit)
           }
         }
       }

@@ -2719,6 +2719,84 @@ object Similarity {
        |FROM rr ORDER BY d, vec_id LIMIT 10""".stripMargin
   }
 
+  /** A fitted PQ codebook cell: subspace s, code cid, centroid, self-dot. */
+  case class PqCell(s: Int, cid: Int, c: Array[Double], cc: Double)
+
+  /** Fit the q112 codebook and collect it (m·k sub-dim centroids —
+    * always driver-sized), for the online encode leg. */
+  def fitPqCells(s: SparkSession, d: String): Array[PqCell] = {
+    import s.implicits._
+    val (corpus, cells) = pqFitFrames(s, d)
+    val out = cells.selectExpr("explode(cells) as x")
+      .selectExpr("x.s", "x.cid", "x.c", "x.cc")
+      .as[(Int, Int, Array[Double], Double)]
+      .collect().sortBy(t => (t._1, t._2))
+      .map { case (sx, cid, c, cc) => PqCell(sx, cid, c, cc) }
+    corpus.unpersist(blocking = false)
+    out
+  }
+
+  /** The batch encode route verbatim (q112's expressions), exposed for
+    * the online-lockstep spec: (vec_id, codes, qd). */
+  private[graft] def pqEncodeBatch(s: SparkSession, d: String): DataFrame = {
+    val (corpus, cells) = pqFitFrames(s, d)
+    corpus.crossJoin(broadcast(cells))
+      .selectExpr("vec_id", "subs", pqBestExpr)
+      .selectExpr("vec_id",
+        "transform(best, x -> x.cid) as codes",
+        "aggregate(best, cast(0.0 as double), (acc, x) -> acc + x.d) as qd")
+  }
+
+  /** q112's encode as a stateless per-row transform (the
+    * kmeansAssignVerdict discipline): PQ codes + quantization distortion
+    * for any (vec_id, embedding) frame, batch or streaming, against an
+    * offline-fitted codebook. Arithmetic mirrors [[pqBestExpr]]
+    * operation-for-operation: vv and ec are ascending-index
+    * float→double-widened folds over the sub-slice, d = (vv − 2·ec) + cc,
+    * the ascending-cid strict-improvement scan ≡ array_min over
+    * struct<d, cid>, and qd is the ascending-s fold of the per-subspace
+    * minima — a vector encodes to the SAME codes online and offline
+    * (spec-pinned bit-identity). */
+  def pqEncodeVerdict(df: DataFrame, cells: Array[PqCell]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val bySub: Array[Array[PqCell]] =
+      (0 until PqM).map(sx => cells.filter(_.s == sx).sortBy(_.cid)).toArray
+    df.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          val codes = new Array[Int](PqM)
+          var qd = 0.0
+          var sx = 0
+          while (sx < PqM) {
+            val off = sx * PqSub
+            var vv = 0.0
+            var j = 0
+            while (j < PqSub) { val x = e(off + j).toDouble; vv += x * x; j += 1 }
+            var bestD = Double.PositiveInfinity
+            var bestC = Int.MaxValue
+            val cs = bySub(sx)
+            var p = 0
+            while (p < cs.length) {
+              val cell = cs(p)
+              var ec = 0.0
+              j = 0
+              while (j < PqSub) { ec += e(off + j).toDouble * cell.c(j); j += 1 }
+              val dd = (vv - (2 * ec)) + cell.cc
+              if (dd < bestD) { bestD = dd; bestC = cell.cid }
+              p += 1
+            }
+            codes(sx) = bestC
+            qd += bestD
+            sx += 1
+          }
+          (id, codes, qd)
+        }
+      }
+      .toDF("vec_id", "codes", "qd")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
     "q27_ann_lsh"         -> ((s, d) => annLsh(s, d)),

@@ -1596,6 +1596,92 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q113: audio fingerprint kernel absorbs re-encode noise; distinct audio lands far (r14)") {
+    // mirrors the q107 dHash kernel pin at audio grain: |centered PCM|
+    // magnitudes in, four 16-bit bands out
+    val base = Array.tabulate(340)(i => math.abs((i * 37 + 11) % 256 - 128))
+    val twin = base.zipWithIndex.map { case (v, i) => if (i % 13 == 0) v + 1 else v }
+    val hb = MediaOps.afp4x16(base)
+    val ht = MediaOps.afp4x16(twin)
+    val hamTwin = hb.zip(ht).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(hamTwin <= 6, s"re-encode ripple must stay inside the bar (got $hamTwin)")
+    assert(hb.forall(v => v >= 0 && v <= 0xFFFF), "band values are 16-bit")
+    val other = MediaOps.afp4x16(base.reverse)
+    val ham = hb.zip(other).map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(ham > 6, s"distinct audio must exceed the match bar (got $ham)")
+    assert(MediaOps.afp4x16(base).toSeq == hb.toSeq, "determinism")
+  }
+
+  test("q113: audio dedup finds EVERY planted re-encoded twin; bar enforced (r14)") {
+    val nAudio = Tables.documents(spark, sf)
+      .where("doc_id % 3 = 1 AND length(text) >= 85").count()
+    assert(nAudio > 0, "fixture must populate the audio slice")
+    val pairs = MediaOps.audioDedup(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val twins = pairs.filter(p => p._2 == p._1 + 10000 && p._4)
+    assert(twins.length == nAudio,
+      s"planted-twin recall: ${twins.length}/$nAudio")
+    assert(pairs.forall(_._3 <= 6), "no emitted pair may exceed the Hamming bar")
+    assert(pairs.forall(p => p._1 < p._2), "pairs are ordered (a < b)")
+    assert(pairs.forall(p => p._4 == (p._2 == p._1 + 10000)))
+  }
+
+  test("audio deny verdict (online leg) == exact band-probe model; twins of deny audio drop (r14)") {
+    val idx = MediaOps.fitAudioDenyIndex(spark, sf)
+    val auds = MediaOps.mediaCorpus(spark, sf)
+      .where("mime = 'audio/wav' AND length(media) >= 85")
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect()
+    val twins = auds.map { case (id, b) =>
+      (id + 10000L, b.zipWithIndex.map { case (x, i) =>
+        if (i % 13 == 0) (x + 1).toByte else x })
+    }
+    val input = spark.createDataset((auds ++ twins).toSeq).toDF("doc_id", "media")
+    val verdict = MediaOps.audioDenyVerdict(input, idx)
+      .as[(Long, Int, Boolean)].collect().map(t => t._1 -> t._3).toMap
+    // driver model: recomputed independently over the production
+    // fingerprint frame — candidate iff ANY band matches a deny
+    // fingerprint, dropped iff a candidate verifies Hamming <= 6
+    val hash = MediaOps.audioFingerprints(spark, sf)
+      .as[(Long, Array[Int])].collect().toMap
+    val denyIds = auds.map(_._1).filter(_ % 20 == 0)
+    assert(denyIds.nonEmpty, "fixture must populate the deny slice")
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    def expect(v: Array[Int]): Boolean = denyIds.exists { d =>
+      val dv = hash(d)
+      (0 until 4).exists(b => v(b) == dv(b)) && ham(v, dv) <= 6
+    }
+    hash.foreach { case (id, v) =>
+      assert(verdict(id) == expect(v), s"audio $id: online=${verdict(id)} model=${expect(v)}")
+    }
+    denyIds.foreach { d =>
+      assert(verdict(d), s"deny audio $d must drop")
+      assert(verdict(d + 10000L), s"re-encoded twin of deny audio $d must drop")
+    }
+    assert(auds.map(_._1).exists(id => !verdict(id)), "some non-deny audio survives")
+  }
+
+  test("q112: PQ online encode == batch encode route, bit-identical codes and distortion (r14)") {
+    // the kmeansAssignVerdict lockstep discipline at PQ grain: the
+    // offline-collected codebook and the per-row scan must reproduce the
+    // batch expressions' codes AND the double-fold distortion exactly
+    val cells = Similarity.fitPqCells(spark, sf)
+    assert(cells.length == 32, "4 subspaces x 8 codes (no cell lost at fixture)")
+    assert(cells.forall(_.c.length == 16), "sub-dim centroids")
+    val batch = Similarity.pqEncodeBatch(spark, sf)
+      .as[(Long, Array[Int], Double)].collect()
+      .map(t => t._1 -> ((t._2.toSeq, t._3))).toMap
+    val online = Similarity.pqEncodeVerdict(
+        Tables.embeddings(spark, sf).select("vec_id", "embedding"), cells)
+      .as[(Long, Array[Int], Double)].collect()
+    assert(online.length == batch.size)
+    online.foreach { case (id, codes, qd) =>
+      val (bc, bqd) = batch(id)
+      assert(codes.toSeq == bc, s"vec $id: online codes $codes != batch $bc")
+      assert(qd == bqd, s"vec $id: online qd $qd != batch $bqd (must be bit-identical)")
+    }
+  }
+
   test("assignment routes reject degenerate (zero-norm) embeddings in LOCKSTEP (r14)") {
     // the advice finding: joined max-struct ranked NaN cos greatest while
     // the closure scan skipped it — now BOTH routes refuse the row at the

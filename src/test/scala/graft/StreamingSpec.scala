@@ -545,6 +545,58 @@ class StreamingSpec extends SparkSpec {
       "fixture must exercise both drop and keep")
   }
 
+  test("audioDenyVerdict drops a stream exactly like its batch form (r14)") {
+    // the q113 online form: audio deny fingerprints fit offline, per-row
+    // fingerprint→band-probe→Hamming-verify in the stream with the
+    // SHARED afp4x16 stage
+    val idx = MediaOps.fitAudioDenyIndex(spark, sf)
+    assert(idx.hashes.nonEmpty)
+    val rows = MediaOps.mediaCorpus(spark, sf)
+      .where("mime = 'audio/wav'")
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val q = MediaOps.audioDenyVerdict(in.toDF().toDF("doc_id", "media"), idx)
+      .writeStream.format("memory").queryName("audiodeny")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val online = spark.table("audiodeny")
+      .select("doc_id", "n_candidates", "dropped")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    val batch = MediaOps.audioDenyVerdict(
+        rows.toDF("doc_id", "media"), idx)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(online == batch, "online verdicts != batch verdicts on identical rows")
+    assert(online.exists(_._3) && online.exists(!_._3),
+      "fixture must exercise both drop and keep")
+  }
+
+  test("pqEncodeVerdict encodes a stream with a statically fitted codebook; bit-identical to its batch call (r14)") {
+    // the q112 online form: PQ codebook fit offline (m·k sub-dim
+    // centroids, driver-sized), encode stateless in the stream; the
+    // batch-expression lockstep is pinned in ExtensionsSpec — here the
+    // STREAMING execution of the same transform
+    val cells = Similarity.fitPqCells(spark, sf)
+    assert(cells.nonEmpty)
+    val rows = Tables.embeddings(spark, sf).limit(25)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.pqEncodeVerdict(
+        in.toDF().toDF("vec_id", "embedding"), cells)
+      .writeStream.format("memory").queryName("pqverdict")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pqverdict")
+      .select("vec_id", "codes", "qd").as[(Long, Array[Int], Double)].collect()
+      .map { case (v, c, dd) => (v, c.toSeq, java.lang.Double.doubleToLongBits(dd)) }.toSet
+    val batch = Similarity.pqEncodeVerdict(
+        rows.toDF("vec_id", "embedding"), cells)
+      .select("vec_id", "codes", "qd").as[(Long, Array[Int], Double)].collect()
+      .map { case (v, c, dd) => (v, c.toSeq, java.lang.Double.doubleToLongBits(dd)) }.toSet
+    assert(got == batch, "streaming encode != batch encode on identical vectors")
+  }
+
   test("kmeansAssignVerdict routes a stream with statically fitted centroids; bit-identical to batch assignment") {
     // the q84 online form: centroids fit offline (k×dim doubles,
     // driver-sized), assignment stateless in the stream — the
