@@ -2570,21 +2570,27 @@ object Similarity {
   private val PqM = 4; private val PqSub = 16
   private val PqK = 8; private val PqIters = 2
 
-  /** Sub-vector view of the corpus: per row, `subs` = m structs
-    * (s, v = float sub-slice, vv = its self-dot). One scan, no exchange. */
-  private def pqCorpus(s: SparkSession, d: String): DataFrame = {
-    withFns(s)
-    Tables.embeddings(s, d)
-      .selectExpr("vec_id", "label", "embedding",
+  /** Sub-vector view of a (vec_id, label, embedding float-array [, extra])
+    * frame: per row, `subs` = m structs (s, v = float sub-slice, vv = its
+    * self-dot). One scan, no exchange. `extra` columns pass through
+    * (q115 carries the coarse cell + the original vector this way). */
+  private def pqCorpusOf(emb: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    withFns(emb.sparkSession)
+    val keep = Seq("vec_id", "label", "embedding") ++ extra
+    emb
+      .selectExpr(keep ++ Seq(
         s"${dotExpr("embedding", "embedding")} as ee",
         s"""transform(sequence(0, ${PqM - 1}), sx -> named_struct(
            |'s', sx, 'v', slice(embedding, sx * $PqSub + 1, $PqSub))) as sub0"""
-          .stripMargin.replace("\n", " "))
-      .selectExpr("vec_id", "label", "embedding", "ee",
+          .stripMargin.replace("\n", " ")): _*)
+      .selectExpr(keep ++ Seq("ee",
         s"""transform(sub0, x -> named_struct('s', x.s, 'v', x.v,
            |'vv', ${dotExpr("x.v", "x.v")})) as subs"""
-          .stripMargin.replace("\n", " "))
+          .stripMargin.replace("\n", " ")): _*)
   }
+
+  private def pqCorpus(s: SparkSession, d: String): DataFrame =
+    pqCorpusOf(Tables.embeddings(s, d))
 
   /** One-row broadcastable PQ codebook from a (s, cid, c) frame: `cells`
     * flat (dtab build) + `bys` grouped per subspace — the per-s filter
@@ -2619,9 +2625,9 @@ object Similarity {
       .toDF("s", "cid", "c")
   }
 
-  /** The PQ fit: (persisted corpus frame, final one-row codebook). */
-  private[graft] def pqFitFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val corpus = pqCorpus(s, d).transform(Tables.maybePersist)
+  /** The Lloyd codebook fit over an already-pqCorpusOf'd (persisted)
+    * frame — shared by q112 (raw vectors) and q115 (coarse residuals). */
+  private def pqFitCells(corpus: DataFrame): DataFrame = {
     val seeds = corpus
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h")).limit(PqK)
@@ -2635,7 +2641,13 @@ object Similarity {
     for (_ <- 1 to PqIters)
       cells = pqCellsOf(pqCentroids(
         corpus.crossJoin(broadcast(cells)).selectExpr("vec_id", "subs", pqBestExpr)))
-    (corpus, cells)
+    cells
+  }
+
+  /** The PQ fit: (persisted corpus frame, final one-row codebook). */
+  private[graft] def pqFitFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val corpus = pqCorpus(s, d).transform(Tables.maybePersist)
+    (corpus, pqFitCells(corpus))
   }
 
   def pqSearch(s: SparkSession, d: String): DataFrame = {
@@ -2668,24 +2680,27 @@ object Similarity {
   /** The q112 oracle: the same fit/encode/ADC/re-rank chain as DuckDB
     * CTEs — all m subspaces ride ONE exploded (vec_id, s) relation, the
     * Lloyd rounds are the q84 chained-CTE idiom keyed by (s, cid). */
+  /** One DuckDB Lloyd round over the exploded (vec_id, s) sub-vector
+    * relation `subd` — shared by the q112 and q115 oracles. */
+  private def pqRoundCtes(n: Int, cPrev: String): String = {
+    val d = s"((b.vv - (2 * ${dotSqlDuck("b.v", "c.c")})) + c.cc)"
+    s"""a$n AS (SELECT vec_id, s, v, vv, cid, d FROM (
+       |  SELECT b.vec_id, b.s, b.v, b.vv, c.cid, $d AS d,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY $d, c.cid) AS rn
+       |  FROM subd b JOIN $cPrev c ON c.s = b.s) WHERE rn = 1),
+       |c$n AS (SELECT s, cid, list(cv ORDER BY dim) AS c,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(cv ORDER BY dim),
+       |      x -> x * x)), (p_, q_) -> p_ + q_) AS cc
+       |  FROM (SELECT s, cid, dim, CAST(SUM(CAST(vx AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |    FROM (SELECT s, cid, (i - 1)::INT AS dim, v[i]::DOUBLE AS vx
+       |      FROM (SELECT s, cid, v, unnest(range(1, len(v) + 1)) AS i FROM a$n))
+       |    GROUP BY s, cid, dim) GROUP BY s, cid)""".stripMargin
+  }
+
   def pqSearchSql(m: Int = PqM, sub: Int = PqSub, k: Int = PqK,
                   iters: Int = PqIters): String = {
     def dot(a: String, b: String) = dotSqlDuck(a, b)
-    def round(n: Int, cPrev: String): String = {
-      val d = s"((b.vv - (2 * ${dot("b.v", "c.c")})) + c.cc)"
-      s"""a$n AS (SELECT vec_id, s, v, vv, cid, d FROM (
-         |  SELECT b.vec_id, b.s, b.v, b.vv, c.cid, $d AS d,
-         |    row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY $d, c.cid) AS rn
-         |  FROM subd b JOIN $cPrev c ON c.s = b.s) WHERE rn = 1),
-         |c$n AS (SELECT s, cid, list(cv ORDER BY dim) AS c,
-         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(cv ORDER BY dim),
-         |      x -> x * x)), (p_, q_) -> p_ + q_) AS cc
-         |  FROM (SELECT s, cid, dim, CAST(SUM(CAST(vx AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
-         |    FROM (SELECT s, cid, (i - 1)::INT AS dim, v[i]::DOUBLE AS vx
-         |      FROM (SELECT s, cid, v, unnest(range(1, len(v) + 1)) AS i FROM a$n))
-         |    GROUP BY s, cid, dim) GROUP BY s, cid)""".stripMargin
-    }
-    val rounds = (1 to iters).map(n => round(n, s"c${n - 1}")).mkString(",\n")
+    val rounds = (1 to iters).map(n => pqRoundCtes(n, s"c${n - 1}")).mkString(",\n")
     val slice = s"embedding[s * $sub + 1 : s * $sub + $sub]"
     val dEnc = s"((b.vv - (2 * ${dot("b.v", "c.c")})) + c.cc)"
     s"""WITH e0 AS (SELECT vec_id, label, embedding,
@@ -2715,6 +2730,135 @@ object Similarity {
        |  FROM sl JOIN e0 e ON e.vec_id = sl.vec_id CROSS JOIN qfull q)
        |SELECT vec_id, label,
        |  floor(adc_d * 1e6 + 0.5) / 1e6 AS adc_dist,
+       |  floor(d * 1e6 + 0.5) / 1e6 AS dist
+       |FROM rr ORDER BY d, vec_id LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q115 — IVF-PQ SEARCH (r14): the q38 coarse quantizer COMPOSED with
+  // q112's product quantizer — the standard billion-scale ANN index
+  // layout (inverted file of coarse cells, residuals PQ-coded inside
+  // them). Vectors route to their nearest label centroid (q38's
+  // assignment, verbatim); each vector's RESIDUAL (vector − its coarse
+  // centroid, float32 — the stored-code precision) is what the shared
+  // PQ codebooks fit and encode, because residuals concentrate near the
+  // origin and quantize far better than raw vectors. Search: the query
+  // routes to its coarse cell, builds the ADC table from ITS residual,
+  // and ranks ONLY that cell's rows (the IVF win: ~1/k of the corpus
+  // sees any per-row work) by the ascending-s fold of their residual
+  // codes' entries; top-20 shortlist, exact-L2 re-rank ON THE ORIGINAL
+  // vectors to top-10, both distances reported (the q87/q112 contract).
+  //
+  // Scale shape (100 TB): coarse centroids are a 10-row broadcast, the
+  // PQ codebook a 32-row one-row broadcast; residual computation,
+  // encode, and ADC are per-row expression work — the corpus crosses
+  // keyed exchanges ONLY inside the m·k-bucketed decimal centroid
+  // updates of the fit (corpus-independent buffer counts). At
+  // production scale the assignment is written once partitioned by
+  // cell and a probe scans one partition; here both stages run inline.
+  // Cross-engine determinism: the float32 residual cast is IEEE
+  // round-to-nearest in both engines; everything else is the q112
+  // discipline (ascending-index folds, (d, cid)/(d, vec_id) ties).
+  // ---------------------------------------------------------------------
+
+  def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    val assigned = ivfAssigned(s, d)
+    val coarse = centroidsByLabel(s, d, "c_label")
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("coarse"))
+    val resid = assigned.crossJoin(broadcast(coarse))
+      .selectExpr("vec_id", "label", "c_label", "embedding as orig",
+        s"""transform(sequence(1, ${PqM * PqSub}), i -> cast(
+           |double(element_at(embedding, i)) -
+           |element_at(element_at(filter(coarse, x -> x.c_label = c_label), 1).centroid, i)
+           |as float)) as embedding"""
+          .stripMargin.replace("\n", " "))
+    val corpus = pqCorpusOf(resid, Seq("c_label", "orig"))
+      .transform(Tables.maybePersist)
+    val cells = pqFitCells(corpus)
+    val query = corpus.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(cells))
+      .selectExpr("c_label as q_cell", "orig as qe",
+        s"${dotExpr("orig", "orig")} as qee",
+        s"""transform(bys, sc -> transform(sc, cx -> named_struct('cid', cx.cid,
+           |'dq', (subs[cx.s].vv - (2 * ${dotExpr("subs[cx.s].v", "cx.c")})) + cx.cc))) as dtab"""
+          .stripMargin.replace("\n", " "))
+    val shortlist = corpus.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cells))
+      .join(broadcast(query), col("c_label") === col("q_cell"))
+      .selectExpr("vec_id", "label", "c_label", "orig", "qe", "qee", "dtab", pqBestExpr)
+      .selectExpr("vec_id", "label", "c_label", "orig", "qe", "qee",
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
+           |(acc, sx) -> acc + element_at(filter(dtab[sx], tx -> tx.cid = best[sx].cid), 1).dq) as adc_d"""
+          .stripMargin.replace("\n", " "))
+      .orderBy(col("adc_d"), col("vec_id")).limit(20)
+    shortlist
+      .selectExpr("vec_id", "label", "c_label", "adc_d",
+        s"(${dotExpr("orig", "orig")} - (2 * ${dotExpr("orig", "qe")})) + qee as d")
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .selectExpr("vec_id", "label", "c_label",
+        "floor(adc_d * 1e6 + 0.5) / 1e6 as adc_dist",
+        "floor(d * 1e6 + 0.5) / 1e6 as dist")
+  }
+
+  /** The q115 oracle: q38's coarse CTEs → float32 residuals → the q112
+    * PQ chain over them (shared [[pqRoundCtes]]) → cell-scoped ADC →
+    * exact re-rank on the originals. */
+  def ivfPqSearchSql(m: Int = PqM, sub: Int = PqSub, k: Int = PqK,
+                     iters: Int = PqIters): String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    val rounds = (1 to iters).map(n => pqRoundCtes(n, s"c${n - 1}")).mkString(",\n")
+    val slice = s"rs[s * $sub + 1 : s * $sub + $sub]"
+    val dEnc = s"((b.vv - (2 * ${dot("b.v", "c.c")})) + c.cc)"
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, label, embedding, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT vec_id, label, embedding, c_label FROM asg WHERE rn = 1),
+       |resid AS (SELECT a.vec_id, a.label, a.c_label, a.embedding AS orig,
+       |    list_transform(range(1, ${m * sub} + 1),
+       |      i -> (a.embedding[i]::DOUBLE - c.centroid[i])::FLOAT) AS rs
+       |  FROM a JOIN c ON a.c_label = c.c_label),
+       |subd AS (SELECT vec_id, s, $slice AS v, ${dot(slice, slice)} AS vv
+       |  FROM resid CROSS JOIN (SELECT unnest(range(0, $m)) AS s)),
+       |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid, vec_id
+       |  FROM resid ORDER BY md5(vec_id::VARCHAR) LIMIT $k),
+       |c0 AS (SELECT b.s, sd.cid, list_transform(b.v, x -> x::DOUBLE) AS c, b.vv AS cc
+       |  FROM sd JOIN subd b ON b.vec_id = sd.vec_id),
+       |$rounds,
+       |enc AS (SELECT vec_id, s, cid FROM (
+       |  SELECT b.vec_id, b.s, c.cid, $dEnc AS d,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY $dEnc, c.cid) AS rn
+       |  FROM subd b JOIN c$iters c ON c.s = b.s) WHERE rn = 1),
+       |qsub AS (SELECT s, v AS qv, vv AS qvv FROM subd WHERE vec_id = 0),
+       |qfull AS (SELECT orig AS qe, ${dot("orig", "orig")} AS qee, c_label AS q_cell
+       |  FROM resid WHERE vec_id = 0),
+       |dtab AS (SELECT c.s, c.cid, ((q.qvv - (2 * ${dot("q.qv", "c.c")})) + c.cc) AS dq
+       |  FROM c$iters c JOIN qsub q ON q.s = c.s),
+       |adc AS (SELECT a2.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(t.dq ORDER BY a2.s)), (p, q) -> p + q) AS adc_d
+       |  FROM enc a2 JOIN dtab t ON t.s = a2.s AND t.cid = a2.cid
+       |  JOIN resid r ON r.vec_id = a2.vec_id CROSS JOIN qfull q
+       |  WHERE r.c_label = q.q_cell AND a2.vec_id <> 0 GROUP BY a2.vec_id),
+       |sl AS (SELECT vec_id, adc_d FROM adc ORDER BY adc_d, vec_id LIMIT 20),
+       |rr AS (SELECT sl.vec_id, r.label, r.c_label, sl.adc_d,
+       |    ((${dot("r.orig", "r.orig")} - (2 * ${dot("r.orig", "q.qe")})) + q.qee) AS d
+       |  FROM sl JOIN resid r ON r.vec_id = sl.vec_id CROSS JOIN qfull q)
+       |SELECT vec_id, label, c_label, floor(adc_d * 1e6 + 0.5) / 1e6 AS adc_dist,
        |  floor(d * 1e6 + 0.5) / 1e6 AS dist
        |FROM rr ORDER BY d, vec_id LIMIT 10""".stripMargin
   }
@@ -2819,6 +2963,7 @@ object Similarity {
     "q108_pca_topm"       -> ((s, d) => pcaTopM(s, d)),
     "q109_pca_whitening"  -> ((s, d) => pcaWhitenAudit(s, d)),
     "q112_pq_search"      -> ((s, d) => pqSearch(s, d)),
+    "q115_ivfpq_search"   -> ((s, d) => ivfPqSearch(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2843,5 +2988,6 @@ object Similarity {
     "q108_pca_topm"       -> pcaTopMSql(),
     "q109_pca_whitening"  -> pcaWhitenAuditSql(),
     "q112_pq_search"      -> pqSearchSql(),
+    "q115_ivfpq_search"   -> ivfPqSearchSql(),
   )
 }

@@ -326,5 +326,11 @@ object PlanBudgetSpec {
     // over the persisted sub-vector corpus. The CORPUS itself never
     // crosses a keyed exchange — the exchanges carry m·k-row frames
     "q112_pq_search" -> Shape(shuffles = 8, broadcasts = 7, joins = 7, smj = 0, cartesian = 0, bnlj = 7, scans = 8),
+    // q115 (r14): IVF-PQ — q112's lazy fit/search chain over the
+    // PERSISTED residual corpus (the coarse-quantizer lineage sits
+    // behind it), plus the cell-scoped broadcast-hash probe join in
+    // place of one BNLJ; the corpus still never crosses a keyed
+    // exchange outside the (s,cid) decimal centroid updates
+    "q115_ivfpq_search" -> Shape(shuffles = 8, broadcasts = 7, joins = 7, smj = 0, cartesian = 0, bnlj = 6, scans = 8),
   )
 }
