@@ -2681,20 +2681,45 @@ object Similarity {
     * CTEs — all m subspaces ride ONE exploded (vec_id, s) relation, the
     * Lloyd rounds are the q84 chained-CTE idiom keyed by (s, cid). */
   /** One DuckDB Lloyd round over the exploded (vec_id, s) sub-vector
-    * relation `subd` — shared by the q112 and q115 oracles. */
-  private def pqRoundCtes(n: Int, cPrev: String): String = {
+    * relation `${p}subd` — shared by the q112/q115/q116 oracles
+    * (`p` prefixes every CTE so two fit chains coexist in one query,
+    * the sigChainSql discipline). */
+  private def pqRoundCtes(n: Int, cPrev: String, p: String = ""): String = {
     val d = s"((b.vv - (2 * ${dotSqlDuck("b.v", "c.c")})) + c.cc)"
-    s"""a$n AS (SELECT vec_id, s, v, vv, cid, d FROM (
+    s"""${p}a$n AS (SELECT vec_id, s, v, vv, cid, d FROM (
        |  SELECT b.vec_id, b.s, b.v, b.vv, c.cid, $d AS d,
        |    row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY $d, c.cid) AS rn
-       |  FROM subd b JOIN $cPrev c ON c.s = b.s) WHERE rn = 1),
-       |c$n AS (SELECT s, cid, list(cv ORDER BY dim) AS c,
+       |  FROM ${p}subd b JOIN $cPrev c ON c.s = b.s) WHERE rn = 1),
+       |${p}c$n AS (SELECT s, cid, list(cv ORDER BY dim) AS c,
        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(cv ORDER BY dim),
        |      x -> x * x)), (p_, q_) -> p_ + q_) AS cc
        |  FROM (SELECT s, cid, dim, CAST(SUM(CAST(vx AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
        |    FROM (SELECT s, cid, (i - 1)::INT AS dim, v[i]::DOUBLE AS vx
-       |      FROM (SELECT s, cid, v, unnest(range(1, len(v) + 1)) AS i FROM a$n))
+       |      FROM (SELECT s, cid, v, unnest(range(1, len(v) + 1)) AS i FROM ${p}a$n))
        |    GROUP BY s, cid, dim) GROUP BY s, cid)""".stripMargin
+  }
+
+  /** The full DuckDB PQ fit chain from a source CTE holding
+    * (vec_id, `$vecCol` float list): `${p}subd` → seeds → `$iters`
+    * Lloyd rounds → `${p}enc` (vec_id, s, cid, d — the per-subspace
+    * code AND its distortion). */
+  private def pqFitChainSql(p: String, src: String, vecCol: String,
+                            m: Int = PqM, sub: Int = PqSub, k: Int = PqK,
+                            iters: Int = PqIters): String = {
+    val slice = s"$vecCol[s * $sub + 1 : s * $sub + $sub]"
+    val rounds = (1 to iters).map(n => pqRoundCtes(n, s"${p}c${n - 1}", p)).mkString(",\n")
+    val dEnc = s"((b.vv - (2 * ${dotSqlDuck("b.v", "c.c")})) + c.cc)"
+    s"""${p}subd AS (SELECT vec_id, s, $slice AS v, ${dotSqlDuck(slice, slice)} AS vv
+       |  FROM $src CROSS JOIN (SELECT unnest(range(0, $m)) AS s)),
+       |${p}sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid, vec_id
+       |  FROM $src ORDER BY md5(vec_id::VARCHAR) LIMIT $k),
+       |${p}c0 AS (SELECT b.s, sd.cid, list_transform(b.v, x -> x::DOUBLE) AS c, b.vv AS cc
+       |  FROM ${p}sd sd JOIN ${p}subd b ON b.vec_id = sd.vec_id),
+       |$rounds,
+       |${p}enc AS (SELECT vec_id, s, cid, d FROM (
+       |  SELECT b.vec_id, b.s, c.cid, $dEnc AS d,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY $dEnc, c.cid) AS rn
+       |  FROM ${p}subd b JOIN ${p}c$iters c ON c.s = b.s) WHERE rn = 1)""".stripMargin
   }
 
   def pqSearchSql(m: Int = PqM, sub: Int = PqSub, k: Int = PqK,
@@ -2761,7 +2786,10 @@ object Similarity {
   // discipline (ascending-index folds, (d, cid)/(d, vec_id) ties).
   // ---------------------------------------------------------------------
 
-  def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+  /** The q115/q116 residual corpus: q38-assigned vectors minus their
+    * coarse centroid, float32-cast, pqCorpusOf'd with the coarse cell
+    * and the original vector carried through. */
+  private def ivfPqResidualCorpus(s: SparkSession, d: String): DataFrame = {
     withFns(s)
     val assigned = ivfAssigned(s, d)
     val coarse = centroidsByLabel(s, d, "c_label")
@@ -2773,8 +2801,11 @@ object Similarity {
            |element_at(element_at(filter(coarse, x -> x.c_label = c_label), 1).centroid, i)
            |as float)) as embedding"""
           .stripMargin.replace("\n", " "))
-    val corpus = pqCorpusOf(resid, Seq("c_label", "orig"))
-      .transform(Tables.maybePersist)
+    pqCorpusOf(resid, Seq("c_label", "orig"))
+  }
+
+  def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val corpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
     val cells = pqFitCells(corpus)
     val query = corpus.filter(col("vec_id") === 0)
       .crossJoin(broadcast(cells))
@@ -2861,6 +2892,91 @@ object Similarity {
        |SELECT vec_id, label, c_label, floor(adc_d * 1e6 + 0.5) / 1e6 AS adc_dist,
        |  floor(d * 1e6 + 0.5) / 1e6 AS dist
        |FROM rr ORDER BY d, vec_id LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q116 — PQ RESIDUAL-CODING DISTORTION AUDIT (r14): the measurement
+  // the q115 design claim rests on ("residuals concentrate near the
+  // origin and quantize far better than raw vectors") — the q79/q80/q81
+  // trust-audit discipline applied to the PQ family. Both codebooks fit
+  // with the IDENTICAL production machinery (q112's raw chain, q115's
+  // residual chain, byte-for-byte the same Lloyd jobs); the report is
+  // each variant's total and worst per-vector quantization distortion
+  // Σ_s ||x_s − c_{code(x,s)}||² — micro-unit exact longs across the
+  // aggregate (the q74/q84 rule), so the raw-vs-residual gap is an
+  // oracle-gated number, not a narrative. A spec pins the inequality
+  // (residual < raw) the q115 header asserts.
+  //
+  // Scale shape: two fit chains (each: corpus-independent (s,cid)
+  // decimal exchanges only) + per-row encode under a one-row broadcast
+  // + ONE global micro-unit aggregate per variant — the corpus never
+  // crosses a keyed exchange.
+  // ---------------------------------------------------------------------
+
+  /** Encode a pqCorpusOf'd frame against a fitted codebook and reduce
+    * to (variant, n_vecs, total_qd, max_qd) — micro-unit totals. */
+  private def pqDistortionOf(corpus: DataFrame, cells: DataFrame,
+                             variant: String): DataFrame =
+    corpus.crossJoin(broadcast(cells))
+      .selectExpr("vec_id", "subs", pqBestExpr)
+      .selectExpr("vec_id",
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
+           |(acc, sx) -> acc + best[sx].d) as qd""".stripMargin.replace("\n", " "))
+      .groupBy()
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("qd") * 1e6 + 0.5).cast("long")).as("tm"),
+        max(col("qd")).as("mx"))
+      .selectExpr(s"'$variant' as variant", "n_vecs", "tm / 1e6 as total_qd",
+        "floor(mx * 1e6 + 0.5) / 1e6 as max_qd")
+
+  def pqResidualAudit(s: SparkSession, d: String): DataFrame = {
+    val (rawCorpus, rawCells) = pqFitFrames(s, d)
+    val residCorpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
+    val residCells = pqFitCells(residCorpus)
+    pqDistortionOf(rawCorpus, rawCells, "raw")
+      .unionAll(pqDistortionOf(residCorpus, residCells, "residual"))
+      .orderBy("variant")
+  }
+
+  def pqResidualAuditSql(m: Int = PqM, sub: Int = PqSub, k: Int = PqK,
+                         iters: Int = PqIters): String = {
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    def variantAgg(name: String, qCte: String) =
+      s"""SELECT '$name' AS variant, COUNT(*)::BIGINT AS n_vecs,
+         |  SUM(CAST(floor(qd * 1e6 + 0.5) AS BIGINT)) / 1e6 AS total_qd,
+         |  floor(MAX(qd) * 1e6 + 0.5) / 1e6 AS max_qd FROM $qCte""".stripMargin
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, label, embedding, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dotSqlDuck("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT vec_id, label, embedding, c_label FROM asg WHERE rn = 1),
+       |resid AS (SELECT a.vec_id, a.label, a.c_label, a.embedding AS orig,
+       |    list_transform(range(1, ${m * sub} + 1),
+       |      i -> (a.embedding[i]::DOUBLE - c.centroid[i])::FLOAT) AS rs
+       |  FROM a JOIN c ON a.c_label = c.c_label),
+       |${pqFitChainSql("r_", "embeddings", "embedding", m, sub, k, iters)},
+       |${pqFitChainSql("v_", "resid", "rs", m, sub, k, iters)},
+       |rq AS (SELECT vec_id, list_reduce(list_prepend(0.0::DOUBLE,
+       |    list(d ORDER BY s)), (p, q) -> p + q) AS qd FROM r_enc GROUP BY vec_id),
+       |vq AS (SELECT vec_id, list_reduce(list_prepend(0.0::DOUBLE,
+       |    list(d ORDER BY s)), (p, q) -> p + q) AS qd FROM v_enc GROUP BY vec_id)
+       |${variantAgg("raw", "rq")}
+       |UNION ALL
+       |${variantAgg("residual", "vq")}
+       |ORDER BY variant""".stripMargin
   }
 
   /** A fitted PQ codebook cell: subspace s, code cid, centroid, self-dot. */
@@ -2964,6 +3080,7 @@ object Similarity {
     "q109_pca_whitening"  -> ((s, d) => pcaWhitenAudit(s, d)),
     "q112_pq_search"      -> ((s, d) => pqSearch(s, d)),
     "q115_ivfpq_search"   -> ((s, d) => ivfPqSearch(s, d)),
+    "q116_pq_resid_audit" -> ((s, d) => pqResidualAudit(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2989,5 +3106,6 @@ object Similarity {
     "q109_pca_whitening"  -> pcaWhitenAuditSql(),
     "q112_pq_search"      -> pqSearchSql(),
     "q115_ivfpq_search"   -> ivfPqSearchSql(),
+    "q116_pq_resid_audit" -> pqResidualAuditSql(),
   )
 }

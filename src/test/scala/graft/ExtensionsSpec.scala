@@ -1661,6 +1661,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(auds.map(_._1).exists(id => !verdict(id)), "some non-deny audio survives")
   }
 
+  test("q116: residual PQ quantizes strictly better than raw PQ (the q115 design claim) (r14)") {
+    val rows = Similarity.pqResidualAudit(spark, sf)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("raw", "residual"))
+    val raw = rows("raw"); val res = rows("residual")
+    assert(raw._2 == res._2, "both variants encode the whole corpus")
+    assert(res._3 < raw._3,
+      s"residual total distortion ${res._3} must beat raw ${raw._3}")
+    assert(res._3 > 0.0, "distortion is not degenerate (codebook smaller than corpus)")
+  }
+
   test("q112: PQ online encode == batch encode route, bit-identical codes and distortion (r14)") {
     // the kmeansAssignVerdict lockstep discipline at PQ grain: the
     // offline-collected codebook and the per-row scan must reproduce the

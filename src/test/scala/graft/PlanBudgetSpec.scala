@@ -332,5 +332,9 @@ object PlanBudgetSpec {
     // place of one BNLJ; the corpus still never crosses a keyed
     // exchange outside the (s,cid) decimal centroid updates
     "q115_ivfpq_search" -> Shape(shuffles = 8, broadcasts = 7, joins = 7, smj = 0, cartesian = 0, bnlj = 6, scans = 8),
+    // q116 (r14): both PQ fit chains (each behind its persisted corpus)
+    // + two broadcast encode passes + two one-row micro-unit aggregates
+    // + the union, in one lazy plan
+    "q116_pq_resid_audit" -> Shape(shuffles = 10, broadcasts = 6, joins = 6, smj = 0, cartesian = 0, bnlj = 6, scans = 8),
   )
 }
