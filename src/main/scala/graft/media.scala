@@ -635,6 +635,113 @@ object MediaOps {
       |SELECT doc_a, doc_b, hamming, doc_b = doc_a + 10000 AS is_twin
       |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q117 — CROSS-MODAL DUPLICATE CONSISTENCY (r14): the audit the
+  // single-modality dedup family cannot express — an image-grain
+  // duplicate whose CAPTION disagrees (a re-captioned copy) is invisible
+  // to q107 (same pixels pass) AND to text dedup (different shingles,
+  // never a candidate pair), yet it is exactly what a multimodal
+  // curation pipeline must catch: conflicting supervision on identical
+  // pixels. The operator joins the two modalities' verdicts: q107's
+  // image pair surface (shared chain) × the q25 word-3-gram Jaccard of
+  // the pair's captions, verdict = image-dup AND caption Jaccard < 0.5.
+  //
+  // Planted twins (the q32/q107 discipline, at the CAPTION grain): each
+  // image gets a re-captioned copy — IDENTICAL bytes (Hamming 0 by
+  // construction) with the TOKEN-REVERSED caption (the q102 reversal
+  // argument: word-3-gram shingle sets of a ≥5-token reversal are
+  // disjoint, so Jaccard collapses). Every planted pair must emit
+  // caption_mismatch = true; the fixture's genuine image-dup pairs all
+  // carry near-identical captions (media ≡ payload bytes here), so both
+  // verdicts are exercised and the mismatch set is exactly the planted
+  // re-captions — asserted in the spec, exact values oracle-gated.
+  //
+  // Scale shape: the pair chain is q107's (band-blocked, payloads never
+  // shuffle); captions join the PAIR frame (pair-sized, not corpus-
+  // sized) by doc_id — two broadcast-hash lookups at fixture scale, a
+  // keyed co-partition at corpus scale; the shingle sets ride only on
+  // pair rows. One new exchange beyond q107's chain per join side.
+  // ---------------------------------------------------------------------
+
+  /** Base images + RE-CAPTIONED twins: identical bytes → identical
+    * dHash (computed once, emitted twice). */
+  private def recaptionedHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaCorpus(s, d)
+      .filter(col("mime") === "image/png" && length(col("media")) >= 72)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val codes = new Array[Int](bytes.length)
+          var i = 0
+          while (i < bytes.length) { codes(i) = bytes(i) & 0xFF; i += 1 }
+          val v = dhash4x16(codes)
+          Iterator((id, v), (id + 10000L, v))
+        }
+      }
+      .toDF("doc_id", "v")
+  }
+
+  def crossModalAudit(s: SparkSession, d: String): DataFrame = {
+    val hashes = recaptionedHashes(s, d).transform(Tables.maybePersist)
+    val pairs = imagePairs(s, hashes)
+    val imgDocs = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 72)
+    val caps = imgDocs.selectExpr("doc_id", "split(text, ' ') as toks")
+      .unionAll(imgDocs.selectExpr("doc_id + 10000 as doc_id",
+        "reverse(split(text, ' ')) as toks"))
+      .selectExpr("doc_id", s"${Dedup.shinglesExpr} as sh")
+    pairs
+      .join(caps.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(caps.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("jaccard", floor((
+        size(array_intersect(col("sa"), col("sb"))) /
+          size(array_distinct(concat(col("sa"), col("sb")))).cast("double")) * 1e6 + 0.5) / 1e6)
+      .selectExpr("doc_a", "doc_b", "hamming", "jaccard",
+        "jaccard < 0.5 as caption_mismatch")
+  }
+
+  val crossModalAuditSql: String =
+    s"""WITH imgs AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE doc_id % 3 = 0 AND length(text) >= 72),
+       |corpus AS (SELECT doc_id, n, list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, i::INT, 1))) AS cs FROM imgs),
+       |cells AS (SELECT doc_id, n // 72 AS seg, cs FROM corpus),
+       |sums AS (SELECT doc_id, list_transform(range(0, 72),
+       |    c -> list_aggregate(cs[(c * seg + 1)::INT:(c * seg + seg)::INT], 'sum')) AS s
+       |  FROM cells),
+       |bv0 AS (SELECT doc_id, list_transform(range(0, 4),
+       |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+       |      j -> CASE WHEN s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 2)::INT]
+       |                   > s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 1)::INT]
+       |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+       |      (a, b) -> a + b)) AS v FROM sums),
+       |bv AS (SELECT doc_id, v FROM bv0
+       |  UNION ALL SELECT doc_id + 10000, v FROM bv0),
+       |bands AS (SELECT doc_id, b AS band_idx, v[b + 1]::VARCHAR AS band_hash
+       |  FROM (SELECT doc_id, v, unnest(range(0, 4)) AS b FROM bv)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |ham AS (SELECT doc_a, doc_b,
+       |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
+       |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
+       |  FROM cand JOIN bv va ON va.doc_id = cand.doc_a
+       |            JOIN bv vb ON vb.doc_id = cand.doc_b),
+       |pairs AS (SELECT * FROM ham WHERE hamming <= 6),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM imgs
+       |  UNION ALL SELECT doc_id + 10000, list_reverse(string_split(text, ' ')) FROM imgs),
+       |caps AS (SELECT doc_id, ${Dedup.shinglesSqlDuck} AS sh FROM tk),
+       |jac AS (SELECT p.doc_a, p.doc_b, p.hamming,
+       |    floor((len(list_intersect(a.sh, b.sh))
+       |      / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
+       |  FROM pairs p JOIN caps a ON a.doc_id = p.doc_a
+       |               JOIN caps b ON b.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, hamming, jaccard, jaccard < 0.5 AS caption_mismatch
+       |FROM jac ORDER BY doc_a, doc_b""".stripMargin
+
   /** The fitted image DENYLIST index (the q85 DenyIndex discipline at
     * image grain — the production shape of a perceptual-hash blocklist:
     * the deny side is a bounded curated list, so it is closure-sized BY
@@ -777,6 +884,7 @@ object MediaOps {
     "q110_image_keep"    -> ((s, d) => imageKeep(s, d)),
     "q111_video_dedup"   -> ((s, d) => videoDedup(s, d)),
     "q113_audio_dedup"   -> ((s, d) => audioDedup(s, d)),
+    "q117_crossmodal"    -> ((s, d) => crossModalAudit(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -786,5 +894,6 @@ object MediaOps {
     "q110_image_keep"    -> imageKeepSql,
     "q111_video_dedup"   -> videoDedupSql,
     "q113_audio_dedup"   -> audioDedupSql,
+    "q117_crossmodal"    -> crossModalAuditSql,
   )
 }

@@ -1661,6 +1661,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(auds.map(_._1).exists(id => !verdict(id)), "some non-deny audio survives")
   }
 
+  test("q117: every re-captioned twin flags caption_mismatch; genuine image dups stay consistent (r14)") {
+    val nImages = Tables.documents(spark, sf)
+      .where("doc_id % 3 = 0 AND length(text) >= 72").count()
+    val rows = MediaOps.crossModalAudit(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    // planted re-captions: identical bytes (Hamming 0), reversed caption
+    val planted = rows.filter(r => r._2 == r._1 + 10000)
+    assert(planted.length == nImages, s"planted recall ${planted.length}/$nImages")
+    planted.foreach { r =>
+      assert(r._3 == 0, s"identical bytes must hash identically (pair ${r._1})")
+      assert(r._5, s"reversed caption must flag mismatch (pair ${r._1}, j=${r._4})")
+    }
+    // the fixture's genuine image dups carry near-identical captions
+    val real = rows.filter(r => r._1 < 10000 && r._2 < 10000)
+    assert(real.nonEmpty, "fixture must contain genuine image-dup pairs")
+    real.foreach { r =>
+      assert(!r._5, s"genuine dup (${r._1},${r._2}) must stay consistent (j=${r._4})")
+    }
+    rows.foreach(r => assert(!(r._4 > 1.0) && !(r._4 < 0.0), "jaccard in [0,1]"))
+  }
+
   test("q116: residual PQ quantizes strictly better than raw PQ (the q115 design claim) (r14)") {
     val rows = Similarity.pqResidualAudit(spark, sf)
       .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap

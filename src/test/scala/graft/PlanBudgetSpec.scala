@@ -317,6 +317,9 @@ object PlanBudgetSpec {
     // q113 (r14): audio fingerprint dedup — q107's chain over the
     // energy-difference fingerprint frame
     "q113_audio_dedup" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    // q117 (r14): q107's pair chain + two caption-shingle lookups onto
+    // the pair frame (broadcast at fixture scale)
+    "q117_crossmodal" -> Shape(shuffles = 5, broadcasts = 3, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
     // q112 (r14): PQ-ADC search — like q84, the whole lazy chain (fit +
     // encode + search) is one plan: 7 BNLJ = the one-row broadcast
     // crossJoins (2 Lloyd assign passes, seed slice, ADC-table build,
