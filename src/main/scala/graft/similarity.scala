@@ -2979,6 +2979,69 @@ object Similarity {
        |ORDER BY variant""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q118 — ALL-VECTORS kNN GRAPH (r14): every ANN operator so far
+  // serves ONE query (q26/q38/q87/q112/q115) or ten (q27/q81–q83); the
+  // graph-construction primitive behind graph-based curation (SemDeDup
+  // cell refinement, diversity sampling, NN-descent seeding, label
+  // propagation) needs the top-k neighbour list of EVERY vector. The
+  // quadratic-avoidance shape is the q32 discipline: LSH-bucket the
+  // corpus once (the q27 closed-form planes), generate same-bucket
+  // pairs through the TRIANGLE-BLOCKED pair machinery (per-task work
+  // capped under arbitrary bucket skew — an all-boilerplate bucket
+  // cannot straggle), symmetrize, and keep each vector's top-5 by
+  // exact cosine via the map-side [[TopKCos]] reduction. Neighbour
+  // lists are bucket-local BY DESIGN (the q81 recall story measures
+  // what that misses); vectors alone in their bucket emit no rows —
+  // identically in both engines.
+  //
+  // Scale shape (100 TB): ONE corpus-keyed exchange to co-locate
+  // buckets (bucket id computed in the scan), pair work capped at
+  // ~cap² per task, then ONE keyed exchange whose payload is ≤5-row
+  // (cos, nb) buffers per vector — never the corpus, never the pair
+  // list (TopKCos partials combine map-side). Cross-engine: the pair
+  // dot is a left-to-right double fold (products commutative-exact, so
+  // block orientation cannot change the value); ties (cos desc, nb
+  // asc) ≡ the oracle's row_number.
+  // ---------------------------------------------------------------------
+
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withB = withLsh(s, d)
+      .selectExpr("bucket", "vec_id",
+        "transform(embedding, x -> cast(x as double)) as e", "nrm")
+    // minCos = -2 disables the threshold: a kNN graph keeps ALL bucket
+    // pairs and lets the top-k selection decide
+    val pairs = Dedup.boundedBucketPairs(s, withB, cap = 1024, minCos = -2.0)
+    val edges = pairs.selectExpr("vec_a as src", "cos", "vec_b as nb")
+      .unionAll(pairs.selectExpr("vec_b as src", "cos", "vec_a as nb"))
+    edges.as[(Long, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(TopKCos.toColumn.name("top"))
+      .toDF("vec_id", "top")
+      .selectExpr("vec_id", "posexplode(top) as (r0, t)")
+      .selectExpr("vec_id", "cast(r0 + 1 as int) as rank", "t._2 as nb_id",
+        "floor(t._1 * 1e6 + 0.5) / 1e6 as cosine")
+  }
+
+  val knnGraphSql: String = {
+    val dot = dotSqlDuck("a.embedding", "e.embedding")
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm,
+       |  ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS va, e.vec_id AS vb,
+       |    ($dot) / (a.nrm * e.nrm) AS cos
+       |  FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id),
+       |ed AS (SELECT va AS src, cos, vb AS nb FROM p
+       |  UNION ALL SELECT vb, cos, va FROM p),
+       |r AS (SELECT src, nb, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS rank
+       |  FROM ed)
+       |SELECT src AS vec_id, rank::INT AS rank, nb AS nb_id,
+       |  floor(cos * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** A fitted PQ codebook cell: subspace s, code cid, centroid, self-dot. */
   case class PqCell(s: Int, cid: Int, c: Array[Double], cc: Double)
 
@@ -3081,6 +3144,7 @@ object Similarity {
     "q112_pq_search"      -> ((s, d) => pqSearch(s, d)),
     "q115_ivfpq_search"   -> ((s, d) => ivfPqSearch(s, d)),
     "q116_pq_resid_audit" -> ((s, d) => pqResidualAudit(s, d)),
+    "q118_knn_graph"      -> ((s, d) => knnGraph(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -3107,5 +3171,6 @@ object Similarity {
     "q112_pq_search"      -> pqSearchSql(),
     "q115_ivfpq_search"   -> ivfPqSearchSql(),
     "q116_pq_resid_audit" -> pqResidualAuditSql(),
+    "q118_knn_graph"      -> knnGraphSql,
   )
 }

@@ -1661,6 +1661,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(auds.map(_._1).exists(id => !verdict(id)), "some non-deny audio survives")
   }
 
+  test("q118: kNN graph — dense ranks, no self-edges, neighbours are bucket-mates (r14)") {
+    val rows = Similarity.knnGraph(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r._1 != r._3, s"self-edge on ${r._1}"))
+    // per-vector: ranks are exactly 1..n (n <= 5), cosines non-increasing
+    rows.groupBy(_._1).foreach { case (v, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to g.length).toSeq, s"ranks of $v not dense")
+      assert(g.length <= 5, s"$v exceeds k")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4, s"cosine not monotone for $v")
+        case _ =>
+      }
+    }
+    // neighbour lists are bucket-local by design
+    val bucketOf = Similarity.withLsh(spark, sf)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    rows.foreach(r => assert(bucketOf(r._1) == bucketOf(r._3),
+      s"${r._1}->${r._3} crosses buckets"))
+    // symmetry of candidacy: if b lists a at rank 1 with cos c, then a
+    // either lists b or has 5 neighbours all >= c (the pair was seen)
+    val topByVec = rows.groupBy(_._1)
+    topByVec.foreach { case (v, g) =>
+      g.foreach { r =>
+        val back = topByVec.getOrElse(r._3, Array.empty)
+        val listed = back.exists(_._3 == v)
+        assert(listed || (back.length == 5 && back.forall(_._4 >= r._4)),
+          s"pair ($v,${r._3}) asymmetric without a full better list")
+      }
+    }
+  }
+
   test("q117: every re-captioned twin flags caption_mismatch; genuine image dups stay consistent (r14)") {
     val nImages = Tables.documents(spark, sf)
       .where("doc_id % 3 = 0 AND length(text) >= 72").count()

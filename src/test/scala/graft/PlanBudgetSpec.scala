@@ -335,6 +335,9 @@ object PlanBudgetSpec {
     // place of one BNLJ; the corpus still never crosses a keyed
     // exchange outside the (s,cid) decimal centroid updates
     "q115_ivfpq_search" -> Shape(shuffles = 8, broadcasts = 7, joins = 7, smj = 0, cartesian = 0, bnlj = 6, scans = 8),
+    // q118 (r14): kNN graph — bucket-size broadcast + triangle-blocked
+    // pair groupByKey + the top-k keyed reduction (5-row buffers)
+    "q118_knn_graph" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q116 (r14): both PQ fit chains (each behind its persisted corpus)
     // + two broadcast encode passes + two one-row micro-unit aggregates
     // + the union, in one lazy plan
