@@ -1661,6 +1661,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(auds.map(_._1).exists(id => !verdict(id)), "some non-deny audio survives")
   }
 
+  test("q119: stored ANN index probe == inline probe; jittered twins dup on their original, reversed admit new (r14)") {
+    val path = Similarity.annIndexPathFor(sf) + "-spec"
+    val n = Similarity.buildAnnIndex(spark, sf, path)
+    assert(n == Tables.embeddings(spark, sf).count(), "index covers the corpus")
+    val stored = Similarity.incrementalAnnStored(spark, sf, path)
+      .as[(Long, Int, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val inline = Similarity.incrementalAnnInline(spark, sf)
+      .as[(Long, Int, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(stored == inline, "stored-artifact probe != inline probe")
+    val twins = stored.filter(r => r._1 >= 100000 && r._1 < 200000)
+    val fresh = stored.filter(_._1 >= 200000)
+    assert(twins.nonEmpty && fresh.nonEmpty, "fixture populates both delta kinds")
+    // at the spec fixture every jitter survives its cell assignment
+    twins.foreach { r =>
+      assert(r._3 == r._1 - 100000, s"twin ${r._1} must find its original (got ${r._3})")
+      assert(r._5, s"twin ${r._1} must flag duplicate (cos=${r._4})")
+    }
+    fresh.foreach(r => assert(!r._5, s"reversed ${r._1} must admit as new (cos=${r._4})"))
+  }
+
   test("q118: kNN graph — dense ranks, no self-edges, neighbours are bucket-mates (r14)") {
     val rows = Similarity.knnGraph(spark, sf)
       .as[(Long, Int, Long, Double)].collect()

@@ -335,6 +335,12 @@ object PlanBudgetSpec {
     // place of one BNLJ; the corpus still never crosses a keyed
     // exchange outside the (s,cid) decimal centroid updates
     "q115_ivfpq_search" -> Shape(shuffles = 8, broadcasts = 7, joins = 7, smj = 0, cartesian = 0, bnlj = 6, scans = 8),
+    // q119 (r14): standing-index probe — centroid/codebook one-row agg,
+    // routed delta broadcast onto the cell-scoped index scan, max-struct
+    // top-1 exchange; q119b's frame is driver-built (the build ran in
+    // its own write jobs)
+    "q119_incremental_ann" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 4),
+    "q119b_ann_index_build" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
     // q118 (r14): kNN graph — bucket-size broadcast + triangle-blocked
     // pair groupByKey + the top-k keyed reduction (5-row buffers)
     "q118_knn_graph" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
