@@ -3104,8 +3104,10 @@ object Similarity {
 
   /** The probe: route each delta vector to its nearest centroid (q38's
     * argmax semantics), broadcast the routed delta onto the cell-scoped
-    * index, keep the exact-cosine top-1 per delta. */
-  private def annProbe(delta0: DataFrame, cents: DataFrame, idx: DataFrame): DataFrame = {
+    * index, keep the exact-cosine top-1 per delta. `private[graft]` so
+    * the streaming leg can run it per micro-batch (foreachBatch) against
+    * the stored artifacts — the q119 online form. */
+  private[graft] def annProbe(delta0: DataFrame, cents: DataFrame, idx: DataFrame): DataFrame = {
     val cells = cents
       .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
     val routed = delta0.crossJoin(broadcast(cells))

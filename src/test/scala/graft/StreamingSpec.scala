@@ -545,6 +545,41 @@ class StreamingSpec extends SparkSpec {
       "fixture must exercise both drop and keep")
   }
 
+  test("q119's online form: per-micro-batch probe of the standing ANN index == batch probe (r14)") {
+    // the nightly-ingest stream: delta vectors arrive continuously, each
+    // micro-batch probes the SAME stored artifacts via foreachBatch —
+    // the production shape of online vector-index admission
+    val path = Similarity.annIndexPathFor(sf) + "-stream"
+    Similarity.buildAnnIndex(spark, sf, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val idx = spark.read.parquet(s"$path/assignments")
+    val deltas = Tables.embeddings(spark, sf).limit(30)
+      .selectExpr("vec_id + 500000 as vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Boolean)]
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Similarity.annProbe(batch, cents, idx)
+            .as[(Long, Int, Long, Double, Boolean)].collect()
+        }
+        ()
+      }
+      .outputMode("append").start()
+    val (b1, b2) = deltas.splitAt(deltas.length / 2)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val batchAll = Similarity.annProbe(
+        deltas.toDF("vec_id", "embedding"), cents, idx)
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    assert(got.sortBy(_._1).toSeq == batchAll.sortBy(_._1).toSeq,
+      "streamed micro-batch probes != one batch probe on identical deltas")
+    assert(got.nonEmpty && got.forall(r => r._4 <= 1.000001))
+  }
+
   test("audioDenyVerdict drops a stream exactly like its batch form (r14)") {
     // the q113 online form: audio deny fingerprints fit offline, per-row
     // fingerprint→band-probe→Hamming-verify in the stream with the
