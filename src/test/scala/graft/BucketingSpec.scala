@@ -99,4 +99,25 @@ class BucketingSpec extends SparkSpec {
     assert(opened < total && opened >= 1,
       s"pruning failed: opened $opened of $total files")
   }
+
+  test("q119 index layout: a single-cell probe opens only that cell's partition (r14)") {
+    // the reason buildAnnIndex writes partitionBy(c_label): the nightly
+    // probe filters on the routed cell, and the scan must prune to one
+    // directory of the standing index — measured by numFiles, not
+    // asserted from the plan text alone
+    val path = Similarity.annIndexPathFor(sf) + "-prune"
+    Similarity.buildAnnIndex(spark, sf, path)
+    val dir = s"$path/assignments"
+    val one = spark.read.parquet(dir).filter($"c_label" === 3)
+      .select("vec_id", "nrm")
+    assert(one.collect().nonEmpty)
+    val scan = allNodes(finalPlan(one))
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.metadata("PartitionFilters").contains("c_label"),
+      s"expected PartitionFilters on c_label: ${scan.metadata}")
+    val total = spark.read.parquet(dir).inputFiles.length
+    val opened = scan.metrics("numFiles").value
+    assert(opened < total && opened >= 1,
+      s"index pruning failed: opened $opened of $total files")
+  }
 }
