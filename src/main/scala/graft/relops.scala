@@ -643,15 +643,22 @@ object RelOps {
           .stripMargin.replace("\n", " "))
       .groupBy("event_type", "week", "bin").agg(count(lit(1)).as("cnt"))
       .transform(Tables.maybePersist)
+    // counts / dense are (event_type × week × bin)-bounded — histogram
+    // cardinality, NOT corpus cardinality — so both joins broadcast at
+    // ANY corpus scale. The hints are explicit (r14): without them the
+    // compile-time strategy depends on the cache-materialization timing
+    // of `counts` (a stats race — a loaded session SMJ-plans these and
+    // leaves ENSURE_REQUIREMENTS exchanges AQE then bypasses), and the
+    // q94 plan budget measured 5 shuffles instead of 2.
     val dense = counts.groupBy("event_type", "week").agg(sum(col("cnt")).as("tot"))
       .selectExpr("event_type", "week", "tot", "explode(sequence(0, 9)) as bin")
-      .join(counts, Seq("event_type", "week", "bin"), "left")
+      .join(broadcast(counts), Seq("event_type", "week", "bin"), "left")
       .selectExpr("event_type", "week", "tot", "bin", "coalesce(cnt, 0L) as cnt")
     val from = dense.selectExpr("event_type", "week as week_from", "bin",
       "cnt as cnt_f", "tot as tot_f")
     val to = dense.selectExpr("event_type", "week - 1 as week_from", "bin",
       "cnt as cnt_t", "tot as tot_t")
-    from.join(to, Seq("event_type", "week_from", "bin"))
+    from.join(broadcast(to), Seq("event_type", "week_from", "bin"))
       .selectExpr("event_type", "week_from", "week_from + 1 as week_to",
         "tot_f", "tot_t",
         """cast(floor((

@@ -9,6 +9,7 @@ object PlanBudgetReport {
     val spark = TestSession.spark
     val sf = "/root/testdata/sf0.001"
     PlanBudgetSpec.budgets.keys.toSeq.sorted.foreach { name =>
+      spark.catalog.clearCache() // hermetic, matches the spec's discipline
       val shape = PlanWalk.shapeOf(SparkEntry.queries(name)(spark, sf))
       println(s"""    "$name" -> $shape,""")
     }

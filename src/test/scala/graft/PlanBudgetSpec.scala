@@ -25,6 +25,13 @@ class PlanBudgetSpec extends SparkSpec {
 
   budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
     test(s"plan budget: $name") {
+      // hermetic measurement: leftover MEMORY_AND_DISK frames from
+      // earlier queries otherwise leak into this plan (a cached subtree
+      // substitutes, or pressure evicts THIS query's own internal
+      // persist and its exchanges reappear once per consumer — q94
+      // measured 5 shuffles instead of 2 after the r14 PQ-family tests
+      // filled the cache). Each query must budget its OWN shape.
+      spark.catalog.clearCache()
       val got = shapeOf(SparkEntry.queries(name)(spark, sf))
       assert(got.cartesian == 0,
         s"$name plans a CartesianProduct:\n  got $got")

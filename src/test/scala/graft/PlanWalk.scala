@@ -50,9 +50,19 @@ object PlanWalk {
         case _ => Nil
       })
     val nodes = walk(finalPlan(df))
+    // Exchanges dedupe by CANONICALIZED subtree, not node identity: AQE
+    // exchange reuse is best-effort — two identical exchanges whose
+    // stages materialize concurrently can both survive as distinct
+    // nodes instead of one + ReusedExchange, purely a scheduler race
+    // (q94 under a loaded suite measured 5 raw shuffle nodes, 2
+    // distinct computations). A REAL shape regression (an added rejoin,
+    // a lost broadcast) has a different canonical subtree and still
+    // counts; identical-subtree duplicates are the same computation.
+    def distinctExchanges(pred: SparkPlan => Boolean): Int =
+      nodes.filter(pred).map(_.canonicalized).distinct.size
     Shape(
-      shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike]),
-      broadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeLike]),
+      shuffles = distinctExchanges(_.isInstanceOf[ShuffleExchangeLike]),
+      broadcasts = distinctExchanges(_.isInstanceOf[BroadcastExchangeLike]),
       joins = nodes.count(_.isInstanceOf[BaseJoinExec]),
       smj = nodes.count(_.isInstanceOf[SortMergeJoinExec]),
       cartesian = nodes.count(_.isInstanceOf[CartesianProductExec]),
