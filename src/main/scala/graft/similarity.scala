@@ -2832,6 +2832,132 @@ object Similarity {
         "floor(d * 1e6 + 0.5) / 1e6 as dist")
   }
 
+  // ---------------------------------------------------------------------
+  // q120 — IVF-PQ with nprobe = 2 (r14): the q86 recall dial applied to
+  // q115 — a coarse quantizer's nearest cell can miss true neighbours
+  // just across a Voronoi boundary (measured live: 3 of 50 q119 jitter
+  // twins stray exactly this way), and the standard fix probes the
+  // query's top-nprobe cells. The PQ side needs NO change: codebooks
+  // are shared across cells and the ADC table depends only on the
+  // query's residual sub-vectors — so the probe expansion multiplies
+  // ONLY the broadcast query side (2 rows), exactly the q86 shape; the
+  // candidate set doubles (~2/k of the corpus), the shortlist/re-rank
+  // contract is q115's verbatim.
+  //
+  // NOTE the residual asymmetry probing exposes: a candidate's stored
+  // codes quantize its residual vs ITS OWN cell's centroid, and the ADC
+  // table is built from the query's residual vs the query's TOP-1 cell
+  // centroid — so for second-cell candidates ADC compares residuals
+  // taken about different origins (the standard IVF-PQ trade; exact
+  // re-rank on the originals absorbs it, and both distances are
+  // reported so the error is visible per row).
+  // ---------------------------------------------------------------------
+
+  def ivfPqSearchProbe2(s: SparkSession, d: String): DataFrame = {
+    val corpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
+    val cells = pqFitCells(corpus)
+    val coarse = centroidsByLabel(s, d, "c_label")
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cb"))
+    // query row → ADC table (from ITS residual) + its TOP-2 coarse cells
+    // (descending cosine, ties to the lowest label — q86's selection)
+    val query = corpus.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(cells)).crossJoin(broadcast(coarse))
+      .selectExpr("orig as qe", s"${dotExpr("orig", "orig")} as qee",
+        s"sqrt(${dotExpr("orig", "orig")}) as qn",
+        s"""transform(bys, sc -> transform(sc, cx -> named_struct('cid', cx.cid,
+           |'dq', (subs[cx.s].vv - (2 * ${dotExpr("subs[cx.s].v", "cx.c")})) + cx.cc))) as dtab"""
+          .stripMargin.replace("\n", " "),
+        s"""slice(reverse(array_sort(transform(cb, c -> named_struct(
+           |'cos', ${dotExpr("orig", "c.centroid")} /
+           |  (sqrt(${dotExpr("orig", "orig")}) * sqrt(graft_dot(c.centroid, c.centroid))),
+           |'nl', -c.c_label)))), 1, 2) as top2"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("qe", "qee", "dtab", "explode(top2) as probe")
+      .selectExpr("qe", "qee", "dtab", "cast(-probe.nl as int) as q_cell")
+    val shortlist = corpus.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cells))
+      .join(broadcast(query), col("c_label") === col("q_cell"))
+      .selectExpr("vec_id", "label", "c_label", "orig", "qe", "qee", "dtab", pqBestExpr)
+      .selectExpr("vec_id", "label", "c_label", "orig", "qe", "qee",
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
+           |(acc, sx) -> acc + element_at(filter(dtab[sx], tx -> tx.cid = best[sx].cid), 1).dq) as adc_d"""
+          .stripMargin.replace("\n", " "))
+      .orderBy(col("adc_d"), col("vec_id")).limit(20)
+    shortlist
+      .selectExpr("vec_id", "label", "c_label", "adc_d",
+        s"(${dotExpr("orig", "orig")} - (2 * ${dotExpr("orig", "qe")})) + qee as d")
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .selectExpr("vec_id", "label", "c_label",
+        "floor(adc_d * 1e6 + 0.5) / 1e6 as adc_dist",
+        "floor(d * 1e6 + 0.5) / 1e6 as dist")
+  }
+
+  def ivfPqSearchProbe2Sql(m: Int = PqM, sub: Int = PqSub, k: Int = PqK,
+                           iters: Int = PqIters): String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    val rounds = (1 to iters).map(n => pqRoundCtes(n, s"c${n - 1}")).mkString(",\n")
+    val slice = s"rs[s * $sub + 1 : s * $sub + $sub]"
+    val dEnc = s"((b.vv - (2 * ${dot("b.v", "c.c")})) + c.cc)"
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, label, embedding, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT vec_id, label, embedding, c_label FROM asg WHERE rn = 1),
+       |resid AS (SELECT a.vec_id, a.label, a.c_label, a.embedding AS orig,
+       |    list_transform(range(1, ${m * sub} + 1),
+       |      i -> (a.embedding[i]::DOUBLE - c.centroid[i])::FLOAT) AS rs
+       |  FROM a JOIN c ON a.c_label = c.c_label),
+       |subd AS (SELECT vec_id, s, $slice AS v, ${dot(slice, slice)} AS vv
+       |  FROM resid CROSS JOIN (SELECT unnest(range(0, $m)) AS s)),
+       |sd AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid, vec_id
+       |  FROM resid ORDER BY md5(vec_id::VARCHAR) LIMIT $k),
+       |c0 AS (SELECT b.s, sd.cid, list_transform(b.v, x -> x::DOUBLE) AS c, b.vv AS cc
+       |  FROM sd JOIN subd b ON b.vec_id = sd.vec_id),
+       |$rounds,
+       |enc AS (SELECT vec_id, s, cid FROM (
+       |  SELECT b.vec_id, b.s, c.cid, $dEnc AS d,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY $dEnc, c.cid) AS rn
+       |  FROM subd b JOIN c$iters c ON c.s = b.s) WHERE rn = 1),
+       |qsub AS (SELECT s, v AS qv, vv AS qvv FROM subd WHERE vec_id = 0),
+       |qfull AS (SELECT orig AS qe, ${dot("orig", "orig")} AS qee FROM resid WHERE vec_id = 0),
+       |qcells AS (SELECT c_label AS q_cell FROM (
+       |  SELECT e.vec_id, c.c_label, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |      ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+       |      c_label) AS rn
+       |    FROM (SELECT vec_id, orig AS embedding FROM resid WHERE vec_id = 0) e
+       |    CROSS JOIN c) WHERE rn <= 2),
+       |dtab AS (SELECT c.s, c.cid, ((q.qvv - (2 * ${dot("q.qv", "c.c")})) + c.cc) AS dq
+       |  FROM c$iters c JOIN qsub q ON q.s = c.s),
+       |adc AS (SELECT a2.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(t.dq ORDER BY a2.s)), (p, q) -> p + q) AS adc_d
+       |  FROM enc a2 JOIN dtab t ON t.s = a2.s AND t.cid = a2.cid
+       |  JOIN resid r ON r.vec_id = a2.vec_id
+       |  WHERE r.c_label IN (SELECT q_cell FROM qcells) AND a2.vec_id <> 0
+       |  GROUP BY a2.vec_id),
+       |sl AS (SELECT vec_id, adc_d FROM adc ORDER BY adc_d, vec_id LIMIT 20),
+       |rr AS (SELECT sl.vec_id, r.label, r.c_label, sl.adc_d,
+       |    ((${dot("r.orig", "r.orig")} - (2 * ${dot("r.orig", "q.qe")})) + q.qee) AS d
+       |  FROM sl JOIN resid r ON r.vec_id = sl.vec_id CROSS JOIN qfull q)
+       |SELECT vec_id, label, c_label, floor(adc_d * 1e6 + 0.5) / 1e6 AS adc_dist,
+       |  floor(d * 1e6 + 0.5) / 1e6 AS dist
+       |FROM rr ORDER BY d, vec_id LIMIT 10""".stripMargin
+  }
+
   /** The q115 oracle: q38's coarse CTEs → float32 residuals → the q112
     * PQ chain over them (shared [[pqRoundCtes]]) → cell-scoped ADC →
     * exact re-rank on the originals. */
@@ -3309,6 +3435,7 @@ object Similarity {
       import s.implicits._
       Seq(buildAnnIndex(s, d, annIndexPathFor(d))).toDF("n_index_rows")
     }),
+    "q120_ivfpq_probe2"   -> ((s, d) => ivfPqSearchProbe2(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -3338,5 +3465,6 @@ object Similarity {
     "q118_knn_graph"      -> knnGraphSql,
     "q119_incremental_ann" -> incrementalAnnSql,
     "q119b_ann_index_build" -> annIndexBuildSql,
+    "q120_ivfpq_probe2"   -> ivfPqSearchProbe2Sql(),
   )
 }

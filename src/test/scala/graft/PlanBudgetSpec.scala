@@ -348,6 +348,9 @@ object PlanBudgetSpec {
     // its own write jobs)
     "q119_incremental_ann" -> Shape(shuffles = 2, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 4),
     "q119b_ann_index_build" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
+    // q120 (r14): q115's chain with the probe fan-out on the broadcast
+    // query side only (2 probe rows) + the coarse-codebook broadcast
+    "q120_ivfpq_probe2" -> Shape(shuffles = 10, broadcasts = 8, joins = 8, smj = 0, cartesian = 0, bnlj = 7, scans = 9),
     // q118 (r14): kNN graph — bucket-size broadcast + triangle-blocked
     // pair groupByKey + the top-k keyed reduction (5-row buffers)
     "q118_knn_graph" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
