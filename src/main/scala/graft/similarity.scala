@@ -3398,6 +3398,82 @@ object Similarity {
       .toDF("vec_id", "codes", "qd")
   }
 
+  // ---------------------------------------------------------------------
+  // q121 — SEMANTIC DECONTAMINATION (r14): the embedding-space member of
+  // the decontamination family — exact (q48), Bloom (q66) and fuzzy
+  // MinHash (q85) all key on TEXT, so a paraphrased benchmark item
+  // (reworded prompt, translated answer) sails through every one of
+  // them. The semantic leg screens the corpus against the benchmark
+  // suite in EMBEDDING space: deny = the benchmark embeddings (modeled
+  // as the q85 deny-slice discipline, vec_id % 20 = 0 — eval-suite-sized
+  // BY CONSTRUCTION), corpus = all vectors plus a planted paraphrase
+  // twin per deny row (the q32 perturbation, id+10000), verdict = max
+  // cosine over the deny set ≥ 0.95. Fixture separation is wide: clean
+  // rows top out at maxcos ≈ 0.49, paraphrase twins sit ≥ 0.994, exact
+  // members at 1.0 — the threshold is not a knife edge.
+  //
+  // Scale shape (100 TB): the deny side is the benchmark suite —
+  // thousands of rows, broadcast once (the classifier-weights
+  // contract). The corpus crossJoins the BROADCAST deny frame and the
+  // per-vector max collapses in the partial aggregate, so the expanded
+  // (row × deny) stream never crosses an exchange: ONE corpus scan,
+  // O(|deny|·d) fused dot work per row, then an n-row map-side-combined
+  // max and a 3-row slice rollup. No shuffle keyed on the corpus at
+  // all. Cross-engine: graft_dot is the ascending float→double fold ≡
+  // the oracle's list_reduce; max over bit-identical doubles is
+  // order-free; the 0.95 compare precedes any rounding on BOTH sides.
+  // ---------------------------------------------------------------------
+
+  def semDecontaminate(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val deny = base.filter(col("vec_id") % 20 === 0)
+      .selectExpr("vec_id as deny_id", "e as de",
+        s"sqrt(${dotExpr("e", "e")}) as dn")
+    val corpus = base.unionAll(
+      deny.selectExpr("deny_id + 10000 as vec_id",
+        "zip_with(de, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
+    val mx = corpus
+      .selectExpr("vec_id", "e", s"sqrt(${dotExpr("e", "e")}) as nrm")
+      .crossJoin(broadcast(deny))
+      .selectExpr("vec_id", s"${dotExpr("e", "de")} / (nrm * dn) as cos")
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("maxcos"))
+    mx.selectExpr(
+        "case when vec_id >= 10000 then 'twin' " +
+          "when vec_id % 20 = 0 then 'exact' else 'clean' end as slice",
+        "maxcos")
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("maxcos") >= 0.95, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("maxcos") < 0.95, 1L).otherwise(0L)).as("n_kept"),
+        expr("floor(min(maxcos) * 1e6 + 0.5) / 1e6").as("min_maxcos"),
+        expr("floor(max(maxcos) * 1e6 + 0.5) / 1e6").as("max_maxcos"))
+      .orderBy("slice")
+  }
+
+  val semDecontaminateSql: String =
+    s"""WITH base AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |deny AS (SELECT vec_id AS deny_id, e AS de,
+       |  sqrt(${dotSqlDuck("e", "e")}) AS dn FROM base WHERE vec_id % 20 = 0),
+       |corpus AS (SELECT vec_id, e FROM base
+       |  UNION ALL SELECT deny_id + 10000,
+       |    list_transform(range(1, len(de) + 1), i -> de[i] + 0.01 * ((i - 1) % 3)::DOUBLE)
+       |  FROM deny),
+       |c AS (SELECT vec_id, e, sqrt(${dotSqlDuck("e", "e")}) AS nrm FROM corpus),
+       |mx AS (SELECT c.vec_id, max((${dotSqlDuck("c.e", "de")}) / (c.nrm * dn)) AS maxcos
+       |  FROM c CROSS JOIN deny GROUP BY c.vec_id)
+       |SELECT CASE WHEN vec_id >= 10000 THEN 'twin'
+       |            WHEN vec_id % 20 = 0 THEN 'exact' ELSE 'clean' END AS slice,
+       |  COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN maxcos >= 0.95 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |  SUM(CASE WHEN maxcos < 0.95 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  floor(min(maxcos) * 1e6 + 0.5) / 1e6 AS min_maxcos,
+       |  floor(max(maxcos) * 1e6 + 0.5) / 1e6 AS max_maxcos
+       |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),
     "q27_ann_lsh"         -> ((s, d) => annLsh(s, d)),
@@ -3436,6 +3512,7 @@ object Similarity {
       Seq(buildAnnIndex(s, d, annIndexPathFor(d))).toDF("n_index_rows")
     }),
     "q120_ivfpq_probe2"   -> ((s, d) => ivfPqSearchProbe2(s, d)),
+    "q121_sem_decontaminate" -> ((s, d) => semDecontaminate(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -3466,5 +3543,6 @@ object Similarity {
     "q119_incremental_ann" -> incrementalAnnSql,
     "q119b_ann_index_build" -> annIndexBuildSql,
     "q120_ivfpq_probe2"   -> ivfPqSearchProbe2Sql(),
+    "q121_sem_decontaminate" -> semDecontaminateSql,
   )
 }

@@ -354,6 +354,11 @@ object PlanBudgetSpec {
     // q118 (r14): kNN graph — bucket-size broadcast + triangle-blocked
     // pair groupByKey + the top-k keyed reduction (5-row buffers)
     "q118_knn_graph" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q121 (r14): semantic decontamination — deny slice broadcast into
+    // the corpus crossJoin (the ONE BNLJ), per-vector max collapsed in
+    // the partial aggregate (the expanded row×deny stream never crosses
+    // an exchange), then the 3-row slice rollup + sort
+    "q121_sem_decontaminate" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
     // q116 (r14): both PQ fit chains (each behind its persisted corpus)
     // + two broadcast encode passes + two one-row micro-unit aggregates
     // + the union, in one lazy plan
