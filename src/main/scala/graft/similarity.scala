@@ -3424,23 +3424,40 @@ object Similarity {
   // order-free; the 0.95 compare precedes any rounding on BOTH sides.
   // ---------------------------------------------------------------------
 
-  def semDecontaminate(s: SparkSession, d: String): DataFrame = {
+  /** The q121 deny frame: benchmark embeddings + norms (the q85
+    * deny-slice discipline — eval-suite-sized by construction). */
+  private def semDenyFrame(base: DataFrame): DataFrame =
+    base.filter(col("vec_id") % 20 === 0)
+      .selectExpr("vec_id as deny_id", "e as de",
+        s"sqrt(${dotExpr("e", "e")}) as dn")
+
+  /** The q121 corpus: every vector plus a planted paraphrase twin per
+    * deny row (the q32 perturbation, id+10000). */
+  private[graft] def semDecontamCorpus(s: SparkSession, d: String): DataFrame = {
     withFns(s)
     val base = Tables.embeddings(s, d)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
-    val deny = base.filter(col("vec_id") % 20 === 0)
-      .selectExpr("vec_id as deny_id", "e as de",
-        s"sqrt(${dotExpr("e", "e")}) as dn")
-    val corpus = base.unionAll(
-      deny.selectExpr("deny_id + 10000 as vec_id",
+    base.unionAll(
+      semDenyFrame(base).selectExpr("deny_id + 10000 as vec_id",
         "zip_with(de, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
-    val mx = corpus
+  }
+
+  /** Per-vector max deny cosine — the q121 screening frame, shared by
+    * the batch rollup and the online-vs-batch lockstep spec. */
+  private[graft] def semDecontamMax(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    semDecontamCorpus(s, d)
       .selectExpr("vec_id", "e", s"sqrt(${dotExpr("e", "e")}) as nrm")
-      .crossJoin(broadcast(deny))
+      .crossJoin(broadcast(semDenyFrame(base)))
       .selectExpr("vec_id", s"${dotExpr("e", "de")} / (nrm * dn) as cos")
       .groupBy("vec_id")
       .agg(max(col("cos")).as("maxcos"))
-    mx.selectExpr(
+  }
+
+  def semDecontaminate(s: SparkSession, d: String): DataFrame = {
+    semDecontamMax(s, d).selectExpr(
         "case when vec_id >= 10000 then 'twin' " +
           "when vec_id % 20 = 0 then 'exact' else 'clean' end as slice",
         "maxcos")
@@ -3473,6 +3490,57 @@ object Similarity {
        |  floor(min(maxcos) * 1e6 + 0.5) / 1e6 AS min_maxcos,
        |  floor(max(maxcos) * 1e6 + 0.5) / 1e6 AS max_maxcos
        |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The fitted q121 deny matrix: (deny_id, embedding, norm) of the
+    * benchmark suite — eval-suite-sized BY CONSTRUCTION, so always
+    * driver/closure-sized (the classifier-weights / q85 DenyIndex
+    * contract). Fit once offline, ship to any batch or streaming job. */
+  def fitSemDenyMatrix(s: SparkSession, d: String): Array[(Long, Array[Double], Double)] = {
+    import s.implicits._
+    withFns(s)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    semDenyFrame(base)
+      .as[(Long, Array[Double], Double)]
+      .collect()
+      .sortBy(_._1)
+  }
+
+  /** q121's screen as a stateless per-row transform (the
+    * classifierVerdict / fuzzyDecontamVerdict discipline) — route any
+    * batch or streaming (vec_id, e: array<double>) frame against an
+    * offline-fitted deny matrix. The cosine is the same ascending-index
+    * double fold as the batch chain's codegen'd graft_dot and max over
+    * identical doubles is order-free, so a vector drops online iff it
+    * drops in the batch q121 (spec-pinned lockstep). */
+  def semDecontamVerdict(df: DataFrame,
+                         deny: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("vec_id").cast("long"), col("e"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, e) =>
+          var d2 = 0.0
+          var i = 0
+          while (i < e.length) { d2 += e(i) * e(i); i += 1 }
+          val nrm = math.sqrt(d2)
+          var maxcos = Double.NegativeInfinity
+          var k = 0
+          while (k < deny.length) {
+            val (_, de, dn) = deny(k)
+            var dot = 0.0
+            var j = 0
+            while (j < e.length) { dot += e(j) * de(j); j += 1 }
+            val c = dot / (nrm * dn)
+            if (c > maxcos) maxcos = c
+            k += 1
+          }
+          (id, maxcos, maxcos >= 0.95)
+        }
+      }
+      .toDF("vec_id", "maxcos", "hit")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk"     -> ((s, d) => cosineTopK(s, d)),

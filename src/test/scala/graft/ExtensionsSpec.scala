@@ -337,6 +337,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(dt > 0, "the fuzzy chain must catch mutated twins the exact rule cannot")
   }
 
+  test("q121: semantic decontamination separates clean/exact/twin slices with a wide margin") {
+    val rows = Similarity.semDecontaminate(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val nVec = Tables.embeddings(spark, sf).count()
+    val nDeny = Tables.embeddings(spark, sf).filter("vec_id % 20 = 0").count()
+    val (nc, dc, _, _, maxClean) = rows("clean")
+    val (ne, de, ke, minExact, _) = rows("exact")
+    val (nt, dt, kt, minTwin, _) = rows("twin")
+    assert(nc == nVec - nDeny && ne == nDeny && nt == nDeny)
+    // every exact benchmark member self-matches at cosine 1.0
+    assert(de == ne && ke == 0 && minExact >= 0.999999)
+    // the semantic-only catch: every planted paraphrase twin drops even
+    // though its text/exact fingerprint differs from the benchmark's
+    assert(dt == nt && kt == 0, "a paraphrase twin escaped the semantic screen")
+    // clean rows never drop, and the margin is wide — not a knife edge
+    assert(dc == 0, "a clean row was dropped")
+    assert(maxClean < 0.9 && minTwin > 0.99,
+      s"separation margin too narrow: clean max $maxClean vs twin min $minTwin")
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

@@ -519,6 +519,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must exercise a non-empty drop set")
   }
 
+  test("semDecontamVerdict drops a stream exactly like the batch q121 chain (r14)") {
+    // the q121 online form: deny matrix fit offline (eval-suite-sized,
+    // the classifier-weights contract), per-row max-cosine verdict in
+    // the stream — ascending-index double fold ≡ the batch graft_dot
+    val deny = Similarity.fitSemDenyMatrix(spark, sf)
+    assert(deny.nonEmpty)
+    val rows = Similarity.semDecontamCorpus(spark, sf)
+      .as[(Long, Array[Double])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Double])](spark)
+    val q = Similarity.semDecontamVerdict(in.toDF().toDF("vec_id", "e"), deny)
+      .writeStream.format("memory").queryName("semdecon")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val online = spark.table("semdecon")
+      .filter($"hit").select("vec_id").as[Long].collect().toSet
+    val batch = Similarity.semDecontamMax(spark, sf)
+      .filter($"maxcos" >= 0.95).select("vec_id").as[Long].collect().toSet
+    assert(online == batch, "online drop set != batch drop set on identical rows")
+    assert(online.nonEmpty, "fixture must exercise a non-empty drop set")
+    // and the verdict's maxcos is BIT-identical to the batch frame's
+    val onlineCos = spark.table("semdecon")
+      .select("vec_id", "maxcos").as[(Long, Double)].collect().toMap
+    Similarity.semDecontamMax(spark, sf)
+      .as[(Long, Double)].collect().foreach { case (id, mc) =>
+        assert(onlineCos(id) == mc, s"maxcos diverged for vec $id")
+      }
+  }
+
   test("imageDenyVerdict drops a stream exactly like its batch form (r14)") {
     // the q107 online form: perceptual-hash denylist fit offline
     // (bounded list, the fitDenyIndex contract), per-row dHash→band-
