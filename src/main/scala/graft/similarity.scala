@@ -3425,9 +3425,12 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   /** The q121 deny frame: benchmark embeddings + norms (the q85
-    * deny-slice discipline — eval-suite-sized by construction). */
+    * deny-slice discipline — eval-suite-sized by construction; the
+    * `< 10000` bound pins the suite to the base copy under scale
+    * replicas, the production fixed-eval-vs-growing-corpus shape, and
+    * is a no-op at both fixture scales). */
   private def semDenyFrame(base: DataFrame): DataFrame =
-    base.filter(col("vec_id") % 20 === 0)
+    base.filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000)
       .selectExpr("vec_id as deny_id", "e as de",
         s"sqrt(${dotExpr("e", "e")}) as dn")
 
@@ -3458,8 +3461,9 @@ object Similarity {
 
   def semDecontaminate(s: SparkSession, d: String): DataFrame = {
     semDecontamMax(s, d).selectExpr(
-        "case when vec_id >= 10000 then 'twin' " +
-          "when vec_id % 20 = 0 then 'exact' else 'clean' end as slice",
+        "case when vec_id >= 10000 and vec_id < 20000 then 'twin' " +
+          "when vec_id % 20 = 0 and vec_id < 10000 then 'exact' " +
+          "else 'clean' end as slice",
         "maxcos")
       .groupBy("slice")
       .agg(count(lit(1)).as("n_docs"),
@@ -3474,7 +3478,8 @@ object Similarity {
     s"""WITH base AS (SELECT vec_id,
        |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
        |deny AS (SELECT vec_id AS deny_id, e AS de,
-       |  sqrt(${dotSqlDuck("e", "e")}) AS dn FROM base WHERE vec_id % 20 = 0),
+       |  sqrt(${dotSqlDuck("e", "e")}) AS dn FROM base
+       |  WHERE vec_id % 20 = 0 AND vec_id < 10000),
        |corpus AS (SELECT vec_id, e FROM base
        |  UNION ALL SELECT deny_id + 10000,
        |    list_transform(range(1, len(de) + 1), i -> de[i] + 0.01 * ((i - 1) % 3)::DOUBLE)
@@ -3482,8 +3487,9 @@ object Similarity {
        |c AS (SELECT vec_id, e, sqrt(${dotSqlDuck("e", "e")}) AS nrm FROM corpus),
        |mx AS (SELECT c.vec_id, max((${dotSqlDuck("c.e", "de")}) / (c.nrm * dn)) AS maxcos
        |  FROM c CROSS JOIN deny GROUP BY c.vec_id)
-       |SELECT CASE WHEN vec_id >= 10000 THEN 'twin'
-       |            WHEN vec_id % 20 = 0 THEN 'exact' ELSE 'clean' END AS slice,
+       |SELECT CASE WHEN vec_id >= 10000 AND vec_id < 20000 THEN 'twin'
+       |            WHEN vec_id % 20 = 0 AND vec_id < 10000 THEN 'exact'
+       |            ELSE 'clean' END AS slice,
        |  COUNT(*)::BIGINT AS n_docs,
        |  SUM(CASE WHEN maxcos >= 0.95 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
        |  SUM(CASE WHEN maxcos < 0.95 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
