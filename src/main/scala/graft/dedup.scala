@@ -1072,38 +1072,47 @@ object Dedup {
       .as[(Long, Int, Int, Int, Long, Array[Double], Double)]
       .groupByKey(t => (t._1, t._2, t._3))
       .flatMapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Int, Long, Array[Double], Double)]) =>
+        // STREAM the pairs (lazy iterator), never buffer them: a block
+        // holds ≤ ~2·cap rows but up to cap² pairs — with a permissive
+        // minCos (q118/q122 pass -2 to keep every pair) a buffered
+        // ArrayBuffer is O(cap²) tuples PER TASK and OOMs a 32-thread
+        // executor long before per-task CPU is the limit. Lazily emitted
+        // pairs pipeline straight into the downstream partial aggregate
+        // / filter, so peak memory stays O(cap·d) regardless of minCos.
         val (bi, bj) = (key._2, key._3)
         val rows = it.toArray
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        def cosPair(a: (Long, Int, Int, Int, Long, Array[Double], Double),
-                    b: (Long, Int, Int, Int, Long, Array[Double], Double)): Unit = {
-          val (ida, ea, na) = (a._5, a._6, a._7)
-          val (idb, eb, nb) = (b._5, b._6, b._7)
-          var dot = 0.0
-          var k = 0
-          while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
-          val cos = dot / (na * nb)
-          if (cos >= minCos)
-            out += (if (ida < idb) (ida, idb, cos) else (idb, ida, cos))
-        }
-        if (bi == bj) {
-          var i = 0
-          while (i < rows.length) {
-            var j = i + 1
-            while (j < rows.length) { cosPair(rows(i), rows(j)); j += 1 }
-            i += 1
+        val same = bi == bj
+        val as = if (same) rows else rows.filter(_._4 == bi)
+        val bs = if (same) rows else rows.filter(_._4 == bj)
+        new scala.collection.AbstractIterator[(Long, Long, Double)] {
+          private var i = 0
+          private var j = if (same) 1 else 0
+          private var nextElem: (Long, Long, Double) = _
+          private def step(): Unit = {
+            j += 1
+            if (j >= bs.length) { i += 1; j = if (same) i + 1 else 0 }
           }
-        } else {
-          val a = rows.filter(_._4 == bi)
-          val b = rows.filter(_._4 == bj)
-          var i = 0
-          while (i < a.length) {
-            var j = 0
-            while (j < b.length) { cosPair(a(i), b(j)); j += 1 }
-            i += 1
+          private def advance(): Unit = {
+            nextElem = null
+            while (nextElem == null && i < as.length && (if (same) i < bs.length - 1 else bs.length > 0)) {
+              val a = as(i); val b = bs(j)
+              val (ida, ea, na) = (a._5, a._6, a._7)
+              val (idb, eb, nb) = (b._5, b._6, b._7)
+              var dot = 0.0
+              var k = 0
+              while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
+              val cos = dot / (na * nb)
+              if (cos >= minCos)
+                nextElem = if (ida < idb) (ida, idb, cos) else (idb, ida, cos)
+              step()
+            }
+          }
+          advance()
+          def hasNext: Boolean = nextElem != null
+          def next(): (Long, Long, Double) = {
+            val e = nextElem; advance(); e
           }
         }
-        out.iterator
       }
       .toDF("vec_a", "vec_b", "cos")
   }

@@ -3169,6 +3169,124 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // q122 — MARGIN-BASED PARALLEL-PAIR MINING (r14): the bitext-mining
+  // shape behind web-scale parallel corpora (Artetxe & Schwenk's margin
+  // criterion; CCMatrix mines billions of pairs this way) — align two
+  // embedding spaces by MUTUAL nearest neighbour and keep a pair only
+  // when it beats each side's runner-up by a margin, which kills the
+  // hub problem (a vector that is everyone's neighbour scores high cos
+  // against many partners but low margin against all of them). Sides
+  // are modeled by vec_id parity (a pure function of id — no lookup
+  // join anywhere in the chain) and every 10th even vector plants a
+  // perturbed "translation" twin at id+10001 (odd → side B by
+  // construction). The mined set separates widely on the fixture:
+  // organic mutual-best pairs top out at margin ≈ 0.36 while planted
+  // translations sit ≥ 0.57 — the 0.45 bar is not a knife edge. The
+  // raw ratio margin is deliberately NOT used: random fixture
+  // embeddings put near-zero kNN averages in its denominator (observed
+  // range −319…+20 — meaningless); the runner-up DISTANCE margin keeps
+  // the same discrimination with bounded arithmetic.
+  //
+  // Scale shape (100 TB): candidates are bucket collisions through the
+  // triangle-blocked pair machinery (per-task work ≤ cap² under any
+  // skew); the per-vector top-2 rides the map-side [[TopKCos]]
+  // reduction (5-row buffers cross the one keyed exchange, never the
+  // pair list); mutual-best is an id-keyed self-join of 4-column
+  // frames. Nothing corpus-wide shuffles after the bucket stage.
+  // Bucket-local by design (the q118/q81 caveat): a twin hashed into a
+  // different bucket is not a candidate — identically in both engines
+  // (47/50 planted pairs survive bucketing at sf0.01, 175/200 at
+  // sf0.1). Cross-engine: identical left-to-right dot folds, ranking
+  // ties broken (cos desc, nb asc) ≡ the oracle's row_number, the
+  // margin threshold compares RAW doubles on both sides and rounding
+  // happens only on output.
+  // ---------------------------------------------------------------------
+
+  def bitextMine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withFns(s)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val corpus = base.unionAll(
+      base.filter(col("vec_id") % 10 === 0)
+        .selectExpr("vec_id + 10001 as vec_id",
+          "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
+    val withB = corpus.selectExpr("vec_id", "e",
+      s"sqrt(${dotExpr("e", "e")}) as nrm", s"${bucketExpr("e")} as bucket")
+    val pairs = Dedup.boundedBucketPairs(s,
+        withB.select("bucket", "vec_id", "e", "nrm"), cap = 1024, minCos = -2.0)
+      .filter(pmod(col("vec_a"), lit(2)) =!= pmod(col("vec_b"), lit(2)))
+    val edges = pairs.selectExpr("vec_a as src", "cos", "vec_b as nb")
+      .unionAll(pairs.selectExpr("vec_b as src", "cos", "vec_a as nb"))
+    val top2 = edges.as[(Long, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(TopKCos.toColumn.name("top"))
+      .toDF("src", "top")
+      .selectExpr("src", "top[0]._2 as best_nb", "top[0]._1 as best_cos",
+        "case when size(top) > 1 then top[1]._1 else cast(0.0 as double) end as snd_cos")
+      .transform(Tables.maybePersist) // feeds both sides of the mutual join
+    val sideA = top2.filter(pmod(col("src"), lit(2)) === 0)
+      .selectExpr("src as ia", "best_nb as ib", "best_cos as cos", "snd_cos as snd_a")
+    val sideB = top2.selectExpr("src as jb", "best_nb as jback", "snd_cos as snd_b")
+    sideA.join(sideB, col("ib") === col("jb") && col("jback") === col("ia"))
+      .selectExpr("ia as src_id", "ib as tgt_id", "cos",
+        "cos - 0.5 * (snd_a + snd_b) as margin_raw")
+      .filter(col("margin_raw") >= 0.45)
+      .selectExpr("src_id", "tgt_id",
+        "floor(cos * 1e6 + 0.5) / 1e6 as cosine",
+        "floor(margin_raw * 1e6 + 0.5) / 1e6 as margin")
+      .orderBy("src_id")
+  }
+
+  /** Count of planted translation twins sharing their source's LSH
+    * bucket — q122's recall ceiling (bucket-locality is the only loss;
+    * the ExtensionsSpec pins mined == this count on the fixture). */
+  private[graft] def plantedSameBucketCount(s: SparkSession, d: String): Long = {
+    withFns(s)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val src = base.filter(col("vec_id") % 10 === 0)
+      .selectExpr("vec_id", s"${bucketExpr("e")} as bucket")
+    val twin = base.filter(col("vec_id") % 10 === 0)
+      .selectExpr("vec_id",
+        "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e")
+      .selectExpr("vec_id", s"${bucketExpr("e")} as tbucket")
+    src.join(twin, Seq("vec_id"))
+      .filter(col("bucket") === col("tbucket")).count()
+  }
+
+  val bitextMineSql: String = {
+    val dot = dotSqlDuck("a.e", "c.e")
+    s"""WITH base AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |corpus AS (SELECT vec_id, e FROM base
+       |  UNION ALL SELECT vec_id + 10001,
+       |    list_transform(range(1, len(e) + 1), i -> e[i] + 0.01 * ((i - 1) % 3)::DOUBLE)
+       |  FROM base WHERE vec_id % 10 = 0),
+       |b AS (SELECT vec_id, e, sqrt(${dotSqlDuck("e", "e")}) AS nrm,
+       |  ${bucketSqlDuck("e")} AS bucket FROM corpus),
+       |p0 AS (SELECT a.vec_id AS va, c.vec_id AS vb, ($dot) / (a.nrm * c.nrm) AS cos
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |  WHERE (a.vec_id % 2) <> (c.vec_id % 2)),
+       |ed AS (SELECT va AS src, cos, vb AS nb FROM p0
+       |  UNION ALL SELECT vb, cos, va FROM p0),
+       |r AS (SELECT src, nb, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS rk FROM ed),
+       |best AS (SELECT src, nb AS best_nb, cos AS best_cos FROM r WHERE rk = 1),
+       |scnd AS (SELECT src, cos AS snd_cos FROM r WHERE rk = 2),
+       |mutual AS (SELECT x.src AS ia, x.best_nb AS ib, x.best_cos AS cos
+       |  FROM best x JOIN best y ON y.src = x.best_nb AND y.best_nb = x.src
+       |  WHERE x.src % 2 = 0),
+       |sc AS (SELECT ia, ib, cos,
+       |    cos - 0.5 * (coalesce(sa.snd_cos, 0.0) + coalesce(sb.snd_cos, 0.0)) AS margin_raw
+       |  FROM mutual LEFT JOIN scnd sa ON sa.src = ia LEFT JOIN scnd sb ON sb.src = ib)
+       |SELECT ia AS src_id, ib AS tgt_id,
+       |  floor(cos * 1e6 + 0.5) / 1e6 AS cosine,
+       |  floor(margin_raw * 1e6 + 0.5) / 1e6 AS margin
+       |FROM sc WHERE margin_raw >= 0.45 ORDER BY src_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q119 — INCREMENTAL ANN INGESTION against a STANDING VECTOR INDEX
   // (r14): the q102 nightly-crawl discipline at vector grain — the shape
   // a production vector store runs every night: the corpus index is
@@ -3587,6 +3705,7 @@ object Similarity {
     }),
     "q120_ivfpq_probe2"   -> ((s, d) => ivfPqSearchProbe2(s, d)),
     "q121_sem_decontaminate" -> ((s, d) => semDecontaminate(s, d)),
+    "q122_bitext_margin"  -> ((s, d) => bitextMine(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -3618,5 +3737,6 @@ object Similarity {
     "q119b_ann_index_build" -> annIndexBuildSql,
     "q120_ivfpq_probe2"   -> ivfPqSearchProbe2Sql(),
     "q121_sem_decontaminate" -> semDecontaminateSql,
+    "q122_bitext_margin"  -> bitextMineSql,
   )
 }

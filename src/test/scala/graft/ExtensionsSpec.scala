@@ -358,6 +358,24 @@ class ExtensionsSpec extends SparkSpec {
       s"separation margin too narrow: clean max $maxClean vs twin min $minTwin")
   }
 
+  test("q122: margin mining returns planted translation pairs and nothing else") {
+    val mined = Similarity.bitextMine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(mined.length >= 40, s"mined only ${mined.length} pairs")
+    mined.foreach { case (src, tgt, cos, margin) =>
+      // at fixture scale every pair clearing the margin bar IS a planted
+      // translation twin — organic mutual-best pairs top out at ~0.36
+      assert(tgt == src + 10001, s"organic pair ($src,$tgt) cleared the margin bar")
+      assert(src % 10 == 0, s"source $src is not a planted-translation source")
+      assert(cos > 0.99 && margin >= 0.45, s"pair ($src,$tgt): cos=$cos margin=$margin")
+    }
+    // bucket-locality is the only recall loss: every planted twin whose
+    // bucket survived the perturbation must be mined
+    val sameBucket = Similarity.plantedSameBucketCount(spark, sf)
+    assert(mined.length == sameBucket,
+      s"mined ${mined.length} != same-bucket planted count $sameBucket")
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

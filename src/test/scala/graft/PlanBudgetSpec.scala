@@ -354,6 +354,13 @@ object PlanBudgetSpec {
     // q118 (r14): kNN graph — bucket-size broadcast + triangle-blocked
     // pair groupByKey + the top-k keyed reduction (5-row buffers)
     "q118_knn_graph" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q122 (r14): margin mining — the visible plan is the mutual-best
+    // broadcast self-join of the PERSISTED 4-column top2 frame + the
+    // output sort (the q114 discipline: the candidate machinery — bucket
+    // broadcast, triangle-blocked pair exchange, TopKCos keyed
+    // reduction — sits behind the persisted frame; its shape is pinned
+    // by the q118 entry, whose chain q122 reuses verbatim)
+    "q122_bitext_margin" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q121 (r14): semantic decontamination — deny slice broadcast into
     // the corpus crossJoin (the ONE BNLJ), per-vector max collapsed in
     // the partial aggregate (the expanded row×deny stream never crosses
