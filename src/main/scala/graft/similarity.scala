@@ -3287,6 +3287,93 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // q123 — kNN-DENSITY REDUNDANCY PRUNING (r14): the D4 / SSL-prototypes
+  // shape — after dedup, the next curation lever prunes the DENSEST
+  // regions of embedding space (prototypical near-clones that add mass,
+  // not information; D4 shows removing them IMPROVES loss at fixed
+  // compute). Per-vector density = mean cosine to its 3 nearest
+  // neighbours, read straight off the q118 graph machinery: LSH-bucket
+  // once, triangle-capped same-bucket pairs with NO cosine floor,
+  // symmetrize, map-side TopKCos top-5, density = the left-to-right
+  // fold (top₁+top₂+top₃)/3 (the oracle pivots rk=1..3 and sums in the
+  // same order — bit-identical). Output = the FLAGGED redundant slice
+  // (density ≥ 0.95); canonical survivor selection within a flagged
+  // region is q70/q110's job, deliberately not re-solved here. The
+  // fixture plants a 4-clump (3 perturbed copies at +100001/+200001/
+  // +300001 of every 10th vector): clump members' top-3 are their
+  // siblings (density ≥ 0.9997 when all share the bucket), organic
+  // density tops out at 0.43 (sf0.01) / 0.51 (sf0.1) — the 0.95 bar has
+  // ~0.5 of clearance on both sides. Vectors with < 3 same-bucket
+  // neighbours carry insufficient evidence and are never flagged
+  // (identically in both engines: HAVING count(*) = 3 ≡ size(top) >= 3);
+  // bucket-locality is the recall story (768/796 clump members flag at
+  // sf0.1 — the 28 strays lost siblings to bucket moves, the q81 dial).
+  //
+  // Scale shape (100 TB): identical to q118 — one corpus-keyed exchange
+  // to co-locate buckets, per-task pair work ≤ cap², one keyed exchange
+  // of ≤5-row buffers — plus a per-row slice-mean and filter (no new
+  // exchange, no corpus join-back: the flagged slice IS the output).
+  // ---------------------------------------------------------------------
+
+  def knnDensityPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withFns(s)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    def clones(off: Long, m: Int) = base.filter(col("vec_id") % 10 === 0)
+      .selectExpr(s"vec_id + ${off}L as vec_id",
+        s"zip_with(e, sequence(0, 63), (x, i) -> x + 0.001 * cast(i % $m as double)) as e")
+    val corpus = base.unionAll(clones(100001L, 3))
+      .unionAll(clones(200001L, 5)).unionAll(clones(300001L, 7))
+    val withB = corpus.selectExpr("vec_id", "e",
+      s"sqrt(${dotExpr("e", "e")}) as nrm", s"${bucketExpr("e")} as bucket")
+    val pairs = Dedup.boundedBucketPairs(s,
+      withB.select("bucket", "vec_id", "e", "nrm"), cap = 1024, minCos = -2.0)
+    val edges = pairs.selectExpr("vec_a as src", "cos", "vec_b as nb")
+      .unionAll(pairs.selectExpr("vec_b as src", "cos", "vec_a as nb"))
+    edges.as[(Long, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(TopKCos.toColumn.name("top"))
+      .toDF("vec_id", "top")
+      .filter(size(col("top")) >= 3)
+      .selectExpr("vec_id",
+        "(top[0]._1 + top[1]._1 + top[2]._1) / 3 as density_raw")
+      .filter(col("density_raw") >= 0.95)
+      // no output sort (the q118 discipline): the flagged slice is
+      // corpus-fraction-sized at production grain — a range exchange
+      // for presentation order would be the plan's only avoidable stage
+      .selectExpr("vec_id",
+        "floor(density_raw * 1e6 + 0.5) / 1e6 as density")
+  }
+
+  val knnDensityPruneSql: String = {
+    val dot = dotSqlDuck("a.e", "c.e")
+    def clone(off: Long, m: Int) =
+      s"""UNION ALL SELECT vec_id + $off,
+         |    list_transform(range(1, len(e) + 1), i -> e[i] + 0.001 * ((i - 1) % $m)::DOUBLE)
+         |  FROM base WHERE vec_id % 10 = 0""".stripMargin
+    s"""WITH base AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |corpus AS (SELECT vec_id, e FROM base
+       |  ${clone(100001L, 3)}
+       |  ${clone(200001L, 5)}
+       |  ${clone(300001L, 7)}),
+       |b AS (SELECT vec_id, e, sqrt(${dotSqlDuck("e", "e")}) AS nrm,
+       |  ${bucketSqlDuck("e")} AS bucket FROM corpus),
+       |p AS (SELECT a.vec_id AS va, c.vec_id AS vb, ($dot) / (a.nrm * c.nrm) AS cos
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |ed AS (SELECT va AS src, cos FROM p UNION ALL SELECT vb, cos FROM p),
+       |r AS (SELECT src, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC) AS rk FROM ed),
+       |d3 AS (SELECT src,
+       |    (max(CASE WHEN rk = 1 THEN cos END) + max(CASE WHEN rk = 2 THEN cos END)
+       |     + max(CASE WHEN rk = 3 THEN cos END)) / 3 AS density_raw
+       |  FROM r WHERE rk <= 3 GROUP BY src HAVING count(*) = 3)
+       |SELECT src AS vec_id, floor(density_raw * 1e6 + 0.5) / 1e6 AS density
+       |FROM d3 WHERE density_raw >= 0.95 ORDER BY src""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q119 — INCREMENTAL ANN INGESTION against a STANDING VECTOR INDEX
   // (r14): the q102 nightly-crawl discipline at vector grain — the shape
   // a production vector store runs every night: the corpus index is
@@ -3706,6 +3793,7 @@ object Similarity {
     "q120_ivfpq_probe2"   -> ((s, d) => ivfPqSearchProbe2(s, d)),
     "q121_sem_decontaminate" -> ((s, d) => semDecontaminate(s, d)),
     "q122_bitext_margin"  -> ((s, d) => bitextMine(s, d)),
+    "q123_knn_density"    -> ((s, d) => knnDensityPrune(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -3738,5 +3826,6 @@ object Similarity {
     "q120_ivfpq_probe2"   -> ivfPqSearchProbe2Sql(),
     "q121_sem_decontaminate" -> semDecontaminateSql,
     "q122_bitext_margin"  -> bitextMineSql,
+    "q123_knn_density"    -> knnDensityPruneSql,
   )
 }

@@ -376,6 +376,41 @@ class ExtensionsSpec extends SparkSpec {
       s"mined ${mined.length} != same-bucket planted count $sameBucket")
   }
 
+  test("q123: density pruning flags exactly the fully-co-bucketed planted clumps") {
+    val pruned = Similarity.knnDensityPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.length >= 150, s"flagged only ${pruned.length} vectors")
+    pruned.foreach { case (id, den) =>
+      val src =
+        if (id > 300000) id - 300001
+        else if (id > 200000) id - 200001
+        else if (id > 100000) id - 100001
+        else id
+      assert(src % 10 == 0 && (id > 100000 || id % 10 == 0),
+        s"organic vector $id flagged as redundant")
+      assert(den >= 0.95 && den <= 1.0, s"vector $id density $den out of range")
+    }
+    // independent model: a member's top-3 can be its 3 siblings (cos
+    // ~0.9997+, vs organic <= 0.52) iff ALL FOUR clump members share one
+    // LSH bucket — computed by per-clump bucket grouping, no kNN
+    // machinery involved
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+      .filter(col("vec_id") % 10 === 0)
+    def slice(off: Long, m: Int) = base.selectExpr("vec_id as src",
+      s"vec_id + ${off}L as vec_id",
+      s"graft_lsh_bucket(zip_with(e, sequence(0, 63), (x, i) -> x + 0.001 * cast(i % $m as double))) as bucket")
+    val members = base.selectExpr("vec_id as src", "vec_id", "graft_lsh_bucket(e) as bucket")
+      .unionAll(slice(100001L, 3)).unionAll(slice(200001L, 5)).unionAll(slice(300001L, 7))
+    val expected = members.groupBy("src")
+      .agg(countDistinct("bucket").as("nb"), collect_list("vec_id").as("ids"))
+      .filter(col("nb") === 1)
+      .selectExpr("explode(ids) as vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.map(_._1).toSet == expected,
+      s"flagged set (${pruned.length}) != co-bucketed clump members (${expected.size})")
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

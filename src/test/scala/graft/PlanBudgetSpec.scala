@@ -361,6 +361,13 @@ object PlanBudgetSpec {
     // reduction — sits behind the persisted frame; its shape is pinned
     // by the q118 entry, whose chain q122 reuses verbatim)
     "q122_bitext_margin" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q123 (r14): kNN-density pruning — the full q118 chain in the open
+    // (no persisted frame): the 4-slice clone union is computed twice
+    // (bucket-size stats + the pair stage — re-scan beats materializing
+    // the corpus, hence 8 scans), bucket-size broadcast +
+    // triangle-blocked pair groupByKey + TopKCos keyed reduction, then
+    // a per-row slice-mean + filter — no join-back, no output sort
+    "q123_knn_density" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 8),
     // q121 (r14): semantic decontamination — deny slice broadcast into
     // the corpus crossJoin (the ONE BNLJ), per-vector max collapsed in
     // the partial aggregate (the expanded row×deny stream never crosses
