@@ -525,13 +525,9 @@ object Similarity {
       .toDF("cid", "c")
   }
 
-  /** The Lloyd loop: returns (corpus frame, final one-row cells frame). */
-  private[graft] def kmFitFrames(s: SparkSession, d: String, k: Int,
-                          iters: Int): (DataFrame, DataFrame) = {
-    withFns(s)
-    val emb = Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding", s"${dotExpr("embedding", "embedding")} as ee")
-      .transform(Tables.maybePersist)
+  /** The Lloyd loop over an annotated (vec_id, embedding, ee) frame:
+    * returns the final one-row cells frame. */
+  private[graft] def kmFitLoop(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val seeds = emb
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h")).limit(k)
@@ -541,7 +537,17 @@ object Similarity {
     var cells = kmCellsOf(seeds)
     for (_ <- 1 to iters)
       cells = kmCellsOf(kmCentroids(kmAssign(emb, cells)))
-    (emb, cells)
+    cells
+  }
+
+  /** The Lloyd loop: returns (corpus frame, final one-row cells frame). */
+  private[graft] def kmFitFrames(s: SparkSession, d: String, k: Int,
+                          iters: Int): (DataFrame, DataFrame) = {
+    withFns(s)
+    val emb = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding", s"${dotExpr("embedding", "embedding")} as ee")
+      .transform(Tables.maybePersist)
+    (emb, kmFitLoop(emb, k, iters))
   }
 
   def kmeansClusters(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame = {
@@ -717,6 +723,79 @@ object Similarity {
        |  max(keep_micro)::BIGINT AS rate_micro,
        |  SUM(kept)::BIGINT AS n_sampled
        |FROM kk GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q124 — CENTROID-DISTANCE OUTLIER PRUNING (r14): the noise-filtering
+  // complement to SemDeDup/q123 — q123 prunes the DENSEST regions
+  // (redundancy); this prunes the SPARSEST rows (noise): vectors far
+  // from every discovered cluster are encoder failures, OCR garbage, or
+  // off-distribution scrapes, and CLIP-style curation drops them before
+  // training. Criterion: squared distance to the OWN cluster centroid
+  // > 1.5× the cluster's mean squared distance — cluster-relative, so a
+  // tight cluster flags at a tight bar and a diffuse one doesn't flag
+  // its whole tail. Determinism: d comes bit-identical from the q84
+  // fit/assign chain (spec-pinned since r11), is micro-quantized to an
+  // exact BIGINT, and the flag compares doubles CAST FROM EXACT LONGS
+  // (dm·n > 1.5·im) — identical operands → identical IEEE results in
+  // both engines; longs are never multiplied as longs (dm·n would
+  // overflow BIGINT at 100 TB cluster sizes — the q104 lesson).
+  //
+  // Scale shape (100 TB): the q84 fit chain (pinned) + one assignment
+  // pass (one-row cells broadcast, no corpus exchange) + ONE keyed
+  // count/sum to k rows + the k-row stats broadcast back — the corpus
+  // crosses exactly one keyed exchange beyond the fit; the flagged
+  // slice is the output (no sort, the q123 discipline).
+  // ---------------------------------------------------------------------
+
+  def centroidOutliers(s: SparkSession, d: String, k: Int = 10,
+                       iters: Int = 3): DataFrame = {
+    // fit on the BASE corpus; screen base + planted (the production
+    // shape: a trained quantizer scores everything, including the junk
+    // it was never fit on). Planted noise = every 20th vector scaled ×3
+    // (double-exact multiply, one float round — identical both engines)
+    val (emb, cells) = kmFitFrames(s, d, k, iters)
+    val planted = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 20 === 0)
+      .selectExpr("vec_id + 400001 as vec_id",
+        "transform(embedding, x -> cast(cast(x as double) * 3.0D as float)) as embedding")
+      .selectExpr("vec_id", "embedding", s"${dotExpr("embedding", "embedding")} as ee")
+    val assigned = kmAssign(emb.unionByName(planted), cells)
+      .selectExpr("vec_id", "cid", "cast(floor(d * 1e6 + 0.5) as bigint) as dm")
+      .transform(Tables.maybePersist) // feeds the stats agg AND the flag pass
+    val stats = assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum(col("dm")).as("im"))
+    assigned.join(broadcast(stats), Seq("cid"))
+      .filter(col("dm").cast("double") * col("n_members").cast("double")
+        > lit(1.5d) * col("im").cast("double"))
+      .selectExpr("vec_id", "cid", "dm / 1e6 as dist",
+        """floor(((cast(dm as double) * cast(n_members as double))
+          |  / cast(im as double)) * 1e6 + 0.5) / 1e6 as ratio"""
+          .stripMargin.replace("\n", " "))
+  }
+
+  val centroidOutliersSql: String = {
+    val distF = s"((e.ee - (2 * ${dotSqlDuck("e.embedding", "c.c")})) + c.cc)"
+    s"""WITH ${kmeansCtesSql(10, 3)},
+       |pl AS (SELECT vec_id + 400001 AS vec_id,
+       |    list_transform(embedding, x -> ((3.0 * x::DOUBLE)::FLOAT4)) AS embedding
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |corp AS (SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM pl),
+       |e1 AS (SELECT vec_id, embedding,
+       |  ${dotSqlDuck("embedding", "embedding")} AS ee FROM corp),
+       |fin2 AS (SELECT vec_id, cid, d FROM (
+       |  SELECT e.vec_id, c.cid, $distF AS d,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $distF, c.cid) AS rn
+       |  FROM e1 e CROSS JOIN c3 c) WHERE rn = 1),
+       |a AS (SELECT vec_id, cid, CAST(floor(d * 1e6 + 0.5) AS BIGINT) AS dm FROM fin2),
+       |st AS (SELECT cid, COUNT(*)::BIGINT AS n_members, SUM(dm)::BIGINT AS im
+       |  FROM a GROUP BY cid)
+       |SELECT vec_id, a.cid, dm / 1e6 AS dist,
+       |  floor(((dm::DOUBLE * n_members::DOUBLE) / im::DOUBLE) * 1e6 + 0.5) / 1e6 AS ratio
+       |FROM a JOIN st ON a.cid = st.cid
+       |WHERE dm::DOUBLE * n_members::DOUBLE > 1.5 * im::DOUBLE
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** Fit the q88 per-cluster keep rates offline (k rows — driver-sized
@@ -3794,6 +3873,7 @@ object Similarity {
     "q121_sem_decontaminate" -> ((s, d) => semDecontaminate(s, d)),
     "q122_bitext_margin"  -> ((s, d) => bitextMine(s, d)),
     "q123_knn_density"    -> ((s, d) => knnDensityPrune(s, d)),
+    "q124_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -3827,5 +3907,6 @@ object Similarity {
     "q121_sem_decontaminate" -> semDecontaminateSql,
     "q122_bitext_margin"  -> bitextMineSql,
     "q123_knn_density"    -> knnDensityPruneSql,
+    "q124_centroid_outliers" -> centroidOutliersSql,
   )
 }

@@ -411,6 +411,23 @@ class ExtensionsSpec extends SparkSpec {
       s"flagged set (${pruned.length}) != co-bucketed clump members (${expected.size})")
   }
 
+  test("q124: centroid-distance pruning flags all planted noise and no organic rows") {
+    val flagged = Similarity.centroidOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    // expected = EXACTLY the x3-scaled planted rows: every one sits 5x+
+    // beyond its cluster's mean squared distance while concentration of
+    // measure keeps every organic 64-dim vector under the 1.5x bar
+    val expected = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 20 === 0)
+      .selectExpr("vec_id + 400001 as vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.map(_._1).toSet == expected,
+      s"flagged ${flagged.length} rows != ${expected.size} planted noise rows")
+    flagged.foreach { case (id, ratio) =>
+      assert(ratio >= 1.5, s"flagged $id with ratio $ratio under the bar")
+    }
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

@@ -368,6 +368,12 @@ object PlanBudgetSpec {
     // triangle-blocked pair groupByKey + TopKCos keyed reduction, then
     // a per-row slice-mean + filter — no join-back, no output sort
     "q123_knn_density" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 8),
+    // q124 (r14): centroid-distance outliers — visible plan is the ONE
+    // keyed stats exchange + the k-row broadcast join-back over the
+    // PERSISTED assignment frame (the q114/q122 discipline: the q84
+    // fit/assign chain sits behind the persisted frame and is pinned by
+    // the q84 entry); the corpus crosses exactly one post-fit exchange
+    "q124_centroid_outliers" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q121 (r14): semantic decontamination — deny slice broadcast into
     // the corpus crossJoin (the ONE BNLJ), per-vector max collapsed in
     // the partial aggregate (the expanded row×deny stream never crosses
