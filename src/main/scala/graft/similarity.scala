@@ -798,6 +798,53 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Fit the q124 screen offline (the fitClusterRates discipline): one
+    * Lloyd fit, the cells collected (k×dim doubles — driver-sized), and
+    * each cluster's (n_members, im) micro-stats computed over the SAME
+    * screened corpus with EXACTLY the batch expressions — k rows. */
+  def fitOutlierScreen(s: SparkSession, d: String, k: Int = 10,
+                       iters: Int = 3): (Array[KmCell], Map[Int, (Long, Long)]) = {
+    import s.implicits._
+    val (emb, cellsDf) = kmFitFrames(s, d, k, iters)
+    val cells = cellsDf.selectExpr("explode(cells) as x")
+      .selectExpr("x.cid", "x.c", "x.cc")
+      .as[(Int, Array[Double], Double)]
+      .collect().sortBy(_._1)
+      .map { case (cid, c, cc) => KmCell(cid, c, cc) }
+    val planted = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 20 === 0)
+      .selectExpr("vec_id + 400001 as vec_id",
+        "transform(embedding, x -> cast(cast(x as double) * 3.0D as float)) as embedding")
+      .selectExpr("vec_id", "embedding", s"${dotExpr("embedding", "embedding")} as ee")
+    val stats = kmAssign(emb.unionByName(planted), cellsDf)
+      .selectExpr("cid", "cast(floor(d * 1e6 + 0.5) as bigint) as dm")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum(col("dm")).as("im"))
+      .as[(Int, Long, Long)].collect()
+    (cells, stats.map(t => t._1 -> (t._2, t._3)).toMap)
+  }
+
+  /** q124's flag as a stateless per-row transform (the classifierVerdict
+    * discipline) — route any batch or streaming (vec_id, embedding)
+    * frame against the offline-fitted codebook + k-row stats table.
+    * Assignment rides [[kmeansAssignVerdict]] (spec-pinned bit-identical
+    * to the batch kmAssign), the micro-quantization and the dm·n >
+    * 1.5·im comparison repeat the batch expressions on identical
+    * doubles — a vector flags online iff it flags in the batch q124. */
+  def centroidOutlierVerdict(df: DataFrame, cells: Array[KmCell],
+                             stats: Map[Int, (Long, Long)]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    kmeansAssignVerdict(df, cells)
+      .as[(Long, Int, Double)]
+      .map { case (id, cid, dd) =>
+        val dm = math.floor(dd * 1e6 + 0.5).toLong
+        val (n, im) = stats(cid)
+        (id, cid, dm, dm.toDouble * n.toDouble > 1.5 * im.toDouble)
+      }
+      .toDF("vec_id", "cid", "dm", "outlier")
+  }
+
   /** Fit the q88 per-cluster keep rates offline (k rows — driver-sized
     * by construction), for the online mixing leg: returns the fitted
     * cells plus cid → keep_micro, derived with EXACTLY the batch

@@ -428,6 +428,24 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q124 online: centroidOutlierVerdict flags exactly the batch flagged set") {
+    val (cells, stats) = Similarity.fitOutlierScreen(spark, sf)
+    assert(stats.values.map(_._1).sum > 0 && cells.nonEmpty)
+    // the screened corpus (base + planted noise), as the online leg sees it
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val planted = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 20 === 0)
+      .selectExpr("vec_id + 400001 as vec_id",
+        "transform(embedding, x -> cast(cast(x as double) * 3.0D as float)) as embedding")
+    val online = Similarity.centroidOutlierVerdict(base.unionByName(planted), cells, stats)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val flaggedOnline = online.filter(_._4).map(_._1).toSet
+    val batch = Similarity.centroidOutliers(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(flaggedOnline == batch,
+      s"online flagged ${flaggedOnline.size} != batch flagged ${batch.size}")
+    assert(online.length == online.map(_._1).distinct.length)
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

@@ -661,6 +661,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "streaming encode != batch encode on identical vectors")
   }
 
+  test("centroidOutlierVerdict flags a stream exactly like the batch q124 screen (r14)") {
+    // fit-then-stream: codebook + k-row stats fit offline, the flag
+    // stateless per row — a micro-batch of mixed organic/noise vectors
+    // must reproduce the batch verdicts bit-for-bit
+    val (cells, stats) = Similarity.fitOutlierScreen(spark, sf)
+    val organic = Tables.embeddings(spark, sf).limit(10)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val noise = Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 20 === 0).limit(5)
+      .selectExpr("vec_id + 400001 as vec_id",
+        "transform(embedding, x -> cast(cast(x as double) * 3.0D as float)) as embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val rows = organic ++ noise
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.centroidOutlierVerdict(
+        in.toDF().toDF("vec_id", "embedding"), cells, stats)
+      .writeStream.format("memory").queryName("outlierverdict")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("outlierverdict")
+      .select("vec_id", "cid", "dm", "outlier").as[(Long, Int, Long, Boolean)]
+      .collect().toSet
+    val batch = Similarity.centroidOutlierVerdict(
+        rows.toDF("vec_id", "embedding"), cells, stats)
+      .as[(Long, Int, Long, Boolean)].collect().toSet
+    assert(got == batch, "streaming verdicts != batch verdicts on identical vectors")
+    assert(got.count(_._4) == 5 && got.filter(_._4).forall(_._1 > 400000),
+      "exactly the five noise rows must flag")
+  }
+
   test("kmeansAssignVerdict routes a stream with statically fitted centroids; bit-identical to batch assignment") {
     // the q84 online form: centroids fit offline (k×dim doubles,
     // driver-sized), assignment stateless in the stream — the
