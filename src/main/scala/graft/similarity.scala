@@ -798,6 +798,100 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q125 — EMBEDDING-SPACE DRIFT MONITOR (r14): the pre-swap check a
+  // production vector pipeline runs before replacing its encoder — q94's
+  // PSI discipline lifted from value histograms to CODEBOOK CELL SHARES:
+  // assign the base corpus and the candidate re-embed to the SAME fitted
+  // q84 codebook (the reference frame must not move between the two
+  // populations — exactly q94's fixed global bins), Laplace-smooth the
+  // k cell shares ((n+1)/(N+k)), per-cell term (p_re − p_base)·
+  // ln(p_re/p_base) micro-quantized to an exact long BEFORE the sum
+  // (q94's ln discipline — the only transcendental is applied to
+  // identical doubles and absorbed into the quantized term), PSI ≥ 0.2
+  // flags. The fixture's modeled encoder update (per-dim +0.05·(i mod 5)
+  // bias + ×2 scaling of every 10th vector) moves shares enough to
+  // flag; the UNPERTURBED control re-embed is the honest null — every
+  // term is exactly ln(1) = 0 and PSI = 0 (spec-pinned, the q94
+  // stationary-stream discipline).
+  //
+  // Scale shape (100 TB): two assignment passes (one-row codebook
+  // broadcast each, no corpus exchange) + two keyed counts to k rows;
+  // everything after is k-row arithmetic on broadcast one-row totals.
+  // ---------------------------------------------------------------------
+
+  def embeddingDrift(s: SparkSession, d: String, k: Int = 10,
+                     iters: Int = 3, perturb: Boolean = true): DataFrame = {
+    val (emb, cells) = kmFitFrames(s, d, k, iters)
+    val re =
+      if (!perturb) emb
+      else Tables.embeddings(s, d)
+        .selectExpr("vec_id",
+          """transform(embedding, (x, i) -> cast(
+            |  cast(x as double) * (case when vec_id % 10 = 0 then 2.0D else 1.0D end)
+            |  + 0.05D * cast(i % 5 as double) as float)) as embedding"""
+            .stripMargin.replace("\n", " "))
+        .selectExpr("vec_id", "embedding", s"${dotExpr("embedding", "embedding")} as ee")
+    val nA = kmAssign(emb, cells).groupBy("cid").agg(count(lit(1)).as("n_base"))
+    val nB = kmAssign(re, cells).groupBy("cid").agg(count(lit(1)).as("n_reembed"))
+    val dense = cells.selectExpr("explode(cells) as x").selectExpr("x.cid as cid")
+      .join(broadcast(nA), Seq("cid"), "left")
+      .join(broadcast(nB), Seq("cid"), "left")
+      .selectExpr("cid", "coalesce(n_base, 0L) as n_base",
+        "coalesce(n_reembed, 0L) as n_reembed")
+    val tot = dense.agg(sum(col("n_base")).as("ta"), sum(col("n_reembed")).as("tb"))
+    val terms = dense.crossJoin(broadcast(tot))
+      .selectExpr("cid", "n_base", "n_reembed",
+        s"""cast(floor((
+           |  (n_reembed + 1) / cast(tb + $k as double)
+           |  - (n_base + 1) / cast(ta + $k as double))
+           |  * ln(((n_reembed + 1) / cast(tb + $k as double))
+           |       / ((n_base + 1) / cast(ta + $k as double)))
+           |  * 1e6 + 0.5) as bigint) as term_micro"""
+          .stripMargin.replace("\n", " "))
+      .transform(Tables.maybePersist) // feeds the psi sum AND the output
+    val psi = terms.agg(sum(col("term_micro")).as("psi_micro"))
+    terms.crossJoin(broadcast(psi))
+      .selectExpr("cid", "n_base", "n_reembed", "term_micro / 1e6 as term",
+        "psi_micro / 1e6 as psi", "psi_micro >= 200000 as drift")
+      .orderBy("cid")
+  }
+
+  val embeddingDriftSql: String = {
+    val k = 10
+    s"""WITH ${kmeansCtesSql(k, 3)},
+       |na AS (SELECT cid, COUNT(*)::BIGINT AS n_base FROM fin GROUP BY cid),
+       |re AS (SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+       |    i -> (embedding[i]::DOUBLE * (CASE WHEN vec_id % 10 = 0 THEN 2.0 ELSE 1.0 END)
+       |          + 0.05 * ((i - 1) % 5)::DOUBLE)::FLOAT4) AS embedding
+       |  FROM embeddings),
+       |e2 AS (SELECT vec_id, embedding,
+       |  ${dotSqlDuck("embedding", "embedding")} AS ee FROM re),
+       |fin3 AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ((e.ee - (2 * ${dotSqlDuck("e.embedding", "c.c")})) + c.cc), c.cid) AS rn
+       |  FROM e2 e CROSS JOIN c3 c) WHERE rn = 1),
+       |nb AS (SELECT cid, COUNT(*)::BIGINT AS n_reembed FROM fin3 GROUP BY cid),
+       |dense AS (SELECT c.cid, coalesce(na.n_base, 0) AS n_base,
+       |    coalesce(nb.n_reembed, 0) AS n_reembed
+       |  FROM (SELECT cid FROM c3) c
+       |  LEFT JOIN na ON na.cid = c.cid LEFT JOIN nb ON nb.cid = c.cid),
+       |t AS (SELECT SUM(n_base)::BIGINT AS ta, SUM(n_reembed)::BIGINT AS tb FROM dense),
+       |terms AS (SELECT cid, n_base, n_reembed,
+       |    floor((
+       |      (n_reembed + 1) / ((tb + $k)::DOUBLE)
+       |      - (n_base + 1) / ((ta + $k)::DOUBLE))
+       |      * ln(((n_reembed + 1) / ((tb + $k)::DOUBLE))
+       |           / ((n_base + 1) / ((ta + $k)::DOUBLE)))
+       |      * 1e6 + 0.5)::BIGINT AS term_micro
+       |  FROM dense, t),
+       |p AS (SELECT SUM(term_micro)::BIGINT AS psi_micro FROM terms)
+       |SELECT cid, n_base, n_reembed, term_micro / 1e6 AS term,
+       |  psi_micro / 1e6 AS psi, psi_micro >= 200000 AS drift
+       |FROM terms, p ORDER BY cid""".stripMargin
+  }
+
   /** Fit the q124 screen offline (the fitClusterRates discipline): one
     * Lloyd fit, the cells collected (k×dim doubles — driver-sized), and
     * each cluster's (n_members, im) micro-stats computed over the SAME
@@ -3921,6 +4015,7 @@ object Similarity {
     "q122_bitext_margin"  -> ((s, d) => bitextMine(s, d)),
     "q123_knn_density"    -> ((s, d) => knnDensityPrune(s, d)),
     "q124_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
+    "q125_embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -3955,5 +4050,6 @@ object Similarity {
     "q122_bitext_margin"  -> bitextMineSql,
     "q123_knn_density"    -> knnDensityPruneSql,
     "q124_centroid_outliers" -> centroidOutliersSql,
+    "q125_embedding_drift" -> embeddingDriftSql,
   )
 }

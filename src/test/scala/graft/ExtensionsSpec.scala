@@ -446,6 +446,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(online.length == online.map(_._1).distinct.length)
   }
 
+  test("q125: modeled encoder update flags drift; the unperturbed control is an exact null") {
+    val drifted = Similarity.embeddingDrift(spark, sf).collect()
+    assert(drifted.length == 10, s"expected one row per cell, got ${drifted.length}")
+    val psi = drifted.head.getDouble(4)
+    assert(drifted.forall(_.getDouble(4) == psi), "psi must repeat identically per cell")
+    assert(psi >= 0.2 && drifted.forall(_.getBoolean(5)), s"modeled update must flag (psi=$psi)")
+    // micro-exact bookkeeping: the per-cell terms sum to psi exactly
+    val termSum = drifted.map(r => math.round(r.getDouble(3) * 1e6)).sum
+    assert(termSum == math.round(psi * 1e6), "terms do not sum to psi")
+    // conservation: both populations carry the full corpus
+    assert(drifted.map(_.getLong(1)).sum == drifted.map(_.getLong(2)).sum)
+    // the honest null (q94's stationary-stream discipline): an identical
+    // re-embed gives ln(1) = 0 in every cell — PSI exactly zero
+    val nullRun = Similarity.embeddingDrift(spark, sf, perturb = false).collect()
+    assert(nullRun.length == 10)
+    nullRun.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "null control moved a cell count")
+      assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0 && !r.getBoolean(5))
+    }
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

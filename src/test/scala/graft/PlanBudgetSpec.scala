@@ -374,6 +374,12 @@ object PlanBudgetSpec {
     // fit/assign chain sits behind the persisted frame and is pinned by
     // the q84 entry); the corpus crosses exactly one post-fit exchange
     "q124_centroid_outliers" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q125 (r14): embedding drift — visible plan is the 1-row psi
+    // broadcast crossJoin over the PERSISTED k-row terms frame (the
+    // q124 discipline: the two assignment passes — codebook broadcasts,
+    // no corpus exchange — and the two keyed counts to k rows sit
+    // behind the persisted frame; the q84 fit chain is pinned there)
+    "q125_embedding_drift" -> Shape(shuffles = 0, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
     // q121 (r14): semantic decontamination — deny slice broadcast into
     // the corpus crossJoin (the ONE BNLJ), per-vector max collapsed in
     // the partial aggregate (the expanded row×deny stream never crosses
