@@ -892,6 +892,26 @@ object Similarity {
        |FROM terms, p ORDER BY cid""".stripMargin
   }
 
+  /** Fit the q125 online monitor's frozen reference frame (the
+    * fitPsiDesign discipline): the q84 codebook plus the base corpus's
+    * dense cid-indexed cell counts — k longs, computed with the batch
+    * assignment chain. Returns the cells too (the stream side routes
+    * rows statelessly through [[kmeansAssignVerdict]] with them). */
+  def fitDriftDesign(s: SparkSession, d: String, k: Int = 10, iters: Int = 3)
+      : (Array[KmCell], graft.streaming.DriftDesign) = {
+    import s.implicits._
+    val (emb, cellsDf) = kmFitFrames(s, d, k, iters)
+    val cells = cellsDf.selectExpr("explode(cells) as x")
+      .selectExpr("x.cid", "x.c", "x.cc")
+      .as[(Int, Array[Double], Double)]
+      .collect().sortBy(_._1)
+      .map { case (cid, c, cc) => KmCell(cid, c, cc) }
+    val counts = kmAssign(emb, cellsDf).groupBy("cid")
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toMap
+    val dense = Array.tabulate(k)(cid => counts.getOrElse(cid, 0L))
+    (cells, graft.streaming.DriftDesign(dense))
+  }
+
   /** Fit the q124 screen offline (the fitClusterRates discipline): one
     * Lloyd fit, the cells collected (k×dim doubles — driver-sized), and
     * each cluster's (n_members, im) micro-stats computed over the SAME

@@ -97,6 +97,25 @@ case class PsiReport(event_type: String, rev: Long, week_from: Long,
 private[streaming] case class PsiState(rev: Long, maxId: Long,
   weeks: Map[Long, Seq[Long]], dropped: Long)
 
+/** One cell-routed re-embedded vector for the online drift monitor
+  * (q125's streaming twin) — rows are pre-assigned STATELESSLY via
+  * [[graft.Similarity.kmeansAssignVerdict]] (codebook in the closure,
+  * the semDedupStream routing discipline); `vec_id` carries the
+  * in-order id-dedup contract the other monitors use. */
+case class DriftEvent(vec_id: Long, cid: Int)
+/** The frozen base population for the online drift PSI: the k
+  * cid-indexed base cell counts, fit OFFLINE
+  * ([[graft.Similarity.fitDriftDesign]]) — the reference frame the
+  * candidate re-embed is compared against (the PsiDesign discipline). */
+case class DriftDesign(baseCounts: Array[Long])
+/** One report per micro-batch: the batch q125 summary (psi over the
+  * re-embed counts seen so far vs the frozen base shares) plus the
+  * rev/dropped monitor contract. */
+case class DriftReport(rev: Long, n_base: Long, n_reembed: Long,
+                       psi: Double, drift: Boolean, dropped: Long)
+private[streaming] case class DriftState(rev: Long, maxId: Long,
+  counts: Seq[Long], dropped: Long)
+
 /** One tokenized document for the online trending-tokens monitor
   * (q93's streaming twin); `doc_id` carries the id-dedup contract. */
 case class TrendDoc(source: String, doc_id: Long, toks: Array[String])
@@ -835,6 +854,51 @@ object StreamingOps {
               PsiReport(key, st.rev, w, w + 1L, nf, nt,
                 micro / 1e6, drift = micro >= 200000L, dropped = st.dropped)
             }
+      }
+  }
+
+  /** q125's streaming twin: the candidate re-embed arrives as a stream
+    * (pre-routed to cells statelessly — codebook in the closure) and
+    * every micro-batch re-emits the drift report against the FROZEN
+    * base shares. Arithmetic mirrors the batch q125 expression
+    * operation for operation (same Laplace-smoothed shares over k=
+    * baseCounts.length cells, ln on the same doubles, the same
+    * micro-quantized term sum), so once the full re-embed is delivered
+    * the latest report's psi equals batch q125 exactly. Replays (at or
+    * below the high-water vec_id) and same-batch duplicates freeze the
+    * stats and are COUNTED via the `dropped` contract. State is k longs
+    * + a high-water mark — constant, the cheapest monitor state in the
+    * file. */
+  def embeddingDriftStream(events: Dataset[DriftEvent],
+                           design: DriftDesign): Dataset[DriftReport] = {
+    import events.sparkSession.implicits._
+    val k = design.baseCounts.length
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[DriftState, DriftReport](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, it: Iterator[DriftEvent], state: GroupState[DriftState]) =>
+          var st = if (state.exists) state.get
+                   else DriftState(0L, Long.MinValue, Seq.fill(k)(0L), 0L)
+          val arrivals = it.toArray
+          val fresh = arrivals.filter(_.vec_id > st.maxId)
+            .sortBy(_.vec_id).distinctBy(_.vec_id)
+          st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
+          fresh.foreach { e =>
+            st = st.copy(maxId = e.vec_id,
+              counts = st.counts.updated(e.cid, st.counts(e.cid) + 1L))
+          }
+          st = st.copy(rev = st.rev + 1L)
+          state.update(st)
+          val na = design.baseCounts.sum
+          val nb = st.counts.sum
+          val micro = (0 until k).map { i =>
+            val pf = (design.baseCounts(i) + 1L) / (na + k).toDouble
+            val pt = (st.counts(i) + 1L) / (nb + k).toDouble
+            math.floor((pt - pf) * math.log(pt / pf) * 1e6 + 0.5).toLong
+          }.sum
+          Iterator.single(DriftReport(st.rev, na, nb,
+            micro / 1e6, drift = micro >= 200000L, dropped = st.dropped))
       }
   }
 

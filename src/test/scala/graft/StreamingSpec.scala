@@ -661,6 +661,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, "streaming encode != batch encode on identical vectors")
   }
 
+  test("embeddingDriftStream: online drift monitor == batch q125 after full delivery; replay counted, psi frozen (r14)") {
+    import graft.streaming.{DriftEvent, DriftReport}
+    val (cells, design) = Similarity.fitDriftDesign(spark, sf)
+    assert(design.baseCounts.sum == Tables.embeddings(spark, sf).count())
+    // the candidate re-embed, routed statelessly with the fitted codebook
+    // (the same perturbation expression as the batch q125)
+    val reembed = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        """transform(embedding, (x, i) -> cast(
+          |  cast(x as double) * (case when vec_id % 10 = 0 then 2.0D else 1.0D end)
+          |  + 0.05D * cast(i % 5 as double) as float)) as embedding"""
+          .stripMargin.replace("\n", " "))
+    val routed = Similarity.kmeansAssignVerdict(reembed, cells)
+      .select("vec_id", "cid").as[(Long, Int)].collect().sortBy(_._1)
+      .map { case (v, c) => DriftEvent(v, c) }
+    val (first, rest) = routed.splitAt(routed.length / 2)
+    val in = MemoryStream[DriftEvent](spark)
+    val q = StreamingOps.embeddingDriftStream(in.toDS(), design)
+      .writeStream.format("memory").queryName("driftmonitor")
+      .outputMode("update").start()
+    in.addData(first.toSeq: _*)
+    q.processAllAvailable()
+    in.addData(rest.toSeq: _*)
+    q.processAllAvailable()
+    // replay: the first row again — stats must freeze, dropped must count
+    in.addData(first.head)
+    q.processAllAvailable(); q.stop()
+    val reports = spark.table("driftmonitor")
+      .as[DriftReport].collect().sortBy(_.rev)
+    assert(reports.length == 3)
+    val batch = Similarity.embeddingDrift(spark, sf).collect()
+    val batchPsi = batch.head.getDouble(4)
+    val fin = reports(1) // after full delivery
+    assert(fin.n_reembed == routed.length && fin.psi == batchPsi && fin.drift,
+      s"online psi ${fin.psi} != batch psi $batchPsi")
+    val replayed = reports(2)
+    assert(replayed.psi == batchPsi && replayed.dropped == 1L && replayed.n_reembed == routed.length,
+      "replay must freeze the stats and count the drop")
+  }
+
   test("centroidOutlierVerdict flags a stream exactly like the batch q124 screen (r14)") {
     // fit-then-stream: codebook + k-row stats fit offline, the flag
     // stateless per row — a micro-batch of mixed organic/noise vectors
