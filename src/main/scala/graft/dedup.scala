@@ -1057,7 +1057,15 @@ object Dedup {
     * for same-bucket pairs with cos ≥ `minCos`, vec_a < vec_b. The dot
     * fold is left-to-right per pair — bit-identical to the DuckDB
     * oracle's list_reduce (products are commutative-exact, so block
-    * orientation cannot change the value). */
+    * orientation cannot change the value).
+    *
+    * PRECONDITION (the assignCells nrm-guard class, r13 advice): every
+    * input row must have nrm > 0. A zero-norm embedding makes cos NaN,
+    * and the two engines then DISAGREE on `cos >= minCos` (JVM compares
+    * NaN false → pair dropped; DuckDB orders NaN greatest → pair kept).
+    * All current callers derive nrm from fixture embeddings that are
+    * nonzero by construction; a caller ingesting untrusted vectors must
+    * filter nrm > 0 on BOTH engines before this kernel. */
   private[graft] def boundedBucketPairs(s: SparkSession, withB: DataFrame,
                                         cap: Int, minCos: Double): DataFrame = {
     import s.implicits._
