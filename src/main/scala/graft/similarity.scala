@@ -3765,6 +3765,208 @@ object Similarity {
   val annIndexBuildSql: String =
     "SELECT COUNT(*)::BIGINT AS n_index_rows FROM embeddings"
 
+  // ---------------------------------------------------------------------
+  // q126 — STANDING COMPRESSED (IVF-PQ) VECTOR INDEX (r14): q119 stores
+  // raw float vectors; at billion scale the resident index stores PQ
+  // CODES (m bytes/vector, 32× smaller here) and touches originals only
+  // to re-rank a shortlist — the FAISS IVFPQ-on-disk layout. The Spark-
+  // native twist: codes AND originals live in ONE cell-partitioned
+  // parquet, and parquet's columnar layout gives the hot/cold split for
+  // free — the ADC probe scans ONLY (vec_id, codes) (ReadSchema-pruned,
+  // spec-pinned), the re-rank scans ONLY (vec_id, orig) for the ≤5-row-
+  // per-delta shortlist. Build: the q115 fit verbatim (coarse route →
+  // float32 residuals → shared PQ codebook) + per-row encode, written
+  // partitionBy(c_label) with the 32-row codebook and 10-row coarse
+  // frame as side artifacts (per-process path, the q102 discipline).
+  // Probe: the q119 delta contract (jittered re-embeds + reversed
+  // newcomers) — route to the nearest coarse cell, build the ADC table
+  // from the DELTA's residual, rank the probed cell's stored codes
+  // (ascending-s fold), ADC top-5 per delta via the map-side TopKCos
+  // reduction (value = −adc_d, ties ≡ the oracle's (adc_d, nn_id)
+  // row_number), exact-cosine re-rank on the originals to top-1,
+  // duplicate verdict at cos ≥ 0.9.
+  //
+  // Scale shape (100 TB): the index never shuffles — stored side is a
+  // codes-only columnar scan joined to the broadcast routed delta, the
+  // one keyed exchange carries ≤5-row ADC buffers per delta, and the
+  // re-rank is a broadcast shortlist into an orig-only scan. Memory:
+  // the resident per-row payload is m=4 codes, not 64 floats.
+  // Cross-engine: the q115 residual/ADC discipline end-to-end.
+  // ---------------------------------------------------------------------
+
+  private[graft] def pqIndexPathFor(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-q126-index-" +
+      s"p${ProcessHandle.current().pid()}-" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Encode the corpus against a fitted codebook: (vec_id, orig, codes,
+    * c_label) — the stored row shape. */
+  private def pqEncodedIndex(corpus: DataFrame, cells: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cells))
+      .selectExpr("vec_id", "c_label", "orig", pqBestExpr)
+      .selectExpr("vec_id", "orig", "transform(best, x -> x.cid) as codes", "c_label")
+
+  def buildPqIndex(s: SparkSession, d: String, path: String): Long = {
+    val corpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
+    val cells = pqFitCells(corpus)
+    pqEncodedIndex(corpus, cells)
+      .write.mode("overwrite").partitionBy("c_label").parquet(s"$path/codes")
+    cells.selectExpr("explode(cells) as x").selectExpr("x.s", "x.cid", "x.c")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    centroidsByLabel(s, d, "c_label")
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    corpus.unpersist(blocking = false)
+    s.read.parquet(s"$path/codes").count()
+  }
+
+  /** The probe over any (delta, coarse, codebook, index) frames — shared
+    * by the stored and inline routes (the annProbe discipline). */
+  private[graft] def pqIndexProbe(delta0: DataFrame, coarseDf: DataFrame,
+                                  cellsDf: DataFrame, idx: DataFrame): DataFrame = {
+    val s = delta0.sparkSession
+    import s.implicits._
+    val cb = coarseDf
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cb"))
+    val routed = delta0.crossJoin(broadcast(cb))
+      .selectExpr("vec_id", "embedding", "cb",
+        s"sqrt(${dotExpr("embedding", "embedding")}) as dnrm")
+      .selectExpr("vec_id", "embedding as de", "dnrm", "cb",
+        s"""array_max(transform(cb, c -> named_struct(
+           |'cos', ${dotExpr("embedding", "c.centroid")} /
+           |  (dnrm * sqrt(graft_dot(c.centroid, c.centroid))),
+           |'nl', -c.c_label))) as best"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("vec_id", "de", "dnrm", "cb", "cast(-best.nl as int) as q_cell")
+      // the delta's residual about ITS probed cell (q115's float cast)
+      .selectExpr("vec_id", "de", "dnrm", "q_cell",
+        s"""transform(sequence(1, ${PqM * PqSub}), i -> cast(
+           |double(element_at(de, i)) -
+           |element_at(element_at(filter(cb, x -> x.c_label = q_cell), 1).centroid, i)
+           |as float)) as embedding"""
+          .stripMargin.replace("\n", " "))
+    val withTab = pqCorpusOf(
+        routed.selectExpr("vec_id", "0 as label", "embedding", "de", "dnrm", "q_cell"),
+        Seq("de", "dnrm", "q_cell"))
+      .crossJoin(broadcast(cellsDf))
+      .selectExpr("vec_id as dv", "de", "dnrm", "q_cell",
+        s"""transform(bys, sc -> transform(sc, cx -> named_struct('cid', cx.cid,
+           |'dq', (subs[cx.s].vv - (2 * ${dotExpr("subs[cx.s].v", "cx.c")})) + cx.cc))) as dtab"""
+          .stripMargin.replace("\n", " "))
+      .transform(Tables.maybePersist) // feeds the ADC scan AND the re-rank
+    // ADC over the CODES-ONLY scan (orig is never read on this path)
+    val adc = idx.select("vec_id", "codes", "c_label")
+      .join(broadcast(withTab.select("dv", "q_cell", "dtab")),
+        col("c_label") === col("q_cell"))
+      .selectExpr("dv", "vec_id as nn_id",
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
+           |(acc, sx) -> acc + element_at(filter(dtab[sx], tx -> tx.cid = codes[sx]), 1).dq) as adc_d"""
+          .stripMargin.replace("\n", " "))
+    val short = adc.as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (-t._3, t._2))
+      .agg(TopKCos.toColumn.name("top"))
+      .toDF("dv", "top")
+      .selectExpr("dv", "explode(top) as t")
+      .selectExpr("dv", "t._2 as nn_id")
+      .join(broadcast(withTab.select("dv", "de", "dnrm", "q_cell")), Seq("dv"))
+    // exact re-rank on the ORIG-ONLY scan (codes are never read here)
+    idx.selectExpr("vec_id as nn_id", "orig")
+      .join(broadcast(short), Seq("nn_id"))
+      .selectExpr("dv", "q_cell", "nn_id",
+        s"${dotExpr("orig", "de")} / (sqrt(${dotExpr("orig", "orig")}) * dnrm) as cos")
+      .groupBy("dv", "q_cell")
+      .agg(max(struct(col("cos"), (-col("nn_id")).as("nn_neg"))).as("b"))
+      .selectExpr("dv as vec_id", "q_cell", "cast(-b.nn_neg as long) as nn_id",
+        "floor(b.cos * 1e6 + 0.5) / 1e6 as cosine", "b.cos >= 0.9 as is_dup")
+  }
+
+  /** Probe the STORED artifacts (the production path). */
+  def pqIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame =
+    pqIndexProbe(annDelta(s, d),
+      s.read.parquet(s"$path/coarse"),
+      pqCellsOf(s.read.parquet(s"$path/codebook")),
+      s.read.parquet(s"$path/codes"))
+
+  /** The same probe over in-memory frames — the spec pins stored ≡
+    * inline. */
+  private[graft] def pqIndexProbeInline(s: SparkSession, d: String): DataFrame = {
+    val corpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
+    val cells = pqFitCells(corpus)
+    pqIndexProbe(annDelta(s, d), centroidsByLabel(s, d, "c_label"), cells,
+      pqEncodedIndex(corpus, cells))
+  }
+
+  val pqIndexProbeSql: String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    val dslice = s"rs2[s * $PqSub + 1 : s * $PqSub + $PqSub]"
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, label, embedding, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT vec_id, label, embedding, c_label FROM asg WHERE rn = 1),
+       |resid AS (SELECT a.vec_id, a.label, a.c_label, a.embedding AS orig,
+       |    list_transform(range(1, ${PqM * PqSub} + 1),
+       |      i -> (a.embedding[i]::DOUBLE - c.centroid[i])::FLOAT) AS rs
+       |  FROM a JOIN c ON a.c_label = c.c_label),
+       |${pqFitChainSql("", "resid", "rs")},
+       |delta AS (
+       |  SELECT vec_id + 100000 AS vec_id, list_transform(range(1, len(embedding) + 1),
+       |      i -> (embedding[i]::DOUBLE + CASE WHEN (i - 1) % 7 = 0 THEN 0.01 ELSE 0.0 END)::FLOAT) AS embedding
+       |    FROM embeddings WHERE vec_id % 40 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, list_reverse(embedding)
+       |    FROM embeddings WHERE vec_id % 40 = 20),
+       |dr AS (SELECT vec_id, embedding, sqrt(${dot("embedding", "embedding")}) AS nrm,
+       |    c_label AS q_cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.c_label, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |      ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+       |      c_label) AS rn
+       |    FROM delta e CROSS JOIN c) WHERE rn = 1),
+       |drs AS (SELECT dr.vec_id, dr.q_cell,
+       |    list_transform(range(1, ${PqM * PqSub} + 1),
+       |      i -> (dr.embedding[i]::DOUBLE - c.centroid[i])::FLOAT) AS rs2
+       |  FROM dr JOIN c ON c.c_label = dr.q_cell),
+       |dsub AS (SELECT vec_id, s, $dslice AS v, ${dot(dslice, dslice)} AS vv
+       |  FROM drs CROSS JOIN (SELECT unnest(range(0, $PqM)) AS s)),
+       |dtab AS (SELECT q.vec_id AS dv, cc2.s, cc2.cid,
+       |    ((q.vv - (2 * ${dot("q.v", "cc2.c")})) + cc2.cc) AS dq
+       |  FROM c$PqIters cc2 JOIN dsub q ON q.s = cc2.s),
+       |adc AS (SELECT dr.vec_id AS dv, a.vec_id AS nn_id, dr.q_cell,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(t.dq ORDER BY e2.s)), (p, q) -> p + q) AS adc_d
+       |  FROM dr JOIN a ON a.c_label = dr.q_cell
+       |  JOIN enc e2 ON e2.vec_id = a.vec_id
+       |  JOIN dtab t ON t.dv = dr.vec_id AND t.s = e2.s AND t.cid = e2.cid
+       |  GROUP BY dr.vec_id, a.vec_id, dr.q_cell),
+       |sl AS (SELECT dv, nn_id, q_cell, row_number() OVER (
+       |    PARTITION BY dv ORDER BY adc_d, nn_id) AS rk FROM adc),
+       |rr AS (SELECT sl.dv, sl.q_cell, sl.nn_id,
+       |    (${dot("a.embedding", "dr.embedding")}) / (sqrt(${dot("a.embedding", "a.embedding")}) * dr.nrm) AS cos
+       |  FROM sl JOIN a ON a.vec_id = sl.nn_id JOIN dr ON dr.vec_id = sl.dv
+       |  WHERE sl.rk <= 5),
+       |top AS (SELECT dv, q_cell, nn_id, cos, row_number() OVER (
+       |    PARTITION BY dv ORDER BY cos DESC, nn_id) AS rn FROM rr)
+       |SELECT dv AS vec_id, q_cell, nn_id, floor(cos * 1e6 + 0.5) / 1e6 AS cosine,
+       |  cos >= 0.9 AS is_dup
+       |FROM top WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  val pqIndexBuildSql: String =
+    "SELECT COUNT(*)::BIGINT AS n_index_rows FROM embeddings"
+
   /** A fitted PQ codebook cell: subspace s, code cid, centroid, self-dot. */
   case class PqCell(s: Int, cid: Int, c: Array[Double], cc: Double)
 
@@ -4036,6 +4238,18 @@ object Similarity {
     "q123_knn_density"    -> ((s, d) => knnDensityPrune(s, d)),
     "q124_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "q125_embedding_drift" -> ((s, d) => embeddingDrift(s, d)),
+    // q126 probes the standing compressed artifact (built lazily once
+    // per process — the q119 gate pattern); q126b is the build
+    "q126_pq_index_probe" -> ((s, d) => {
+      val path = pqIndexPathFor(d)
+      if (!new java.io.File(s"$path/codes/_SUCCESS").exists())
+        buildPqIndex(s, d, path)
+      pqIndexProbeStored(s, d, path)
+    }),
+    "q126b_pq_index_build" -> ((s, d) => {
+      import s.implicits._
+      Seq(buildPqIndex(s, d, pqIndexPathFor(d))).toDF("n_index_rows")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -4071,5 +4285,7 @@ object Similarity {
     "q123_knn_density"    -> knnDensityPruneSql,
     "q124_centroid_outliers" -> centroidOutliersSql,
     "q125_embedding_drift" -> embeddingDriftSql,
+    "q126_pq_index_probe" -> pqIndexProbeSql,
+    "q126b_pq_index_build" -> pqIndexBuildSql,
   )
 }

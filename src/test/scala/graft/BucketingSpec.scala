@@ -120,4 +120,25 @@ class BucketingSpec extends SparkSpec {
     assert(opened < total && opened >= 1,
       s"index pruning failed: opened $opened of $total files")
   }
+
+  test("q126 compressed index: the ADC probe scan is column-pruned to codes; the re-rank scan to orig (r14)") {
+    // the reason codes and originals share ONE cell-partitioned parquet:
+    // parquet's columnar layout gives the hot/cold split for free — the
+    // ADC ranking path must never read the 64-float orig column and the
+    // shortlist re-rank must never read codes. Asserted on the EXECUTED
+    // probe's scans of the codes artifact, not from intent.
+    val path = Similarity.pqIndexPathFor(sf) + "-colprune"
+    Similarity.buildPqIndex(spark, sf, path)
+    val probe = Similarity.pqIndexProbeStored(spark, sf, path)
+    assert(probe.collect().nonEmpty)
+    val scans = allNodes(finalPlan(probe))
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.metadata.get("Location").exists(_.contains("codes")))
+    assert(scans.length == 2, s"expected two codes-artifact scans, got ${scans.length}")
+    val schemas = scans.map(_.schema.fieldNames.toSet)
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("orig")),
+      s"no codes-only (ADC) scan among $schemas")
+    assert(schemas.exists(s => s.contains("orig") && !s.contains("codes")),
+      s"no orig-only (re-rank) scan among $schemas")
+  }
 }

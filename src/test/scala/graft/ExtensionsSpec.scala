@@ -467,6 +467,39 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q126: stored compressed-index probe == inline; verdicts match the exact q119 index") {
+    val path = Similarity.pqIndexPathFor(sf) + "-spec"
+    Similarity.buildPqIndex(spark, sf, path)
+    val stored = Similarity.pqIndexProbeStored(spark, sf, path).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val inline = Similarity.pqIndexProbeInline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(stored.toSet == inline.toSet, "stored probe != inline probe")
+    assert(stored.nonEmpty)
+    // cross-index consistency: the compressed probe must reach the SAME
+    // duplicate verdicts as q119's exact (raw-vector) standing index,
+    // and agree on the matched neighbour + exact cosine for every dup —
+    // compression changes the shortlist mechanics, not the verdict
+    val exact = Similarity.incrementalAnnInline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val exactById = exact.map(t => t._1 -> t).toMap
+    assert(stored.map(_._1).toSet == exact.map(_._1).toSet)
+    stored.foreach { case (dv, _, nn, cos, dup) =>
+      val (_, enn, ecos, edup) = exactById(dv)
+      assert(dup == edup, s"delta $dv: compressed verdict $dup != exact verdict $edup")
+      if (dup) assert(nn == enn && cos == ecos,
+        s"delta $dv: dup matched ($nn, $cos) vs exact ($enn, $ecos)")
+    }
+    // the q119 jitter contract holds through compression: every jittered
+    // twin lands on its original
+    stored.filter(t => t._1 < 200000L).foreach { case (dv, _, nn, _, dup) =>
+      assert(dup && nn == dv - 100000L, s"jitter twin $dv missed its original")
+    }
+    stored.filter(_._1 >= 200000L).foreach { case (dv, _, _, _, dup) =>
+      assert(!dup, s"reversed newcomer $dv flagged as duplicate")
+    }
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

@@ -380,6 +380,13 @@ object PlanBudgetSpec {
     // no corpus exchange — and the two keyed counts to k rows sit
     // behind the persisted frame; the q84 fit chain is pinned there)
     "q125_embedding_drift" -> Shape(shuffles = 0, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
+    // q126 (r14): compressed-index probe — the index NEVER shuffles:
+    // 2 exchanges carry only the ≤5-row ADC buffers (TopKCos reduction)
+    // and the per-delta re-rank argmax; 3 broadcasts (routed-delta dtab
+    // into the codes-only scan, the shortlist into the orig-only scan,
+    // the delta chain's cb); 4 scans = codes artifact ×2 (column-pruned
+    // each way, BucketingSpec pins it) + coarse + codebook artifacts
+    "q126_pq_index_probe" -> Shape(shuffles = 2, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
     // q121 (r14): semantic decontamination — deny slice broadcast into
     // the corpus crossJoin (the ONE BNLJ), per-vector max collapsed in
     // the partial aggregate (the expanded row×deny stream never crosses
