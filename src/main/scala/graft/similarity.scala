@@ -3879,11 +3879,16 @@ object Similarity {
         "floor(b.cos * 1e6 + 0.5) / 1e6 as cosine", "b.cos >= 0.9 as is_dup")
   }
 
+  /** Rebuild the one-row broadcastable codebook from the stored exploded
+    * artifact (cc recomputed with the same fold — deterministic). */
+  private[graft] def pqCellsOfRead(s: SparkSession, path: String): DataFrame =
+    pqCellsOf(s.read.parquet(path))
+
   /** Probe the STORED artifacts (the production path). */
   def pqIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame =
     pqIndexProbe(annDelta(s, d),
       s.read.parquet(s"$path/coarse"),
-      pqCellsOf(s.read.parquet(s"$path/codebook")),
+      pqCellsOfRead(s, s"$path/codebook"),
       s.read.parquet(s"$path/codes"))
 
   /** The same probe over in-memory frames — the spec pins stored ≡

@@ -609,6 +609,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(r => r._4 <= 1.000001))
   }
 
+  test("q126's online form: per-micro-batch probe of the standing COMPRESSED index == batch probe (r14)") {
+    // the q119 streaming-probe discipline at compressed grain: delta
+    // vectors probe the same stored codes/codebook/coarse artifacts per
+    // micro-batch via foreachBatch — the index stays codes-hot
+    val path = Similarity.pqIndexPathFor(sf) + "-stream"
+    Similarity.buildPqIndex(spark, sf, path)
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val cells = Similarity.pqCellsOfRead(spark, s"$path/codebook")
+    val idx = spark.read.parquet(s"$path/codes")
+    val deltas = Tables.embeddings(spark, sf).limit(24)
+      .selectExpr("vec_id + 500000 as vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double, Boolean)]
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Similarity.pqIndexProbe(batch, coarse, cells, idx)
+            .as[(Long, Int, Long, Double, Boolean)].collect()
+        }
+        ()
+      }
+      .outputMode("append").start()
+    val (b1, b2) = deltas.splitAt(deltas.length / 2)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val batchAll = Similarity.pqIndexProbe(
+        deltas.toDF("vec_id", "embedding"), coarse, cells, idx)
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    assert(got.sortBy(_._1).toSeq == batchAll.sortBy(_._1).toSeq,
+      "streamed micro-batch probes != one batch probe on identical deltas")
+    assert(got.nonEmpty && got.forall(r => r._4 <= 1.000001))
+  }
+
   test("audioDenyVerdict drops a stream exactly like its batch form (r14)") {
     // the q113 online form: audio deny fingerprints fit offline, per-row
     // fingerprint→band-probe→Hamming-verify in the stream with the
