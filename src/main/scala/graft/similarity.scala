@@ -3972,6 +3972,75 @@ object Similarity {
   val pqIndexBuildSql: String =
     "SELECT COUNT(*)::BIGINT AS n_index_rows FROM embeddings"
 
+  // ---------------------------------------------------------------------
+  // q127 — LATE-INTERACTION (MaxSim) RETRIEVAL (r14): the ColBERT/PLAID
+  // scoring shape — a query is a SET of vectors and a document a SET of
+  // vectors; score(doc) = Σ over query vectors of the max cosine against
+  // any of the doc's vectors. Single-vector retrieval (q26) collapses a
+  // document to one point; late interaction keeps token-level geometry
+  // and is the standard quality rung above bi-encoders. Documents are
+  // modeled as 8-vector groups (doc_id = vec_id div 8); the query is doc
+  // 0's own vector set, and a planted perturbed copy of doc 0 (at doc_id
+  // 100000) must rank first with score ≈ |Q| — organic docs top out far
+  // below (random 64-dim maxes). Determinism: per-(doc, q) maxes are
+  // maxes over identical doubles; the per-doc SUM of 8 maxes is
+  // micro-quantized to exact longs BEFORE summing (order-free, the q84
+  // inertia discipline), and the top-10 orders by the exact long.
+  //
+  // Scale shape (100 TB): the query set is a one-row broadcast; the
+  // corpus is scanned once, per-row work is |Q| fused dots; the ONLY
+  // keyed exchange carries (doc, q)-granular partial maxes (map-side
+  // combined — the per-vector cos stream never crosses), then a
+  // doc-granular sum; top-10 is TakeOrdered. The ANN-prefiltered
+  // variant (PLAID: route query vectors through q38/q126's index to
+  // shortlist docs, MaxSim only the shortlist) is the q26→q27 dial.
+  // ---------------------------------------------------------------------
+
+  def maxSimRetrieval(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val planted = base.filter(col("vec_id") < 8)
+      .selectExpr("vec_id + 800000 as vec_id",
+        "zip_with(e, sequence(0, 63), (x, i) -> x + 0.001 * cast(i % 3 as double)) as e")
+    val corpus = base.unionAll(planted)
+      .selectExpr("vec_id div 8 as doc_id", "e",
+        s"sqrt(${dotExpr("e", "e")}) as nrm")
+    val query = base.filter(col("vec_id") < 8)
+      .selectExpr("vec_id as qi", "e as qe", s"sqrt(${dotExpr("e", "e")}) as qn")
+      .agg(sort_array(collect_list(struct(col("qi"), col("qe"), col("qn")))).as("qs"))
+    corpus.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .selectExpr("doc_id", "explode(qs) as q", "e", "nrm")
+      .selectExpr("doc_id", "q.qi as qi",
+        s"${dotExpr("e", "q.qe")} / (nrm * q.qn) as cos")
+      .groupBy("doc_id", "qi").agg(max(col("cos")).as("mc"))
+      .groupBy("doc_id")
+      .agg(sum(floor(col("mc") * 1e6 + 0.5).cast("long")).as("micro"))
+      .orderBy(col("micro").desc, col("doc_id")).limit(10)
+      .selectExpr("doc_id", "micro / 1e6 as maxsim")
+  }
+
+  val maxSimRetrievalSql: String = {
+    val dot = dotSqlDuck("c.e", "q.qe")
+    s"""WITH base AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |corpus AS (SELECT vec_id, e FROM base
+       |  UNION ALL SELECT vec_id + 800000,
+       |    list_transform(range(1, len(e) + 1), i -> e[i] + 0.001 * ((i - 1) % 3)::DOUBLE)
+       |  FROM base WHERE vec_id < 8),
+       |cd AS (SELECT vec_id // 8 AS doc_id, e, sqrt(${dotSqlDuck("e", "e")}) AS nrm
+       |  FROM corpus),
+       |q AS (SELECT vec_id AS qi, e AS qe, sqrt(${dotSqlDuck("e", "e")}) AS qn
+       |  FROM base WHERE vec_id < 8),
+       |sc AS (SELECT c.doc_id, q.qi, MAX(($dot) / (c.nrm * q.qn)) AS mc
+       |  FROM cd c CROSS JOIN q WHERE c.doc_id <> 0 GROUP BY 1, 2),
+       |ag AS (SELECT doc_id, SUM(floor(mc * 1e6 + 0.5)::BIGINT)::BIGINT AS micro
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, micro / 1e6 AS maxsim
+       |FROM ag ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** A fitted PQ codebook cell: subspace s, code cid, centroid, self-dot. */
   case class PqCell(s: Int, cid: Int, c: Array[Double], cc: Double)
 
@@ -4255,6 +4324,7 @@ object Similarity {
       import s.implicits._
       Seq(buildPqIndex(s, d, pqIndexPathFor(d))).toDF("n_index_rows")
     }),
+    "q127_maxsim"         -> ((s, d) => maxSimRetrieval(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -4292,5 +4362,6 @@ object Similarity {
     "q125_embedding_drift" -> embeddingDriftSql,
     "q126_pq_index_probe" -> pqIndexProbeSql,
     "q126b_pq_index_build" -> pqIndexBuildSql,
+    "q127_maxsim"         -> maxSimRetrievalSql,
   )
 }

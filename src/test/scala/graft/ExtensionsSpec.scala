@@ -500,6 +500,22 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q127: MaxSim ranks the planted doc copy first with near-maximal score") {
+    val top = Similarity.maxSimRetrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 10)
+    val (bestDoc, bestScore) = top.head
+    assert(bestDoc == 100000L, s"planted copy not rank 1 (got doc $bestDoc)")
+    // a perturbed copy's 8 per-query maxes are each ~0.9997+ against its
+    // own twin vector; organic docs top out far below (random 64-dim)
+    assert(bestScore >= 7.9, s"planted score $bestScore below the 8-token ceiling")
+    val organicMax = top.tail.map(_._2).max
+    assert(organicMax < 4.0, s"organic MaxSim $organicMax suspiciously high")
+    // scores are sums of per-query maxes: bounded by |Q| and descending
+    assert(top.forall(_._2 <= 8.000001))
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

@@ -387,6 +387,11 @@ object PlanBudgetSpec {
     // the delta chain's cb); 4 scans = codes artifact ×2 (column-pruned
     // each way, BucketingSpec pins it) + coarse + codebook artifacts
     "q126_pq_index_probe" -> Shape(shuffles = 2, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
+    // q127 (r14): MaxSim — the query set is the ONE broadcast (BNLJ of a
+    // one-row frame); exchanges = the test-scale fanOut gate + the
+    // (doc, q)-granular partial-max reduction + the doc-granular sum;
+    // top-10 is TakeOrdered. The per-vector cos stream never crosses.
+    "q127_maxsim" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
     // q121 (r14): semantic decontamination — deny slice broadcast into
     // the corpus crossJoin (the ONE BNLJ), per-vector max collapsed in
     // the partial aggregate (the expanded row×deny stream never crosses
