@@ -4041,6 +4041,85 @@ object Similarity {
        |FROM ag ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q128 — MATRYOSHKA-TRUNCATION RETRIEVAL AUDIT (r14): the trust-audit
+  // discipline (q79–q83) applied to DIMENSION truncation — MRL-style
+  // embeddings let a pipeline rank with a 16-dim prefix (4× cheaper
+  // dots, 4× smaller resident index) and re-rank survivors at full
+  // width; whether that's safe is a MEASURED recall, not an assumption.
+  // Both rankings run the exact q26 contract (cos desc, vec_id ties)
+  // from ONE corpus scan computing both cosines; the top-20 frames get
+  // ranks via the q56 post-limit single-partition window (20 rows), and
+  // the report is |full top-k ∩ prefix top-k| for k = 5/10/20 —
+  // non-decreasing in k by construction (nested prefixes), spec-pinned.
+  // A planted EXACT copy of the query (id 900000) scores cos = 1 in
+  // both spaces, so it anchors rank 1 of both rankings structurally —
+  // the overlap is never vacuously zero and the anchor proves both
+  // rankings share their head.
+  //
+  // Scale shape (100 TB): one corpus scan, two fused dots per row, two
+  // TakeOrdered top-20s (per-partition heaps) — no corpus-keyed
+  // exchange anywhere; everything after the limits is 20-row work.
+  // ---------------------------------------------------------------------
+
+  def mrlAudit(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    val base = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val corpus = base.unionAll(
+      base.filter(col("vec_id") === 0).selectExpr("900000 as vec_id", "e"))
+    val scored0 = corpus
+      .selectExpr("vec_id", "e", "slice(e, 1, 16) as p")
+    val query = scored0.filter(col("vec_id") === 0)
+      .selectExpr("e as qe", "p as qp",
+        s"sqrt(${dotExpr("e", "e")}) as qn", s"sqrt(${dotExpr("p", "p")}) as qpn")
+    val scored = scored0.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .selectExpr("vec_id",
+        s"${dotExpr("e", "qe")} / (sqrt(${dotExpr("e", "e")}) * qn) as cf",
+        s"${dotExpr("p", "qp")} / (sqrt(${dotExpr("p", "p")}) * qpn) as cp")
+      .transform(Tables.maybePersist) // feeds both top-20 branches
+    def top(cCol: String, rank: String) = scored
+      .orderBy(col(cCol).desc, col("vec_id")).limit(20)
+      // single-partition window over 20 rows only (the q56 idiom)
+      .withColumn(rank,
+        row_number().over(Window.orderBy(col(cCol).desc, col("vec_id"))))
+      .select(col("vec_id"), col(rank))
+    val joined = top("cf", "rf").join(top("cp", "rp"), Seq("vec_id"))
+    val ks = s.createDataFrame(Seq(Tuple1(5), Tuple1(10), Tuple1(20))).toDF("k")
+    joined.crossJoin(broadcast(ks))
+      .filter(col("rf") <= col("k") && col("rp") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("overlap"))
+      .selectExpr("k", "overlap",
+        "floor(cast(overlap as double) * 1e6 / cast(k as double) + 0.5) / 1e6 as recall")
+      .orderBy("k")
+  }
+
+  val mrlAuditSql: String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    s"""WITH base AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+       |corpus AS (SELECT vec_id, e FROM base
+       |  UNION ALL SELECT 900000, e FROM base WHERE vec_id = 0),
+       |s0 AS (SELECT vec_id, e, e[1:16] AS p FROM corpus),
+       |q AS (SELECT e AS qe, p AS qp, sqrt(${dot("e", "e")}) AS qn,
+       |  sqrt(${dot("p", "p")}) AS qpn FROM s0 WHERE vec_id = 0),
+       |sc AS (SELECT vec_id,
+       |    (${dot("e", "qe")}) / (sqrt(${dot("e", "e")}) * qn) AS cf,
+       |    (${dot("p", "qp")}) / (sqrt(${dot("p", "p")}) * qpn) AS cp
+       |  FROM s0, q WHERE vec_id <> 0),
+       |tf AS (SELECT vec_id, row_number() OVER (ORDER BY cf DESC, vec_id) AS rf
+       |  FROM sc ORDER BY cf DESC, vec_id LIMIT 20),
+       |tp AS (SELECT vec_id, row_number() OVER (ORDER BY cp DESC, vec_id) AS rp
+       |  FROM sc ORDER BY cp DESC, vec_id LIMIT 20),
+       |j AS (SELECT tf.vec_id, rf, rp FROM tf JOIN tp ON tf.vec_id = tp.vec_id),
+       |ks AS (SELECT unnest([5, 10, 20]) AS k)
+       |SELECT k, COUNT(*)::BIGINT AS overlap,
+       |  floor(COUNT(*)::DOUBLE * 1e6 / k::DOUBLE + 0.5) / 1e6 AS recall
+       |FROM j CROSS JOIN ks WHERE rf <= k AND rp <= k
+       |GROUP BY k ORDER BY k""".stripMargin
+  }
+
   /** A fitted PQ codebook cell: subspace s, code cid, centroid, self-dot. */
   case class PqCell(s: Int, cid: Int, c: Array[Double], cc: Double)
 
@@ -4325,6 +4404,7 @@ object Similarity {
       Seq(buildPqIndex(s, d, pqIndexPathFor(d))).toDF("n_index_rows")
     }),
     "q127_maxsim"         -> ((s, d) => maxSimRetrieval(s, d)),
+    "q128_mrl_audit"      -> ((s, d) => mrlAudit(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -4363,5 +4443,6 @@ object Similarity {
     "q126_pq_index_probe" -> pqIndexProbeSql,
     "q126b_pq_index_build" -> pqIndexBuildSql,
     "q127_maxsim"         -> maxSimRetrievalSql,
+    "q128_mrl_audit"      -> mrlAuditSql,
   )
 }

@@ -516,6 +516,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("q128: MRL audit — planted anchor heads both rankings, overlap non-decreasing in k") {
+    val rows = Similarity.mrlAudit(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(5, 10, 20))
+    // the exact copy (cos = 1 in BOTH spaces) anchors rank 1 of both
+    // rankings — overlap is structurally >= 1 at every k
+    rows.foreach { case (k, ov, rc) =>
+      assert(ov >= 1 && ov <= k, s"k=$k overlap $ov out of range")
+      assert(math.abs(rc - math.floor(ov.toDouble * 1e6 / k + 0.5) / 1e6) == 0.0)
+    }
+    // nested top-k sets make overlap non-decreasing in k
+    assert(rows.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      s"overlap not monotone: ${rows.map(_._2).mkString(",")}")
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

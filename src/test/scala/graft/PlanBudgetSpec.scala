@@ -392,6 +392,10 @@ object PlanBudgetSpec {
     // (doc, q)-granular partial-max reduction + the doc-granular sum;
     // top-10 is TakeOrdered. The per-vector cos stream never crosses.
     "q127_maxsim" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 3),
+    // q128 (r14): MRL audit — ZERO shuffles: both top-20s are
+    // TakeOrdered over the persisted both-cosines scan, the 20-row
+    // join and the 3-row k frame broadcast; no corpus-keyed exchange
+    "q128_mrl_audit" -> Shape(shuffles = 0, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
     // q121 (r14): semantic decontamination — deny slice broadcast into
     // the corpus crossJoin (the ONE BNLJ), per-vector max collapsed in
     // the partial aggregate (the expanded row×deny stream never crosses
