@@ -1080,49 +1080,59 @@ object Dedup {
       .as[(Long, Int, Int, Int, Long, Array[Double], Double)]
       .groupByKey(t => (t._1, t._2, t._3))
       .flatMapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Int, Long, Array[Double], Double)]) =>
-        // STREAM the pairs (lazy iterator), never buffer them: a block
-        // holds ≤ ~2·cap rows but up to cap² pairs — with a permissive
-        // minCos (q118/q122 pass -2 to keep every pair) a buffered
-        // ArrayBuffer is O(cap²) tuples PER TASK and OOMs a 32-thread
-        // executor long before per-task CPU is the limit. Lazily emitted
-        // pairs pipeline straight into the downstream partial aggregate
-        // / filter, so peak memory stays O(cap·d) regardless of minCos.
-        val (bi, bj) = (key._2, key._3)
-        val rows = it.toArray
-        val same = bi == bj
-        val as = if (same) rows else rows.filter(_._4 == bi)
-        val bs = if (same) rows else rows.filter(_._4 == bj)
-        new scala.collection.AbstractIterator[(Long, Long, Double)] {
-          private var i = 0
-          private var j = if (same) 1 else 0
-          private var nextElem: (Long, Long, Double) = _
-          private def step(): Unit = {
-            j += 1
-            if (j >= bs.length) { i += 1; j = if (same) i + 1 else 0 }
-          }
-          private def advance(): Unit = {
-            nextElem = null
-            while (nextElem == null && i < as.length && (if (same) i < bs.length - 1 else bs.length > 0)) {
-              val a = as(i); val b = bs(j)
-              val (ida, ea, na) = (a._5, a._6, a._7)
-              val (idb, eb, nb) = (b._5, b._6, b._7)
-              var dot = 0.0
-              var k = 0
-              while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
-              val cos = dot / (na * nb)
-              if (cos >= minCos)
-                nextElem = if (ida < idb) (ida, idb, cos) else (idb, ida, cos)
-              step()
-            }
-          }
-          advance()
-          def hasNext: Boolean = nextElem != null
-          def next(): (Long, Long, Double) = {
-            val e = nextElem; advance(); e
-          }
-        }
+        blockPairIterator(it.toArray, key._2, key._3, minCos)
       }
       .toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** The block-pair enumeration of [[boundedBucketPairs]] as a LAZY
+    * iterator — extracted so PairIteratorProps can pin it against the
+    * naive buffered double loop it replaced. STREAM the pairs, never
+    * buffer them: a block holds ≤ ~2·cap rows but up to cap² pairs —
+    * with a permissive minCos (q118/q122/q123 pass -2 to keep every
+    * pair) a buffered ArrayBuffer is O(cap²) tuples PER TASK and OOMs a
+    * 32-thread executor long before per-task CPU is the limit (the e30
+    * q122 audit is the pinned regression). Lazily emitted pairs pipeline
+    * straight into the downstream partial aggregate / filter, so peak
+    * memory stays O(cap·d) regardless of minCos. Diagonal blocks
+    * (bi == bj) enumerate the strict upper triangle; off-diagonal blocks
+    * enumerate sub-group-bi × sub-group-bj. Each emitted pair is
+    * id-ordered (vec_a < vec_b) with the left-to-right dot fold. */
+  private[graft] def blockPairIterator(
+      rows: Array[(Long, Int, Int, Int, Long, Array[Double], Double)],
+      bi: Int, bj: Int, minCos: Double): Iterator[(Long, Long, Double)] = {
+    val same = bi == bj
+    val as = if (same) rows else rows.filter(_._4 == bi)
+    val bs = if (same) rows else rows.filter(_._4 == bj)
+    new scala.collection.AbstractIterator[(Long, Long, Double)] {
+      private var i = 0
+      private var j = if (same) 1 else 0
+      private var nextElem: (Long, Long, Double) = _
+      private def step(): Unit = {
+        j += 1
+        if (j >= bs.length) { i += 1; j = if (same) i + 1 else 0 }
+      }
+      private def advance(): Unit = {
+        nextElem = null
+        while (nextElem == null && i < as.length && (if (same) i < bs.length - 1 else bs.length > 0)) {
+          val a = as(i); val b = bs(j)
+          val (ida, ea, na) = (a._5, a._6, a._7)
+          val (idb, eb, nb) = (b._5, b._6, b._7)
+          var dot = 0.0
+          var k = 0
+          while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
+          val cos = dot / (na * nb)
+          if (cos >= minCos)
+            nextElem = if (ida < idb) (ida, idb, cos) else (idb, ida, cos)
+          step()
+        }
+      }
+      advance()
+      def hasNext: Boolean = nextElem != null
+      def next(): (Long, Long, Double) = {
+        val e = nextElem; advance(); e
+      }
+    }
   }
 
   /** q32 — embedding-cosine near-dup: plant a perturbed twin per vector
