@@ -653,6 +653,78 @@ object TextAnalysis {
       |ORDER BY doc_id, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q129 — BM25 RANKED RETRIEVAL (r14): the lexical scoring rung above
+  // q43's TF-IDF — the probabilistic saturation form (Robertson/Lucene)
+  // that hybrid retrieval stacks pair with the vector side (q26/q127):
+  // score(doc) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(0.25 + 0.75·dl/avgdl))
+  // with idf = ln((N − df + 0.5)/(df + 0.5) + 1) (always positive, the
+  // Lucene guard) and k1 = 1.2, b = 0.75. The query is derived from the
+  // corpus deterministically — the 3 highest-df terms appearing in at
+  // most 60% of docs (exact-integer filter df·10 ≤ n·6, ties
+  // alphabetical) — so the row works at every fixture scale with no
+  // baked-in tokens. Determinism: tf/df/dl/N are exact longs, avgdl a
+  // double of exact longs, both engines evaluate the IDENTICAL
+  // expression tree (the q94 ln discipline), per-(doc, term) scores
+  // micro-quantize to exact longs BEFORE the per-doc sum (order-free),
+  // top-10 orders by the exact long.
+  //
+  // Scale shape (100 TB): one corpus-keyed exchange for (doc, term)
+  // tf + one doc-keyed count for dl (both map-side combined from the
+  // same persisted token frame); df/stats collapse to term-granular and
+  // 1-row frames; the query terms are a 3-row broadcast, so scoring
+  // touches only the ≤3·N matching tf rows; top-10 is TakeOrdered.
+  // ---------------------------------------------------------------------
+
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .transform(Tables.maybePersist)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .selectExpr("n_docs", "cast(tot as double) / cast(n_docs as double) as avgdl")
+    val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = df.crossJoin(broadcast(stats))
+      .filter(col("df") * 10 <= col("n_docs") * 9)
+      .orderBy(col("df").desc, col("term")).limit(3)
+      .select("term", "df", "n_docs", "avgdl")
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .selectExpr("doc_id",
+        """cast(floor(
+          |  ln((cast(n_docs as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5) + 1.0)
+          |  * (cast(tf as double) * 2.2)
+          |  / (cast(tf as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))
+          |  * 1e6 + 0.5) as bigint) as micro"""
+          .stripMargin.replace("\n", " "))
+      .groupBy("doc_id").agg(sum(col("micro")).as("micro"))
+      .orderBy(col("micro").desc, col("doc_id")).limit(10)
+      .selectExpr("doc_id", "micro / 1e6 as bm25")
+  }
+
+  val bm25Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT COUNT(*)::BIGINT AS n_docs,
+      |    SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl FROM dl),
+      |df AS (SELECT term, COUNT(*)::BIGINT AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+      |qt AS (SELECT term, df, n_docs, avgdl FROM df, st
+      |  WHERE df * 10 <= n_docs * 9 ORDER BY df DESC, term LIMIT 3),
+      |sc AS (SELECT tf.doc_id,
+      |    CAST(floor(
+      |      ln((qt.n_docs::DOUBLE - qt.df::DOUBLE + 0.5) / (qt.df::DOUBLE + 0.5) + 1.0)
+      |      * (tf.tf::DOUBLE * 2.2)
+      |      / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / qt.avgdl)))
+      |      * 1e6 + 0.5) AS BIGINT) AS micro
+      |  FROM tf JOIN qt ON qt.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id),
+      |ag AS (SELECT doc_id, SUM(micro)::BIGINT AS micro FROM sc GROUP BY doc_id)
+      |SELECT doc_id, micro / 1e6 AS bm25
+      |FROM ag ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q44 — corpus length distribution per language: exact interpolated
   // quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both
   // a[h] + frac·(a[h+1]−a[h]) on the sorted column). One shuffle on the
@@ -2738,6 +2810,7 @@ object TextAnalysis {
     "q21_fingerprint"   -> ((s, d) => fingerprint(s, d)),
     "q42_pii_scrub"     -> ((s, d) => piiScrub(s, d)),
     "q43_tfidf"         -> ((s, d) => tfidf(s, d)),
+    "q129_bm25"         -> ((s, d) => bm25(s, d)),
     "q44_len_quantiles" -> ((s, d) => lengthQuantiles(s, d)),
     "q64_len_quantiles_approx" -> ((s, d) => lengthQuantilesApprox(s, d)),
     "q65_approx_distinct" -> ((s, d) => approxDistinctUsers(s, d)),
@@ -2781,6 +2854,7 @@ object TextAnalysis {
     "q21_fingerprint"   -> fingerprintSql,
     "q42_pii_scrub"     -> piiScrubSql,
     "q43_tfidf"         -> tfidfSql,
+    "q129_bm25"         -> bm25Sql,
     "q44_len_quantiles" -> lengthQuantilesSql,
     "q64_len_quantiles_approx" -> lengthQuantilesApproxSql,
     "q65_approx_distinct" -> approxDistinctUsersSql,

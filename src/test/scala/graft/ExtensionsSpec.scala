@@ -531,6 +531,31 @@ class ExtensionsSpec extends SparkSpec {
       s"overlap not monotone: ${rows.map(_._2).mkString(",")}")
   }
 
+  test("q129: BM25 top-10 is positive, descending, and every hit contains a query term") {
+    val top = TextAnalysis.bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 10)
+    assert(top.forall(_._2 > 0.0))
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last), "scores not descending")
+    // recompute the corpus-derived query terms with the same rule and
+    // assert retrieval sanity: a BM25 hit must contain >= 1 query term
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val n = Tables.documents(spark, sf).count()
+    val qterms = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 10 <= n * 9)
+      .orderBy(col("df").desc, col("term")).limit(3)
+      .collect().map(_.getString(0)).toSet
+    assert(qterms.size == 3)
+    val hitIds = top.map(_._1).toSet
+    val hitsWithTerm = toks.filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .filter(col("term").isin(qterms.toSeq: _*))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hitsWithTerm == hitIds,
+      s"docs ${hitIds -- hitsWithTerm} ranked without containing any query term")
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

@@ -396,6 +396,11 @@ object PlanBudgetSpec {
     // TakeOrdered over the persisted both-cosines scan, the 20-row
     // join and the 3-row k frame broadcast; no corpus-keyed exchange
     "q128_mrl_audit" -> Shape(shuffles = 0, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
+    // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
+    // doc-length counts off the persisted token frame); df/stats/query
+    // terms collapse term-granular and ride the 3-row broadcast, so
+    // scoring touches only matching tf rows; top-10 is TakeOrdered
+    "q129_bm25" -> Shape(shuffles = 2, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 1, scans = 4),
     // q121 (r14): semantic decontamination — deny slice broadcast into
     // the corpus crossJoin (the ONE BNLJ), per-vector max collapsed in
     // the partial aggregate (the expanded row×deny stream never crosses
