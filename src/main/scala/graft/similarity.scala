@@ -4120,6 +4120,113 @@ object Similarity {
        |GROUP BY k ORDER BY k""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q130 — RECIPROCAL-RANK FUSION (r14): the ensemble-retrieval
+  // primitive hybrid stacks ship (Cormack et al.'s RRF; every
+  // BM25+vector "hybrid search" product uses this exact fold) — fuse
+  // the engine's three vector rankings for query 0 (q26 exact top-20,
+  // q27 LSH bucket top-20, q38 IVF cell top-20) by
+  // score(v) = Σ_lists 1/(60 + rank_list(v)): rank-based, so the three
+  // incomparable score scales (exact cosine, bucket-local cosine,
+  // cell-local cosine) need no calibration, and a candidate surfaced by
+  // several views beats a slightly-higher single-view one. Each 1/(60+r)
+  // term micro-quantizes to an exact long (pure integer-derived
+  // rational, identical both engines) BEFORE the per-candidate sum;
+  // top-10 orders by the exact long. n_lists is reported so the fusion
+  // is auditable per row.
+  //
+  // Scale shape (100 TB): all three rankings share ONE scan of the
+  // LSH-annotated corpus (+ the q38 assignment chain, pinned at q38);
+  // each is TakeOrdered top-20 then a 20-row post-limit window (the q56
+  // idiom); the fusion unions three ≤20-row frames — every operation
+  // after the heads is constant-size.
+  // ---------------------------------------------------------------------
+
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    val emb = withLsh(s, d).transform(Tables.maybePersist) // feeds exact AND lsh heads
+    val q = emb.filter(col("vec_id") === 0)
+      .selectExpr("embedding as qe", "nrm as qn", "bucket as qb")
+    def rankHead(scored: DataFrame) = scored
+      .orderBy(col("cos").desc, col("vec_id")).limit(20)
+      // single-partition window over 20 rows only (the q56 idiom)
+      .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select("vec_id", "rank")
+    val scoredAll = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .selectExpr("vec_id", "bucket", "qb",
+        s"${dotExpr("embedding", "qe")} / (nrm * qn) as cos")
+      .transform(Tables.maybePersist) // feeds the exact AND bucket heads
+    val exact = rankHead(scoredAll.select("vec_id", "cos"))
+    val lsh = rankHead(scoredAll.filter(col("bucket") === col("qb")).select("vec_id", "cos"))
+    val assigned = ivfAssigned(s, d).transform(Tables.maybePersist)
+    val qc = assigned.filter(col("vec_id") === 0)
+      .selectExpr("embedding as qe", s"sqrt(${dotExpr("embedding", "embedding")}) as qn",
+        "c_label as q_cell")
+    val ivf = rankHead(assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(qc), col("c_label") === col("q_cell"))
+      .selectExpr("vec_id",
+        s"${dotExpr("embedding", "qe")} / (sqrt(${dotExpr("embedding", "embedding")}) * qn) as cos"))
+    exact.unionAll(lsh).unionAll(ivf)
+      .selectExpr("vec_id",
+        "cast(floor(1e6 / (60 + rank) + 0.5) as bigint) as micro")
+      .groupBy("vec_id")
+      .agg(sum(col("micro")).as("micro"), count(lit(1)).as("n_lists"))
+      .orderBy(col("micro").desc, col("vec_id")).limit(10)
+      .selectExpr("vec_id", "n_lists", "micro / 1e6 as rrf")
+  }
+
+  val rrfFusionSql: String = {
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+       |  sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm,
+       |  ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
+       |qv AS (SELECT embedding AS qe, nrm AS qn, bucket AS qb FROM b WHERE vec_id = 0),
+       |sc AS (SELECT e.vec_id, e.bucket, q.qb,
+       |    (${dotSqlDuck("e.embedding", "q.qe")}) / (e.nrm * q.qn) AS cos
+       |  FROM b e, qv q WHERE e.vec_id <> 0),
+       |exact AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+       |  FROM sc ORDER BY cos DESC, vec_id LIMIT 20),
+       |lsh AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+       |  FROM sc WHERE bucket = qb ORDER BY cos DESC, vec_id LIMIT 20),
+       |d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, embedding, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dotSqlDuck("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT vec_id, embedding, c_label FROM asg WHERE rn = 1),
+       |qc AS (SELECT embedding AS qe,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS qn, c_label AS q_cell
+       |  FROM a WHERE vec_id = 0),
+       |ivf AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM (
+       |  SELECT a.vec_id,
+       |      (${dotSqlDuck("a.embedding", "q.qe")})
+       |      / (sqrt(${dotSqlDuck("a.embedding", "a.embedding")}) * q.qn) AS cos
+       |    FROM a JOIN qc q ON a.c_label = q.q_cell WHERE a.vec_id <> 0)
+       |  ORDER BY cos DESC, vec_id LIMIT 20),
+       |u AS (SELECT vec_id, rank FROM exact
+       |  UNION ALL SELECT vec_id, rank FROM lsh
+       |  UNION ALL SELECT vec_id, rank FROM ivf),
+       |ag AS (SELECT vec_id,
+       |    SUM(CAST(floor(1e6 / (60 + rank) + 0.5) AS BIGINT))::BIGINT AS micro,
+       |    COUNT(*)::BIGINT AS n_lists
+       |  FROM u GROUP BY vec_id)
+       |SELECT vec_id, n_lists, micro / 1e6 AS rrf
+       |FROM ag ORDER BY micro DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** A fitted PQ codebook cell: subspace s, code cid, centroid, self-dot. */
   case class PqCell(s: Int, cid: Int, c: Array[Double], cc: Double)
 
@@ -4405,6 +4512,7 @@ object Similarity {
     }),
     "q127_maxsim"         -> ((s, d) => maxSimRetrieval(s, d)),
     "q128_mrl_audit"      -> ((s, d) => mrlAudit(s, d)),
+    "q130_rrf_fusion"     -> ((s, d) => rrfFusion(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -4444,5 +4552,6 @@ object Similarity {
     "q126b_pq_index_build" -> pqIndexBuildSql,
     "q127_maxsim"         -> maxSimRetrievalSql,
     "q128_mrl_audit"      -> mrlAuditSql,
+    "q130_rrf_fusion"     -> rrfFusionSql,
   )
 }

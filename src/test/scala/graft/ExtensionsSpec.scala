@@ -556,6 +556,23 @@ class ExtensionsSpec extends SparkSpec {
       s"docs ${hitIds -- hitsWithTerm} ranked without containing any query term")
   }
 
+  test("q130: RRF fusion — multi-list consensus outranks any single-list candidate") {
+    val top = Similarity.rrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.length == 10)
+    assert(top.forall(t => t._2 >= 1 && t._2 <= 3))
+    assert(top.map(_._3).sliding(2).forall(p => p.head >= p.last), "rrf not descending")
+    // the RRF property the fold exists for: any candidate in >= 2 lists
+    // beats every single-list candidate (2/80 > 1/61 at k = 60, top-20
+    // lists), so the consensus block sits strictly above the singles
+    val (multi, single) = top.partition(_._2 >= 2)
+    if (multi.nonEmpty && single.nonEmpty)
+      assert(multi.map(_._3).min > single.map(_._3).max,
+        "a single-list candidate outranked a consensus candidate")
+    // score ceiling: 3 lists x rank 1 = 3/61
+    assert(top.forall(_._3 <= math.floor(1e6 / 61 + 0.5) * 3 / 1e6 + 1e-9))
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise

@@ -396,6 +396,11 @@ object PlanBudgetSpec {
     // TakeOrdered over the persisted both-cosines scan, the 20-row
     // join and the 3-row k frame broadcast; no corpus-keyed exchange
     "q128_mrl_audit" -> Shape(shuffles = 0, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
+    // q130 (r14): RRF — ZERO shuffles visible: three TakeOrdered heads
+    // over the two persisted scored frames + the q38 assignment chain
+    // behind its persist (pinned at q38); the fusion unions three
+    // <=20-row frames, so everything after the heads is constant-size
+    "q130_rrf_fusion" -> Shape(shuffles = 0, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
     // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
     // doc-length counts off the persisted token frame); df/stats/query
     // terms collapse term-granular and ride the 3-row broadcast, so
