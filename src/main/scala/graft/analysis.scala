@@ -660,7 +660,7 @@ object TextAnalysis {
   // with idf = ln((N − df + 0.5)/(df + 0.5) + 1) (always positive, the
   // Lucene guard) and k1 = 1.2, b = 0.75. The query is derived from the
   // corpus deterministically — the 3 highest-df terms appearing in at
-  // most 60% of docs (exact-integer filter df·10 ≤ n·6, ties
+  // most 90% of docs (exact-integer filter df·10 ≤ n·9, ties
   // alphabetical) — so the row works at every fixture scale with no
   // baked-in tokens. Determinism: tf/df/dl/N are exact longs, avgdl a
   // double of exact longs, both engines evaluate the IDENTICAL

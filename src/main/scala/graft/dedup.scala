@@ -22,6 +22,61 @@ import org.apache.spark.sql.functions._
   * same expression on both engines — the oracle verifies the dedup
   * machinery end-to-end (signature, banding, candidate join, verify).
   */
+/** Per-process scratch locations for the standing-index artifacts
+  * (q102/q119/q126). The PID token isolates concurrent runs (bench vs
+  * verify over one sf dir — the r13 advice race fix); the lifecycle
+  * discipline here is the r14 advice fix: without it every process
+  * leaked its artifacts into java.io.tmpdir forever.
+  *
+  *  - a single JVM shutdown hook deletes every path THIS process
+  *    minted (build-once/probe-many within the process still holds —
+  *    the path is stable until exit);
+  *  - at mint time, sibling artifacts of the same family whose owning
+  *    PID is no longer alive are swept (covers kill -9 / crashed runs
+  *    the hook can't reach). Both legs are best-effort: scratch cleanup
+  *    must never fail a query.
+  */
+private[graft] object ScratchPaths {
+  private val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      owned.forEach(p => deleteRecursively(new java.io.File(p)))
+    }))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** `tag` is the family ("q102"/"q119"/"q126"); `d` the testdata dir. */
+  def indexPathFor(tag: String, d: String): String = {
+    hookInstalled
+    val tmp = System.getProperty("java.io.tmpdir")
+    val pid = ProcessHandle.current().pid()
+    sweepStale(tmp, tag, pid)
+    val p = s"$tmp/graft-$tag-index-p$pid-" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    owned.add(p)
+    p
+  }
+
+  private val PidPat = """graft-(q\d+)-index-p(\d+)-.*""".r
+  private def sweepStale(tmp: String, tag: String, self: Long): Unit =
+    try {
+      val kids = new java.io.File(tmp).listFiles()
+      if (kids != null) kids.foreach { f =>
+        f.getName match {
+          case PidPat(t, pidStr) if t == tag =>
+            val pid = pidStr.toLong
+            if (pid != self && !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+              deleteRecursively(f)
+          case _ => ()
+        }
+      }
+    } catch { case _: Exception => () }
+}
+
 object Dedup {
 
   /** q22 — exact dedup on a normalized content key. */
@@ -510,16 +565,15 @@ object Dedup {
       s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/shingles"))
 
   /** Deterministic scratch location for the q102 artifact of one
-    * testdata dir. Per-PROCESS (the PID token, r14 advice fix): two
+    * testdata dir. Per-PROCESS (the PID token, r13 advice fix): two
     * concurrent runs over the same sf dir (e.g. bench and verify) used
     * to share one path and could race an overwrite-mode write against a
     * concurrent read; now each process owns its artifact, while within
     * a process the path is stable so the build-once/probe-many shape
-    * holds. Different sf dirs stay disjoint as before. */
+    * holds. Different sf dirs stay disjoint as before. Lifecycle
+    * (cleanup hook + stale-PID sweep): [[ScratchPaths]]. */
   private[graft] def indexPathFor(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-q102-index-" +
-      s"p${ProcessHandle.current().pid()}-" +
-      d.replaceAll("[^A-Za-z0-9.]", "_")
+    ScratchPaths.indexPathFor("q102", d)
 
   /** The q23 sign→band CTE chain for an arbitrary (doc_id, text) source
     * CTE, name-prefixed so two chains coexist in one query. */

@@ -953,7 +953,11 @@ object Similarity {
       .as[(Long, Int, Double)]
       .map { case (id, cid, dd) =>
         val dm = math.floor(dd * 1e6 + 0.5).toLong
-        val (n, im) = stats(cid)
+        // Lloyd cells CAN end up empty in the fitted stats; a vector
+        // routed to one has no cluster-relative bar to compare against,
+        // so it never flags ((0,0) makes the comparison 0 > 0) instead
+        // of throwing inside the executor and killing the stream.
+        val (n, im) = stats.getOrElse(cid, (0L, 0L))
         (id, cid, dm, dm.toDouble * n.toDouble > 1.5 * im.toDouble)
       }
       .toDF("vec_id", "cid", "dm", "outlier")
@@ -3642,9 +3646,7 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   private[graft] def annIndexPathFor(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-q119-index-" +
-      s"p${ProcessHandle.current().pid()}-" +
-      d.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ScratchPaths.indexPathFor("q119", d)
 
   /** Once-per-life build: coarse-assign the corpus, write it partitioned
     * by cell + the centroid codebook; returns the read-back row count. */
@@ -3795,9 +3797,7 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   private[graft] def pqIndexPathFor(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-q126-index-" +
-      s"p${ProcessHandle.current().pid()}-" +
-      d.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.ScratchPaths.indexPathFor("q126", d)
 
   /** Encode the corpus against a fitted codebook: (vec_id, orig, codes,
     * c_label) — the stored row shape. */

@@ -880,10 +880,16 @@ object StreamingOps {
         (_: Int, it: Iterator[DriftEvent], state: GroupState[DriftState]) =>
           var st = if (state.exists) state.get
                    else DriftState(0L, Long.MinValue, Seq.fill(k)(0L), 0L)
-          val arrivals = it.toArray
+          // A corrupt/mis-routed event with cid outside [0, k) would
+          // index past the counts vector and kill the whole monitor;
+          // it is instead COUNTED into `dropped` (the same contract as
+          // replays) and never advances the high-water mark.
+          val (arrivals, invalid) =
+            it.toArray.partition(e => e.cid >= 0 && e.cid < k)
           val fresh = arrivals.filter(_.vec_id > st.maxId)
             .sortBy(_.vec_id).distinctBy(_.vec_id)
-          st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
+          st = st.copy(dropped = st.dropped + invalid.length +
+            (arrivals.length - fresh.length))
           fresh.foreach { e =>
             st = st.copy(maxId = e.vec_id,
               counts = st.counts.updated(e.cid, st.counts(e.cid) + 1L))

@@ -39,6 +39,15 @@ class PlanBudgetSpec extends SparkSpec {
         assert(v <= b, s"$name exceeds its $what budget ($v > $b)\n  got    $got\n  budget $budget")
       leq(got.shuffles, budget.shuffles, "shuffle-exchange")
       leq(got.broadcasts, budget.broadcasts, "broadcast-exchange")
+      // raw node counts vs the canonical-distinct counts (r14 advice):
+      // a lost persist re-executes an identical exchange — same
+      // canonical form, so the distinct budget alone can't see it. A
+      // small slack absorbs the best-effort AQE reuse race (two
+      // identical stages materializing concurrently both survive as
+      // raw nodes); systematic duplication beyond it fails here.
+      val reuseSlack = 2
+      leq(got.rawShuffles, got.shuffles + reuseSlack, "raw-shuffle-duplication")
+      leq(got.rawBroadcasts, got.broadcasts + reuseSlack, "raw-broadcast-duplication")
       leq(got.joins, budget.joins, "join")
       leq(got.smj, budget.smj, "sort-merge-join")
       leq(got.bnlj, budget.bnlj, "broadcast-nested-loop-join")

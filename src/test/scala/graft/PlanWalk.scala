@@ -33,10 +33,12 @@ object PlanWalk {
     * pin the DISTINCT exchanges. */
   case class Shape(
       shuffles: Int, broadcasts: Int, joins: Int, smj: Int,
-      cartesian: Int, bnlj: Int, scans: Int) {
+      cartesian: Int, bnlj: Int, scans: Int,
+      rawShuffles: Int = 0, rawBroadcasts: Int = 0) {
     override def toString: String =
       s"Shape(shuffles=$shuffles, broadcasts=$broadcasts, joins=$joins, " +
-        s"smj=$smj, cartesian=$cartesian, bnlj=$bnlj, scans=$scans)"
+        s"smj=$smj, cartesian=$cartesian, bnlj=$bnlj, scans=$scans, " +
+        s"rawShuffles=$rawShuffles, rawBroadcasts=$rawBroadcasts)"
   }
 
   /** Executes `df` (collect) and fingerprints the final adaptive plan. */
@@ -58,11 +60,18 @@ object PlanWalk {
     // distinct computations). A REAL shape regression (an added rejoin,
     // a lost broadcast) has a different canonical subtree and still
     // counts; identical-subtree duplicates are the same computation.
+    // ... but the RAW node counts are reported alongside (r14 advice):
+    // canonical dedup would also mask a LOST-PERSIST regression where
+    // the identical exchange genuinely executes twice (same canonical
+    // form, double the runtime). PlanBudgetSpec asserts
+    // raw <= distinct + slack so duplicated computation stays visible.
     def distinctExchanges(pred: SparkPlan => Boolean): Int =
       nodes.filter(pred).map(_.canonicalized).distinct.size
     Shape(
       shuffles = distinctExchanges(_.isInstanceOf[ShuffleExchangeLike]),
       broadcasts = distinctExchanges(_.isInstanceOf[BroadcastExchangeLike]),
+      rawShuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike]),
+      rawBroadcasts = nodes.count(_.isInstanceOf[BroadcastExchangeLike]),
       joins = nodes.count(_.isInstanceOf[BaseJoinExec]),
       smj = nodes.count(_.isInstanceOf[SortMergeJoinExec]),
       cartesian = nodes.count(_.isInstanceOf[CartesianProductExec]),

@@ -737,6 +737,55 @@ class StreamingSpec extends SparkSpec {
       "replay must freeze the stats and count the drop")
   }
 
+  test("embeddingDriftStream: out-of-range cid is counted into dropped, never kills the monitor (r15)") {
+    import graft.streaming.{DriftEvent, DriftReport}
+    val (cells, design) = Similarity.fitDriftDesign(spark, sf)
+    val k = design.baseCounts.length
+    val reembed = Tables.embeddings(spark, sf).limit(8)
+      .selectExpr("vec_id", "embedding")
+    val routed = Similarity.kmeansAssignVerdict(reembed, cells)
+      .select("vec_id", "cid").as[(Long, Int)].collect().sortBy(_._1)
+      .map { case (v, c) => DriftEvent(v, c) }
+    val in = MemoryStream[DriftEvent](spark)
+    val q = StreamingOps.embeddingDriftStream(in.toDS(), design)
+      .writeStream.format("memory").queryName("driftcorrupt")
+      .outputMode("update").start()
+    in.addData(routed.toSeq: _*)
+    q.processAllAvailable()
+    // two corrupt routings (negative and past-end cid) plus one valid —
+    // pre-r15 either corrupt row threw inside flatMapGroupsWithState
+    // and failed the whole query; now they count as dropped and the
+    // valid row still lands
+    in.addData(DriftEvent(900001L, -1), DriftEvent(900002L, k),
+      DriftEvent(900003L, 0))
+    q.processAllAvailable(); q.stop()
+    val reports = spark.table("driftcorrupt")
+      .as[DriftReport].collect().sortBy(_.rev)
+    assert(reports.length == 2 && q.exception.isEmpty)
+    assert(reports(1).dropped == 2L, s"corrupt cids must count: ${reports(1)}")
+    assert(reports(1).n_reembed == routed.length + 1,
+      "the valid row in the corrupt batch must still be counted")
+  }
+
+  test("centroidOutlierVerdict: a cid absent from the fitted stats never flags instead of throwing (r15)") {
+    // Lloyd cells can end up empty in the fitted stats — a routed
+    // vector then has no cluster-relative bar; the verdict must be
+    // never-flag, not a NoSuchElementException that kills the stream
+    val (cells, stats) = Similarity.fitOutlierScreen(spark, sf)
+    val rows = Tables.embeddings(spark, sf).limit(6)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toSeq
+    val routedCids = Similarity.centroidOutlierVerdict(
+        rows.toDF("vec_id", "embedding"), cells, stats)
+      .select("cid").as[Int].collect().toSet
+    assert(routedCids.nonEmpty)
+    val holey = stats -- routedCids // every routed cell is now "empty"
+    val got = Similarity.centroidOutlierVerdict(
+        rows.toDF("vec_id", "embedding"), cells, holey)
+      .select("vec_id", "outlier").as[(Long, Boolean)].collect()
+    assert(got.length == rows.length && got.forall(!_._2),
+      "vectors routed to stats-less cells must never flag")
+  }
+
   test("centroidOutlierVerdict flags a stream exactly like the batch q124 screen (r14)") {
     // fit-then-stream: codebook + k-row stats fit offline, the flag
     // stateless per row — a micro-batch of mixed organic/noise vectors
