@@ -702,8 +702,10 @@ object TextAnalysis {
       .selectExpr("doc_id", "micro / 1e6 as bm25")
   }
 
-  val bm25Sql: String =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  /** The q129 CTE chain through the per-doc exact-long score `ag`,
+    * exposed so q131's hybrid fusion reuses the lexical head verbatim. */
+  val bm25CtesSql: String =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
       |dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY 1),
@@ -720,9 +722,12 @@ object TextAnalysis {
       |      / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / qt.avgdl)))
       |      * 1e6 + 0.5) AS BIGINT) AS micro
       |  FROM tf JOIN qt ON qt.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id),
-      |ag AS (SELECT doc_id, SUM(micro)::BIGINT AS micro FROM sc GROUP BY doc_id)
-      |SELECT doc_id, micro / 1e6 AS bm25
-      |FROM ag ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin
+      |ag AS (SELECT doc_id, SUM(micro)::BIGINT AS micro FROM sc GROUP BY doc_id)""".stripMargin
+
+  val bm25Sql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, micro / 1e6 AS bm25
+       |FROM ag ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------------
   // q44 — corpus length distribution per language: exact interpolated

@@ -1206,7 +1206,7 @@ object Dedup {
         "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
     val withB = corpus.selectExpr("vec_id", "e",
       s"sqrt(${Similarity.dotExpr("e", "e")}) as nrm",
-      s"${Similarity.bucketExpr("e")} as bucket")
+      s"${Similarity.bucketExpr("e", Similarity.corpusPlanes(s, d))} as bucket")
     boundedBucketPairs(s, withB.select("bucket", "vec_id", "e", "nrm"),
         cap = 1024, minCos = 0.98)
       .selectExpr("vec_a", "vec_b", "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")

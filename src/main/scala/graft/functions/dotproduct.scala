@@ -95,7 +95,21 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
-      (children: Seq[Expression]) => LshBucket(children(0))))
+      (children: Seq[Expression]) => children match {
+        // optional 2nd arg: plane count, a plan-time integer literal
+        // (callers derive it from the corpus size — Similarity.derivePlanes)
+        case Seq(e) => LshBucket(e)
+        case Seq(e, p) =>
+          val planes = p match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_lsh_bucket: planes must be an integer literal, got $other")
+          }
+          LshBucket(e, planes)
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_bucket takes 1 or 2 arguments, got ${other.length}")
+      }))
 
   /** Imperative registration for sessions built without the extensions
     * config (idempotent — re-registration overwrites with the same fn). */

@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
-/** `graft_lsh_bucket(e)` — random-hyperplane LSH bucket id (8 sign bits)
-  * of a float-vector column, as ONE native expression.
+/** `graft_lsh_bucket(e[, planes])` — random-hyperplane LSH bucket id
+  * (`planes` sign bits, default 8) of a float-vector column, as ONE
+  * native expression.
   *
   * The hyperplane coefficients are a closed-form integer formula,
   * coef(p, j) = ((p·73856093 + j·19349663) mod 97) / 48.0 − 1.0,
@@ -17,6 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * and every AQE re-optimization at every stage boundary — re-traversed.
   * At 100 TB plane/dim counts grow; this keeps the plan O(1) regardless.
   *
+  * `planes` is a plan-time constant (the callers derive it from the
+  * corpus row count — [[graft.Similarity.derivePlanes]] — so bucket
+  * occupancy stays ~constant as the corpus grows instead of the pair
+  * stages going quadratic in a fixed 256-bucket space); it is a case
+  * field, not a child, so canonicalization distinguishes bucket spaces.
+  *
   * Bit-exactness: identical operation order to the literal-array form
   * and to the DuckDB oracle ([[graft.Similarity.bucketSqlDuck]]) — the
   * coefficient is exact integer arithmetic then one exact division and
@@ -25,7 +32,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * equivalence against the literal-array route over the corpus.
   * Array elements must be non-null (same contract as graft_dot).
   */
-case class LshBucket(child: Expression) extends UnaryExpression {
+case class LshBucket(child: Expression, planes: Int = LshBucket.NPlanes)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 62,
+    s"graft_lsh_bucket: planes must be in [1, 62], got $planes")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
@@ -51,7 +61,7 @@ case class LshBucket(child: Expression) extends UnaryExpression {
     val isF = elemIsFloat
     var bucket = 0L
     var p = 0
-    while (p < LshBucket.NPlanes) {
+    while (p < planes) {
       var acc = 0.0
       var j = 0
       while (j < n) {
@@ -78,7 +88,7 @@ case class LshBucket(child: Expression) extends UnaryExpression {
       s"""
          |int $n = $a.numElements();
          |long $bucket = 0L;
-         |for (int $p = 0; $p < ${LshBucket.NPlanes}; $p++) {
+         |for (int $p = 0; $p < $planes; $p++) {
          |  double $acc = 0.0;
          |  for (int $j = 0; $j < $n; $j++) {
          |    double $coef = (((long) $p * 73856093L + (long) $j * 19349663L) % 97L) / 48.0 - 1.0;
@@ -95,8 +105,10 @@ case class LshBucket(child: Expression) extends UnaryExpression {
 }
 
 object LshBucket {
-  /** Number of hyperplanes = bucket-id sign bits. Mirrors
-    * graft.Similarity.nPlanes; the DuckDB twin and the equivalence spec
-    * pin the two together. */
+  /** Default plane count — the FIXTURE-SCALE value of the derived dial
+    * ([[graft.Similarity.derivePlanes]] floors at 8, and both fixture
+    * corpora sit below the first growth threshold, so every oracle row
+    * is unchanged by the parameterization). The DuckDB twin and the
+    * equivalence spec pin the two engines together. */
   val NPlanes = 8
 }

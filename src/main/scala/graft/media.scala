@@ -226,33 +226,92 @@ object MediaOps {
     v
   }
 
+  /** REAL PNG luma decode (r15, verdict item 3 — JDK `javax.imageio`,
+    * no new dependency): the row-major ITU-R BT.601 integer luma plane
+    * ((299·R + 587·G + 114·B) / 1000, exact integer arithmetic) of a
+    * genuine PNG payload; None otherwise. Gated on the 8-byte PNG
+    * signature so non-PNG payloads never pay a reader probe — the
+    * synthetic fixture corpus (text bytes) takes the stub leg with
+    * zero ImageIO calls. Decode failures (truncated/corrupt payloads)
+    * also fall back rather than killing the task — the Z2 corrupt-drop
+    * discipline at pixel grain. */
+  private[graft] def decodePngLuma(bytes: Array[Byte]): Option[Array[Int]] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length < 8 || (0 until 8).exists(i => (bytes(i) & 0xFF) != sig(i))) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Luma plane of one media payload: REAL decode for genuine PNGs,
+    * payload-bytes-AS-luma stub otherwise (the q29/q30 discipline that
+    * keeps the DuckDB twin exact on the synthetic corpus — the oracle
+    * covers the stub leg; the decoded leg is spec-pinned on genuine
+    * ImageIO-round-tripped PNGs in ExtensionsSpec). */
+  private[graft] def lumaPlane(bytes: Array[Byte]): Array[Int] =
+    decodePngLuma(bytes).getOrElse {
+      val n = bytes.length
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = bytes(i) & 0xFF; i += 1 }
+      out
+    }
+
   /** The image corpus + its re-encoded twins, dHashed: (doc_id, v) with
     * v the 4×16-bit dHash bands. One decoder-shaped mapPartitions pass
     * signs base AND twin (the twin's luma derives from the same decoded
-    * row — a second scan would double the decode cost at 100 TB). */
-  private[graft] def imageHashes(s: SparkSession, d: String): DataFrame = {
+    * row — a second scan would double the decode cost at 100 TB). The
+    * decode step is [[lumaPlane]] — real for genuine PNGs, stub for the
+    * synthetic fixture; the dHash precondition (≥ 72 luma samples)
+    * guards on the DECODED plane, not the byte length. */
+  private[graft] def imageHashesOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
     import s.implicits._
-    mediaCorpus(s, d)
+    corpus
       .filter(col("mime") === "image/png" && length(col("media")) >= 72)
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val n = bytes.length
-          val base = new Array[Int](n)
-          val twin = new Array[Int](n)
-          var i = 0
-          while (i < n) {
-            val luma = bytes(i) & 0xFF
-            base(i) = luma
-            twin(i) = if (i % 17 == 0) luma + 1 else luma
-            i += 1
+          val base = lumaPlane(bytes)
+          val n = base.length
+          if (n < 72) Iterator.empty
+          else {
+            val twin = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              twin(i) = if (i % 17 == 0) base(i) + 1 else base(i)
+              i += 1
+            }
+            Iterator((id, dhash4x16(base)), (id + 10000L, dhash4x16(twin)))
           }
-          Iterator((id, dhash4x16(base)), (id + 10000L, dhash4x16(twin)))
         }
       }
       .toDF("doc_id", "v")
   }
+
+  private[graft] def imageHashes(s: SparkSession, d: String): DataFrame =
+    imageHashesOf(mediaCorpus(s, d))
 
   /** The q107 pair chain from a (persisted) hash frame: Hamming bands →
     * triangle-capped band-collision candidates → exact Hamming ≤ 6.

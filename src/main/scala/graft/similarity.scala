@@ -137,26 +137,133 @@ object Similarity {
        |FROM c ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
   }
 
-  // 8 deterministic pseudo-random hyperplanes: coef(p, j) =
+  // Deterministic pseudo-random hyperplanes: coef(p, j) =
   // ((p*73856093 + j*19349663) % 97) / 48.0 - 1.0 — pure integer
   // arithmetic then one exact division, identical on both engines.
-  private val nPlanes = 8
+  //
+  // The PLANE COUNT IS DERIVED FROM THE CORPUS (r15 — previously a
+  // hardcoded 8, the suite's one named scale-killer): with a fixed
+  // 2^8-bucket space, the floor-less pair stages (q118/q122/q123 —
+  // pair work = Σ_b occ_b²/2 dots; the triangle cap bounds per-TASK
+  // work, not volume) went QUADRATIC at replica scale (the r14 e30
+  // audit measured 211M capped candidates).
+  //
+  // The dial is VOLUME-BUDGETED, not occupancy-derived: planes = the
+  // smallest p in [floor, ceil] whose MEASURED candidate-pair volume
+  // Σ_b bn·(bn−1)/2 at depth p is ≤ PairBudgetPerRow·n. The naive
+  // closed form (p = log₂(n/targetOccupancy), assuming uniform
+  // occupancy) FAILS on real embedding corpora: they are label-
+  // clustered, a tight cluster off the origin is split only by the
+  // minority of sign planes that happen to cut it, and the measured
+  // pair volume dropped just ~0.79× per added plane on the e30 replica
+  // — the uniform dial left the stages super-linear. Measuring the
+  // volume directly subsumes the uniform model (on uniform data the
+  // budget rule reduces to the occupancy rule) and self-calibrates to
+  // any cluster structure.
+  //
+  // The probe is ONE narrow aggregation pass: bucket bit p is
+  // independent of the plane count (bit p's sign only depends on plane
+  // p), so the depth-p bucket is the low-p-bit PREFIX of the depth-40
+  // bucket — one scan computes the 40-bit bucket per row, one
+  // two-level aggregate yields every depth's pair volume, and the
+  // smallest depth under budget wins. O(33·n) narrow rows through one
+  // map-side-combined shuffle, once per corpus — an index-build-time
+  // statistic at production grain (and there, computed on a
+  // deterministic hash-sample with s² rescaling if even that pass is
+  // too dear).
+  //
+  // Exactness across engines: counts, masks and the budget comparison
+  // are pure integer arithmetic; the depth-40 bucket's sign bits are
+  // the same float→double widened fold both sides (pinned by the
+  // ExtensionsSpec equivalence + prefix-stability tests). Both fixture
+  // corpora (500 / 2 000 vectors, ≤ 99 pairs/row at depth 8) choose
+  // the old 8 at both gate scales — every oracle row is byte-identical
+  // — while the e10/e30 replicas (20k/60k vectors) choose 11/15 and
+  // hold ~465 pairs/row across the 3× step: the pair stages are linear
+  // in n by construction.
+  private[graft] val PlanesFloor = 8
+  private[graft] val PlanesCeil = 40 // bucket ids stay well under 2^62
+  private[graft] val PairBudgetPerRow = 512L
 
-  /** Spark SQL: LSH bucket id (8 sign bits) of float-array column `e` —
-    * the native [[graft.functions.LshBucket]] expression (one node; the
-    * planes are a closed-form coefficient computed inline in codegen).
-    * The previous form inlined the planes as 8×64 literal doubles:
-    * ~13 KB of expression text per join side that every optimizer pass
-    * and AQE re-optimization re-traversed. ExtensionsSpec pins the two
-    * routes bit-identical over the corpus. */
-  private[graft] def bucketExpr(e: String): String = s"graft_lsh_bucket($e)"
+  /** The volume-budgeted plane count of one embedding frame (see
+    * header): smallest depth in [PlanesFloor, PlanesCeil] whose
+    * same-bucket pair volume is within budget; PlanesCeil if none is.
+    * ONE probe job (n rides along as sum(bn) so no separate count).
+    * `col` must be a float/double array column named in the frame. */
+  private[graft] def adaptivePlanesFor(emb: DataFrame, colName: String): Int = {
+    val s = emb.sparkSession
+    withFns(s)
+    // fast path: the depth-8 volume alone (one shuffle collapsing to
+    // ≤256 groups — map-side combined, scheduler-floor cheap). Volume
+    // is monotone non-increasing in depth (finer buckets only split
+    // groups), so "depth 8 fits" IS the SQL min-rule's answer — every
+    // gate-fixture corpus takes this path and the probed queries pay
+    // ~one tiny job, not the 33-depth sweep.
+    val d8 = emb
+      .selectExpr(s"${bucketExpr(colName, PlanesFloor)} as b")
+      .groupBy("b").agg(count(lit(1)).as("bn"))
+      .agg(sum(expr("(bn * (bn - 1)) div 2")).as("pairs"), sum(col("bn")).as("n"))
+      .collect()(0)
+    if (d8.isNullAt(0) || d8.getLong(0) <= PairBudgetPerRow * d8.getLong(1))
+      PlanesFloor
+    else {
+      val volumes = emb
+        .selectExpr(s"${bucketExpr(colName, PlanesCeil)} as b40")
+        .selectExpr(s"explode(sequence(${PlanesFloor + 1}, $PlanesCeil)) as p", "b40")
+        .selectExpr("p", "b40 & (shiftleft(1L, p) - 1L) as b")
+        .groupBy("p", "b").agg(count(lit(1)).as("bn"))
+        .groupBy("p").agg(
+          sum(expr("(bn * (bn - 1)) div 2")).as("pairs"),
+          sum(col("bn")).as("n"))
+        .collect()
+      val under = volumes.collect {
+        case r if !r.isNullAt(1) && r.getLong(1) <= PairBudgetPerRow * r.getLong(2) =>
+          r.getInt(0)
+      }
+      if (under.isEmpty) PlanesCeil else under.min
+    }
+  }
+
+  /** The budgeted plane count of one testdata dir's embedding corpus.
+    * Derived corpora (planted twins/clumps) share their base corpus's
+    * bucket space: the probe keys on the BASE table on both engines,
+    * so the two sides of a cross-frame bucket join always agree. */
+  private[graft] def corpusPlanes(s: SparkSession, d: String): Int =
+    adaptivePlanesFor(Tables.embeddings(s, d), "embedding")
+
+  /** DuckDB: the same budgeted selection, as an inline scalar subquery
+    * mirroring [[adaptivePlanesFor]] term for term (same depth-40
+    * prefix trick, same integer pair counts, same budget compare). */
+  private[graft] val planesSqlDuck: String = {
+    val proj =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding) + 1),
+         |i -> embedding[i]::DOUBLE * (((pl * 73856093 + (i - 1) * 19349663) % 97) / 48.0 - 1.0))),
+         |(p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val b40 = s"CAST(list_aggregate(list_transform(range(0, $PlanesCeil), " +
+      s"pl -> CASE WHEN $proj > 0 THEN (1::BIGINT << pl) ELSE 0::BIGINT END), 'sum') AS BIGINT)"
+    s"(SELECT coalesce(min(p), $PlanesCeil) FROM " +
+      s"(SELECT p, sum((bn * (bn - 1)) // 2) AS pairs, sum(bn) AS n FROM " +
+      s"(SELECT p, b40 & ((1::BIGINT << p) - 1) AS b, count(*) AS bn FROM " +
+      s"(SELECT $b40 AS b40 FROM embeddings), range($PlanesFloor, ${PlanesCeil + 1}) t(p) " +
+      s"GROUP BY p, b) GROUP BY p) WHERE pairs <= $PairBudgetPerRow * n)"
+  }
+
+  /** Spark SQL: LSH bucket id (`planes` sign bits) of float-array
+    * column `e` — the native [[graft.functions.LshBucket]] expression
+    * (one node; the planes are a closed-form coefficient computed
+    * inline in codegen). The previous form inlined the planes as 8×64
+    * literal doubles: ~13 KB of expression text per join side that
+    * every optimizer pass and AQE re-optimization re-traversed.
+    * ExtensionsSpec pins the two routes bit-identical over the corpus. */
+  private[graft] def bucketExpr(e: String, planes: Int = PlanesFloor): String =
+    s"graft_lsh_bucket($e, $planes)"
 
   /** The literal-array formulation the native expression replaced —
     * kept as the cross-checkable reference (ExtensionsSpec asserts
     * equality with [[bucketExpr]] over the corpus; the DuckDB oracle
     * [[bucketSqlDuck]] is this same shape). */
-  private[graft] def bucketExprLiteral(e: String): String = {
-    val bits = (0 until nPlanes).map { p =>
+  private[graft] def bucketExprLiteral(e: String, planes: Int = PlanesFloor): String = {
+    val bits = (0 until planes).map { p =>
       val coeffs = (0 until 64).map { j =>
         val v = ((p.toLong * 73856093L + j.toLong * 19349663L) % 97L) / 48.0 - 1.0
         s"${v}D"
@@ -166,25 +273,37 @@ object Similarity {
     bits.mkString("(", " + ", ")")
   }
 
-  /** DuckDB: same bucket id. */
+  /** DuckDB: same bucket id, with the plane count derived IN SQL from
+    * the same corpus count ([[planesSqlDuck]]) — the oracle string is
+    * static, so the derivation must live inside the expression. Nested
+    * lambdas: outer `pl` ranges over planes, inner `i` over dims; the
+    * projection fold and coefficient arithmetic are byte-identical to
+    * the fixed-plane form this replaced (and to the Spark native
+    * expression), and DuckDB folds the uncorrelated scalar subquery to
+    * a constant. list_aggregate('sum') widens to HUGEINT → cast back
+    * to BIGINT (bucket ids stay ≤ 2^40 by the PlanesCeil clamp). */
   private[graft] def bucketSqlDuck(e: String): String = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj =
-        s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($e) + 1),
-           |i -> $e[i]::DOUBLE * ((($p * 73856093 + (i - 1) * 19349663) % 97) / 48.0 - 1.0))),
-           |(p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
-      s"CASE WHEN $proj > 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END"
-    }
-    bits.mkString("(", " + ", ")")
+    val proj =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($e) + 1),
+         |i -> $e[i]::DOUBLE * (((pl * 73856093 + (i - 1) * 19349663) % 97) / 48.0 - 1.0))),
+         |(p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    s"CAST(list_aggregate(list_transform(range(0, CAST($planesSqlDuck AS BIGINT)), " +
+      s"pl -> CASE WHEN $proj > 0 THEN (1::BIGINT << pl) ELSE 0::BIGINT END), 'sum') AS BIGINT)"
   }
 
-  /** Corpus annotated with norm + LSH bucket (exposed for tests). */
-  private[graft] def withLsh(s: SparkSession, d: String): DataFrame = {
+  /** Corpus annotated with norm + LSH bucket (exposed for tests), in
+    * the corpus-derived bucket space (`planes` from [[corpusPlanes]] —
+    * pass it in when the caller also needs the count, e.g. for probe
+    * generation). */
+  private[graft] def withLsh(s: SparkSession, d: String): DataFrame =
+    withLsh(s, d, corpusPlanes(s, d))
+
+  private[graft] def withLsh(s: SparkSession, d: String, planes: Int): DataFrame = {
     withFns(s)
     Tables.embeddings(s, d)
       .selectExpr("vec_id", "label", "embedding",
         s"sqrt(${dotExpr("embedding", "embedding")}) as nrm",
-        s"${bucketExpr("embedding")} as bucket")
+        s"${bucketExpr("embedding", planes)} as bucket")
   }
 
   /** q27 — LSH-bucketed approximate nearest neighbours: for each query
@@ -241,8 +360,9 @@ object Similarity {
     * exactly one bucket and a query's 9 probes are distinct, so
     * (q_id, vec_id) candidates are already unique — no distinct step. */
   def annMultiProbe(s: SparkSession, d: String): DataFrame = {
-    val emb = withLsh(s, d)
-    val probes = (0 until nPlanes).map(p => s"bucket ^ ${1L << p}L").mkString(", ")
+    val np = corpusPlanes(s, d)
+    val emb = withLsh(s, d, np)
+    val probes = (0 until np).map(p => s"bucket ^ ${1L << p}L").mkString(", ")
     val queries = emb.filter(col("vec_id") < 10)
       .selectExpr("vec_id as q_id", "embedding as qe", "nrm as qn",
         s"explode(array(bucket, $probes)) as probe")
@@ -260,12 +380,15 @@ object Similarity {
 
   val annMultiProbeSql: String = {
     val dot = dotSqlDuck("e.embedding", "q.qe")
-    val probes = (0 until nPlanes).map(p => s"xor(bucket, ${1L << p}::BIGINT)").mkString(", ")
+    // Hamming-1 probes over the DERIVED plane count (one per plane),
+    // generated in SQL so the probe set tracks the bucket space
+    val probes = s"unnest(list_prepend(bucket, list_transform(" +
+      s"range(0, CAST($planesSqlDuck AS BIGINT)), pp -> xor(bucket, (1::BIGINT << pp)))))"
     s"""WITH b AS (SELECT vec_id, label, embedding,
        |  sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm,
        |  ${bucketSqlDuck("embedding")} AS bucket FROM embeddings),
        |q0 AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bucket FROM b WHERE vec_id < 10),
-       |q AS (SELECT q_id, qe, qn, unnest([bucket, $probes]) AS probe FROM q0),
+       |q AS (SELECT q_id, qe, qn, $probes AS probe FROM q0),
        |c AS (SELECT q.q_id, e.vec_id, e.label, e.bucket,
        |  ($dot) / (e.nrm * q.qn) AS cos
        |  FROM b e JOIN q ON e.bucket = q.probe AND e.vec_id <> q.q_id),
@@ -1283,11 +1406,12 @@ object Similarity {
 
   val annMultiProbeAuditSql: String = {
     val dot = dotSqlDuck("e.embedding", "q.qe")
-    val probes = (0 until nPlanes).map(p => s"xor(bucket, ${1L << p}::BIGINT)").mkString(", ")
+    val probes = s"unnest(list_prepend(bucket, list_transform(" +
+      s"range(0, CAST($planesSqlDuck AS BIGINT)), pp -> xor(bucket, (1::BIGINT << pp)))))"
     annAuditSqlFor(
       s"""SELECT q.q_id, e.vec_id, ($dot) / (e.nrm * q.qn) AS cos
          |  FROM b e JOIN (SELECT q_id, qe, qn,
-         |      unnest([bucket, $probes]) AS probe FROM qq) q
+         |      $probes AS probe FROM qq) q
          |    ON e.bucket = q.probe AND e.vec_id <> q.q_id""".stripMargin)
   }
 
@@ -3456,7 +3580,8 @@ object Similarity {
         .selectExpr("vec_id + 10001 as vec_id",
           "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
     val withB = corpus.selectExpr("vec_id", "e",
-      s"sqrt(${dotExpr("e", "e")}) as nrm", s"${bucketExpr("e")} as bucket")
+      s"sqrt(${dotExpr("e", "e")}) as nrm",
+      s"${bucketExpr("e", corpusPlanes(s, d))} as bucket")
     val pairs = Dedup.boundedBucketPairs(s,
         withB.select("bucket", "vec_id", "e", "nrm"), cap = 1024, minCos = -2.0)
       .filter(pmod(col("vec_a"), lit(2)) =!= pmod(col("vec_b"), lit(2)))
@@ -3489,12 +3614,13 @@ object Similarity {
     withFns(s)
     val base = Tables.embeddings(s, d)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
+    val np = corpusPlanes(s, d)
     val src = base.filter(col("vec_id") % 10 === 0)
-      .selectExpr("vec_id", s"${bucketExpr("e")} as bucket")
+      .selectExpr("vec_id", s"${bucketExpr("e", np)} as bucket")
     val twin = base.filter(col("vec_id") % 10 === 0)
       .selectExpr("vec_id",
         "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e")
-      .selectExpr("vec_id", s"${bucketExpr("e")} as tbucket")
+      .selectExpr("vec_id", s"${bucketExpr("e", np)} as tbucket")
     src.join(twin, Seq("vec_id"))
       .filter(col("bucket") === col("tbucket")).count()
   }
@@ -3570,7 +3696,8 @@ object Similarity {
     val corpus = base.unionAll(clones(100001L, 3))
       .unionAll(clones(200001L, 5)).unionAll(clones(300001L, 7))
     val withB = corpus.selectExpr("vec_id", "e",
-      s"sqrt(${dotExpr("e", "e")}) as nrm", s"${bucketExpr("e")} as bucket")
+      s"sqrt(${dotExpr("e", "e")}) as nrm",
+      s"${bucketExpr("e", corpusPlanes(s, d))} as bucket")
     val pairs = Dedup.boundedBucketPairs(s,
       withB.select("bucket", "vec_id", "e", "nrm"), cap = 1024, minCos = -2.0)
     val edges = pairs.selectExpr("vec_a as src", "cos", "vec_b as nb")
@@ -4227,6 +4354,76 @@ object Similarity {
        |FROM ag ORDER BY micro DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q131 — HYBRID BM25 + VECTOR FUSION (r15): the fusion every hybrid-
+  // search product actually ships — q130 fused three VECTOR views of one
+  // query; the production stack fuses the LEXICAL ranking (q129's BM25,
+  // its corpus-derived 3-term query) with the DENSE ranking (q26's exact
+  // cosine top-k for the same item's embedding — documents and
+  // embeddings share the id space, so item 0's info need has both a
+  // text and a vector form). Same RRF fold as q130: each 1/(60+rank)
+  // micro-quantizes to an exact long before the per-item sum; top-10
+  // orders by the exact long; n_lists exposes which items both modes
+  // surfaced. Rank-based fusion is exactly what makes the two
+  // incomparable score scales (BM25 sum vs cosine) composable with no
+  // calibration.
+  //
+  // Scale shape (100 TB): the lexical head is q129's shape (two corpus-
+  // keyed exchanges off one persisted token frame, 3-row broadcast
+  // scoring, TakeOrdered top-10), the dense head q26's (one scan,
+  // broadcast query row, TakeOrdered); the fusion unions two ≤10-row
+  // frames — constant-size past the heads.
+  // ---------------------------------------------------------------------
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    withFns(s)
+    // lexical head: q129's top-10; bm25 = micro/1e6, so ranking by it
+    // is the exact-integer ordering (10-row post-limit window)
+    val lex = TextAnalysis.bm25(s, d)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .selectExpr("doc_id as item_id", "rank")
+    // dense head: q26's exact top-20, cut to the same depth 10 (rank
+    // over the micro-quantized cosine — the oracle's own column)
+    val vec = cosineTopK(s, d)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .selectExpr("vec_id as item_id", "rank")
+    lex.unionAll(vec)
+      .selectExpr("item_id", "cast(floor(1e6 / (60 + rank) + 0.5) as bigint) as micro")
+      .groupBy("item_id")
+      .agg(sum(col("micro")).as("micro"), count(lit(1)).as("n_lists"))
+      .orderBy(col("micro").desc, col("item_id")).limit(10)
+      .selectExpr("item_id", "n_lists", "micro / 1e6 as rrf")
+  }
+
+  val hybridRrfSql: String = {
+    val dot = dotSqlDuck("e.embedding", "q.embedding")
+    val nrm = dotSqlDuck("e.embedding", "e.embedding")
+    val qn  = dotSqlDuck("q.embedding", "q.embedding")
+    s"""WITH ${TextAnalysis.bm25CtesSql},
+       |lex AS (SELECT doc_id AS item_id,
+       |    row_number() OVER (ORDER BY micro DESC, doc_id) AS rank
+       |  FROM ag ORDER BY micro DESC, doc_id LIMIT 10),
+       |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |cs AS (SELECT e.vec_id, ($dot) / (sqrt($nrm) * sqrt($qn)) AS cos
+       |  FROM embeddings e, qv q WHERE e.vec_id <> 0),
+       |ct AS (SELECT vec_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cosine
+       |  FROM cs ORDER BY cos DESC, vec_id LIMIT 20),
+       |vec AS (SELECT item_id, rank FROM (
+       |    SELECT vec_id AS item_id,
+       |      row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM ct)
+       |  WHERE rank <= 10),
+       |u AS (SELECT item_id, rank FROM lex UNION ALL SELECT item_id, rank FROM vec),
+       |fg AS (SELECT item_id,
+       |    SUM(CAST(floor(1e6 / (60 + rank) + 0.5) AS BIGINT))::BIGINT AS micro,
+       |    COUNT(*)::BIGINT AS n_lists
+       |  FROM u GROUP BY item_id)
+       |SELECT item_id, n_lists, micro / 1e6 AS rrf
+       |FROM fg ORDER BY micro DESC, item_id LIMIT 10""".stripMargin
+  }
+
   /** A fitted PQ codebook cell: subspace s, code cid, centroid, self-dot. */
   case class PqCell(s: Int, cid: Int, c: Array[Double], cc: Double)
 
@@ -4513,6 +4710,7 @@ object Similarity {
     "q127_maxsim"         -> ((s, d) => maxSimRetrieval(s, d)),
     "q128_mrl_audit"      -> ((s, d) => mrlAudit(s, d)),
     "q130_rrf_fusion"     -> ((s, d) => rrfFusion(s, d)),
+    "q131_hybrid_rrf"     -> ((s, d) => hybridRrf(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -4553,5 +4751,6 @@ object Similarity {
     "q127_maxsim"         -> maxSimRetrievalSql,
     "q128_mrl_audit"      -> mrlAuditSql,
     "q130_rrf_fusion"     -> rrfFusionSql,
+    "q131_hybrid_rrf"     -> hybridRrfSql,
   )
 }

@@ -573,6 +573,76 @@ class ExtensionsSpec extends SparkSpec {
     assert(top.forall(_._3 <= math.floor(1e6 / 61 + 0.5) * 3 / 1e6 + 1e-9))
   }
 
+  test("q107 decode leg: genuine PNGs decode via javax.imageio; twin recall + exact luma pin; stub fallback (r15)") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, f: Int => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(y * w + x) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // exact luma pin: a gray pixel (v,v,v) has BT.601 luma
+    // (299+587+114)·v/1000 = v exactly — the decoded plane must equal
+    // the constructed pixel values sample for sample
+    val ramp = png(9, 8, i => i * 3 % 256)
+    val luma = MediaOps.decodePngLuma(ramp).get
+    assert(luma.length == 72 && luma.sameElements((0 until 72).map(_ * 3 % 256)),
+      "decoded luma plane != constructed gray values")
+    // non-PNG payloads take the stub leg (signature gate, no reader probe)
+    assert(MediaOps.decodePngLuma("definitely not a png".getBytes("UTF-8")).isEmpty)
+    assert(MediaOps.lumaPlane(Array[Byte](65, 66, 67)).sameElements(Array(65, 66, 67)))
+    // end-to-end through the REAL kernel: a corpus of genuine PNGs
+    // (two distinct 24×24 images) runs the decode→dhash→twin pass; the
+    // planted re-encode twin must land within the Hamming-6 bar of its
+    // base, and distinct images must stay far apart
+    val imgs = Seq(
+      1L -> png(24, 24, i => (i * 7) % 256),
+      2L -> png(24, 24, i => 255 - (i * 13) % 256))
+    val corpus = imgs.toDF("doc_id", "media")
+      .selectExpr("doc_id", "'image/png' as mime", "media")
+    val hashes = MediaOps.imageHashesOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(hashes.keySet == Set(1L, 2L, 10001L, 10002L))
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(ham(hashes(1L), hashes(10001L)) <= 6, "re-encode twin escaped the bar")
+    assert(ham(hashes(2L), hashes(10002L)) <= 6, "re-encode twin escaped the bar")
+    assert(ham(hashes(1L), hashes(2L)) > 6, "distinct images collided")
+  }
+
+  test("q131: hybrid BM25+vector RRF — both heads represented; cross-modal consensus dominates (r15)") {
+    val top = Similarity.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.length == 10)
+    assert(top.forall(t => t._2 >= 1 && t._2 <= 2))
+    assert(top.map(_._3).sliding(2).forall(p => p.head >= p.last), "rrf not descending")
+    // both modalities must actually reach the fused list: with two
+    // depth-10 heads and a top-10 fusion, every head contributes unless
+    // the other fully dominates — which the consensus rule forbids for
+    // disjoint heads (all ranks <= 10 score >= 1/70 each)
+    val lexIds = TextAnalysis.bm25(spark, sf).select("doc_id").as[Long].collect().toSet
+    val vecIds = Similarity.cosineTopK(spark, sf).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val fused = top.map(_._1).toSet
+    assert(fused.subsetOf(lexIds ++ vecIds), "fused item outside both heads")
+    // an item surfaced by BOTH modes (if any) beats every single-mode
+    // item: 2/70 > 1/61 at k = 60 with depth-10 heads
+    val (multi, single) = top.partition(_._2 >= 2)
+    if (multi.nonEmpty && single.nonEmpty)
+      assert(multi.map(_._3).min > single.map(_._3).max,
+        "a single-mode item outranked a cross-modal consensus item")
+    // consensus bookkeeping is honest: n_lists == 2 exactly when the
+    // item sits in both heads
+    top.foreach { case (id, nl, _) =>
+      val expect = (if (lexIds(id)) 1 else 0) + (if (vecIds(id)) 1 else 0)
+      assert(nl == expect, s"item $id n_lists $nl != membership $expect")
+    }
+  }
+
   test("q86: probing two IVF cells pointwise-dominates the single-cell q38 ranking") {
     // same exact scoring over a strictly larger candidate pool (top-2
     // cells ⊇ top-1 cell): the rank-i cosine can only rise
@@ -652,6 +722,51 @@ class ExtensionsSpec extends SparkSpec {
       val id = r.getLong(0)
       val d = embs(id).foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
       assert(r.getDouble(1) == d)
+    }
+  }
+
+  test("adaptive plane count: fixtures stay at 8; a planted hot cluster forces a deeper space; budget holds (r15)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // both gate fixtures sit within the pair budget at depth 8: the
+    // selected count IS the historical 8, so every oracle row is
+    // unchanged by the parameterization
+    assert(Similarity.corpusPlanes(spark, sf) == 8)
+    // the corpus replicated 40× with per-replica jitter (the embScale
+    // replica shape) blows the depth-8 pair budget — the volume probe
+    // must deepen the space to restore the per-row bound
+    val base = Tables.embeddings(spark, sf)
+    val clones = base.crossJoin(spark.range(40).toDF("rep"))
+      .selectExpr("vec_id * 100 + rep as vec_id",
+        """transform(embedding, (x, i) -> cast(cast(x as double)
+          | + 0.0005D * cast(rep as double) * cast(i % 3 as double) as float)) as embedding"""
+          .stripMargin.replace("\n", " "))
+    val np = Similarity.adaptivePlanesFor(clones, "embedding")
+    assert(np > 8, s"hot-cluster corpus must deepen the space, chose $np")
+    // the chosen depth actually meets the budget it was chosen for
+    val n = clones.count()
+    val pairs = clones
+      .selectExpr(s"${Similarity.bucketExpr("embedding", np)} as b")
+      .groupBy("b").count()
+      .selectExpr("sum((count * (count - 1)) div 2) as pairs")
+      .collect()(0).getLong(0)
+    assert(pairs <= Similarity.PairBudgetPerRow * n,
+      s"chosen depth $np has $pairs pairs for $n rows")
+  }
+
+  test("graft_lsh_bucket at a non-default plane count == literal-array form; low bits prefix-stable (r15)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rows = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        s"${Similarity.bucketExpr("embedding", 11)} as native11",
+        s"${Similarity.bucketExprLiteral("embedding", 11)} as literal11",
+        s"${Similarity.bucketExpr("embedding", 8)} as native8")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}")
+      // plane p's bit does not depend on the plane count: a wider space
+      // REFINES the narrower one (bucket mod 256 is the 8-plane bucket)
+      assert((r.getLong(1) & 0xffL) == r.getLong(3), s"vec ${r.getLong(0)} prefix")
     }
   }
 
