@@ -2963,7 +2963,7 @@ object Similarity {
   /** One-row broadcastable PQ codebook from a (s, cid, c) frame: `cells`
     * flat (dtab build) + `bys` grouped per subspace — the per-s filter
     * runs ONCE on the broadcast side, never per corpus row. */
-  private def pqCellsOf(cdf: DataFrame): DataFrame =
+  private[graft] def pqCellsOf(cdf: DataFrame): DataFrame =
     cdf.selectExpr("s", "cid", "c", s"${dotExpr("c", "c")} as cc")
       .agg(sort_array(collect_list(
         struct(col("s"), col("cid"), col("c"), col("cc")))).as("cells"))
@@ -2993,10 +2993,53 @@ object Similarity {
       .toDF("s", "cid", "c")
   }
 
+  /** Driver-side twin of [[pqCellsOf]] for a COLLECTED (s, cid, c) set
+    * (m·k rows — always driver-sized, the model-fit contract): builds
+    * the one-row cells/bys codebook frame as a literal local relation.
+    * Bit-identity with the distributed form: cc is the same ascending
+    * c(j)·c(j) fold as graft_dot over the same doubles; sort by (s, cid)
+    * ≡ sort_array's struct order ((s, cid) is unique, so later fields
+    * never tie-break). The point (r15, verdict item 6): a literal
+    * codebook broadcast costs ~one empty job, where the chained
+    * agg→collect_list→broadcast subtree cost 2–3 driver-blocking jobs
+    * PER LLOYD ITERATION — the PQ family's wall at fixture scale was
+    * this sequential job ladder, not compute. */
+  private[graft] def pqCellsLocal(s: SparkSession, rows: Array[(Int, Int, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sorted = rows.sortBy(t => (t._1, t._2))
+    val cells = sorted.map { case (sx, cid, c) =>
+      var cc = 0.0
+      var j = 0
+      while (j < c.length) { cc += c(j) * c(j); j += 1 }
+      Row(sx, cid, c.toSeq, cc)
+    }
+    val bys = (0 until PqM).map(sx => cells.filter(_.getInt(0) == sx).toSeq)
+    val cellT = StructType(Seq(
+      StructField("s", IntegerType), StructField("cid", IntegerType),
+      StructField("c", ArrayType(DoubleType)), StructField("cc", DoubleType)))
+    val schema = StructType(Seq(
+      StructField("cells", ArrayType(cellT)),
+      StructField("bys", ArrayType(ArrayType(cellT)))))
+    s.createDataFrame(
+      java.util.Arrays.asList(Row(cells.toSeq, bys)), schema)
+  }
+
   /** The Lloyd codebook fit over an already-pqCorpusOf'd (persisted)
-    * frame — shared by q112 (raw vectors) and q115 (coarse residuals). */
+    * frame — shared by q112 (raw vectors) and q115 (coarse residuals).
+    * r15 ladder fusion: each rung COLLECTS its m·k-row centroid set
+    * (one driver-blocking job) and rebuilds the codebook as a literal
+    * local relation via [[pqCellsLocal]], so the fit is exactly
+    * 1 (seed TakeOrdered) + PqIters (assignment+centroid agg) jobs —
+    * the old chain re-aggregated and re-broadcast the codebook inside
+    * the plan, paying 2–3 extra jobs per rung for 32-row frames.
+    * Fitted values are unchanged: the collected rows ARE the old
+    * chain's intermediate frame, and [[pqCellsLocal]] reproduces
+    * [[pqCellsOf]] bit-for-bit (ExtensionsSpec pins the equivalence). */
   private def pqFitCells(corpus: DataFrame): DataFrame = {
-    val seeds = corpus
+    val s = corpus.sparkSession
+    import s.implicits._
+    var cellsArr = corpus
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h")).limit(PqK)
       // single-partition window over k rows only (the q56 post-limit idiom)
@@ -3005,11 +3048,13 @@ object Similarity {
         """inline(transform(subs, x -> named_struct('s', x.s, 'cid', cid,
           |'c', transform(x.v, y -> cast(y as double)))))"""
           .stripMargin.replace("\n", " "))
-    var cells = pqCellsOf(seeds)
+      .as[(Int, Int, Array[Double])].collect()
     for (_ <- 1 to PqIters)
-      cells = pqCellsOf(pqCentroids(
-        corpus.crossJoin(broadcast(cells)).selectExpr("vec_id", "subs", pqBestExpr)))
-    cells
+      cellsArr = pqCentroids(
+        corpus.crossJoin(broadcast(pqCellsLocal(s, cellsArr)))
+          .selectExpr("vec_id", "subs", pqBestExpr))
+        .as[(Int, Int, Array[Double])].collect()
+    pqCellsLocal(s, cellsArr)
   }
 
   /** The PQ fit: (persisted corpus frame, final one-row codebook). */

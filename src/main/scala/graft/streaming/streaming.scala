@@ -809,11 +809,20 @@ object StreamingOps {
     * below the per-type high-water id) freeze the stats and are COUNTED
     * via the `dropped` observability contract the other monitors carry.
     * State is weeks×10 longs per event_type — bounded by the stream's
-    * week span; a production monitor would retire weeks older than its
-    * comparison horizon (the semDedupStream TTL discipline). */
-  def psiDriftStream(events: Dataset[PsiEvent], design: PsiDesign):
-      Dataset[PsiReport] = {
+    * week span, OR by `horizonWeeks` when set (r15, verdict item 7 —
+    * the semDedupStream TTL discipline as an explicit caller choice):
+    * only the trailing `horizonWeeks` weeks (relative to the newest
+    * week seen) are retained, weeks beyond the horizon are RETIRED
+    * from state (their pairs were already reported in prior
+    * revisions — retirement is forgetting, not un-reporting), and a
+    * beyond-horizon LATE arrival cannot resurrect a retired week with
+    * partial counts: it is counted into `dropped` instead (the
+    * watermark discipline, applied to the monitor's own state). */
+  def psiDriftStream(events: Dataset[PsiEvent], design: PsiDesign,
+                     horizonWeeks: Option[Int] = None): Dataset[PsiReport] = {
     import events.sparkSession.implicits._
+    horizonWeeks.foreach(h => require(h >= 2,
+      s"psiDriftStream: a comparison horizon needs >= 2 weeks, got $h"))
     events
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[PsiState, PsiReport](
@@ -827,17 +836,37 @@ object StreamingOps {
           val fresh = arrivals.filter(_.event_id > st.maxId)
             .sortBy(_.event_id).distinctBy(_.event_id)
           st = st.copy(dropped = st.dropped + (arrivals.length - fresh.length))
-          fresh.foreach { e =>
-            val wk = e.ts_us / 604800000000L
+          // the horizon cutoff advances with the newest week anywhere in
+          // sight (state or this batch) — computed BEFORE folding so a
+          // stale arrival never transits through state
+          val weekOf = (e: PsiEvent) => e.ts_us / 604800000000L
+          val cutoff = horizonWeeks.map { h =>
+            val newest = (st.weeks.keys ++ fresh.map(weekOf)).foldLeft(Long.MinValue)(_ max _)
+            newest - (h - 1L)
+          }
+          val (inHorizon, stale) = cutoff match {
+            case Some(c) => fresh.partition(e => weekOf(e) >= c)
+            case None => (fresh, Array.empty[PsiEvent])
+          }
+          // beyond-horizon late arrivals: counted, never folded, and
+          // deliberately NOT advancing the id high-water mark — a stale
+          // event with a fresh id must not shadow later in-horizon
+          // events with lower ids (re-delivery of the same stale event
+          // re-counts into dropped, which is observability, not loss)
+          st = st.copy(dropped = st.dropped + stale.length)
+          inHorizon.foreach { e =>
+            val wk = weekOf(e)
             // degenerate-range guard mirrors the batch CASE (a constant
             // value column bins everything to 0 on both sides)
             val b = if (design.vmax == design.vmin) 0
               else math.min(9,
                 math.floor((e.value - design.vmin) * 10.0 / (design.vmax - design.vmin)).toInt)
             val bins = st.weeks.getOrElse(wk, Seq.fill(10)(0L))
-            st = st.copy(maxId = e.event_id,
+            st = st.copy(maxId = st.maxId max e.event_id,
               weeks = st.weeks.updated(wk, bins.updated(b, bins(b) + 1L)))
           }
+          // retire state weeks that fell out of the horizon
+          cutoff.foreach(c => st = st.copy(weeks = st.weeks.filter(_._1 >= c)))
           st = st.copy(rev = st.rev + 1L)
           state.update(st)
           st.weeks.keys.toSeq.sorted.filter(w => st.weeks.contains(w + 1L))

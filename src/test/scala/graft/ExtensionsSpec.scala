@@ -573,6 +573,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(top.forall(_._3 <= math.floor(1e6 / 61 + 0.5) * 3 / 1e6 + 1e-9))
   }
 
+  test("pqCellsLocal (driver-built literal codebook) == pqCellsOf (distributed agg), bit-identical (r15)") {
+    // the r15 PQ fit-ladder fusion swaps the per-rung agg→broadcast
+    // chain for a driver-rebuilt literal relation — this pin is what
+    // makes that swap a pure job-count optimization: same cells order
+    // (sort_array struct order ≡ (s, cid) — unique), same cc fold
+    val rows = Array(
+      (1, 0, Array(0.25, -1.5, 3.0)),
+      (0, 1, Array(2.0, 0.125, -0.75)),
+      (0, 0, Array(-1.0, 1.0 / 3.0, 7.5)),
+      (3, 2, Array(0.1, 0.2, 0.3))) // 0.1+0.2+0.3: inexact doubles on purpose
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val dist = Similarity.pqCellsOf(rows.toSeq.toDF("s", "cid", "c")).collect()(0)
+    val local = Similarity.pqCellsLocal(spark, rows).collect()(0)
+    def canon(r: org.apache.spark.sql.Row) = {
+      def cell(x: org.apache.spark.sql.Row) =
+        (x.getInt(0), x.getInt(1), x.getSeq[Double](2).toList,
+         java.lang.Double.doubleToLongBits(x.getDouble(3)))
+      (r.getSeq[org.apache.spark.sql.Row](0).map(cell).toList,
+       r.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+         .map(_.map(cell).toList).toList)
+    }
+    assert(canon(dist) == canon(local), "driver-built codebook != distributed agg")
+  }
+
   test("q107 decode leg: genuine PNGs decode via javax.imageio; twin recall + exact luma pin; stub fallback (r15)") {
     import java.awt.image.BufferedImage
     def png(w: Int, h: Int, f: Int => Int): Array[Byte] = {

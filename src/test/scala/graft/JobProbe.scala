@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Diagnostic main: runs one SparkEntry query under a job listener and
+  * prints the driver-blocking job ladder (id, duration, description) —
+  * the instrument behind the r15 PQ fit-ladder work. Not a test. */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = TestSession.spark
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.put(js.jobId, (js.time,
+          Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        done.put(je.jobId, je.time)
+    })
+    // cold pass (codegen, cache fill) — then measure the WARM pass,
+    // which is what the bench's min-of-N reports
+    SparkEntry.queries(name)(spark, sf).collect()
+    spark.catalog.clearCache()
+    Thread.sleep(200)
+    jobs.clear(); done.clear()
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, sf).collect().length
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    val rows = jobs.asScala.toSeq.sortBy(_._1)
+    println(f"[jobprobe] $name rows=$n wall=$wall%.2fs jobs=${rows.length}")
+    rows.foreach { case (id, (start, desc)) =>
+      val dur = done.asScala.get(id).map(e => (e - start) / 1e3).getOrElse(-1.0)
+      println(f"[jobprobe]   job $id%3d ${dur}%8.3fs  ${desc.take(110)}")
+    }
+    spark.stop()
+  }
+}

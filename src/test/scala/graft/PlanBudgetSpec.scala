@@ -55,6 +55,32 @@ class PlanBudgetSpec extends SparkSpec {
     }
   }
 
+  test("job budget: the q112 PQ fit ladder stays fused (r15)") {
+    // the PQ family's fixture-scale wall was the sequential driver-
+    // blocking job ladder, not compute: pre-fusion q112 ran 25 jobs
+    // (each Lloyd rung re-aggregated and re-broadcast the 32-row
+    // codebook inside the plan); the fused ladder collects each rung's
+    // centroids and rebuilds the codebook as a literal local relation —
+    // 12 jobs end-to-end. Pin it with headroom so a reintroduced
+    // chained-broadcast rung (2-3 jobs per iteration) fails here.
+    spark.catalog.clearCache()
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q112_pq_search")(spark, sf).collect()
+      // listener events are asynchronous; jobs all STARTED by the time
+      // collect returns (the last job blocks it), a short drain suffices
+      Thread.sleep(500)
+      assert(jobCount.get() <= 15,
+        s"q112 fit ladder regrew: ${jobCount.get()} jobs (fused form runs 12)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("plan budget: CC loop PER-ROUND shapes (q41 hash-min, q60 star)") {
     // the q41/q60 whole-query cost is rounds × the round body, so the
     // budget that matters is per round: hash-min = join + min-agg (ONE
@@ -410,6 +436,12 @@ object PlanBudgetSpec {
     // behind its persist (pinned at q38); the fusion unions three
     // <=20-row frames, so everything after the heads is constant-size
     "q130_rrf_fusion" -> Shape(shuffles = 0, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
+    // q131 (r15): hybrid BM25+vector RRF — exactly the q129 lexical
+    // head's two corpus-keyed exchanges; the q26 dense head adds its
+    // broadcast-nested-loop scan pair and the fusion is constant-size
+    // (two <=10-row frames; its groupBy folds into the heads' output,
+    // no extra corpus exchange)
+    "q131_hybrid_rrf" -> Shape(shuffles = 2, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 2, scans = 6),
     // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
     // doc-length counts off the persisted token frame); df/stats/query
     // terms collapse term-granular and ride the 3-row broadcast, so

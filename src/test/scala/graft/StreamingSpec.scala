@@ -964,6 +964,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("psiDriftStream horizon: beyond-horizon weeks retire from state; stale arrivals count, never resurrect (r15)") {
+    import graft.streaming.{PsiEvent, PsiDesign, PsiReport}
+    val design = PsiDesign(0.0, 10.0)
+    val wk = 604800000000L
+    def ev(id: Long, week: Long, v: Double) = PsiEvent("t", id, week * wk, v)
+    val in = MemoryStream[PsiEvent](spark)
+    val q = StreamingOps.psiDriftStream(in.toDS(), design, horizonWeeks = Some(2))
+      .writeStream.format("memory").queryName("psihorizon")
+      .outputMode("update").start()
+    // weeks 0,1 -> one adjacent pair (0,1)
+    in.addData(ev(1, 0, 1.0), ev(2, 0, 2.0), ev(3, 1, 9.0))
+    q.processAllAvailable()
+    // week 2 arrives -> week 0 falls out of the 2-week horizon: the
+    // revision must report ONLY (1,2); a retained week 0 would emit
+    // (0,1) too, since reports enumerate every adjacent pair in state
+    in.addData(ev(4, 2, 5.0))
+    q.processAllAvailable()
+    def latest(): Seq[PsiReport] = {
+      val all = spark.table("psihorizon").as[PsiReport].collect()
+      all.filter(_.rev == all.map(_.rev).max).toSeq
+    }
+    val afterW2 = latest()
+    assert(afterW2.map(r => (r.week_from, r.week_to)).toSet == Set((1L, 2L)),
+      s"retired week still reporting: ${afterW2.map(r => (r.week_from, r.week_to))}")
+    assert(afterW2.forall(_.dropped == 0L))
+    // a late arrival for the RETIRED week 0 (fresh id) must not
+    // resurrect it with partial counts — counted into dropped instead
+    in.addData(ev(5, 0, 3.0))
+    q.processAllAvailable(); q.stop()
+    val afterLate = latest()
+    assert(afterLate.map(r => (r.week_from, r.week_to)).toSet == Set((1L, 2L)),
+      "a stale arrival resurrected a retired week")
+    assert(afterLate.forall(_.dropped == 1L), s"stale arrival not counted: $afterLate")
+  }
+
   test("clusterMixVerdict applies offline-fitted rates in a stream; per-cluster totals == batch q88") {
     // the q88 online form: cells AND the k-row rate table fit offline
     // (fitClusterRates, same integer/floor expressions as the batch
