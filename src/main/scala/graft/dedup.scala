@@ -1204,9 +1204,12 @@ object Dedup {
     val corpus = base.unionAll(
       base.selectExpr("vec_id + 10000 as vec_id",
         "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
+      .transform(Tables.maybePersist) // feeds the probe AND the pair chain
+    // probe the DERIVED corpus (r15): the planted twin per vector is
+    // part of the volume the dial bounds
     val withB = corpus.selectExpr("vec_id", "e",
       s"sqrt(${Similarity.dotExpr("e", "e")}) as nrm",
-      s"${Similarity.bucketExpr("e", Similarity.corpusPlanes(s, d))} as bucket")
+      s"${Similarity.bucketExpr("e", Similarity.adaptivePlanesFor(corpus, "e"))} as bucket")
     boundedBucketPairs(s, withB.select("bucket", "vec_id", "e", "nrm"),
         cap = 1024, minCos = 0.98)
       .selectExpr("vec_a", "vec_b", "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")
@@ -1221,7 +1224,7 @@ object Dedup {
        |  FROM base),
        |b AS (SELECT vec_id, e,
        |  sqrt(${Similarity.dotSqlDuck("e", "e")}) AS nrm,
-       |  ${Similarity.bucketSqlDuck("e")} AS bucket FROM corpus),
+       |  ${Similarity.bucketSqlDuckIn("e", Similarity.planesSqlDuckFor("corpus", "e"))} AS bucket FROM corpus),
        |p AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        |  (list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(a.e) + 1),
        |     i -> a.e[i] * b2.e[i])), (p_, q_) -> p_ + q_)) / (a.nrm * b2.nrm) AS cos

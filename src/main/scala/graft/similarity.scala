@@ -225,28 +225,36 @@ object Similarity {
   }
 
   /** The budgeted plane count of one testdata dir's embedding corpus.
-    * Derived corpora (planted twins/clumps) share their base corpus's
-    * bucket space: the probe keys on the BASE table on both engines,
-    * so the two sides of a cross-frame bucket join always agree. */
+    * Queries that bucket a DERIVED corpus (planted twins/clumps —
+    * q32/q122/q123) probe THAT corpus via [[adaptivePlanesFor]]
+    * directly instead: the pair volume the dial exists to bound is the
+    * volume of the frame actually joined, and planted dense clumps are
+    * exactly the structure a base-keyed probe under-prices. */
   private[graft] def corpusPlanes(s: SparkSession, d: String): Int =
     adaptivePlanesFor(Tables.embeddings(s, d), "embedding")
 
-  /** DuckDB: the same budgeted selection, as an inline scalar subquery
+  /** DuckDB: the same budgeted selection as an inline scalar subquery
     * mirroring [[adaptivePlanesFor]] term for term (same depth-40
-    * prefix trick, same integer pair counts, same budget compare). */
-  private[graft] val planesSqlDuck: String = {
+    * prefix trick, same integer pair counts, same budget compare).
+    * `src` is the table or earlier CTE holding vector column `col` —
+    * the derived-corpus queries point it at their own corpus CTE so
+    * both engines probe the same frame. */
+  private[graft] def planesSqlDuckFor(src: String, colName: String): String = {
     val proj =
-      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding) + 1),
-         |i -> embedding[i]::DOUBLE * (((pl * 73856093 + (i - 1) * 19349663) % 97) / 48.0 - 1.0))),
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($colName) + 1),
+         |i -> $colName[i]::DOUBLE * (((pl * 73856093 + (i - 1) * 19349663) % 97) / 48.0 - 1.0))),
          |(p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
     val b40 = s"CAST(list_aggregate(list_transform(range(0, $PlanesCeil), " +
       s"pl -> CASE WHEN $proj > 0 THEN (1::BIGINT << pl) ELSE 0::BIGINT END), 'sum') AS BIGINT)"
     s"(SELECT coalesce(min(p), $PlanesCeil) FROM " +
       s"(SELECT p, sum((bn * (bn - 1)) // 2) AS pairs, sum(bn) AS n FROM " +
       s"(SELECT p, b40 & ((1::BIGINT << p) - 1) AS b, count(*) AS bn FROM " +
-      s"(SELECT $b40 AS b40 FROM embeddings), range($PlanesFloor, ${PlanesCeil + 1}) t(p) " +
+      s"(SELECT $b40 AS b40 FROM $src), range($PlanesFloor, ${PlanesCeil + 1}) t(p) " +
       s"GROUP BY p, b) GROUP BY p) WHERE pairs <= $PairBudgetPerRow * n)"
   }
+
+  private[graft] val planesSqlDuck: String =
+    planesSqlDuckFor("embeddings", "embedding")
 
   /** Spark SQL: LSH bucket id (`planes` sign bits) of float-array
     * column `e` — the native [[graft.functions.LshBucket]] expression
@@ -282,12 +290,17 @@ object Similarity {
     * expression), and DuckDB folds the uncorrelated scalar subquery to
     * a constant. list_aggregate('sum') widens to HUGEINT → cast back
     * to BIGINT (bucket ids stay ≤ 2^40 by the PlanesCeil clamp). */
-  private[graft] def bucketSqlDuck(e: String): String = {
+  private[graft] def bucketSqlDuck(e: String): String =
+    bucketSqlDuckIn(e, planesSqlDuck)
+
+  /** [[bucketSqlDuck]] with an explicit plane-count SQL (a literal or a
+    * [[planesSqlDuckFor]] subquery over the actually-bucketed frame). */
+  private[graft] def bucketSqlDuckIn(e: String, planesSql: String): String = {
     val proj =
       s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($e) + 1),
          |i -> $e[i]::DOUBLE * (((pl * 73856093 + (i - 1) * 19349663) % 97) / 48.0 - 1.0))),
          |(p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
-    s"CAST(list_aggregate(list_transform(range(0, CAST($planesSqlDuck AS BIGINT)), " +
+    s"CAST(list_aggregate(list_transform(range(0, CAST($planesSql AS BIGINT)), " +
       s"pl -> CASE WHEN $proj > 0 THEN (1::BIGINT << pl) ELSE 0::BIGINT END), 'sum') AS BIGINT)"
   }
 
@@ -3624,9 +3637,12 @@ object Similarity {
       base.filter(col("vec_id") % 10 === 0)
         .selectExpr("vec_id + 10001 as vec_id",
           "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
+      .transform(Tables.maybePersist) // feeds the probe AND the pair chain
+    // probe the DERIVED corpus (r15): the planted twins are part of the
+    // volume the dial bounds
     val withB = corpus.selectExpr("vec_id", "e",
       s"sqrt(${dotExpr("e", "e")}) as nrm",
-      s"${bucketExpr("e", corpusPlanes(s, d))} as bucket")
+      s"${bucketExpr("e", adaptivePlanesFor(corpus, "e"))} as bucket")
     val pairs = Dedup.boundedBucketPairs(s,
         withB.select("bucket", "vec_id", "e", "nrm"), cap = 1024, minCos = -2.0)
       .filter(pmod(col("vec_a"), lit(2)) =!= pmod(col("vec_b"), lit(2)))
@@ -3659,7 +3675,13 @@ object Similarity {
     withFns(s)
     val base = Tables.embeddings(s, d)
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as e")
-    val np = corpusPlanes(s, d)
+    // the same derived-corpus probe as bitextMine — the planted count
+    // only certifies recall if it lives in the same bucket space
+    val corpus = base.unionAll(
+      base.filter(col("vec_id") % 10 === 0)
+        .selectExpr("vec_id + 10001 as vec_id",
+          "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
+    val np = adaptivePlanesFor(corpus, "e")
     val src = base.filter(col("vec_id") % 10 === 0)
       .selectExpr("vec_id", s"${bucketExpr("e", np)} as bucket")
     val twin = base.filter(col("vec_id") % 10 === 0)
@@ -3679,7 +3701,7 @@ object Similarity {
        |    list_transform(range(1, len(e) + 1), i -> e[i] + 0.01 * ((i - 1) % 3)::DOUBLE)
        |  FROM base WHERE vec_id % 10 = 0),
        |b AS (SELECT vec_id, e, sqrt(${dotSqlDuck("e", "e")}) AS nrm,
-       |  ${bucketSqlDuck("e")} AS bucket FROM corpus),
+       |  ${bucketSqlDuckIn("e", planesSqlDuckFor("corpus", "e"))} AS bucket FROM corpus),
        |p0 AS (SELECT a.vec_id AS va, c.vec_id AS vb, ($dot) / (a.nrm * c.nrm) AS cos
        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
        |  WHERE (a.vec_id % 2) <> (c.vec_id % 2)),
@@ -3740,9 +3762,12 @@ object Similarity {
         s"zip_with(e, sequence(0, 63), (x, i) -> x + 0.001 * cast(i % $m as double)) as e")
     val corpus = base.unionAll(clones(100001L, 3))
       .unionAll(clones(200001L, 5)).unionAll(clones(300001L, 7))
+      .transform(Tables.maybePersist) // feeds the probe AND the pair chain
+    // probe the DERIVED corpus (r15): the planted 4-clumps are exactly
+    // the dense structure a base-keyed probe under-prices
     val withB = corpus.selectExpr("vec_id", "e",
       s"sqrt(${dotExpr("e", "e")}) as nrm",
-      s"${bucketExpr("e", corpusPlanes(s, d))} as bucket")
+      s"${bucketExpr("e", adaptivePlanesFor(corpus, "e"))} as bucket")
     val pairs = Dedup.boundedBucketPairs(s,
       withB.select("bucket", "vec_id", "e", "nrm"), cap = 1024, minCos = -2.0)
     val edges = pairs.selectExpr("vec_a as src", "cos", "vec_b as nb")
@@ -3775,7 +3800,7 @@ object Similarity {
        |  ${clone(200001L, 5)}
        |  ${clone(300001L, 7)}),
        |b AS (SELECT vec_id, e, sqrt(${dotSqlDuck("e", "e")}) AS nrm,
-       |  ${bucketSqlDuck("e")} AS bucket FROM corpus),
+       |  ${bucketSqlDuckIn("e", planesSqlDuckFor("corpus", "e"))} AS bucket FROM corpus),
        |p AS (SELECT a.vec_id AS va, c.vec_id AS vb, ($dot) / (a.nrm * c.nrm) AS cos
        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
        |ed AS (SELECT va AS src, cos FROM p UNION ALL SELECT vb, cos FROM p),
