@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import graft.{LineOps, Serde, TextOps}
+import graft.{LineOps, Serde, TextAnalysis, TextOps}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -115,6 +115,15 @@ case class DriftReport(rev: Long, n_base: Long, n_reembed: Long,
                        psi: Double, drift: Boolean, dropped: Long)
 private[streaming] case class DriftState(rev: Long, maxId: Long,
   counts: Seq[Long], dropped: Long)
+
+/** One retrieval request for the online lexical-serving leg (q132's
+  * streaming twin): a query id plus its term set — the shape a search
+  * frontend actually emits. Replays (a query_id already served) emit
+  * nothing, the packStream id-dedup contract. */
+case class LexQuery(query_id: Long, terms: Seq[String])
+/** One ranked hit of one served query. */
+case class LexHit(query_id: Long, rank: Int, doc_id: Long, bm25: Double)
+private[streaming] case class LexServeState(served: Long)
 
 /** One tokenized document for the online trending-tokens monitor
   * (q93's streaming twin); `doc_id` carries the id-dedup contract. */
@@ -934,6 +943,53 @@ object StreamingOps {
           }.sum
           Iterator.single(DriftReport(st.rev, na, nb,
             micro / 1e6, drift = micro >= 200000L, dropped = st.dropped))
+      }
+  }
+
+  /** q132's online serving leg: retrieval requests stream against the
+    * STANDING lexical index — the index parquet is the STATIC side of
+    * stream-static joins, so serving never re-tokenizes the corpus.
+    * Scoring is the batch [[graft.TextAnalysis.bm25MicroExpr]]
+    * verbatim; the per-query top-10 folds in-task over exact longs
+    * with the batch tie-break ((micro desc, doc_id) — bit-identical to
+    * [[graft.TextAnalysis.bm25Score]], spec-pinned). A query's terms
+    * arrive in ONE event, so all its scored rows land in its own
+    * micro-batch — no cross-batch score state; the only retained state
+    * is one served marker per query_id, making replays emit NOTHING
+    * (the packStream id-dedup contract). Production note: per-term
+    * posting lists bound the in-task fold — a serving stack caps or
+    * WAND-prunes them; the probe side here is the pruned 3-bucket
+    * scan, never the corpus. */
+  def lexProbeStream(queries: Dataset[LexQuery], path: String): Dataset[LexHit] = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val postings = s.read.parquet(s"$path/postings").drop("tb")
+    val dl = s.read.parquet(s"$path/doclens")
+    val qstats = s.read.parquet(s"$path/terms")
+      .crossJoin(s.read.parquet(s"$path/stats")) // static × 1-row static
+    val scored = queries
+      .selectExpr("query_id", "explode(terms) as term")
+      .join(postings, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(qstats, Seq("term"))
+      .selectExpr("query_id", "doc_id", TextAnalysis.bm25MicroExpr)
+      .as[(Long, Long, Long)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[LexServeState, LexHit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (qid: Long, it: Iterator[(Long, Long, Long)], state: GroupState[LexServeState]) =>
+          if (state.exists) Iterator.empty // replayed query: emit nothing
+          else {
+            val byDoc = new scala.collection.mutable.HashMap[Long, Long]()
+            it.foreach { case (_, doc, micro) =>
+              byDoc.update(doc, byDoc.getOrElse(doc, 0L) + micro)
+            }
+            state.update(LexServeState(qid))
+            byDoc.toSeq.sortBy { case (doc, micro) => (-micro, doc) }.take(10)
+              .zipWithIndex.iterator.map { case ((doc, micro), i) =>
+                LexHit(qid, i + 1, doc, micro / 1e6)
+              }
+          }
       }
   }
 

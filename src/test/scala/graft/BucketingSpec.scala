@@ -141,4 +141,25 @@ class BucketingSpec extends SparkSpec {
     assert(schemas.exists(s => s.contains("orig") && !s.contains("codes")),
       s"no orig-only (re-rank) scan among $schemas")
   }
+
+  test("q132 lexical index: the probe opens only the query terms' postings buckets (r15)") {
+    // the reason buildLexIndex writes partitionBy(tb): a probe touches
+    // <= 3 of the 16 term-hash buckets no matter how large the corpus —
+    // measured on the EXECUTED probe's numFiles, not asserted from
+    // intent
+    val path = TextAnalysis.lexIndexPathFor(sf) + "-prune"
+    TextAnalysis.buildLexIndex(spark, sf, path)
+    val probe = TextAnalysis.lexIndexProbeStored(spark, sf, path)
+    assert(probe.collect().length == 10)
+    val scan = allNodes(finalPlan(probe))
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+    assert(scan.length == 1, s"expected one postings scan, got ${scan.length}")
+    assert(scan.head.metadata("PartitionFilters").contains("tb"),
+      s"expected PartitionFilters on tb: ${scan.head.metadata}")
+    val total = spark.read.parquet(s"$path/postings").inputFiles.length
+    val opened = scan.head.metrics("numFiles").value
+    assert(opened <= 3 && opened >= 1 && total > 3,
+      s"postings pruning failed: opened $opened of $total files")
+  }
 }

@@ -639,6 +639,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(ham(hashes(1L), hashes(2L)) > 6, "distinct images collided")
   }
 
+  test("q132: the standing-lexical-index probe == the from-scratch q129, bit-identical (r15)") {
+    // the index is LOSSLESS (postings = the exact tf frame, dictionary
+    // = the exact df frame), and the probe reuses bm25Score verbatim —
+    // so stored and inline rankings must agree to the last micro
+    val path = TextAnalysis.lexIndexPathFor(sf) + "-equiv"
+    val n = TextAnalysis.buildLexIndex(spark, sf, path)
+    assert(n > 0)
+    val stored = TextAnalysis.lexIndexProbeStored(spark, sf, path).collect()
+      .map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    val inline = TextAnalysis.bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    assert(stored.toSeq == inline.toSeq, "stored probe != from-scratch ranking")
+  }
+
   test("q131: hybrid BM25+vector RRF — both heads represented; cross-modal consensus dominates (r15)") {
     val top = Similarity.hybridRrf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -442,6 +442,11 @@ object PlanBudgetSpec {
     // (two <=10-row frames; its groupBy folds into the heads' output,
     // no extra corpus exchange)
     "q131_hybrid_rrf" -> Shape(shuffles = 2, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 2, scans = 6),
+    // q132 (r15): standing-lexical-index probe — the postings scan is
+    // bucket-pruned (BucketingSpec), the 3-row query broadcasts, the
+    // per-doc sum is the one corpus-keyed exchange; build ran in q132b
+    "q132_lex_index_probe" -> Shape(shuffles = 1, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
+    "q132b_lex_index_build" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
     // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
     // doc-length counts off the persisted token frame); df/stats/query
     // terms collapse term-granular and ride the 3-row broadcast, so

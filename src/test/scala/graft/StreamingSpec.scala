@@ -964,6 +964,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("lexProbeStream: online serving from the standing lexical index == the batch q132 probe; replay emits nothing (r15)") {
+    import graft.streaming.{LexHit, LexQuery}
+    val path = TextAnalysis.lexIndexPathFor(sf) + "-serve"
+    TextAnalysis.buildLexIndex(spark, sf, path)
+    val batch = TextAnalysis.lexIndexProbeStored(spark, sf, path).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }.toSeq
+    assert(batch.length == 10)
+    // the request carries the same derived terms the batch probe used
+    val qt = TextAnalysis.bm25QueryTerms(
+        spark.read.parquet(s"$path/terms"), spark.read.parquet(s"$path/stats"))
+      .select("term").as[String].collect().toSeq
+    assert(qt.length == 3)
+    val in = MemoryStream[LexQuery](spark)
+    val q = StreamingOps.lexProbeStream(in.toDS(), path)
+      .writeStream.format("memory").queryName("lexserve")
+      .outputMode("update").start()
+    in.addData(LexQuery(7L, qt))
+    q.processAllAvailable()
+    // a second, narrower query (one term) and a REPLAY of query 7
+    in.addData(LexQuery(8L, qt.take(1)), LexQuery(7L, qt))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lexserve").as[LexHit].collect()
+    val got7 = got.filter(_.query_id == 7L).sortBy(_.rank)
+      .map(h => (h.rank, h.doc_id, java.lang.Double.doubleToLongBits(h.bm25))).toSeq
+    assert(got7 == batch, "served ranking != batch standing-index probe")
+    assert(got.count(_.query_id == 7L) == 10, "replayed query re-emitted hits")
+    val got8 = got.filter(_.query_id == 8L)
+    assert(got8.nonEmpty && got8.length <= 10 &&
+      got8.map(_.rank).sorted.sameElements(1 to got8.length),
+      "single-term query not served with dense ranks")
+  }
+
   test("psiDriftStream horizon: beyond-horizon weeks retire from state; stale arrivals count, never resurrect (r15)") {
     import graft.streaming.{PsiEvent, PsiDesign, PsiReport}
     val design = PsiDesign(0.0, 10.0)
