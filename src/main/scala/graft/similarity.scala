@@ -4494,6 +4494,98 @@ object Similarity {
        |FROM fg ORDER BY micro DESC, item_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q133 — HYBRID SEARCH FROM STANDING INDEXES (r15): the q131 fusion
+  // re-expressed the way a production stack actually SERVES it — both
+  // heads read standing artifacts, nothing re-derives from the corpus:
+  // the lexical ranking probes the q132 inverted index (bucket-pruned
+  // postings scan), the dense ranking probes the q119 ANN index (the
+  // request routes via the index's own stored row — the indexed copy of
+  // the query item carries its cell — and the ranking scans ONLY that
+  // cell's partition, a literal partition filter). No self-exclusion:
+  // an external request ranks whatever the index holds, so the indexed
+  // copy of the query item surfaces at cos ≈ 1 — rank-1 by design, the
+  // behavior a deduplicating search frontend wants visible. The fusion
+  // is q131's exact-long RRF fold.
+  //
+  // Scale shape (100 TB): the lexical head touches ≤3 of 16 postings
+  // buckets + two tiny tables; the dense head touches ONE cell
+  // partition (~1/k of the corpus) after a 1-row lookup; the fusion
+  // unions two ≤10-row frames. Nothing tokenizes, embeds, or scans the
+  // corpus itself — the whole probe is index-artifact I/O.
+  // ---------------------------------------------------------------------
+
+  def hybridIndexProbe(s: SparkSession, d: String,
+                       lexPath: String, annPath: String): DataFrame = {
+    withFns(s)
+    val lex = TextAnalysis.lexIndexProbeStored(s, d, lexPath)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .selectExpr("doc_id as item_id", "rank")
+    // the request: item 0's embedding. Its INDEXED row carries its cell
+    // — the 1-row lookup is the routing (no centroid math at probe
+    // time), and the cell value becomes a literal partition filter.
+    val assignments = s.read.parquet(s"$annPath/assignments")
+    val qRow = assignments.filter(col("vec_id") === 0)
+      .selectExpr("embedding as qe", "nrm as qn", "c_label as q_cell")
+      .transform(Tables.maybePersist)
+    val qCell = qRow.select("q_cell").collect()(0).get(0)
+    val vec = assignments
+      .filter(col("c_label") === lit(qCell))
+      .crossJoin(broadcast(qRow))
+      .selectExpr("vec_id", s"${dotExpr("embedding", "qe")} / (nrm * qn) as cos")
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .selectExpr("vec_id as item_id", "rank")
+    lex.unionAll(vec)
+      .selectExpr("item_id", "cast(floor(1e6 / (60 + rank) + 0.5) as bigint) as micro")
+      .groupBy("item_id")
+      .agg(sum(col("micro")).as("micro"), count(lit(1)).as("n_lists"))
+      .orderBy(col("micro").desc, col("item_id")).limit(10)
+      .selectExpr("item_id", "n_lists", "micro / 1e6 as rrf")
+  }
+
+  val hybridIndexProbeSql: String = {
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    s"""WITH ${TextAnalysis.bm25CtesSql},
+       |lex AS (SELECT doc_id AS item_id,
+       |    row_number() OVER (ORDER BY micro DESC, doc_id) AS rank
+       |  FROM ag ORDER BY micro DESC, doc_id LIMIT 10),
+       |d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, embedding, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dotSqlDuck("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT vec_id, embedding, c_label,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm FROM asg WHERE rn = 1),
+       |qc AS (SELECT embedding AS qe, nrm AS qn, c_label AS q_cell FROM a WHERE vec_id = 0),
+       |vec AS (SELECT vec_id AS item_id,
+       |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank FROM (
+       |    SELECT a.vec_id, (${dotSqlDuck("a.embedding", "q.qe")}) / (a.nrm * q.qn) AS cos
+       |      FROM a JOIN qc q ON a.c_label = q.q_cell)
+       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       |u AS (SELECT item_id, rank FROM lex UNION ALL SELECT item_id, rank FROM vec),
+       |fg AS (SELECT item_id,
+       |    SUM(CAST(floor(1e6 / (60 + rank) + 0.5) AS BIGINT))::BIGINT AS micro,
+       |    COUNT(*)::BIGINT AS n_lists
+       |  FROM u GROUP BY item_id)
+       |SELECT item_id, n_lists, micro / 1e6 AS rrf
+       |FROM fg ORDER BY micro DESC, item_id LIMIT 10""".stripMargin
+  }
+
   /** A fitted PQ codebook cell: subspace s, code cid, centroid, self-dot. */
   case class PqCell(s: Int, cid: Int, c: Array[Double], cc: Double)
 
@@ -4781,6 +4873,17 @@ object Similarity {
     "q128_mrl_audit"      -> ((s, d) => mrlAudit(s, d)),
     "q130_rrf_fusion"     -> ((s, d) => rrfFusion(s, d)),
     "q131_hybrid_rrf"     -> ((s, d) => hybridRrf(s, d)),
+    // q133 probes BOTH standing indexes (each built lazily once per
+    // process — the q102/q119/q126/q132 gate pattern)
+    "q133_hybrid_index_probe" -> ((s, d) => {
+      val lexPath = TextAnalysis.lexIndexPathFor(d)
+      if (!new java.io.File(s"$lexPath/postings/_SUCCESS").exists())
+        TextAnalysis.buildLexIndex(s, d, lexPath)
+      val annPath = annIndexPathFor(d)
+      if (!new java.io.File(s"$annPath/assignments/_SUCCESS").exists())
+        buildAnnIndex(s, d, annPath)
+      hybridIndexProbe(s, d, lexPath, annPath)
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -4822,5 +4925,6 @@ object Similarity {
     "q128_mrl_audit"      -> mrlAuditSql,
     "q130_rrf_fusion"     -> rrfFusionSql,
     "q131_hybrid_rrf"     -> hybridRrfSql,
+    "q133_hybrid_index_probe" -> hybridIndexProbeSql,
   )
 }

@@ -125,6 +125,14 @@ case class LexQuery(query_id: Long, terms: Seq[String])
 case class LexHit(query_id: Long, rank: Int, doc_id: Long, bm25: Double)
 private[streaming] case class LexServeState(served: Long)
 
+/** One hybrid retrieval request for the online q133 serving leg: a
+  * query id, its term set (the lexical side) and its embedding (the
+  * dense side) — the shape a hybrid search frontend emits. */
+case class HybridQuery(query_id: Long, terms: Seq[String], embedding: Array[Float])
+/** One fused hit of one served hybrid query. */
+case class HybridHit(query_id: Long, rank: Int, item_id: Long,
+                     n_lists: Long, rrf: Double)
+
 /** One tokenized document for the online trending-tokens monitor
   * (q93's streaming twin); `doc_id` carries the id-dedup contract. */
 case class TrendDoc(source: String, doc_id: Long, toks: Array[String])
@@ -988,6 +996,90 @@ object StreamingOps {
             byDoc.toSeq.sortBy { case (doc, micro) => (-micro, doc) }.take(10)
               .zipWithIndex.iterator.map { case ((doc, micro), i) =>
                 LexHit(qid, i + 1, doc, micro / 1e6)
+              }
+          }
+      }
+  }
+
+  /** q133's online serving leg: hybrid retrieval requests stream
+    * against BOTH standing indexes. The lexical side is
+    * [[lexProbeStream]]'s stream-static joins; the dense side routes
+    * each request's embedding against the index's 10-row centroid
+    * codebook as ONE expression (the pqBestExpr argmax idiom — no
+    * streaming aggregation, which Structured Streaming would refuse
+    * before the stateful fold) and stream-static-joins the routed cell
+    * against the cell-partitioned assignments. Both heads' scored rows
+    * meet in one flatMapGroupsWithState keyed by query_id: per-head
+    * top-10 ranked in-task with the batch tie-breaks ((micro desc,
+    * doc_id) lexical / (cos desc, vec_id) dense), fused with q131's
+    * exact-long RRF fold — served ≡ the batch q133 bit-for-bit for the
+    * same request (spec-pinned). One served marker per query_id:
+    * replays emit nothing. */
+  def hybridServeStream(requests: Dataset[HybridQuery],
+                        lexPath: String, annPath: String): Dataset[HybridHit] = {
+    val s = requests.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    import s.implicits._
+    // --- lexical head: scored (query, doc, micro) rows
+    val postings = s.read.parquet(s"$lexPath/postings").drop("tb")
+    val dl = s.read.parquet(s"$lexPath/doclens")
+    val qstats = s.read.parquet(s"$lexPath/terms")
+      .crossJoin(s.read.parquet(s"$lexPath/stats"))
+    val lex = requests
+      .selectExpr("query_id", "explode(terms) as term")
+      .join(postings, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(qstats, Seq("term"))
+      .selectExpr("query_id", "doc_id", TextAnalysis.bm25MicroExpr)
+      .selectExpr("query_id", "'L' as head", "doc_id as item_id",
+        "cast(micro as double) as score") // micro <= ~1e7: exact in a double
+    // --- dense head: per-row argmax routing over the one-row codebook,
+    // then the routed cell joins the cell-partitioned assignments
+    val dot = (a: String, b: String) => s"graft_dot($a, $b)"
+    val centsRow = s.read.parquet(s"$annPath/centroids")
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cents"))
+    val routed = requests
+      .selectExpr("query_id", "embedding as qe")
+      .crossJoin(broadcast(centsRow))
+      .selectExpr("query_id", "qe",
+        s"sqrt(${dot("qe", "qe")}) as qn",
+        s"""array_max(transform(cents, c -> named_struct(
+           |'cos', ${dot("qe", "c.centroid")} / (sqrt(${dot("qe", "qe")}) * sqrt(${dot("c.centroid", "c.centroid")})),
+           |'neg', -c.c_label))) as best"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("query_id", "qe", "qn", "-best.neg as q_cell")
+    val vec = routed
+      .join(s.read.parquet(s"$annPath/assignments"),
+        col("c_label") === col("q_cell"))
+      .selectExpr("query_id", "'V' as head", "vec_id as item_id",
+        s"${dot("embedding", "qe")} / (nrm * qn) as score")
+    lex.unionByName(vec)
+      .as[(Long, String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LexServeState, HybridHit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (qid: Long, it: Iterator[(Long, String, Long, Double)],
+         state: GroupState[LexServeState]) =>
+          if (state.exists) Iterator.empty // replayed query: emit nothing
+          else {
+            val rows = it.toArray
+            state.update(LexServeState(qid))
+            // lexical: per-doc exact-long sum, batch tie-break
+            val lexTop = rows.filter(_._2 == "L")
+              .groupBy(_._3).view.mapValues(_.map(_._4.toLong).sum).toSeq
+              .sortBy { case (id, m) => (-m, id) }.take(10).map(_._1)
+            // dense: one row per item, batch tie-break
+            val vecTop = rows.filter(_._2 == "V").map(r => (r._3, r._4))
+              .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+            val fused = (lexTop.zipWithIndex ++ vecTop.zipWithIndex)
+              .map { case (id, i) =>
+                (id, math.floor(1e6 / (60 + (i + 1)) + 0.5).toLong)
+              }
+              .groupBy(_._1).view
+              .mapValues(ts => (ts.map(_._2).sum, ts.size.toLong)).toSeq
+            fused.sortBy { case (id, (m, _)) => (-m, id) }.take(10)
+              .zipWithIndex.iterator.map { case ((id, (m, nl)), i) =>
+                HybridHit(qid, i + 1, id, nl, m / 1e6)
               }
           }
       }

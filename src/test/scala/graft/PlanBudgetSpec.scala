@@ -447,6 +447,12 @@ object PlanBudgetSpec {
     // per-doc sum is the one corpus-keyed exchange; build ran in q132b
     "q132_lex_index_probe" -> Shape(shuffles = 1, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     "q132b_lex_index_build" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
+    // q133 (r15): hybrid probe over BOTH standing indexes — the q132
+    // lexical probe shape (its one corpus-keyed per-doc sum is the only
+    // shuffle) + a one-cell-pruned assignments scan behind the 1-row
+    // lookup (the BNLJ broadcast); fusion constant-size (two <=10-row
+    // frames); builds ran in q132b/q119b
+    "q133_hybrid_index_probe" -> Shape(shuffles = 1, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 1, scans = 5),
     // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
     // doc-length counts off the persisted token frame); df/stats/query
     // terms collapse term-granular and ride the 3-row broadcast, so

@@ -998,6 +998,40 @@ class StreamingSpec extends SparkSpec {
       "single-term query not served with dense ranks")
   }
 
+  test("hybridServeStream: online hybrid serving from both standing indexes == batch q133; replay emits nothing (r15)") {
+    import graft.streaming.{HybridHit, HybridQuery}
+    val lexPath = TextAnalysis.lexIndexPathFor(sf) + "-hserve"
+    TextAnalysis.buildLexIndex(spark, sf, lexPath)
+    val annPath = Similarity.annIndexPathFor(sf) + "-hserve"
+    Similarity.buildAnnIndex(spark, sf, annPath)
+    val batch = Similarity.hybridIndexProbe(spark, sf, lexPath, annPath).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getLong(0), r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)))
+      }.toSeq
+    assert(batch.length == 10)
+    val qt = TextAnalysis.bm25QueryTerms(
+        spark.read.parquet(s"$lexPath/terms"), spark.read.parquet(s"$lexPath/stats"))
+      .select("term").as[String].collect().toSeq
+    val qe = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
+      .select("embedding").as[Array[Float]].collect()(0)
+    val in = MemoryStream[HybridQuery](spark)
+    val q = StreamingOps.hybridServeStream(in.toDS(), lexPath, annPath)
+      .writeStream.format("memory").queryName("hybridserve")
+      .outputMode("update").start()
+    in.addData(HybridQuery(99L, qt, qe))
+    q.processAllAvailable()
+    in.addData(HybridQuery(99L, qt, qe)) // replay
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hybridserve").as[HybridHit].collect()
+    assert(got.length == 10, s"replay re-emitted: ${got.length} rows")
+    val gotSeq = got.sortBy(_.rank)
+      .map(h => (h.rank, h.item_id, h.n_lists, java.lang.Double.doubleToLongBits(h.rrf))).toSeq
+    assert(gotSeq == batch, "served hybrid ranking != batch q133")
+    // the dense head found the indexed copy of the request item itself
+    assert(got.exists(h => h.item_id == 0L && h.rank == 1),
+      "the indexed copy of the query item should lead the fusion")
+  }
+
   test("psiDriftStream horizon: beyond-horizon weeks retire from state; stale arrivals count, never resurrect (r15)") {
     import graft.streaming.{PsiEvent, PsiDesign, PsiReport}
     val design = PsiDesign(0.0, 10.0)
