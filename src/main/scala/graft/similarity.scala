@@ -3877,10 +3877,13 @@ object Similarity {
     * index, keep the exact-cosine top-1 per delta. `private[graft]` so
     * the streaming leg can run it per micro-batch (foreachBatch) against
     * the stored artifacts — the q119 online form. */
-  private[graft] def annProbe(delta0: DataFrame, cents: DataFrame, idx: DataFrame): DataFrame = {
+  /** Route a (vec_id, embedding) delta to its nearest stored centroid —
+    * (vec_id, de, dnrm, q_cell); frozen-codebook routing shared by the
+    * q119 probe and the q134 merge (a merge never refits). */
+  private[graft] def routeAnnDelta(delta0: DataFrame, cents: DataFrame): DataFrame = {
     val cells = cents
       .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
-    val routed = delta0.crossJoin(broadcast(cells))
+    delta0.crossJoin(broadcast(cells))
       .selectExpr("vec_id", "embedding", "cells",
         s"sqrt(${dotExpr("embedding", "embedding")}) as dnrm")
       .selectExpr("vec_id", "embedding as de", "dnrm",
@@ -3890,6 +3893,10 @@ object Similarity {
            |'nl', -c.c_label))) as best"""
           .stripMargin.replace("\n", " "))
       .selectExpr("vec_id", "de", "dnrm", "cast(-best.nl as int) as q_cell")
+  }
+
+  private[graft] def annProbe(delta0: DataFrame, cents: DataFrame, idx: DataFrame): DataFrame = {
+    val routed = routeAnnDelta(delta0, cents)
     idx.selectExpr("vec_id as nn_id", "embedding as ie", "nrm as inrm", "c_label")
       .join(broadcast(routed), col("c_label") === col("q_cell"))
       .selectExpr("vec_id", "q_cell", "nn_id",
@@ -3963,6 +3970,115 @@ object Similarity {
 
   val annIndexBuildSql: String =
     "SELECT COUNT(*)::BIGINT AS n_index_rows FROM embeddings"
+
+  // ---------------------------------------------------------------------
+  // q134 — STANDING-INDEX MERGE / COMPACTION (r15): q119 PROBES a delta
+  // against the standing index; this is the maintenance operation the
+  // probe implies — folding the admitted delta INTO the artifact. The
+  // Spark-native mechanism is DYNAMIC PARTITION OVERWRITE: the routed
+  // delta touches ≤ |delta| distinct cells, the merge rewrites ONLY
+  // those cells' partitions (affected rows ∪ deduped delta, one
+  // partitioned write under partitionOverwriteMode=dynamic) and every
+  // untouched cell's files are left byte-for-byte alone — proven on the
+  // file listing in BucketingSpec, not asserted from intent. Routing
+  // uses the FROZEN stored centroids (a merge never refits — the q125
+  // drift monitor is the dial that says when a refit is due). The merge
+  // is IDEMPOTENT: delta rows already present anti-join away, so
+  // re-running converges — and the report reads the POST-merge artifact
+  // (per-cell base/added/total counts), making it stable across re-runs
+  // (the gate and min-of-N bench both re-execute).
+  //
+  // Scale shape (100 TB): the delta is broadcast-routed (zero index
+  // shuffle), the rewrite reads+writes only the touched cells (~|delta
+  // cells|/k of the index), the untouched ~ (k − |delta cells|)
+  // partitions cost NOTHING — exactly why a production vector store
+  // partitions by cell. Delta ids live at +100000/+200000 (the q119
+  // fixture contract) — the report's n_added keys on that range.
+  // ---------------------------------------------------------------------
+
+  private[graft] def mergeIndexPathFor(d: String): String =
+    graft.ScratchPaths.indexPathFor("q134", d)
+
+  def mergeAnnIndex(s: SparkSession, d: String, path: String): DataFrame = {
+    if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
+      buildAnnIndex(s, d, path)
+    val assignments = s.read.parquet(s"$path/assignments")
+    val routed = routeAnnDelta(annDelta(s, d), s.read.parquet(s"$path/centroids"))
+    val labelT = assignments.schema("label").dataType.sql
+    val newRows = routed.selectExpr("vec_id", s"cast(-1 as $labelT) as label",
+      "de as embedding", "dnrm as nrm", "q_cell as c_label")
+    // affected cells only (≤ |delta| values — driver-sized)
+    val hit = newRows.select("c_label").distinct().collect().map(_.get(0))
+    val affected = assignments.filter(col("c_label").isin(hit: _*))
+    val cols = Seq("vec_id", "label", "embedding", "nrm", "c_label")
+    val merged = affected.selectExpr(cols: _*)
+      .unionByName(
+        // idempotence: rows already merged anti-join away
+        newRows.join(affected.select("vec_id"), Seq("vec_id"), "left_anti")
+          .selectExpr(cols: _*))
+      // break lineage: the write overwrites the very path being read
+      .localCheckpoint()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("c_label")
+      .parquet(s"$path/assignments")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    // the report reads the POST-merge artifact — idempotent across runs
+    s.read.parquet(s"$path/assignments")
+      .groupBy("c_label")
+      .agg(count(lit(1)).as("nt"),
+        count(when(col("vec_id") >= 100000L, 1)).as("na"))
+      .selectExpr("c_label", "cast(nt - na as bigint) as n_base",
+        "cast(na as bigint) as n_added", "cast(nt as bigint) as n_total")
+      .orderBy("c_label")
+  }
+
+  val annIndexMergeSql: String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |idx AS (SELECT vec_id, c_label FROM asg WHERE rn = 1),
+       |delta AS (
+       |  SELECT vec_id + 100000 AS vec_id, list_transform(range(1, len(embedding) + 1),
+       |      i -> (embedding[i]::DOUBLE + CASE WHEN (i - 1) % 7 = 0 THEN 0.01 ELSE 0.0 END)::FLOAT) AS embedding
+       |    FROM embeddings WHERE vec_id % 40 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, list_reverse(embedding)
+       |    FROM embeddings WHERE vec_id % 40 = 20),
+       |dr AS (SELECT vec_id, c_label FROM (
+       |  SELECT e.vec_id, c.c_label, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |      ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+       |      c_label) AS rn
+       |    FROM delta e CROSS JOIN c) WHERE rn = 1),
+       |bc AS (SELECT c_label, COUNT(*)::BIGINT AS n_base FROM idx GROUP BY c_label),
+       |dc AS (SELECT c_label, COUNT(*)::BIGINT AS n_added FROM dr GROUP BY c_label)
+       |SELECT bc.c_label, bc.n_base,
+       |  coalesce(dc.n_added, 0)::BIGINT AS n_added,
+       |  (bc.n_base + coalesce(dc.n_added, 0))::BIGINT AS n_total
+       |FROM bc LEFT JOIN dc ON bc.c_label = dc.c_label
+       |ORDER BY bc.c_label""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q126 — STANDING COMPRESSED (IVF-PQ) VECTOR INDEX (r14): q119 stores
@@ -4873,6 +4989,10 @@ object Similarity {
     "q128_mrl_audit"      -> ((s, d) => mrlAudit(s, d)),
     "q130_rrf_fusion"     -> ((s, d) => rrfFusion(s, d)),
     "q131_hybrid_rrf"     -> ((s, d) => hybridRrf(s, d)),
+    // q134 merges the routed delta into ITS OWN index copy (lazily
+    // built once per process; the merge itself is idempotent)
+    "q134_ann_index_merge" -> ((s, d) =>
+      mergeAnnIndex(s, d, mergeIndexPathFor(d))),
     // q133 probes BOTH standing indexes (each built lazily once per
     // process — the q102/q119/q126/q132 gate pattern)
     "q133_hybrid_index_probe" -> ((s, d) => {
@@ -4926,5 +5046,6 @@ object Similarity {
     "q130_rrf_fusion"     -> rrfFusionSql,
     "q131_hybrid_rrf"     -> hybridRrfSql,
     "q133_hybrid_index_probe" -> hybridIndexProbeSql,
+    "q134_ann_index_merge" -> annIndexMergeSql,
   )
 }

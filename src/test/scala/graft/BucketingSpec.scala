@@ -142,6 +142,46 @@ class BucketingSpec extends SparkSpec {
       s"no orig-only (re-rank) scan among $schemas")
   }
 
+  test("q134 merge: dynamic partition overwrite rewrites ONLY the delta's cells; merge is idempotent (r15)") {
+    // the reason the merge runs under partitionOverwriteMode=dynamic:
+    // untouched cells' FILES must be byte-for-byte alone — proven on
+    // the directory listing, not asserted from the conf
+    val path = Similarity.mergeIndexPathFor(sf) + "-prove"
+    Similarity.buildAnnIndex(spark, sf, path)
+    def filesByCell(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$path/assignments")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("c_label="))
+        .map(dir => dir.getName ->
+          dir.listFiles().map(f => s"${f.getName}:${f.length}:${f.lastModified}").toSet)
+        .toMap
+    }
+    val before = filesByCell()
+    val report1 = Similarity.mergeAnnIndex(spark, sf, path).collect()
+    val after = filesByCell()
+    val hitCells = report1.filter(_.getLong(2) > 0)
+      .map(r => s"c_label=${r.get(0)}").toSet
+    val untouched = before.keySet -- hitCells
+    assert(hitCells.nonEmpty && untouched.nonEmpty,
+      s"fixture must have both hit and untouched cells: hit=$hitCells")
+    untouched.foreach { cell =>
+      assert(after(cell) == before(cell),
+        s"untouched $cell was rewritten by the merge")
+    }
+    hitCells.foreach { cell =>
+      assert(after(cell) != before(cell), s"hit $cell was not rewritten")
+    }
+    // idempotence: a second merge converges — identical report AND the
+    // artifact row set stays fixed (delta rows anti-join away)
+    val report2 = Similarity.mergeAnnIndex(spark, sf, path).collect()
+    assert(report1.map(_.toString).toSeq == report2.map(_.toString).toSeq,
+      "re-running the merge moved the report")
+    val totals = report2.map(r => (r.get(0).toString, r.getLong(3))).toMap
+    val counted = spark.read.parquet(s"$path/assignments")
+      .groupBy("c_label").count().collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toMap
+    assert(counted == totals, "artifact counts != reported totals after re-merge")
+  }
+
   test("q132 lexical index: the probe opens only the query terms' postings buckets (r15)") {
     // the reason buildLexIndex writes partitionBy(tb): a probe touches
     // <= 3 of the 16 term-hash buckets no matter how large the corpus —

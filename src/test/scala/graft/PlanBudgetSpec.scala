@@ -453,6 +453,11 @@ object PlanBudgetSpec {
     // lookup (the BNLJ broadcast); fusion constant-size (two <=10-row
     // frames); builds ran in q132b/q119b
     "q133_hybrid_index_probe" -> Shape(shuffles = 1, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 1, scans = 5),
+    // q134 (r15): index merge — the rewrite runs at build time
+    // (broadcast-routed delta, dynamic partition overwrite of the hit
+    // cells); the measured plan is the post-merge per-cell report:
+    // one partitioned scan + one keyed count
+    "q134_ann_index_merge" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
     // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
     // doc-length counts off the persisted token frame); df/stats/query
     // terms collapse term-granular and ride the 3-row broadcast, so
