@@ -1204,7 +1204,6 @@ object Dedup {
     val corpus = base.unionAll(
       base.selectExpr("vec_id + 10000 as vec_id",
         "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
-      .transform(Tables.maybePersist) // feeds the probe AND the pair chain
     // probe the DERIVED corpus (r15): the planted twin per vector is
     // part of the volume the dial bounds
     val withB = corpus.selectExpr("vec_id", "e",

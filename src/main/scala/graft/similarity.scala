@@ -3637,7 +3637,6 @@ object Similarity {
       base.filter(col("vec_id") % 10 === 0)
         .selectExpr("vec_id + 10001 as vec_id",
           "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
-      .transform(Tables.maybePersist) // feeds the probe AND the pair chain
     // probe the DERIVED corpus (r15): the planted twins are part of the
     // volume the dial bounds
     val withB = corpus.selectExpr("vec_id", "e",
@@ -3762,7 +3761,6 @@ object Similarity {
         s"zip_with(e, sequence(0, 63), (x, i) -> x + 0.001 * cast(i % $m as double)) as e")
     val corpus = base.unionAll(clones(100001L, 3))
       .unionAll(clones(200001L, 5)).unionAll(clones(300001L, 7))
-      .transform(Tables.maybePersist) // feeds the probe AND the pair chain
     // probe the DERIVED corpus (r15): the planted 4-clumps are exactly
     // the dense structure a base-keyed probe under-prices
     val withB = corpus.selectExpr("vec_id", "e",
@@ -4035,6 +4033,110 @@ object Similarity {
       .selectExpr("c_label", "cast(nt - na as bigint) as n_base",
         "cast(na as bigint) as n_added", "cast(nt as bigint) as n_total")
       .orderBy("c_label")
+  }
+
+  // ---------------------------------------------------------------------
+  // q135 — DELETION FROM THE STANDING INDEX (r15): the privacy-ops twin
+  // of q134 — a training-data platform receives right-to-be-forgotten /
+  // takedown requests and must remove specific items from every standing
+  // artifact without rebuilding it. Same Spark-native mechanism: locate
+  // the victims' cells (one id-pushdown scan of the artifact — ids are
+  // not the partition key, so this is a predicate-pushdown read, not a
+  // partition-pruned one), rewrite ONLY those cells' partitions minus
+  // the victims under dynamic partition overwrite; untouched cells'
+  // files stay byte-for-byte alone (the q134 file-listing proof covers
+  // the shared mechanism). The delete also writes a TOMBSTONE log
+  // (vec_id, c_label as stored) — the audit artifact a compliance
+  // pipeline keeps — and the report reads POST-delete artifact counts
+  // joined to tombstone counts, so re-runs (victims already gone,
+  // nothing rewritten, tombstones untouched) report identically.
+  // Fixture delete set: every vec_id % 50 == 0 — deterministic in both
+  // engines.
+  //
+  // Scale shape (100 TB): the locate pass is a columnar id scan with
+  // the isin pushed down; the rewrite costs ~|hit cells|/k of the
+  // index; nothing else moves. The deletion set is request-sized —
+  // broadcast semantics throughout.
+  // ---------------------------------------------------------------------
+
+  private[graft] def forgetIndexPathFor(d: String): String =
+    graft.ScratchPaths.indexPathFor("q135", d)
+
+  def forgetFromAnnIndex(s: SparkSession, d: String, path: String): DataFrame = {
+    if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
+      buildAnnIndex(s, d, path)
+    val assignments = s.read.parquet(s"$path/assignments")
+    // the takedown request: every 50th item (request-sized, broadcast)
+    val victims = assignments.filter(pmod(col("vec_id"), lit(50)) === 0)
+    // locate: which cells hold victims (≤ |request| values, driver-sized)
+    val hit = victims.select("c_label").distinct().collect().map(_.get(0))
+    val tombstonesExist =
+      new java.io.File(s"$path/tombstones/_SUCCESS").exists()
+    if (hit.nonEmpty || !tombstonesExist) {
+      // the audit log: what was deleted, from which cell — written from
+      // the PRE-delete artifact (its stored cells are the truth)
+      victims.select("vec_id", "c_label")
+        .localCheckpoint()
+        .write.mode("overwrite").parquet(s"$path/tombstones")
+    }
+    if (hit.nonEmpty) {
+      val survivors = assignments
+        .filter(col("c_label").isin(hit: _*))
+        .filter(pmod(col("vec_id"), lit(50)) =!= 0)
+        .selectExpr("vec_id", "label", "embedding", "nrm", "c_label")
+        .localCheckpoint() // break the self-overwrite lineage
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try survivors.write.mode("overwrite").partitionBy("c_label")
+        .parquet(s"$path/assignments")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+    // POST-delete artifact counts joined to the tombstone log — both
+    // fixed points under re-execution
+    s.read.parquet(s"$path/assignments")
+      .groupBy("c_label").agg(count(lit(1)).as("n_kept"))
+      .join(
+        s.read.parquet(s"$path/tombstones")
+          .groupBy("c_label").agg(count(lit(1)).as("n_deleted")),
+        Seq("c_label"), "left")
+      .selectExpr("c_label", "cast(n_kept as bigint) as n_kept",
+        "cast(coalesce(n_deleted, 0) as bigint) as n_deleted")
+      .orderBy("c_label")
+  }
+
+  val annIndexForgetSql: String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |idx AS (SELECT vec_id, c_label FROM asg WHERE rn = 1),
+       |kept AS (SELECT c_label, COUNT(*)::BIGINT AS n_kept FROM idx
+       |  WHERE vec_id % 50 <> 0 GROUP BY c_label),
+       |del AS (SELECT c_label, COUNT(*)::BIGINT AS n_deleted FROM idx
+       |  WHERE vec_id % 50 = 0 GROUP BY c_label)
+       |SELECT kept.c_label, kept.n_kept,
+       |  coalesce(del.n_deleted, 0)::BIGINT AS n_deleted
+       |FROM kept LEFT JOIN del ON kept.c_label = del.c_label
+       |ORDER BY kept.c_label""".stripMargin
   }
 
   val annIndexMergeSql: String = {
@@ -4993,6 +5095,10 @@ object Similarity {
     // built once per process; the merge itself is idempotent)
     "q134_ann_index_merge" -> ((s, d) =>
       mergeAnnIndex(s, d, mergeIndexPathFor(d))),
+    // q135 deletes the takedown set from ITS OWN index copy (same
+    // lazy-build pattern; delete + report are re-run fixed points)
+    "q135_index_forget" -> ((s, d) =>
+      forgetFromAnnIndex(s, d, forgetIndexPathFor(d))),
     // q133 probes BOTH standing indexes (each built lazily once per
     // process — the q102/q119/q126/q132 gate pattern)
     "q133_hybrid_index_probe" -> ((s, d) => {
@@ -5047,5 +5153,6 @@ object Similarity {
     "q131_hybrid_rrf"     -> hybridRrfSql,
     "q133_hybrid_index_probe" -> hybridIndexProbeSql,
     "q134_ann_index_merge" -> annIndexMergeSql,
+    "q135_index_forget" -> annIndexForgetSql,
   )
 }

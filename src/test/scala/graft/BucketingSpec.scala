@@ -182,6 +182,28 @@ class BucketingSpec extends SparkSpec {
     assert(counted == totals, "artifact counts != reported totals after re-merge")
   }
 
+  test("q135 forget: victims leave the artifact, tombstones record them, re-delete is a fixed point (r15)") {
+    val path = Similarity.forgetIndexPathFor(sf) + "-prove"
+    Similarity.buildAnnIndex(spark, sf, path)
+    val nBefore = spark.read.parquet(s"$path/assignments").count()
+    val report1 = Similarity.forgetFromAnnIndex(spark, sf, path).collect()
+    // every victim is gone from the artifact, nothing else is
+    val left = spark.read.parquet(s"$path/assignments")
+    assert(left.filter($"vec_id" % 50 === 0).count() == 0,
+      "a takedown victim survived in the index")
+    val deleted = report1.map(_.getLong(2)).sum
+    assert(deleted > 0 && left.count() == nBefore - deleted,
+      "kept + deleted != pre-delete index size")
+    // the tombstone log carries exactly the victims with their stored cells
+    val tombs = spark.read.parquet(s"$path/tombstones")
+    assert(tombs.count() == deleted &&
+      tombs.filter($"vec_id" % 50 =!= 0).count() == 0)
+    // re-run: nothing to delete, nothing rewritten, identical report
+    val report2 = Similarity.forgetFromAnnIndex(spark, sf, path).collect()
+    assert(report1.map(_.toString).toSeq == report2.map(_.toString).toSeq,
+      "re-running the delete moved the report")
+  }
+
   test("q132 lexical index: the probe opens only the query terms' postings buckets (r15)") {
     // the reason buildLexIndex writes partitionBy(tb): a probe touches
     // <= 3 of the 16 term-hash buckets no matter how large the corpus —

@@ -64,13 +64,18 @@ class PlanBudgetSpec extends SparkSpec {
     // 12 jobs end-to-end. Pin it with headroom so a reintroduced
     // chained-broadcast rung (2-3 jobs per iteration) fails here.
     spark.catalog.clearCache()
+    // count ONLY this query's jobs via a job group — other suites may
+    // share the session concurrently and their jobs must not pollute
+    val tag = s"q112-job-budget-${System.nanoTime()}"
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobCount.incrementAndGet(): Unit
+        if (tag == js.properties.getProperty("spark.jobGroup.id"))
+          jobCount.incrementAndGet(): Unit
     }
     spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(tag, "q112 job-budget probe")
     try {
       SparkEntry.queries("q112_pq_search")(spark, sf).collect()
       // listener events are asynchronous; jobs all STARTED by the time
@@ -78,7 +83,10 @@ class PlanBudgetSpec extends SparkSpec {
       Thread.sleep(500)
       assert(jobCount.get() <= 15,
         s"q112 fit ladder regrew: ${jobCount.get()} jobs (fused form runs 12)")
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 
   test("plan budget: CC loop PER-ROUND shapes (q41 hash-min, q60 star)") {
@@ -458,6 +466,10 @@ object PlanBudgetSpec {
     // cells); the measured plan is the post-merge per-cell report:
     // one partitioned scan + one keyed count
     "q134_ann_index_merge" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // q135 (r15): forget — rewrite at build time; the measured plan is
+    // the post-delete report (artifact counts joined to tombstone
+    // counts — two keyed counts + one small join)
+    "q135_index_forget" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
     // doc-length counts off the persisted token frame); df/stats/query
     // terms collapse term-granular and ride the 3-row broadcast, so
