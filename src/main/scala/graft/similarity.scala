@@ -3857,7 +3857,7 @@ object Similarity {
 
   /** The deterministic delta batch: jittered re-embeds (+100000) and
     * reversed newcomers (+200000). */
-  private def annDelta(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annDelta(s: SparkSession, d: String): DataFrame = {
     withFns(s)
     val emb = Tables.embeddings(s, d)
     emb.filter(col("vec_id") % 40 === 0)
@@ -3997,16 +3997,21 @@ object Similarity {
   private[graft] def mergeIndexPathFor(d: String): String =
     graft.ScratchPaths.indexPathFor("q134", d)
 
-  def mergeAnnIndex(s: SparkSession, d: String, path: String): DataFrame = {
-    if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
-      buildAnnIndex(s, d, path)
+  /** The q134 fold for ONE (vec_id, embedding) delta frame — shared by
+    * the batch gate row and the streaming ingestion sink
+    * ([[graft.streaming.StreamingOps.annIngestStream]]). Idempotent:
+    * already-merged ids anti-join away, so at-least-once redelivery of
+    * a micro-batch converges (the segment-sink discipline). */
+  private[graft] def mergeDeltaIntoIndex(delta: DataFrame, path: String): Unit = {
+    val s = delta.sparkSession
     val assignments = s.read.parquet(s"$path/assignments")
-    val routed = routeAnnDelta(annDelta(s, d), s.read.parquet(s"$path/centroids"))
+    val routed = routeAnnDelta(delta, s.read.parquet(s"$path/centroids"))
     val labelT = assignments.schema("label").dataType.sql
     val newRows = routed.selectExpr("vec_id", s"cast(-1 as $labelT) as label",
       "de as embedding", "dnrm as nrm", "q_cell as c_label")
     // affected cells only (≤ |delta| values — driver-sized)
     val hit = newRows.select("c_label").distinct().collect().map(_.get(0))
+    if (hit.isEmpty) return
     val affected = assignments.filter(col("c_label").isin(hit: _*))
     val cols = Seq("vec_id", "label", "embedding", "nrm", "c_label")
     val merged = affected.selectExpr(cols: _*)
@@ -4025,6 +4030,12 @@ object Similarity {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
+  }
+
+  def mergeAnnIndex(s: SparkSession, d: String, path: String): DataFrame = {
+    if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
+      buildAnnIndex(s, d, path)
+    mergeDeltaIntoIndex(annDelta(s, d), path)
     // the report reads the POST-merge artifact — idempotent across runs
     s.read.parquet(s"$path/assignments")
       .groupBy("c_label")

@@ -1001,6 +1001,25 @@ object StreamingOps {
       }
   }
 
+  /** q134's streaming form — CONTINUOUS INGESTION into the standing
+    * ANN index: each micro-batch of (vec_id, embedding) arrivals folds
+    * into the artifact through the batch merge verbatim
+    * ([[graft.Similarity.mergeDeltaIntoIndex]] inside foreachBatch —
+    * the Structured Streaming idiom for transactional sinks Spark has
+    * no connector for). Delivery semantics: the merge is IDEMPOTENT
+    * (already-present ids anti-join away), so the at-least-once replay
+    * a foreachBatch restart produces converges to the same artifact —
+    * the segment-sink discipline, spec-pinned by streaming the same
+    * delta twice and comparing the artifact to the one-shot batch
+    * merge byte-for-byte. Completes the index lifecycle: q119 probes,
+    * THIS ingests, q134 compacts, q135 forgets, q125 says when the
+    * frozen codebook is due a refit. */
+  def annIngestStream(deltas: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltas.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) => graft.Similarity.mergeDeltaIntoIndex(df, path)
+    }
+
   /** q133's online serving leg: hybrid retrieval requests stream
     * against BOTH standing indexes. The lexical side is
     * [[lexProbeStream]]'s stream-static joins; the dense side routes

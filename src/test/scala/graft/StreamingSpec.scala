@@ -1032,6 +1032,41 @@ class StreamingSpec extends SparkSpec {
       "the indexed copy of the query item should lead the fusion")
   }
 
+  test("annIngestStream: micro-batch ingestion converges to the one-shot batch merge; replayed batch is a no-op (r15)") {
+    // two artifacts from the same base index: A ingests the delta as a
+    // STREAM (two micro-batches + a full replay), B merges it once in
+    // batch — the artifacts must agree row for row, bit for bit
+    val pathA = Similarity.mergeIndexPathFor(sf) + "-ingestA"
+    val pathB = Similarity.mergeIndexPathFor(sf) + "-ingestB"
+    Similarity.buildAnnIndex(spark, sf, pathA)
+    Similarity.buildAnnIndex(spark, sf, pathB)
+    val delta = Similarity.annDelta(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).toSeq
+    assert(delta.nonEmpty)
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamingOps.annIngestStream(
+        in.toDF().toDF("vec_id", "embedding"), pathA)
+      .start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(delta: _*) // at-least-once full replay
+    q.processAllAvailable(); q.stop()
+    Similarity.mergeDeltaIntoIndex(
+      Similarity.annDelta(spark, sf).select("vec_id", "embedding"), pathB)
+    def rows(p: String) = spark.read.parquet(s"$p/assignments")
+      .selectExpr("vec_id", "label", "c_label",
+        "cast(nrm as double) as nrm", "embedding")
+      .collect()
+      .map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        r.get(2).toString, r.getSeq[Float](4).toList))
+      .sortBy(_._1).toSeq
+    assert(rows(pathA) == rows(pathB),
+      "streamed ingestion diverged from the one-shot batch merge")
+  }
+
   test("psiDriftStream horizon: beyond-horizon weeks retire from state; stale arrivals count, never resurrect (r15)") {
     import graft.streaming.{PsiEvent, PsiDesign, PsiReport}
     val design = PsiDesign(0.0, 10.0)
