@@ -198,17 +198,15 @@ object MediaOps {
   // enforced identically in both engines.
   // ---------------------------------------------------------------------
 
-  /** dHash-64 of one luma byte stream as four 16-bit band values.
-    * Grid cell c (0..71) = sum of the seg = ⌊n/72⌋ luma values in
-    * [c·seg, (c+1)·seg) — comparing sums of equal-width cells ≡
-    * comparing box-filter means, integer-exact. Bit b (0..63): row
-    * r = b/8, col c = b%8, set iff cell(r·9+c+1) > cell(r·9+c).
-    * PRECONDITION: codes.length ≥ 72 (callers filter). */
-  private[graft] def dhash4x16(codes: Array[Int]): Array[Int] = {
-    val seg = codes.length / 72
-    val s = new Array[Long](72)
+  /** Cell sums, historical truncation scheme: seg = ⌊n/k⌋, cell c sums
+    * codes[c·seg, (c+1)·seg) — trailing remainder dropped. The coarse
+    * grids ([[dhash4x16]]/[[afp4x16]]) keep this layout so every
+    * pre-r16 hash value is byte-identical. */
+  private def cellSumsTrunc(codes: Array[Int], k: Int): Array[Long] = {
+    val seg = codes.length / k
+    val s = new Array[Long](k)
     var c = 0
-    while (c < 72) {
+    while (c < k) {
       var acc = 0L
       var i = c * seg
       val end = i + seg
@@ -216,6 +214,38 @@ object MediaOps {
       s(c) = acc
       c += 1
     }
+    s
+  }
+
+  /** Cell sums, floor-boundary scheme: cell c sums codes[⌊c·n/k⌋,
+    * ⌊(c+1)·n/k⌋) — covers every sample, tolerates n < k (empty cells
+    * sum to 0, deterministically in both engines). The FINE grids of
+    * the r16 adaptive band keys use this: their cell count (272/297)
+    * can exceed a short stub payload's length, where the truncation
+    * scheme's seg would be 0 for every cell. */
+  private def cellSumsFloor(codes: Array[Int], k: Int): Array[Long] = {
+    val n = codes.length
+    val s = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      var i = (c.toLong * n / k).toInt
+      val end = ((c + 1).toLong * n / k).toInt
+      var acc = 0L
+      while (i < end) { acc += codes(i); i += 1 }
+      s(c) = acc
+      c += 1
+    }
+    s
+  }
+
+  /** dHash-64 of one luma byte stream as four 16-bit band values.
+    * Grid cell c (0..71) = sum of the seg = ⌊n/72⌋ luma values in
+    * [c·seg, (c+1)·seg) — comparing sums of equal-width cells ≡
+    * comparing box-filter means, integer-exact. Bit b (0..63): row
+    * r = b/8, col c = b%8, set iff cell(r·9+c+1) > cell(r·9+c).
+    * PRECONDITION: codes.length ≥ 72 (callers filter). */
+  private[graft] def dhash4x16(codes: Array[Int]): Array[Int] = {
+    val s = cellSumsTrunc(codes, 72)
     val v = new Array[Int](4)
     var b = 0
     while (b < 64) {
@@ -225,6 +255,169 @@ object MediaOps {
     }
     v
   }
+
+  // ---------------------------------------------------------------------
+  // ADAPTIVE BAND KEYS (r16, VERDICT r15 #1): the fixed 4×16-bit band
+  // space was the one remaining scale-killer of the r15 LSH class — a
+  // 65,536-bucket-per-band space means band occupancy grows linearly
+  // with the corpus and candidate volume quadratically (the x10 audio
+  // audit measured 7.5 k → 916 k candidates for 10× data; at 10⁹ images
+  // the random-collision term alone is ~10¹³ pairs, and the triangle
+  // cap bounds per-task work, not volume). Fix = the r15 plane-dial
+  // discipline transplanted to Hamming space: each band's key becomes a
+  // PREFIX-STRUCTURED 80-char bit string and the consumed key width is
+  // the smallest in {16, 32, 48, 64, 80} whose MEASURED same-key pair
+  // volume is ≤ PairBudgetPerRow·n ([[adaptiveBandWidth]] — one narrow
+  // probe prices every width off the same full-key frame, exactly the
+  // depth-40-prefix trick of `Similarity.adaptivePlanesFor`).
+  //
+  // Key layout (per band k, chars 1-indexed):
+  //   [1..16]  the band's historical 16 coarse bits (char j = bit j of
+  //            v(k)) — a width-16 key partitions docs exactly as the
+  //            old integer band value did, so every fixture corpus
+  //            (measured under budget at 16) produces the r15 candidate
+  //            set and byte-identical oracle rows;
+  //   [17..32] SAME-SCALE extension bits: comparisons the coarse grid
+  //            already supports but the 64-bit hash never consumed
+  //            (vertical gradients for dHash, within-frame band deltas
+  //            for the audio fingerprint). Same box-filter scale ⇒ same
+  //            noise robustness as the coarse bits — the first dial
+  //            step costs no recall headroom on short stub payloads;
+  //   [33..80] FINE-GRID bits (16×17 luma cells / 33×9 energy cells,
+  //            floor boundaries): the 100-TB path — real decoded
+  //            payloads are thousands of samples, where a finer grid is
+  //            exactly as stable as the coarse one (PDQ-style 256-bit
+  //            hashes are the production norm for this reason).
+  //
+  // Recall: banding was always the q23 probabilistic argument (agree on
+  // ≥1 of 4 bands), and the oracle mirrors the dial term for term, so
+  // both engines see the same candidates at every width. Wider keys
+  // only engage when measured volume demands them; the e-replica audit
+  // (BENCH_NOTES_r16) pins twin recall and pairs/row at the dialed
+  // widths.
+  // ---------------------------------------------------------------------
+
+  private[graft] val BandWidths = Seq(16, 32, 48, 64, 80)
+
+  /** The four 80-char adaptive band-key strings of one luma stream
+    * (see layout above). Char j of the coarse prefix = bit j of
+    * [[dhash4x16]]'s v(k); same-scale chars are the 63 vertical
+    * gradients vb[r·9+c] = cell(r+1,c) > cell(r,c) (r 0..6) consumed
+    * round-robin; fine chars are the 16×17-grid horizontal gradients
+    * of band k's spatial stripe (rows 4k..4k+2). */
+  private[graft] def dhashBandKeys(codes: Array[Int]): Array[String] = {
+    val v = dhash4x16(codes)
+    val s = cellSumsTrunc(codes, 72)
+    val fs = cellSumsFloor(codes, 272)
+    Array.tabulate(4) { k =>
+      val sb = new java.lang.StringBuilder(80)
+      var j = 0
+      while (j < 16) {
+        sb.append(if (((v(k) >> j) & 1) == 1) '1' else '0'); j += 1
+      }
+      j = 0
+      while (j < 16) {
+        val vi = (16 * k + j) % 63
+        val r = vi / 9
+        val c = vi % 9
+        sb.append(if (s((r + 1) * 9 + c) > s(r * 9 + c)) '1' else '0'); j += 1
+      }
+      j = 0
+      while (j < 48) {
+        val p = (4 * k + j / 16) * 17 + (j % 16)
+        sb.append(if (fs(p + 1) > fs(p)) '1' else '0'); j += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** The four 80-char adaptive band-key strings of one magnitude stream
+    * (the [[afp4x16]] twin of [[dhashBandKeys]]): coarse prefix = bit j
+    * of afp's v(k); same-scale chars are the plain within-frame band
+    * deltas db[f·4+b] = E(f,b+1) > E(f,b) over the 17×5 grid (the
+    * comparisons the energy-DIFFERENCE bits never consumed); fine chars
+    * are Haitsma–Kalker bits over a 33×9 floor-boundary grid, band k
+    * covering frames 8k..8k+6. */
+  private[graft] def afpBandKeys(codes: Array[Int]): Array[String] = {
+    val v = afp4x16(codes)
+    val s = cellSumsTrunc(codes, 85)
+    val fs = cellSumsFloor(codes, 297)
+    Array.tabulate(4) { k =>
+      val sb = new java.lang.StringBuilder(80)
+      var j = 0
+      while (j < 16) {
+        sb.append(if (((v(k) >> j) & 1) == 1) '1' else '0'); j += 1
+      }
+      j = 0
+      while (j < 16) {
+        val di = 16 * k + j
+        val f = di / 4
+        val b = di % 4
+        sb.append(if (s(f * 5 + b + 1) > s(f * 5 + b)) '1' else '0'); j += 1
+      }
+      j = 0
+      while (j < 48) {
+        val f = 8 * k + j / 8
+        val b = j % 8
+        val dt = (fs((f + 1) * 9 + b) - fs(f * 9 + b)) -
+          (fs((f + 1) * 9 + b + 1) - fs(f * 9 + b + 1))
+        sb.append(if (dt > 0) '1' else '0'); j += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Volume-budgeted band-key width (the r15 plane dial in Hamming
+    * space): smallest width in [[BandWidths]] whose measured same-key
+    * pair volume Σ bn·(bn−1)/2 over (band_idx, prefix) groups is
+    * ≤ PairBudgetPerRow per DOC (nn/bandsPerDoc docs ride along in the
+    * same aggregate). Fast path: one ≤(4·65536)-group probe at width 16
+    * — volume is monotone non-increasing in width (prefix refinement
+    * only splits groups), so "16 fits" IS the min rule's answer, and
+    * every gate-fixture corpus takes this path (measured under budget),
+    * keeping the historical candidate sets. `bands0` = (band_idx,
+    * band_hash, doc_id) with FULL 80-char keys. */
+  private[graft] def adaptiveBandWidth(bands0: DataFrame, bandsPerDoc: Int): Int = {
+    val w16 = bands0
+      .selectExpr("band_idx", "substring(band_hash, 1, 16) as pk")
+      .groupBy("band_idx", "pk").agg(count(lit(1)).as("bn"))
+      .agg(sum(expr("(bn * (bn - 1)) div 2")).as("pairs"), sum(col("bn")).as("nn"))
+      .collect()(0)
+    if (w16.isNullAt(0) ||
+        w16.getLong(0) * bandsPerDoc <= Similarity.PairBudgetPerRow * w16.getLong(1))
+      16
+    else {
+      val vols = bands0
+        .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bn"))
+        .selectExpr(s"explode(array(${BandWidths.drop(1).mkString(", ")})) as w",
+          "band_idx", "band_hash", "bn")
+        .selectExpr("w", "band_idx", "substring(band_hash, 1, w) as pk", "bn")
+        .groupBy("w", "band_idx", "pk").agg(sum(col("bn")).as("bn"))
+        .groupBy("w").agg(
+          sum(expr("(bn * (bn - 1)) div 2")).as("pairs"),
+          sum(col("bn")).as("nn"))
+        .collect()
+      val under = vols.collect {
+        case r if !r.isNullAt(1) &&
+          r.getLong(1) * bandsPerDoc <= Similarity.PairBudgetPerRow * r.getLong(2) =>
+          r.getInt(0)
+      }
+      if (under.isEmpty) BandWidths.last else under.min
+    }
+  }
+
+  /** The width dial as a persisted standing statistic (VERDICT r15 #4's
+    * discipline, applied here from day one): the selected width of one
+    * (family, dir) corpus is computed once per process and written to a
+    * scratch artifact; every later consumer in the same ledger reads the
+    * file instead of re-running the probe — at production grain this is
+    * an index-build-time statistic, priced in the q137 gate row. */
+  private[graft] def cachedBandWidth(tag: String, d: String,
+                                     hashes: DataFrame, bandsPerDoc: Int): Int =
+    ScratchPaths.cachedIntStat(s"bandw-$tag", d)(
+      adaptiveBandWidth(
+        hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)"),
+        bandsPerDoc))
 
   /** REAL PNG luma decode (r15, verdict item 3 — JDK `javax.imageio`,
     * no new dependency): the row-major ITU-R BT.601 integer luma plane

@@ -4005,7 +4005,12 @@ object Similarity {
   private[graft] def mergeDeltaIntoIndex(delta: DataFrame, path: String): Unit = {
     val s = delta.sparkSession
     val assignments = s.read.parquet(s"$path/assignments")
-    val routed = routeAnnDelta(delta, s.read.parquet(s"$path/centroids"))
+    val routed = routeAnnDelta(
+      // at-least-once sources can repeat a vec_id WITHIN one micro-batch;
+      // without this the copies all pass the stored-index anti-join below
+      // and insert duplicate rows (r15 advice)
+      delta.dropDuplicates("vec_id"),
+      s.read.parquet(s"$path/centroids"))
     val labelT = assignments.schema("label").dataType.sql
     val newRows = routed.selectExpr("vec_id", s"cast(-1 as $labelT) as label",
       "de as embedding", "dnrm as nrm", "q_cell as c_label")
@@ -4021,15 +4026,14 @@ object Similarity {
           .selectExpr(cols: _*))
       // break lineage: the write overwrites the very path being read
       .localCheckpoint()
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try merged.write.mode("overwrite").partitionBy("c_label")
-      .parquet(s"$path/assignments")
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+    // overwrite mode is a PER-WRITE option, not a session-conf mutation:
+    // set/restore on the shared conf can interleave across concurrent
+    // merges/forgets (annIngestStream foreachBatch alongside a batch
+    // q134/q135) so one write executes after the other restores 'static',
+    // truncating every untouched partition (r15 advice)
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("c_label").parquet(s"$path/assignments")
   }
 
   def mergeAnnIndex(s: SparkSession, d: String, path: String): DataFrame = {
@@ -4073,39 +4077,80 @@ object Similarity {
   private[graft] def forgetIndexPathFor(d: String): String =
     graft.ScratchPaths.indexPathFor("q135", d)
 
+  /** The q135 delete for ONE takedown frame (any frame with a `vec_id`
+    * column — request-sized, broadcast semantics) — shared by the batch
+    * gate row and the streaming takedown sink
+    * ([[graft.streaming.StreamingOps.forgetStream]]). IDEMPOTENT at both
+    * artifacts: victims are located in the STORED index (already-deleted
+    * ids locate nowhere → nothing rewritten), and the tombstone log is
+    * append-only with already-logged ids anti-joined away — so
+    * at-least-once redelivery of a takedown batch converges to the same
+    * (assignments, tombstones) pair as a one-shot delete.
+    *
+    * Hit cells whose EVERY row is a victim produce zero survivor rows for
+    * that partition, and dynamic partition overwrite only rewrites
+    * partitions present in the written data — without the explicit
+    * directory delete below the victims would silently remain in the
+    * index while the tombstone log records them as deleted (r15 advice,
+    * medium): emptied cells are removed from the artifact directly. */
+  private[graft] def forgetVictimIdsFrom(victimIds: DataFrame, path: String): Unit = {
+    val s = victimIds.sparkSession
+    val assignments = s.read.parquet(s"$path/assignments")
+    // locate: the stored artifact's cells are the truth for the audit log
+    val located = assignments
+      .join(broadcast(victimIds.select("vec_id").dropDuplicates("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .select("vec_id", "c_label")
+      .localCheckpoint() // read before the rewrite below invalidates it
+    val tombPath = s"$path/tombstones"
+    val tombstonesExist = new java.io.File(s"$tombPath/_SUCCESS").exists()
+    if (!tombstonesExist) {
+      // first write creates the log (schema even when the request located
+      // nothing — the report's left join needs a readable frame)
+      located.write.mode("overwrite").parquet(tombPath)
+    } else {
+      val newTombs = located
+        .join(s.read.parquet(tombPath).select("vec_id"), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      if (!newTombs.isEmpty)
+        newTombs.write.mode("append").parquet(tombPath)
+    }
+    // rewrite: which cells hold victims (≤ |request| values, driver-sized)
+    val hit = located.select("c_label").distinct().collect().map(_.get(0))
+    if (hit.nonEmpty) {
+      val victimKeys = located.select(col("vec_id").as("victim_id"))
+      val survivors = assignments
+        .filter(col("c_label").isin(hit: _*))
+        .join(broadcast(victimKeys), col("vec_id") === col("victim_id"), "left_anti")
+        .selectExpr("vec_id", "label", "embedding", "nrm", "c_label")
+        .localCheckpoint() // break the self-overwrite lineage
+      val surviving = survivors.select("c_label").distinct()
+        .collect().map(_.get(0)).toSet
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // per-write, not session conf (r15 advice)
+        .partitionBy("c_label").parquet(s"$path/assignments")
+      // fully-victimized cells: no survivor rows → dynamic overwrite never
+      // touches their partition — drop the directory explicitly
+      val emptied = hit.filterNot(surviving.contains)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(s"$path/assignments")
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        emptied.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$path/assignments/c_label=$c"), true): Unit
+        }
+      }
+    }
+  }
+
   def forgetFromAnnIndex(s: SparkSession, d: String, path: String): DataFrame = {
     if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
       buildAnnIndex(s, d, path)
-    val assignments = s.read.parquet(s"$path/assignments")
     // the takedown request: every 50th item (request-sized, broadcast)
-    val victims = assignments.filter(pmod(col("vec_id"), lit(50)) === 0)
-    // locate: which cells hold victims (≤ |request| values, driver-sized)
-    val hit = victims.select("c_label").distinct().collect().map(_.get(0))
-    val tombstonesExist =
-      new java.io.File(s"$path/tombstones/_SUCCESS").exists()
-    if (hit.nonEmpty || !tombstonesExist) {
-      // the audit log: what was deleted, from which cell — written from
-      // the PRE-delete artifact (its stored cells are the truth)
-      victims.select("vec_id", "c_label")
-        .localCheckpoint()
-        .write.mode("overwrite").parquet(s"$path/tombstones")
-    }
-    if (hit.nonEmpty) {
-      val survivors = assignments
-        .filter(col("c_label").isin(hit: _*))
-        .filter(pmod(col("vec_id"), lit(50)) =!= 0)
-        .selectExpr("vec_id", "label", "embedding", "nrm", "c_label")
-        .localCheckpoint() // break the self-overwrite lineage
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "dynamic")
-      try survivors.write.mode("overwrite").partitionBy("c_label")
-        .parquet(s"$path/assignments")
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
-    }
+    forgetVictimIdsFrom(
+      s.read.parquet(s"$path/assignments")
+        .filter(pmod(col("vec_id"), lit(50)) === 0).select("vec_id"),
+      path)
     // POST-delete artifact counts joined to the tombstone log — both
     // fixed points under re-execution
     s.read.parquet(s"$path/assignments")

@@ -968,7 +968,8 @@ object StreamingOps {
     * posting lists bound the in-task fold — a serving stack caps or
     * WAND-prunes them; the probe side here is the pruned 3-bucket
     * scan, never the corpus. */
-  def lexProbeStream(queries: Dataset[LexQuery], path: String): Dataset[LexHit] = {
+  def lexProbeStream(queries: Dataset[LexQuery], path: String,
+                     servedTtlMillis: Long): Dataset[LexHit] = {
     val s = queries.sparkSession
     import s.implicits._
     val postings = s.read.parquet(s"$path/postings").drop("tb")
@@ -982,17 +983,27 @@ object StreamingOps {
       .join(qstats, Seq("term"))
       .selectExpr("query_id", "doc_id", TextAnalysis.bm25MicroExpr)
       .as[(Long, Long, Long)]
+    // served markers are per-query state a long-running serving stream
+    // would otherwise retain FOREVER — the semDedupStream TTL discipline
+    // applies (r15 advice): retire markers idle past the replay horizon
+    // (a replay later than that re-serves, the benign error direction);
+    // 0 = unbounded, callers choose explicitly (the r11 rule).
+    val timeoutConf =
+      if (servedTtlMillis > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     scored.groupByKey(_._1)
       .flatMapGroupsWithState[LexServeState, LexHit](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (qid: Long, it: Iterator[(Long, Long, Long)], state: GroupState[LexServeState]) =>
-          if (state.exists) Iterator.empty // replayed query: emit nothing
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // replayed query: emit nothing
           else {
             val byDoc = new scala.collection.mutable.HashMap[Long, Long]()
             it.foreach { case (_, doc, micro) =>
               byDoc.update(doc, byDoc.getOrElse(doc, 0L) + micro)
             }
             state.update(LexServeState(qid))
+            if (servedTtlMillis > 0L) state.setTimeoutDuration(servedTtlMillis)
             byDoc.toSeq.sortBy { case (doc, micro) => (-micro, doc) }.take(10)
               .zipWithIndex.iterator.map { case ((doc, micro), i) =>
                 LexHit(qid, i + 1, doc, micro / 1e6)
@@ -1020,6 +1031,27 @@ object StreamingOps {
       (df: DataFrame, _: Long) => graft.Similarity.mergeDeltaIntoIndex(df, path)
     }
 
+  /** q135's streaming form (r16) — CONTINUOUS TAKEDOWN against the
+    * standing ANN index: each micro-batch of right-to-be-forgotten
+    * requests (any frame with a `vec_id` column) folds through the batch
+    * delete verbatim ([[graft.Similarity.forgetVictimIdsFrom]] inside
+    * foreachBatch — the [[annIngestStream]] pattern). Delivery
+    * semantics: the delete is IDEMPOTENT at both artifacts
+    * (already-deleted ids locate nowhere in the index; already-logged
+    * ids anti-join out of the append-only tombstone log), so the
+    * at-least-once replay a foreachBatch restart produces converges to
+    * the same (assignments, tombstones) pair as a one-shot batch delete
+    * — spec-pinned by streaming the request set twice and comparing
+    * both artifacts row-for-row against the batch path. Closes the
+    * index lifecycle online: ingest ([[annIngestStream]]) and forget
+    * (THIS) are now both continuous; q119 probes, q134 compacts, q125
+    * says when the frozen codebook is due a refit. */
+  def forgetStream(requests: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) => graft.Similarity.forgetVictimIdsFrom(df, path)
+    }
+
   /** q133's online serving leg: hybrid retrieval requests stream
     * against BOTH standing indexes. The lexical side is
     * [[lexProbeStream]]'s stream-static joins; the dense side routes
@@ -1035,7 +1067,8 @@ object StreamingOps {
     * same request (spec-pinned). One served marker per query_id:
     * replays emit nothing. */
   def hybridServeStream(requests: Dataset[HybridQuery],
-                        lexPath: String, annPath: String): Dataset[HybridHit] = {
+                        lexPath: String, annPath: String,
+                        servedTtlMillis: Long): Dataset[HybridHit] = {
     val s = requests.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(s)
     import s.implicits._
@@ -1072,17 +1105,24 @@ object StreamingOps {
         col("c_label") === col("q_cell"))
       .selectExpr("query_id", "'V' as head", "vec_id as item_id",
         s"${dot("embedding", "qe")} / (nrm * qn) as score")
+    // served-marker TTL: the lexProbeStream discipline (r15 advice) —
+    // retire markers idle past the replay horizon; 0 = unbounded.
+    val timeoutConf =
+      if (servedTtlMillis > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     lex.unionByName(vec)
       .as[(Long, String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[LexServeState, HybridHit](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (qid: Long, it: Iterator[(Long, String, Long, Double)],
          state: GroupState[LexServeState]) =>
-          if (state.exists) Iterator.empty // replayed query: emit nothing
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // replayed query: emit nothing
           else {
             val rows = it.toArray
             state.update(LexServeState(qid))
+            if (servedTtlMillis > 0L) state.setTimeoutDuration(servedTtlMillis)
             // lexical: per-doc exact-long sum, batch tie-break
             val lexTop = rows.filter(_._2 == "L")
               .groupBy(_._3).view.mapValues(_.map(_._4.toLong).sum).toSeq

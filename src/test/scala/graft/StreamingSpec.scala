@@ -979,7 +979,7 @@ class StreamingSpec extends SparkSpec {
       .select("term").as[String].collect().toSeq
     assert(qt.length == 3)
     val in = MemoryStream[LexQuery](spark)
-    val q = StreamingOps.lexProbeStream(in.toDS(), path)
+    val q = StreamingOps.lexProbeStream(in.toDS(), path, servedTtlMillis = 0L)
       .writeStream.format("memory").queryName("lexserve")
       .outputMode("update").start()
     in.addData(LexQuery(7L, qt))
@@ -1015,7 +1015,8 @@ class StreamingSpec extends SparkSpec {
     val qe = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
       .select("embedding").as[Array[Float]].collect()(0)
     val in = MemoryStream[HybridQuery](spark)
-    val q = StreamingOps.hybridServeStream(in.toDS(), lexPath, annPath)
+    val q = StreamingOps.hybridServeStream(in.toDS(), lexPath, annPath,
+        servedTtlMillis = 0L)
       .writeStream.format("memory").queryName("hybridserve")
       .outputMode("update").start()
     in.addData(HybridQuery(99L, qt, qe))
@@ -1030,6 +1031,117 @@ class StreamingSpec extends SparkSpec {
     // the dense head found the indexed copy of the request item itself
     assert(got.exists(h => h.item_id == 0L && h.rank == 1),
       "the indexed copy of the query item should lead the fusion")
+  }
+
+  test("lexProbeStream: served markers retire after the TTL — a late replay re-serves identically (r16, r15 advice)") {
+    import graft.streaming.{LexHit, LexQuery}
+    val path = TextAnalysis.lexIndexPathFor(sf) + "-servettl"
+    TextAnalysis.buildLexIndex(spark, sf, path)
+    val qt = TextAnalysis.bm25QueryTerms(
+        spark.read.parquet(s"$path/terms"), spark.read.parquet(s"$path/stats"))
+      .select("term").as[String].collect().toSeq
+    // 3 s, not sub-second — the q69 TTL spec's full-suite-load rule
+    val ttlMs = 3000L
+    val in = MemoryStream[LexQuery](spark)
+    val q = StreamingOps.lexProbeStream(in.toDS(), path, servedTtlMillis = ttlMs)
+      .writeStream.format("memory").queryName("lexservettl")
+      .outputMode("update").start()
+    def awaitInput(total: Long): Unit = {
+      val dl = System.currentTimeMillis() + 60000L
+      while (q.recentProgress.map(_.numInputRows).sum < total &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(q.recentProgress.map(_.numInputRows).sum >= total,
+        s"stream did not consume $total rows in time")
+    }
+    // the q69 spec's two-batch rule: a batch that STARTS after the lapse
+    // is the one whose timeout check retires the marker
+    def awaitTimeoutBatch(): Unit = {
+      Thread.sleep(ttlMs + 400L)
+      val b0 = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val dl = System.currentTimeMillis() + 60000L
+      while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < b0 + 2 &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= b0 + 2,
+        "no timeout-check batch completed after the TTL lapsed")
+    }
+    in.addData(LexQuery(7L, qt))
+    awaitInput(1L)
+    val first = spark.table("lexservettl").as[LexHit].collect()
+    assert(first.length == 10, "initial serve incomplete")
+    // marker now retired — a LATE replay re-serves (the benign error
+    // direction: duplicate answer, never a lost one) with identical hits
+    awaitTimeoutBatch()
+    in.addData(LexQuery(7L, qt))
+    awaitInput(2L)
+    val dl = System.currentTimeMillis() + 60000L
+    while (spark.table("lexservettl").count() < 20 &&
+           System.currentTimeMillis() < dl) Thread.sleep(50L)
+    val all = spark.table("lexservettl").as[LexHit].collect()
+    assert(all.length == 20, s"late replay after TTL must re-serve: ${all.length}")
+    val byRank = all.groupBy(_.rank)
+    assert(byRank.size == 10 &&
+      byRank.values.forall(v => v.length == 2 && v(0) == v(1)),
+      "re-served ranking != original serve")
+    q.stop()
+  }
+
+  test("forgetStream: streamed takedowns + full replay converge to the one-shot batch delete — assignments AND tombstones (r16)") {
+    // A forgets via the STREAM (two micro-batches + an at-least-once full
+    // replay), B via the batch q135 core once — both artifacts must agree
+    val pathA = Similarity.forgetIndexPathFor(sf) + "-streamA"
+    val pathB = Similarity.forgetIndexPathFor(sf) + "-streamB"
+    Similarity.buildAnnIndex(spark, sf, pathA)
+    Similarity.buildAnnIndex(spark, sf, pathB)
+    val victims = spark.read.parquet(s"$pathB/assignments")
+      .filter($"vec_id" % 50 === 0).select("vec_id").as[Long]
+      .collect().sorted.toSeq
+    assert(victims.nonEmpty)
+    val (b1, b2) = victims.splitAt(victims.length / 2)
+    val in = MemoryStream[Long](spark)
+    val q = StreamingOps.forgetStream(in.toDF().toDF("vec_id"), pathA).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(victims: _*) // at-least-once full replay
+    q.processAllAvailable(); q.stop()
+    Similarity.forgetVictimIdsFrom(
+      spark.read.parquet(s"$pathB/assignments")
+        .filter($"vec_id" % 50 === 0).select("vec_id"), pathB)
+    def rows(p: String, sub: String): Seq[String] =
+      spark.read.parquet(s"$p/$sub").collect()
+        .map(_.toString).sorted.toSeq
+    assert(rows(pathA, "assignments") == rows(pathB, "assignments"),
+      "streamed forget diverged from batch delete on the index")
+    assert(rows(pathA, "tombstones") == rows(pathB, "tombstones"),
+      "streamed forget diverged from batch delete on the tombstone log")
+    assert(spark.read.parquet(s"$pathA/assignments")
+      .filter($"vec_id" % 50 === 0).isEmpty,
+      "victims survived the streamed delete")
+  }
+
+  test("forgetVictimIdsFrom: a fully-victimized cell is removed from the artifact, not silently retained (r16, r15 advice medium)") {
+    // build a tiny 2-cell artifact by hand: cell 0's rows are ALL victims
+    val path = Similarity.forgetIndexPathFor(sf) + "-emptycell"
+    val mk = (id: Long, cell: Int) =>
+      (id, cell.toLong, Array(1.0f, 0.0f), 1.0, cell)
+    Seq(mk(1L, 0), mk(2L, 0), mk(3L, 1), mk(4L, 1), mk(5L, 1))
+      .toDF("vec_id", "label", "embedding", "nrm", "c_label")
+      .write.mode("overwrite").partitionBy("c_label")
+      .parquet(s"$path/assignments")
+    Similarity.forgetVictimIdsFrom(
+      Seq(1L, 2L, 4L).toDF("vec_id"), path)
+    val kept = spark.read.parquet(s"$path/assignments")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 5L),
+      s"victims of the fully-hit cell must not survive: $kept")
+    val tombs = spark.read.parquet(s"$path/tombstones")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(tombs == Seq(1L, 2L, 4L), s"tombstone log wrong: $tombs")
+    // re-run converges (idempotent): nothing located, nothing appended
+    Similarity.forgetVictimIdsFrom(Seq(1L, 2L, 4L).toDF("vec_id"), path)
+    assert(spark.read.parquet(s"$path/assignments")
+      .select("vec_id").as[Long].collect().sorted.toSeq == Seq(3L, 5L))
+    assert(spark.read.parquet(s"$path/tombstones")
+      .select("vec_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
   }
 
   test("annIngestStream: micro-batch ingestion converges to the one-shot batch merge; replayed batch is a no-op (r15)") {
