@@ -61,7 +61,31 @@ private[graft] object ScratchPaths {
     p
   }
 
-  private val PidPat = """graft-(q\d+)-index-p(\d+)-.*""".r
+  /** A persisted per-(tag, dir) integer statistic — the standing-
+    * statistic form of the adaptive dials (VERDICT r15 #4): computed
+    * once per process per corpus, read from the scratch file by every
+    * later consumer in the same ledger. Same lifecycle discipline as
+    * the index artifacts (shutdown hook + stale-PID sweep); concurrent
+    * writers race benignly (same deterministic value). */
+  def cachedIntStat(tag: String, d: String)(compute: => Int): Int = {
+    val p = java.nio.file.Paths.get(indexPathFor(tag, d))
+    if (java.nio.file.Files.isRegularFile(p))
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    else {
+      val v = compute
+      val tmp = java.nio.file.Paths.get(s"$p.w${System.nanoTime()}")
+      java.nio.file.Files.write(tmp,
+        String.valueOf(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      catch { case _: Exception =>
+        java.nio.file.Files.deleteIfExists(tmp): Unit }
+      v
+    }
+  }
+
+  private val PidPat = """graft-([A-Za-z0-9-]+)-index-p(\d+)-.*""".r
   private def sweepStale(tmp: String, tag: String, self: Long): Unit =
     try {
       val kids = new java.io.File(tmp).listFiles()

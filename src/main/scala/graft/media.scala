@@ -470,13 +470,16 @@ object MediaOps {
       out
     }
 
-  /** The image corpus + its re-encoded twins, dHashed: (doc_id, v) with
-    * v the 4×16-bit dHash bands. One decoder-shaped mapPartitions pass
-    * signs base AND twin (the twin's luma derives from the same decoded
-    * row — a second scan would double the decode cost at 100 TB). The
-    * decode step is [[lumaPlane]] — real for genuine PNGs, stub for the
-    * synthetic fixture; the dHash precondition (≥ 72 luma samples)
-    * guards on the DECODED plane, not the byte length. */
+  /** The image corpus + its re-encoded twins, dHashed: (doc_id, v, bk)
+    * with v the 4×16-bit dHash bands (the Hamming-verify vector) and bk
+    * the four 80-char adaptive band keys ([[dhashBandKeys]] — width-16
+    * prefixes partition exactly as v's band values did). One
+    * decoder-shaped mapPartitions pass signs base AND twin (the twin's
+    * luma derives from the same decoded row — a second scan would
+    * double the decode cost at 100 TB). The decode step is
+    * [[lumaPlane]] — real for genuine PNGs, stub for the synthetic
+    * fixture; the dHash precondition (≥ 72 luma samples) guards on the
+    * DECODED plane, not the byte length. */
   private[graft] def imageHashesOf(corpus: DataFrame): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
@@ -496,23 +499,27 @@ object MediaOps {
               twin(i) = if (i % 17 == 0) base(i) + 1 else base(i)
               i += 1
             }
-            Iterator((id, dhash4x16(base)), (id + 10000L, dhash4x16(twin)))
+            Iterator((id, dhash4x16(base), dhashBandKeys(base)),
+              (id + 10000L, dhash4x16(twin), dhashBandKeys(twin)))
           }
         }
       }
-      .toDF("doc_id", "v")
+      .toDF("doc_id", "v", "bk")
   }
 
   private[graft] def imageHashes(s: SparkSession, d: String): DataFrame =
     imageHashesOf(mediaCorpus(s, d))
 
-  /** The q107 pair chain from a (persisted) hash frame: Hamming bands →
-    * triangle-capped band-collision candidates → exact Hamming ≤ 6.
-    * Shared by q107 (pair surface) and q110 (clustering consumes the
-    * pairs as edges). */
-  private[graft] def imagePairs(s: SparkSession, hashes: DataFrame): DataFrame = {
+  /** The q107 pair chain from a (persisted) hash frame: adaptive-width
+    * Hamming band keys → triangle-capped band-collision candidates →
+    * exact Hamming ≤ 6 (the verify stays on the 64-bit v — the dial
+    * moves CANDIDATE volume, never the output's distance semantics).
+    * Shared by q107 (pair surface), q110 (clustering consumes the pairs
+    * as edges) and q117 (caption audit on the pair surface). */
+  private[graft] def imagePairs(s: SparkSession, hashes: DataFrame,
+                                width: Int): DataFrame = {
     val bands = hashes.selectExpr("doc_id",
-      "posexplode(transform(v, x -> cast(x as string))) as (band_idx, band_hash)")
+      s"posexplode(transform(bk, x -> substring(x, 1, $width))) as (band_idx, band_hash)")
     val cand = Dedup.boundedBandCandidates(s, bands, cap = 1024)
     cand
       .join(hashes.select(col("doc_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
@@ -525,12 +532,13 @@ object MediaOps {
       .filter(col("hamming") <= 6)
   }
 
-  /** q107 — image near-dup pairs: dHash → 16-bit Hamming bands →
-    * triangle-capped band-collision candidates → exact Hamming ≤ 6. */
+  /** q107 — image near-dup pairs: dHash → adaptive-width Hamming bands
+    * → triangle-capped band-collision candidates → exact Hamming ≤ 6. */
   def imageDedup(s: SparkSession, d: String): DataFrame = {
-    // persisted: feeds the band explode and BOTH verify-join sides
+    // persisted: feeds the width probe, the band explode and BOTH
+    // verify-join sides
     val hashes = imageHashes(s, d).transform(Tables.maybePersist)
-    imagePairs(s, hashes)
+    imagePairs(s, hashes, cachedBandWidth("q107", d, hashes, bandsPerDoc = 4))
       .selectExpr("doc_a", "doc_b", "hamming", "doc_b = doc_a + 10000 as is_twin")
   }
 
@@ -559,7 +567,7 @@ object MediaOps {
     val lens = base.unionAll(
       base.select((col("doc_id") + 10000).as("doc_id"), col("n_bytes")))
     val hashes = imageHashes(s, d).transform(Tables.maybePersist)
-    val pairs = imagePairs(s, hashes)
+    val pairs = imagePairs(s, hashes, cachedBandWidth("q107", d, hashes, bandsPerDoc = 4))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
     val lab = Dedup.connectedComponents(
@@ -576,39 +584,106 @@ object MediaOps {
       .select("doc_id", "root", "n_bytes", "keep_doc_id", "n_members", "kept")
   }
 
+  // --- DuckDB fragment builders for the adaptive band keys (r16) ------
+
+  /** The four 80-char dHash band keys from coarse sums alias `s`
+    * (72-cell, 1-based) and fine sums alias `fs` (272-cell) — mirrors
+    * [[dhashBandKeys]] char for char. */
+  private def imageKeysExprDuck(s: String, fs: String): String =
+    s"""list_transform(range(0, 4), k ->
+       |  array_to_string(list_transform(range(0, 16), j -> CASE WHEN
+       |      $s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 2)::INT]
+       |      > $s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 1)::INT]
+       |    THEN '1' ELSE '0' END), '')
+       |  || array_to_string(list_transform(range(0, 16), j -> CASE WHEN
+       |      $s[((((16 * k + j) % 63) // 9 + 1) * 9 + ((16 * k + j) % 63) % 9 + 1)::INT]
+       |      > $s[(((16 * k + j) % 63) // 9 * 9 + ((16 * k + j) % 63) % 9 + 1)::INT]
+       |    THEN '1' ELSE '0' END), '')
+       |  || array_to_string(list_transform(range(0, 48), j -> CASE WHEN
+       |      $fs[((4 * k + j // 16) * 17 + j % 16 + 2)::INT]
+       |      > $fs[((4 * k + j // 16) * 17 + j % 16 + 1)::INT]
+       |    THEN '1' ELSE '0' END), ''))""".stripMargin.replace("\n", " ")
+
+  /** The four 80-char audio fingerprint band keys from coarse sums `s`
+    * (85-cell) and fine sums `fs` (297-cell) — mirrors [[afpBandKeys]]. */
+  private def audioKeysExprDuck(s: String, fs: String): String =
+    s"""list_transform(range(0, 4), k ->
+       |  array_to_string(list_transform(range(0, 16), j -> CASE WHEN
+       |      ($s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 1)::INT]
+       |       - $s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 1)::INT])
+       |    - ($s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 2)::INT]
+       |       - $s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 2)::INT]) > 0
+       |    THEN '1' ELSE '0' END), '')
+       |  || array_to_string(list_transform(range(0, 16), j -> CASE WHEN
+       |      $s[((16 * k + j) // 4 * 5 + (16 * k + j) % 4 + 2)::INT]
+       |      > $s[((16 * k + j) // 4 * 5 + (16 * k + j) % 4 + 1)::INT]
+       |    THEN '1' ELSE '0' END), '')
+       |  || array_to_string(list_transform(range(0, 48), j -> CASE WHEN
+       |      ($fs[((8 * k + j // 8 + 1) * 9 + j % 8 + 1)::INT]
+       |       - $fs[((8 * k + j // 8) * 9 + j % 8 + 1)::INT])
+       |    - ($fs[((8 * k + j // 8 + 1) * 9 + j % 8 + 2)::INT]
+       |       - $fs[((8 * k + j // 8) * 9 + j % 8 + 2)::INT]) > 0
+       |    THEN '1' ELSE '0' END), ''))""".stripMargin.replace("\n", " ")
+
+  /** 272-cell floor-boundary fine sums over sample list `cs` of length
+    * `n` — mirrors [[cellSumsFloor]] (empty cells sum to 0). */
+  private def fineSumsExprDuck(cells: Int): String =
+    s"""list_transform(range(0, $cells), p ->
+       |  coalesce(list_aggregate(cs[((p * n) // $cells + 1)::INT:(((p + 1) * n) // $cells)::INT],
+       |    'sum'), 0))""".stripMargin.replace("\n", " ")
+
+  /** bands0 → wsel → bands: full keys exploded, the measured-volume
+    * width dial (term-for-term [[adaptiveBandWidth]]: smallest width
+    * whose Σ bn·(bn−1)/2 ≤ PairBudgetPerRow·docs, docs = nn/bandsPerDoc
+    * riding along), and the prefix-keyed band frame the candidate join
+    * consumes. Expects a `keys (doc_id, kb)` CTE upstream. */
+  private def bandDialCtesDuck(nBands: Int, bandsPerDoc: Int): String =
+    s"""bands0 AS (SELECT doc_id, b AS band_idx, kb[(b + 1)::INT] AS band_hash
+       |  FROM (SELECT doc_id, kb, unnest(range(0, $nBands)) AS b FROM keys)),
+       |wsel AS (SELECT coalesce(min(w), ${BandWidths.last}) AS w FROM (
+       |  SELECT w, sum((bn * (bn - 1)) // 2) AS pairs, sum(bn) AS nn FROM (
+       |    SELECT w, band_idx, substr(band_hash, 1, w::INT) AS pk, count(*) AS bn
+       |    FROM bands0, (SELECT unnest([${BandWidths.mkString(", ")}]) AS w)
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY w) WHERE pairs * $bandsPerDoc <= ${Similarity.PairBudgetPerRow} * nn),
+       |bands AS (SELECT doc_id, band_idx,
+       |  substr(band_hash, 1, (SELECT w FROM wsel)::INT) AS band_hash FROM bands0)""".stripMargin.replace("\n", " ")
+
   /** The q107 sign→band→candidate→Hamming CTE chain (through `ham`),
     * shared by the q107 pair surface and the q110 clustering oracle. */
   private val imageChainCtes: String =
-    """imgs AS (SELECT doc_id, text, length(text) AS n FROM documents
-      |  WHERE doc_id % 3 = 0 AND length(text) >= 72),
-      |corpus AS (
-      |  SELECT doc_id, n, list_transform(range(1, n + 1),
-      |    i -> ascii(substr(text, i::INT, 1))) AS cs FROM imgs
-      |  UNION ALL
-      |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
-      |    i -> ascii(substr(text, i::INT, 1))
-      |         + CASE WHEN (i - 1) % 17 = 0 THEN 1 ELSE 0 END) FROM imgs),
-      |cells AS (SELECT doc_id, n // 72 AS seg, cs FROM corpus),
-      |sums AS (SELECT doc_id, list_transform(range(0, 72),
-      |    c -> list_aggregate(cs[(c * seg + 1)::INT:(c * seg + seg)::INT], 'sum')) AS s
-      |  FROM cells),
-      |bv AS (SELECT doc_id, list_transform(range(0, 4),
-      |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
-      |      j -> CASE WHEN s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 2)::INT]
-      |                   > s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 1)::INT]
-      |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
-      |      (a, b) -> a + b)) AS v FROM sums),
-      |bands AS (SELECT doc_id, b AS band_idx, v[b + 1]::VARCHAR AS band_hash
-      |  FROM (SELECT doc_id, v, unnest(range(0, 4)) AS b FROM bv)),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-      |  WHERE a.doc_id < b.doc_id),
-      |ham AS (SELECT doc_a, doc_b,
-      |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
-      |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
-      |  FROM cand JOIN bv va ON va.doc_id = cand.doc_a
-      |            JOIN bv vb ON vb.doc_id = cand.doc_b)""".stripMargin
+    s"""imgs AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE doc_id % 3 = 0 AND length(text) >= 72),
+       |corpus AS (
+       |  SELECT doc_id, n, list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, i::INT, 1))) AS cs FROM imgs
+       |  UNION ALL
+       |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, i::INT, 1))
+       |         + CASE WHEN (i - 1) % 17 = 0 THEN 1 ELSE 0 END) FROM imgs),
+       |cells AS (SELECT doc_id, n // 72 AS seg, cs FROM corpus),
+       |sums AS (SELECT doc_id, list_transform(range(0, 72),
+       |    c -> list_aggregate(cs[(c * seg + 1)::INT:(c * seg + seg)::INT], 'sum')) AS s
+       |  FROM cells),
+       |bv AS (SELECT doc_id, list_transform(range(0, 4),
+       |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+       |      j -> CASE WHEN s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 2)::INT]
+       |                   > s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 1)::INT]
+       |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+       |      (a, b) -> a + b)) AS v FROM sums),
+       |fsums AS (SELECT doc_id, ${fineSumsExprDuck(272)} AS fs FROM corpus),
+       |keys AS (SELECT sums.doc_id, ${imageKeysExprDuck("s", "fs")} AS kb
+       |  FROM sums JOIN fsums ON fsums.doc_id = sums.doc_id),
+       |${bandDialCtesDuck(nBands = 4, bandsPerDoc = 4)},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |ham AS (SELECT doc_a, doc_b,
+       |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
+       |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
+       |  FROM cand JOIN bv va ON va.doc_id = cand.doc_a
+       |            JOIN bv vb ON vb.doc_id = cand.doc_b)""".stripMargin
 
   val imageDedupSql: String =
     s"""WITH $imageChainCtes
@@ -659,8 +734,10 @@ object MediaOps {
   // hash vectors over candidates. Payloads never shuffle.
   // ---------------------------------------------------------------------
 
-  /** Per-video frame dHashes: (doc_id, v) with v = 3 frames × 4 bands
-    * flattened (frame f's bands at positions 4f..4f+3). */
+  /** Per-video frame dHashes: (doc_id, v, bk) with v = 3 frames × 4
+    * bands flattened (frame f's bands at positions 4f..4f+3) and bk the
+    * 12 adaptive band-key strings in the same order ([[dhashBandKeys]]
+    * of each frame slice). */
   private[graft] def videoFrameHashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaCorpus(s, d)
@@ -680,24 +757,29 @@ object MediaOps {
             i += 1
           }
           val frameLen = n / 3
-          def hashFrames(codes: Array[Int]): Array[Int] =
-            (0 until 3).flatMap { f =>
-              dhash4x16(java.util.Arrays.copyOfRange(
-                codes, f * frameLen, f * frameLen + frameLen))
-            }.toArray
-          Iterator((id, hashFrames(base)), (id + 10000L, hashFrames(twin)))
+          def frames(codes: Array[Int]): Seq[Array[Int]] =
+            (0 until 3).map(f => java.util.Arrays.copyOfRange(
+              codes, f * frameLen, f * frameLen + frameLen))
+          def sign(codes: Array[Int]): (Array[Int], Array[String]) = {
+            val fr = frames(codes)
+            (fr.flatMap(dhash4x16).toArray, fr.flatMap(dhashBandKeys).toArray)
+          }
+          val (bv, bb) = sign(base)
+          val (tv, tb) = sign(twin)
+          Iterator((id, bv, bb), (id + 10000L, tv, tb))
         }
       }
-      .toDF("doc_id", "v")
+      .toDF("doc_id", "v", "bk")
   }
 
-  /** q111 — video near-dup pairs: frame dHashes → 12 Hamming band keys
-    * → triangle-capped candidates → per-frame exact Hamming, matched
-    * when ≥ 2 of 3 aligned frames verify. */
+  /** q111 — video near-dup pairs: frame dHashes → 12 adaptive-width
+    * Hamming band keys → triangle-capped candidates → per-frame exact
+    * Hamming, matched when ≥ 2 of 3 aligned frames verify. */
   def videoDedup(s: SparkSession, d: String): DataFrame = {
     val hashes = videoFrameHashes(s, d).transform(Tables.maybePersist)
+    val width = cachedBandWidth("q111", d, hashes, bandsPerDoc = 12)
     val bands = hashes.selectExpr("doc_id",
-      "posexplode(transform(v, x -> cast(x as string))) as (band_idx, band_hash)")
+      s"posexplode(transform(bk, x -> substring(x, 1, $width))) as (band_idx, band_hash)")
     val cand = Dedup.boundedBandCandidates(s, bands, cap = 1024)
     cand
       .join(hashes.select(col("doc_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
@@ -736,10 +818,17 @@ object MediaOps {
       |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
       |      (a, b) -> a + b)) AS fv FROM fsums),
       |bv AS (SELECT doc_id, flatten(list(fv ORDER BY f)) AS v FROM fb GROUP BY doc_id),
-      |bands AS (SELECT doc_id, (f * 4 + b) AS band_idx,
-      |    v[(f * 4 + b + 1)::INT]::VARCHAR AS band_hash
-      |  FROM (SELECT doc_id, v, unnest(range(0, 3)) AS f FROM bv),
-      |       (SELECT unnest(range(0, 4)) AS b)),
+      |ffine AS (SELECT doc_id, f, list_transform(range(0, 272), p ->
+      |    coalesce(list_aggregate(
+      |      cs[(f * L + (p * L) // 272 + 1)::INT:(f * L + ((p + 1) * L) // 272)::INT],
+      |      'sum'), 0)) AS fs
+      |  FROM cells, (SELECT unnest(range(0, 3)) AS f)),
+      |fkeys AS (SELECT fsums.doc_id, fsums.f,
+      |    """.stripMargin + "\n" + imageKeysExprDuck("s", "fs") + """ AS fk
+      |  FROM fsums JOIN ffine ON ffine.doc_id = fsums.doc_id AND ffine.f = fsums.f),
+      |keys AS (SELECT doc_id, flatten(list(fk ORDER BY f)) AS kb
+      |  FROM fkeys GROUP BY doc_id),
+      |""".stripMargin + bandDialCtesDuck(nBands = 12, bandsPerDoc = 12) + """,
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -814,8 +903,9 @@ object MediaOps {
     v
   }
 
-  /** The audio corpus + its re-encoded twins, fingerprinted: (doc_id, v)
-    * with v the 4×16-bit fingerprint bands — one decoder-shaped
+  /** The audio corpus + its re-encoded twins, fingerprinted:
+    * (doc_id, v, bk) with v the 4×16-bit fingerprint bands and bk the
+    * adaptive band keys ([[afpBandKeys]]) — one decoder-shaped
     * mapPartitions pass signs base AND twin (the q107 discipline). */
   private[graft] def audioFingerprints(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -835,57 +925,60 @@ object MediaOps {
             twin(i) = math.abs(raw + (if (i % 13 == 0) 1 else 0) - 128)
             i += 1
           }
-          Iterator((id, afp4x16(base)), (id + 10000L, afp4x16(twin)))
+          Iterator((id, afp4x16(base), afpBandKeys(base)),
+            (id + 10000L, afp4x16(twin), afpBandKeys(twin)))
         }
       }
-      .toDF("doc_id", "v")
+      .toDF("doc_id", "v", "bk")
   }
 
-  /** q113 — audio near-dup pairs: energy-difference fingerprint → 16-bit
-    * Hamming bands → triangle-capped candidates → exact Hamming ≤ 6
-    * (the [[imagePairs]] chain over the audio fingerprint frame). */
+  /** q113 — audio near-dup pairs: energy-difference fingerprint →
+    * adaptive-width Hamming bands → triangle-capped candidates → exact
+    * Hamming ≤ 6 (the [[imagePairs]] chain over the fingerprint frame). */
   def audioDedup(s: SparkSession, d: String): DataFrame = {
     val hashes = audioFingerprints(s, d).transform(Tables.maybePersist)
-    imagePairs(s, hashes)
+    imagePairs(s, hashes, cachedBandWidth("q113", d, hashes, bandsPerDoc = 4))
       .selectExpr("doc_a", "doc_b", "hamming", "doc_b = doc_a + 10000 as is_twin")
   }
 
   val audioDedupSql: String =
-    """WITH auds AS (SELECT doc_id, text, length(text) AS n FROM documents
-      |  WHERE doc_id % 3 = 1 AND length(text) >= 85),
-      |corpus AS (
-      |  SELECT doc_id, n, list_transform(range(1, n + 1),
-      |    i -> abs(ascii(substr(text, i::INT, 1)) - 128)) AS cs FROM auds
-      |  UNION ALL
-      |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
-      |    i -> abs(ascii(substr(text, i::INT, 1))
-      |         + CASE WHEN (i - 1) % 13 = 0 THEN 1 ELSE 0 END - 128)) FROM auds),
-      |cells AS (SELECT doc_id, n // 85 AS seg, cs FROM corpus),
-      |sums AS (SELECT doc_id, list_transform(range(0, 85),
-      |    c -> list_aggregate(cs[(c * seg + 1)::INT:(c * seg + seg)::INT], 'sum')) AS s
-      |  FROM cells),
-      |bv AS (SELECT doc_id, list_transform(range(0, 4),
-      |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
-      |      j -> CASE WHEN
-      |             (s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 1)::INT]
-      |              - s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 1)::INT])
-      |           - (s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 2)::INT]
-      |              - s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 2)::INT]) > 0
-      |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
-      |      (a, b) -> a + b)) AS v FROM sums),
-      |bands AS (SELECT doc_id, b AS band_idx, v[b + 1]::VARCHAR AS band_hash
-      |  FROM (SELECT doc_id, v, unnest(range(0, 4)) AS b FROM bv)),
-      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-      |  WHERE a.doc_id < b.doc_id),
-      |ham AS (SELECT doc_a, doc_b,
-      |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
-      |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
-      |  FROM cand JOIN bv va ON va.doc_id = cand.doc_a
-      |            JOIN bv vb ON vb.doc_id = cand.doc_b)
-      |SELECT doc_a, doc_b, hamming, doc_b = doc_a + 10000 AS is_twin
-      |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH auds AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE doc_id % 3 = 1 AND length(text) >= 85),
+       |corpus AS (
+       |  SELECT doc_id, n, list_transform(range(1, n + 1),
+       |    i -> abs(ascii(substr(text, i::INT, 1)) - 128)) AS cs FROM auds
+       |  UNION ALL
+       |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
+       |    i -> abs(ascii(substr(text, i::INT, 1))
+       |         + CASE WHEN (i - 1) % 13 = 0 THEN 1 ELSE 0 END - 128)) FROM auds),
+       |cells AS (SELECT doc_id, n // 85 AS seg, cs FROM corpus),
+       |sums AS (SELECT doc_id, list_transform(range(0, 85),
+       |    c -> list_aggregate(cs[(c * seg + 1)::INT:(c * seg + seg)::INT], 'sum')) AS s
+       |  FROM cells),
+       |bv AS (SELECT doc_id, list_transform(range(0, 4),
+       |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+       |      j -> CASE WHEN
+       |             (s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 1)::INT]
+       |              - s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 1)::INT])
+       |           - (s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 2)::INT]
+       |              - s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 2)::INT]) > 0
+       |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+       |      (a, b) -> a + b)) AS v FROM sums),
+       |fsums AS (SELECT doc_id, ${fineSumsExprDuck(297)} AS fs FROM corpus),
+       |keys AS (SELECT sums.doc_id, ${audioKeysExprDuck("s", "fs")} AS kb
+       |  FROM sums JOIN fsums ON fsums.doc_id = sums.doc_id),
+       |${bandDialCtesDuck(nBands = 4, bandsPerDoc = 4)},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  WHERE a.doc_id < b.doc_id),
+       |ham AS (SELECT doc_a, doc_b,
+       |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
+       |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
+       |  FROM cand JOIN bv va ON va.doc_id = cand.doc_a
+       |            JOIN bv vb ON vb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, hamming, doc_b = doc_a + 10000 AS is_twin
+       |FROM ham WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // q117 — CROSS-MODAL DUPLICATE CONSISTENCY (r14): the audit the
@@ -916,7 +1009,7 @@ object MediaOps {
   // ---------------------------------------------------------------------
 
   /** Base images + RE-CAPTIONED twins: identical bytes → identical
-    * dHash (computed once, emitted twice). */
+    * dHash and band keys (computed once, emitted twice). */
   private def recaptionedHashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaCorpus(s, d)
@@ -929,15 +1022,17 @@ object MediaOps {
           var i = 0
           while (i < bytes.length) { codes(i) = bytes(i) & 0xFF; i += 1 }
           val v = dhash4x16(codes)
-          Iterator((id, v), (id + 10000L, v))
+          val bk = dhashBandKeys(codes)
+          Iterator((id, v, bk), (id + 10000L, v, bk))
         }
       }
-      .toDF("doc_id", "v")
+      .toDF("doc_id", "v", "bk")
   }
 
   def crossModalAudit(s: SparkSession, d: String): DataFrame = {
     val hashes = recaptionedHashes(s, d).transform(Tables.maybePersist)
-    val pairs = imagePairs(s, hashes)
+    val pairs = imagePairs(s, hashes,
+      cachedBandWidth("q117", d, hashes, bandsPerDoc = 4))
     val imgDocs = Tables.fanOut(Tables.documents(s, d), "doc_id")
       .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 72)
     val caps = imgDocs.selectExpr("doc_id", "split(text, ' ') as toks")
@@ -971,8 +1066,12 @@ object MediaOps {
        |      (a, b) -> a + b)) AS v FROM sums),
        |bv AS (SELECT doc_id, v FROM bv0
        |  UNION ALL SELECT doc_id + 10000, v FROM bv0),
-       |bands AS (SELECT doc_id, b AS band_idx, v[b + 1]::VARCHAR AS band_hash
-       |  FROM (SELECT doc_id, v, unnest(range(0, 4)) AS b FROM bv)),
+       |fsums AS (SELECT doc_id, ${fineSumsExprDuck(272)} AS fs FROM corpus),
+       |keys0 AS (SELECT sums.doc_id, ${imageKeysExprDuck("s", "fs")} AS kb
+       |  FROM sums JOIN fsums ON fsums.doc_id = sums.doc_id),
+       |keys AS (SELECT doc_id, kb FROM keys0
+       |  UNION ALL SELECT doc_id + 10000, kb FROM keys0),
+       |${bandDialCtesDuck(nBands = 4, bandsPerDoc = 4)},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash

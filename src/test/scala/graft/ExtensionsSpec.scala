@@ -1866,6 +1866,88 @@ class ExtensionsSpec extends SparkSpec {
     assert(MediaOps.dhash4x16(base).toSeq == hb.toSeq)
   }
 
+  test("adaptive band keys: layout invariants — coarse prefix == the historical band bits; 80 binary chars (r16)") {
+    val rng = new scala.util.Random(41)
+    (0 until 25).foreach { t =>
+      val n = 72 + rng.nextInt(600)
+      val codes = Array.fill(n)(rng.nextInt(256))
+      val v = MediaOps.dhash4x16(codes)
+      val bk = MediaOps.dhashBandKeys(codes)
+      assert(bk.length == 4 && bk.forall(k =>
+        k.length == 80 && k.forall(c => c == '0' || c == '1')),
+        s"trial $t: malformed dHash keys")
+      (0 until 4).foreach { k =>
+        val coarse = (0 until 16).map(j =>
+          if (((v(k) >> j) & 1) == 1) '1' else '0').mkString
+        assert(bk(k).substring(0, 16) == coarse,
+          s"trial $t band $k: width-16 prefix must equal the historical band bits")
+      }
+      if (n >= 85) {
+        val va = MediaOps.afp4x16(codes)
+        val ak = MediaOps.afpBandKeys(codes)
+        assert(ak.length == 4 && ak.forall(k =>
+          k.length == 80 && k.forall(c => c == '0' || c == '1')))
+        (0 until 4).foreach { k =>
+          val coarse = (0 until 16).map(j =>
+            if (((va(k) >> j) & 1) == 1) '1' else '0').mkString
+          assert(ak(k).substring(0, 16) == coarse,
+            s"trial $t afp band $k: width-16 prefix mismatch")
+        }
+      }
+      // determinism (the decode-stub discipline)
+      assert(MediaOps.dhashBandKeys(codes).toSeq == bk.toSeq)
+    }
+  }
+
+  test("adaptive band width: fixture corpora take the width-16 fast path; a saturated corpus dials wider; monotone budget rule (r16)") {
+    // the real fixture frames choose 16 (measured under budget) — this is
+    // what keeps every historical media oracle row byte-identical
+    Seq(
+      (MediaOps.imageHashes(spark, sf), 4),
+      (MediaOps.audioFingerprints(spark, sf), 4),
+      (MediaOps.videoFrameHashes(spark, sf), 12)
+    ).foreach { case (hashes, bpd) =>
+      val bands0 = hashes.selectExpr("doc_id",
+        "posexplode(bk) as (band_idx, band_hash)")
+      assert(MediaOps.adaptiveBandWidth(bands0, bpd) == 16,
+        "fixture corpus must take the width-16 fast path")
+    }
+    // a corpus whose width-16 prefixes saturate but whose wider prefixes
+    // discriminate must dial past 16: n docs, ALL sharing one 16-char
+    // prefix, unique beyond it → volume at 16 = n(n-1)/2 > 512n for
+    // n > 1025, volume at 32 = 0
+    val n = 1200
+    val rows = (0 until n).map { i =>
+      val suffix = (0 until 64).map(b => if (((i >> (b % 11)) & 1) == 1) '1' else '0').mkString
+      (0, "1" * 16 + suffix, i.toLong)
+    } // distinct suffixes for i < 2048: bits of i repeated — i != j < 2048 differ somewhere
+    val hot = spark.createDataset(rows.toSeq).toDF("band_idx", "band_hash", "doc_id")
+    val w = MediaOps.adaptiveBandWidth(hot, 1)
+    assert(w == 32, s"saturated 16-prefix corpus must dial to 32, got $w")
+  }
+
+  test("adaptive band keys: the same-scale extension (chars 17..32) absorbs re-encode noise on the fixture corpus (r16)") {
+    // the design claim behind the first dial step: for every planted
+    // twin, at least one of the 4 WIDTH-32 keys still collides with its
+    // base (coarse + same-scale chars ride the same box-filter scale) —
+    // so dialing 16 → 32 keeps full twin recall on this corpus
+    def recallAt(hashes: org.apache.spark.sql.DataFrame, width: Int): (Long, Long) = {
+      val rows = hashes.selectExpr("doc_id", "bk").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).map(_.take(width)))
+        .toMap
+      val bases = rows.keys.filter(_ < 10000L).toSeq
+      val hit = bases.count(id => rows.get(id + 10000L).exists(t =>
+        rows(id).zip(t).exists { case (a, b) => a == b }))
+      (hit.toLong, bases.length.toLong)
+    }
+    Seq(MediaOps.imageHashes(spark, sf), MediaOps.audioFingerprints(spark, sf))
+      .foreach { h =>
+        val (hit32, total) = recallAt(h, 32)
+        assert(total > 0)
+        assert(hit32 == total, s"width-32 twin collision: $hit32/$total")
+      }
+  }
+
   test("q107: image dedup finds EVERY planted re-encoded twin; bar enforced (r14)") {
     val nImages = Tables.documents(spark, sf)
       .where("doc_id % 3 = 0 AND length(text) >= 72").count()
@@ -1895,7 +1977,7 @@ class ExtensionsSpec extends SparkSpec {
     // driver model: the verdict's own semantics recomputed independently
     // over the production hash frame — candidate iff ANY 16-bit band
     // matches a deny hash, dropped iff a candidate verifies Hamming <= 6
-    val hash = MediaOps.imageHashes(spark, sf)
+    val hash = MediaOps.imageHashes(spark, sf).select("doc_id", "v")
       .as[(Long, Array[Int])].collect().toMap
     val denyIds = imgs.map(_._1).filter(_ % 20 == 0)
     assert(denyIds.nonEmpty, "fixture must populate the deny slice")
@@ -1948,7 +2030,7 @@ class ExtensionsSpec extends SparkSpec {
     val nVideos = Tables.documents(spark, sf)
       .where("doc_id % 3 = 2 AND length(text) >= 216").count()
     assert(nVideos > 0, "fixture must populate the video slice")
-    val hashes = MediaOps.videoFrameHashes(spark, sf)
+    val hashes = MediaOps.videoFrameHashes(spark, sf).select("doc_id", "v")
       .as[(Long, Array[Int])].collect()
     assert(hashes.length.toLong == 2 * nVideos)
     hashes.foreach { case (id, v) =>
@@ -2031,7 +2113,7 @@ class ExtensionsSpec extends SparkSpec {
     // driver model: recomputed independently over the production
     // fingerprint frame — candidate iff ANY band matches a deny
     // fingerprint, dropped iff a candidate verifies Hamming <= 6
-    val hash = MediaOps.audioFingerprints(spark, sf)
+    val hash = MediaOps.audioFingerprints(spark, sf).select("doc_id", "v")
       .as[(Long, Array[Int])].collect().toMap
     val denyIds = auds.map(_._1).filter(_ % 20 == 0)
     assert(denyIds.nonEmpty, "fixture must populate the deny slice")
