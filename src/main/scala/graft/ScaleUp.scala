@@ -50,13 +50,31 @@ object ScaleUp {
       write((0 until copies).map(k => copy(base, k)).reduce(_ unionAll _), t)
     }
 
+    // `mediaScale` additionally CIRCULAR-SHIFTS each copy's text by
+    // k·41 chars: the token-suffix replication preserves the byte-level
+    // GRADIENT structure the perceptual hashes key on (every copy of a
+    // doc is a genuine media near-dup of every other — a quadratic
+    // TRUE-pair corpus no banding scheme can or should thin), so media
+    // linearity audits need copies whose box-filter cells sample
+    // different text regions. The shift decorrelates cross-copy cell
+    // sums while each copy's planted twin relation (value-level
+    // perturbation of the copy's own bytes) is untouched.
+    val mediaScale = args.length > 3 && args(3) == "mediaScale"
     replicate("documents", (d, k) =>
       if (k == 0) d
-      else d.selectExpr(
-        s"doc_id + ${k * 100000L}L as doc_id",
-        s"array_join(transform(split(text, ' '), w -> concat(w, '_c$k')), ' ') as text",
-        "lang", "source")
-        .withColumn("n_chars", length(col("text")).cast("long")))
+      else {
+        val suffixed = d.selectExpr(
+          s"doc_id + ${k * 100000L}L as doc_id",
+          s"array_join(transform(split(text, ' '), w -> concat(w, '_c$k')), ' ') as text",
+          "lang", "source")
+        val shifted =
+          if (!mediaScale) suffixed
+          else suffixed.selectExpr("doc_id",
+            s"concat(substr(text, (${k * 41} % length(text)) + 1), " +
+              s"substr(text, 1, ${k * 41} % length(text))) as text",
+            "lang", "source")
+        shifted.withColumn("n_chars", length(col("text")).cast("long"))
+      })
 
     // ts shipped as INT64 nanos through round 10, TIMESTAMP(MICROS) from
     // round 11 — shift by +k·35 days in whichever unit the file carries
