@@ -61,12 +61,29 @@ private[graft] object ScratchPaths {
     p
   }
 
+  /** A cheap content fingerprint of one testdata table directory
+    * (max mtime ⊕ total bytes over the parquet dir's files): cached
+    * corpus statistics key on it so a corpus REGENERATED mid-process
+    * (ScaleUp rewrite then re-query in one JVM) re-probes instead of
+    * serving the stale value while the DuckDB oracle recomputes inline
+    * (r16 advice). Driver-side directory listing only — never a job. */
+  def tableFingerprint(d: String, table: String): String = {
+    val dir = new java.io.File(s"$d/$table.parquet")
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    val (mt, sz) = kids.foldLeft((dir.lastModified(), 0L)) {
+      case ((m, s0), k) => (math.max(m, k.lastModified()), s0 + k.length())
+    }
+    java.lang.Long.toHexString(mt ^ java.lang.Long.rotateLeft(sz, 17))
+  }
+
   /** A persisted per-(tag, dir) integer statistic — the standing-
     * statistic form of the adaptive dials (VERDICT r15 #4): computed
     * once per process per corpus, read from the scratch file by every
     * later consumer in the same ledger. Same lifecycle discipline as
     * the index artifacts (shutdown hook + stale-PID sweep); concurrent
-    * writers race benignly (same deterministic value). */
+    * writers race benignly (same deterministic value). Callers fold
+    * [[tableFingerprint]] of the source table into `tag` so the cache
+    * self-invalidates when the corpus is rewritten. */
   def cachedIntStat(tag: String, d: String)(compute: => Int): Int = {
     val p = java.nio.file.Paths.get(indexPathFor(tag, d))
     if (java.nio.file.Files.isRegularFile(p))
@@ -221,12 +238,24 @@ object Dedup {
   }
 
   private[graft] def boundedBandCandidates(s: SparkSession, bands: DataFrame,
-                                           cap: Int): DataFrame = {
+                                           cap: Int): DataFrame =
+    // the band key is only grouped on, never inspected — accept the
+    // packed-long form (graft_bits2long prefixes, 8-byte shuffle keys;
+    // the r16-advice packing) alongside the historical string form
+    bands.schema("band_hash").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        boundedBandCandidatesT[Long](s, bands, cap)
+      case _ =>
+        boundedBandCandidatesT[String](s, bands, cap)
+    }
+
+  private def boundedBandCandidatesT[K: scala.reflect.runtime.universe.TypeTag](
+      s: SparkSession, bands: DataFrame, cap: Int): DataFrame = {
     import s.implicits._
     bandBlocks(bands, cap)
-      .as[(Int, String, Int, Int, Int, Long)]
+      .as[(Int, K, Int, Int, Int, Long)]
       .groupByKey(t => (t._1, t._2, t._3, t._4))
-      .flatMapGroups { (key: (Int, String, Int, Int), it: Iterator[(Int, String, Int, Int, Int, Long)]) =>
+      .flatMapGroups { (key: (Int, K, Int, Int), it: Iterator[(Int, K, Int, Int, Int, Long)]) =>
         val (bi, bj) = (key._3, key._4)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         def emit(a: Long, b: Long): Unit =
@@ -1229,10 +1258,13 @@ object Dedup {
       base.selectExpr("vec_id + 10000 as vec_id",
         "zip_with(e, sequence(0, 63), (x, i) -> x + 0.01 * cast(i % 3 as double)) as e"))
     // probe the DERIVED corpus (r15): the planted twin per vector is
-    // part of the volume the dial bounds
+    // part of the volume the dial bounds; cached per (family, dir) —
+    // r15 #4
     val withB = corpus.selectExpr("vec_id", "e",
       s"sqrt(${Similarity.dotExpr("e", "e")}) as nrm",
-      s"${Similarity.bucketExpr("e", Similarity.adaptivePlanesFor(corpus, "e"))} as bucket")
+      s"${Similarity.bucketExpr("e",
+        Similarity.cachedPlanes("q32", d)(
+          Similarity.adaptivePlanesFor(corpus, "e")))} as bucket")
     boundedBucketPairs(s, withB.select("bucket", "vec_id", "e", "nrm"),
         cap = 1024, minCos = 0.98)
       .selectExpr("vec_a", "vec_b", "floor((cos) * 1e6 + 0.5) / 1e6 as cosine")

@@ -93,6 +93,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_bits2long"),
+      new ExpressionInfo(classOf[Bits2Long].getName, "graft_bits2long"),
+      (children: Seq[Expression]) => Bits2Long(children(0))),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => children match {

@@ -292,9 +292,11 @@ object MediaOps {
   // Recall: banding was always the q23 probabilistic argument (agree on
   // ≥1 of 4 bands), and the oracle mirrors the dial term for term, so
   // both engines see the same candidates at every width. Wider keys
-  // only engage when measured volume demands them; the e-replica audit
-  // (BENCH_NOTES_r16) pins twin recall and pairs/row at the dialed
-  // widths.
+  // only engage when measured volume demands them; the e10/e30 replica
+  // audit (BENCH_NOTES_r17.md) pins pairs/row and planted-twin recall
+  // at the dialed widths, and ExtensionsSpec pins recall at EVERY
+  // width in [[BandWidths]] on genuine decoded payloads (real PNGs and
+  // generated WAVs through the real decode legs).
   // ---------------------------------------------------------------------
 
   private[graft] val BandWidths = Seq(16, 32, 48, 64, 80)
@@ -411,10 +413,14 @@ object MediaOps {
     * (family, dir) corpus is computed once per process and written to a
     * scratch artifact; every later consumer in the same ledger reads the
     * file instead of re-running the probe — at production grain this is
-    * an index-build-time statistic, priced in the q137 gate row. */
+    * an index-build-time corpus statistic (the PQ-fit-ladder pricing
+    * adjudication applies). The cache key folds in the documents
+    * table's content fingerprint, so a corpus regenerated mid-process
+    * re-probes instead of serving a stale width (r16 advice). */
   private[graft] def cachedBandWidth(tag: String, d: String,
                                      hashes: DataFrame, bandsPerDoc: Int): Int =
-    ScratchPaths.cachedIntStat(s"bandw-$tag", d)(
+    ScratchPaths.cachedIntStat(
+      s"bandw-$tag-${ScratchPaths.tableFingerprint(d, "documents")}", d)(
       adaptiveBandWidth(
         hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)"),
         bandsPerDoc))
@@ -510,6 +516,17 @@ object MediaOps {
   private[graft] def imageHashes(s: SparkSession, d: String): DataFrame =
     imageHashesOf(mediaCorpus(s, d))
 
+  /** The width-`w` prefix of band-key string `x` as the candidate-join
+    * shuffle key: a PACKED LONG (`graft_bits2long` — injective for
+    * w ≤ 64, so the candidate set is identical to the string form's
+    * while the exploded band frame's key shrinks from w bytes to 8;
+    * r16 verdict #7) on every dial step but the 80-bit ceiling, where
+    * the string key survives (80 bits don't fit one long; the ceiling
+    * only engages when even width 64 is over budget). */
+  private[graft] def packedPrefixExpr(x: String, width: Int): String =
+    if (width <= 64) s"graft_bits2long(substring($x, 1, $width))"
+    else s"substring($x, 1, $width)"
+
   /** The q107 pair chain from a (persisted) hash frame: adaptive-width
     * Hamming band keys → triangle-capped band-collision candidates →
     * exact Hamming ≤ 6 (the verify stays on the 64-bit v — the dial
@@ -518,8 +535,9 @@ object MediaOps {
     * as edges) and q117 (caption audit on the pair surface). */
   private[graft] def imagePairs(s: SparkSession, hashes: DataFrame,
                                 width: Int): DataFrame = {
+    Similarity.withFns(s)
     val bands = hashes.selectExpr("doc_id",
-      s"posexplode(transform(bk, x -> substring(x, 1, $width))) as (band_idx, band_hash)")
+      s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
     val cand = Dedup.boundedBandCandidates(s, bands, cap = 1024)
     cand
       .join(hashes.select(col("doc_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
@@ -640,7 +658,9 @@ object MediaOps {
   private def bandDialCtesDuck(nBands: Int, bandsPerDoc: Int): String =
     s"""bands0 AS (SELECT doc_id, b AS band_idx, kb[(b + 1)::INT] AS band_hash
        |  FROM (SELECT doc_id, kb, unnest(range(0, $nBands)) AS b FROM keys)),
-       |wsel AS (SELECT coalesce(min(w), ${BandWidths.last}) AS w FROM (
+       |wsel AS (SELECT coalesce(min(w), CASE WHEN
+       |    (SELECT count(*) FROM bands0) = 0 THEN ${BandWidths.head}
+       |    ELSE ${BandWidths.last} END) AS w FROM (
        |  SELECT w, sum((bn * (bn - 1)) // 2) AS pairs, sum(bn) AS nn FROM (
        |    SELECT w, band_idx, substr(band_hash, 1, w::INT) AS pk, count(*) AS bn
        |    FROM bands0, (SELECT unnest([${BandWidths.mkString(", ")}]) AS w)
@@ -776,10 +796,11 @@ object MediaOps {
     * Hamming band keys → triangle-capped candidates → per-frame exact
     * Hamming, matched when ≥ 2 of 3 aligned frames verify. */
   def videoDedup(s: SparkSession, d: String): DataFrame = {
+    Similarity.withFns(s)
     val hashes = videoFrameHashes(s, d).transform(Tables.maybePersist)
     val width = cachedBandWidth("q111", d, hashes, bandsPerDoc = 12)
     val bands = hashes.selectExpr("doc_id",
-      s"posexplode(transform(bk, x -> substring(x, 1, $width))) as (band_idx, band_hash)")
+      s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
     val cand = Dedup.boundedBandCandidates(s, bands, cap = 1024)
     cand
       .join(hashes.select(col("doc_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
@@ -849,8 +870,9 @@ object MediaOps {
   // re-encodes (gain ripple, dither) change every byte but almost no
   // ENERGY STRUCTURE, so the fingerprint is the Haitsma–Kalker
   // energy-difference family, not a pixel hash: the decoded stream
-  // (bytes → |centered PCM|, the q29 stub discipline — a real decoder
-  // swap-in touches only the bytes→samples step) splits into 17 frames
+  // (bytes → |centered PCM| via [[samplePlane]] — REAL
+  // javax.sound.sampled decode for genuine RIFF/WAVE payloads since
+  // r17, byte-plane stub for the synthetic fixture) splits into 17 frames
   // × 5 sub-bands of summed |amplitude| energy; bit (f, b), f<16, b<4,
   // is the SIGN of the time-delta of the band-energy delta —
   //   ((E[f+1,b] − E[f,b]) − (E[f+1,b+1] − E[f,b+1])) > 0
@@ -903,34 +925,115 @@ object MediaOps {
     v
   }
 
+  /** REAL WAV/PCM decode (r17, verdict item 3 — JDK
+    * `javax.sound.sampled`, no new dependency): the centered integer
+    * sample stream (channel-0) of a genuine RIFF/WAVE payload; None
+    * otherwise. Gated on the 12-byte "RIFF…WAVE" container signature so
+    * non-WAV payloads never pay a reader probe — the synthetic fixture
+    * corpus (text bytes) takes the stub leg with zero AudioSystem
+    * calls, keeping the DuckDB oracle exact. Decode covers the PCM
+    * encodings the WAVE container actually carries (8-bit unsigned,
+    * 16-bit signed, either endianness, any channel count — channel 0 is
+    * the fingerprinted stream); anything else, and truncated/corrupt
+    * payloads, fall back to the stub rather than killing the task —
+    * the Z2 corrupt-drop discipline at sample grain (the
+    * [[decodePngLuma]] contract, transplanted). */
+  private[graft] def decodeWavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    def tag(off: Int, s: String): Boolean =
+      (0 until 4).forall(i => (bytes(off + i) & 0xFF) == s.charAt(i))
+    if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok =
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+        if (!ok || ais.getFrameLength <= 0L ||
+            ais.getFrameLength > Int.MaxValue) None
+        else {
+          val frames = ais.getFrameLength.toInt
+          val fsz = fmt.getFrameSize
+          val data = ais.readNBytes(frames * fsz)
+          if (data.length < frames * fsz) None // truncated stream
+          else {
+            val out = new Array[Int](frames)
+            var f = 0
+            if (bits == 8) {
+              while (f < frames) { out(f) = (data(f * fsz) & 0xFF) - 128; f += 1 }
+            } else {
+              val be = fmt.isBigEndian
+              while (f < frames) {
+                val b0 = data(f * fsz) & 0xFF
+                val b1 = data(f * fsz + 1) & 0xFF
+                out(f) = (if (be) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+                f += 1
+              }
+            }
+            Some(out)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Centered sample stream of one audio payload: REAL decode for
+    * genuine WAVs, byte-minus-128 stub otherwise (the [[lumaPlane]]
+    * discipline — the oracle covers the stub leg; the decoded leg is
+    * spec-pinned on genuine AudioSystem-round-tripped WAVs in
+    * ExtensionsSpec). The fingerprint consumes |sample| magnitudes and
+    * the twin perturbation applies at the SAMPLE level, so the stub
+    * leg's |raw − 128 + δ| is byte-identical to the historical form. */
+  private[graft] def samplePlane(bytes: Array[Byte]): Array[Int] =
+    decodeWavSamples(bytes).getOrElse {
+      val n = bytes.length
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) { out(i) = (bytes(i) & 0xFF) - 128; i += 1 }
+      out
+    }
+
   /** The audio corpus + its re-encoded twins, fingerprinted:
     * (doc_id, v, bk) with v the 4×16-bit fingerprint bands and bk the
     * adaptive band keys ([[afpBandKeys]]) — one decoder-shaped
-    * mapPartitions pass signs base AND twin (the q107 discipline). */
-  private[graft] def audioFingerprints(s: SparkSession, d: String): DataFrame = {
+    * mapPartitions pass signs base AND twin (the q107 discipline). The
+    * decode step is [[samplePlane]] — real for genuine WAVs, stub for
+    * the synthetic fixture; the fingerprint precondition (≥ 85
+    * samples) guards on the DECODED stream, not the byte length. */
+  private[graft] def audioFingerprintsOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
     import s.implicits._
-    mediaCorpus(s, d)
+    corpus
       .filter(col("mime") === "audio/wav" && length(col("media")) >= 85)
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val n = bytes.length
-          val base = new Array[Int](n)
-          val twin = new Array[Int](n)
-          var i = 0
-          while (i < n) {
-            val raw = bytes(i) & 0xFF
-            base(i) = math.abs(raw - 128)
-            twin(i) = math.abs(raw + (if (i % 13 == 0) 1 else 0) - 128)
-            i += 1
+          val samples = samplePlane(bytes)
+          val n = samples.length
+          if (n < 85) Iterator.empty
+          else {
+            val base = new Array[Int](n)
+            val twin = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              base(i) = math.abs(samples(i))
+              twin(i) = math.abs(samples(i) + (if (i % 13 == 0) 1 else 0))
+              i += 1
+            }
+            Iterator((id, afp4x16(base), afpBandKeys(base)),
+              (id + 10000L, afp4x16(twin), afpBandKeys(twin)))
           }
-          Iterator((id, afp4x16(base), afpBandKeys(base)),
-            (id + 10000L, afp4x16(twin), afpBandKeys(twin)))
         }
       }
       .toDF("doc_id", "v", "bk")
   }
+
+  private[graft] def audioFingerprints(s: SparkSession, d: String): DataFrame =
+    audioFingerprintsOf(mediaCorpus(s, d))
 
   /** q113 — audio near-dup pairs: energy-difference fingerprint →
     * adaptive-width Hamming bands → triangle-capped candidates → exact
@@ -1169,11 +1272,17 @@ object MediaOps {
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val codes = new Array[Int](bytes.length)
-          var i = 0
-          while (i < bytes.length) { codes(i) = math.abs((bytes(i) & 0xFF) - 128); i += 1 }
-          (id, afp4x16(codes))
+        it.flatMap { case (id, bytes) =>
+          // the PRODUCTION sample stage ([[samplePlane]] — real WAV
+          // decode or stub), |magnitudes|, the shared [[afp4x16]]
+          val samples = samplePlane(bytes)
+          if (samples.length < 85) Iterator.empty
+          else {
+            val codes = new Array[Int](samples.length)
+            var i = 0
+            while (i < samples.length) { codes(i) = math.abs(samples(i)); i += 1 }
+            Iterator((id, afp4x16(codes)))
+          }
         }
       }
       .collect()
@@ -1215,11 +1324,12 @@ object MediaOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          if (bytes.length < 85) (id, 0, false)
+          val samples = samplePlane(bytes) // real WAV decode or stub
+          if (samples.length < 85) (id, 0, false)
           else {
-            val codes = new Array[Int](bytes.length)
+            val codes = new Array[Int](samples.length)
             var i = 0
-            while (i < bytes.length) { codes(i) = math.abs((bytes(i) & 0xFF) - 128); i += 1 }
+            while (i < samples.length) { codes(i) = math.abs(samples(i)); i += 1 }
             val (n, hit) = denyProbe(afp4x16(codes), idx)
             (id, n, hit)
           }

@@ -996,7 +996,15 @@ object StreamingOps {
         OutputMode.Update(), timeoutConf) {
         (qid: Long, it: Iterator[(Long, Long, Long)], state: GroupState[LexServeState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty // replayed query: emit nothing
+          else if (state.exists) {
+            // replayed query: emit nothing — but RE-ARM the timeout
+            // (Spark cancels a group's previously-set timeout on every
+            // invocation, so returning without setting it would retain
+            // the marker forever after any pre-TTL replay — the q69
+            // "any sighting refreshes the TTL" discipline, r16 advice)
+            if (servedTtlMillis > 0L) state.setTimeoutDuration(servedTtlMillis)
+            Iterator.empty
+          }
           else {
             val byDoc = new scala.collection.mutable.HashMap[Long, Long]()
             it.foreach { case (_, doc, micro) =>
@@ -1118,7 +1126,12 @@ object StreamingOps {
         (qid: Long, it: Iterator[(Long, String, Long, Double)],
          state: GroupState[LexServeState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty // replayed query: emit nothing
+          else if (state.exists) {
+            // replayed query: emit nothing, but re-arm the timeout (the
+            // lexProbeStream rule — Spark cancels it on every invocation)
+            if (servedTtlMillis > 0L) state.setTimeoutDuration(servedTtlMillis)
+            Iterator.empty
+          }
           else {
             val rows = it.toArray
             state.update(LexServeState(qid))
@@ -1314,7 +1327,18 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, it: Iterator[ThreadEvent], state: GroupState[SeenState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty   // insert-only set semantics
+          else if (state.exists) {
+            // insert-only set semantics: emit nothing for a re-sighted
+            // thread — but re-arm the eviction timestamp (Spark cancels
+            // a group's timeout on every invocation; without this a
+            // pre-TTL re-sighting would retain the key forever). The
+            // stored first-sighting keeps the deadline FIXED at
+            // first + ttl — re-sightings never extend membership.
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max(state.get.firstTsMs + ttlMillis, wm + 1))
+            Iterator.empty
+          }
           else {
             val first = it.map(_.ts.getTime).min
             state.update(SeenState(first))

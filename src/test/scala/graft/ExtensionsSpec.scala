@@ -639,6 +639,115 @@ class ExtensionsSpec extends SparkSpec {
     assert(ham(hashes(1L), hashes(2L)) > 6, "distinct images collided")
   }
 
+  // one 16-bit little-endian mono PCM WAVE container (the
+  // AudioSystem-round-trip discipline of the PNG spec)
+  private def wav16(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = samples(i).toByte
+      data(2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // a deterministic "real-ish" PCM stream: two incommensurate tones +
+  // integer pseudo-noise — genuine energy structure for the
+  // Haitsma–Kalker kernel, distinct per seed
+  private def tone(seed: Int, n: Int = 4000): Array[Short] = Array.tabulate(n) { i =>
+    val b = math.sin(i * (0.031 + 0.007 * seed)) * 2800 +
+      math.sin(i * 0.0049 * (seed + 3)) * 1400
+    (b + ((i * 2654435761L + seed * 40503L) % 997L - 498L) / 2).toShort
+  }
+
+  test("q113 decode leg: genuine WAVs decode via javax.sound.sampled; twin recall + exact sample pin; stub fallback (r17)") {
+    import javax.sound.sampled._
+    // exact sample pin: decode must reproduce the constructed PCM stream
+    val src = Array.tabulate(400)(i => ((i * 37) % 1201 - 600).toShort)
+    val dec = MediaOps.decodeWavSamples(wav16(src)).get
+    assert(dec.length == 400 && dec.sameElements(src.map(_.toInt)),
+      "decoded sample stream != constructed PCM values")
+    // 8-bit unsigned leg centers at 128
+    val src8 = Array.tabulate(200)(i => (i * 11) % 256)
+    val fmt8 = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(src8.map(_.toByte)), fmt8, src8.length.toLong),
+      AudioFileFormat.Type.WAVE, bos8)
+    val dec8 = MediaOps.decodeWavSamples(bos8.toByteArray).get
+    assert(dec8.sameElements(src8.map(_ - 128)), "8-bit leg must center at 128")
+    // non-WAV payloads take the stub leg (signature gate, no reader probe)
+    assert(MediaOps.decodeWavSamples("definitely not audio".getBytes("UTF-8")).isEmpty)
+    assert(MediaOps.samplePlane(Array[Byte](65, 66, 67)).sameElements(Array(-63, -62, -61)))
+    // corrupt payload: genuine RIFF/WAVE signature, truncated stream →
+    // stub fallback, never a task kill (the Z2 discipline)
+    assert(MediaOps.decodeWavSamples(wav16(src).take(50)).isEmpty)
+    // end-to-end through the REAL kernel: genuine WAVs run the
+    // decode→fingerprint→twin pass; the planted re-encode twin must land
+    // within the Hamming-6 bar of its base, distinct audio stays apart
+    val auds = Seq(1L -> wav16(tone(1)), 2L -> wav16(tone(2)))
+    val corpus = auds.toDF("doc_id", "media")
+      .selectExpr("doc_id", "'audio/wav' as mime", "media")
+    val fps = MediaOps.audioFingerprintsOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(fps.keySet == Set(1L, 2L, 10001L, 10002L))
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(ham(fps(1L), fps(10001L)) <= 6, "re-encode twin escaped the bar")
+    assert(ham(fps(2L), fps(10002L)) <= 6, "re-encode twin escaped the bar")
+    assert(ham(fps(1L), fps(2L)) > 6, "distinct audio collided")
+  }
+
+  test("adaptive band widths: planted-twin recall at EVERY dial width on genuine decoded payloads (r17, verdict #1)") {
+    import java.awt.image.BufferedImage
+    // genuine payloads are THOUSANDS of samples (the fine grid's design
+    // premise): 64×64 PNGs (4096 luma samples) and 4000-sample WAVs
+    def png(seed: Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = (math.sin(x * (0.11 + 0.013 * seed)) * 90 +
+          math.sin(y * 0.07 * (seed % 5 + 1)) * 70 +
+          ((x * 31 + y * 17 + seed * 97) % 41) + 128).toInt.max(0).min(255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def recallAt(hashes: org.apache.spark.sql.DataFrame, width: Int): (Long, Long) = {
+      val rows = hashes.selectExpr("doc_id", "bk").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).map(_.take(width)))
+        .toMap
+      val bases = rows.keys.filter(_ < 10000L).toSeq
+      val hit = bases.count(id => rows.get(id + 10000L).exists(t =>
+        rows(id).zip(t).exists { case (a, b) => a == b }))
+      (hit.toLong, bases.length.toLong)
+    }
+    val imgCorpus = (1 to 24).map(i => i.toLong -> png(i)).toDF("doc_id", "media")
+      .selectExpr("doc_id", "'image/png' as mime", "media")
+    val ih = MediaOps.imageHashesOf(imgCorpus).transform(Tables.maybePersist)
+    val audCorpus = (1 to 24).map(i => i.toLong -> wav16(tone(i))).toDF("doc_id", "media")
+      .selectExpr("doc_id", "'audio/wav' as mime", "media")
+    val ah = MediaOps.audioFingerprintsOf(audCorpus).transform(Tables.maybePersist)
+    MediaOps.BandWidths.foreach { w =>
+      val (ihit, itot) = recallAt(ih, w)
+      assert(itot == 24L)
+      assert(ihit == itot, s"image twin recall at width $w: $ihit/$itot")
+      val (ahit, atot) = recallAt(ah, w)
+      assert(atot == 24L)
+      assert(ahit == atot, s"audio twin recall at width $w: $ahit/$atot")
+    }
+  }
+
   test("q132: the standing-lexical-index probe == the from-scratch q129, bit-identical (r15)") {
     // the index is LOSSLESS (postings = the exact tf frame, dictionary
     // = the exact df frame), and the probe reuses bm25Score verbatim —

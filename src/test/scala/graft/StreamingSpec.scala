@@ -1085,6 +1085,66 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("lexProbeStream: a PRE-TTL replay re-arms the marker's timeout — it still retires, a late replay re-serves (r17, r16 advice)") {
+    import graft.streaming.{LexHit, LexQuery}
+    // Spark cancels a group's previously-set timeout on every function
+    // invocation: a replay arriving BEFORE the TTL used to permanently
+    // disarm the served marker (retained forever, later replays never
+    // re-served). The fixed branch re-arms on every sighting.
+    val path = TextAnalysis.lexIndexPathFor(sf) + "-servettl2"
+    TextAnalysis.buildLexIndex(spark, sf, path)
+    val qt = TextAnalysis.bm25QueryTerms(
+        spark.read.parquet(s"$path/terms"), spark.read.parquet(s"$path/stats"))
+      .select("term").as[String].collect().toSeq
+    val ttlMs = 3000L
+    val in = MemoryStream[LexQuery](spark)
+    val q = StreamingOps.lexProbeStream(in.toDS(), path, servedTtlMillis = ttlMs)
+      .writeStream.format("memory").queryName("lexservettl2")
+      .outputMode("update").start()
+    def awaitInput(total: Long): Unit = {
+      val dl = System.currentTimeMillis() + 60000L
+      while (q.recentProgress.map(_.numInputRows).sum < total &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(q.recentProgress.map(_.numInputRows).sum >= total,
+        s"stream did not consume $total rows in time")
+    }
+    def awaitTimeoutBatch(): Unit = {
+      Thread.sleep(ttlMs + 400L)
+      val b0 = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val dl = System.currentTimeMillis() + 60000L
+      while (Option(q.lastProgress).map(_.batchId).getOrElse(-1L) < b0 + 2 &&
+             System.currentTimeMillis() < dl) Thread.sleep(50L)
+      assert(Option(q.lastProgress).map(_.batchId).getOrElse(-1L) >= b0 + 2,
+        "no timeout-check batch completed after the TTL lapsed")
+    }
+    in.addData(LexQuery(9L, qt))
+    awaitInput(1L)
+    assert(spark.table("lexservettl2").count() == 10, "initial serve incomplete")
+    // EARLY replay, well inside the TTL: suppressed (marker live) — and
+    // the timeout must be re-armed by this very invocation
+    in.addData(LexQuery(9L, qt))
+    awaitInput(2L)
+    assert(spark.table("lexservettl2").count() == 10,
+      "pre-TTL replay must be suppressed")
+    // after the (re-armed) TTL lapses the marker retires; a late replay
+    // re-serves identically — with the disarm bug, state is retained
+    // forever and this emits nothing
+    awaitTimeoutBatch()
+    in.addData(LexQuery(9L, qt))
+    awaitInput(3L)
+    val dl = System.currentTimeMillis() + 60000L
+    while (spark.table("lexservettl2").count() < 20 &&
+           System.currentTimeMillis() < dl) Thread.sleep(50L)
+    val all = spark.table("lexservettl2").as[LexHit].collect()
+    assert(all.length == 20,
+      s"late replay after a pre-TTL replay must re-serve: ${all.length}")
+    val byRank2 = all.groupBy(_.rank)
+    assert(byRank2.size == 10 &&
+      byRank2.values.forall(v => v.length == 2 && v(0) == v(1)),
+      "re-served ranking != original serve")
+    q.stop()
+  }
+
   test("forgetStream: streamed takedowns + full replay converge to the one-shot batch delete — assignments AND tombstones (r16)") {
     // A forgets via the STREAM (two micro-batches + an at-least-once full
     // replay), B via the batch q135 core once — both artifacts must agree
@@ -1177,6 +1237,47 @@ class StreamingSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(rows(pathA) == rows(pathB),
       "streamed ingestion diverged from the one-shot batch merge")
+  }
+
+  test("tombstone-aware merge: a replayed ingest batch after a takedown cannot resurrect forgotten vec_ids (r17, verdict #2)") {
+    // the at-least-once hazard the reference transport creates
+    // (`Consumer/kafkaConsumer.js:53` fromBeginning: true): ingest a
+    // delta, take some of it down, then REPLAY the original ingest
+    // checkpoint — without the merge-side tombstone anti-join the
+    // replayed rows pass the stored-index anti-join (the takedown
+    // removed them) and silently reinsert forgotten vectors
+    val path = Similarity.mergeIndexPathFor(sf) + "-tombmerge"
+    Similarity.buildAnnIndex(spark, sf, path)
+    val delta = Similarity.annDelta(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).toSeq
+    assert(delta.length >= 4)
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamingOps.annIngestStream(
+        in.toDF().toDF("vec_id", "embedding"), path)
+      .start()
+    in.addData(delta: _*); q.processAllAvailable()
+    // takedown: every other delta id
+    val victims = delta.map(_._1).zipWithIndex.collect {
+      case (id, i) if i % 2 == 0 => id
+    }
+    Similarity.forgetVictimIdsFrom(victims.toDF("vec_id"), path)
+    val tombsBefore = spark.read.parquet(s"$path/tombstones")
+      .collect().map(_.toString).sorted.toSeq
+    assert(tombsBefore.nonEmpty)
+    // at-least-once replay of the ORIGINAL ingest batch
+    in.addData(delta: _*); q.processAllAvailable(); q.stop()
+    val ids = spark.read.parquet(s"$path/assignments")
+      .select("vec_id").as[Long].collect().toSet
+    victims.foreach(v => assert(!ids.contains(v),
+      s"forgotten vec_id $v resurrected by the replayed ingest"))
+    // the survivors of the delta are still present (the anti-join must
+    // not over-drop), and the tombstone log is untouched by the merge
+    delta.map(_._1).filterNot(victims.contains)
+      .foreach(v => assert(ids.contains(v), s"surviving delta id $v lost"))
+    val tombsAfter = spark.read.parquet(s"$path/tombstones")
+      .collect().map(_.toString).sorted.toSeq
+    assert(tombsAfter == tombsBefore, "merge mutated the tombstone log")
   }
 
   test("psiDriftStream horizon: beyond-horizon weeks retire from state; stale arrivals count, never resurrect (r15)") {
