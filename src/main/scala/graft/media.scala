@@ -532,12 +532,35 @@ object MediaOps {
     * exact Hamming ≤ 6 (the verify stays on the 64-bit v — the dial
     * moves CANDIDATE volume, never the output's distance semantics).
     * Shared by q107 (pair surface), q110 (clustering consumes the pairs
-    * as edges) and q117 (caption audit on the pair surface). */
+    * as edges) and q117 (caption audit on the pair surface).
+    *
+    * `oneBitProbe` (r17): ALSO emit, per band, the `width` one-bit-
+    * masked variants of the prefix (each in its own band_idx namespace
+    * — variant j masks bit j, so two prefixes within Hamming 1 share a
+    * variant). At width 16 this is the multi-index-hashing guarantee
+    * (see [[denyProbe]]): every pair within the Hamming-6 bar has some
+    * band within Hamming 1 and CANNOT be missed. The price is a
+    * (width+1)× band-stage volume multiplier, so it is a RECALL-POLICY
+    * dial for bounded compliance scans, not the 10⁹-row default — the
+    * measured single-probe loss is ≤ 0.1% at replica scale (e100)
+    * (BENCH_NOTES_r17.md). */
   private[graft] def imagePairs(s: SparkSession, hashes: DataFrame,
-                                width: Int): DataFrame = {
+                                width: Int,
+                                oneBitProbe: Boolean = false): DataFrame = {
     Similarity.withFns(s)
-    val bands = hashes.selectExpr("doc_id",
-      s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
+    val bandExpr =
+      if (!oneBitProbe)
+        s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)"
+      else {
+        require(width <= 64, s"oneBitProbe needs a packable width, got $width")
+        s"""posexplode(flatten(transform(bk, x ->
+           |  transform(sequence(0, $width), j ->
+           |    graft_bits2long(substring(x, 1, $width)) & (case when j = 0
+           |      then cast(-1 as bigint)
+           |      else ~shiftleft(cast(1 as bigint), j - 1) end)))))
+           |as (band_idx, band_hash)""".stripMargin.replace("\n", " ")
+      }
+    val bands = hashes.selectExpr("doc_id", bandExpr)
     val cand = Dedup.boundedBandCandidates(s, bands, cap = 1024)
     cand
       .join(hashes.select(col("doc_id").as("doc_a"), col("v").as("va")), Seq("doc_a"))
@@ -1294,14 +1317,31 @@ object MediaOps {
   }
 
   /** Band-probe + exact-Hamming verify of one 4×16-bit fingerprint
-    * against a deny index — the per-row kernel both deny verdicts share:
-    * candidate iff ANY band matches, dropped iff a candidate verifies
-    * Hamming ≤ 6. Returns (n_candidates, dropped). */
-  private def denyProbe(v: Array[Int], idx: ImageDenyIndex): (Int, Boolean) = {
+    * against a deny index — the per-row kernel both deny verdicts share.
+    * MULTI-PROBE (r17, the multi-index-hashing guarantee): each band is
+    * probed at its exact value AND all 16 one-bit flips. If every band
+    * differed by ≥ 2 bits the total would be ≥ 8, so any payload within
+    * Hamming 7 (a fortiori the ≤ 6 bar) of a deny item has some band
+    * within Hamming 1 of the deny band and MUST surface as a candidate
+    * — the verdict is
+    * therefore EXACTLY "within Hamming 6 of any deny item", with zero
+    * banding loss. A takedown/compliance scan is where 100% recall is
+    * the contract; the cost is 68 driver-map lookups per row instead of
+    * 4 — noise next to the fingerprint pass itself. (The unbounded
+    * all-pairs chain keeps single-probe banding: its measured loss is
+    * ≤ 0.1% at replica scale (e100) — BENCH_NOTES_r17 — and a 17× band-stage
+    * volume multiplier is not a default you ship at 10⁹ rows.)
+    * Returns (n_candidates, dropped). */
+  private[graft] def denyProbe(v: Array[Int], idx: ImageDenyIndex): (Int, Boolean) = {
     val cands = scala.collection.mutable.SortedSet.empty[Long]
     var b = 0
     while (b < 4) {
       idx.bands(b).get(v(b)).foreach(_.foreach(cands += _))
+      var j = 0
+      while (j < 16) {
+        idx.bands(b).get(v(b) ^ (1 << j)).foreach(_.foreach(cands += _))
+        j += 1
+      }
       b += 1
     }
     val hit = cands.exists { dId =>

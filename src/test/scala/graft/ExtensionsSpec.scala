@@ -2083,19 +2083,16 @@ class ExtensionsSpec extends SparkSpec {
     val input = spark.createDataset((imgs ++ twins).toSeq).toDF("doc_id", "media")
     val verdict = MediaOps.imageDenyVerdict(input, idx)
       .as[(Long, Int, Boolean)].collect().map(t => t._1 -> t._3).toMap
-    // driver model: the verdict's own semantics recomputed independently
-    // over the production hash frame — candidate iff ANY 16-bit band
-    // matches a deny hash, dropped iff a candidate verifies Hamming <= 6
+    // driver model (r17, multi-probe): the 1-bit band multi-probe makes
+    // the verdict EXACT — dropped iff within Hamming 6 of any deny item,
+    // no banding caveat (the multi-index-hashing guarantee)
     val hash = MediaOps.imageHashes(spark, sf).select("doc_id", "v")
       .as[(Long, Array[Int])].collect().toMap
     val denyIds = imgs.map(_._1).filter(_ % 20 == 0)
     assert(denyIds.nonEmpty, "fixture must populate the deny slice")
     def ham(a: Array[Int], b: Array[Int]): Int =
       a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
-    def expect(v: Array[Int]): Boolean = denyIds.exists { d =>
-      val dv = hash(d)
-      (0 until 4).exists(b => v(b) == dv(b)) && ham(v, dv) <= 6
-    }
+    def expect(v: Array[Int]): Boolean = denyIds.exists(d => ham(v, hash(d)) <= 6)
     hash.foreach { case (id, v) =>
       assert(verdict(id) == expect(v), s"image $id: online=${verdict(id)} model=${expect(v)}")
     }
@@ -2219,19 +2216,15 @@ class ExtensionsSpec extends SparkSpec {
     val input = spark.createDataset((auds ++ twins).toSeq).toDF("doc_id", "media")
     val verdict = MediaOps.audioDenyVerdict(input, idx)
       .as[(Long, Int, Boolean)].collect().map(t => t._1 -> t._3).toMap
-    // driver model: recomputed independently over the production
-    // fingerprint frame — candidate iff ANY band matches a deny
-    // fingerprint, dropped iff a candidate verifies Hamming <= 6
+    // driver model (r17, multi-probe): exact semantics — dropped iff
+    // within Hamming 6 of any deny fingerprint (the MIH guarantee)
     val hash = MediaOps.audioFingerprints(spark, sf).select("doc_id", "v")
       .as[(Long, Array[Int])].collect().toMap
     val denyIds = auds.map(_._1).filter(_ % 20 == 0)
     assert(denyIds.nonEmpty, "fixture must populate the deny slice")
     def ham(a: Array[Int], b: Array[Int]): Int =
       a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
-    def expect(v: Array[Int]): Boolean = denyIds.exists { d =>
-      val dv = hash(d)
-      (0 until 4).exists(b => v(b) == dv(b)) && ham(v, dv) <= 6
-    }
+    def expect(v: Array[Int]): Boolean = denyIds.exists(d => ham(v, hash(d)) <= 6)
     hash.foreach { case (id, v) =>
       assert(verdict(id) == expect(v), s"audio $id: online=${verdict(id)} model=${expect(v)}")
     }
@@ -2240,6 +2233,43 @@ class ExtensionsSpec extends SparkSpec {
       assert(verdict(d + 10000L), s"re-encoded twin of deny audio $d must drop")
     }
     assert(auds.map(_._1).exists(id => !verdict(id)), "some non-deny audio survives")
+  }
+
+  test("deny multi-probe: an all-band Hamming spread (2+2+1+1) is caught — the single-probe banding loss is closed (r17)") {
+    // a near-dup at distance 6 whose differing bits hit EVERY band: no
+    // band equal, so the r16 exact-band probe missed it (the replica
+    // audit measured this loss class at ≤ 0.1% (e100)); the 1-bit multi-probe
+    // guarantees a candidate — some band is within Hamming 1
+    val deny = Array(0x1234, 0x0F0F, 0x00FF, 0x5555)
+    val idx = MediaOps.ImageDenyIndex(
+      Array.tabulate(4)(b => Map(deny(b) -> Array(42L))),
+      Map(42L -> deny))
+    val spread = Array(deny(0) ^ 0x3, deny(1) ^ 0x9, deny(2) ^ 0x10, deny(3) ^ 0x80)
+    val (nCand, hit) = MediaOps.denyProbe(spread, idx)
+    assert(nCand == 1 && hit, "Hamming-6 all-band spread must drop under multi-probe")
+    // the boundary the guarantee states: all bands >= 2 differing bits
+    // (total 8) surfaces no candidate AND sits beyond the verify bar
+    val far = Array(deny(0) ^ 0x3, deny(1) ^ 0x9, deny(2) ^ 0x11, deny(3) ^ 0x81)
+    assert(!MediaOps.denyProbe(far, idx)._2, "Hamming-8 item must not drop")
+  }
+
+  test("imagePairs oneBitProbe: the batch chain's all-band spread miss is recovered; default chain documents the loss (r17)") {
+    def key(v: Int): String =
+      (0 until 16).map(j => if (((v >> j) & 1) == 1) '1' else '0').mkString + "0" * 64
+    val va = Array(0x1234, 0x0F0F, 0x00FF, 0x5555)
+    val vb = Array(0x1234 ^ 0x3, 0x0F0F ^ 0x9, 0x00FF ^ 0x10, 0x5555 ^ 0x80)
+    val hashes = Seq((1L, va.toSeq, va.toSeq.map(key)), (2L, vb.toSeq, vb.toSeq.map(key)))
+      .toDF("doc_id", "v", "bk")
+    // Hamming 6 spread 2+2+1+1: every band differs → single-probe
+    // banding emits NOTHING (the loss class the replica audit measured
+    // at <= 0.1% (e100))
+    assert(MediaOps.imagePairs(spark, hashes, 16).count() == 0L,
+      "single-probe banding should miss the all-band spread")
+    // the one-bit probe guarantees the pair (some band within Hamming 1)
+    val hit = MediaOps.imagePairs(spark, hashes, 16, oneBitProbe = true)
+      .selectExpr("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hit == Seq((1L, 2L, 6L)), s"oneBitProbe must recover the pair: $hit")
   }
 
   test("q119: stored ANN index probe == inline probe; jittered twins dup on their original, reversed admit new (r14)") {

@@ -2170,4 +2170,100 @@ class StreamingSpec extends SparkSpec {
     val keys = spark.table("latethreads").select("thread_key").as[String].collect().toSeq
     assert(!keys.contains("C9-old") && keys.contains("C1-t2"), s"got $keys")
   }
+
+  test("E1 enrichOnline across a REAL loopback HTTP socket: one connection per partition, framed replies correct (r17, verdict #6)") {
+    // the mapPartitions/connection-reuse claim, proven over an actual
+    // socket: a keep-alive HTTP/1.1 server counts ACCEPTS (connections)
+    // and REQUESTS separately — enrichOnline at maxConcurrency=2 must
+    // produce exactly 2 connections for 40 requests
+    import java.util.concurrent.atomic.AtomicInteger
+    val accepts = new AtomicInteger(0)
+    val served = new AtomicInteger(0)
+    val server = new java.net.ServerSocket(0, 64,
+      java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    def readFramed(in: java.io.BufferedReader): Option[String] = {
+      val first = in.readLine()
+      if (first == null) None
+      else {
+        var len = 0
+        var line = in.readLine()
+        while (line != null && line.nonEmpty) {
+          if (line.toLowerCase.startsWith("content-length:"))
+            len = line.substring(15).trim.toInt
+          line = in.readLine()
+        }
+        val buf = new Array[Char](len)
+        var off = 0
+        while (off < len) {
+          val k = in.read(buf, off, len - off)
+          if (k < 0) throw new java.io.EOFException()
+          off += k
+        }
+        Some(new String(buf))
+      }
+    }
+    def model(prompt: String): String =
+      "echo:" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(prompt))
+    val acceptLoop = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        accepts.incrementAndGet()
+        new Thread(() => {
+          try {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+            val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+            var open = true
+            while (open) readFramed(in) match {
+              case None => open = false
+              case Some(prompt) =>
+                served.incrementAndGet()
+                val rb = model(prompt).getBytes("UTF-8")
+                out.write(("HTTP/1.1 200 OK\r\nContent-Length: " + rb.length +
+                  "\r\nConnection: keep-alive\r\n\r\n").getBytes("UTF-8"))
+                out.write(rb)
+                out.flush()
+            }
+          } catch { case _: Exception => () } finally sock.close()
+        }).start()
+      } catch { case _: Exception => () } // server closed → exit
+    })
+    acceptLoop.start()
+    try {
+      // the production factory contract: ONE socket opened per partition
+      // (per mkClient() call), every row of the partition flows through
+      // it as a framed HTTP request — connection reuse is structural
+      val mk: () => String => String = () => {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        (prompt: String) => {
+          val pb = prompt.getBytes("UTF-8")
+          out.write(("POST /v1/complete HTTP/1.1\r\nHost: 127.0.0.1\r\n" +
+            "Content-Length: " + pb.length +
+            "\r\nConnection: keep-alive\r\n\r\n").getBytes("UTF-8"))
+          out.write(pb)
+          out.flush()
+          readFramed(in).getOrElse(throw new java.io.EOFException())
+        }
+      }
+      val reqs = spark.createDataset(
+        (1L to 40L).map(i => PromptRequest(i, s"ctx-$i", s"question $i")))
+        .repartition(8)
+      val replies = Enrich.enrichOnline(reqs, mk, maxConcurrency = 2)
+        .collect().sortBy(_.id)
+      assert(replies.length == 40)
+      replies.foreach { r =>
+        val expected = model(Enrich.buildPrompt(s"ctx-${r.id}", s"question ${r.id}"))
+        assert(r.reply == expected, s"req ${r.id}: ${r.reply} != $expected")
+      }
+      assert(served.get() == 40, s"server saw ${served.get()} requests")
+      assert(accepts.get() == 2,
+        s"maxConcurrency=2 must open exactly 2 connections, saw ${accepts.get()}")
+    } finally {
+      try server.close() catch { case _: Exception => () }
+    }
+  }
 }
