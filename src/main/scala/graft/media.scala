@@ -777,43 +777,128 @@ object MediaOps {
   // hash vectors over candidates. Payloads never shuffle.
   // ---------------------------------------------------------------------
 
+  /** REAL multi-frame video decode (r17 — the GIF container is the one
+    * video format the JDK genuinely decodes, `javax.imageio`'s
+    * standard GIF reader, no new dependency): the per-frame BT.601
+    * integer luma planes of a genuine animated-GIF payload; None
+    * otherwise. Gated on the 6-byte GIF87a/GIF89a signature so non-GIF
+    * payloads (including the synthetic fixture's text bytes and real
+    * mp4s, which the JDK cannot decode) never pay a reader probe;
+    * decode failures fall back to the byte-plane stub — the
+    * [[decodePngLuma]]/[[decodeWavSamples]] contract at frame grain. */
+  private[graft] def decodeGifFrames(bytes: Array[Byte]): Option[Seq[Array[Int]]] = {
+    val okSig = bytes.length >= 6 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+    if (!okSig) None
+    else try {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            val out = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF
+                val g = (rgb >> 8) & 0xFF
+                val b = rgb & 0xFF
+                out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            out
+          })
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** The 3 sampled luma frames of one video payload: REAL decode for
+    * genuine animated GIFs (first/middle/last decoded frame — with
+    * repetition when the stream is shorter), equal byte-stride thirds
+    * of the byte plane otherwise (the q29 frame-sample stub the oracle
+    * covers). Every frame must carry the 8×9 dHash grid (≥ 72
+    * samples); a decoded stream failing that falls back to the stub —
+    * fallback, never a dropped task. */
+  private[graft] def videoFramePlanes(bytes: Array[Byte]): Seq[Array[Int]] =
+    decodeGifFrames(bytes)
+      .map { fr =>
+        Seq(fr.head, fr(fr.size / 2), fr.last)
+      }
+      .filter(_.forall(_.length >= 72))
+      .getOrElse {
+        val n = bytes.length
+        val frameLen = n / 3
+        (0 until 3).map { f =>
+          val out = new Array[Int](frameLen)
+          var i = 0
+          while (i < frameLen) { out(i) = bytes(f * frameLen + i) & 0xFF; i += 1 }
+          out
+        }
+      }
+
   /** Per-video frame dHashes: (doc_id, v, bk) with v = 3 frames × 4
     * bands flattened (frame f's bands at positions 4f..4f+3) and bk the
     * 12 adaptive band-key strings in the same order ([[dhashBandKeys]]
-    * of each frame slice). */
-  private[graft] def videoFrameHashes(s: SparkSession, d: String): DataFrame = {
+    * of each sampled frame). The frame-sample step is
+    * [[videoFramePlanes]] — real ImageIO frame decode for genuine
+    * animated GIFs, byte-stride thirds for the synthetic fixture; the
+    * re-encode twin perturbs the DECODED planes (+1 luma every 17th
+    * sample — on the stub leg byte-identical to the historical
+    * whole-stream form, since sample i of frame f is byte f·L+i and
+    * (f·L+i) % 17 walks the same residues). */
+  private[graft] def videoFrameHashesOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
     import s.implicits._
-    mediaCorpus(s, d)
-      .filter(col("mime") === "video/mp4" && length(col("media")) >= 216)
+    corpus
+      .filter(col("mime").startsWith("video/") && length(col("media")) >= 216)
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val n = bytes.length
-          val base = new Array[Int](n)
-          val twin = new Array[Int](n)
-          var i = 0
-          while (i < n) {
-            val luma = bytes(i) & 0xFF
-            base(i) = luma
-            twin(i) = if (i % 17 == 0) luma + 1 else luma
-            i += 1
+          val planes = videoFramePlanes(bytes)
+          if (planes.exists(_.length < 72)) Iterator.empty
+          else {
+            def sign(fr: Seq[Array[Int]]): (Array[Int], Array[String]) =
+              (fr.flatMap(dhash4x16).toArray, fr.flatMap(dhashBandKeys).toArray)
+            val off = planes.scanLeft(0)(_ + _.length) // global sample index
+            val twins = planes.zip(off).map { case (p, o) =>
+              val t = new Array[Int](p.length)
+              var i = 0
+              while (i < p.length) {
+                t(i) = if ((o + i) % 17 == 0) p(i) + 1 else p(i)
+                i += 1
+              }
+              t
+            }
+            val (bv, bb) = sign(planes)
+            val (tv, tb) = sign(twins)
+            Iterator((id, bv, bb), (id + 10000L, tv, tb))
           }
-          val frameLen = n / 3
-          def frames(codes: Array[Int]): Seq[Array[Int]] =
-            (0 until 3).map(f => java.util.Arrays.copyOfRange(
-              codes, f * frameLen, f * frameLen + frameLen))
-          def sign(codes: Array[Int]): (Array[Int], Array[String]) = {
-            val fr = frames(codes)
-            (fr.flatMap(dhash4x16).toArray, fr.flatMap(dhashBandKeys).toArray)
-          }
-          val (bv, bb) = sign(base)
-          val (tv, tb) = sign(twin)
-          Iterator((id, bv, bb), (id + 10000L, tv, tb))
         }
       }
       .toDF("doc_id", "v", "bk")
   }
+
+  private[graft] def videoFrameHashes(s: SparkSession, d: String): DataFrame =
+    videoFrameHashesOf(mediaCorpus(s, d))
 
   /** q111 — video near-dup pairs: frame dHashes → 12 adaptive-width
     * Hamming band keys → triangle-capped candidates → per-frame exact
