@@ -1463,6 +1463,260 @@ object MediaOps {
       .toDF("doc_id", "n_candidates", "dropped")
   }
 
+  // ---------------------------------------------------------------------
+  // q136 — INCREMENTAL MEDIA DEDUP against a STANDING PERCEPTUAL INDEX
+  // (r17): the q102/q119 nightly-crawl discipline at media grain — the
+  // op an image-ingest pipeline runs on every batch: "is this upload a
+  // re-encode of anything already admitted?". The index is built ONCE
+  // ([[buildMediaIndex]]): `path/vecs` = (doc_id, 4×16-bit dHash v),
+  // `path/bands` = (doc_id, band_idx, FULL 80-char band key — prefix
+  // keys make the stored index width-agnostic), and `path/stat` = the
+  // volume-dialed width, priced AT BUILD TIME and persisted WITH the
+  // index (the standing-statistic discipline made literal: probes read
+  // the artifact, never re-run the volume probe). Each delta batch
+  // (re-encodes of doc_id % 5 = 2 pngs: +1 luma every 11th decoded
+  // sample — a different residue than the q107 twin's 17th, so delta
+  // rows are a third population) signs per-row, cuts prefixes at the
+  // STORED width, and probes: delta bands BROADCAST to the index band
+  // scan (the index never shuffles for candidates — prefix packing is
+  // computed per-row in the scan, codegen'd), candidates verify by
+  // exact Hamming ≤ 6 against `vecs`, and the per-delta verdict
+  // (n_matches, best_hamming, is_new) is delta-sized.
+  //
+  // Scale shape: at 10⁹ admitted images the probe cost is one index
+  // scan (pruned to the delta's band keys by the broadcast hash join)
+  // + a delta-sized verify — no corpus shuffle anywhere; the artifact
+  // is append-only across nightly batches like q102's. q136 is the
+  // nightly PROBE (artifact built lazily once per process, the q102
+  // gate pattern); q136b is the once-per-life BUILD, its oracle
+  // certifying the write→read-back band-row count.
+  // ---------------------------------------------------------------------
+
+  private[graft] def mediaIndexPathFor(d: String): String =
+    ScratchPaths.indexPathFor("q136", d)
+
+  /** Once-per-life build: q107's hash frame (base + re-encode twins —
+    * the admitted population) written as vecs + FULL-width band keys,
+    * plus the volume-dialed width as a 1-row stat artifact. Returns
+    * the read-back band-row count (one action drives the write and
+    * proves the read path). */
+  def buildMediaIndex(s: SparkSession, d: String, path: String): Long = {
+    import s.implicits._
+    val hashes = imageHashes(s, d).transform(Tables.maybePersist)
+    val width = adaptiveBandWidth(
+      hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)"),
+      bandsPerDoc = 4)
+    hashes.select(col("doc_id"), col("v"))
+      .write.mode("overwrite").parquet(s"$path/vecs")
+    hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Seq(width).toDF("width").write.mode("overwrite").parquet(s"$path/stat")
+    s.read.parquet(s"$path/bands").count()
+  }
+
+  /** The delta batch: re-encoded copies (+1 luma every 11th decoded
+    * sample, delta_id = doc_id + 40000) of the doc_id % 5 = 2 pngs —
+    * hashed through the same decode→dhash kernels as the index. */
+  private[graft] def imageDeltaHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaCorpus(s, d)
+      .filter(col("mime") === "image/png" && length(col("media")) >= 72 &&
+        col("doc_id") % 5 === 2)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val base = lumaPlane(bytes)
+          val n = base.length
+          if (n < 72) Iterator.empty
+          else {
+            val re = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              re(i) = if (i % 11 == 0) base(i) + 1 else base(i)
+              i += 1
+            }
+            Iterator((id + 40000L, dhash4x16(re), dhashBandKeys(re)))
+          }
+        }
+      }
+      .toDF("doc_id", "v", "bk")
+  }
+
+  /** q136 probe against the STORED index: prefixes cut at the stat
+    * artifact's width on both sides, delta side broadcast throughout. */
+  def mediaIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame = {
+    Similarity.withFns(s)
+    val width = s.read.parquet(s"$path/stat").head().getInt(0)
+    val delta = imageDeltaHashes(s, d).transform(Tables.maybePersist)
+    val dBands = delta.selectExpr("doc_id as delta_id",
+      s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
+    val iBands = s.read.parquet(s"$path/bands")
+      .selectExpr("doc_id as idx_id", "band_idx",
+        s"${packedPrefixExpr("band_hash", width)} as band_hash")
+    val cand = iBands
+      .join(broadcast(dBands), Seq("band_idx", "band_hash"))
+      .select(col("delta_id"), col("idx_id"))
+      .distinct()
+    val verified = cand
+      .join(s.read.parquet(s"$path/vecs")
+          .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
+      .join(broadcast(delta.select(col("doc_id").as("delta_id"), col("v").as("va"))),
+        Seq("delta_id"))
+      .selectExpr("delta_id", "idx_id",
+        """aggregate(zip_with(va, vb,
+          |  (x, y) -> bit_count(cast(x as bigint) ^ cast(y as bigint))),
+          |  cast(0 as bigint), (a, h) -> a + cast(h as bigint)) as hamming"""
+          .stripMargin.replace("\n", " "))
+      .filter(col("hamming") <= 6)
+    delta.select(col("doc_id").as("delta_id"))
+      .join(verified.groupBy("delta_id")
+          .agg(count(lit(1)).as("nm"), min(col("hamming")).as("bh")),
+        Seq("delta_id"), "left")
+      .selectExpr("delta_id", "cast(coalesce(nm, 0) as bigint) as n_matches",
+        "cast(coalesce(bh, 99) as bigint) as best_hamming", "nm is null as is_new")
+  }
+
+  /** Base-only hash frame of an arbitrary (doc_id, media) payload frame
+    * — no planted twins; the ONLINE population is whatever arrives.
+    * Shares the decode→dhash kernels with [[imageHashesOf]]. */
+  private[graft] def imageHashFrame(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val plane = lumaPlane(bytes)
+          if (plane.length < 72) Iterator.empty
+          else Iterator((id, dhash4x16(plane), dhashBandKeys(plane)))
+        }
+      }
+      .toDF("doc_id", "v", "bk")
+  }
+
+  /** Same-process writer serialization for the media index artifacts —
+    * the [[Similarity]] index-lock discipline; multi-driver deployments
+    * keep the documented single-writer-per-path contract. */
+  private val mediaIndexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** ONLINE ingest-dedup merge (q136's streaming leg — the admission
+    * decision an image-ingest pipeline makes per arriving batch): hash
+    * the batch through the decode kernels, probe the STANDING index at
+    * the stored width, and append ONLY the admitted-as-new rows to the
+    * artifacts — so a re-encode of anything already admitted (including
+    * a doc admitted by an EARLIER micro-batch) is refused. Delivery
+    * semantics: already-stored ids anti-join out before the probe, so
+    * an at-least-once replay converges to the same artifact; bands are
+    * written BEFORE vecs so a crash between the two appends leaves only
+    * surplus band rows, which the candidate `distinct` makes harmless
+    * and the replay cannot double (the vecs anti-join is the guard).
+    * In-batch near-dups (two new near-identical payloads in ONE batch)
+    * both admit by design — standing-index dedup, not batch-internal;
+    * the nightly q110 clustering compaction owns that grain. Returns
+    * (admitted, refused) counts. */
+  def mergeMediaBatchIntoIndex(df: DataFrame, path: String): (Long, Long) =
+    mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      val s = df.sparkSession
+      Similarity.withFns(s)
+      val width = s.read.parquet(s"$path/stat").head().getInt(0)
+      val hashes = imageHashFrame(df)
+        .dropDuplicates("doc_id") // in-batch exact-id replays
+        .transform(Tables.maybePersist)
+      val fresh = hashes
+        .join(s.read.parquet(s"$path/vecs").select("doc_id"), Seq("doc_id"), "left_anti")
+        .transform(Tables.maybePersist)
+      val dBands = fresh.selectExpr("doc_id as delta_id",
+        s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
+      val iBands = s.read.parquet(s"$path/bands")
+        .selectExpr("doc_id as idx_id", "band_idx",
+          s"${packedPrefixExpr("band_hash", width)} as band_hash")
+      val dupIds = iBands
+        .join(broadcast(dBands), Seq("band_idx", "band_hash"))
+        .select(col("delta_id"), col("idx_id")).distinct()
+        .join(s.read.parquet(s"$path/vecs")
+            .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
+        .join(broadcast(fresh.select(col("doc_id").as("delta_id"), col("v").as("va"))),
+          Seq("delta_id"))
+        .selectExpr("delta_id",
+          """aggregate(zip_with(va, vb,
+            |  (x, y) -> bit_count(cast(x as bigint) ^ cast(y as bigint))),
+            |  cast(0 as bigint), (a, h) -> a + cast(h as bigint)) as hamming"""
+            .stripMargin.replace("\n", " "))
+        .filter(col("hamming") <= 6)
+        .select(col("delta_id").as("doc_id")).distinct()
+      val admit = fresh.join(dupIds, Seq("doc_id"), "left_anti")
+        .transform(Tables.maybePersist)
+      val nAdmit = admit.count()
+      if (nAdmit > 0) {
+        admit.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
+          .write.mode("append").parquet(s"$path/bands")
+        admit.select(col("doc_id"), col("v"))
+          .write.mode("append").parquet(s"$path/vecs")
+      }
+      (nAdmit, fresh.count() - nAdmit)
+    }
+
+  /** The q136 DuckDB mirror: index chain = the q107 corpus (base +
+    * twins) through the SAME sign→band→dial CTEs; delta chain = the
+    * % 5 = 2 pngs with the 11th-sample perturbation; prefixes on both
+    * sides cut at the index-side wsel (the stored stat's math). */
+  val mediaIndexProbeSql: String = {
+    def signChain(p: String, src: String): String =
+      s"""${p}cells AS (SELECT doc_id, n // 72 AS seg, cs FROM $src),
+         |${p}sums AS (SELECT doc_id, list_transform(range(0, 72),
+         |    c -> list_aggregate(cs[(c * seg + 1)::INT:(c * seg + seg)::INT], 'sum')) AS s
+         |  FROM ${p}cells),
+         |${p}bv AS (SELECT doc_id, list_transform(range(0, 4),
+         |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+         |      j -> CASE WHEN s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 2)::INT]
+         |                   > s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 1)::INT]
+         |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+         |      (a, b) -> a + b)) AS v FROM ${p}sums),
+         |${p}fsums AS (SELECT doc_id, ${fineSumsExprDuck(272)} AS fs FROM $src),
+         |${p}keys AS (SELECT ${p}sums.doc_id, ${imageKeysExprDuck("s", "fs")} AS kb
+         |  FROM ${p}sums JOIN ${p}fsums ON ${p}fsums.doc_id = ${p}sums.doc_id)""".stripMargin
+    s"""WITH imgs AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE doc_id % 3 = 0 AND length(text) >= 72),
+       |corpus AS (
+       |  SELECT doc_id, n, list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, i::INT, 1))) AS cs FROM imgs
+       |  UNION ALL
+       |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, i::INT, 1))
+       |         + CASE WHEN (i - 1) % 17 = 0 THEN 1 ELSE 0 END) FROM imgs),
+       |${signChain("", "corpus")},
+       |${bandDialCtesDuck(nBands = 4, bandsPerDoc = 4)},
+       |d_corpus AS (SELECT doc_id + 40000 AS doc_id, n, list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, i::INT, 1))
+       |         + CASE WHEN (i - 1) % 11 = 0 THEN 1 ELSE 0 END) AS cs
+       |  FROM imgs WHERE doc_id % 5 = 2),
+       |${signChain("d_", "d_corpus")},
+       |d_bands AS (SELECT doc_id, b AS band_idx,
+       |  substr(kb[(b + 1)::INT], 1, (SELECT w FROM wsel)::INT) AS band_hash
+       |  FROM (SELECT doc_id, kb, unnest(range(0, 4)) AS b FROM d_keys)),
+       |cand AS (SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS idx_id
+       |  FROM bands i JOIN d_bands d
+       |    ON i.band_idx = d.band_idx AND i.band_hash = d.band_hash),
+       |ham AS (SELECT delta_id, idx_id,
+       |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
+       |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
+       |  FROM cand JOIN d_bv va ON va.doc_id = cand.delta_id
+       |            JOIN bv vb ON vb.doc_id = cand.idx_id),
+       |m AS (SELECT delta_id, count(*)::BIGINT AS nm, min(hamming) AS bh
+       |  FROM ham WHERE hamming <= 6 GROUP BY delta_id)
+       |SELECT d.doc_id AS delta_id, coalesce(nm, 0)::BIGINT AS n_matches,
+       |  coalesce(bh, 99)::BIGINT AS best_hamming, nm IS NULL AS is_new
+       |FROM d_corpus d LEFT JOIN m ON m.delta_id = d.doc_id
+       |ORDER BY delta_id""".stripMargin
+  }
+
+  /** q136b oracle: band rows = 4 bands × (base + twin) index docs. */
+  val mediaIndexBuildSql: String =
+    """SELECT (4 * 2 * count(*))::BIGINT AS n_band_rows FROM documents
+      |WHERE doc_id % 3 = 0 AND length(text) >= 72""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "q30_media_stats"    -> ((s, d) => mediaStats(s, d)),
@@ -1471,6 +1725,16 @@ object MediaOps {
     "q111_video_dedup"   -> ((s, d) => videoDedup(s, d)),
     "q113_audio_dedup"   -> ((s, d) => audioDedup(s, d)),
     "q117_crossmodal"    -> ((s, d) => crossModalAudit(s, d)),
+    "q136_media_index_probe" -> ((s, d) => {
+      val path = mediaIndexPathFor(d)
+      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+        buildMediaIndex(s, d, path)
+      mediaIndexProbeStored(s, d, path)
+    }),
+    "q136b_media_index_build" -> ((s, d) => {
+      import s.implicits._
+      Seq(buildMediaIndex(s, d, mediaIndexPathFor(d))).toDF("n_band_rows")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1481,5 +1745,7 @@ object MediaOps {
     "q111_video_dedup"   -> videoDedupSql,
     "q113_audio_dedup"   -> audioDedupSql,
     "q117_crossmodal"    -> crossModalAuditSql,
+    "q136_media_index_probe" -> mediaIndexProbeSql,
+    "q136b_media_index_build" -> mediaIndexBuildSql,
   )
 }

@@ -1039,6 +1039,22 @@ object StreamingOps {
       (df: DataFrame, _: Long) => graft.Similarity.mergeDeltaIntoIndex(df, path)
     }
 
+  /** q136's streaming form (r17) — CONTINUOUS INGEST-DEDUP against the
+    * standing PERCEPTUAL index: each micro-batch of (doc_id, media)
+    * payloads folds through [[graft.MediaOps.mergeMediaBatchIntoIndex]]
+    * (the [[annIngestStream]] pattern) — decode→dHash→probe at the
+    * index's stored width, append only the admitted-as-new rows. A
+    * re-encode of anything already admitted — by the base build OR by
+    * an earlier micro-batch — is refused, so the standing population
+    * grows online. Delivery semantics: already-stored ids anti-join
+    * out, replays converge (spec-pinned by replaying a batch and
+    * comparing artifact counts). */
+  def mediaIngestStream(payloads: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    payloads.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) => { graft.MediaOps.mergeMediaBatchIntoIndex(df, path); () }
+    }
+
   /** q135's streaming form (r16) — CONTINUOUS TAKEDOWN against the
     * standing ANN index: each micro-batch of right-to-be-forgotten
     * requests (any frame with a `vec_id` column) folds through the batch

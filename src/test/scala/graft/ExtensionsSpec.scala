@@ -812,6 +812,41 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q136: standing media index — width stat persisted with the artifact, probe verdicts, re-probe fixed point (r17)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-q136-spec").toString
+    val nBands = MediaOps.buildMediaIndex(spark, sf, path)
+    val nIdx = spark.read.parquet(s"$path/vecs").count()
+    assert(nBands == nIdx * 4, s"band rows $nBands != 4 * $nIdx")
+    // the dial is priced at BUILD time and persisted WITH the index
+    val w = spark.read.parquet(s"$path/stat").head().getInt(0)
+    assert(MediaOps.BandWidths.contains(w), s"stored width $w")
+    // stored keys are FULL width — the artifact is width-agnostic (a
+    // re-dial never rewrites it, probes cut prefixes at read time)
+    val lens = spark.read.parquet(s"$path/bands")
+      .selectExpr("min(length(band_hash)) as lo", "max(length(band_hash)) as hi")
+      .head()
+    assert(lens.getInt(0) == 80 && lens.getInt(1) == 80, s"key lengths $lens")
+    val probe = MediaOps.mediaIndexProbeStored(spark, sf, path)
+      .orderBy("delta_id").collect()
+    assert(probe.nonEmpty, "empty delta batch")
+    // every delta is a re-encode of an ADMITTED doc: none may be
+    // admitted as new, and the best match sits within the exact bar
+    probe.foreach { r =>
+      assert(!r.getBoolean(3), s"delta ${r.getLong(0)} admitted as new")
+      assert(r.getLong(1) >= 1 && r.getLong(2) <= 6,
+        s"delta ${r.getLong(0)}: n=${r.getLong(1)} ham=${r.getLong(2)}")
+    }
+    // delta population: exactly the %5==2 pngs, at +40000
+    val expect = MediaOps.mediaCorpus(spark, sf)
+      .filter("mime = 'image/png' and length(media) >= 72 and doc_id % 5 = 2")
+      .select((col("doc_id") + 40000L).as("id")).as[Long].collect().sorted.toSeq
+    assert(probe.map(_.getLong(0)).toSeq == expect)
+    // fixed point: a second probe reads the same artifact unchanged
+    val again = MediaOps.mediaIndexProbeStored(spark, sf, path)
+      .orderBy("delta_id").collect()
+    assert(probe.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("q132: the standing-lexical-index probe == the from-scratch q129, bit-identical (r15)") {
     // the index is LOSSLESS (postings = the exact tf frame, dictionary
     // = the exact df frame), and the probe reuses bm25Score verbatim —

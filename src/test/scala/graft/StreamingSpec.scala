@@ -1239,6 +1239,46 @@ class StreamingSpec extends SparkSpec {
       "streamed ingestion diverged from the one-shot batch merge")
   }
 
+  test("mediaIngestStream: online admission against the standing perceptual index — dups refused, replay converges, standing population grows (r17)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mediaingest").toString
+    MediaOps.buildMediaIndex(spark, sf, path)
+    val vecs0 = spark.read.parquet(s"$path/vecs").count()
+    val bands0 = spark.read.parquet(s"$path/bands").count()
+    // a RE-ENCODE of an admitted doc (+1 every 11th byte of an indexed
+    // png payload — the q136 delta model) and one genuinely-new payload
+    val srcBytes = MediaOps.mediaCorpus(spark, sf)
+      .filter("mime = 'image/png' and length(media) >= 72")
+      .orderBy("doc_id").select("media").head().getAs[Array[Byte]](0)
+    val dupOfIndexed = srcBytes.zipWithIndex.map { case (b, i) =>
+      if (i % 11 == 0) (b + 1).toByte else b }
+    val newDoc = Array.tabulate(300)(i =>
+      ((i * i * 31 + i * 7 + 5) % 251).toByte) // far from any text payload
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val q = StreamingOps.mediaIngestStream(
+        in.toDF().toDF("doc_id", "media"), path)
+      .start()
+    // batch 1: the dup is refused, the new doc admits
+    in.addData((900001L, dupOfIndexed), (900002L, newDoc))
+    q.processAllAvailable()
+    assert(spark.read.parquet(s"$path/vecs").count() == vecs0 + 1)
+    assert(spark.read.parquet(s"$path/bands").count() == bands0 + 4)
+    assert(spark.read.parquet(s"$path/vecs")
+      .filter("doc_id = 900002").count() == 1, "new doc not admitted")
+    // batch 2: at-least-once replay of batch 1 — artifact unchanged
+    in.addData((900001L, dupOfIndexed), (900002L, newDoc))
+    q.processAllAvailable()
+    assert(spark.read.parquet(s"$path/vecs").count() == vecs0 + 1, "replay re-admitted")
+    assert(spark.read.parquet(s"$path/bands").count() == bands0 + 4)
+    // batch 3: a re-encode of the doc batch 1 admitted — refused, the
+    // standing population grew ONLINE
+    val dupOfStreamed = newDoc.zipWithIndex.map { case (b, i) =>
+      if (i % 11 == 0) (b + 1).toByte else b }
+    in.addData((900003L, dupOfStreamed))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$path/vecs").count() == vecs0 + 1,
+      "re-encode of an online-admitted doc was re-admitted")
+  }
+
   test("tombstone-aware merge: a replayed ingest batch after a takedown cannot resurrect forgotten vec_ids (r17, verdict #2)") {
     // the at-least-once hazard the reference transport creates
     // (`Consumer/kafkaConsumer.js:53` fromBeginning: true): ingest a
