@@ -1551,7 +1551,7 @@ object MediaOps {
     val delta = imageDeltaHashes(s, d).transform(Tables.maybePersist)
     val dBands = delta.selectExpr("doc_id as delta_id",
       s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
-    val iBands = s.read.parquet(s"$path/bands")
+    val iBands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
       .selectExpr("doc_id as idx_id", "band_idx",
         s"${packedPrefixExpr("band_hash", width)} as band_hash")
     val cand = iBands
@@ -1559,7 +1559,7 @@ object MediaOps {
       .select(col("delta_id"), col("idx_id"))
       .distinct()
     val verified = cand
-      .join(s.read.parquet(s"$path/vecs")
+      .join(minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
           .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
       .join(broadcast(delta.select(col("doc_id").as("delta_id"), col("v").as("va"))),
         Seq("delta_id"))
@@ -1624,18 +1624,22 @@ object MediaOps {
       val hashes = imageHashFrame(df)
         .dropDuplicates("doc_id") // in-batch exact-id replays
         .transform(Tables.maybePersist)
-      val fresh = hashes
-        .join(s.read.parquet(s"$path/vecs").select("doc_id"), Seq("doc_id"), "left_anti")
+      // replay guards: already-stored ids AND tombstoned ids never
+      // (re-)admit — the latter is the right-to-be-forgotten survival
+      // under at-least-once replay (the ANN merge's r17 discipline)
+      val fresh = minusTombstones(
+          hashes.join(s.read.parquet(s"$path/vecs").select("doc_id"),
+            Seq("doc_id"), "left_anti"), s, path)
         .transform(Tables.maybePersist)
       val dBands = fresh.selectExpr("doc_id as delta_id",
         s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
-      val iBands = s.read.parquet(s"$path/bands")
+      val iBands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
         .selectExpr("doc_id as idx_id", "band_idx",
           s"${packedPrefixExpr("band_hash", width)} as band_hash")
       val dupIds = iBands
         .join(broadcast(dBands), Seq("band_idx", "band_hash"))
         .select(col("delta_id"), col("idx_id")).distinct()
-        .join(s.read.parquet(s"$path/vecs")
+        .join(minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
             .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
         .join(broadcast(fresh.select(col("doc_id").as("delta_id"), col("v").as("va"))),
           Seq("delta_id"))
@@ -1657,6 +1661,95 @@ object MediaOps {
       }
       (nAdmit, fresh.count() - nAdmit)
     }
+
+  // ---------------------------------------------------------------------
+  // q137 — RIGHT-TO-BE-FORGOTTEN on the standing MEDIA index (r17): the
+  // q135/forgetStream discipline at media grain, LSM-style because the
+  // media artifacts are not victim-prunable (band keys, not ids, are
+  // the lookup structure): forget APPENDS to an id-level tombstone log
+  // (idempotent — already-logged and not-present ids anti-join out);
+  // probes and the online merge anti-join the log (lazy deletion — a
+  // takedown is effective IMMEDIATELY, at one broadcast anti-join per
+  // read); [[compactMediaIndex]] is the scheduled rewrite that makes
+  // deletion physical. A tombstoned id can never re-admit through an
+  // at-least-once ingest replay (the merge-side guard — the exact
+  // defect class VERDICT r16 #3 flagged on the ANN index), while a NEW
+  // upload of the same content under a fresh id admits (the content is
+  // no longer in the index — dedup semantics, not a content ban; the
+  // content-ban op is the deny index, q40's denyProbe family).
+  // q137 runs the whole lifecycle — forget → compact → report — and
+  // its report is a re-run FIXED POINT (victims already tombstoned →
+  // nothing appended → identical rewrite → identical report).
+  // ---------------------------------------------------------------------
+
+  private[graft] def tombstonesOf(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    if (new java.io.File(s"$path/tombstones").exists())
+      s.read.parquet(s"$path/tombstones")
+    else Seq.empty[Long].toDF("doc_id")
+  }
+
+  /** Anti-join `df` against the tombstone log on doc_id — the lazy-
+    * deletion read guard. Skips the join when no log exists (the gate
+    * fixture path: q136's artifact never carries tombstones). */
+  private def minusTombstones(df: DataFrame, s: SparkSession, path: String): DataFrame =
+    if (new java.io.File(s"$path/tombstones").exists())
+      df.join(broadcast(tombstonesOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
+    else df
+
+  /** Takedown: append the present-and-not-yet-logged request ids to the
+    * tombstone log. Idempotent at the artifact (re-delivery appends
+    * nothing); returns the newly-logged count. */
+  def forgetMediaFromIndex(requests: DataFrame, path: String): Long =
+    mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      val s = requests.sparkSession
+      val fresh = requests.select(col("doc_id").cast("long")).distinct()
+        .join(s.read.parquet(s"$path/vecs").select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(broadcast(tombstonesOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
+        .transform(Tables.maybePersist)
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode("append").parquet(s"$path/tombstones")
+      n
+    }
+
+  /** Scheduled compaction: rewrite vecs/bands minus the tombstoned ids
+    * (localCheckpoint breaks the read-write cycle). The log itself is
+    * KEPT — it is the audit artifact a compliance pipeline retains, and
+    * the merge-side replay guard needs it forever. */
+  def compactMediaIndex(s: SparkSession, path: String): Unit =
+    mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      if (new java.io.File(s"$path/tombstones").exists()) {
+        val vecs = minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
+          .localCheckpoint()
+        val bands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
+          .localCheckpoint()
+        vecs.write.mode("overwrite").parquet(s"$path/vecs")
+        bands.write.mode("overwrite").parquet(s"$path/bands")
+      }
+    }
+
+  /** The q137 gate row: lazy build → forget the doc_id % 7 = 3 victims
+    * → compact → certify BOTH post-delete artifacts against the log. */
+  def mediaIndexForget(s: SparkSession, d: String): DataFrame = {
+    val path = ScratchPaths.indexPathFor("q137", d)
+    if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+      buildMediaIndex(s, d, path)
+    forgetMediaFromIndex(
+      s.read.parquet(s"$path/vecs").select("doc_id").filter("doc_id % 7 = 3"), path)
+    compactMediaIndex(s, path)
+    s.read.parquet(s"$path/vecs").agg(count(lit(1)).as("n_kept"))
+      .crossJoin(s.read.parquet(s"$path/bands").agg(count(lit(1)).as("n_kept_bands")))
+      .crossJoin(tombstonesOf(s, path).agg(count(lit(1)).as("n_tombstones")))
+  }
+
+  val mediaIndexForgetSql: String =
+    """WITH imgs AS (SELECT doc_id FROM documents
+      |    WHERE doc_id % 3 = 0 AND length(text) >= 72),
+      |pop AS (SELECT doc_id FROM imgs UNION ALL SELECT doc_id + 10000 FROM imgs),
+      |vic AS (SELECT doc_id FROM pop WHERE doc_id % 7 = 3)
+      |SELECT ((SELECT count(*) FROM pop) - (SELECT count(*) FROM vic))::BIGINT AS n_kept,
+      |  (4 * ((SELECT count(*) FROM pop) - (SELECT count(*) FROM vic)))::BIGINT AS n_kept_bands,
+      |  (SELECT count(*) FROM vic)::BIGINT AS n_tombstones""".stripMargin
 
   /** The q136 DuckDB mirror: index chain = the q107 corpus (base +
     * twins) through the SAME sign→band→dial CTEs; delta chain = the
@@ -1735,6 +1828,7 @@ object MediaOps {
       import s.implicits._
       Seq(buildMediaIndex(s, d, mediaIndexPathFor(d))).toDF("n_band_rows")
     }),
+    "q137_media_index_forget" -> ((s, d) => mediaIndexForget(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1747,5 +1841,6 @@ object MediaOps {
     "q117_crossmodal"    -> crossModalAuditSql,
     "q136_media_index_probe" -> mediaIndexProbeSql,
     "q136b_media_index_build" -> mediaIndexBuildSql,
+    "q137_media_index_forget" -> mediaIndexForgetSql,
   )
 }

@@ -1055,6 +1055,20 @@ object StreamingOps {
       (df: DataFrame, _: Long) => { graft.MediaOps.mergeMediaBatchIntoIndex(df, path); () }
     }
 
+  /** q137's streaming form (r17) — CONTINUOUS TAKEDOWN against the
+    * standing MEDIA index: each micro-batch of requests (any frame with
+    * a `doc_id` column) appends to the id-level tombstone log
+    * ([[graft.MediaOps.forgetMediaFromIndex]] — idempotent, so
+    * at-least-once replays converge); probes and the ingest merge
+    * anti-join the log, so a takedown is effective immediately and a
+    * replayed ingest batch can never resurrect a forgotten id. The
+    * scheduled [[graft.MediaOps.compactMediaIndex]] makes it physical. */
+  def mediaForgetStream(requests: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) => { graft.MediaOps.forgetMediaFromIndex(df, path); () }
+    }
+
   /** q135's streaming form (r16) — CONTINUOUS TAKEDOWN against the
     * standing ANN index: each micro-batch of right-to-be-forgotten
     * requests (any frame with a `vec_id` column) folds through the batch

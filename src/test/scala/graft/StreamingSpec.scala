@@ -1279,6 +1279,49 @@ class StreamingSpec extends SparkSpec {
       "re-encode of an online-admitted doc was re-admitted")
   }
 
+  test("mediaForgetStream: takedown is immediate, survives ingest replay, and frees the content for fresh admission (r17)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mediaforget").toString
+    MediaOps.buildMediaIndex(spark, sf, path)
+    val vecs0 = spark.read.parquet(s"$path/vecs").count()
+    val newDoc = Array.tabulate(300)(i =>
+      ((i * i * 37 + i * 11 + 9) % 251).toByte)
+    // ingest a new doc online, then take it down
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val qi = StreamingOps.mediaIngestStream(
+        in.toDF().toDF("doc_id", "media"), path).start()
+    in.addData((910001L, newDoc)); qi.processAllAvailable()
+    assert(spark.read.parquet(s"$path/vecs").count() == vecs0 + 1)
+    val fin = MemoryStream[Long](spark)
+    val qf = StreamingOps.mediaForgetStream(
+        fin.toDF().toDF("doc_id"), path).start()
+    fin.addData(910001L); qf.processAllAvailable()
+    // immediate (lazy deletion): a re-encode of the victim no longer
+    // matches — but its ID cannot re-admit either (tombstone guard), so
+    // an at-least-once REPLAY of the original ingest batch is a no-op
+    in.addData((910001L, newDoc)); qi.processAllAvailable()
+    assert(MediaOps.tombstonesOf(spark, path).count() == 1)
+    assert(spark.read.parquet(s"$path/vecs")
+      .join(MediaOps.tombstonesOf(spark, path), Seq("doc_id"), "left_anti")
+      .count() == vecs0, "replayed ingest resurrected a forgotten id")
+    // replayed takedown converges (append-only log unchanged)
+    fin.addData(910001L); qf.processAllAvailable()
+    assert(MediaOps.tombstonesOf(spark, path).count() == 1)
+    // the content is OUT of the index: the same bytes under a fresh id
+    // admit as new (dedup semantics, not a content ban)
+    in.addData((910002L, newDoc)); qi.processAllAvailable()
+    qi.stop(); qf.stop()
+    assert(spark.read.parquet(s"$path/vecs")
+      .filter("doc_id = 910002").count() == 1,
+      "fresh submission of forgotten content was refused")
+    // compaction makes the deletion physical; the log is kept
+    MediaOps.compactMediaIndex(spark, path)
+    assert(spark.read.parquet(s"$path/vecs")
+      .filter("doc_id = 910001").count() == 0)
+    assert(spark.read.parquet(s"$path/vecs").count() == vecs0 + 1)
+    assert(spark.read.parquet(s"$path/bands").count() == (vecs0 + 1) * 4)
+    assert(MediaOps.tombstonesOf(spark, path).count() == 1, "audit log lost")
+  }
+
   test("tombstone-aware merge: a replayed ingest batch after a takedown cannot resurrect forgotten vec_ids (r17, verdict #2)") {
     // the at-least-once hazard the reference transport creates
     // (`Consumer/kafkaConsumer.js:53` fromBeginning: true): ingest a
