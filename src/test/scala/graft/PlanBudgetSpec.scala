@@ -470,6 +470,18 @@ object PlanBudgetSpec {
     // the post-delete report (artifact counts joined to tombstone
     // counts — two keyed counts + one small join)
     "q135_index_forget" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q136 (r17): standing-media-index probe — delta bands BROADCAST to
+    // the index band scan (the index never shuffles for candidates);
+    // the 3 exchanges are delta-sized (candidate distinct, per-delta
+    // verdict agg, + the test-scale fanOut gate on the corpus scan)
+    "q136_media_index_probe" -> Shape(shuffles = 3, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
+    // q136b: the returned row is a driver-local count — writes happen
+    // inside the build, the reported plan is the 1-row local frame
+    "q136b_media_index_build" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
+    // q137 (r17): media forget — rewrite at forget/compact time; the
+    // measured plan is the post-delete report: three 1-row aggregates
+    // cross-joined (bnlj on single-row frames — constant at any scale)
+    "q137_media_index_forget" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
     // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
     // doc-length counts off the persisted token frame); df/stats/query
     // terms collapse term-granular and ride the 3-row broadcast, so
