@@ -1495,14 +1495,14 @@ object MediaOps {
   private[graft] def mediaIndexPathFor(d: String): String =
     ScratchPaths.indexPathFor("q136", d)
 
-  /** Once-per-life build: q107's hash frame (base + re-encode twins —
-    * the admitted population) written as vecs + FULL-width band keys,
-    * plus the volume-dialed width as a 1-row stat artifact. Returns
-    * the read-back band-row count (one action drives the write and
-    * proves the read path). */
-  def buildMediaIndex(s: SparkSession, d: String, path: String): Long = {
+  /** Once-per-life build from any (doc_id, v, bk) hash frame: vecs +
+    * FULL-width band keys, plus the volume-dialed width as a 1-row stat
+    * artifact. Returns the read-back band-row count (one action drives
+    * the write and proves the read path). */
+  private def buildIndexFrom(hashes0: DataFrame, path: String): Long = {
+    val s = hashes0.sparkSession
     import s.implicits._
-    val hashes = imageHashes(s, d).transform(Tables.maybePersist)
+    val hashes = hashes0.transform(Tables.maybePersist)
     val width = adaptiveBandWidth(
       hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)"),
       bandsPerDoc = 4)
@@ -1513,6 +1513,17 @@ object MediaOps {
     Seq(width).toDF("width").write.mode("overwrite").parquet(s"$path/stat")
     s.read.parquet(s"$path/bands").count()
   }
+
+  /** q136b: the IMAGE-grain index (q107's hash frame — base + twins,
+    * the admitted population). */
+  def buildMediaIndex(s: SparkSession, d: String, path: String): Long =
+    buildIndexFrom(imageHashes(s, d), path)
+
+  /** q138b: the AUDIO-grain index (q113's fingerprint frame) — the same
+    * artifact layout, dial, probe machinery, and forget lifecycle; only
+    * the signing kernel differs. */
+  def buildAudioIndex(s: SparkSession, d: String, path: String): Long =
+    buildIndexFrom(audioFingerprints(s, d), path)
 
   /** The delta batch: re-encoded copies (+1 luma every 11th decoded
     * sample, delta_id = doc_id + 40000) of the doc_id % 5 = 2 pngs —
@@ -1543,12 +1554,44 @@ object MediaOps {
       .toDF("doc_id", "v", "bk")
   }
 
-  /** q136 probe against the STORED index: prefixes cut at the stat
-    * artifact's width on both sides, delta side broadcast throughout. */
-  def mediaIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame = {
+  /** The audio delta batch: re-encodes (+1 to every 9th SAMPLE before
+    * the magnitude fold — a third residue next to the twin's 13 and the
+    * image delta's 11; delta_id = doc_id + 40000) of the %5==2 wavs. */
+  private[graft] def audioDeltaHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaCorpus(s, d)
+      .filter(col("mime") === "audio/wav" && length(col("media")) >= 85 &&
+        col("doc_id") % 5 === 2)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val samples = samplePlane(bytes)
+          val n = samples.length
+          if (n < 85) Iterator.empty
+          else {
+            val re = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              re(i) = math.abs(samples(i) + (if (i % 9 == 0) 1 else 0))
+              i += 1
+            }
+            Iterator((id + 40000L, afp4x16(re), afpBandKeys(re)))
+          }
+        }
+      }
+      .toDF("doc_id", "v", "bk")
+  }
+
+  /** Probe an arbitrary delta hash frame against the STORED index:
+    * prefixes cut at the stat artifact's width on both sides, delta
+    * side broadcast throughout — family-agnostic (q136 image / q138
+    * audio share it verbatim). */
+  def probeStoredIndexWith(delta0: DataFrame, path: String): DataFrame = {
+    val s = delta0.sparkSession
     Similarity.withFns(s)
     val width = s.read.parquet(s"$path/stat").head().getInt(0)
-    val delta = imageDeltaHashes(s, d).transform(Tables.maybePersist)
+    val delta = delta0.transform(Tables.maybePersist)
     val dBands = delta.selectExpr("doc_id as delta_id",
       s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
     val iBands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
@@ -1576,6 +1619,15 @@ object MediaOps {
       .selectExpr("delta_id", "cast(coalesce(nm, 0) as bigint) as n_matches",
         "cast(coalesce(bh, 99) as bigint) as best_hamming", "nm is null as is_new")
   }
+
+  /** q136: the image-grain probe. */
+  def mediaIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame =
+    probeStoredIndexWith(imageDeltaHashes(s, d), path)
+
+  /** q138: the audio-grain probe — the identical machinery over the
+    * audio index and the audio delta. */
+  def audioIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame =
+    probeStoredIndexWith(audioDeltaHashes(s, d), path)
 
   /** Base-only hash frame of an arbitrary (doc_id, media) payload frame
     * — no planted twins; the ONLINE population is whatever arrives.
@@ -1810,6 +1862,68 @@ object MediaOps {
     """SELECT (4 * 2 * count(*))::BIGINT AS n_band_rows FROM documents
       |WHERE doc_id % 3 = 0 AND length(text) >= 72""".stripMargin
 
+  /** The q138 DuckDB mirror — [[mediaIndexProbeSql]]'s structure over
+    * the AUDIO sign chain (85-cell coarse grid, 297-cell fine grid,
+    * [[audioKeysExprDuck]]; magnitude stream abs(byte − 128); twin
+    * residue 13, delta residue 9). */
+  val audioIndexProbeSql: String = {
+    def signChain(p: String, src: String): String =
+      s"""${p}cells AS (SELECT doc_id, n // 85 AS seg, cs FROM $src),
+         |${p}sums AS (SELECT doc_id, list_transform(range(0, 85),
+         |    c -> list_aggregate(cs[(c * seg + 1)::INT:(c * seg + seg)::INT], 'sum')) AS s
+         |  FROM ${p}cells),
+         |${p}bv AS (SELECT doc_id, list_transform(range(0, 4),
+         |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+         |      j -> CASE WHEN
+         |             (s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 1)::INT]
+         |              - s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 1)::INT])
+         |           - (s[(((16 * k + j) // 4 + 1) * 5 + (16 * k + j) % 4 + 2)::INT]
+         |              - s[(((16 * k + j) // 4) * 5 + (16 * k + j) % 4 + 2)::INT]) > 0
+         |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+         |      (a, b) -> a + b)) AS v FROM ${p}sums),
+         |${p}fsums AS (SELECT doc_id, ${fineSumsExprDuck(297)} AS fs FROM $src),
+         |${p}keys AS (SELECT ${p}sums.doc_id, ${audioKeysExprDuck("s", "fs")} AS kb
+         |  FROM ${p}sums JOIN ${p}fsums ON ${p}fsums.doc_id = ${p}sums.doc_id)""".stripMargin
+    s"""WITH auds AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE doc_id % 3 = 1 AND length(text) >= 85),
+       |corpus AS (
+       |  SELECT doc_id, n, list_transform(range(1, n + 1),
+       |    i -> abs(ascii(substr(text, i::INT, 1)) - 128)) AS cs FROM auds
+       |  UNION ALL
+       |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
+       |    i -> abs(ascii(substr(text, i::INT, 1))
+       |         + CASE WHEN (i - 1) % 13 = 0 THEN 1 ELSE 0 END - 128)) FROM auds),
+       |${signChain("", "corpus")},
+       |${bandDialCtesDuck(nBands = 4, bandsPerDoc = 4)},
+       |d_corpus AS (SELECT doc_id + 40000 AS doc_id, n, list_transform(range(1, n + 1),
+       |    i -> abs(ascii(substr(text, i::INT, 1))
+       |         + CASE WHEN (i - 1) % 9 = 0 THEN 1 ELSE 0 END - 128)) AS cs
+       |  FROM auds WHERE doc_id % 5 = 2),
+       |${signChain("d_", "d_corpus")},
+       |d_bands AS (SELECT doc_id, b AS band_idx,
+       |  substr(kb[(b + 1)::INT], 1, (SELECT w FROM wsel)::INT) AS band_hash
+       |  FROM (SELECT doc_id, kb, unnest(range(0, 4)) AS b FROM d_keys)),
+       |cand AS (SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS idx_id
+       |  FROM bands i JOIN d_bands d
+       |    ON i.band_idx = d.band_idx AND i.band_hash = d.band_hash),
+       |ham AS (SELECT delta_id, idx_id,
+       |    (bit_count(xor(va.v[1], vb.v[1])) + bit_count(xor(va.v[2], vb.v[2]))
+       |   + bit_count(xor(va.v[3], vb.v[3])) + bit_count(xor(va.v[4], vb.v[4])))::BIGINT AS hamming
+       |  FROM cand JOIN d_bv va ON va.doc_id = cand.delta_id
+       |            JOIN bv vb ON vb.doc_id = cand.idx_id),
+       |m AS (SELECT delta_id, count(*)::BIGINT AS nm, min(hamming) AS bh
+       |  FROM ham WHERE hamming <= 6 GROUP BY delta_id)
+       |SELECT d.doc_id AS delta_id, coalesce(nm, 0)::BIGINT AS n_matches,
+       |  coalesce(bh, 99)::BIGINT AS best_hamming, nm IS NULL AS is_new
+       |FROM d_corpus d LEFT JOIN m ON m.delta_id = d.doc_id
+       |ORDER BY delta_id""".stripMargin
+  }
+
+  /** q138b oracle: band rows = 4 bands × (base + twin) audio docs. */
+  val audioIndexBuildSql: String =
+    """SELECT (4 * 2 * count(*))::BIGINT AS n_band_rows FROM documents
+      |WHERE doc_id % 3 = 1 AND length(text) >= 85""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "q30_media_stats"    -> ((s, d) => mediaStats(s, d)),
@@ -1829,6 +1943,17 @@ object MediaOps {
       Seq(buildMediaIndex(s, d, mediaIndexPathFor(d))).toDF("n_band_rows")
     }),
     "q137_media_index_forget" -> ((s, d) => mediaIndexForget(s, d)),
+    "q138_audio_index_probe" -> ((s, d) => {
+      val path = ScratchPaths.indexPathFor("q138", d)
+      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+        buildAudioIndex(s, d, path)
+      audioIndexProbeStored(s, d, path)
+    }),
+    "q138b_audio_index_build" -> ((s, d) => {
+      import s.implicits._
+      Seq(buildAudioIndex(s, d, ScratchPaths.indexPathFor("q138", d)))
+        .toDF("n_band_rows")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1842,5 +1967,7 @@ object MediaOps {
     "q136_media_index_probe" -> mediaIndexProbeSql,
     "q136b_media_index_build" -> mediaIndexBuildSql,
     "q137_media_index_forget" -> mediaIndexForgetSql,
+    "q138_audio_index_probe" -> audioIndexProbeSql,
+    "q138b_audio_index_build" -> audioIndexBuildSql,
   )
 }

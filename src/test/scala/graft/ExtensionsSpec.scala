@@ -847,6 +847,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(probe.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q138: the audio-grain standing index shares the artifact layout, probe machinery, and forget lifecycle (r17)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-q138-spec").toString
+    val nBands = MediaOps.buildAudioIndex(spark, sf, path)
+    val nIdx = spark.read.parquet(s"$path/vecs").count()
+    assert(nBands == nIdx * 4 && nIdx > 0)
+    assert(MediaOps.BandWidths.contains(
+      spark.read.parquet(s"$path/stat").head().getInt(0)))
+    val probe = MediaOps.audioIndexProbeStored(spark, sf, path)
+      .orderBy("delta_id").collect()
+    assert(probe.nonEmpty)
+    probe.foreach { r =>
+      assert(!r.getBoolean(3) && r.getLong(1) >= 1 && r.getLong(2) <= 6,
+        s"audio delta ${r.getLong(0)}: n=${r.getLong(1)} ham=${r.getLong(2)}")
+    }
+    // the forget lifecycle is family-agnostic (id-level tombstones):
+    // take down one indexed id, the probe's matches against it vanish
+    // immediately, compaction makes it physical
+    val victim = probe.head.getLong(0) - 40000L // the first delta's source
+    MediaOps.forgetMediaFromIndex(
+      Seq(victim).toDF("doc_id"), path)
+    val after = MediaOps.audioIndexProbeStored(spark, sf, path)
+      .filter(col("delta_id") === victim + 40000L).head()
+    assert(after.getLong(1) < probe.head.getLong(1),
+      "takedown did not reduce the victim delta's match count")
+    MediaOps.compactMediaIndex(spark, path)
+    assert(spark.read.parquet(s"$path/vecs")
+      .filter(col("doc_id") === victim).count() == 0)
+    assert(spark.read.parquet(s"$path/vecs").count() == nIdx - 1)
+  }
+
   test("q132: the standing-lexical-index probe == the from-scratch q129, bit-identical (r15)") {
     // the index is LOSSLESS (postings = the exact tf frame, dictionary
     // = the exact df frame), and the probe reuses bm25Score verbatim —

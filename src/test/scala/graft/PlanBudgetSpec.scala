@@ -482,6 +482,10 @@ object PlanBudgetSpec {
     // measured plan is the post-delete report: three 1-row aggregates
     // cross-joined (bnlj on single-row frames — constant at any scale)
     "q137_media_index_forget" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 2, scans = 3),
+    // q138/q138b (r17): the audio-grain index — the q136 machinery
+    // verbatim over the afp kernels; identical shapes by construction
+    "q138_audio_index_probe" -> Shape(shuffles = 3, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
+    "q138b_audio_index_build" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
     // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
     // doc-length counts off the persisted token frame); df/stats/query
     // terms collapse term-granular and ride the 3-row broadcast, so
