@@ -1499,13 +1499,14 @@ object MediaOps {
     * FULL-width band keys, plus the volume-dialed width as a 1-row stat
     * artifact. Returns the read-back band-row count (one action drives
     * the write and proves the read path). */
-  private def buildIndexFrom(hashes0: DataFrame, path: String): Long = {
+  private def buildIndexFrom(hashes0: DataFrame, path: String,
+                             bandsPerDoc: Int = 4): Long = {
     val s = hashes0.sparkSession
     import s.implicits._
     val hashes = hashes0.transform(Tables.maybePersist)
     val width = adaptiveBandWidth(
       hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)"),
-      bandsPerDoc = 4)
+      bandsPerDoc)
     hashes.select(col("doc_id"), col("v"))
       .write.mode("overwrite").parquet(s"$path/vecs")
     hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
@@ -1524,6 +1525,14 @@ object MediaOps {
     * the signing kernel differs. */
   def buildAudioIndex(s: SparkSession, d: String, path: String): Long =
     buildIndexFrom(audioFingerprints(s, d), path)
+
+  /** q139b: the VIDEO-grain index (q111's frame-hash frame — 12 bands
+    * and a 12-int hash vector per video; the dial budgets 12 bands per
+    * doc). Same artifacts, same forget lifecycle; the PROBE differs
+    * only in the verify rule (frame-aligned ≥ 2-of-3, not scalar
+    * Hamming — [[videoIndexProbeStored]]). */
+  def buildVideoIndex(s: SparkSession, d: String, path: String): Long =
+    buildIndexFrom(videoFrameHashes(s, d), path, bandsPerDoc = 12)
 
   /** The delta batch: re-encoded copies (+1 luma every 11th decoded
     * sample, delta_id = doc_id + 40000) of the doc_id % 5 = 2 pngs —
@@ -1623,6 +1632,78 @@ object MediaOps {
   /** q136: the image-grain probe. */
   def mediaIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame =
     probeStoredIndexWith(imageDeltaHashes(s, d), path)
+
+  /** The video delta batch: re-encodes of the %5==2 videos — +1 luma
+    * on every 7th GLOBAL decoded sample (residues so far: image/video
+    * twin 17, audio twin 13, image delta 11, audio delta 9), hashed
+    * through the q111 frame-sample/dhash kernels. */
+  private[graft] def videoDeltaHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaCorpus(s, d)
+      .filter(col("mime").startsWith("video/") && length(col("media")) >= 216 &&
+        col("doc_id") % 5 === 2)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val planes = videoFramePlanes(bytes)
+          if (planes.exists(_.length < 72)) Iterator.empty
+          else {
+            val off = planes.scanLeft(0)(_ + _.length)
+            val re = planes.zip(off).map { case (p, o) =>
+              val t = new Array[Int](p.length)
+              var i = 0
+              while (i < p.length) {
+                t(i) = if ((o + i) % 7 == 0) p(i) + 1 else p(i)
+                i += 1
+              }
+              t
+            }
+            Iterator((id + 40000L,
+              re.flatMap(dhash4x16).toArray,
+              re.flatMap(dhashBandKeys).toArray))
+          }
+        }
+      }
+      .toDF("doc_id", "v", "bk")
+  }
+
+  /** q139: the video-grain probe — the q136/q138 band machinery over
+    * the 12-band frame, with q111's FRAME-ALIGNED verify (a video
+    * matches an indexed one when ≥ 2 of 3 aligned frame dHashes sit
+    * within Hamming 6) instead of scalar Hamming. */
+  def videoIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame = {
+    Similarity.withFns(s)
+    val width = s.read.parquet(s"$path/stat").head().getInt(0)
+    val delta = videoDeltaHashes(s, d).transform(Tables.maybePersist)
+    val dBands = delta.selectExpr("doc_id as delta_id",
+      s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
+    val iBands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
+      .selectExpr("doc_id as idx_id", "band_idx",
+        s"${packedPrefixExpr("band_hash", width)} as band_hash")
+    val verified = iBands
+      .join(broadcast(dBands), Seq("band_idx", "band_hash"))
+      .select(col("delta_id"), col("idx_id")).distinct()
+      .join(minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
+          .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
+      .join(broadcast(delta.select(col("doc_id").as("delta_id"), col("v").as("va"))),
+        Seq("delta_id"))
+      .selectExpr("delta_id", "idx_id",
+        """cast(size(filter(sequence(0, 2), f ->
+          |  aggregate(transform(sequence(0, 3), b ->
+          |    bit_count(cast(element_at(va, f * 4 + b + 1) as bigint)
+          |      ^ cast(element_at(vb, f * 4 + b + 1) as bigint))),
+          |    cast(0 as bigint), (a, x) -> a + cast(x as bigint)) <= 6))
+          |as bigint) as matched_frames"""
+          .stripMargin.replace("\n", " "))
+      .filter(col("matched_frames") >= 2)
+    delta.select(col("doc_id").as("delta_id"))
+      .join(verified.groupBy("delta_id")
+          .agg(count(lit(1)).as("nm"), max(col("matched_frames")).as("bf")),
+        Seq("delta_id"), "left")
+      .selectExpr("delta_id", "cast(coalesce(nm, 0) as bigint) as n_matches",
+        "cast(coalesce(bf, 0) as bigint) as best_frames", "nm is null as is_new")
+  }
 
   /** q138: the audio-grain probe — the identical machinery over the
     * audio index and the audio delta. */
@@ -1924,6 +2005,76 @@ object MediaOps {
     """SELECT (4 * 2 * count(*))::BIGINT AS n_band_rows FROM documents
       |WHERE doc_id % 3 = 1 AND length(text) >= 85""".stripMargin
 
+  /** The q139 DuckDB mirror — the q136 probe structure over the VIDEO
+    * sign chain (3 frames × (72-cell coarse + 272-cell fine) grids per
+    * doc, 12 bands, [[imageKeysExprDuck]] per frame) with q111's
+    * frame-aligned ≥ 2-of-3 verify; twin residue 17, delta residue 7. */
+  val videoIndexProbeSql: String = {
+    def signChain(p: String, src: String): String =
+      s"""${p}cells AS (SELECT doc_id, n // 3 AS L, (n // 3) // 72 AS seg, cs FROM $src),
+         |${p}fsums AS (SELECT doc_id, f, list_transform(range(0, 72),
+         |    c -> list_aggregate(cs[(f * L + c * seg + 1)::INT:(f * L + c * seg + seg)::INT], 'sum')) AS s
+         |  FROM ${p}cells, (SELECT unnest(range(0, 3)) AS f)),
+         |${p}fb AS (SELECT doc_id, f, list_transform(range(0, 4),
+         |    k -> list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+         |      j -> CASE WHEN s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 2)::INT]
+         |                   > s[((16 * k + j) // 8 * 9 + (16 * k + j) % 8 + 1)::INT]
+         |           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+         |      (a, b) -> a + b)) AS fv FROM ${p}fsums),
+         |${p}bv AS (SELECT doc_id, flatten(list(fv ORDER BY f)) AS v FROM ${p}fb GROUP BY doc_id),
+         |${p}ffine AS (SELECT doc_id, f, list_transform(range(0, 272), p2 ->
+         |    coalesce(list_aggregate(
+         |      cs[(f * L + (p2 * L) // 272 + 1)::INT:(f * L + ((p2 + 1) * L) // 272)::INT],
+         |      'sum'), 0)) AS fs
+         |  FROM ${p}cells, (SELECT unnest(range(0, 3)) AS f)),
+         |${p}fkeys AS (SELECT ${p}fsums.doc_id, ${p}fsums.f,
+         |    ${imageKeysExprDuck("s", "fs")} AS fk
+         |  FROM ${p}fsums JOIN ${p}ffine
+         |    ON ${p}ffine.doc_id = ${p}fsums.doc_id AND ${p}ffine.f = ${p}fsums.f),
+         |${p}keys AS (SELECT doc_id, flatten(list(fk ORDER BY f)) AS kb
+         |  FROM ${p}fkeys GROUP BY doc_id)""".stripMargin
+    s"""WITH vids AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE doc_id % 3 = 2 AND length(text) >= 216),
+       |corpus AS (
+       |  SELECT doc_id, n, list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, i::INT, 1))) AS cs FROM vids
+       |  UNION ALL
+       |  SELECT doc_id + 10000, n, list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, i::INT, 1))
+       |         + CASE WHEN (i - 1) % 17 = 0 THEN 1 ELSE 0 END) FROM vids),
+       |${signChain("", "corpus")},
+       |${bandDialCtesDuck(nBands = 12, bandsPerDoc = 12)},
+       |d_corpus AS (SELECT doc_id + 40000 AS doc_id, n, list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, i::INT, 1))
+       |         + CASE WHEN (i - 1) % 7 = 0 THEN 1 ELSE 0 END) AS cs
+       |  FROM vids WHERE doc_id % 5 = 2),
+       |${signChain("d_", "d_corpus")},
+       |d_bands AS (SELECT doc_id, b AS band_idx,
+       |  substr(kb[(b + 1)::INT], 1, (SELECT w FROM wsel)::INT) AS band_hash
+       |  FROM (SELECT doc_id, kb, unnest(range(0, 12)) AS b FROM d_keys)),
+       |cand AS (SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS idx_id
+       |  FROM bands i JOIN d_bands d
+       |    ON i.band_idx = d.band_idx AND i.band_hash = d.band_hash),
+       |mf AS (SELECT delta_id, idx_id,
+       |    len(list_filter(range(0, 3), f ->
+       |      list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 4),
+       |        b -> bit_count(xor(va.v[(f * 4 + b + 1)::INT], vb.v[(f * 4 + b + 1)::INT]))::BIGINT)),
+       |        (a2, x) -> a2 + x) <= 6))::BIGINT AS matched_frames
+       |  FROM cand JOIN d_bv va ON va.doc_id = cand.delta_id
+       |            JOIN bv vb ON vb.doc_id = cand.idx_id),
+       |m AS (SELECT delta_id, count(*)::BIGINT AS nm, max(matched_frames) AS bf
+       |  FROM mf WHERE matched_frames >= 2 GROUP BY delta_id)
+       |SELECT d.doc_id AS delta_id, coalesce(nm, 0)::BIGINT AS n_matches,
+       |  coalesce(bf, 0)::BIGINT AS best_frames, nm IS NULL AS is_new
+       |FROM d_corpus d LEFT JOIN m ON m.delta_id = d.doc_id
+       |ORDER BY delta_id""".stripMargin
+  }
+
+  /** q139b oracle: band rows = 12 bands × (base + twin) video docs. */
+  val videoIndexBuildSql: String =
+    """SELECT (12 * 2 * count(*))::BIGINT AS n_band_rows FROM documents
+      |WHERE doc_id % 3 = 2 AND length(text) >= 216""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "q30_media_stats"    -> ((s, d) => mediaStats(s, d)),
@@ -1954,6 +2105,17 @@ object MediaOps {
       Seq(buildAudioIndex(s, d, ScratchPaths.indexPathFor("q138", d)))
         .toDF("n_band_rows")
     }),
+    "q139_video_index_probe" -> ((s, d) => {
+      val path = ScratchPaths.indexPathFor("q139", d)
+      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+        buildVideoIndex(s, d, path)
+      videoIndexProbeStored(s, d, path)
+    }),
+    "q139b_video_index_build" -> ((s, d) => {
+      import s.implicits._
+      Seq(buildVideoIndex(s, d, ScratchPaths.indexPathFor("q139", d)))
+        .toDF("n_band_rows")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1969,5 +2131,7 @@ object MediaOps {
     "q137_media_index_forget" -> mediaIndexForgetSql,
     "q138_audio_index_probe" -> audioIndexProbeSql,
     "q138b_audio_index_build" -> audioIndexBuildSql,
+    "q139_video_index_probe" -> videoIndexProbeSql,
+    "q139b_video_index_build" -> videoIndexBuildSql,
   )
 }

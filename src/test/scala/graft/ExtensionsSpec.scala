@@ -877,6 +877,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/vecs").count() == nIdx - 1)
   }
 
+  test("q139: the video-grain standing index — 12-band layout, frame-aligned verify, forget lifecycle (r17)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-q139-spec").toString
+    val nBands = MediaOps.buildVideoIndex(spark, sf, path)
+    val nIdx = spark.read.parquet(s"$path/vecs").count()
+    assert(nBands == nIdx * 12 && nIdx > 0, s"video band rows $nBands vs $nIdx docs")
+    assert(MediaOps.BandWidths.contains(
+      spark.read.parquet(s"$path/stat").head().getInt(0)))
+    val probe = MediaOps.videoIndexProbeStored(spark, sf, path)
+      .orderBy("delta_id").collect()
+    assert(probe.nonEmpty)
+    // each delta re-encode matches exactly its source and the source's
+    // twin, with ALL THREE aligned frames inside the bar
+    probe.foreach { r =>
+      assert(!r.getBoolean(3) && r.getLong(1) == 2 && r.getLong(2) == 3,
+        s"video delta ${r.getLong(0)}: n=${r.getLong(1)} frames=${r.getLong(2)}")
+    }
+    // family-agnostic forget at video grain
+    val victim = probe.head.getLong(0) - 40000L
+    MediaOps.forgetMediaFromIndex(Seq(victim).toDF("doc_id"), path)
+    val after = MediaOps.videoIndexProbeStored(spark, sf, path)
+      .filter(col("delta_id") === victim + 40000L).head()
+    assert(after.getLong(1) == 1, "takedown did not remove the victim match")
+    MediaOps.compactMediaIndex(spark, path)
+    assert(spark.read.parquet(s"$path/bands").count() == (nIdx - 1) * 12)
+  }
+
   test("q132: the standing-lexical-index probe == the from-scratch q129, bit-identical (r15)") {
     // the index is LOSSLESS (postings = the exact tf frame, dictionary
     // = the exact df frame), and the probe reuses bm25Score verbatim —

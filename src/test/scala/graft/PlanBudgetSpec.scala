@@ -486,6 +486,9 @@ object PlanBudgetSpec {
     // verbatim over the afp kernels; identical shapes by construction
     "q138_audio_index_probe" -> Shape(shuffles = 3, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
     "q138b_audio_index_build" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
+    // q139: video grain — same probe machinery, frame-aligned verify
+    "q139_video_index_probe" -> Shape(shuffles = 3, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
+    "q139b_video_index_build" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
     // q129 (r14): BM25 — two corpus-keyed exchanges ((doc, term) tf +
     // doc-length counts off the persisted token frame); df/stats/query
     // terms collapse term-granular and ride the 3-row broadcast, so
