@@ -1728,6 +1728,74 @@ object MediaOps {
       .toDF("doc_id", "v", "bk")
   }
 
+  /** [[imageHashFrame]] at audio grain (afp kernels over the decoded
+    * magnitude stream). */
+  private[graft] def audioHashFrame(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val samples = samplePlane(bytes)
+          if (samples.length < 85) Iterator.empty
+          else {
+            val codes = new Array[Int](samples.length)
+            var i = 0
+            while (i < samples.length) { codes(i) = math.abs(samples(i)); i += 1 }
+            Iterator((id, afp4x16(codes), afpBandKeys(codes)))
+          }
+        }
+      }
+      .toDF("doc_id", "v", "bk")
+  }
+
+  /** [[imageHashFrame]] at video grain (12-band frame-hash layout). */
+  private[graft] def videoHashFrame(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes.length < 216) Iterator.empty
+          else {
+            val planes = videoFramePlanes(bytes)
+            if (planes.exists(_.length < 72)) Iterator.empty
+            else Iterator((id,
+              planes.flatMap(dhash4x16).toArray,
+              planes.flatMap(dhashBandKeys).toArray))
+          }
+        }
+      }
+      .toDF("doc_id", "v", "bk")
+  }
+
+  private def hashFrameFor(family: String): DataFrame => DataFrame = family match {
+    case "image" => imageHashFrame
+    case "audio" => audioHashFrame
+    case "video" => videoHashFrame
+    case other   => throw new IllegalArgumentException(s"unknown media family: $other")
+  }
+
+  /** The family's duplicate rule over aligned hash vectors va/vb:
+    * scalar Hamming ≤ 6 for image/audio, frame-aligned ≥ 2-of-3 for
+    * video (q111's semantics). */
+  private def dupCondExpr(family: String): String = family match {
+    case "video" =>
+      """size(filter(sequence(0, 2), f ->
+        |  aggregate(transform(sequence(0, 3), b ->
+        |    bit_count(cast(element_at(va, f * 4 + b + 1) as bigint)
+        |      ^ cast(element_at(vb, f * 4 + b + 1) as bigint))),
+        |    cast(0 as bigint), (a, x) -> a + cast(x as bigint)) <= 6)) >= 2"""
+        .stripMargin.replace("\n", " ")
+    case _ =>
+      """aggregate(zip_with(va, vb,
+        |  (x, y) -> bit_count(cast(x as bigint) ^ cast(y as bigint))),
+        |  cast(0 as bigint), (a, h) -> a + cast(h as bigint)) <= 6"""
+        .stripMargin.replace("\n", " ")
+  }
+
   /** Same-process writer serialization for the media index artifacts —
     * the [[Similarity]] index-lock discipline; multi-driver deployments
     * keep the documented single-writer-per-path contract. */
@@ -1749,12 +1817,13 @@ object MediaOps {
     * both admit by design — standing-index dedup, not batch-internal;
     * the nightly q110 clustering compaction owns that grain. Returns
     * (admitted, refused) counts. */
-  def mergeMediaBatchIntoIndex(df: DataFrame, path: String): (Long, Long) =
+  def mergeMediaBatchIntoIndex(df: DataFrame, path: String,
+                               family: String = "image"): (Long, Long) =
     mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized {
       val s = df.sparkSession
       Similarity.withFns(s)
       val width = s.read.parquet(s"$path/stat").head().getInt(0)
-      val hashes = imageHashFrame(df)
+      val hashes = hashFrameFor(family)(df)
         .dropDuplicates("doc_id") // in-batch exact-id replays
         .transform(Tables.maybePersist)
       // replay guards: already-stored ids AND tombstoned ids never
@@ -1776,12 +1845,7 @@ object MediaOps {
             .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
         .join(broadcast(fresh.select(col("doc_id").as("delta_id"), col("v").as("va"))),
           Seq("delta_id"))
-        .selectExpr("delta_id",
-          """aggregate(zip_with(va, vb,
-            |  (x, y) -> bit_count(cast(x as bigint) ^ cast(y as bigint))),
-            |  cast(0 as bigint), (a, h) -> a + cast(h as bigint)) as hamming"""
-            .stripMargin.replace("\n", " "))
-        .filter(col("hamming") <= 6)
+        .filter(expr(dupCondExpr(family)))
         .select(col("delta_id").as("doc_id")).distinct()
       val admit = fresh.join(dupIds, Seq("doc_id"), "left_anti")
         .transform(Tables.maybePersist)

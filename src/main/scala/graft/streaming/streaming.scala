@@ -1049,10 +1049,12 @@ object StreamingOps {
     * grows online. Delivery semantics: already-stored ids anti-join
     * out, replays converge (spec-pinned by replaying a batch and
     * comparing artifact counts). */
-  def mediaIngestStream(payloads: DataFrame, path: String):
+  def mediaIngestStream(payloads: DataFrame, path: String,
+                        family: String = "image"):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     payloads.writeStream.foreachBatch {
-      (df: DataFrame, _: Long) => { graft.MediaOps.mergeMediaBatchIntoIndex(df, path); () }
+      (df: DataFrame, _: Long) =>
+        { graft.MediaOps.mergeMediaBatchIntoIndex(df, path, family); () }
     }
 
   /** q137's streaming form (r17) — CONTINUOUS TAKEDOWN against the

@@ -1279,6 +1279,47 @@ class StreamingSpec extends SparkSpec {
       "re-encode of an online-admitted doc was re-admitted")
   }
 
+  test("mediaIngestStream generalizes across modalities: audio and video online admission (r17)") {
+    // audio grain
+    val aPath = java.nio.file.Files.createTempDirectory("graft-ingest-audio").toString
+    MediaOps.buildAudioIndex(spark, sf, aPath)
+    val aVecs0 = spark.read.parquet(s"$aPath/vecs").count()
+    val aSrc = MediaOps.mediaCorpus(spark, sf)
+      .filter("mime = 'audio/wav' and length(media) >= 85")
+      .orderBy("doc_id").select("media").head().getAs[Array[Byte]](0)
+    val aDup = aSrc.zipWithIndex.map { case (b, i) =>
+      if (i % 9 == 0) (b + 1).toByte else b }
+    val aNew = Array.tabulate(200)(i => ((i * 53 + i * i * 17 + 3) % 251).toByte)
+    val ain = MemoryStream[(Long, Array[Byte])](spark)
+    val aq = StreamingOps.mediaIngestStream(
+        ain.toDF().toDF("doc_id", "media"), aPath, family = "audio").start()
+    ain.addData((920001L, aDup), (920002L, aNew))
+    aq.processAllAvailable(); aq.stop()
+    assert(spark.read.parquet(s"$aPath/vecs").count() == aVecs0 + 1,
+      "audio: dup admitted or new refused")
+    assert(spark.read.parquet(s"$aPath/vecs").filter("doc_id = 920002").count() == 1)
+    // video grain (frame-aligned dup rule)
+    val vPath = java.nio.file.Files.createTempDirectory("graft-ingest-video").toString
+    MediaOps.buildVideoIndex(spark, sf, vPath)
+    val vVecs0 = spark.read.parquet(s"$vPath/vecs").count()
+    val vSrc = MediaOps.mediaCorpus(spark, sf)
+      .filter("mime = 'video/mp4' and length(media) >= 216")
+      .orderBy("doc_id").select("media").head().getAs[Array[Byte]](0)
+    val vDup = vSrc.zipWithIndex.map { case (b, i) =>
+      if (i % 7 == 0) (b + 1).toByte else b }
+    val vNew = Array.tabulate(400)(i => ((i * 41 + i * i * 13 + 11) % 251).toByte)
+    val vin = MemoryStream[(Long, Array[Byte])](spark)
+    val vq = StreamingOps.mediaIngestStream(
+        vin.toDF().toDF("doc_id", "media"), vPath, family = "video").start()
+    vin.addData((930001L, vDup), (930002L, vNew))
+    vq.processAllAvailable(); vq.stop()
+    assert(spark.read.parquet(s"$vPath/vecs").count() == vVecs0 + 1,
+      "video: dup admitted or new refused")
+    assert(spark.read.parquet(s"$vPath/vecs").filter("doc_id = 930002").count() == 1)
+    assert(spark.read.parquet(s"$vPath/bands").count() == (vVecs0 + 1) * 12,
+      "video bands must carry 12 keys per doc")
+  }
+
   test("mediaForgetStream: takedown is immediate, survives ingest replay, and frees the content for fresh admission (r17)") {
     val path = java.nio.file.Files.createTempDirectory("graft-mediaforget").toString
     MediaOps.buildMediaIndex(spark, sf, path)
