@@ -1320,6 +1320,29 @@ class StreamingSpec extends SparkSpec {
       "video bands must carry 12 keys per doc")
   }
 
+  test("deny verdicts run unchanged on streaming frames: the MIH compliance guarantee at ingest (r17)") {
+    // imageDenyVerdict is a stateless per-row map over a broadcast-able
+    // fitted index — exactly the shape Structured Streaming transforms
+    // support. A compliance scan therefore runs AT INGEST with the same
+    // exact "within Hamming 6 of a deny item" guarantee the batch spec
+    // pins (denyProbe's one-bit multi-probe pigeonhole).
+    val idx = MediaOps.fitImageDenyIndex(spark, sf)
+    assert(idx.hashes.nonEmpty)
+    val denied = MediaOps.mediaCorpus(spark, sf)
+      .filter("mime = 'image/png' and length(media) >= 72 and doc_id % 20 = 0")
+      .orderBy("doc_id").select("media").head().getAs[Array[Byte]](0)
+    val clean = Array.tabulate(300)(i => ((i * 67 + i * i * 29 + 1) % 251).toByte)
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    val q = MediaOps.imageDenyVerdict(in.toDF().toDF("doc_id", "media"), idx)
+      .writeStream.format("memory").queryName("deny_stream").start()
+    in.addData((940001L, denied), (940002L, clean))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("deny_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(940001L), "deny-listed payload passed the streaming scan")
+    assert(!out(940002L), "clean payload was dropped by the streaming scan")
+  }
+
   test("mediaForgetStream: takedown is immediate, survives ingest replay, and frees the content for fresh admission (r17)") {
     val path = java.nio.file.Files.createTempDirectory("graft-mediaforget").toString
     MediaOps.buildMediaIndex(spark, sf, path)
