@@ -1847,8 +1847,14 @@ object MediaOps {
           Seq("delta_id"))
         .filter(expr(dupCondExpr(family)))
         .select(col("delta_id").as("doc_id")).distinct()
+      // localCheckpoint (not persist): the admit frame's LINEAGE reads
+      // the same vecs/bands paths the appends below write — under
+      // spark.graft.persist=never a lazy plan would re-read them at
+      // write time (the compactMediaIndex read-write-cycle discipline);
+      // counts also come BEFORE the appends for the same reason
       val admit = fresh.join(dupIds, Seq("doc_id"), "left_anti")
-        .transform(Tables.maybePersist)
+        .localCheckpoint()
+      val nFresh = fresh.count()
       val nAdmit = admit.count()
       if (nAdmit > 0) {
         admit.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
@@ -1856,7 +1862,7 @@ object MediaOps {
         admit.select(col("doc_id"), col("v"))
           .write.mode("append").parquet(s"$path/vecs")
       }
-      (nAdmit, fresh.count() - nAdmit)
+      (nAdmit, nFresh - nAdmit)
     }
 
   // ---------------------------------------------------------------------
@@ -1900,10 +1906,12 @@ object MediaOps {
   def forgetMediaFromIndex(requests: DataFrame, path: String): Long =
     mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized {
       val s = requests.sparkSession
+      // localCheckpoint: the frame's lineage reads $path/tombstones,
+      // which the append below writes — break the read-write cycle
       val fresh = requests.select(col("doc_id").cast("long")).distinct()
         .join(s.read.parquet(s"$path/vecs").select("doc_id"), Seq("doc_id"), "left_semi")
         .join(broadcast(tombstonesOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
-        .transform(Tables.maybePersist)
+        .localCheckpoint()
       val n = fresh.count()
       if (n > 0) fresh.write.mode("append").parquet(s"$path/tombstones")
       n

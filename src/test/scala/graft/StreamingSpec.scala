@@ -1320,6 +1320,34 @@ class StreamingSpec extends SparkSpec {
       "video bands must carry 12 keys per doc")
   }
 
+  test("media index lifecycle under spark.graft.persist=never: counts and artifacts identical (r17)") {
+    // the ingest/forget write paths localCheckpoint their frames — the
+    // lineage reads the same artifact paths the appends write, so a
+    // lazily-recomputed plan (the persist=never mode) must not re-read
+    // mid-write or double-count; pin the whole lifecycle under the knob
+    val path = java.nio.file.Files.createTempDirectory("graft-nopersist").toString
+    MediaOps.buildMediaIndex(spark, sf, path)
+    val vecs0 = spark.read.parquet(s"$path/vecs").count()
+    val newDoc = Array.tabulate(300)(i => ((i * i * 43 + i * 3 + 7) % 251).toByte)
+    val dupOfNew = newDoc.zipWithIndex.map { case (b, i) =>
+      if (i % 11 == 0) (b + 1).toByte else b }
+    spark.conf.set("spark.graft.persist", "never")
+    try {
+      val (a1, r1) = MediaOps.mergeMediaBatchIntoIndex(
+        Seq((950001L, newDoc)).toDF("doc_id", "media"), path)
+      assert(a1 == 1L && r1 == 0L, s"first merge ($a1, $r1)")
+      val (a2, r2) = MediaOps.mergeMediaBatchIntoIndex(
+        Seq((950002L, dupOfNew)).toDF("doc_id", "media"), path)
+      assert(a2 == 0L && r2 == 1L, s"dup merge ($a2, $r2)")
+      assert(MediaOps.forgetMediaFromIndex(
+        Seq(950001L).toDF("doc_id"), path) == 1L)
+      assert(MediaOps.forgetMediaFromIndex(
+        Seq(950001L).toDF("doc_id"), path) == 0L, "re-delivery must no-op")
+      MediaOps.compactMediaIndex(spark, path)
+      assert(spark.read.parquet(s"$path/vecs").count() == vecs0)
+    } finally spark.conf.unset("spark.graft.persist")
+  }
+
   test("deny verdicts run unchanged on streaming frames: the MIH compliance guarantee at ingest (r17)") {
     // imageDenyVerdict is a stateless per-row map over a broadcast-able
     // fitted index — exactly the shape Structured Streaming transforms
