@@ -748,7 +748,7 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
 
   private[graft] def lexIndexPathFor(d: String): String =
-    ScratchPaths.indexPathFor("q132", d)
+    ScratchPaths.indexPathFor(s"q132-${ScratchPaths.tableFingerprint(d, "documents")}", d)
 
   private val LexBuckets = 16
 

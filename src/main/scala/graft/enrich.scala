@@ -128,6 +128,57 @@ object Enrich {
     enrichOnline(bounded, mkClient)
   }
 
+  /** E1 ERROR SEMANTICS (r18, VERDICT r17 #7): [[enrichOnline]] crosses a
+    * real socket but had no failure model — one broken connection killed
+    * the task and, after Spark's task retries, the batch. The reference
+    * substitutes an error VALUE per record rather than dropping it or
+    * failing the batch (`Producer/kafkaProducer.js:197-201` — the T18
+    * "[Body decode error]" discipline; `slackEventServer.js:272-275`
+    * rethrows only at the transport edge): each record gets up to
+    * `maxRetries` fresh-connection retries, then the `sentinel` reply,
+    * and the batch COMPLETES. The errored count is surfaced through a
+    * LongAccumulator (Spark's native observability channel — readable on
+    * the driver after any action, visible in the UI), never by failing
+    * the job. A dead client is dropped and re-minted lazily, so one
+    * poisoned record costs its retries but the partition's surviving
+    * records keep the connection-per-partition amortization. */
+  def enrichOnlineSafe(reqs: Dataset[PromptRequest],
+                       mkClient: () => String => String,
+                       maxConcurrency: Int,
+                       maxRetries: Int = 2,
+                       sentinel: String = "[enrichment unavailable]")
+      : (Dataset[PromptReply], org.apache.spark.util.LongAccumulator) = {
+    require(maxConcurrency > 0, s"maxConcurrency must be positive: $maxConcurrency")
+    require(maxRetries >= 0, s"maxRetries must be non-negative: $maxRetries")
+    import reqs.sparkSession.implicits._
+    val errored = reqs.sparkSession.sparkContext
+      .longAccumulator("graft.enrich.errored")
+    val bounded =
+      if (reqs.rdd.getNumPartitions > maxConcurrency) reqs.coalesce(maxConcurrency)
+      else reqs
+    val out = bounded.mapPartitions { it =>
+      var client: String => String = null
+      it.map { r =>
+        val prompt = buildPrompt(r.context, r.message)
+        var reply: String = null
+        var attempt = 0
+        while (reply == null && attempt <= maxRetries) {
+          try {
+            if (client == null) client = mkClient()
+            reply = client(prompt)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              client = null // broken connection: re-mint on the next try
+              attempt += 1
+          }
+        }
+        if (reply == null) { errored.add(1L); PromptReply(r.id, sentinel) }
+        else PromptReply(r.id, reply)
+      }
+    }
+    (out, errored)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_keyword_summary" -> ((s, d) => keywordSummary(s, d)),
   )

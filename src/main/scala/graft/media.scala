@@ -1492,28 +1492,54 @@ object MediaOps {
   // certifying the write→read-back band-row count.
   // ---------------------------------------------------------------------
 
+  /** Per-(family, dir) index scratch path. Folds the source table's
+    * content fingerprint into the tag (the cachedIntStat discipline,
+    * r17 advice): a corpus regenerated mid-process (ScaleUp rewrite then
+    * re-query in one JVM) mints a NEW path, so the lazy gate builds
+    * re-index instead of serving probe rows from an index built against
+    * the old corpus. */
+  private[graft] def mediaIndexScratch(tag: String, d: String): String =
+    ScratchPaths.indexPathFor(
+      s"$tag-${ScratchPaths.tableFingerprint(d, "documents")}", d)
+
   private[graft] def mediaIndexPathFor(d: String): String =
-    ScratchPaths.indexPathFor("q136", d)
+    mediaIndexScratch("q136", d)
 
   /** Once-per-life build from any (doc_id, v, bk) hash frame: vecs +
-    * FULL-width band keys, plus the volume-dialed width as a 1-row stat
-    * artifact. Returns the read-back band-row count (one action drives
-    * the write and proves the read path). */
-  private def buildIndexFrom(hashes0: DataFrame, path: String,
-                             bandsPerDoc: Int = 4): Long = {
-    val s = hashes0.sparkSession
-    import s.implicits._
-    val hashes = hashes0.transform(Tables.maybePersist)
-    val width = adaptiveBandWidth(
-      hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)"),
-      bandsPerDoc)
-    hashes.select(col("doc_id"), col("v"))
-      .write.mode("overwrite").parquet(s"$path/vecs")
-    hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
-      .write.mode("overwrite").parquet(s"$path/bands")
-    Seq(width).toDF("width").write.mode("overwrite").parquet(s"$path/stat")
-    s.read.parquet(s"$path/bands").count()
-  }
+    * FULL-width band keys, plus a 1-row stat artifact carrying the
+    * volume-dialed width, the family's bands-per-doc, and the population
+    * the width was priced against (`priced_n` — [[mergeMediaBatchIntoIndex]]
+    * re-prices the dial once ingest growth doubles it, VERDICT r17 #1).
+    * Returns the read-back band-row count (one action drives the write
+    * and proves the read path). Stat is written FIRST (r17 advice): the
+    * lazy gates key "built" on bands/_SUCCESS, the LAST artifact written,
+    * so a crash mid-build can never leave a gate-visible index with a
+    * missing or stale stat. Takes the per-path writer lock — a rebuild
+    * racing a running ingest merge on the same path must serialize like
+    * every other writer (r17 advice, medium). */
+  private[graft] def buildIndexFrom(hashes0: DataFrame, path: String,
+                                    bandsPerDoc: Int = 4): Long =
+    withMediaIndexWriter(hashes0.sparkSession, path) {
+      val s = hashes0.sparkSession
+      import s.implicits._
+      val hashes = hashes0.transform(Tables.maybePersist)
+      val width = adaptiveBandWidth(
+        hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)"),
+        bandsPerDoc)
+      val n = hashes.count()
+      Seq((width, bandsPerDoc, n)).toDF("width", "bands_per_doc", "priced_n")
+        .write.mode("overwrite").parquet(s"$path/stat")
+      hashes.select(col("doc_id"), col("v"))
+        .write.mode("overwrite").parquet(s"$path/vecs")
+      hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
+        .write.mode("overwrite").parquet(s"$path/bands")
+      s.read.parquet(s"$path/bands").count()
+    }
+
+  /** The stored dial width of an index artifact (the stat's first leg —
+    * every probe/merge reads the width through here). */
+  private[graft] def storedWidth(s: SparkSession, path: String): Int =
+    s.read.parquet(s"$path/stat").select("width").head().getInt(0)
 
   /** q136b: the IMAGE-grain index (q107's hash frame — base + twins,
     * the admitted population). */
@@ -1596,20 +1622,30 @@ object MediaOps {
     * prefixes cut at the stat artifact's width on both sides, delta
     * side broadcast throughout — family-agnostic (q136 image / q138
     * audio share it verbatim). */
-  def probeStoredIndexWith(delta0: DataFrame, path: String): DataFrame = {
-    val s = delta0.sparkSession
+  /** The probe's candidate stage alone — delta bands broadcast onto the
+    * index band scan, prefixes cut at the STORED width: distinct
+    * (delta_id, idx_id). Split out so the growth/re-pricing spec can
+    * measure candidate volume before/after a dial re-price. */
+  private[graft] def probeCandidates(delta: DataFrame, path: String): DataFrame = {
+    val s = delta.sparkSession
     Similarity.withFns(s)
-    val width = s.read.parquet(s"$path/stat").head().getInt(0)
-    val delta = delta0.transform(Tables.maybePersist)
+    val width = storedWidth(s, path)
     val dBands = delta.selectExpr("doc_id as delta_id",
       s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
     val iBands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
       .selectExpr("doc_id as idx_id", "band_idx",
         s"${packedPrefixExpr("band_hash", width)} as band_hash")
-    val cand = iBands
+    iBands
       .join(broadcast(dBands), Seq("band_idx", "band_hash"))
       .select(col("delta_id"), col("idx_id"))
       .distinct()
+  }
+
+  def probeStoredIndexWith(delta0: DataFrame, path: String): DataFrame = {
+    val s = delta0.sparkSession
+    Similarity.withFns(s)
+    val delta = delta0.transform(Tables.maybePersist)
+    val cand = probeCandidates(delta, path)
     val verified = cand
       .join(minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
           .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
@@ -1674,7 +1710,7 @@ object MediaOps {
     * within Hamming 6) instead of scalar Hamming. */
   def videoIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame = {
     Similarity.withFns(s)
-    val width = s.read.parquet(s"$path/stat").head().getInt(0)
+    val width = storedWidth(s, path)
     val delta = videoDeltaHashes(s, d).transform(Tables.maybePersist)
     val dBands = delta.selectExpr("doc_id as delta_id",
       s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
@@ -1801,6 +1837,12 @@ object MediaOps {
     * keep the documented single-writer-per-path contract. */
   private val mediaIndexLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** JVM lock + cross-driver write-intent marker (VERDICT r17 #5) — every
+    * media-artifact writer enters through here; same-thread re-entry
+    * (merge-triggered compaction) renews its own marker. */
+  private def withMediaIndexWriter[T](s: SparkSession, path: String)(body: => T): T =
+    mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized(
+      ScratchPaths.withWriteIntent(s, path)(body))
 
   /** ONLINE ingest-dedup merge (q136's streaming leg — the admission
     * decision an image-ingest pipeline makes per arriving batch): hash
@@ -1816,16 +1858,57 @@ object MediaOps {
     * In-batch near-dups (two new near-identical payloads in ONE batch)
     * both admit by design — standing-index dedup, not batch-internal;
     * the nightly q110 clustering compaction owns that grain. Returns
-    * (admitted, refused) counts. */
+    * (admitted, refused) counts.
+    *
+    * GROWTH-TRIGGERED RE-PRICING (VERDICT r17 #1): the dial width is a
+    * statistic of the population it was priced against — an index grown
+    * 10–100× online at a frozen width reverts to the super-linear
+    * candidate regime the dial exists to prevent (the me300 pre-crossing
+    * worst point, BENCH_NOTES_r17 §4). The merge tracks the admitted
+    * population against the stat's `priced_n`; once it doubles,
+    * [[compactMediaIndex]] runs inline (same lock — reentrant), which
+    * re-measures the volume dial over the stored FULL-width keys and
+    * overwrites the stat, so later probes/merges cut prefixes at the
+    * width the CURRENT population prices. */
   def mergeMediaBatchIntoIndex(df: DataFrame, path: String,
                                family: String = "image"): (Long, Long) =
-    mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized {
-      val s = df.sparkSession
+    mergeHashesIntoIndex(hashFrameFor(family)(df), path, family)
+
+  /** [[mergeMediaBatchIntoIndex]] from a pre-hashed (doc_id, v, bk)
+    * frame — the decode kernels already applied. Split out so the
+    * growth/re-pricing lifecycle is testable with constructed band
+    * keys (real payloads whose dHashes collide at one prefix width and
+    * split at the next are not constructible on demand). */
+  private[graft] def mergeHashesIntoIndex(hashes0: DataFrame, path: String,
+                                          family: String): (Long, Long) =
+    withMediaIndexWriter(hashes0.sparkSession, path) {
+      val s = hashes0.sparkSession
       Similarity.withFns(s)
-      val width = s.read.parquet(s"$path/stat").head().getInt(0)
-      val hashes = hashFrameFor(family)(df)
+      val st = s.read.parquet(s"$path/stat")
+        .select("width", "bands_per_doc", "priced_n").head()
+      val (width, pricedN) = (st.getInt(0), st.getLong(2))
+      val hashes = hashes0
         .dropDuplicates("doc_id") // in-batch exact-id replays
         .transform(Tables.maybePersist)
+      // pending-forget consult (r17 advice #5): a takedown that arrived
+      // BEFORE this id's first admit is delivered now — the arrival is
+      // refused via a tombstone (permanent, so a replay of this batch
+      // cannot admit it) and the pending entry is consumed. Gated on the
+      // artifact so the hot ingest path pays nothing when no early
+      // takedown is outstanding.
+      if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS")) {
+        val delivered = hashes.select("doc_id")
+          .join(broadcast(pendingForgetsOf(s, path).select("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        if (!delivered.isEmpty) {
+          delivered.write.mode("append").parquet(s"$path/tombstones")
+          pendingForgetsOf(s, path)
+            .join(broadcast(delivered), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+            .write.mode("overwrite").parquet(s"$path/pending")
+        }
+      }
       // replay guards: already-stored ids AND tombstoned ids never
       // (re-)admit — the latter is the right-to-be-forgotten survival
       // under at-least-once replay (the ANN merge's r17 discipline)
@@ -1857,10 +1940,15 @@ object MediaOps {
       val nFresh = fresh.count()
       val nAdmit = admit.count()
       if (nAdmit > 0) {
+        val priorPop = s.read.parquet(s"$path/vecs").count()
         admit.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
           .write.mode("append").parquet(s"$path/bands")
         admit.select(col("doc_id"), col("v"))
           .write.mode("append").parquet(s"$path/vecs")
+        // growth trigger: population doubled since the width was priced
+        // → compact (which re-measures the dial and overwrites the stat)
+        if (pricedN > 0 && priorPop + nAdmit >= 2 * pricedN)
+          compactMediaIndex(s, path)
       }
       (nAdmit, nFresh - nAdmit)
     }
@@ -1887,7 +1975,7 @@ object MediaOps {
 
   private[graft] def tombstonesOf(s: SparkSession, path: String): DataFrame = {
     import s.implicits._
-    if (new java.io.File(s"$path/tombstones").exists())
+    if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
       s.read.parquet(s"$path/tombstones")
     else Seq.empty[Long].toDF("doc_id")
   }
@@ -1896,34 +1984,67 @@ object MediaOps {
     * deletion read guard. Skips the join when no log exists (the gate
     * fixture path: q136's artifact never carries tombstones). */
   private def minusTombstones(df: DataFrame, s: SparkSession, path: String): DataFrame =
-    if (new java.io.File(s"$path/tombstones").exists())
+    if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
       df.join(broadcast(tombstonesOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
     else df
 
+  /** The PENDING-forget log: takedowns that arrived BEFORE their id's
+    * first admit (r17 advice #5 — [[mediaForgetStream]] and
+    * [[mediaIngestStream]] are independent streams with no cross-stream
+    * ordering, so a forget delivered early used to be silently lost and
+    * the later ingest admitted the id). The merge consults it: a pending
+    * id's first arrival is REFUSED and the id moves to the tombstone log
+    * (the forget is now delivered, and tombstone permanence makes the
+    * refusal replay-safe — a replayed ingest of that batch cannot admit
+    * it). An id that never arrives stays pending with zero effect; fresh
+    * CONTENT under a fresh id still admits (dedup-forget, not a content
+    * ban). */
+  private[graft] def pendingForgetsOf(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS"))
+      s.read.parquet(s"$path/pending")
+    else Seq.empty[Long].toDF("doc_id")
+  }
+
   /** Takedown: append the present-and-not-yet-logged request ids to the
-    * tombstone log. Idempotent at the artifact (re-delivery appends
-    * nothing); returns the newly-logged count. */
+    * tombstone log; ids NOT yet in the index land in the pending-forget
+    * log instead of being dropped (consumed by the id's first arrival —
+    * [[pendingForgetsOf]]). Idempotent at both artifacts (re-delivery
+    * appends nothing); returns the newly-tombstoned count. */
   def forgetMediaFromIndex(requests: DataFrame, path: String): Long =
-    mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized {
+    withMediaIndexWriter(requests.sparkSession, path) {
       val s = requests.sparkSession
-      // localCheckpoint: the frame's lineage reads $path/tombstones,
-      // which the append below writes — break the read-write cycle
-      val fresh = requests.select(col("doc_id").cast("long")).distinct()
-        .join(s.read.parquet(s"$path/vecs").select("doc_id"), Seq("doc_id"), "left_semi")
+      // localCheckpoint: the frames' lineage reads $path/tombstones and
+      // $path/pending, which the appends below write — break the cycles
+      val reqs = requests.select(col("doc_id").cast("long")).distinct()
         .join(broadcast(tombstonesOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
+        .transform(Tables.maybePersist)
+      val present = reqs
+        .join(s.read.parquet(s"$path/vecs").select("doc_id"), Seq("doc_id"), "left_semi")
         .localCheckpoint()
-      val n = fresh.count()
-      if (n > 0) fresh.write.mode("append").parquet(s"$path/tombstones")
+      val early = reqs
+        .join(s.read.parquet(s"$path/vecs").select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(broadcast(pendingForgetsOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val n = present.count()
+      if (n > 0) present.write.mode("append").parquet(s"$path/tombstones")
+      if (!early.isEmpty) early.write.mode("append").parquet(s"$path/pending")
       n
     }
 
   /** Scheduled compaction: rewrite vecs/bands minus the tombstoned ids
-    * (localCheckpoint breaks the read-write cycle). The log itself is
-    * KEPT — it is the audit artifact a compliance pipeline retains, and
-    * the merge-side replay guard needs it forever. */
+    * (localCheckpoint breaks the read-write cycle), then RE-PRICE the
+    * band dial against the compacted population (VERDICT r17 #1). The
+    * stored keys are full-width, so re-dialing is ONE prefix-volume
+    * aggregate over `$path/bands` plus a 1-row stat overwrite — never a
+    * key rebuild; `priced_n` resets to the current population, re-arming
+    * the merge-side growth trigger. The tombstone log itself is KEPT —
+    * it is the audit artifact a compliance pipeline retains, and the
+    * merge-side replay guard needs it forever. */
   def compactMediaIndex(s: SparkSession, path: String): Unit =
-    mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized {
-      if (new java.io.File(s"$path/tombstones").exists()) {
+    withMediaIndexWriter(s, path) {
+      import s.implicits._
+      if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS")) {
         val vecs = minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
           .localCheckpoint()
         val bands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
@@ -1931,13 +2052,19 @@ object MediaOps {
         vecs.write.mode("overwrite").parquet(s"$path/vecs")
         bands.write.mode("overwrite").parquet(s"$path/bands")
       }
+      val bpd = s.read.parquet(s"$path/stat")
+        .select("bands_per_doc").head().getInt(0)
+      val width2 = adaptiveBandWidth(s.read.parquet(s"$path/bands"), bpd)
+      val pop = s.read.parquet(s"$path/vecs").count()
+      Seq((width2, bpd, pop)).toDF("width", "bands_per_doc", "priced_n")
+        .write.mode("overwrite").parquet(s"$path/stat")
     }
 
   /** The q137 gate row: lazy build → forget the doc_id % 7 = 3 victims
     * → compact → certify BOTH post-delete artifacts against the log. */
   def mediaIndexForget(s: SparkSession, d: String): DataFrame = {
-    val path = ScratchPaths.indexPathFor("q137", d)
-    if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+    val path = mediaIndexScratch("q137", d)
+    if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
       buildMediaIndex(s, d, path)
     forgetMediaFromIndex(
       s.read.parquet(s"$path/vecs").select("doc_id").filter("doc_id % 7 = 3"), path)
@@ -2157,7 +2284,7 @@ object MediaOps {
     "q117_crossmodal"    -> ((s, d) => crossModalAudit(s, d)),
     "q136_media_index_probe" -> ((s, d) => {
       val path = mediaIndexPathFor(d)
-      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+      if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
         buildMediaIndex(s, d, path)
       mediaIndexProbeStored(s, d, path)
     }),
@@ -2167,25 +2294,25 @@ object MediaOps {
     }),
     "q137_media_index_forget" -> ((s, d) => mediaIndexForget(s, d)),
     "q138_audio_index_probe" -> ((s, d) => {
-      val path = ScratchPaths.indexPathFor("q138", d)
-      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+      val path = mediaIndexScratch("q138", d)
+      if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
         buildAudioIndex(s, d, path)
       audioIndexProbeStored(s, d, path)
     }),
     "q138b_audio_index_build" -> ((s, d) => {
       import s.implicits._
-      Seq(buildAudioIndex(s, d, ScratchPaths.indexPathFor("q138", d)))
+      Seq(buildAudioIndex(s, d, mediaIndexScratch("q138", d)))
         .toDF("n_band_rows")
     }),
     "q139_video_index_probe" -> ((s, d) => {
-      val path = ScratchPaths.indexPathFor("q139", d)
-      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+      val path = mediaIndexScratch("q139", d)
+      if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
         buildVideoIndex(s, d, path)
       videoIndexProbeStored(s, d, path)
     }),
     "q139b_video_index_build" -> ((s, d) => {
       import s.implicits._
-      Seq(buildVideoIndex(s, d, ScratchPaths.indexPathFor("q139", d)))
+      Seq(buildVideoIndex(s, d, mediaIndexScratch("q139", d)))
         .toDF("n_band_rows")
     }),
   )

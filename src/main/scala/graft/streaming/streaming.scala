@@ -1057,6 +1057,20 @@ object StreamingOps {
         { graft.MediaOps.mergeMediaBatchIntoIndex(df, path, family); () }
     }
 
+  /** [[mediaIngestStream]] from pre-hashed (doc_id, v, bk) frames — the
+    * decode kernel already applied. The growth/re-pricing spec drives
+    * THIS leg with constructed band keys (payloads whose dHashes collide
+    * at one prefix width and split at the next are not constructible on
+    * demand); the merge/trigger/compaction path is byte-identical to
+    * [[mediaIngestStream]]'s. */
+  private[graft] def mediaIngestHashStream(hashes: DataFrame, path: String,
+                                           family: String = "image"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hashes.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) =>
+        { graft.MediaOps.mergeHashesIntoIndex(df, path, family); () }
+    }
+
   /** q137's streaming form (r17) — CONTINUOUS TAKEDOWN against the
     * standing MEDIA index: each micro-batch of requests (any frame with
     * a `doc_id` column) appends to the id-level tombstone log

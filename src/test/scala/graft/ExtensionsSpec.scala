@@ -2636,4 +2636,55 @@ class ExtensionsSpec extends SparkSpec {
       .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
     assert(topM == top2, "q108's first two loadings must equal q106")
   }
+
+  test("artifact guards route through the session's Hadoop FileSystem, not java.io.File (r18, VERDICT r17 #4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsguard").toString
+    // a scheme-qualified path: java.io.File would treat "file:/..." as a
+    // relative path and report missing — the Hadoop FS helper must not
+    assert(ScratchPaths.artifactExists(spark, s"file:$dir"),
+      "file:-scheme path not resolved through Hadoop FileSystem")
+    assert(!new java.io.File(s"file:$dir").exists(),
+      "test premise: java.io.File cannot see scheme-qualified paths")
+    assert(!ScratchPaths.artifactExists(spark, s"file:$dir/nope"))
+    // _SUCCESS-keyed tombstone guard (r17 advice): a crash during the
+    // first tombstone append can leave a tombstones dir with no committed
+    // parquet — reads must treat it as "no log", not die inferring schema
+    val idx = java.nio.file.Files.createTempDirectory("graft-fsguard-idx").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$idx/tombstones"))
+    assert(MediaOps.tombstonesOf(spark, idx).count() == 0,
+      "uncommitted tombstones dir must read as an empty log")
+  }
+
+  test("write-intent marker: a live foreign writer refuses loudly, a stale (crashed) one is stolen (r18, VERDICT r17 #5)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-intent").toString
+    def bits(v: Long): String =
+      (15 to 0 by -1).map(k => if (((v >> k) & 1L) == 1L) '1' else '0').mkString
+    val hashes = Seq(1L, 2L, 3L).map { id =>
+      (id, Array.tabulate(4)(k => ((id * 2654435761L) ^ k).toInt),
+        Array.tabulate(4)(b => bits(b) + bits(id) + "0" * 48))
+    }.toDF("doc_id", "v", "bk")
+    MediaOps.buildIndexFrom(hashes, path) // stakes and releases its own marker
+    val marker = java.nio.file.Paths.get(s"$path/_writer.lock")
+    assert(!java.nio.file.Files.exists(marker), "marker must release after the build")
+    // a LIVE foreign marker: a second driver is writing — refuse loudly
+    java.nio.file.Files.write(marker,
+      s"99999@otherhost ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      MediaOps.forgetMediaFromIndex(Seq(1L).toDF("doc_id"), path)
+    }
+    assert(e.getMessage.contains("single-writer-per-path"))
+    assert(MediaOps.tombstonesOf(spark, path).count() == 0, "refused write ran anyway")
+    // a STALE foreign marker (epoch beyond the TTL = crashed driver):
+    // steal it, do the write, release
+    java.nio.file.Files.write(marker,
+      s"99999@otherhost ${System.currentTimeMillis() - 700000L}".getBytes("UTF-8"))
+    assert(MediaOps.forgetMediaFromIndex(Seq(1L).toDF("doc_id"), path) == 1L)
+    assert(!java.nio.file.Files.exists(marker), "stolen marker must release")
+    // the ANN-side writers share the guard
+    java.nio.file.Files.write(marker,
+      s"99999@otherhost ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      Similarity.rebuildAnnIndex(spark, path)
+    }
+  }
 }

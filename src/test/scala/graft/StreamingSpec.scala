@@ -2441,4 +2441,281 @@ class StreamingSpec extends SparkSpec {
       try server.close() catch { case _: Exception => () }
     }
   }
+
+  test("E1 enrichOnlineSafe: an injected failing record gets bounded retries then the sentinel — the batch completes, errors are counted, connections stay per-partition (r18, VERDICT r17 #7)") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val accepts = new AtomicInteger(0)
+    val served = new AtomicInteger(0)
+    val poisonSeen = new AtomicInteger(0)
+    val server = new java.net.ServerSocket(0, 64,
+      java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    def readFramed(in: java.io.BufferedReader): Option[String] = {
+      val first = in.readLine()
+      if (first == null) None
+      else {
+        var len = 0
+        var line = in.readLine()
+        while (line != null && line.nonEmpty) {
+          if (line.toLowerCase.startsWith("content-length:"))
+            len = line.substring(15).trim.toInt
+          line = in.readLine()
+        }
+        val buf = new Array[Char](len)
+        var off = 0
+        while (off < len) {
+          val k = in.read(buf, off, len - off)
+          if (k < 0) throw new java.io.EOFException()
+          off += k
+        }
+        Some(new String(buf))
+      }
+    }
+    def model(prompt: String): String =
+      "echo:" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(prompt))
+    val acceptLoop = new Thread(() => {
+      try while (true) {
+        val sock = server.accept()
+        accepts.incrementAndGet()
+        new Thread(() => {
+          try {
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+            val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+            var open = true
+            while (open) readFramed(in) match {
+              case None => open = false
+              case Some(prompt) if prompt.contains("poison") =>
+                // transport failure injection: hang up mid-exchange
+                poisonSeen.incrementAndGet()
+                open = false
+              case Some(prompt) =>
+                served.incrementAndGet()
+                val rb = model(prompt).getBytes("UTF-8")
+                out.write(("HTTP/1.1 200 OK\r\nContent-Length: " + rb.length +
+                  "\r\nConnection: keep-alive\r\n\r\n").getBytes("UTF-8"))
+                out.write(rb)
+                out.flush()
+            }
+          } catch { case _: Exception => () } finally sock.close()
+        }).start()
+      } catch { case _: Exception => () }
+    })
+    acceptLoop.start()
+    try {
+      val mk: () => String => String = () => {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        (prompt: String) => {
+          val pb = prompt.getBytes("UTF-8")
+          out.write(("POST /v1/complete HTTP/1.1\r\nHost: 127.0.0.1\r\n" +
+            "Content-Length: " + pb.length +
+            "\r\nConnection: keep-alive\r\n\r\n").getBytes("UTF-8"))
+          out.write(pb)
+          out.flush()
+          readFramed(in).getOrElse(throw new java.io.EOFException())
+        }
+      }
+      val poison = Set(13L, 27L)
+      val reqs = spark.createDataset((1L to 40L).map(i =>
+        PromptRequest(i, s"ctx-$i",
+          if (poison(i)) s"poison $i" else s"question $i")))
+        .repartition(8)
+      val (ds, errored) = Enrich.enrichOnlineSafe(
+        reqs, mk, maxConcurrency = 2, maxRetries = 2)
+      val replies = ds.collect().sortBy(_.id)
+      // the batch COMPLETES: every record has a reply row
+      assert(replies.length == 40)
+      replies.foreach { r =>
+        if (poison(r.id))
+          assert(r.reply == "[enrichment unavailable]",
+            s"poisoned req ${r.id} must get the sentinel, got ${r.reply}")
+        else {
+          val expected = model(Enrich.buildPrompt(s"ctx-${r.id}", s"question ${r.id}"))
+          assert(r.reply == expected, s"req ${r.id}: ${r.reply} != $expected")
+        }
+      }
+      // observability: the errored counter says exactly what was substituted
+      assert(errored.value == 2L, s"errored counter ${errored.value} != 2")
+      assert(served.get() == 38, s"server completed ${served.get()} != 38")
+      // bounded retries: each poison record tried 1 + maxRetries times
+      assert(poisonSeen.get() == 6, s"poison attempts ${poisonSeen.get()} != 6")
+      // connection amortization survives the failures: the 2 base
+      // connections plus at most (1 + maxRetries) re-mints per poison
+      assert(accepts.get() >= 2 && accepts.get() <= 2 + 2 * 3,
+        s"connection count ${accepts.get()} outside [2, 8]")
+    } finally {
+      try server.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Synthetic hash frame for the dial-growth tests: every doc's band-b
+    * key shares one 16-char prefix (binary of b) and splits at chars
+    * 17–32 (binary of doc_id) — collides at width 16, unique-ish at 32.
+    * v entries are golden-ratio-scattered ints, pairwise Hamming ≫ 6. */
+  private def dialHashes(ids: Range, nBands: Int): org.apache.spark.sql.DataFrame = {
+    def bits(v: Long, n: Int): String =
+      (n - 1 to 0 by -1).map(k => if (((v >> k) & 1L) == 1L) '1' else '0').mkString
+    ids.map { id =>
+      val v = Array.tabulate(nBands)(k => ((id * 2654435761L) ^ (k * 0x9E3779B9L)).toInt)
+      val bk = Array.tabulate(nBands)(b => bits(b, 16) + bits(id & 0xFFFFL, 16) + "0" * 48)
+      (id.toLong, v, bk)
+    }.toDF("doc_id", "v", "bk")
+  }
+
+  test("media index dial re-prices under online ingest growth: width widens at the trigger, probe candidate volume collapses, verdicts unchanged (r18, VERDICT r17 #1)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-dialgrow").toString
+    // build 150 width-16-colliding docs: measured volume under budget → 16
+    MediaOps.buildIndexFrom(dialHashes(0 until 150, 4), path)
+    assert(MediaOps.storedWidth(spark, path) == 16)
+    // the probe delta: a twin of doc 5 (same keys+vector → dup at any
+    // width) and a genuinely new doc (far vector, unique 32-suffix)
+    val delta = dialHashes(5 to 5, 4).selectExpr("doc_id + 900000 as doc_id", "v", "bk")
+      .unionAll(dialHashes(64000 to 64000, 4))
+    val candBefore = MediaOps.probeCandidates(delta, path).count()
+    assert(candBefore >= 150,
+      s"width-16 probe must hit every colliding doc, saw $candBefore")
+    val verdictBefore = MediaOps.probeStoredIndexWith(delta, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(verdictBefore.map(v => (v._1, v._4)) ==
+      Seq((64000L, true), (900005L, false)))
+    // grow ONLINE past the trigger (2× the priced population) through the
+    // streaming ingest leg: batch A stays under, batch B crosses
+    val in = MemoryStream[(Long, Array[Int], Array[String])](spark)
+    val q = StreamingOps.mediaIngestHashStream(
+      in.toDF().toDF("doc_id", "v", "bk"), path).start()
+    in.addData(dialHashes(150 until 230, 4).as[(Long, Array[Int], Array[String])].collect().toSeq: _*)
+    q.processAllAvailable()
+    assert(MediaOps.storedWidth(spark, path) == 16,
+      "trigger fired below the 2x growth threshold")
+    in.addData(dialHashes(230 until 320, 4).as[(Long, Array[Int], Array[String])].collect().toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    // 320 docs in one width-16 bucket per band prices over budget → the
+    // growth-triggered compaction re-measured the dial and widened it
+    assert(MediaOps.storedWidth(spark, path) == 32,
+      s"dial did not re-price after 2x growth (width ${MediaOps.storedWidth(spark, path)})")
+    val stat = spark.read.parquet(s"$path/stat").head()
+    assert(stat.getLong(2) == 320L, s"priced_n must reset to the re-priced population")
+    // candidate volume collapses at the re-priced width...
+    val candAfter = MediaOps.probeCandidates(delta, path).count()
+    assert(candAfter <= 8,
+      s"width-32 probe candidates did not collapse: $candBefore -> $candAfter")
+    // ...while the verdicts are byte-identical (the twin still dups, the
+    // new doc still admits — same n_matches/best_hamming)
+    val verdictAfter = MediaOps.probeStoredIndexWith(delta, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(verdictAfter == verdictBefore,
+      s"re-pricing changed probe verdicts: $verdictBefore -> $verdictAfter")
+  }
+
+  test("video-grain index dial re-prices under growth (12-band frame, r18)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-dialgrow-v").toString
+    MediaOps.buildIndexFrom(dialHashes(0 until 60, 12), path, bandsPerDoc = 12)
+    assert(MediaOps.storedWidth(spark, path) == 16)
+    val twin = dialHashes(7 to 7, 12).selectExpr("doc_id + 900000 as doc_id", "v", "bk")
+    val candBefore = MediaOps.probeCandidates(twin, path).count()
+    assert(candBefore >= 60)
+    val (a, _) = MediaOps.mergeHashesIntoIndex(
+      dialHashes(60 until 130, 12), path, "video")
+    assert(a == 70L)
+    assert(MediaOps.storedWidth(spark, path) == 32,
+      "video dial did not re-price after 2x growth")
+    val candAfter = MediaOps.probeCandidates(twin, path).count()
+    assert(candAfter <= 4,
+      s"video candidates did not collapse: $candBefore -> $candAfter")
+  }
+
+  test("ANN index refit: drift-lost recall restored by the rebuild, probes keep the old version until the atomic commit (r18, VERDICT r17 #3)") {
+    Similarity.withFns(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-refit").toString
+    def vec(x: Double, y: Double): Array[Float] = {
+      val n = math.sqrt(x * x + y * y)
+      Array((x / n).toFloat, (y / n).toFloat, 0f, 0f)
+    }
+    // v1: two cells — an A-cluster on e0 (cell 0), a B-cluster on e1
+    val rows = (1L to 5L).map(i => (i, 0, vec(1, 0.001 * i), 0)) ++
+      (11L to 15L).map(i => (i, 1, vec(0.001 * i, 1), 1))
+    rows.toDF("vec_id", "label", "embedding", "c_label")
+      .selectExpr("vec_id", "label", "embedding",
+        "sqrt(graft_dot(embedding, embedding)) as nrm", "c_label")
+      .write.partitionBy("c_label").parquet(s"$path/assignments")
+    Seq((0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("c_label", "centroid").write.parquet(s"$path/centroids")
+    // drift: a 21-row cluster g BARELY on the c0 side of the Voronoi
+    // boundary — the frozen codebook stores all of it in cell 0
+    val g = (100L to 120L).map(i => (i, vec(0.72, 0.694 + 0.00001 * (i - 100))))
+    Similarity.mergeDeltaIntoIndex(g.toDF("vec_id", "embedding"), path)
+    assert(spark.read.parquet(s"$path/assignments")
+      .filter("vec_id >= 100 and c_label = 0").count() == 21,
+      "drift cluster must store in cell 0 under the stale codebook")
+    // the probe: a re-embed of a g-member, jittered ACROSS the boundary —
+    // it routes to cell 1 where its twin is not, and recall is LOST
+    val probe = Seq((900100L, vec(0.694, 0.72))).toDF("vec_id", "embedding")
+    val before = Similarity.probeAnnIndex(probe, path).head()
+    assert(before.getAs[Int]("q_cell") == 1 && !before.getAs[Boolean]("is_dup"),
+      s"drift probe must misroute pre-refit: $before")
+    // rebuild: round-1 centroid update pulls cell 0 to the drift mass
+    // (21 g-rows vs 5 A-rows), the boundary moves, the probe re-finds
+    val newRoot = Similarity.rebuildAnnIndex(spark, path, rounds = 2)
+    assert(Similarity.resolveIndexRoot(spark, path) == newRoot)
+    val after = Similarity.probeAnnIndex(probe, path).head()
+    assert(after.getAs[Boolean]("is_dup") &&
+      after.getAs[Long]("nn_id") >= 100L && after.getAs[Long]("nn_id") <= 120L,
+      s"refit did not restore recall: $after")
+    // the old version's files are never touched — an in-flight probe
+    // that resolved pre-commit reads a complete, intact artifact
+    assert(spark.read.parquet(s"$path/assignments").count() == 31,
+      "pre-refit artifact must be retained for in-flight probes")
+    // an UNCOMMITTED version never serves: resolution flips only on the
+    // atomic _COMMITTED marker-create (the last act of a rebuild)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/versions/v00099/assignments"))
+    assert(Similarity.resolveIndexRoot(spark, path) == newRoot,
+      "a crashed (uncommitted) rebuild must not capture resolution")
+    // incremental writers fold into the LIVE version post-swap
+    Similarity.mergeDeltaIntoIndex(
+      Seq((500L, vec(0.5, 0.5))).toDF("vec_id", "embedding"), path)
+    assert(spark.read.parquet(s"$newRoot/assignments")
+      .filter("vec_id = 500").count() == 1, "merge must target the live version")
+    assert(spark.read.parquet(s"$path/assignments").count() == 31,
+      "merge must not touch the retired version")
+  }
+
+  test("pending-forget set: a takedown delivered before its id's first admit is honored at arrival and survives replay (r18, r17 advice #5)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pending").toString
+    MediaOps.buildIndexFrom(dialHashes(0 until 20, 4), path)
+    // the early takedown: id 9999 has never been admitted
+    assert(MediaOps.forgetMediaFromIndex(Seq(9999L).toDF("doc_id"), path) == 0L)
+    assert(MediaOps.pendingForgetsOf(spark, path).collect().map(_.getLong(0)).toSeq
+      == Seq(9999L), "early takedown not logged as pending")
+    assert(MediaOps.tombstonesOf(spark, path).count() == 0)
+    // re-delivery of the early takedown is idempotent
+    assert(MediaOps.forgetMediaFromIndex(Seq(9999L).toDF("doc_id"), path) == 0L)
+    assert(MediaOps.pendingForgetsOf(spark, path).count() == 1)
+    // the id arrives (plus an unrelated new doc): the pending forget is
+    // consumed — arrival refused, id tombstoned, the other doc admits
+    val batch = dialHashes(9999 to 9999, 4).unionAll(dialHashes(50 to 50, 4))
+    val (a1, _) = MediaOps.mergeHashesIntoIndex(batch, path, "image")
+    assert(a1 == 1L, s"pending id admitted or sibling refused (admitted $a1)")
+    assert(spark.read.parquet(s"$path/vecs").filter("doc_id = 9999").count() == 0)
+    assert(spark.read.parquet(s"$path/vecs").filter("doc_id = 50").count() == 1)
+    assert(MediaOps.tombstonesOf(spark, path).filter("doc_id = 9999").count() == 1,
+      "consumed pending forget must tombstone the id")
+    assert(MediaOps.pendingForgetsOf(spark, path).count() == 0, "pending entry not consumed")
+    // at-least-once replay of the SAME batch: the tombstone keeps the id out
+    val (a2, _) = MediaOps.mergeHashesIntoIndex(batch, path, "image")
+    assert(a2 == 0L, "replayed batch re-admitted a forgotten id")
+    assert(spark.read.parquet(s"$path/vecs").filter("doc_id = 9999").count() == 0)
+    // fresh-id re-submission of the CONTENT admits (dedup-forget, not a
+    // content ban): 9999's content never reached the index
+    val fresh = dialHashes(9999 to 9999, 4).selectExpr("doc_id + 1 as doc_id", "v", "bk")
+    val (a3, _) = MediaOps.mergeHashesIntoIndex(fresh, path, "image")
+    assert(a3 == 1L, "fresh-id re-submission of never-admitted content must admit")
+    // a takedown for an ADMITTED id still tombstones immediately
+    assert(MediaOps.forgetMediaFromIndex(Seq(3L).toDF("doc_id"), path) == 1L)
+  }
 }
