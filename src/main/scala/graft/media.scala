@@ -379,15 +379,23 @@ object MediaOps {
     * every gate-fixture corpus takes this path (measured under budget),
     * keeping the historical candidate sets. `bands0` = (band_idx,
     * band_hash, doc_id) with FULL 80-char keys. */
-  private[graft] def adaptiveBandWidth(bands0: DataFrame, bandsPerDoc: Int): Int = {
+  private[graft] def adaptiveBandWidth(bands0: DataFrame, bandsPerDoc: Int): Int =
+    adaptiveBandWidthAndCount(bands0, bandsPerDoc)._1
+
+  /** [[adaptiveBandWidth]] plus the band-row count its probe already
+    * aggregates (nn = sum over groups) — the build reads the population
+    * for `priced_n` off the same job instead of paying a second count. */
+  private[graft] def adaptiveBandWidthAndCount(bands0: DataFrame,
+                                               bandsPerDoc: Int): (Int, Long) = {
     val w16 = bands0
       .selectExpr("band_idx", "substring(band_hash, 1, 16) as pk")
       .groupBy("band_idx", "pk").agg(count(lit(1)).as("bn"))
       .agg(sum(expr("(bn * (bn - 1)) div 2")).as("pairs"), sum(col("bn")).as("nn"))
       .collect()(0)
+    val nn = if (w16.isNullAt(1)) 0L else w16.getLong(1)
     if (w16.isNullAt(0) ||
-        w16.getLong(0) * bandsPerDoc <= Similarity.PairBudgetPerRow * w16.getLong(1))
-      16
+        w16.getLong(0) * bandsPerDoc <= Similarity.PairBudgetPerRow * nn)
+      (16, nn)
     else {
       val vols = bands0
         .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bn"))
@@ -404,7 +412,7 @@ object MediaOps {
           r.getLong(1) * bandsPerDoc <= Similarity.PairBudgetPerRow * r.getLong(2) =>
           r.getInt(0)
       }
-      if (under.isEmpty) BandWidths.last else under.min
+      (if (under.isEmpty) BandWidths.last else under.min, nn)
     }
   }
 
@@ -1523,10 +1531,10 @@ object MediaOps {
       val s = hashes0.sparkSession
       import s.implicits._
       val hashes = hashes0.transform(Tables.maybePersist)
-      val width = adaptiveBandWidth(
+      val (width, nn) = adaptiveBandWidthAndCount(
         hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)"),
         bandsPerDoc)
-      val n = hashes.count()
+      val n = nn / bandsPerDoc // the dial probe already aggregated the rows
       Seq((width, bandsPerDoc, n)).toDF("width", "bands_per_doc", "priced_n")
         .write.mode("overwrite").parquet(s"$path/stat")
       hashes.select(col("doc_id"), col("v"))
@@ -2014,18 +2022,19 @@ object MediaOps {
   def forgetMediaFromIndex(requests: DataFrame, path: String): Long =
     withMediaIndexWriter(requests.sparkSession, path) {
       val s = requests.sparkSession
-      // localCheckpoint: the frames' lineage reads $path/tombstones and
-      // $path/pending, which the appends below write — break the cycles
-      val reqs = requests.select(col("doc_id").cast("long")).distinct()
+      // ONE checkpointed pass marks each request present/absent (the
+      // lineage reads $path/tombstones and $path/pending, which the
+      // appends below write — localCheckpoint breaks the cycles; a
+      // single eager checkpoint instead of two keeps the takedown path
+      // at its pre-pending-log job count)
+      val marked = requests.select(col("doc_id").cast("long")).distinct()
         .join(broadcast(tombstonesOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
-        .transform(Tables.maybePersist)
-      val present = reqs
-        .join(s.read.parquet(s"$path/vecs").select("doc_id"), Seq("doc_id"), "left_semi")
-        .localCheckpoint()
-      val early = reqs
-        .join(s.read.parquet(s"$path/vecs").select("doc_id"), Seq("doc_id"), "left_anti")
         .join(broadcast(pendingForgetsOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
+        .join(s.read.parquet(s"$path/vecs").select(col("doc_id"), lit(1).as("present")),
+          Seq("doc_id"), "left")
         .localCheckpoint()
+      val present = marked.filter(col("present").isNotNull).select("doc_id")
+      val early = marked.filter(col("present").isNull).select("doc_id")
       val n = present.count()
       if (n > 0) present.write.mode("append").parquet(s"$path/tombstones")
       if (!early.isEmpty) early.write.mode("append").parquet(s"$path/pending")
@@ -2052,12 +2061,20 @@ object MediaOps {
         vecs.write.mode("overwrite").parquet(s"$path/vecs")
         bands.write.mode("overwrite").parquet(s"$path/bands")
       }
-      val bpd = s.read.parquet(s"$path/stat")
-        .select("bands_per_doc").head().getInt(0)
-      val width2 = adaptiveBandWidth(s.read.parquet(s"$path/bands"), bpd)
+      val st = s.read.parquet(s"$path/stat")
+        .select("bands_per_doc", "priced_n").head()
+      val (bpd, pricedN) = (st.getInt(0), st.getLong(1))
       val pop = s.read.parquet(s"$path/vecs").count()
-      Seq((width2, bpd, pop)).toDF("width", "bands_per_doc", "priced_n")
-        .write.mode("overwrite").parquet(s"$path/stat")
+      // re-price only on GROWTH since the last pricing: volume is monotone
+      // in population, so a forget-only compaction (pop ≤ priced_n) cannot
+      // push the stored width over budget — skipping the probe (and the
+      // stat rewrite) keeps the takedown path at its pre-r18 cost, and the
+      // merge-side trigger stays armed at the width's own population.
+      if (pop > pricedN) {
+        val width2 = adaptiveBandWidth(s.read.parquet(s"$path/bands"), bpd)
+        Seq((width2, bpd, pop)).toDF("width", "bands_per_doc", "priced_n")
+          .write.mode("overwrite").parquet(s"$path/stat")
+      }
     }
 
   /** The q137 gate row: lazy build → forget the doc_id % 7 = 3 victims

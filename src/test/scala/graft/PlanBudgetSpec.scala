@@ -466,6 +466,11 @@ object PlanBudgetSpec {
     // cells); the measured plan is the post-merge per-cell report:
     // one partitioned scan + one keyed count
     "q134_ann_index_merge" -> Shape(shuffles = 2, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 1),
+    // q140 (r18): ANN refit report — a pure read of the rebuilt version
+    // joined to the pre-refit artifact on vec_id (audit-time only; the
+    // rebuild itself ran at build time, its Lloyd rounds shuffling only
+    // k decimal buffers per task)
+    "q140_ann_index_rebuild" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
     // q135 (r15): forget — rewrite at build time; the measured plan is
     // the post-delete report (artifact counts joined to tombstone
     // counts — two keyed counts + one small join)
