@@ -4436,13 +4436,85 @@ object Similarity {
     newRoot
   }
 
-  /** The q140 audit report — a pure read of the LIVE version against the
-    * pre-refit flat artifact: per-cell population and how many rows the
+  /** The version the live one replaced: the second-newest committed
+    * version, else the flat root (implicit v1) when its artifacts are
+    * still present, else None (predecessor pruned). */
+  private[graft] def previousVersionRoot(s: SparkSession, path: String): Option[String] = {
+    val fs = hadoopFs(s, path)
+    val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
+    val committed =
+      if (!fs.exists(vdir)) Seq.empty
+      else fs.listStatus(vdir).iterator.map(_.getPath.getName)
+        .filter(n => n.matches("v\\d+") &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/versions/$n/_COMMITTED")))
+        .toSeq.sorted.reverse
+    committed.drop(1).headOption.map(n => s"$path/versions/$n")
+      .orElse(
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/assignments/_SUCCESS")))
+          Some(path)
+        else None)
+  }
+
+  /** VERSION GC (r18): every rebuild leaves a full corpus copy — at
+    * production scale old versions must be retired or the index costs
+    * versions × corpus on disk forever. Keeps the LIVE version plus the
+    * `keep − 1` most recent committed predecessors (default: live + one
+    * buffer for in-flight probes that resolved pre-swap and for
+    * rollback); deletes older committed versions, uncommitted
+    * directories OLDER than the live version (crashed rebuilds — an
+    * uncommitted dir NEWER than live may be an in-flight rebuild and is
+    * never touched), and, once `keep` committed versions exist, the
+    * legacy flat artifacts (the implicit v1; its tombstone log is KEPT
+    * — versions carry their own copies, the flat one stays as the audit
+    * trail). Never touches the live version. Returns the number of
+    * retired version roots. */
+  def pruneAnnIndexVersions(s: SparkSession, path: String, keep: Int = 2): Long =
+      withIndexWriter(s, path) {
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    val fs = hadoopFs(s, path)
+    val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
+    if (!fs.exists(vdir)) 0L
+    else {
+      val all = fs.listStatus(vdir).iterator.map(_.getPath.getName)
+        .filter(_.matches("v\\d+")).toSeq
+      val committed = all.filter(n =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/versions/$n/_COMMITTED")))
+        .sorted.reverse
+      if (committed.isEmpty) 0L
+      else {
+        val live = committed.head
+        val staleCommitted = committed.drop(keep)
+        val staleCrashed = all.filterNot(committed.contains)
+          .filter(_ < live) // lexicographic == numeric at fixed width
+        var n = 0L
+        (staleCommitted ++ staleCrashed).foreach { v =>
+          if (fs.delete(new org.apache.hadoop.fs.Path(s"$path/versions/$v"), true))
+            n += 1
+        }
+        // the flat root (implicit v1) retires once the keep window is
+        // filled by committed versions
+        if (committed.size >= keep &&
+            fs.exists(new org.apache.hadoop.fs.Path(s"$path/assignments"))) {
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/assignments"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true): Unit
+          n += 1
+        }
+        n
+      }
+    }
+  }
+
+  /** The q140 audit report — a pure read of the LIVE version against its
+    * predecessor (the version it replaced; the flat root for a
+    * first-rebuild chain): per-cell population and how many rows the
     * refit moved in. Stable across re-runs (nothing is written). */
   private[graft] def rebuildReport(s: SparkSession, path: String): DataFrame = {
     val live = resolveIndexRoot(s, path)
+    val prev = previousVersionRoot(s, path).getOrElse(
+      throw new IllegalStateException(
+        s"rebuild report for $path needs the predecessor version; it was pruned"))
     s.read.parquet(s"$live/assignments").select(col("vec_id"), col("c_label"))
-      .join(s.read.parquet(s"$path/assignments")
+      .join(s.read.parquet(s"$prev/assignments")
         .select(col("vec_id"), col("c_label").as("c_prev")), Seq("vec_id"))
       .groupBy("c_label")
       .agg(count(lit(1)).as("nm"),

@@ -2685,6 +2685,48 @@ class StreamingSpec extends SparkSpec {
       "merge must not touch the retired version")
   }
 
+  test("version GC: old versions retire, the live version and a probe buffer stay, in-flight rebuilds are never touched (r18)") {
+    Similarity.withFns(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    def vec(x: Double, y: Double): Array[Float] = {
+      val n = math.sqrt(x * x + y * y)
+      Array((x / n).toFloat, (y / n).toFloat, 0f, 0f)
+    }
+    val rows = (1L to 5L).map(i => (i, 0, vec(1, 0.001 * i), 0)) ++
+      (11L to 15L).map(i => (i, 1, vec(0.001 * i, 1), 1))
+    rows.toDF("vec_id", "label", "embedding", "c_label")
+      .selectExpr("vec_id", "label", "embedding",
+        "sqrt(graft_dot(embedding, embedding)) as nrm", "c_label")
+      .write.partitionBy("c_label").parquet(s"$path/assignments")
+    Seq((0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("c_label", "centroid").write.parquet(s"$path/centroids")
+    Similarity.rebuildAnnIndex(spark, path) // -> v00002
+    // a crashed rebuild left an uncommitted directory below the live one
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/versions/v00003/assignments"))
+    Similarity.rebuildAnnIndex(spark, path) // skips 3 -> v00004
+    Similarity.rebuildAnnIndex(spark, path) // -> v00005 (live)
+    // an in-flight rebuild (uncommitted, NEWER than live) must survive
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/versions/v00099/assignments"))
+    val pruned = Similarity.pruneAnnIndexVersions(spark, path, keep = 2)
+    // retired: v00002 (old committed), v00003 (crashed), the flat root
+    assert(pruned == 3L, s"pruned $pruned != 3")
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    assert(!exists(s"$path/versions/v00002") && !exists(s"$path/versions/v00003"))
+    assert(!exists(s"$path/assignments") && !exists(s"$path/centroids"),
+      "flat v1 artifacts must retire once the keep window is committed")
+    assert(exists(s"$path/versions/v00004") && exists(s"$path/versions/v00005"))
+    assert(exists(s"$path/versions/v00099"), "in-flight rebuild dir was deleted")
+    assert(Similarity.resolveIndexRoot(spark, path) == s"$path/versions/v00005")
+    // probes and the report survive the GC (report baselines v00004 now)
+    val probe = Seq((900001L, vec(1, 0.002))).toDF("vec_id", "embedding")
+    assert(Similarity.probeAnnIndex(probe, path).count() == 1)
+    assert(Similarity.rebuildReport(spark, path).count() > 0)
+    // idempotent: a second prune retires nothing further
+    assert(Similarity.pruneAnnIndexVersions(spark, path, keep = 2) == 0L)
+  }
+
   test("pending-forget set: a takedown delivered before its id's first admit is honored at arrival and survives replay (r18, r17 advice #5)") {
     val path = java.nio.file.Files.createTempDirectory("graft-pending").toString
     MediaOps.buildIndexFrom(dialHashes(0 until 20, 4), path)
