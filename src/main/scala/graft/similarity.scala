@@ -3858,7 +3858,10 @@ object Similarity {
     graft.ScratchPaths.indexPathFor(s"q119-${graft.ScratchPaths.tableFingerprint(d, "embeddings")}", d)
 
   /** Once-per-life build: coarse-assign the corpus, write it partitioned
-    * by cell + the centroid codebook; returns the read-back row count. */
+    * by cell + the centroid codebook + the fit-time per-cell population
+    * (`cellstat` — the frozen reference frame [[annIndexDriftPsiMicro]]
+    * compares the live population against); returns the read-back row
+    * count. */
   def buildAnnIndex(s: SparkSession, d: String, path: String): Long = {
     ivfAssigned(s, d)
       .selectExpr("vec_id", "label", "embedding",
@@ -3866,6 +3869,9 @@ object Similarity {
       .write.mode("overwrite").partitionBy("c_label").parquet(s"$path/assignments")
     centroidsByLabel(s, d, "c_label")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    s.read.parquet(s"$path/assignments")
+      .groupBy("c_label").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/cellstat")
     s.read.parquet(s"$path/assignments").count()
   }
 
@@ -4423,6 +4429,10 @@ object Similarity {
       .write.mode("overwrite").partitionBy("c_label")
       .parquet(s"$newRoot/assignments")
     cents.write.mode("overwrite").parquet(s"$newRoot/centroids")
+    // the refit's population IS the new drift reference frame
+    s.read.parquet(s"$newRoot/assignments")
+      .groupBy("c_label").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$newRoot/cellstat")
     // the tombstone log rides along: it is the merge-side replay guard —
     // without it a replayed pre-takedown ingest batch could resurrect
     // forgotten ids into the rebuilt version
@@ -4523,6 +4533,67 @@ object Similarity {
         "cast(mv as bigint) as n_moved")
       .orderBy("c_label")
   }
+
+  /** PSI of the LIVE population's cell shares against the fit-time
+    * reference frame (`cellstat`, written by build/rebuild) — q125's
+    * Laplace-smoothed micro-quantized arithmetic at index grain. This
+    * is the drift statistic the "a merge never refits" discipline
+    * defers to: merges/forgets move the population but never the
+    * codebook OR the reference frame, so the PSI measures exactly the
+    * shift SINCE THE LAST FIT. Cost: one columnless partition-count
+    * scan + k-row arithmetic — cheap enough to check per maintenance
+    * window. A version without a cellstat (hand-built artifacts)
+    * self-seeds: the current population becomes the reference and the
+    * check returns 0 (the standing-statistic discipline). */
+  def annIndexDriftPsiMicro(s: SparkSession, path: String): Long = {
+    val root = resolveIndexRoot(s, path)
+    if (!graft.ScratchPaths.artifactExists(s, s"$root/cellstat/_SUCCESS"))
+      withIndexWriter(s, path) {
+        s.read.parquet(s"$root/assignments")
+          .groupBy("c_label").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$root/cellstat")
+      }
+    val ref = s.read.parquet(s"$root/cellstat")
+      .selectExpr("c_label", "n as n_ref")
+    val cur = s.read.parquet(s"$root/assignments")
+      .groupBy("c_label").agg(count(lit(1)).as("n_cur"))
+    // dense over the codebook's cell list — a cell can be empty in
+    // either population and still carries a smoothed term
+    val dense = s.read.parquet(s"$root/centroids").select("c_label")
+      .join(broadcast(ref), Seq("c_label"), "left")
+      .join(broadcast(cur), Seq("c_label"), "left")
+      .selectExpr("c_label", "coalesce(n_ref, 0L) as n_ref",
+        "coalesce(n_cur, 0L) as n_cur")
+      .transform(Tables.maybePersist)
+    val k = dense.count()
+    val tot = dense.agg(sum(col("n_ref")).as("ta"), sum(col("n_cur")).as("tb"))
+    dense.crossJoin(broadcast(tot))
+      .selectExpr(
+        s"""cast(floor((
+           |  (n_cur + 1) / cast(tb + $k as double)
+           |  - (n_ref + 1) / cast(ta + $k as double))
+           |  * ln(((n_cur + 1) / cast(tb + $k as double))
+           |       / ((n_ref + 1) / cast(ta + $k as double)))
+           |  * 1e6 + 0.5) as bigint) as term_micro"""
+          .stripMargin.replace("\n", " "))
+      .agg(sum(col("term_micro")).as("psi_micro"))
+      .head().getLong(0)
+  }
+
+  /** DRIFT-GATED AUTO-REFIT (r18): the wiring between q125's dial and
+    * q140's operator — checks the live population's PSI against the
+    * fit-time frame and rebuilds when it crosses the threshold (q125's
+    * 0.2 = 200 000 micro). Returns the new version root when a rebuild
+    * fired. This is the ANN twin of the media index's growth-triggered
+    * dial re-pricing: both standing indexes now re-measure their own
+    * fit statistic and re-fit themselves when the population outgrows
+    * it, instead of freezing the build-time answer forever. */
+  def maybeRebuildAnnIndex(s: SparkSession, path: String,
+                           psiMicroThreshold: Long = 200000L,
+                           rounds: Int = 2): Option[String] =
+    if (annIndexDriftPsiMicro(s, path) >= psiMicroThreshold)
+      Some(rebuildAnnIndex(s, path, rounds))
+    else None
 
   /** The q140 gate chain: lazy build → fold the drifted delta → rebuild
     * once per process → report. Re-runs are fixed points (the committed

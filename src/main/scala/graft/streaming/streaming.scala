@@ -1039,6 +1039,25 @@ object StreamingOps {
       (df: DataFrame, _: Long) => graft.Similarity.mergeDeltaIntoIndex(df, path)
     }
 
+  /** [[annIngestStream]] with the r18 drift-gated auto-refit: after each
+    * micro-batch's merge, the live population's cell-share PSI against
+    * the fit-time frame is checked (one columnless partition-count scan
+    * + k-row arithmetic) and a rebuild-and-swap fires when it crosses
+    * q125's threshold — the standing index re-fits itself under
+    * sustained drift instead of serving a stale codebook until an
+    * operator notices. Convergent under replay: the merge is
+    * idempotent, and a fired rebuild resets the reference frame so the
+    * replayed batch re-measures PSI ≈ 0 and does not re-fire. */
+  def annIngestStreamAutoRefit(deltas: DataFrame, path: String,
+                               psiMicroThreshold: Long = 200000L):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltas.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) =>
+        graft.Similarity.mergeDeltaIntoIndex(df, path)
+        graft.Similarity.maybeRebuildAnnIndex(
+          df.sparkSession, path, psiMicroThreshold): Unit
+    }
+
   /** q136's streaming form (r17) — CONTINUOUS INGEST-DEDUP against the
     * standing PERCEPTUAL index: each micro-batch of (doc_id, media)
     * payloads folds through [[graft.MediaOps.mergeMediaBatchIntoIndex]]

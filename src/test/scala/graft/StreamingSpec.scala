@@ -2685,6 +2685,53 @@ class StreamingSpec extends SparkSpec {
       "merge must not touch the retired version")
   }
 
+  test("drift-gated auto-refit: the ingest stream re-fits the index itself once the population's PSI crosses the dial, and converges (r18)") {
+    Similarity.withFns(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-autorefit").toString
+    def vec(x: Double, y: Double): Array[Float] = {
+      val n = math.sqrt(x * x + y * y)
+      Array((x / n).toFloat, (y / n).toFloat, 0f, 0f)
+    }
+    val rows = (1L to 5L).map(i => (i, 0, vec(1, 0.001 * i), 0)) ++
+      (11L to 15L).map(i => (i, 1, vec(0.001 * i, 1), 1))
+    rows.toDF("vec_id", "label", "embedding", "c_label")
+      .selectExpr("vec_id", "label", "embedding",
+        "sqrt(graft_dot(embedding, embedding)) as nrm", "c_label")
+      .write.partitionBy("c_label").parquet(s"$path/assignments")
+    Seq((0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("c_label", "centroid").write.parquet(s"$path/centroids")
+    // hand-built artifacts carry no fit-time frame: the first check
+    // SELF-SEEDS (current population becomes the reference, PSI = 0)
+    assert(Similarity.annIndexDriftPsiMicro(spark, path) == 0L)
+    assert(Similarity.maybeRebuildAnnIndex(spark, path).isEmpty,
+      "undrifted index must not rebuild")
+    assert(Similarity.resolveIndexRoot(spark, path) == path)
+    // sustained drift arrives through the auto-refit ingest stream: a
+    // 21-row cluster all routing to cell 0 moves the shares from
+    // (.5, .5) to (27/33, 6/33) — PSI 0.477, over the 0.2 dial
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamingOps.annIngestStreamAutoRefit(
+      in.toDF().toDF("vec_id", "embedding"), path).start()
+    in.addData((100L to 120L).map(i =>
+      (i, vec(0.72, 0.694 + 0.00001 * (i - 100)))): _*)
+    q.processAllAvailable()
+    val live = Similarity.resolveIndexRoot(spark, path)
+    assert(live != path, "drift crossing the dial must fire the rebuild")
+    // the rebuild reset the reference frame: the replayed batch merges
+    // idempotently and measures PSI ~ 0 — no rebuild storm
+    in.addData((100L to 120L).map(i =>
+      (i, vec(0.72, 0.694 + 0.00001 * (i - 100)))): _*)
+    q.processAllAvailable(); q.stop()
+    assert(Similarity.resolveIndexRoot(spark, path) == live,
+      "replayed drift batch re-fired the rebuild")
+    assert(Similarity.annIndexDriftPsiMicro(spark, path) < 200000L)
+    assert(Similarity.maybeRebuildAnnIndex(spark, path).isEmpty)
+    // the refit codebook routes the drift cluster's re-embeds home
+    val probe = Seq((900100L, vec(0.694, 0.72))).toDF("vec_id", "embedding")
+    val hit = Similarity.probeAnnIndex(probe, path).head()
+    assert(hit.getAs[Boolean]("is_dup") && hit.getAs[Long]("nn_id") >= 100L)
+  }
+
   test("version GC: old versions retire, the live version and a probe buffer stay, in-flight rebuilds are never touched (r18)") {
     Similarity.withFns(spark)
     val path = java.nio.file.Files.createTempDirectory("graft-prune").toString
