@@ -1513,6 +1513,15 @@ object MediaOps {
   private[graft] def mediaIndexPathFor(d: String): String =
     mediaIndexScratch("q136", d)
 
+  /** The LIVE artifact root of a (possibly versioned) media index —
+    * [[compactMediaIndex]] writes each compaction as a new committed
+    * version (r18), so vecs/bands/stat reads resolve through here while
+    * the append-only logs (tombstones/pending) stay at the path root,
+    * shared across versions. The [[Similarity.resolveIndexRoot]]
+    * marker-commit machinery, verbatim. */
+  private[graft] def mediaLiveRoot(s: SparkSession, path: String): String =
+    Similarity.resolveIndexRoot(s, path)
+
   /** Once-per-life build from any (doc_id, v, bk) hash frame: vecs +
     * FULL-width band keys, plus a 1-row stat artifact carrying the
     * volume-dialed width, the family's bands-per-doc, and the population
@@ -1547,7 +1556,8 @@ object MediaOps {
   /** The stored dial width of an index artifact (the stat's first leg —
     * every probe/merge reads the width through here). */
   private[graft] def storedWidth(s: SparkSession, path: String): Int =
-    s.read.parquet(s"$path/stat").select("width").head().getInt(0)
+    s.read.parquet(s"${mediaLiveRoot(s, path)}/stat")
+      .select("width").head().getInt(0)
 
   /** q136b: the IMAGE-grain index (q107's hash frame — base + twins,
     * the admitted population). */
@@ -1637,10 +1647,11 @@ object MediaOps {
   private[graft] def probeCandidates(delta: DataFrame, path: String): DataFrame = {
     val s = delta.sparkSession
     Similarity.withFns(s)
+    val root = mediaLiveRoot(s, path)
     val width = storedWidth(s, path)
     val dBands = delta.selectExpr("doc_id as delta_id",
       s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
-    val iBands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
+    val iBands = minusTombstones(s.read.parquet(s"$root/bands"), s, path)
       .selectExpr("doc_id as idx_id", "band_idx",
         s"${packedPrefixExpr("band_hash", width)} as band_hash")
     iBands
@@ -1655,7 +1666,7 @@ object MediaOps {
     val delta = delta0.transform(Tables.maybePersist)
     val cand = probeCandidates(delta, path)
     val verified = cand
-      .join(minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
+      .join(minusTombstones(s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs"), s, path)
           .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
       .join(broadcast(delta.select(col("doc_id").as("delta_id"), col("v").as("va"))),
         Seq("delta_id"))
@@ -1718,17 +1729,18 @@ object MediaOps {
     * within Hamming 6) instead of scalar Hamming. */
   def videoIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame = {
     Similarity.withFns(s)
+    val root = mediaLiveRoot(s, path)
     val width = storedWidth(s, path)
     val delta = videoDeltaHashes(s, d).transform(Tables.maybePersist)
     val dBands = delta.selectExpr("doc_id as delta_id",
       s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
-    val iBands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
+    val iBands = minusTombstones(s.read.parquet(s"$root/bands"), s, path)
       .selectExpr("doc_id as idx_id", "band_idx",
         s"${packedPrefixExpr("band_hash", width)} as band_hash")
     val verified = iBands
       .join(broadcast(dBands), Seq("band_idx", "band_hash"))
       .select(col("delta_id"), col("idx_id")).distinct()
-      .join(minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
+      .join(minusTombstones(s.read.parquet(s"$root/vecs"), s, path)
           .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
       .join(broadcast(delta.select(col("doc_id").as("delta_id"), col("v").as("va"))),
         Seq("delta_id"))
@@ -1892,7 +1904,8 @@ object MediaOps {
     withMediaIndexWriter(hashes0.sparkSession, path) {
       val s = hashes0.sparkSession
       Similarity.withFns(s)
-      val st = s.read.parquet(s"$path/stat")
+      val root = mediaLiveRoot(s, path) // appends fold into the LIVE version
+      val st = s.read.parquet(s"$root/stat")
         .select("width", "bands_per_doc", "priced_n").head()
       val (width, pricedN) = (st.getInt(0), st.getLong(2))
       val hashes = hashes0
@@ -1921,18 +1934,18 @@ object MediaOps {
       // (re-)admit — the latter is the right-to-be-forgotten survival
       // under at-least-once replay (the ANN merge's r17 discipline)
       val fresh = minusTombstones(
-          hashes.join(s.read.parquet(s"$path/vecs").select("doc_id"),
+          hashes.join(s.read.parquet(s"$root/vecs").select("doc_id"),
             Seq("doc_id"), "left_anti"), s, path)
         .transform(Tables.maybePersist)
       val dBands = fresh.selectExpr("doc_id as delta_id",
         s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
-      val iBands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
+      val iBands = minusTombstones(s.read.parquet(s"$root/bands"), s, path)
         .selectExpr("doc_id as idx_id", "band_idx",
           s"${packedPrefixExpr("band_hash", width)} as band_hash")
       val dupIds = iBands
         .join(broadcast(dBands), Seq("band_idx", "band_hash"))
         .select(col("delta_id"), col("idx_id")).distinct()
-        .join(minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
+        .join(minusTombstones(s.read.parquet(s"$root/vecs"), s, path)
             .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
         .join(broadcast(fresh.select(col("doc_id").as("delta_id"), col("v").as("va"))),
           Seq("delta_id"))
@@ -1948,11 +1961,11 @@ object MediaOps {
       val nFresh = fresh.count()
       val nAdmit = admit.count()
       if (nAdmit > 0) {
-        val priorPop = s.read.parquet(s"$path/vecs").count()
+        val priorPop = s.read.parquet(s"$root/vecs").count()
         admit.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
-          .write.mode("append").parquet(s"$path/bands")
+          .write.mode("append").parquet(s"$root/bands")
         admit.select(col("doc_id"), col("v"))
-          .write.mode("append").parquet(s"$path/vecs")
+          .write.mode("append").parquet(s"$root/vecs")
         // growth trigger: population doubled since the width was priced
         // → compact (which re-measures the dial and overwrites the stat)
         if (pricedN > 0 && priorPop + nAdmit >= 2 * pricedN)
@@ -2030,7 +2043,8 @@ object MediaOps {
       val marked = requests.select(col("doc_id").cast("long")).distinct()
         .join(broadcast(tombstonesOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
         .join(broadcast(pendingForgetsOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
-        .join(s.read.parquet(s"$path/vecs").select(col("doc_id"), lit(1).as("present")),
+        .join(s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs")
+            .select(col("doc_id"), lit(1).as("present")),
           Seq("doc_id"), "left")
         .localCheckpoint()
       val present = marked.filter(col("present").isNotNull).select("doc_id")
@@ -2041,40 +2055,61 @@ object MediaOps {
       n
     }
 
-  /** Scheduled compaction: rewrite vecs/bands minus the tombstoned ids
-    * (localCheckpoint breaks the read-write cycle), then RE-PRICE the
-    * band dial against the compacted population (VERDICT r17 #1). The
-    * stored keys are full-width, so re-dialing is ONE prefix-volume
-    * aggregate over `$path/bands` plus a 1-row stat overwrite — never a
-    * key rebuild; `priced_n` resets to the current population, re-arming
-    * the merge-side growth trigger. The tombstone log itself is KEPT —
-    * it is the audit artifact a compliance pipeline retains, and the
-    * merge-side replay guard needs it forever. */
+  /** Scheduled compaction, VERSIONED (r18): rewrites vecs/bands minus
+    * the tombstoned ids — defragmenting the ingest appends along the
+    * way — and RE-PRICES the band dial against the compacted population
+    * when it has GROWN past `priced_n` (VERDICT r17 #1; volume is
+    * monotone in population, so a forget-only compaction keeps the
+    * stored width). The rewrite lands in a fresh `$path/versions/v%05d`
+    * directory committed by the atomic `_COMMITTED` marker (the
+    * [[Similarity.rebuildAnnIndex]] discipline): a probe that resolved
+    * pre-commit keeps reading the old version's files end-to-end — the
+    * in-place overwrite this replaces could yank files out from under a
+    * concurrent reader — and the fresh directory removes the read-write
+    * lineage cycle, so no localCheckpoint is needed. No-ops (writes
+    * nothing) when there is nothing to compact — no live victims and no
+    * growth — so the q137 fixed-point re-run costs counts, not a corpus
+    * copy. The tombstone/pending logs stay at the PATH ROOT, shared
+    * across versions (the audit artifact a compliance pipeline retains;
+    * the merge-side replay guard needs the tombstones forever).
+    * Amortization: one corpus copy per population doubling sums
+    * geometrically to ≈ 2× the final corpus — the LSM bargain. */
   def compactMediaIndex(s: SparkSession, path: String): Unit =
     withMediaIndexWriter(s, path) {
       import s.implicits._
-      if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS")) {
-        val vecs = minusTombstones(s.read.parquet(s"$path/vecs"), s, path)
-          .localCheckpoint()
-        val bands = minusTombstones(s.read.parquet(s"$path/bands"), s, path)
-          .localCheckpoint()
-        vecs.write.mode("overwrite").parquet(s"$path/vecs")
-        bands.write.mode("overwrite").parquet(s"$path/bands")
-      }
-      val st = s.read.parquet(s"$path/stat")
-        .select("bands_per_doc", "priced_n").head()
-      val (bpd, pricedN) = (st.getInt(0), st.getLong(1))
-      val pop = s.read.parquet(s"$path/vecs").count()
-      // re-price only on GROWTH since the last pricing: volume is monotone
-      // in population, so a forget-only compaction (pop ≤ priced_n) cannot
-      // push the stored width over budget — skipping the probe (and the
-      // stat rewrite) keeps the takedown path at its pre-r18 cost, and the
-      // merge-side trigger stays armed at the width's own population.
-      if (pop > pricedN) {
-        val width2 = adaptiveBandWidth(s.read.parquet(s"$path/bands"), bpd)
+      val root = mediaLiveRoot(s, path)
+      val st = s.read.parquet(s"$root/stat")
+        .select("width", "bands_per_doc", "priced_n").head()
+      val (w0, bpd, pricedN) = (st.getInt(0), st.getInt(1), st.getLong(2))
+      val live = s.read.parquet(s"$root/vecs")
+      val victims =
+        if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
+          live.join(broadcast(tombstonesOf(s, path).select("doc_id")),
+            Seq("doc_id"), "left_semi").count()
+        else 0L
+      val pop = live.count() - victims
+      if (victims > 0 || pop > pricedN) {
+        val vecs = minusTombstones(live, s, path)
+        val bands = minusTombstones(s.read.parquet(s"$root/bands"), s, path)
+        val newRoot = s"$path/versions/${Similarity.nextVersionName(s, path)}"
+        val width2 = if (pop > pricedN) adaptiveBandWidth(bands, bpd) else w0
+        // stat first, marker last (the buildIndexFrom write-order
+        // discipline): an uncommitted version is invisible to readers
         Seq((width2, bpd, pop)).toDF("width", "bands_per_doc", "priced_n")
-          .write.mode("overwrite").parquet(s"$path/stat")
+          .write.mode("overwrite").parquet(s"$newRoot/stat")
+        vecs.write.mode("overwrite").parquet(s"$newRoot/vecs")
+        bands.write.mode("overwrite").parquet(s"$newRoot/bands")
+        Similarity.hadoopFs(s, path).create(
+          new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED"), false).close()
       }
+    }
+
+  /** Keep-N version GC at media grain — [[Similarity]]'s prune over this
+    * family's flat artifacts (the root logs are never touched: the
+    * tombstones are the audit trail and the merge-side replay guard). */
+  def pruneMediaIndexVersions(s: SparkSession, path: String, keep: Int = 2): Long =
+    withMediaIndexWriter(s, path) {
+      Similarity.pruneVersions(s, path, keep, Seq("vecs", "bands", "stat"))
     }
 
   /** The q137 gate row: lazy build → forget the doc_id % 7 = 3 victims
@@ -2084,10 +2119,12 @@ object MediaOps {
     if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
       buildMediaIndex(s, d, path)
     forgetMediaFromIndex(
-      s.read.parquet(s"$path/vecs").select("doc_id").filter("doc_id % 7 = 3"), path)
+      s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs")
+        .select("doc_id").filter("doc_id % 7 = 3"), path)
     compactMediaIndex(s, path)
-    s.read.parquet(s"$path/vecs").agg(count(lit(1)).as("n_kept"))
-      .crossJoin(s.read.parquet(s"$path/bands").agg(count(lit(1)).as("n_kept_bands")))
+    val root = mediaLiveRoot(s, path) // post-compact: the new version
+    s.read.parquet(s"$root/vecs").agg(count(lit(1)).as("n_kept"))
+      .crossJoin(s.read.parquet(s"$root/bands").agg(count(lit(1)).as("n_kept_bands")))
       .crossJoin(tombstonesOf(s, path).agg(count(lit(1)).as("n_tombstones")))
   }
 

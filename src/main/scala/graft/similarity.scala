@@ -4059,7 +4059,7 @@ object Similarity {
   // build's artifacts at the root — implicitly version 1).
   // ---------------------------------------------------------------------
 
-  private def hadoopFs(s: SparkSession, path: String) =
+  private[graft] def hadoopFs(s: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -4082,7 +4082,7 @@ object Similarity {
   /** Next version directory name: one past the highest present (committed
     * OR in-flight — a crashed rebuild's uncommitted directory is never
     * reused). The flat root counts as version 1. */
-  private def nextVersionName(s: SparkSession, path: String): String = {
+  private[graft] def nextVersionName(s: SparkSession, path: String): String = {
     val fs = hadoopFs(s, path)
     val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
     val highest =
@@ -4479,7 +4479,15 @@ object Similarity {
     * trail). Never touches the live version. Returns the number of
     * retired version roots. */
   def pruneAnnIndexVersions(s: SparkSession, path: String, keep: Int = 2): Long =
-      withIndexWriter(s, path) {
+    withIndexWriter(s, path) {
+      pruneVersions(s, path, keep, Seq("assignments", "centroids", "cellstat"))
+    }
+
+  /** The family-agnostic prune body (the media index shares it with its
+    * own flat-artifact list). Callers hold their writer lock + intent
+    * marker. */
+  private[graft] def pruneVersions(s: SparkSession, path: String, keep: Int,
+                                   flatArtifacts: Seq[String]): Long = {
     require(keep >= 1, s"keep must be >= 1: $keep")
     val fs = hadoopFs(s, path)
     val vdir = new org.apache.hadoop.fs.Path(s"$path/versions")
@@ -4504,9 +4512,10 @@ object Similarity {
         // the flat root (implicit v1) retires once the keep window is
         // filled by committed versions
         if (committed.size >= keep &&
-            fs.exists(new org.apache.hadoop.fs.Path(s"$path/assignments"))) {
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/assignments"), true)
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true): Unit
+            fs.exists(new org.apache.hadoop.fs.Path(s"$path/${flatArtifacts.head}"))) {
+          flatArtifacts.foreach { a =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$a"), true): Unit
+          }
           n += 1
         }
         n

@@ -872,9 +872,10 @@ class ExtensionsSpec extends SparkSpec {
     assert(after.getLong(1) < probe.head.getLong(1),
       "takedown did not reduce the victim delta's match count")
     MediaOps.compactMediaIndex(spark, path)
-    assert(spark.read.parquet(s"$path/vecs")
+    val live = MediaOps.mediaLiveRoot(spark, path)
+    assert(spark.read.parquet(s"$live/vecs")
       .filter(col("doc_id") === victim).count() == 0)
-    assert(spark.read.parquet(s"$path/vecs").count() == nIdx - 1)
+    assert(spark.read.parquet(s"$live/vecs").count() == nIdx - 1)
   }
 
   test("q139: the video-grain standing index — 12-band layout, frame-aligned verify, forget lifecycle (r17)") {
@@ -900,7 +901,8 @@ class ExtensionsSpec extends SparkSpec {
       .filter(col("delta_id") === victim + 40000L).head()
     assert(after.getLong(1) == 1, "takedown did not remove the victim match")
     MediaOps.compactMediaIndex(spark, path)
-    assert(spark.read.parquet(s"$path/bands").count() == (nIdx - 1) * 12)
+    assert(spark.read.parquet(
+      s"${MediaOps.mediaLiveRoot(spark, path)}/bands").count() == (nIdx - 1) * 12)
   }
 
   test("q132: the standing-lexical-index probe == the from-scratch q129, bit-identical (r15)") {

@@ -1344,7 +1344,8 @@ class StreamingSpec extends SparkSpec {
       assert(MediaOps.forgetMediaFromIndex(
         Seq(950001L).toDF("doc_id"), path) == 0L, "re-delivery must no-op")
       MediaOps.compactMediaIndex(spark, path)
-      assert(spark.read.parquet(s"$path/vecs").count() == vecs0)
+      assert(spark.read.parquet(
+        s"${MediaOps.mediaLiveRoot(spark, path)}/vecs").count() == vecs0)
     } finally spark.conf.unset("spark.graft.persist")
   }
 
@@ -1405,12 +1406,16 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/vecs")
       .filter("doc_id = 910002").count() == 1,
       "fresh submission of forgotten content was refused")
-    // compaction makes the deletion physical; the log is kept
+    // compaction makes the deletion physical (in a NEW committed
+    // version — the flat artifacts stay for in-flight readers); the
+    // log is kept at the root
     MediaOps.compactMediaIndex(spark, path)
-    assert(spark.read.parquet(s"$path/vecs")
+    val live = MediaOps.mediaLiveRoot(spark, path)
+    assert(live != path, "compaction with live victims must version")
+    assert(spark.read.parquet(s"$live/vecs")
       .filter("doc_id = 910001").count() == 0)
-    assert(spark.read.parquet(s"$path/vecs").count() == vecs0 + 1)
-    assert(spark.read.parquet(s"$path/bands").count() == (vecs0 + 1) * 4)
+    assert(spark.read.parquet(s"$live/vecs").count() == vecs0 + 1)
+    assert(spark.read.parquet(s"$live/bands").count() == (vecs0 + 1) * 4)
     assert(MediaOps.tombstonesOf(spark, path).count() == 1, "audit log lost")
   }
 
@@ -2597,7 +2602,8 @@ class StreamingSpec extends SparkSpec {
     // growth-triggered compaction re-measured the dial and widened it
     assert(MediaOps.storedWidth(spark, path) == 32,
       s"dial did not re-price after 2x growth (width ${MediaOps.storedWidth(spark, path)})")
-    val stat = spark.read.parquet(s"$path/stat").head()
+    val stat = spark.read.parquet(
+      s"${MediaOps.mediaLiveRoot(spark, path)}/stat").head()
     assert(stat.getLong(2) == 320L, s"priced_n must reset to the re-priced population")
     // candidate volume collapses at the re-priced width...
     val candAfter = MediaOps.probeCandidates(delta, path).count()
@@ -2772,6 +2778,49 @@ class StreamingSpec extends SparkSpec {
     assert(Similarity.rebuildReport(spark, path).count() > 0)
     // idempotent: a second prune retires nothing further
     assert(Similarity.pruneAnnIndexVersions(spark, path, keep = 2) == 0L)
+  }
+
+  test("media compaction is versioned: the old artifact stays for in-flight readers, merges fold into the live version, GC retires the tail (r18)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mversion").toString
+    MediaOps.buildIndexFrom(dialHashes(0 until 20, 4), path)
+    // nothing to compact -> no version is minted (the fixed-point cost)
+    MediaOps.compactMediaIndex(spark, path)
+    assert(MediaOps.mediaLiveRoot(spark, path) == path)
+    // a takedown then a compaction: the rewrite lands in a COMMITTED
+    // version; the flat artifacts are left byte-for-byte for a probe
+    // that resolved pre-commit
+    assert(MediaOps.forgetMediaFromIndex(Seq(3L).toDF("doc_id"), path) == 1L)
+    MediaOps.compactMediaIndex(spark, path)
+    val v2 = MediaOps.mediaLiveRoot(spark, path)
+    assert(v2 == s"$path/versions/v00002", s"live root $v2")
+    assert(spark.read.parquet(s"$path/vecs").count() == 20,
+      "pre-compact artifact must stay intact for in-flight readers")
+    assert(spark.read.parquet(s"$v2/vecs").count() == 19)
+    // probes resolve the live version: the tombstoned doc is gone
+    // physically, and a twin of a survivor still verifies
+    val twin = dialHashes(7 to 7, 4).selectExpr("doc_id + 900000 as doc_id", "v", "bk")
+    val hit = MediaOps.probeStoredIndexWith(twin, path)
+      .filter("delta_id = 900007").head()
+    assert(!hit.getBoolean(3), "survivor twin lost after versioned compact")
+    // a re-run with nothing new is a no-op (no version churn)
+    MediaOps.compactMediaIndex(spark, path)
+    assert(MediaOps.mediaLiveRoot(spark, path) == v2)
+    // merges append into the LIVE version, not the retired flat root
+    val (a, _) = MediaOps.mergeHashesIntoIndex(dialHashes(50 to 50, 4), path, "image")
+    assert(a == 1L)
+    assert(spark.read.parquet(s"$v2/vecs").filter("doc_id = 50").count() == 1)
+    assert(spark.read.parquet(s"$path/vecs").count() == 20, "merge touched the retired root")
+    // keep-N GC at media grain: force a second version, then prune
+    assert(MediaOps.forgetMediaFromIndex(Seq(5L).toDF("doc_id"), path) == 1L)
+    MediaOps.compactMediaIndex(spark, path) // -> v00003
+    val v3 = MediaOps.mediaLiveRoot(spark, path)
+    assert(v3 == s"$path/versions/v00003")
+    assert(MediaOps.pruneMediaIndexVersions(spark, path, keep = 2) == 1L,
+      "prune must retire exactly the flat root (v2 is the keep buffer)")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/vecs")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$v2/vecs")))
+    assert(MediaOps.tombstonesOf(spark, path).count() == 2, "root audit log lost")
+    assert(MediaOps.probeStoredIndexWith(twin, path).count() == 1)
   }
 
   test("pending-forget set: a takedown delivered before its id's first admit is honored at arrival and survives replay (r18, r17 advice #5)") {
