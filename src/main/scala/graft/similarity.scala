@@ -4589,6 +4589,116 @@ object Similarity {
       .head().getLong(0)
   }
 
+  /** The drift check as an auditable per-cell report (q141 — the q125
+    * output discipline at index grain): (c_label, n_ref, n_cur,
+    * term_micro, psi, needs_refit). The gate row runs it on a drifted
+    * index (build + q134 merge, NO rebuild) so the oracle certifies the
+    * exact statistic [[maybeRebuildAnnIndex]] acts on. */
+  def annIndexDriftReport(s: SparkSession, path: String,
+                          psiMicroThreshold: Long = 200000L): DataFrame = {
+    val root = resolveIndexRoot(s, path)
+    val ref = s.read.parquet(s"$root/cellstat")
+      .selectExpr("c_label", "n as n_ref")
+    val cur = s.read.parquet(s"$root/assignments")
+      .groupBy("c_label").agg(count(lit(1)).as("n_cur"))
+    val dense = s.read.parquet(s"$root/centroids").select("c_label")
+      .join(broadcast(ref), Seq("c_label"), "left")
+      .join(broadcast(cur), Seq("c_label"), "left")
+      .selectExpr("c_label", "coalesce(n_ref, 0L) as n_ref",
+        "coalesce(n_cur, 0L) as n_cur")
+      .transform(Tables.maybePersist)
+    val k = dense.count()
+    val tot = dense.agg(sum(col("n_ref")).as("ta"), sum(col("n_cur")).as("tb"))
+    val terms = dense.crossJoin(broadcast(tot))
+      .selectExpr("c_label", "n_ref", "n_cur",
+        s"""cast(floor((
+           |  (n_cur + 1) / cast(tb + $k as double)
+           |  - (n_ref + 1) / cast(ta + $k as double))
+           |  * ln(((n_cur + 1) / cast(tb + $k as double))
+           |       / ((n_ref + 1) / cast(ta + $k as double)))
+           |  * 1e6 + 0.5) as bigint) as term_micro"""
+          .stripMargin.replace("\n", " "))
+      .transform(Tables.maybePersist)
+    val psi = terms.agg(sum(col("term_micro")).as("psi_micro"))
+    terms.crossJoin(broadcast(psi))
+      .selectExpr("c_label", "n_ref", "n_cur", "term_micro / 1e6 as term",
+        "psi_micro / 1e6 as psi", s"psi_micro >= ${psiMicroThreshold}L as needs_refit")
+      .orderBy("c_label")
+  }
+
+  /** The q141 gate chain: lazy build → q134's drifted-delta merge → the
+    * drift report the auto-refit acts on (no rebuild — this row
+    * certifies the PRE-refit statistic; q140 certifies the refit). */
+  def annIndexDriftCheck(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ScratchPaths.indexPathFor(
+      s"q141-${graft.ScratchPaths.tableFingerprint(d, "embeddings")}", d)
+    if (!graft.ScratchPaths.artifactExists(s, s"$path/assignments/_SUCCESS")) {
+      buildAnnIndex(s, d, path)
+      mergeDeltaIntoIndex(annDelta(s, d), path)
+    }
+    annIndexDriftReport(s, path)
+  }
+
+  val annIndexDriftCheckSql: String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    def dotEC(e: String, c: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($e) + 1),
+         |i -> $e[i]::DOUBLE * $c[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    def normC(c: String) =
+      s"""sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($c) + 1),
+         |i -> $c[i] * $c[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+       |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
+       |  FROM d GROUP BY label, dim),
+       |c AS (SELECT label AS c_label, list(cv ORDER BY dim) AS centroid
+       |  FROM s GROUP BY label),
+       |asg AS (SELECT vec_id, c_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY
+       |    (${dotEC("e.embedding", "c.centroid")})
+       |      / (sqrt(${dot("e.embedding", "e.embedding")}) * ${normC("c.centroid")}) DESC,
+       |    c_label) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |idx AS (SELECT vec_id, c_label FROM asg WHERE rn = 1),
+       |delta AS (
+       |  SELECT vec_id + 100000 AS vec_id, list_transform(range(1, len(embedding) + 1),
+       |      i -> (embedding[i]::DOUBLE + CASE WHEN (i - 1) % 7 = 0 THEN 0.01 ELSE 0.0 END)::FLOAT) AS embedding
+       |    FROM embeddings WHERE vec_id % 40 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, list_reverse(embedding)
+       |    FROM embeddings WHERE vec_id % 40 = 20),
+       |dr AS (SELECT vec_id, c_label FROM (
+       |  SELECT e.vec_id, c.c_label, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |      (${dotEC("e.embedding", "c.centroid")})
+       |        / (sqrt(${dot("e.embedding", "e.embedding")}) * ${normC("c.centroid")}) DESC,
+       |      c_label) AS rn
+       |    FROM delta e CROSS JOIN c) WHERE rn = 1),
+       |ref AS (SELECT c_label, COUNT(*)::BIGINT AS n_ref FROM idx GROUP BY c_label),
+       |cur AS (SELECT c_label, COUNT(*)::BIGINT AS n_cur FROM (
+       |  SELECT c_label FROM idx UNION ALL SELECT c_label FROM dr) GROUP BY c_label),
+       |dense AS (SELECT c.c_label, coalesce(ref.n_ref, 0) AS n_ref,
+       |    coalesce(cur.n_cur, 0) AS n_cur
+       |  FROM (SELECT c_label FROM c) c
+       |  LEFT JOIN ref ON ref.c_label = c.c_label
+       |  LEFT JOIN cur ON cur.c_label = c.c_label),
+       |kk AS (SELECT COUNT(*)::BIGINT AS k FROM dense),
+       |t AS (SELECT SUM(n_ref)::BIGINT AS ta, SUM(n_cur)::BIGINT AS tb FROM dense),
+       |terms AS (SELECT c_label, n_ref, n_cur,
+       |    floor((
+       |      (n_cur + 1) / ((tb + k)::DOUBLE)
+       |      - (n_ref + 1) / ((ta + k)::DOUBLE))
+       |      * ln(((n_cur + 1) / ((tb + k)::DOUBLE))
+       |           / ((n_ref + 1) / ((ta + k)::DOUBLE)))
+       |      * 1e6 + 0.5)::BIGINT AS term_micro
+       |  FROM dense, t, kk),
+       |p AS (SELECT SUM(term_micro)::BIGINT AS psi_micro FROM terms)
+       |SELECT c_label, n_ref, n_cur, term_micro / 1e6 AS term,
+       |  psi_micro / 1e6 AS psi, psi_micro >= 200000 AS needs_refit
+       |FROM terms, p ORDER BY c_label""".stripMargin
+  }
+
   /** DRIFT-GATED AUTO-REFIT (r18): the wiring between q125's dial and
     * q140's operator — checks the live population's PSI against the
     * fit-time frame and rebuilds when it crosses the threshold (q125's
@@ -5602,6 +5712,9 @@ object Similarity {
     // in the rebuilt version (lazy; rebuild once per process; the
     // report is a pure read — re-runs are fixed points)
     "q140_ann_index_rebuild" -> ((s, d) => annIndexRebuild(s, d)),
+    // q141 certifies the PRE-refit drift statistic the auto-refit acts
+    // on (its own drifted index copy: build + merge, no rebuild)
+    "q141_ann_drift_check" -> ((s, d) => annIndexDriftCheck(s, d)),
     // q133 probes BOTH standing indexes (each built lazily once per
     // process — the q102/q119/q126/q132 gate pattern)
     "q133_hybrid_index_probe" -> ((s, d) => {
@@ -5658,5 +5771,6 @@ object Similarity {
     "q134_ann_index_merge" -> annIndexMergeSql,
     "q135_index_forget" -> annIndexForgetSql,
     "q140_ann_index_rebuild" -> annIndexRebuildSql,
+    "q141_ann_drift_check" -> annIndexDriftCheckSql,
   )
 }

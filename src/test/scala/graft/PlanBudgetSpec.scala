@@ -471,6 +471,9 @@ object PlanBudgetSpec {
     // rebuild itself ran at build time, its Lloyd rounds shuffling only
     // k decimal buffers per task)
     "q140_ann_index_rebuild" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q141 (r18): the drift report — k-row dense frame + broadcast
+    // totals; the build/merge ran at artifact time
+    "q141_ann_drift_check" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
     // q135 (r15): forget — rewrite at build time; the measured plan is
     // the post-delete report (artifact counts joined to tombstone
     // counts — two keyed counts + one small join)
