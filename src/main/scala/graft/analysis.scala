@@ -2907,7 +2907,7 @@ object TextAnalysis {
     // process — the q102/q119/q126 gate pattern); q132b is the build
     "q132_lex_index_probe" -> ((s, d) => {
       val path = lexIndexPathFor(d)
-      if (!new java.io.File(s"$path/postings/_SUCCESS").exists())
+      if (!ScratchPaths.artifactExists(s, s"$path/postings/_SUCCESS"))
         buildLexIndex(s, d, path)
       lexIndexProbeStored(s, d, path)
     }),

@@ -96,8 +96,20 @@ private[graft] object ScratchPaths {
     * i.e. a crashed driver — is stolen. Marker ops ride the Hadoop
     * FileSystem (exclusive create is atomic on HDFS; on object stores
     * without it the guard degrades to best-effort detection — still
-    * strictly better than silent corruption). Same-process re-entry
-    * (merge-triggered compaction) sees its OWN owner id and renews. */
+    * strictly better than silent corruption).
+    *
+    * RE-ENTRY + RELEASE DISCIPLINE (r19, advisor): same-process nested
+    * re-entry (a merge that triggers compaction) is tracked by an
+    * in-JVM depth counter — only the OUTERMOST frame touches the
+    * marker, so an inner exit can no longer strip the outer writer's
+    * protection. And release re-reads the marker before deleting,
+    * removing it only when owner AND epoch still match what this frame
+    * wrote: a writer whose body outlived the TTL and was stolen leaves
+    * the stealing driver's live marker intact instead of silently
+    * disabling the guard for a third driver. */
+  private val intentDepth =
+    scala.collection.mutable.Map.empty[String, (Int, String)] // path -> (depth, stamp)
+
   def withWriteIntent[T](s: SparkSession, path: String)(body: => T): T = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_writer.lock")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -106,28 +118,57 @@ private[graft] object ScratchPaths {
     val ttl = s.conf.getOption("spark.graft.writerIntentTtlMs")
       .map(_.toLong).getOrElse(600000L)
     val now = System.currentTimeMillis()
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val raw = try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-      val (owner, epoch) = raw.trim.split(' ') match {
-        case Array(o, e) => (o, e.toLong)
-        case _           => ("?", 0L) // unparseable = treat as stale
+    val reentered = intentDepth.synchronized {
+      intentDepth.get(path) match {
+        case Some((d, st)) => intentDepth(path) = (d + 1, st); true
+        case None          => false
       }
-      if (owner != self && now - epoch < ttl)
-        throw new IllegalStateException(
-          s"index $path has a live writer $owner (epoch $epoch, ttl $ttl ms): " +
-          "single-writer-per-path contract violated — refusing to write")
-      fs.delete(marker, false) // own re-entry renews; stale foreign steals
     }
-    val out = fs.create(marker, false) // exclusive: racing stealers fail loudly
-    try out.write(s"$self $now".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try body
-    finally { try fs.delete(marker, false): Unit catch { case _: Exception => () } }
+    if (reentered) {
+      try body
+      finally intentDepth.synchronized {
+        intentDepth(path) match {
+          case (d, st) if d > 1 => intentDepth(path) = (d - 1, st)
+          case _                => intentDepth.remove(path): Unit
+        }
+      }
+    } else {
+      if (fs.exists(marker)) {
+        val raw = readMarker(fs, marker)
+        val (owner, epoch) = raw.trim.split(' ') match {
+          case Array(o, e) => (o, e.toLong)
+          case _           => ("?", 0L) // unparseable = treat as stale
+        }
+        if (owner != self && now - epoch < ttl)
+          throw new IllegalStateException(
+            s"index $path has a live writer $owner (epoch $epoch, ttl $ttl ms): " +
+            "single-writer-per-path contract violated — refusing to write")
+        fs.delete(marker, false) // own leftover renews; stale foreign steals
+      }
+      val stamp = s"$self $now"
+      val out = fs.create(marker, false) // exclusive: racing stealers fail loudly
+      try out.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      intentDepth.synchronized { intentDepth(path) = (1, stamp) }
+      try body
+      finally {
+        intentDepth.synchronized { intentDepth.remove(path): Unit }
+        try { // release only what we still own: a stolen marker is not ours
+          if (fs.exists(marker) && readMarker(fs, marker).trim == stamp)
+            fs.delete(marker, false): Unit
+        } catch { case _: Exception => () }
+      }
+    }
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         marker: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(marker)
+    try {
+      val buf = new Array[Byte](256)
+      val n = in.read(buf)
+      new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** A persisted per-(tag, dir) integer statistic — the standing-
@@ -1577,7 +1618,7 @@ object Dedup {
     // the band rows read BACK from the artifact).
     "q102_incremental_dedup" -> ((s, d) => {
       val path = indexPathFor(d)
-      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+      if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
         buildDedupIndex(s, d, path)
       incrementalDedupStored(s, d, path)
     }),

@@ -141,7 +141,20 @@ object Enrich {
     * the driver after any action, visible in the UI), never by failing
     * the job. A dead client is dropped and re-minted lazily, so one
     * poisoned record costs its retries but the partition's surviving
-    * records keep the connection-per-partition amortization. */
+    * records keep the connection-per-partition amortization.
+    *
+    * A `null` RETURN from the client counts as a failed attempt exactly
+    * like a thrown exception (the client is dropped and re-minted) —
+    * otherwise a backend that signals failure by returning null instead
+    * of throwing would spin the retry loop forever and pin the executor
+    * slot.
+    *
+    * Accumulator contract: Spark accumulators inside transformations are
+    * AT-LEAST-ONCE — task retries, speculative duplicates, and a second
+    * action on the returned Dataset each re-add. Read `errored` as an
+    * operational signal after exactly ONE action; for an exact count,
+    * derive it from the data (`filter($"reply" === sentinel).count()`),
+    * which is what the failure-injection spec pins. */
   def enrichOnlineSafe(reqs: Dataset[PromptRequest],
                        mkClient: () => String => String,
                        maxConcurrency: Int,
@@ -166,6 +179,10 @@ object Enrich {
           try {
             if (client == null) client = mkClient()
             reply = client(prompt)
+            if (reply == null) { // null return == failure: same discipline as a throw
+              client = null
+              attempt += 1
+            }
           } catch {
             case scala.util.control.NonFatal(_) =>
               client = null // broken connection: re-mint on the next try

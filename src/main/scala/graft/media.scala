@@ -1522,6 +1522,15 @@ object MediaOps {
   private[graft] def mediaLiveRoot(s: SparkSession, path: String): String =
     Similarity.resolveIndexRoot(s, path)
 
+  /** Lazy-build gate: the index exists when its flat artifacts are
+    * present OR any committed version is — keep-N GC retires the flat
+    * root once the version window fills (r19), so keying "built" on the
+    * flat bands/_SUCCESS alone would silently rebuild a live versioned
+    * index from scratch. */
+  private[graft] def mediaIndexExists(s: SparkSession, path: String): Boolean =
+    ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS") ||
+      mediaLiveRoot(s, path) != path
+
   /** Once-per-life build from any (doc_id, v, bk) hash frame: vecs +
     * FULL-width band keys, plus a 1-row stat artifact carrying the
     * volume-dialed width, the family's bands-per-doc, and the population
@@ -1556,8 +1565,15 @@ object MediaOps {
   /** The stored dial width of an index artifact (the stat's first leg —
     * every probe/merge reads the width through here). */
   private[graft] def storedWidth(s: SparkSession, path: String): Int =
-    s.read.parquet(s"${mediaLiveRoot(s, path)}/stat")
-      .select("width").head().getInt(0)
+    storedWidthAt(s, mediaLiveRoot(s, path))
+
+  /** [[storedWidth]] against an ALREADY-RESOLVED version root — probes
+    * resolve the live root exactly once at plan assembly (r19 advice: a
+    * compaction committing mid-plan must not mix versions within one
+    * probe, the resolve-once discipline `probeAnnIndex` pins) and thread
+    * the resolved root into every artifact read. */
+  private[graft] def storedWidthAt(s: SparkSession, root: String): Int =
+    s.read.parquet(s"$root/stat").select("width").head().getInt(0)
 
   /** q136b: the IMAGE-grain index (q107's hash frame — base + twins,
     * the admitted population). */
@@ -1646,9 +1662,17 @@ object MediaOps {
     * measure candidate volume before/after a dial re-price. */
   private[graft] def probeCandidates(delta: DataFrame, path: String): DataFrame = {
     val s = delta.sparkSession
-    Similarity.withFns(s)
     val root = mediaLiveRoot(s, path)
-    val width = storedWidth(s, path)
+    probeCandidatesAt(delta, path, root, storedWidthAt(s, root))
+  }
+
+  /** [[probeCandidates]] with the version root and width ALREADY
+    * resolved — the resolve-once inner form every multi-read probe
+    * threads through. */
+  private[graft] def probeCandidatesAt(delta: DataFrame, path: String,
+                                       root: String, width: Int): DataFrame = {
+    val s = delta.sparkSession
+    Similarity.withFns(s)
     val dBands = delta.selectExpr("doc_id as delta_id",
       s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
     val iBands = minusTombstones(s.read.parquet(s"$root/bands"), s, path)
@@ -1663,10 +1687,14 @@ object MediaOps {
   def probeStoredIndexWith(delta0: DataFrame, path: String): DataFrame = {
     val s = delta0.sparkSession
     Similarity.withFns(s)
+    // resolve the live version ONCE: a compaction committing mid-plan
+    // must never mix versions inside one probe (old bands joined against
+    // new vecs) — the probeAnnIndex resolve-once discipline (r19 advice)
+    val root = mediaLiveRoot(s, path)
     val delta = delta0.transform(Tables.maybePersist)
-    val cand = probeCandidates(delta, path)
+    val cand = probeCandidatesAt(delta, path, root, storedWidthAt(s, root))
     val verified = cand
-      .join(minusTombstones(s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs"), s, path)
+      .join(minusTombstones(s.read.parquet(s"$root/vecs"), s, path)
           .select(col("doc_id").as("idx_id"), col("v").as("vb")), Seq("idx_id"))
       .join(broadcast(delta.select(col("doc_id").as("delta_id"), col("v").as("va"))),
         Seq("delta_id"))
@@ -1729,8 +1757,8 @@ object MediaOps {
     * within Hamming 6) instead of scalar Hamming. */
   def videoIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame = {
     Similarity.withFns(s)
-    val root = mediaLiveRoot(s, path)
-    val width = storedWidth(s, path)
+    val root = mediaLiveRoot(s, path) // resolved ONCE for bands+vecs+stat
+    val width = storedWidthAt(s, root)
     val delta = videoDeltaHashes(s, d).transform(Tables.maybePersist)
     val dBands = delta.selectExpr("doc_id as delta_id",
       s"posexplode(transform(bk, x -> ${packedPrefixExpr("x", width)})) as (band_idx, band_hash)")
@@ -1923,7 +1951,19 @@ object MediaOps {
             Seq("doc_id"), "left_semi")
           .localCheckpoint()
         if (!delivered.isEmpty) {
-          delivered.write.mode("append").parquet(s"$path/tombstones")
+          // crash-replay guard (r19 advice): the two writes below are
+          // not atomic — a crash between them leaves the id in BOTH
+          // logs, and the replayed batch would append a duplicate
+          // tombstone row (inflating n_tombstones in the q137 report).
+          // Anti-join against the tombstones already present, so the
+          // replay appends nothing and only the pending consume (the
+          // write the crash lost) re-runs.
+          val novel = delivered
+            .join(broadcast(tombstonesOf(s, path).select("doc_id")),
+              Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          if (!novel.isEmpty)
+            novel.write.mode("append").parquet(s"$path/tombstones")
           pendingForgetsOf(s, path)
             .join(broadcast(delivered), Seq("doc_id"), "left_anti")
             .localCheckpoint()
@@ -2101,6 +2141,11 @@ object MediaOps {
         bands.write.mode("overwrite").parquet(s"$newRoot/bands")
         Similarity.hadoopFs(s, path).create(
           new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED"), false).close()
+        // keep-N GC after the marker lands (VERDICT r18 #3): growth-
+        // triggered compactions under a sustained ingest stream must not
+        // accumulate versions × corpus on disk unattended
+        Similarity.pruneVersions(s, path, Similarity.keepVersions(s),
+          Seq("vecs", "bands", "stat")): Unit
       }
     }
 
@@ -2116,7 +2161,7 @@ object MediaOps {
     * → compact → certify BOTH post-delete artifacts against the log. */
   def mediaIndexForget(s: SparkSession, d: String): DataFrame = {
     val path = mediaIndexScratch("q137", d)
-    if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
+    if (!mediaIndexExists(s, path))
       buildMediaIndex(s, d, path)
     forgetMediaFromIndex(
       s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs")
@@ -2338,7 +2383,7 @@ object MediaOps {
     "q117_crossmodal"    -> ((s, d) => crossModalAudit(s, d)),
     "q136_media_index_probe" -> ((s, d) => {
       val path = mediaIndexPathFor(d)
-      if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
+      if (!mediaIndexExists(s, path))
         buildMediaIndex(s, d, path)
       mediaIndexProbeStored(s, d, path)
     }),
@@ -2349,7 +2394,7 @@ object MediaOps {
     "q137_media_index_forget" -> ((s, d) => mediaIndexForget(s, d)),
     "q138_audio_index_probe" -> ((s, d) => {
       val path = mediaIndexScratch("q138", d)
-      if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
+      if (!mediaIndexExists(s, path))
         buildAudioIndex(s, d, path)
       audioIndexProbeStored(s, d, path)
     }),
@@ -2360,7 +2405,7 @@ object MediaOps {
     }),
     "q139_video_index_probe" -> ((s, d) => {
       val path = mediaIndexScratch("q139", d)
-      if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
+      if (!mediaIndexExists(s, path))
         buildVideoIndex(s, d, path)
       videoIndexProbeStored(s, d, path)
     }),

@@ -3937,7 +3937,9 @@ object Similarity {
     val path = resolveIndexRoot(s, path0)
     annProbe(delta,
       s.read.parquet(s"$path/centroids"),
-      s.read.parquet(s"$path/assignments"))
+      // live rows only: deletion is lazy (r19) — a forgotten vector must
+      // never surface as a neighbour before compaction makes it physical
+      liveAssignments(s, path))
   }
 
   /** The same probe over in-memory frames (no artifact) — the spec pins
@@ -4079,6 +4081,42 @@ object Similarity {
     }
   }
 
+  /** The takedown tombstone log of a RESOLVED version root — empty frame
+    * when the log does not exist (the gate fixture path). */
+  private[graft] def annTombstonesOf(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    if (graft.ScratchPaths.artifactExists(s, s"$root/tombstones/_SUCCESS"))
+      s.read.parquet(s"$root/tombstones")
+    else Seq.empty[Long].toDF("vec_id")
+  }
+
+  /** Anti-join `df` against the version root's tombstone log on vec_id —
+    * LAZY DELETION (r19, VERDICT r18 #2): [[forgetVictimIdsFrom]] no
+    * longer rewrites live cells in place (a concurrent probe whose plan
+    * listed files pre-overwrite could have them yanked mid-read); it
+    * only appends to the log, EVERY reader subtracts it here, and the
+    * versioned rebuild makes deletion physical. Skipped when no log
+    * exists, so the untouched-index read path pays nothing. */
+  private[graft] def minusAnnTombstones(df: DataFrame, s: SparkSession,
+                                        root: String): DataFrame =
+    if (graft.ScratchPaths.artifactExists(s, s"$root/tombstones/_SUCCESS"))
+      df.join(broadcast(annTombstonesOf(s, root).select("vec_id")),
+        Seq("vec_id"), "left_anti")
+    else df
+
+  /** The LIVE rows of a resolved version root's assignments — the stored
+    * artifact minus the tombstone log. */
+  private[graft] def liveAssignments(s: SparkSession, root: String): DataFrame =
+    minusAnnTombstones(s.read.parquet(s"$root/assignments"), s, root)
+
+  /** Lazy-build gate: an index exists when its flat artifacts are present
+    * OR any committed version does — keep-N GC retires the flat root once
+    * the version window fills (r19), so keying "built" on the flat
+    * `_SUCCESS` alone would silently rebuild a live versioned index. */
+  private[graft] def annIndexExists(s: SparkSession, path: String): Boolean =
+    graft.ScratchPaths.artifactExists(s, s"$path/assignments/_SUCCESS") ||
+      resolveIndexRoot(s, path) != path
+
   /** Next version directory name: one past the highest present (committed
     * OR in-flight — a crashed rebuild's uncommitted directory is never
     * reused). The flat root counts as version 1. */
@@ -4112,11 +4150,7 @@ object Similarity {
     // at-least-once sources can repeat a vec_id WITHIN one micro-batch;
     // without dropDuplicates the copies all pass the stored-index
     // anti-join below and insert duplicate rows (r15 advice)
-    val admitted =
-      if (graft.ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
-        deduped.join(s.read.parquet(s"$path/tombstones").select("vec_id"),
-          Seq("vec_id"), "left_anti")
-      else deduped
+    val admitted = minusAnnTombstones(deduped, s, path)
     val routed = routeAnnDelta(admitted,
       s.read.parquet(s"$path/centroids"))
     val labelT = assignments.schema("label").dataType.sql
@@ -4125,31 +4159,34 @@ object Similarity {
     // affected cells only (≤ |delta| values — driver-sized)
     val hit = newRows.select("c_label").distinct().collect().map(_.get(0))
     if (hit.isEmpty) return
-    val affected = assignments.filter(col("c_label").isin(hit: _*))
-    val cols = Seq("vec_id", "label", "embedding", "nrm", "c_label")
-    val merged = affected.selectExpr(cols: _*)
-      .unionByName(
-        // idempotence: rows already merged anti-join away
-        newRows.join(affected.select("vec_id"), Seq("vec_id"), "left_anti")
-          .selectExpr(cols: _*))
-      // break lineage: the write overwrites the very path being read
+    // APPEND-ONLY fold (r19, VERDICT r18 #2): the merge writes NEW files
+    // into the touched cells' partition directories and never rewrites
+    // or deletes a stored one — a concurrent probe whose plan listed
+    // files pre-merge keeps every listed file end-to-end (the in-place
+    // dynamic-partition overwrite this replaces could yank them
+    // mid-read). Idempotence: already-present ids anti-join away
+    // against the cell-pruned id scan (routing is deterministic under
+    // the frozen codebook, so a replayed id always probes the cell it
+    // landed in); replays therefore append nothing. Fragmentation from
+    // repeated appends is the LSM bargain — [[rebuildAnnIndex]] is the
+    // compaction that rewrites cells contiguously.
+    val affectedIds = assignments.filter(col("c_label").isin(hit: _*))
+      .select("vec_id")
+    val fresh = newRows
+      .join(affectedIds, Seq("vec_id"), "left_anti")
+      // break lineage: the append writes the very path being read
       .localCheckpoint()
-    // overwrite mode is a PER-WRITE option, not a session-conf mutation:
-    // set/restore on the shared conf can interleave across concurrent
-    // merges/forgets (annIngestStream foreachBatch alongside a batch
-    // q134/q135) so one write executes after the other restores 'static',
-    // truncating every untouched partition (r15 advice)
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("c_label").parquet(s"$path/assignments")
+    if (!fresh.isEmpty)
+      fresh.write.mode("append")
+        .partitionBy("c_label").parquet(s"$path/assignments")
   }
 
   def mergeAnnIndex(s: SparkSession, d: String, path: String): DataFrame = {
-    if (!graft.ScratchPaths.artifactExists(s, s"$path/assignments/_SUCCESS"))
+    if (!annIndexExists(s, path))
       buildAnnIndex(s, d, path)
     mergeDeltaIntoIndex(annDelta(s, d), path)
-    // the report reads the POST-merge artifact — idempotent across runs
-    s.read.parquet(s"$path/assignments")
+    // the report reads the POST-merge LIVE rows — idempotent across runs
+    liveAssignments(s, resolveIndexRoot(s, path))
       .groupBy("c_label")
       .agg(count(lit(1)).as("nt"),
         count(when(col("vec_id") >= 100000L, 1)).as("na"))
@@ -4211,7 +4248,7 @@ object Similarity {
       .join(broadcast(victimIds.select("vec_id").dropDuplicates("vec_id")),
         Seq("vec_id"), "left_semi")
       .select("vec_id", "c_label")
-      .localCheckpoint() // read before the rewrite below invalidates it
+      .localCheckpoint() // the log append below feeds this frame's readers
     val tombPath = s"$path/tombstones"
     val tombstonesExist = graft.ScratchPaths.artifactExists(s, s"$tombPath/_SUCCESS")
     if (!tombstonesExist) {
@@ -4225,48 +4262,32 @@ object Similarity {
       if (!newTombs.isEmpty)
         newTombs.write.mode("append").parquet(tombPath)
     }
-    // rewrite: which cells hold victims (≤ |request| values, driver-sized)
-    val hit = located.select("c_label").distinct().collect().map(_.get(0))
-    if (hit.nonEmpty) {
-      val victimKeys = located.select(col("vec_id").as("victim_id"))
-      val survivors = assignments
-        .filter(col("c_label").isin(hit: _*))
-        .join(broadcast(victimKeys), col("vec_id") === col("victim_id"), "left_anti")
-        .selectExpr("vec_id", "label", "embedding", "nrm", "c_label")
-        .localCheckpoint() // break the self-overwrite lineage
-      val surviving = survivors.select("c_label").distinct()
-        .collect().map(_.get(0)).toSet
-      survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic") // per-write, not session conf (r15 advice)
-        .partitionBy("c_label").parquet(s"$path/assignments")
-      // fully-victimized cells: no survivor rows → dynamic overwrite never
-      // touches their partition — drop the directory explicitly
-      val emptied = hit.filterNot(surviving.contains)
-      if (emptied.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(s"$path/assignments")
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        emptied.foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$path/assignments/c_label=$c"), true): Unit
-        }
-      }
-    }
+    // NO physical rewrite (r19, VERDICT r18 #2): deletion is LAZY — the
+    // tombstone append above is the whole takedown, every reader
+    // subtracts the log ([[minusAnnTombstones]], one broadcast anti-join
+    // per read — effective immediately), and the versioned
+    // [[rebuildAnnIndex]] makes it physical. The in-place dynamic-
+    // partition overwrite this replaces could yank a touched cell's
+    // files out from under a probe planned pre-overwrite; an append-only
+    // log cannot invalidate any reader's file listing.
   }
 
   def forgetFromAnnIndex(s: SparkSession, d: String, path: String): DataFrame = {
-    if (!graft.ScratchPaths.artifactExists(s, s"$path/assignments/_SUCCESS"))
+    if (!annIndexExists(s, path))
       buildAnnIndex(s, d, path)
     // the takedown request: every 50th item (request-sized, broadcast)
     forgetVictimIdsFrom(
       s.read.parquet(s"$path/assignments")
         .filter(pmod(col("vec_id"), lit(50)) === 0).select("vec_id"),
       path)
-    // POST-delete artifact counts joined to the tombstone log — both
-    // fixed points under re-execution
-    s.read.parquet(s"$path/assignments")
+    // POST-delete LIVE counts (stored minus tombstones — deletion is
+    // lazy, r19) joined to the tombstone log — both fixed points under
+    // re-execution
+    val root = resolveIndexRoot(s, path)
+    liveAssignments(s, root)
       .groupBy("c_label").agg(count(lit(1)).as("n_kept"))
       .join(
-        s.read.parquet(s"$path/tombstones")
+        s.read.parquet(s"$root/tombstones")
           .groupBy("c_label").agg(count(lit(1)).as("n_deleted")),
         Seq("c_label"), "left")
       .selectExpr("c_label", "cast(n_kept as bigint) as n_kept",
@@ -4408,15 +4429,40 @@ object Similarity {
         "cast(-best.nl as int) as c_label")
   }
 
+  /** Keep-N window for [[pruneVersions]] — configurable per session;
+    * default live + one committed predecessor (in-flight pre-swap
+    * readers, rollback, and the q140 rebuild report all need it). */
+  private[graft] def keepVersions(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.indexKeepVersions").map(_.toInt).getOrElse(2)
+
   /** The refit: `rounds` Lloyd rounds (update-then-assign) over the LIVE
-    * version's population, written as a new committed version. Returns
-    * the new version's root. */
-  def rebuildAnnIndex(s: SparkSession, path: String, rounds: Int = 2): String =
-      withIndexWriter(s, path) {
+    * version's population (minus the tombstone log — the rebuild is the
+    * compaction that makes lazy deletion physical, r19), written as a
+    * new committed version. Returns the new version's root.
+    *
+    * SNAPSHOT-REBUILD-CATCHUP (r19, VERDICT r18 #5): the corpus-sized
+    * refit no longer holds the writer lock, so ingest merges and
+    * takedowns keep landing on the LIVE version while it runs instead
+    * of queueing behind it. Phase 1 (lockless) refits a snapshot of the
+    * live rows and writes the uncommitted new version; phase 2 (locked)
+    * replays whatever landed meanwhile — the tombstone log is re-read,
+    * and rows merged mid-refit are routed with the NEW codebook and
+    * appended — then the `_COMMITTED` marker flips resolution and keep-N
+    * GC retires stale versions (VERDICT r18 #3: every write path now
+    * calls its own GC). `beforeCatchup` is the deterministic seam the
+    * concurrency spec drives a mid-refit merge through — same-JVM
+    * writers are serialized by the per-path lock, so a sleeping-thread
+    * race would be flaky where this hook is exact. Multi-driver
+    * deployments keep the documented single-writer-per-path contract
+    * (phase 2 stakes the cross-driver intent marker). */
+  def rebuildAnnIndex(s: SparkSession, path: String, rounds: Int = 2,
+                      beforeCatchup: () => Unit = () => ()): String = {
     withFns(s)
-    val root = resolveIndexRoot(s, path)
-    val newRoot = s"$path/versions/${nextVersionName(s, path)}"
-    var asg = s.read.parquet(s"$root/assignments")
+    // version-name allocation is the only phase-1 step needing the lock
+    val (root, newRoot) = withIndexWriteLock(path) {
+      (resolveIndexRoot(s, path), s"$path/versions/${nextVersionName(s, path)}")
+    }
+    var asg = liveAssignments(s, root)
       .selectExpr("vec_id", "label", "embedding", "nrm", "c_label",
         "c_label as c0")
       .transform(Tables.maybePersist)
@@ -4429,20 +4475,43 @@ object Similarity {
       .write.mode("overwrite").partitionBy("c_label")
       .parquet(s"$newRoot/assignments")
     cents.write.mode("overwrite").parquet(s"$newRoot/centroids")
-    // the refit's population IS the new drift reference frame
-    s.read.parquet(s"$newRoot/assignments")
-      .groupBy("c_label").agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$newRoot/cellstat")
-    // the tombstone log rides along: it is the merge-side replay guard —
-    // without it a replayed pre-takedown ingest batch could resurrect
-    // forgotten ids into the rebuilt version
-    if (graft.ScratchPaths.artifactExists(s, s"$root/tombstones/_SUCCESS"))
-      s.read.parquet(s"$root/tombstones")
-        .write.mode("overwrite").parquet(s"$newRoot/tombstones")
-    // atomic commit: marker-create flips resolution to the new version;
-    // the old version's files stay for in-flight (and replayed) readers
-    hadoopFs(s, path).create(
-      new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED"), false).close()
+    beforeCatchup()
+    withIndexWriter(s, path) {
+      // the tombstone log rides along AS OF NOW (not the phase-1 read):
+      // it is the merge-side replay guard, and a takedown that landed
+      // during the refit must survive the swap — its victim is physically
+      // present in the refit output and stays hidden by the carried log
+      // until the NEXT rebuild removes it
+      if (graft.ScratchPaths.artifactExists(s, s"$root/tombstones/_SUCCESS"))
+        s.read.parquet(s"$root/tombstones").localCheckpoint()
+          .write.mode("overwrite").parquet(s"$newRoot/tombstones")
+      // catchup: live rows that merged into the OLD version mid-refit
+      // (fresh file listing — the LSM merge appends files, so a fresh
+      // read sees them) and are absent from the refit output
+      val missed = liveAssignments(s, root)
+        .join(s.read.parquet(s"$newRoot/assignments").select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        .selectExpr("vec_id", "label", "embedding", "nrm", "c_label as c0")
+        .localCheckpoint()
+      if (!missed.isEmpty)
+        reassignCells(missed, s.read.parquet(s"$newRoot/centroids"))
+          .selectExpr("vec_id", "label", "embedding", "nrm", "c_label")
+          .write.mode("append").partitionBy("c_label")
+          .parquet(s"$newRoot/assignments")
+      // the refit population (caught-up rows included, carried
+      // tombstones excluded) IS the new drift reference frame
+      liveAssignments(s, newRoot)
+        .groupBy("c_label").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$newRoot/cellstat")
+      // atomic commit: marker-create flips resolution to the new version;
+      // the old version's files stay for in-flight (and replayed) readers
+      hadoopFs(s, path).create(
+        new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED"), false).close()
+      // keep-N GC after the marker lands (VERDICT r18 #3) — an unattended
+      // auto-refit stream must not accumulate versions × corpus on disk
+      pruneVersions(s, path, keepVersions(s),
+        Seq("assignments", "centroids", "cellstat")): Unit
+    }
     newRoot
   }
 
@@ -4532,7 +4601,7 @@ object Similarity {
     val prev = previousVersionRoot(s, path).getOrElse(
       throw new IllegalStateException(
         s"rebuild report for $path needs the predecessor version; it was pruned"))
-    s.read.parquet(s"$live/assignments").select(col("vec_id"), col("c_label"))
+    liveAssignments(s, live).select(col("vec_id"), col("c_label"))
       .join(s.read.parquet(s"$prev/assignments")
         .select(col("vec_id"), col("c_label").as("c_prev")), Seq("vec_id"))
       .groupBy("c_label")
@@ -4558,13 +4627,13 @@ object Similarity {
     val root = resolveIndexRoot(s, path)
     if (!graft.ScratchPaths.artifactExists(s, s"$root/cellstat/_SUCCESS"))
       withIndexWriter(s, path) {
-        s.read.parquet(s"$root/assignments")
+        liveAssignments(s, root)
           .groupBy("c_label").agg(count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(s"$root/cellstat")
       }
     val ref = s.read.parquet(s"$root/cellstat")
       .selectExpr("c_label", "n as n_ref")
-    val cur = s.read.parquet(s"$root/assignments")
+    val cur = liveAssignments(s, root)
       .groupBy("c_label").agg(count(lit(1)).as("n_cur"))
     // dense over the codebook's cell list — a cell can be empty in
     // either population and still carries a smoothed term
@@ -4599,7 +4668,7 @@ object Similarity {
     val root = resolveIndexRoot(s, path)
     val ref = s.read.parquet(s"$root/cellstat")
       .selectExpr("c_label", "n as n_ref")
-    val cur = s.read.parquet(s"$root/assignments")
+    val cur = liveAssignments(s, root)
       .groupBy("c_label").agg(count(lit(1)).as("n_cur"))
     val dense = s.read.parquet(s"$root/centroids").select("c_label")
       .join(broadcast(ref), Seq("c_label"), "left")
@@ -4632,7 +4701,7 @@ object Similarity {
   def annIndexDriftCheck(s: SparkSession, d: String): DataFrame = {
     val path = graft.ScratchPaths.indexPathFor(
       s"q141-${graft.ScratchPaths.tableFingerprint(d, "embeddings")}", d)
-    if (!graft.ScratchPaths.artifactExists(s, s"$path/assignments/_SUCCESS")) {
+    if (!annIndexExists(s, path)) {
       buildAnnIndex(s, d, path)
       mergeDeltaIntoIndex(annDelta(s, d), path)
     }
@@ -4719,7 +4788,7 @@ object Similarity {
     * version short-circuits the rebuild; the report only reads). */
   def annIndexRebuild(s: SparkSession, d: String): DataFrame = {
     val path = refitIndexPathFor(d)
-    if (!graft.ScratchPaths.artifactExists(s, s"$path/assignments/_SUCCESS")) {
+    if (!annIndexExists(s, path)) {
       buildAnnIndex(s, d, path)
       mergeDeltaIntoIndex(annDelta(s, d), path)
     }
@@ -5352,7 +5421,9 @@ object Similarity {
     // the request: item 0's embedding. Its INDEXED row carries its cell
     // — the 1-row lookup is the routing (no centroid math at probe
     // time), and the cell value becomes a literal partition filter.
-    val assignments = s.read.parquet(s"$annPath/assignments")
+    // Version-resolved ONCE and read live (minus tombstones) — the
+    // q119-family read discipline (r19).
+    val assignments = liveAssignments(s, resolveIndexRoot(s, annPath))
     val qRow = assignments.filter(col("vec_id") === 0)
       .selectExpr("embedding as qe", "nrm as qn", "c_label as q_cell")
       .transform(Tables.maybePersist)
@@ -5670,7 +5741,7 @@ object Similarity {
     // the q102 gate pattern); q119b is the once-per-life build
     "q119_incremental_ann" -> ((s, d) => {
       val path = annIndexPathFor(d)
-      if (!graft.ScratchPaths.artifactExists(s, s"$path/assignments/_SUCCESS"))
+      if (!annIndexExists(s, path))
         buildAnnIndex(s, d, path)
       incrementalAnnStored(s, d, path)
     }),
@@ -5722,7 +5793,7 @@ object Similarity {
       if (!graft.ScratchPaths.artifactExists(s, s"$lexPath/postings/_SUCCESS"))
         TextAnalysis.buildLexIndex(s, d, lexPath)
       val annPath = annIndexPathFor(d)
-      if (!graft.ScratchPaths.artifactExists(s, s"$annPath/assignments/_SUCCESS"))
+      if (!annIndexExists(s, annPath))
         buildAnnIndex(s, d, annPath)
       hybridIndexProbe(s, d, lexPath, annPath)
     }),

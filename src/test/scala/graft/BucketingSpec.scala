@@ -142,10 +142,12 @@ class BucketingSpec extends SparkSpec {
       s"no orig-only (re-rank) scan among $schemas")
   }
 
-  test("q134 merge: dynamic partition overwrite rewrites ONLY the delta's cells; merge is idempotent (r15)") {
-    // the reason the merge runs under partitionOverwriteMode=dynamic:
-    // untouched cells' FILES must be byte-for-byte alone — proven on
-    // the directory listing, not asserted from the conf
+  test("q134 merge: APPEND-ONLY fold — every pre-merge file survives byte-for-byte, a probe planned mid-merge is never invalidated, merge is idempotent (r19)") {
+    // the reason the merge appends instead of dynamic-partition-
+    // overwriting (r18 verdict #2): an overwrite REPLACES the touched
+    // cells' files, so a concurrent probe whose plan listed them
+    // pre-merge has them yanked mid-read; an append can only ADD files
+    // — proven on the directory listing, not asserted from intent
     val path = Similarity.mergeIndexPathFor(sf) + "-prove"
     Similarity.buildAnnIndex(spark, sf, path)
     def filesByCell(): Map[String, Set[String]] = {
@@ -156,7 +158,15 @@ class BucketingSpec extends SparkSpec {
         .toMap
     }
     val before = filesByCell()
+    // a probe PLANNED pre-merge (its parquet file listing is fixed at
+    // read time): collected only after the merge lands, it must read
+    // exactly the pre-merge rows — the verdict's mid-merge reader proof
+    val midMergeProbe = spark.read.parquet(s"$path/assignments")
+      .select("vec_id")
+    val preRows = midMergeProbe.as[Long].collect().sorted.toSeq
     val report1 = Similarity.mergeAnnIndex(spark, sf, path).collect()
+    assert(midMergeProbe.as[Long].collect().sorted.toSeq == preRows,
+      "a probe planned pre-merge saw the merge's writes (or lost files)")
     val after = filesByCell()
     val hitCells = report1.filter(_.getLong(2) > 0)
       .map(r => s"c_label=${r.get(0)}").toSet
@@ -165,16 +175,22 @@ class BucketingSpec extends SparkSpec {
       s"fixture must have both hit and untouched cells: hit=$hitCells")
     untouched.foreach { cell =>
       assert(after(cell) == before(cell),
-        s"untouched $cell was rewritten by the merge")
+        s"untouched $cell was touched by the merge")
     }
     hitCells.foreach { cell =>
-      assert(after(cell) != before(cell), s"hit $cell was not rewritten")
+      assert(before(cell).subsetOf(after(cell)),
+        s"hit $cell lost or rewrote a pre-merge file (append-only violated)")
+      assert(after(cell) != before(cell), s"hit $cell gained no delta file")
     }
-    // idempotence: a second merge converges — identical report AND the
-    // artifact row set stays fixed (delta rows anti-join away)
+    // idempotence: a second merge converges — identical report, the
+    // artifact row set fixed (delta rows anti-join away), and NO new
+    // files at all (the replay appends nothing)
+    val afterFiles = filesByCell()
     val report2 = Similarity.mergeAnnIndex(spark, sf, path).collect()
     assert(report1.map(_.toString).toSeq == report2.map(_.toString).toSeq,
       "re-running the merge moved the report")
+    assert(filesByCell() == afterFiles,
+      "an idempotent re-merge wrote files")
     val totals = report2.map(r => (r.get(0).toString, r.getLong(3))).toMap
     val counted = spark.read.parquet(s"$path/assignments")
       .groupBy("c_label").count().collect()
@@ -182,26 +198,45 @@ class BucketingSpec extends SparkSpec {
     assert(counted == totals, "artifact counts != reported totals after re-merge")
   }
 
-  test("q135 forget: victims leave the artifact, tombstones record them, re-delete is a fixed point (r15)") {
+  test("q135 forget: LAZY deletion — victims leave every LIVE read immediately, the stored files are never touched, the rebuild makes it physical (r19)") {
     val path = Similarity.forgetIndexPathFor(sf) + "-prove"
     Similarity.buildAnnIndex(spark, sf, path)
     val nBefore = spark.read.parquet(s"$path/assignments").count()
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/assignments"))
+        .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").toSet
+    }
+    val filesBefore = files()
     val report1 = Similarity.forgetFromAnnIndex(spark, sf, path).collect()
-    // every victim is gone from the artifact, nothing else is
-    val left = spark.read.parquet(s"$path/assignments")
-    assert(left.filter($"vec_id" % 50 === 0).count() == 0,
-      "a takedown victim survived in the index")
+    // the takedown is effective IMMEDIATELY on the live view…
+    val live = Similarity.liveAssignments(spark, Similarity.resolveIndexRoot(spark, path))
+    assert(live.filter($"vec_id" % 50 === 0).count() == 0,
+      "a takedown victim survived in the live view")
     val deleted = report1.map(_.getLong(2)).sum
-    assert(deleted > 0 && left.count() == nBefore - deleted,
+    assert(deleted > 0 && live.count() == nBefore - deleted,
       "kept + deleted != pre-delete index size")
+    // …while the stored artifact is UNTOUCHED (append-only takedown: a
+    // concurrent probe's planned file listing stays valid end-to-end —
+    // the in-place cell rewrite this replaced could yank its files)
+    assert(files() == filesBefore,
+      "the lazy takedown touched the stored assignment files")
     // the tombstone log carries exactly the victims with their stored cells
     val tombs = spark.read.parquet(s"$path/tombstones")
     assert(tombs.count() == deleted &&
       tombs.filter($"vec_id" % 50 =!= 0).count() == 0)
-    // re-run: nothing to delete, nothing rewritten, identical report
+    // re-run: nothing newly tombstoned, identical report
     val report2 = Similarity.forgetFromAnnIndex(spark, sf, path).collect()
     assert(report1.map(_.toString).toSeq == report2.map(_.toString).toSeq,
       "re-running the delete moved the report")
+    // the versioned rebuild is the compaction that makes deletion
+    // physical: the new version's stored rows carry no victim
+    val newRoot = Similarity.rebuildAnnIndex(spark, path)
+    assert(spark.read.parquet(s"$newRoot/assignments")
+      .filter($"vec_id" % 50 === 0).count() == 0,
+      "rebuild must physically drop tombstoned rows")
+    assert(spark.read.parquet(s"$newRoot/assignments").count() == nBefore - deleted)
   }
 
   test("q132 lexical index: the probe opens only the query terms' postings buckets (r15)") {

@@ -2682,11 +2682,14 @@ class ExtensionsSpec extends SparkSpec {
       s"99999@otherhost ${System.currentTimeMillis() - 700000L}".getBytes("UTF-8"))
     assert(MediaOps.forgetMediaFromIndex(Seq(1L).toDF("doc_id"), path) == 1L)
     assert(!java.nio.file.Files.exists(marker), "stolen marker must release")
-    // the ANN-side writers share the guard
+    // the ANN-side writers share the guard (the rebuild stakes it only
+    // for its catchup+commit phase since r19 — the merge is the
+    // guard-first writer to pin here)
     java.nio.file.Files.write(marker,
       s"99999@otherhost ${System.currentTimeMillis()}".getBytes("UTF-8"))
     intercept[IllegalStateException] {
-      Similarity.rebuildAnnIndex(spark, path)
+      Similarity.mergeDeltaIntoIndex(
+        Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"), path)
     }
   }
 }

@@ -474,10 +474,11 @@ object PlanBudgetSpec {
     // q141 (r18): the drift report — k-row dense frame + broadcast
     // totals; the build/merge ran at artifact time
     "q141_ann_drift_check" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
-    // q135 (r15): forget — rewrite at build time; the measured plan is
-    // the post-delete report (artifact counts joined to tombstone
-    // counts — two keyed counts + one small join)
-    "q135_index_forget" -> Shape(shuffles = 3, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
+    // q135 (r15→r19): forget is a tombstone-log append (LAZY deletion —
+    // the artifact is never rewritten); the measured plan is the
+    // post-delete report: LIVE counts (assignments scan + the broadcast
+    // tombstone anti-join) joined to the per-cell tombstone counts
+    "q135_index_forget" -> Shape(shuffles = 3, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     // q136 (r17): standing-media-index probe — delta bands BROADCAST to
     // the index band scan (the index never shuffles for candidates);
     // the 3 exchanges are delta-sized (candidate distinct, per-delta

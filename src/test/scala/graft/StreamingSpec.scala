@@ -1173,12 +1173,13 @@ class StreamingSpec extends SparkSpec {
       "streamed forget diverged from batch delete on the index")
     assert(rows(pathA, "tombstones") == rows(pathB, "tombstones"),
       "streamed forget diverged from batch delete on the tombstone log")
-    assert(spark.read.parquet(s"$pathA/assignments")
+    // deletion is lazy (r19): the LIVE view excludes every victim
+    assert(Similarity.liveAssignments(spark, pathA)
       .filter($"vec_id" % 50 === 0).isEmpty,
-      "victims survived the streamed delete")
+      "victims survived the streamed delete in the live view")
   }
 
-  test("forgetVictimIdsFrom: a fully-victimized cell is removed from the artifact, not silently retained (r16, r15 advice medium)") {
+  test("forgetVictimIdsFrom: a fully-victimized cell leaves the live view at once and the rebuilt version physically, stored files untouched (r16→r19)") {
     // build a tiny 2-cell artifact by hand: cell 0's rows are ALL victims
     val path = Similarity.forgetIndexPathFor(sf) + "-emptycell"
     val mk = (id: Long, cell: Int) =>
@@ -1189,19 +1190,29 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$path/assignments")
     Similarity.forgetVictimIdsFrom(
       Seq(1L, 2L, 4L).toDF("vec_id"), path)
-    val kept = spark.read.parquet(s"$path/assignments")
+    // lazy deletion (r19): the stored rows stay, every LIVE read excludes
+    // the victims — including the whole of fully-victimized cell 0
+    val kept = Similarity.liveAssignments(spark, path)
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(3L, 5L),
-      s"victims of the fully-hit cell must not survive: $kept")
+      s"victims of the fully-hit cell must not survive the live view: $kept")
+    assert(spark.read.parquet(s"$path/assignments").count() == 5,
+      "the lazy takedown rewrote the stored artifact")
     val tombs = spark.read.parquet(s"$path/tombstones")
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(tombs == Seq(1L, 2L, 4L), s"tombstone log wrong: $tombs")
-    // re-run converges (idempotent): nothing located, nothing appended
+    // re-run converges (idempotent): nothing newly tombstoned
     Similarity.forgetVictimIdsFrom(Seq(1L, 2L, 4L).toDF("vec_id"), path)
-    assert(spark.read.parquet(s"$path/assignments")
+    assert(Similarity.liveAssignments(spark, path)
       .select("vec_id").as[Long].collect().sorted.toSeq == Seq(3L, 5L))
     assert(spark.read.parquet(s"$path/tombstones")
       .select("vec_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    // the rebuild makes it physical: the new version stores ONLY the
+    // survivors — the fully-victimized cell never materializes
+    val newRoot = Similarity.rebuildAnnIndex(spark, path)
+    assert(spark.read.parquet(s"$newRoot/assignments")
+      .select("vec_id").as[Long].collect().sorted.toSeq == Seq(3L, 5L),
+      "rebuild must physically drop the tombstoned rows")
   }
 
   test("annIngestStream: micro-batch ingestion converges to the one-shot batch merge; replayed batch is a no-op (r15)") {
@@ -1447,7 +1458,7 @@ class StreamingSpec extends SparkSpec {
     assert(tombsBefore.nonEmpty)
     // at-least-once replay of the ORIGINAL ingest batch
     in.addData(delta: _*); q.processAllAvailable(); q.stop()
-    val ids = spark.read.parquet(s"$path/assignments")
+    val ids = Similarity.liveAssignments(spark, Similarity.resolveIndexRoot(spark, path))
       .select("vec_id").as[Long].collect().toSet
     victims.foreach(v => assert(!ids.contains(v),
       s"forgotten vec_id $v resurrected by the replayed ingest"))
@@ -2691,6 +2702,57 @@ class StreamingSpec extends SparkSpec {
       "merge must not touch the retired version")
   }
 
+  test("snapshot-rebuild-catchup: a merge and a takedown landing DURING the refit survive the swap — merged rows routed by the NEW codebook (r19, VERDICT r18 #5)") {
+    Similarity.withFns(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-catchup").toString
+    def vec(x: Double, y: Double): Array[Float] = {
+      val n = math.sqrt(x * x + y * y)
+      Array((x / n).toFloat, (y / n).toFloat, 0f, 0f)
+    }
+    val rows = (1L to 5L).map(i => (i, 0, vec(1, 0.001 * i), 0)) ++
+      (11L to 15L).map(i => (i, 1, vec(0.001 * i, 1), 1))
+    rows.toDF("vec_id", "label", "embedding", "c_label")
+      .selectExpr("vec_id", "label", "embedding",
+        "sqrt(graft_dot(embedding, embedding)) as nrm", "c_label")
+      .write.partitionBy("c_label").parquet(s"$path/assignments")
+    Seq((0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("c_label", "centroid").write.parquet(s"$path/centroids")
+    val g = (100L to 120L).map(i => (i, vec(0.72, 0.694 + 0.00001 * (i - 100))))
+    Similarity.mergeDeltaIntoIndex(g.toDF("vec_id", "embedding"), path)
+    // the refit no longer holds the writer lock for its corpus-sized
+    // phase (r19): writers landing mid-refit fold into the OLD live
+    // version, and the locked catchup phase replays them onto the new
+    // one before the commit. The beforeCatchup seam makes the race
+    // deterministic — the refit snapshot is already read AND written
+    // when these land, so without the catchup pass the merge would
+    // silently vanish at the swap and the takedown would be un-forgotten.
+    val newRoot = Similarity.rebuildAnnIndex(spark, path, rounds = 2,
+      beforeCatchup = () => {
+        Similarity.mergeDeltaIntoIndex(
+          Seq((700L, vec(0.695, 0.719))).toDF("vec_id", "embedding"), path)
+        Similarity.forgetVictimIdsFrom(Seq(3L).toDF("vec_id"), path)
+      })
+    assert(Similarity.resolveIndexRoot(spark, path) == newRoot)
+    // the mid-refit merge is IN the new version, exactly once
+    assert(spark.read.parquet(s"$newRoot/assignments")
+      .filter("vec_id = 700").count() == 1, "mid-refit merge lost at the swap")
+    // …and probe-reachable: routed by the NEW codebook, so its twin finds
+    // it through the live version (routing by the old codebook would
+    // file it in a cell the post-swap probe never scans)
+    val hit = Similarity.probeAnnIndex(
+      Seq((900700L, vec(0.695, 0.719))).toDF("vec_id", "embedding"), path).head()
+    assert(hit.getAs[Boolean]("is_dup") && hit.getAs[Long]("nn_id") == 700L,
+      s"mid-refit merged row not probe-reachable post-swap: $hit")
+    // the mid-refit takedown survives the swap: the tombstone log was
+    // re-read at commit, so vec 3 stays hidden from every live read
+    assert(Similarity.liveAssignments(spark, newRoot).filter("vec_id = 3").isEmpty,
+      "mid-refit takedown lost at the swap")
+    // and the refit routing itself holds (the drift probe re-finds home)
+    val dhit = Similarity.probeAnnIndex(
+      Seq((900100L, vec(0.694, 0.72))).toDF("vec_id", "embedding"), path).head()
+    assert(dhit.getAs[Boolean]("is_dup") && dhit.getAs[Long]("nn_id") >= 100L)
+  }
+
   test("drift-gated auto-refit: the ingest stream re-fits the index itself once the population's PSI crosses the dial, and converges (r18)") {
     Similarity.withFns(spark)
     val path = java.nio.file.Files.createTempDirectory("graft-autorefit").toString
@@ -2736,6 +2798,24 @@ class StreamingSpec extends SparkSpec {
     val probe = Seq((900100L, vec(0.694, 0.72))).toDF("vec_id", "embedding")
     val hit = Similarity.probeAnnIndex(probe, path).head()
     assert(hit.getAs[Boolean]("is_dup") && hit.getAs[Long]("nn_id") >= 100L)
+    // SECOND drift wave → second self-triggered rebuild, and the rebuild's
+    // own keep-N GC holds the version count (r19, VERDICT r18 #3): an
+    // unattended auto-refit stream must not accumulate versions × corpus
+    val q2 = StreamingOps.annIngestStreamAutoRefit(
+      in.toDF().toDF("vec_id", "embedding"), path).start()
+    in.addData((300L to 499L).map(i => (i, vec(1, 0.0001 * (i - 300)))): _*)
+    q2.processAllAvailable(); q2.stop()
+    val live2 = Similarity.resolveIndexRoot(spark, path)
+    assert(live2 != live, "second drift wave must re-fire the rebuild")
+    val committed = new java.io.File(s"$path/versions").listFiles()
+      .filter(d => d.getName.matches("v\\d+") &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/_COMMITTED")))
+    assert(committed.length <= 2,
+      s"auto-refit GC must hold committed versions at keep=2: ${committed.length}")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/assignments")),
+      "auto-refit GC must retire the flat root once the keep window fills")
+    // the retired flat root must not strand readers: probes resolve live
+    assert(Similarity.probeAnnIndex(probe, path).count() == 1)
   }
 
   test("version GC: old versions retire, the live version and a probe buffer stay, in-flight rebuilds are never touched (r18)") {
@@ -2753,26 +2833,31 @@ class StreamingSpec extends SparkSpec {
       .write.partitionBy("c_label").parquet(s"$path/assignments")
     Seq((0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)))
       .toDF("c_label", "centroid").write.parquet(s"$path/centroids")
-    Similarity.rebuildAnnIndex(spark, path) // -> v00002
-    // a crashed rebuild left an uncommitted directory below the live one
+    // hold the auto-GC open (rebuild now prunes as it commits, r19) so
+    // the EXPLICIT prune's contract is what this test exercises
+    spark.conf.set("spark.graft.indexKeepVersions", "99")
+    try {
+      Similarity.rebuildAnnIndex(spark, path) // -> v00002
+      Similarity.rebuildAnnIndex(spark, path) // -> v00003
+      Similarity.rebuildAnnIndex(spark, path) // -> v00004 (live)
+    } finally spark.conf.unset("spark.graft.indexKeepVersions")
+    // a crashed rebuild's leftover: uncommitted, OLDER than the live one
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$path/versions/v00003/assignments"))
-    Similarity.rebuildAnnIndex(spark, path) // skips 3 -> v00004
-    Similarity.rebuildAnnIndex(spark, path) // -> v00005 (live)
+      java.nio.file.Paths.get(s"$path/versions/v00001/assignments"))
     // an in-flight rebuild (uncommitted, NEWER than live) must survive
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$path/versions/v00099/assignments"))
     val pruned = Similarity.pruneAnnIndexVersions(spark, path, keep = 2)
-    // retired: v00002 (old committed), v00003 (crashed), the flat root
+    // retired: v00002 (old committed), v00001 (crashed), the flat root
     assert(pruned == 3L, s"pruned $pruned != 3")
     def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
-    assert(!exists(s"$path/versions/v00002") && !exists(s"$path/versions/v00003"))
+    assert(!exists(s"$path/versions/v00002") && !exists(s"$path/versions/v00001"))
     assert(!exists(s"$path/assignments") && !exists(s"$path/centroids"),
       "flat v1 artifacts must retire once the keep window is committed")
-    assert(exists(s"$path/versions/v00004") && exists(s"$path/versions/v00005"))
+    assert(exists(s"$path/versions/v00003") && exists(s"$path/versions/v00004"))
     assert(exists(s"$path/versions/v00099"), "in-flight rebuild dir was deleted")
-    assert(Similarity.resolveIndexRoot(spark, path) == s"$path/versions/v00005")
-    // probes and the report survive the GC (report baselines v00004 now)
+    assert(Similarity.resolveIndexRoot(spark, path) == s"$path/versions/v00004")
+    // probes and the report survive the GC (report baselines v00003 now)
     val probe = Seq((900001L, vec(1, 0.002))).toDF("vec_id", "embedding")
     assert(Similarity.probeAnnIndex(probe, path).count() == 1)
     assert(Similarity.rebuildReport(spark, path).count() > 0)
@@ -2810,15 +2895,18 @@ class StreamingSpec extends SparkSpec {
     assert(a == 1L)
     assert(spark.read.parquet(s"$v2/vecs").filter("doc_id = 50").count() == 1)
     assert(spark.read.parquet(s"$path/vecs").count() == 20, "merge touched the retired root")
-    // keep-N GC at media grain: force a second version, then prune
+    // keep-N GC at media grain is WIRED INTO the compaction (r19,
+    // VERDICT r18 #3): the second version's commit retires the flat
+    // root itself (v2 stays as the keep buffer) — no manual prune call
     assert(MediaOps.forgetMediaFromIndex(Seq(5L).toDF("doc_id"), path) == 1L)
-    MediaOps.compactMediaIndex(spark, path) // -> v00003
+    MediaOps.compactMediaIndex(spark, path) // -> v00003 + auto-GC
     val v3 = MediaOps.mediaLiveRoot(spark, path)
     assert(v3 == s"$path/versions/v00003")
-    assert(MediaOps.pruneMediaIndexVersions(spark, path, keep = 2) == 1L,
-      "prune must retire exactly the flat root (v2 is the keep buffer)")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/vecs")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/vecs")),
+      "compaction's own GC must retire the flat root once the keep window fills")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$v2/vecs")))
+    // idempotent: an explicit prune finds nothing further to retire
+    assert(MediaOps.pruneMediaIndexVersions(spark, path, keep = 2) == 0L)
     assert(MediaOps.tombstonesOf(spark, path).count() == 2, "root audit log lost")
     assert(MediaOps.probeStoredIndexWith(twin, path).count() == 1)
   }
