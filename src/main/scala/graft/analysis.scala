@@ -752,30 +752,156 @@ object TextAnalysis {
 
   private val LexBuckets = 16
 
-  /** Once-per-life build; returns the read-back postings row count. */
-  def buildLexIndex(s: SparkSession, d: String, path: String): Long = {
-    val toks = Tables.fanOut(Tables.documents(s, d), "doc_id")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .transform(Tables.maybePersist)
-    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
-      .repartition(col("tb")) // co-locate buckets: one file per partition value
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .transform(Tables.maybePersist)
-    dl.write.mode("overwrite").parquet(s"$path/doclens")
-    toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/terms")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-      .selectExpr("n_docs", "cast(tot as double) / cast(n_docs as double) as avgdl")
-      .write.mode("overwrite").parquet(s"$path/stats")
-    s.read.parquet(s"$path/postings").count()
+  // ---------------------------------------------------------------------
+  // LEXICAL INDEX LIFECYCLE (r19, VERDICT r18 #1): the BM25 index was the
+  // one standing-index family with build+probe only — no merge, no
+  // right-to-be-forgotten, no versioning, and idf/avgdl frozen at build
+  // time — while hybrid serving (q133) reads it in production position.
+  // It now carries the full ANN/media lifecycle contract, LSM-style:
+  //
+  //  · terms and stats are SEGMENT-STAMPED CONTRIBUTION LOGS, not
+  //    materialized values: build writes the base segment (seg = −1),
+  //    each merge APPENDS (+df per term, +n_docs/+token mass) under its
+  //    own segment id, each takedown APPENDS the victims' negatives.
+  //    Readers fold (distinct → sum) — so idf and avgdl re-price against
+  //    the CURRENT population at EVERY read, continuously closing the
+  //    frozen-statistic tax the plane-dial crossing quantified at 3×
+  //    (BENCH_NOTES_r18 §1), with no growth trigger to mistune. The
+  //    distinct is the crash-replay guard: a merge that crashed between
+  //    artifact appends recomputes byte-identical rows on redelivery
+  //    (same segment id — Structured Streaming's stable batchId — same
+  //    deterministic tokenize), so replays collapse instead of
+  //    double-counting. Segment ids must be unique per logical merge —
+  //    the foreachBatch contract; batch gate rows use a constant because
+  //    their re-runs ARE replays.
+  //  · postings/doclens append admitted docs only (the doclens registry
+  //    anti-join is the replay guard — doclens is written LAST, so a
+  //    crashed merge re-runs in full and its partials collapse).
+  //  · deletion is LAZY (the ANN r19 discipline): takedowns append to a
+  //    root-level tombstone log (+ the media pending-forget log for
+  //    ids that have not arrived yet); every reader anti-joins it;
+  //    [[compactLexIndex]] makes it physical in a fresh committed
+  //    version (resolveIndexRoot machinery verbatim) and keep-N GC
+  //    retires the tail. No reader's planned file listing is ever
+  //    invalidated by any writer — appends and fresh version dirs only.
+  //
+  // Scale shape (100 TB): merges touch batch-sized rows (tokenize +
+  // three appends, zero index rewrite); takedowns cost one pushdown
+  // locate + request-sized appends; the probe still reads ≤ 3/16
+  // postings buckets + the dictionary fold (term-granular) + the
+  // request-sized tombstone broadcast; compaction is the only
+  // corpus-sized pass and amortizes LSM-style.
+  // ---------------------------------------------------------------------
+
+  /** Same-process writer serialization + the cross-driver write-intent
+    * marker — the [[Similarity]]/[[MediaOps]] writer discipline. */
+  private val lexIndexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withLexIndexWriter[T](s: SparkSession, path: String)(body: => T): T =
+    lexIndexLocks.computeIfAbsent(path, _ => new Object).synchronized(
+      ScratchPaths.withWriteIntent(s, path)(body))
+
+  /** The LIVE artifact root of a (possibly versioned) lexical index —
+    * postings/doclens/terms/stats resolve through here; the tombstone
+    * and pending logs stay at the PATH ROOT, shared across versions. */
+  private[graft] def lexLiveRoot(s: SparkSession, path: String): String =
+    Similarity.resolveIndexRoot(s, path)
+
+  /** Lazy-build gate: flat artifacts present OR any committed version
+    * (keep-N GC retires the flat root once the window fills). */
+  private[graft] def lexIndexExists(s: SparkSession, path: String): Boolean =
+    ScratchPaths.artifactExists(s, s"$path/postings/_SUCCESS") ||
+      lexLiveRoot(s, path) != path
+
+  private[graft] def lexTombstonesOf(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
+      s.read.parquet(s"$path/tombstones")
+    else Seq.empty[Long].toDF("doc_id")
   }
 
-  /** The nightly probe against the stored artifacts. */
+  private[graft] def lexPendingOf(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS"))
+      s.read.parquet(s"$path/pending")
+    else Seq.empty[Long].toDF("doc_id")
+  }
+
+  private def minusLexTombstones(df: DataFrame, s: SparkSession,
+                                 path: String): DataFrame =
+    if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
+      df.join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    else df
+
+  /** The folded dictionary of a resolved root: segment contributions
+    * collapsed (distinct = the crash-replay guard) then summed per term;
+    * fully-forgotten terms (df folds to 0) drop out. Term-granular —
+    * always far smaller than the corpus. */
+  private[graft] def lexTermsOf(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/terms").distinct()
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+
+  /** The folded 1-row corpus stats of a resolved root — n_docs and avgdl
+    * derived from the contribution log at READ time, so every probe
+    * prices idf/avgdl against the population as of now. */
+  private[graft] def lexStatsOf(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/stats").distinct()
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot"))
+      .selectExpr("cast(n_docs as bigint) as n_docs",
+        "cast(tot as double) / cast(n_docs as double) as avgdl")
+
+  /** Live doc lengths: stored rows minus the tombstone log. */
+  private[graft] def lexDoclensOf(s: SparkSession, path: String,
+                                  root: String): DataFrame =
+    minusLexTombstones(s.read.parquet(s"$root/doclens"), s, path)
+
+  /** Live postings (unpruned — the stream-static serving side): crash
+    * dupes collapsed, tombstoned docs subtracted. */
+  private[graft] def lexPostingsOf(s: SparkSession, path: String,
+                                   root: String): DataFrame =
+    minusLexTombstones(
+      s.read.parquet(s"$root/postings").drop("tb").distinct(), s, path)
+
+  /** The shared deterministic tokenizer — build, merge, and the q129
+    * from-scratch route must agree to the token. */
+  private def lexTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  /** Once-per-life build; returns the read-back postings row count.
+    * Stat/dictionary artifacts first, postings LAST — the lazy gates key
+    * "built" on postings/_SUCCESS, so a crash mid-build can never leave
+    * a gate-visible index with missing statistics (the buildIndexFrom
+    * write-order discipline). */
+  def buildLexIndex(s: SparkSession, d: String, path: String): Long =
+    withLexIndexWriter(s, path) {
+      val toks = lexTokens(Tables.fanOut(Tables.documents(s, d), "doc_id"))
+        .transform(Tables.maybePersist)
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .transform(Tables.maybePersist)
+      dl.write.mode("overwrite").parquet(s"$path/doclens")
+      toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("seg", lit(-1L)) // the base contribution segment
+        .write.mode("overwrite").parquet(s"$path/terms")
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+        .selectExpr("cast(n_docs as bigint) as n_docs",
+          "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
+        .write.mode("overwrite").parquet(s"$path/stats")
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
+        .repartition(col("tb")) // co-locate buckets: one file per partition value
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+      s.read.parquet(s"$path/postings").count()
+    }
+
+  /** The nightly probe against the stored artifacts — version root
+    * resolved ONCE (a compaction committing mid-plan must not mix
+    * versions within one probe), statistics folded as of now, postings
+    * bucket-pruned then crash-dupe-collapsed and tombstone-subtracted. */
   def lexIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame = {
-    val qterms = bm25QueryTerms(
-        s.read.parquet(s"$path/terms"), s.read.parquet(s"$path/stats"))
+    val root = lexLiveRoot(s, path)
+    val qterms = bm25QueryTerms(lexTermsOf(s, root), lexStatsOf(s, root))
       .transform(Tables.maybePersist) // 3 rows — feeds the bucket filter AND the score join
     // probed buckets, derived with the WRITE side's own expression —
     // a 3-value isin on the partition column, so pruning reaches the
@@ -783,17 +909,232 @@ object TextAnalysis {
     val tbs = qterms
       .selectExpr(s"pmod(hash(term), $LexBuckets) as tb")
       .distinct().collect().map(_.getInt(0).toString)
-    val postings = s.read.parquet(s"$path/postings")
-      .filter(col("tb").isin(tbs: _*))
-      .drop("tb")
-    bm25Score(postings, s.read.parquet(s"$path/doclens"), qterms)
+    // crash-dupe collapse (distinct) AFTER the query-term semi-join: the
+    // exchange runs on the ≤3-term matched rows of ≤3 pruned buckets,
+    // never the bucket population — the one probe-side cost of the LSM
+    // merge's replay contract (a crashed merge's partial appends are
+    // byte-identical to their redelivery, collapsed here)
+    val postings = minusLexTombstones(
+      s.read.parquet(s"$root/postings")
+        .filter(col("tb").isin(tbs: _*))
+        .drop("tb")
+        .join(broadcast(qterms.select("term")), Seq("term"), "left_semi")
+        .distinct(), s, path)
+    bm25Score(postings, lexDoclensOf(s, path, root), qterms)
+  }
+
+  /** q142's core — fold ONE (doc_id, text) batch into the standing
+    * lexical index. `seg` stamps this merge's term/stat contribution
+    * rows; it must be unique per logical merge (Structured Streaming's
+    * batchId — stable across replays — in the online leg). Returns
+    * (admitted, refused). Idempotent: already-indexed ids anti-join away
+    * against the doclens registry, tombstoned ids can never re-admit,
+    * and a crash-windowed partial replay re-appends byte-identical rows
+    * that the read-side distinct collapses. */
+  def mergeLexBatchIntoIndex(batch: DataFrame, path: String, seg: Long): (Long, Long) =
+    withLexIndexWriter(batch.sparkSession, path) {
+      val s = batch.sparkSession
+      val root = lexLiveRoot(s, path) // appends fold into the LIVE version
+      val docs0 = batch.select(col("doc_id").cast("long"), col("text"))
+        .dropDuplicates("doc_id") // in-batch exact-id replays
+        .transform(Tables.maybePersist)
+      // pending-forget consult (the media q137 discipline): a takedown
+      // that arrived BEFORE this id's first admit is delivered now — the
+      // arrival is refused via a permanent tombstone and the pending
+      // entry is consumed; replays of this batch can never admit it
+      if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS")) {
+        val delivered = docs0.select("doc_id")
+          .join(broadcast(lexPendingOf(s, path).select("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        if (!delivered.isEmpty) {
+          val novel = delivered
+            .join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
+              Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          if (!novel.isEmpty)
+            novel.write.mode("append").parquet(s"$path/tombstones")
+          lexPendingOf(s, path)
+            .join(broadcast(delivered), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+            .write.mode("overwrite").parquet(s"$path/pending")
+        }
+      }
+      // replay guards: the doclens registry (already admitted) and the
+      // tombstone log (forgotten ids never resurrect)
+      val fresh = minusLexTombstones(
+          docs0.join(s.read.parquet(s"$root/doclens").select("doc_id"),
+            Seq("doc_id"), "left_anti"), s, path)
+        .transform(Tables.maybePersist)
+      val nBatch = docs0.count()
+      val toks = lexTokens(fresh).transform(Tables.maybePersist)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .transform(Tables.maybePersist)
+      // localCheckpoint: dl's lineage reads the doclens path the append
+      // below writes (the read-write-cycle discipline)
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint()
+      val nAdmit = dl.count()
+      if (nAdmit > 0) {
+        // df contributions: +1 per (term, admitted doc), this segment
+        tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+          .withColumn("seg", lit(seg))
+          .write.mode("append").parquet(s"$root/terms")
+        // corpus-stat contribution: admitted docs + their token mass —
+        // idf/avgdl re-price at the next read, no trigger needed
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+          .selectExpr("cast(n_docs as bigint) as n_docs",
+            "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
+          .write.mode("append").parquet(s"$root/stats")
+        // delta postings into the bucket layout (append-only — a probe's
+        // planned listing is never invalidated)
+        tf.withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
+          .repartition(col("tb"))
+          .write.mode("append").partitionBy("tb").parquet(s"$root/postings")
+        // the registry LAST: a crash anywhere above replays the whole
+        // batch (identical rows → read-side collapse); after this write
+        // the replay anti-joins to nothing
+        dl.write.mode("append").parquet(s"$root/doclens")
+      }
+      (nAdmit, nBatch - nAdmit)
+    }
+
+  /** q143's core — right-to-be-forgotten against the standing lexical
+    * index, LSM-style: victims located in the doclens registry append to
+    * the root tombstone log (lazy deletion — effective immediately, one
+    * broadcast anti-join per read) PLUS their negative df/doc-count/
+    * token-mass contributions (so idf/avgdl re-price to the surviving
+    * population at the next read); never-admitted ids land in the
+    * pending log, consumed by the id's first arrival. The artifacts are
+    * never rewritten — [[compactLexIndex]] makes deletion physical.
+    * Idempotent: already-tombstoned ids drop out of `marked`, so
+    * re-delivery appends nothing; a crash between the contribution
+    * appends and the tombstone write replays into byte-identical
+    * contribution rows that the read-side distinct collapses. Returns
+    * the newly-tombstoned count. */
+  def forgetLexFromIndex(requests: DataFrame, path: String, seg: Long): Long =
+    withLexIndexWriter(requests.sparkSession, path) {
+      val s = requests.sparkSession
+      val root = lexLiveRoot(s, path)
+      val marked = requests.select(col("doc_id").cast("long"))
+        .dropDuplicates("doc_id")
+        .join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .join(broadcast(lexPendingOf(s, path).select("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .join(s.read.parquet(s"$root/doclens"), Seq("doc_id"), "left")
+        .localCheckpoint()
+      val present = marked.filter(col("dl").isNotNull)
+      val early = marked.filter(col("dl").isNull).select("doc_id")
+      val n = present.count()
+      if (n > 0) {
+        // negative df contributions, derived by locating the victims'
+        // postings rows (request-sized broadcast onto a pushdown id scan)
+        s.read.parquet(s"$root/postings")
+          .join(broadcast(present.select("doc_id")), Seq("doc_id"), "left_semi")
+          .select("doc_id", "term").distinct() // collapse crash-dupe segments
+          .groupBy("term")
+          .agg((count(lit(1)) * lit(-1L)).cast("long").as("df"))
+          .withColumn("seg", lit(seg))
+          .write.mode("append").parquet(s"$root/terms")
+        present
+          .agg((count(lit(1)) * lit(-1L)).as("n_docs"),
+            (sum(col("dl")) * lit(-1L)).as("tot"))
+          .selectExpr("cast(n_docs as bigint) as n_docs",
+            "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
+          .write.mode("append").parquet(s"$root/stats")
+        // the tombstone registry LAST: a crash above replays in full
+        // (identical negatives collapse), a crash after it replays to
+        // nothing (victims no longer novel)
+        present.select("doc_id").write.mode("append").parquet(s"$path/tombstones")
+      }
+      if (!early.isEmpty)
+        early.write.mode("append").parquet(s"$path/pending")
+      n
+    }
+
+  /** Scheduled compaction, VERSIONED (the compactMediaIndex discipline):
+    * rewrites postings/doclens minus the tombstoned docs, collapses the
+    * contribution logs to one base segment each, lands in a fresh
+    * committed `versions/v%05d` (a probe that resolved pre-commit keeps
+    * its files end-to-end), then keep-N GC retires the tail. No-ops when
+    * there are no live victims and no appended segments — the fixed-
+    * point re-run costs counts, not a corpus copy. Logs stay at the
+    * PATH ROOT (audit trail + the merge-side replay guard forever). */
+  def compactLexIndex(s: SparkSession, path: String): Unit =
+    withLexIndexWriter(s, path) {
+      val root = lexLiveRoot(s, path)
+      val victims =
+        if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
+          s.read.parquet(s"$root/doclens")
+            .join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
+              Seq("doc_id"), "left_semi").count()
+        else 0L
+      val segments = s.read.parquet(s"$root/stats")
+        .select("seg").distinct().count()
+      if (victims > 0 || segments > 1) {
+        val newRoot = s"$path/versions/${Similarity.nextVersionName(s, path)}"
+        val dl = lexDoclensOf(s, path, root).transform(Tables.maybePersist)
+        dl.write.mode("overwrite").parquet(s"$newRoot/doclens")
+        lexTermsOf(s, root).withColumn("seg", lit(-1L))
+          .write.mode("overwrite").parquet(s"$newRoot/terms")
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+          .selectExpr("cast(n_docs as bigint) as n_docs",
+            "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
+          .write.mode("overwrite").parquet(s"$newRoot/stats")
+        minusLexTombstones(
+            s.read.parquet(s"$root/postings").drop("tb").distinct(), s, path)
+          .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
+          .repartition(col("tb"))
+          .write.mode("overwrite").partitionBy("tb").parquet(s"$newRoot/postings")
+        Similarity.hadoopFs(s, path).create(
+          new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED"), false).close()
+        // keep-N GC after the marker lands (the r19 write-path wiring)
+        Similarity.pruneVersions(s, path, Similarity.keepVersions(s),
+          Seq("postings", "doclens", "terms", "stats")): Unit
+      }
+    }
+
+  /** The q142 gate chain: lazy build → fold the +100000-rekeyed delta
+    * docs in → probe the MERGED index. The oracle recomputes BM25 from
+    * scratch over the unioned corpus, so the probe's answer certifies
+    * the delta postings fold AND the re-priced df/n_docs/avgdl — a
+    * frozen statistic moves the query-term derivation or the scores and
+    * breaks the hash. Re-runs are fixed points (the registry anti-join
+    * refuses the replayed delta). */
+  def lexIndexMerge(s: SparkSession, d: String): DataFrame = {
+    val path = ScratchPaths.indexPathFor(
+      s"q142-${ScratchPaths.tableFingerprint(d, "documents")}", d)
+    if (!lexIndexExists(s, path)) buildLexIndex(s, d, path)
+    mergeLexBatchIntoIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .selectExpr("doc_id + 100000 as doc_id", "text"),
+      path, seg = 1L)
+    lexIndexProbeStored(s, d, path)
+  }
+
+  /** The q143 gate chain: lazy build → forget the doc_id % 7 = 3 docs →
+    * probe the post-takedown index. The oracle recomputes BM25 over the
+    * SURVIVING corpus only, so the probe certifies the tombstone
+    * anti-joins on postings/doclens AND the negative df/doc-count/token-
+    * mass contributions — idf and avgdl must price the survivors
+    * exactly. Fixed point under re-runs (victims already tombstoned →
+    * nothing appended). */
+  def lexIndexForget(s: SparkSession, d: String): DataFrame = {
+    val path = ScratchPaths.indexPathFor(
+      s"q143-${ScratchPaths.tableFingerprint(d, "documents")}", d)
+    if (!lexIndexExists(s, path)) buildLexIndex(s, d, path)
+    forgetLexFromIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 3).select("doc_id"),
+      path, seg = 1L)
+    lexIndexProbeStored(s, d, path)
   }
 
   /** The q129 CTE chain through the per-doc exact-long score `ag`,
-    * exposed so q131's hybrid fusion reuses the lexical head verbatim. */
-  val bm25CtesSql: String =
-    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |  FROM documents),
+    * parameterized by the corpus source so the lifecycle rows (q142
+    * merged corpus, q143 survivors) reuse the identical arithmetic. */
+  private val bm25CtesTail: String =
+    """
       |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
       |dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY 1),
       |st AS (SELECT COUNT(*)::BIGINT AS n_docs,
@@ -810,6 +1151,33 @@ object TextAnalysis {
       |      * 1e6 + 0.5) AS BIGINT) AS micro
       |  FROM tf JOIN qt ON qt.term = tf.term JOIN dl ON dl.doc_id = tf.doc_id),
       |ag AS (SELECT doc_id, SUM(micro)::BIGINT AS micro FROM sc GROUP BY doc_id)""".stripMargin
+
+  def bm25CtesSqlFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM $src),""".stripMargin + bm25CtesTail
+
+  /** The q129 CTE chain over `documents`, exposed so q131's hybrid
+    * fusion reuses the lexical head verbatim. */
+  val bm25CtesSql: String = bm25CtesSqlFrom("documents")
+
+  /** q142's oracle: BM25 from scratch over the MERGED corpus (base ∪
+    * the +100000-rekeyed delta) — the DuckDB mirror of probing the
+    * post-merge standing index. */
+  val lexIndexMergeSql: String =
+    s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+       |    UNION ALL
+       |    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3),
+       |${bm25CtesSqlFrom("docs2")}
+       |SELECT doc_id, micro / 1e6 AS bm25
+       |FROM ag ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q143's oracle: BM25 from scratch over the SURVIVING corpus — idf,
+    * avgdl, and the query-term derivation all priced on survivors. */
+  val lexIndexForgetSql: String =
+    s"""WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+       |${bm25CtesSqlFrom("docs2")}
+       |SELECT doc_id, micro / 1e6 AS bm25
+       |FROM ag ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin
 
   val bm25Sql: String =
     s"""WITH $bm25CtesSql
@@ -2907,14 +3275,19 @@ object TextAnalysis {
     // process — the q102/q119/q126 gate pattern); q132b is the build
     "q132_lex_index_probe" -> ((s, d) => {
       val path = lexIndexPathFor(d)
-      if (!ScratchPaths.artifactExists(s, s"$path/postings/_SUCCESS"))
-        buildLexIndex(s, d, path)
+      if (!lexIndexExists(s, path)) buildLexIndex(s, d, path)
       lexIndexProbeStored(s, d, path)
     }),
     "q132b_lex_index_build" -> ((s, d) => {
       import s.implicits._
       Seq(buildLexIndex(s, d, lexIndexPathFor(d))).toDF("n_index_rows")
     }),
+    // q142/q143 (r19): the lexical lifecycle rows — merge and
+    // right-to-be-forgotten against standing BM25 artifacts, each
+    // certified by probing the post-maintenance index against a
+    // from-scratch DuckDB recompute
+    "q142_lex_index_merge"  -> ((s, d) => lexIndexMerge(s, d)),
+    "q143_lex_index_forget" -> ((s, d) => lexIndexForget(s, d)),
     "q44_len_quantiles" -> ((s, d) => lengthQuantiles(s, d)),
     "q64_len_quantiles_approx" -> ((s, d) => lengthQuantilesApprox(s, d)),
     "q65_approx_distinct" -> ((s, d) => approxDistinctUsers(s, d)),
@@ -2967,6 +3340,8 @@ object TextAnalysis {
         |  SELECT DISTINCT doc_id, term FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |    FROM documents))""".stripMargin,
+    "q142_lex_index_merge"  -> lexIndexMergeSql,
+    "q143_lex_index_forget" -> lexIndexForgetSql,
     "q44_len_quantiles" -> lengthQuantilesSql,
     "q64_len_quantiles_approx" -> lengthQuantilesApproxSql,
     "q65_approx_distinct" -> approxDistinctUsersSql,

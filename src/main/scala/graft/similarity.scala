@@ -5790,7 +5790,7 @@ object Similarity {
     // process — the q102/q119/q126/q132 gate pattern)
     "q133_hybrid_index_probe" -> ((s, d) => {
       val lexPath = TextAnalysis.lexIndexPathFor(d)
-      if (!graft.ScratchPaths.artifactExists(s, s"$lexPath/postings/_SUCCESS"))
+      if (!TextAnalysis.lexIndexExists(s, lexPath))
         TextAnalysis.buildLexIndex(s, d, lexPath)
       val annPath = annIndexPathFor(d)
       if (!annIndexExists(s, annPath))

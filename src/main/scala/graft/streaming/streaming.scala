@@ -972,10 +972,15 @@ object StreamingOps {
                      servedTtlMillis: Long): Dataset[LexHit] = {
     val s = queries.sparkSession
     import s.implicits._
-    val postings = s.read.parquet(s"$path/postings").drop("tb")
-    val dl = s.read.parquet(s"$path/doclens")
-    val qstats = s.read.parquet(s"$path/terms")
-      .crossJoin(s.read.parquet(s"$path/stats")) // static × 1-row static
+    // the static sides resolve the LIVE version once at stream setup and
+    // read through the r19 lifecycle helpers: tombstoned docs subtracted,
+    // contribution logs folded — serving re-prices idf/avgdl to the
+    // population as of stream start
+    val root = graft.TextAnalysis.lexLiveRoot(s, path)
+    val postings = graft.TextAnalysis.lexPostingsOf(s, path, root)
+    val dl = graft.TextAnalysis.lexDoclensOf(s, path, root)
+    val qstats = graft.TextAnalysis.lexTermsOf(s, root)
+      .crossJoin(graft.TextAnalysis.lexStatsOf(s, root)) // static × 1-row static
     val scored = queries
       .selectExpr("query_id", "explode(terms) as term")
       .join(postings, Seq("term"))
@@ -1104,6 +1109,39 @@ object StreamingOps {
       (df: DataFrame, _: Long) => { graft.MediaOps.forgetMediaFromIndex(df, path); () }
     }
 
+  /** q142's streaming form (r19) — CONTINUOUS INGESTION into the
+    * standing LEXICAL (BM25) index: each micro-batch of (doc_id, text)
+    * arrivals folds through the batch merge
+    * ([[graft.TextAnalysis.mergeLexBatchIntoIndex]] inside foreachBatch
+    * — the annIngestStream pattern). The batchId — STABLE across
+    * at-least-once replays — is the merge's segment stamp, so a replayed
+    * batch either anti-joins away at the doclens registry or re-appends
+    * byte-identical contribution rows the read-side fold collapses;
+    * either way the artifacts converge. idf/avgdl re-price at every
+    * read, so an index grown online never serves frozen statistics. */
+  def lexIngestStream(docs: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (df: DataFrame, batchId: Long) =>
+        { graft.TextAnalysis.mergeLexBatchIntoIndex(df, path, seg = batchId); () }
+    }
+
+  /** q143's streaming form (r19) — CONTINUOUS TAKEDOWN against the
+    * standing LEXICAL index: requests append to the root tombstone log
+    * plus the victims' negative statistic contributions
+    * ([[graft.TextAnalysis.forgetLexFromIndex]] — idempotent; early
+    * takedowns pend until the id's first arrival, the media q137
+    * ordering discipline). Probes and the ingest merge anti-join the
+    * log, so a takedown is effective immediately and a replayed ingest
+    * batch can never resurrect a forgotten doc;
+    * [[graft.TextAnalysis.compactLexIndex]] makes it physical. */
+  def lexForgetStream(requests: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch {
+      (df: DataFrame, batchId: Long) =>
+        { graft.TextAnalysis.forgetLexFromIndex(df, path, seg = batchId); () }
+    }
+
   /** q135's streaming form (r16) — CONTINUOUS TAKEDOWN against the
     * standing ANN index: each micro-batch of right-to-be-forgotten
     * requests (any frame with a `vec_id` column) folds through the batch
@@ -1145,11 +1183,14 @@ object StreamingOps {
     val s = requests.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(s)
     import s.implicits._
-    // --- lexical head: scored (query, doc, micro) rows
-    val postings = s.read.parquet(s"$lexPath/postings").drop("tb")
-    val dl = s.read.parquet(s"$lexPath/doclens")
-    val qstats = s.read.parquet(s"$lexPath/terms")
-      .crossJoin(s.read.parquet(s"$lexPath/stats"))
+    // --- lexical head: scored (query, doc, micro) rows — static sides
+    // through the r19 lifecycle helpers (live version, tombstones
+    // subtracted, contribution logs folded)
+    val lexRoot = graft.TextAnalysis.lexLiveRoot(s, lexPath)
+    val postings = graft.TextAnalysis.lexPostingsOf(s, lexPath, lexRoot)
+    val dl = graft.TextAnalysis.lexDoclensOf(s, lexPath, lexRoot)
+    val qstats = graft.TextAnalysis.lexTermsOf(s, lexRoot)
+      .crossJoin(graft.TextAnalysis.lexStatsOf(s, lexRoot))
     val lex = requests
       .selectExpr("query_id", "explode(terms) as term")
       .join(postings, Seq("term"))
@@ -1161,7 +1202,9 @@ object StreamingOps {
     // --- dense head: per-row argmax routing over the one-row codebook,
     // then the routed cell joins the cell-partitioned assignments
     val dot = (a: String, b: String) => s"graft_dot($a, $b)"
-    val centsRow = s.read.parquet(s"$annPath/centroids")
+    // dense statics: version-resolved once, live rows only (r19)
+    val annRoot = graft.Similarity.resolveIndexRoot(s, annPath)
+    val centsRow = s.read.parquet(s"$annRoot/centroids")
       .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cents"))
     val routed = requests
       .selectExpr("query_id", "embedding as qe")
@@ -1174,7 +1217,7 @@ object StreamingOps {
           .stripMargin.replace("\n", " "))
       .selectExpr("query_id", "qe", "qn", "-best.neg as q_cell")
     val vec = routed
-      .join(s.read.parquet(s"$annPath/assignments"),
+      .join(graft.Similarity.liveAssignments(s, annRoot),
         col("c_label") === col("q_cell"))
       .selectExpr("query_id", "'V' as head", "vec_id as item_id",
         s"${dot("embedding", "qe")} / (nrm * qn) as score")

@@ -975,7 +975,7 @@ class StreamingSpec extends SparkSpec {
     assert(batch.length == 10)
     // the request carries the same derived terms the batch probe used
     val qt = TextAnalysis.bm25QueryTerms(
-        spark.read.parquet(s"$path/terms"), spark.read.parquet(s"$path/stats"))
+        TextAnalysis.lexTermsOf(spark, path), TextAnalysis.lexStatsOf(spark, path))
       .select("term").as[String].collect().toSeq
     assert(qt.length == 3)
     val in = MemoryStream[LexQuery](spark)
@@ -1010,7 +1010,7 @@ class StreamingSpec extends SparkSpec {
       }.toSeq
     assert(batch.length == 10)
     val qt = TextAnalysis.bm25QueryTerms(
-        spark.read.parquet(s"$lexPath/terms"), spark.read.parquet(s"$lexPath/stats"))
+        TextAnalysis.lexTermsOf(spark, lexPath), TextAnalysis.lexStatsOf(spark, lexPath))
       .select("term").as[String].collect().toSeq
     val qe = Tables.embeddings(spark, sf).filter($"vec_id" === 0)
       .select("embedding").as[Array[Float]].collect()(0)
@@ -1033,12 +1033,178 @@ class StreamingSpec extends SparkSpec {
       "the indexed copy of the query item should lead the fusion")
   }
 
+  test("lexIngestStream: online ingest into the standing BM25 index converges to the one-shot batch merge; hybrid serving reads the merged artifact (r19, VERDICT r18 #1)") {
+    // A ingests the delta docs as a STREAM (two micro-batches + an
+    // at-least-once full replay), B merges them once in batch — the
+    // artifacts must agree: postings/doclens row-for-row, terms/stats as
+    // FOLDED values (segmentation may differ, the statistics must not)
+    val pathA = TextAnalysis.lexIndexPathFor(sf) + "-lingestA"
+    val pathB = TextAnalysis.lexIndexPathFor(sf) + "-lingestB"
+    TextAnalysis.buildLexIndex(spark, sf, pathA)
+    TextAnalysis.buildLexIndex(spark, sf, pathB)
+    val delta = Tables.documents(spark, sf).filter($"doc_id" % 7 === 3)
+      .selectExpr("doc_id + 100000 as doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(delta.nonEmpty)
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    // a probe PLANNED pre-merge must never be invalidated (append-only)
+    val midMergeProbe = spark.read.parquet(s"$pathA/postings")
+    val preCount = midMergeProbe.count()
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.lexIngestStream(
+      in.toDF().toDF("doc_id", "text"), pathA).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(delta: _*) // at-least-once full replay
+    q.processAllAvailable(); q.stop()
+    assert(midMergeProbe.count() == preCount,
+      "a probe planned pre-merge saw the merge's writes (or lost files)")
+    val (nA, nR) = TextAnalysis.mergeLexBatchIntoIndex(
+      delta.toDF("doc_id", "text"), pathB, seg = 1L)
+    assert(nA == delta.length && nR == 0)
+    def rows(p: String, sub: String): Seq[String] =
+      spark.read.parquet(s"$p/$sub").drop("tb").collect()
+        .map(_.toString).sorted.toSeq
+    assert(rows(pathA, "postings") == rows(pathB, "postings"),
+      "streamed ingest diverged from batch merge on postings")
+    assert(rows(pathA, "doclens") == rows(pathB, "doclens"),
+      "streamed ingest diverged on doclens")
+    def folded(p: String): (Seq[String], Seq[String]) = (
+      TextAnalysis.lexTermsOf(spark, p).collect().map(_.toString).sorted.toSeq,
+      TextAnalysis.lexStatsOf(spark, p).collect().map(_.toString).toSeq)
+    assert(folded(pathA) == folded(pathB),
+      "folded dictionary/statistics diverged between streamed and batch merge")
+    // idf/avgdl re-priced: the folded doc count includes the delta
+    val st = TextAnalysis.lexStatsOf(spark, pathA).head()
+    val base = Tables.documents(spark, sf).count()
+    assert(st.getLong(0) == base + delta.length,
+      s"n_docs not re-priced: ${st.getLong(0)} != ${base + delta.length}")
+    // probes and HYBRID SERVING read the merged artifact identically
+    val probeA = TextAnalysis.lexIndexProbeStored(spark, sf, pathA).collect()
+    val probeB = TextAnalysis.lexIndexProbeStored(spark, sf, pathB).collect()
+    assert(probeA.map(_.toString).toSeq == probeB.map(_.toString).toSeq)
+    val annPath = Similarity.annIndexPathFor(sf) + "-lingest"
+    Similarity.buildAnnIndex(spark, sf, annPath)
+    val hA = Similarity.hybridIndexProbe(spark, sf, pathA, annPath).collect()
+    val hB = Similarity.hybridIndexProbe(spark, sf, pathB, annPath).collect()
+    assert(hA.length == 10 &&
+      hA.map(_.toString).toSeq == hB.map(_.toString).toSeq,
+      "q133 hybrid serving diverged on the online-merged lexical artifact")
+  }
+
+  test("lexForgetStream: streamed takedowns converge to the batch forget; early takedowns pend until arrival; crash-dupe segments collapse at read (r19)") {
+    val pathA = TextAnalysis.lexIndexPathFor(sf) + "-lforgetA"
+    val pathB = TextAnalysis.lexIndexPathFor(sf) + "-lforgetB"
+    TextAnalysis.buildLexIndex(spark, sf, pathA)
+    TextAnalysis.buildLexIndex(spark, sf, pathB)
+    val victims = Tables.documents(spark, sf).filter($"doc_id" % 7 === 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(victims.nonEmpty)
+    val (v1, v2) = victims.splitAt(victims.length / 2)
+    val in = MemoryStream[Long](spark)
+    val q = StreamingOps.lexForgetStream(in.toDF().toDF("doc_id"), pathA).start()
+    in.addData(v1: _*); q.processAllAvailable()
+    in.addData(v2: _*); q.processAllAvailable()
+    in.addData(victims: _*) // at-least-once full replay: appends nothing
+    q.processAllAvailable(); q.stop()
+    assert(TextAnalysis.forgetLexFromIndex(
+      victims.toDF("doc_id"), pathB, seg = 1L) == victims.length)
+    def tombs(p: String) = spark.read.parquet(s"$p/tombstones")
+      .as[Long].collect().sorted.toSeq
+    assert(tombs(pathA) == victims && tombs(pathB) == victims)
+    def folded(p: String): (Seq[String], Seq[String]) = (
+      TextAnalysis.lexTermsOf(spark, p).collect().map(_.toString).sorted.toSeq,
+      TextAnalysis.lexStatsOf(spark, p).collect().map(_.toString).toSeq)
+    assert(folded(pathA) == folded(pathB),
+      "streamed takedown statistics diverged from the batch forget")
+    // the post-takedown probe == the q143 oracle semantics (survivors)
+    val probeA = TextAnalysis.lexIndexProbeStored(spark, sf, pathA).collect()
+    val probeB = TextAnalysis.lexIndexProbeStored(spark, sf, pathB).collect()
+    assert(probeA.map(_.toString).toSeq == probeB.map(_.toString).toSeq)
+    assert(!probeA.exists(r => r.getLong(0) % 7 == 3),
+      "a takedown victim surfaced in the post-forget ranking")
+    // EARLY takedown: id 999999 was never admitted — it pends, then its
+    // first arrival is refused and tombstoned (the media q137 ordering)
+    assert(TextAnalysis.forgetLexFromIndex(
+      Seq(999999L).toDF("doc_id"), pathA, seg = 7L) == 0L)
+    assert(TextAnalysis.lexPendingOf(spark, pathA)
+      .as[Long].collect().toSeq == Seq(999999L))
+    val (admEarly, refEarly) = TextAnalysis.mergeLexBatchIntoIndex(
+      Seq((999999L, "pending victim text")).toDF("doc_id", "text"), pathA, seg = 9L)
+    assert(admEarly == 0L && refEarly == 1L, "pending takedown did not refuse the arrival")
+    assert(TextAnalysis.lexPendingOf(spark, pathA).isEmpty, "pending entry not consumed")
+    assert(tombs(pathA).contains(999999L), "delivered pending takedown not tombstoned")
+    // crash-window replay: re-append one victim batch's EXACT negative
+    // contribution rows (what a mid-crash redelivery produces) — the
+    // read-side distinct must collapse them, not double-subtract
+    val before = folded(pathA)
+    val negRows = spark.read.parquet(s"$pathA/stats").filter($"seg" === 0L)
+    assert(negRows.count() == 1) // the streamed v1 batch's segment
+    negRows.write.mode("append").parquet(s"$pathA/stats")
+    assert(folded(pathA)._2 == before._2,
+      "a replayed (duplicate) contribution segment double-counted at read")
+  }
+
+  test("compactLexIndex: versioned physical deletion — old version intact for in-flight probes, probe rows unchanged, GC retires the tail (r19)") {
+    val path = TextAnalysis.lexIndexPathFor(sf) + "-lcompact"
+    TextAnalysis.buildLexIndex(spark, sf, path)
+    // nothing to compact: no version is minted (the fixed-point cost)
+    TextAnalysis.compactLexIndex(spark, path)
+    assert(TextAnalysis.lexLiveRoot(spark, path) == path)
+    val victims = Tables.documents(spark, sf).filter($"doc_id" % 7 === 3)
+      .select("doc_id")
+    val nV = TextAnalysis.forgetLexFromIndex(victims, path, seg = 1L)
+    assert(nV > 0)
+    val probePre = TextAnalysis.lexIndexProbeStored(spark, sf, path).collect()
+      .map(_.toString).toSeq
+    val flatPostings = spark.read.parquet(s"$path/postings").count()
+    TextAnalysis.compactLexIndex(spark, path)
+    val v2 = TextAnalysis.lexLiveRoot(spark, path)
+    assert(v2 == s"$path/versions/v00002", s"live root $v2")
+    // the flat artifacts stay byte-count-identical for in-flight readers
+    assert(spark.read.parquet(s"$path/postings").count() == flatPostings)
+    // physical deletion: no victim row survives in the new version
+    assert(spark.read.parquet(s"$v2/doclens")
+      .filter($"doc_id" % 7 === 3).count() == 0)
+    assert(spark.read.parquet(s"$v2/postings")
+      .filter($"doc_id" % 7 === 3).count() == 0)
+    // one collapsed contribution segment each
+    assert(spark.read.parquet(s"$v2/stats").count() == 1)
+    // the probe answer is UNCHANGED by compaction (lazy == physical)
+    val probePost = TextAnalysis.lexIndexProbeStored(spark, sf, path).collect()
+      .map(_.toString).toSeq
+    assert(probePost == probePre, "compaction moved the probe answer")
+    // re-run: nothing left to compact (victims physical, one segment)
+    TextAnalysis.compactLexIndex(spark, path)
+    assert(TextAnalysis.lexLiveRoot(spark, path) == v2)
+    // merges fold into the live version; a second compaction's GC
+    // retires the flat root (keep=2 window filled)
+    TextAnalysis.mergeLexBatchIntoIndex(
+      Seq((888888L, "fresh doc after compaction")).toDF("doc_id", "text"),
+      path, seg = 5L)
+    assert(spark.read.parquet(s"$v2/doclens").filter($"doc_id" === 888888L).count() == 1,
+      "merge must target the live version")
+    TextAnalysis.compactLexIndex(spark, path) // segments > 1 -> v00003 + GC
+    val v3 = TextAnalysis.lexLiveRoot(spark, path)
+    assert(v3 == s"$path/versions/v00003")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/postings")),
+      "compaction's GC must retire the flat root once the keep window fills")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$v2/postings")))
+    // the root logs survive GC (audit trail + merge replay guard)
+    assert(spark.read.parquet(s"$path/tombstones").count() == nV)
+    // post-GC probe serves from the live version, victims still gone,
+    // the merged doc present
+    val probeFinal = TextAnalysis.lexIndexProbeStored(spark, sf, path)
+    assert(probeFinal.collect().length == 10)
+    assert(spark.read.parquet(s"$v3/doclens").filter($"doc_id" === 888888L).count() == 1)
+  }
+
   test("lexProbeStream: served markers retire after the TTL — a late replay re-serves identically (r16, r15 advice)") {
     import graft.streaming.{LexHit, LexQuery}
     val path = TextAnalysis.lexIndexPathFor(sf) + "-servettl"
     TextAnalysis.buildLexIndex(spark, sf, path)
     val qt = TextAnalysis.bm25QueryTerms(
-        spark.read.parquet(s"$path/terms"), spark.read.parquet(s"$path/stats"))
+        TextAnalysis.lexTermsOf(spark, path), TextAnalysis.lexStatsOf(spark, path))
       .select("term").as[String].collect().toSeq
     // 3 s, not sub-second — the q69 TTL spec's full-suite-load rule
     val ttlMs = 3000L
@@ -1094,7 +1260,7 @@ class StreamingSpec extends SparkSpec {
     val path = TextAnalysis.lexIndexPathFor(sf) + "-servettl2"
     TextAnalysis.buildLexIndex(spark, sf, path)
     val qt = TextAnalysis.bm25QueryTerms(
-        spark.read.parquet(s"$path/terms"), spark.read.parquet(s"$path/stats"))
+        TextAnalysis.lexTermsOf(spark, path), TextAnalysis.lexStatsOf(spark, path))
       .select("term").as[String].collect().toSeq
     val ttlMs = 3000L
     val in = MemoryStream[LexQuery](spark)
