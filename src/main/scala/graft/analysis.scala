@@ -794,12 +794,9 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
 
   /** Same-process writer serialization + the cross-driver write-intent
-    * marker — the [[Similarity]]/[[MediaOps]] writer discipline. */
-  private val lexIndexLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    * marker — the shared [[IndexLifecycle]] writer gate. */
   private def withLexIndexWriter[T](s: SparkSession, path: String)(body: => T): T =
-    lexIndexLocks.computeIfAbsent(path, _ => new Object).synchronized(
-      ScratchPaths.withWriteIntent(s, path)(body))
+    IndexLifecycle.withWriter(s, path)(body)
 
   /** The LIVE artifact root of a (possibly versioned) lexical index —
     * postings/doclens/terms/stats resolve through here; the tombstone
@@ -813,26 +810,15 @@ object TextAnalysis {
     ScratchPaths.artifactExists(s, s"$path/postings/_SUCCESS") ||
       lexLiveRoot(s, path) != path
 
-  private[graft] def lexTombstonesOf(s: SparkSession, path: String): DataFrame = {
-    import s.implicits._
-    if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
-      s.read.parquet(s"$path/tombstones")
-    else Seq.empty[Long].toDF("doc_id")
-  }
+  private[graft] def lexTombstonesOf(s: SparkSession, path: String): DataFrame =
+    IndexLifecycle.idLogOf(s, s"$path/tombstones", "doc_id")
 
-  private[graft] def lexPendingOf(s: SparkSession, path: String): DataFrame = {
-    import s.implicits._
-    if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS"))
-      s.read.parquet(s"$path/pending")
-    else Seq.empty[Long].toDF("doc_id")
-  }
+  private[graft] def lexPendingOf(s: SparkSession, path: String): DataFrame =
+    IndexLifecycle.idLogOf(s, s"$path/pending", "doc_id")
 
   private def minusLexTombstones(df: DataFrame, s: SparkSession,
                                  path: String): DataFrame =
-    if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
-      df.join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
-        Seq("doc_id"), "left_anti")
-    else df
+    IndexLifecycle.minusIdLog(df, s, s"$path/tombstones", "doc_id")
 
   /** The folded dictionary of a resolved root: segment contributions
     * collapsed (distinct = the crash-replay guard) then summed per term;
@@ -1087,11 +1073,9 @@ object TextAnalysis {
           .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
           .repartition(col("tb"))
           .write.mode("overwrite").partitionBy("tb").parquet(s"$newRoot/postings")
-        Similarity.hadoopFs(s, path).create(
-          new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED"), false).close()
-        // keep-N GC after the marker lands (the r19 write-path wiring)
-        Similarity.pruneVersions(s, path, Similarity.keepVersions(s),
-          Seq("postings", "doclens", "terms", "stats")): Unit
+        // atomic commit + keep-N GC (the r19 write-path wiring, shared tail)
+        IndexLifecycle.commitVersion(s, path, newRoot,
+          Seq("postings", "doclens", "terms", "stats"))
       }
     }
 

@@ -1883,14 +1883,12 @@ object MediaOps {
   /** Same-process writer serialization for the media index artifacts —
     * the [[Similarity]] index-lock discipline; multi-driver deployments
     * keep the documented single-writer-per-path contract. */
-  private val mediaIndexLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   /** JVM lock + cross-driver write-intent marker (VERDICT r17 #5) — every
-    * media-artifact writer enters through here; same-thread re-entry
-    * (merge-triggered compaction) renews its own marker. */
+    * media-artifact writer enters through here ([[IndexLifecycle]], the
+    * r19 shared core); same-process re-entry (merge-triggered
+    * compaction) is depth-tracked, never marker-stripping. */
   private def withMediaIndexWriter[T](s: SparkSession, path: String)(body: => T): T =
-    mediaIndexLocks.computeIfAbsent(path, _ => new Object).synchronized(
-      ScratchPaths.withWriteIntent(s, path)(body))
+    IndexLifecycle.withWriter(s, path)(body)
 
   /** ONLINE ingest-dedup merge (q136's streaming leg — the admission
     * decision an image-ingest pipeline makes per arriving batch): hash
@@ -2034,20 +2032,14 @@ object MediaOps {
   // nothing appended → identical rewrite → identical report).
   // ---------------------------------------------------------------------
 
-  private[graft] def tombstonesOf(s: SparkSession, path: String): DataFrame = {
-    import s.implicits._
-    if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
-      s.read.parquet(s"$path/tombstones")
-    else Seq.empty[Long].toDF("doc_id")
-  }
+  private[graft] def tombstonesOf(s: SparkSession, path: String): DataFrame =
+    IndexLifecycle.idLogOf(s, s"$path/tombstones", "doc_id")
 
   /** Anti-join `df` against the tombstone log on doc_id — the lazy-
     * deletion read guard. Skips the join when no log exists (the gate
     * fixture path: q136's artifact never carries tombstones). */
   private def minusTombstones(df: DataFrame, s: SparkSession, path: String): DataFrame =
-    if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
-      df.join(broadcast(tombstonesOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
-    else df
+    IndexLifecycle.minusIdLog(df, s, s"$path/tombstones", "doc_id")
 
   /** The PENDING-forget log: takedowns that arrived BEFORE their id's
     * first admit (r17 advice #5 — [[mediaForgetStream]] and
@@ -2060,12 +2052,8 @@ object MediaOps {
     * it). An id that never arrives stays pending with zero effect; fresh
     * CONTENT under a fresh id still admits (dedup-forget, not a content
     * ban). */
-  private[graft] def pendingForgetsOf(s: SparkSession, path: String): DataFrame = {
-    import s.implicits._
-    if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS"))
-      s.read.parquet(s"$path/pending")
-    else Seq.empty[Long].toDF("doc_id")
-  }
+  private[graft] def pendingForgetsOf(s: SparkSession, path: String): DataFrame =
+    IndexLifecycle.idLogOf(s, s"$path/pending", "doc_id")
 
   /** Takedown: append the present-and-not-yet-logged request ids to the
     * tombstone log; ids NOT yet in the index land in the pending-forget
@@ -2139,13 +2127,11 @@ object MediaOps {
           .write.mode("overwrite").parquet(s"$newRoot/stat")
         vecs.write.mode("overwrite").parquet(s"$newRoot/vecs")
         bands.write.mode("overwrite").parquet(s"$newRoot/bands")
-        Similarity.hadoopFs(s, path).create(
-          new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED"), false).close()
-        // keep-N GC after the marker lands (VERDICT r18 #3): growth-
-        // triggered compactions under a sustained ingest stream must not
-        // accumulate versions × corpus on disk unattended
-        Similarity.pruneVersions(s, path, Similarity.keepVersions(s),
-          Seq("vecs", "bands", "stat")): Unit
+        // atomic commit + keep-N GC (VERDICT r18 #3, shared tail):
+        // growth-triggered compactions under a sustained ingest stream
+        // must not accumulate versions × corpus on disk unattended
+        IndexLifecycle.commitVersion(s, path, newRoot,
+          Seq("vecs", "bands", "stat"))
       }
     }
 

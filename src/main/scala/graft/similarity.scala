@@ -4039,14 +4039,13 @@ object Similarity {
     * single-writer-per-path externally (one ingestion owner per index
     * artifact — the same contract every non-transactional parquet
     * layout carries); readers are unaffected either way (r16 advice). */
-  private val indexWriteLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def withIndexWriteLock[T](path: String)(body: => T): T =
-    indexWriteLocks.computeIfAbsent(path, _ => new Object).synchronized(body)
+    graft.IndexLifecycle.withLock(path)(body)
   /** JVM lock + cross-driver write-intent marker (VERDICT r17 #5) — every
-    * artifact writer enters through here. */
+    * artifact writer enters through here ([[graft.IndexLifecycle]], the
+    * r19 shared lifecycle core). */
   private def withIndexWriter[T](s: SparkSession, path: String)(body: => T): T =
-    withIndexWriteLock(path)(graft.ScratchPaths.withWriteIntent(s, path)(body))
+    graft.IndexLifecycle.withWriter(s, path)(body)
 
   // ---------------------------------------------------------------------
   // VERSIONED INDEX ROOTS (r18, VERDICT r17 #3): [[rebuildAnnIndex]]
@@ -4083,12 +4082,8 @@ object Similarity {
 
   /** The takedown tombstone log of a RESOLVED version root — empty frame
     * when the log does not exist (the gate fixture path). */
-  private[graft] def annTombstonesOf(s: SparkSession, root: String): DataFrame = {
-    import s.implicits._
-    if (graft.ScratchPaths.artifactExists(s, s"$root/tombstones/_SUCCESS"))
-      s.read.parquet(s"$root/tombstones")
-    else Seq.empty[Long].toDF("vec_id")
-  }
+  private[graft] def annTombstonesOf(s: SparkSession, root: String): DataFrame =
+    graft.IndexLifecycle.idLogOf(s, s"$root/tombstones", "vec_id")
 
   /** Anti-join `df` against the version root's tombstone log on vec_id —
     * LAZY DELETION (r19, VERDICT r18 #2): [[forgetVictimIdsFrom]] no
@@ -4099,10 +4094,7 @@ object Similarity {
     * exists, so the untouched-index read path pays nothing. */
   private[graft] def minusAnnTombstones(df: DataFrame, s: SparkSession,
                                         root: String): DataFrame =
-    if (graft.ScratchPaths.artifactExists(s, s"$root/tombstones/_SUCCESS"))
-      df.join(broadcast(annTombstonesOf(s, root).select("vec_id")),
-        Seq("vec_id"), "left_anti")
-    else df
+    graft.IndexLifecycle.minusIdLog(df, s, s"$root/tombstones", "vec_id")
 
   /** The LIVE rows of a resolved version root's assignments — the stored
     * artifact minus the tombstone log. */
@@ -4503,14 +4495,12 @@ object Similarity {
       liveAssignments(s, newRoot)
         .groupBy("c_label").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$newRoot/cellstat")
-      // atomic commit: marker-create flips resolution to the new version;
-      // the old version's files stay for in-flight (and replayed) readers
-      hadoopFs(s, path).create(
-        new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED"), false).close()
-      // keep-N GC after the marker lands (VERDICT r18 #3) — an unattended
-      // auto-refit stream must not accumulate versions × corpus on disk
-      pruneVersions(s, path, keepVersions(s),
-        Seq("assignments", "centroids", "cellstat")): Unit
+      // atomic commit + keep-N GC (VERDICT r18 #3) — the shared tail:
+      // the old version's files stay for in-flight (and replayed)
+      // readers; an unattended auto-refit stream must not accumulate
+      // versions × corpus on disk
+      graft.IndexLifecycle.commitVersion(s, path, newRoot,
+        Seq("assignments", "centroids", "cellstat"))
     }
     newRoot
   }
