@@ -843,12 +843,26 @@ object TextAnalysis {
                                   root: String): DataFrame =
     minusLexTombstones(s.read.parquet(s"$root/doclens"), s, path)
 
+  /** Whether the root carries appended merge/forget segments beyond the
+    * build's base. Posting-row duplicates can ONLY exist once a merge's
+    * stats segment has landed (the merge writes terms → stats →
+    * postings → doclens, so any crash window that leaves replayable
+    * posting rows has already appended its stats row), and compaction
+    * collapses back to the single base segment — so a single-segment
+    * stats log PROVES the postings are dupe-free and the crash-dupe
+    * distinct can be skipped. Driver-side read of the tiny stats
+    * artifact (one row per segment). */
+  private[graft] def lexHasSegments(s: SparkSession, root: String): Boolean =
+    s.read.parquet(s"$root/stats").select("seg").distinct().count() > 1
+
   /** Live postings (unpruned — the stream-static serving side): crash
-    * dupes collapsed, tombstoned docs subtracted. */
+    * dupes collapsed when segments exist, tombstoned docs subtracted. */
   private[graft] def lexPostingsOf(s: SparkSession, path: String,
-                                   root: String): DataFrame =
+                                   root: String): DataFrame = {
+    val base = s.read.parquet(s"$root/postings").drop("tb")
     minusLexTombstones(
-      s.read.parquet(s"$root/postings").drop("tb").distinct(), s, path)
+      if (lexHasSegments(s, root)) base.distinct() else base, s, path)
+  }
 
   /** The shared deterministic tokenizer — build, merge, and the q129
     * from-scratch route must agree to the token. */
@@ -895,17 +909,22 @@ object TextAnalysis {
     val tbs = qterms
       .selectExpr(s"pmod(hash(term), $LexBuckets) as tb")
       .distinct().collect().map(_.getInt(0).toString)
-    // crash-dupe collapse (distinct) AFTER the query-term semi-join: the
-    // exchange runs on the ≤3-term matched rows of ≤3 pruned buckets,
-    // never the bucket population — the one probe-side cost of the LSM
-    // merge's replay contract (a crashed merge's partial appends are
-    // byte-identical to their redelivery, collapsed here)
+    // crash-dupe collapse, GATED on segmented-ness ([[lexHasSegments]]:
+    // a single-segment stats log proves the postings dupe-free, so the
+    // common base-index probe keeps its r18 plan) and run AFTER the
+    // query-term semi-join — the exchange carries the ≤3-term matched
+    // rows of ≤3 pruned buckets, never the bucket population. This is
+    // the one probe-side cost of the LSM merge's replay contract (a
+    // crashed merge's partial appends are byte-identical to their
+    // redelivery, collapsed here).
+    val pruned = s.read.parquet(s"$root/postings")
+      .filter(col("tb").isin(tbs: _*))
+      .drop("tb")
     val postings = minusLexTombstones(
-      s.read.parquet(s"$root/postings")
-        .filter(col("tb").isin(tbs: _*))
-        .drop("tb")
-        .join(broadcast(qterms.select("term")), Seq("term"), "left_semi")
-        .distinct(), s, path)
+      if (lexHasSegments(s, root))
+        pruned.join(broadcast(qterms.select("term")), Seq("term"), "left_semi")
+          .distinct()
+      else pruned, s, path)
     bm25Score(postings, lexDoclensOf(s, path, root), qterms)
   }
 

@@ -453,11 +453,12 @@ object PlanBudgetSpec {
     // q132 (r15): standing-lexical-index probe — the postings scan is
     // bucket-pruned (BucketingSpec), the 3-row query broadcasts, the
     // per-doc sum is the one corpus-keyed exchange; build ran in q132b
-    // r19: +1 exchange and +1 broadcast vs r18 — the lifecycle's read
-    // discipline (tombstone-aware, crash-dupe distinct AFTER the
-    // query-term semi-join, so the new exchange carries ≤3-term matched
-    // rows of ≤3 pruned buckets, never the bucket population)
-    "q132_lex_index_probe" -> Shape(shuffles = 2, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
+    // r19: the lifecycle read discipline is PLAN-NEUTRAL on the base
+    // index — the crash-dupe distinct is gated on segmented-ness
+    // (lexHasSegments) and the tombstone anti-join on log existence, so
+    // the un-maintained gate artifact keeps the r18 shape; q142/q143
+    // below pin the segmented form
+    "q132_lex_index_probe" -> Shape(shuffles = 1, broadcasts = 2, joins = 2, smj = 0, cartesian = 0, bnlj = 0, scans = 3),
     "q132b_lex_index_build" -> Shape(shuffles = 0, broadcasts = 0, joins = 0, smj = 0, cartesian = 0, bnlj = 0, scans = 0),
     // q142/q143 (r19): the lexical lifecycle rows — the measured plan is
     // the post-maintenance PROBE (merge/forget ran at artifact time);
@@ -469,7 +470,7 @@ object PlanBudgetSpec {
     // shuffle) + a one-cell-pruned assignments scan behind the 1-row
     // lookup (the BNLJ broadcast); fusion constant-size (two <=10-row
     // frames); builds ran in q132b/q119b
-    "q133_hybrid_index_probe" -> Shape(shuffles = 2, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 1, scans = 6),
+    "q133_hybrid_index_probe" -> Shape(shuffles = 1, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 1, scans = 5),
     // q134 (r15): index merge — the rewrite runs at build time
     // (broadcast-routed delta, dynamic partition overwrite of the hit
     // cells); the measured plan is the post-merge per-cell report:
