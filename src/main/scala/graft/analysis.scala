@@ -1000,6 +1000,9 @@ object TextAnalysis {
         // batch (identical rows → read-side collapse); after this write
         // the replay anti-joins to nothing
         dl.write.mode("append").parquet(s"$root/doclens")
+        // maintenance tail (r19): an unattended ingest stream compacts
+        // itself once the appended segments exceed the policy threshold
+        maybeCompactLexIndex(s, path)
       }
       (nAdmit, nBatch - nAdmit)
     }
@@ -1052,6 +1055,9 @@ object TextAnalysis {
         // (identical negatives collapse), a crash after it replays to
         // nothing (victims no longer novel)
         present.select("doc_id").write.mode("append").parquet(s"$path/tombstones")
+        // maintenance tail (r19): a takedown-heavy stream makes deletion
+        // physical once live victims cross the policy fraction
+        maybeCompactLexIndex(s, path)
       }
       if (!early.isEmpty)
         early.write.mode("append").parquet(s"$path/pending")
@@ -1098,6 +1104,47 @@ object TextAnalysis {
       }
     }
 
+  /** The MAINTENANCE POLICY (r19): fragmentation/tombstone-gated
+    * auto-compaction, called from the merge and forget tails (inside the
+    * writer gate — reentrant), so an UNATTENDED ingest/takedown stream
+    * compacts itself instead of accumulating contribution segments and
+    * hidden victims until an operator remembers to schedule
+    * [[compactLexIndex]] — the "spec-covered but never invoked from
+    * production" hole the r18 verdict flagged for version GC, closed
+    * here for compaction across the family. Thresholds (session confs):
+    *
+    *  - `spark.graft.lexCompactSegments` (default 16): appended
+    *    contribution segments beyond the base before the logs are
+    *    collapsed — bounds the per-read fold width and the crash-dupe
+    *    distinct's input.
+    *  - `spark.graft.lexCompactTombstoneFrac` (default 0.25): live
+    *    victims as a fraction of stored docs before lazy deletion is
+    *    made physical — bounds the per-read anti-join mass and the
+    *    dead-row disk amplification.
+    *
+    * Cost of the CHECK itself: one driver-side read of the segment-sized
+    * stats log, plus — only when a tombstone log exists — one narrow
+    * (doc_id) scan of doclens. The gate rows sit safely under both
+    * defaults (q142: 1 segment; q143: 1/7 ≈ 14% victims), so their
+    * plans and oracles are unchanged. */
+  private def maybeCompactLexIndex(s: SparkSession, path: String): Unit = {
+    val root = lexLiveRoot(s, path)
+    val segs = s.read.parquet(s"$root/stats").select("seg").distinct().count()
+    val frag =
+      segs - 1 > IndexLifecycle.confInt(s, "spark.graft.lexCompactSegments", 16)
+    def tombHeavy: Boolean =
+      ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS") && {
+        val dl = s.read.parquet(s"$root/doclens").select("doc_id")
+        val stored = dl.count()
+        stored > 0 &&
+          dl.join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
+              Seq("doc_id"), "left_semi").count().toDouble / stored >=
+            IndexLifecycle.confDouble(
+              s, "spark.graft.lexCompactTombstoneFrac", 0.25)
+      }
+    if (frag || tombHeavy) compactLexIndex(s, path)
+  }
+
   /** The q142 gate chain: lazy build → fold the +100000-rekeyed delta
     * docs in → probe the MERGED index. The oracle recomputes BM25 from
     * scratch over the unioned corpus, so the probe's answer certifies
@@ -1130,6 +1177,33 @@ object TextAnalysis {
     forgetLexFromIndex(
       Tables.documents(s, d).filter(col("doc_id") % 7 === 3).select("doc_id"),
       path, seg = 1L)
+    lexIndexProbeStored(s, d, path)
+  }
+
+  /** The q144 gate chain (r19): the full auto-maintained lifecycle in
+    * one arc — lazy build → merge the rekeyed delta → forget ~29% of the
+    * population, which crosses `spark.graft.lexCompactTombstoneFrac`'s
+    * default so the forget's MAINTENANCE TAIL auto-compacts (no explicit
+    * compact call anywhere — the row certifies the policy trigger's
+    * output, a fresh committed version with victims physically removed
+    * and the contribution logs collapsed to one base segment) → probe
+    * the compacted index. The oracle recomputes BM25 from scratch over
+    * (survivors ∪ delta), so the probe certifies that compaction
+    * preserved the merged postings, the physical deletion, AND the
+    * re-priced idf/avgdl exactly. Fixed point under re-runs (delta
+    * refused by the registry, victims already tombstoned, compaction
+    * no-ops on a single-segment victimless version). */
+  def lexIndexMaintain(s: SparkSession, d: String): DataFrame = {
+    val path = ScratchPaths.indexPathFor(
+      s"q144-${ScratchPaths.tableFingerprint(d, "documents")}", d)
+    if (!lexIndexExists(s, path)) buildLexIndex(s, d, path)
+    mergeLexBatchIntoIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .selectExpr("doc_id + 100000 as doc_id", "text"),
+      path, seg = 1L)
+    forgetLexFromIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 1).select("doc_id"),
+      path, seg = 2L)
     lexIndexProbeStored(s, d, path)
   }
 
@@ -1178,6 +1252,17 @@ object TextAnalysis {
     * avgdl, and the query-term derivation all priced on survivors. */
   val lexIndexForgetSql: String =
     s"""WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+       |${bm25CtesSqlFrom("docs2")}
+       |SELECT doc_id, micro / 1e6 AS bm25
+       |FROM ag ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q144's oracle: BM25 from scratch over (survivors ∪ the rekeyed
+    * delta) — the DuckDB mirror of probing the auto-compacted index
+    * after the merge + policy-triggered takedown compaction. */
+  val lexIndexMaintainSql: String =
+    s"""WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 1
+       |    UNION ALL
+       |    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3),
        |${bm25CtesSqlFrom("docs2")}
        |SELECT doc_id, micro / 1e6 AS bm25
        |FROM ag ORDER BY micro DESC, doc_id LIMIT 10""".stripMargin
@@ -3291,6 +3376,9 @@ object TextAnalysis {
     // from-scratch DuckDB recompute
     "q142_lex_index_merge"  -> ((s, d) => lexIndexMerge(s, d)),
     "q143_lex_index_forget" -> ((s, d) => lexIndexForget(s, d)),
+    // q144 (r19): the auto-maintained lifecycle — merge + a takedown
+    // heavy enough to fire the compaction policy, probed post-compaction
+    "q144_lex_index_maintain" -> ((s, d) => lexIndexMaintain(s, d)),
     "q44_len_quantiles" -> ((s, d) => lengthQuantiles(s, d)),
     "q64_len_quantiles_approx" -> ((s, d) => lengthQuantilesApprox(s, d)),
     "q65_approx_distinct" -> ((s, d) => approxDistinctUsers(s, d)),
@@ -3345,6 +3433,7 @@ object TextAnalysis {
         |    FROM documents))""".stripMargin,
     "q142_lex_index_merge"  -> lexIndexMergeSql,
     "q143_lex_index_forget" -> lexIndexForgetSql,
+    "q144_lex_index_maintain" -> lexIndexMaintainSql,
     "q44_len_quantiles" -> lengthQuantilesSql,
     "q64_len_quantiles_approx" -> lengthQuantilesApproxSql,
     "q65_approx_distinct" -> approxDistinctUsersSql,

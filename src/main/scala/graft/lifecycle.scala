@@ -55,6 +55,13 @@ object IndexLifecycle {
         Seq(idCol), "left_anti")
     else df
 
+  /** Threshold confs for the per-family MAINTENANCE POLICIES (r19): the
+    * fragmentation / tombstone-mass triggers read their limits here. */
+  def confInt(s: SparkSession, key: String, dflt: Int): Int =
+    s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
+  def confDouble(s: SparkSession, key: String, dflt: Double): Double =
+    s.conf.getOption(key).map(_.toDouble).getOrElse(dflt)
+
   /** Commit a fully-written version directory: the atomic marker-create
     * flips resolution to `newRoot` (in-flight readers of the old
     * version keep their files end-to-end), then keep-N GC retires the

@@ -2078,10 +2078,38 @@ object MediaOps {
       val present = marked.filter(col("present").isNotNull).select("doc_id")
       val early = marked.filter(col("present").isNull).select("doc_id")
       val n = present.count()
-      if (n > 0) present.write.mode("append").parquet(s"$path/tombstones")
+      if (n > 0) {
+        present.write.mode("append").parquet(s"$path/tombstones")
+        // maintenance tail (r19): a takedown-heavy stream makes deletion
+        // physical once live victims cross the policy fraction — the
+        // growth trigger in the ingest merge handles population doubling,
+        // this leg handles deletion mass; together the index is fully
+        // self-maintaining under unattended streams
+        maybeCompactMediaIndex(s, path)
+      }
       if (!early.isEmpty) early.write.mode("append").parquet(s"$path/pending")
       n
     }
+
+  /** The media MAINTENANCE POLICY's tombstone leg (r19): compact when
+    * live victims reach `spark.graft.mediaCompactTombstoneFrac` (default
+    * 0.25) of the stored rows. Check cost: one narrow (doc_id) scan of
+    * vecs, only when a tombstone log exists; the q137 gate row's 1/7 ≈
+    * 14% victims sit under the default, so its explicit compact call and
+    * oracle are unchanged. */
+  private def maybeCompactMediaIndex(s: SparkSession, path: String): Unit = {
+    if (!ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS")) return
+    val ids = s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs").select("doc_id")
+    val stored = ids.count()
+    if (stored == 0) return
+    val victims = ids
+      .join(broadcast(tombstonesOf(s, path).select("doc_id")),
+        Seq("doc_id"), "left_semi").count()
+    if (victims.toDouble / stored >=
+        IndexLifecycle.confDouble(
+          s, "spark.graft.mediaCompactTombstoneFrac", 0.25))
+      compactMediaIndex(s, path)
+  }
 
   /** Scheduled compaction, VERSIONED (r18): rewrites vecs/bands minus
     * the tombstoned ids — defragmenting the ingest appends along the

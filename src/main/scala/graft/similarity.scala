@@ -4188,27 +4188,28 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
-  // q135 — DELETION FROM THE STANDING INDEX (r15): the privacy-ops twin
-  // of q134 — a training-data platform receives right-to-be-forgotten /
-  // takedown requests and must remove specific items from every standing
-  // artifact without rebuilding it. Same Spark-native mechanism: locate
-  // the victims' cells (one id-pushdown scan of the artifact — ids are
-  // not the partition key, so this is a predicate-pushdown read, not a
-  // partition-pruned one), rewrite ONLY those cells' partitions minus
-  // the victims under dynamic partition overwrite; untouched cells'
-  // files stay byte-for-byte alone (the q134 file-listing proof covers
-  // the shared mechanism). The delete also writes a TOMBSTONE log
-  // (vec_id, c_label as stored) — the audit artifact a compliance
-  // pipeline keeps — and the report reads POST-delete artifact counts
-  // joined to tombstone counts, so re-runs (victims already gone,
-  // nothing rewritten, tombstones untouched) report identically.
-  // Fixture delete set: every vec_id % 50 == 0 — deterministic in both
-  // engines.
+  // q135 — DELETION FROM THE STANDING INDEX (r15, mechanism replaced
+  // r19): the privacy-ops twin of q134 — a training-data platform
+  // receives right-to-be-forgotten / takedown requests and must remove
+  // specific items from every standing artifact without rebuilding it.
+  // Deletion is LAZY (VERDICT r18 #2): the takedown locates the victims'
+  // cells (one id-pushdown scan of the artifact — the audit log records
+  // (vec_id, c_label) as stored) and APPENDS them to the tombstone log;
+  // every reader subtracts the log ([[minusAnnTombstones]] — effective
+  // immediately), and the versioned [[rebuildAnnIndex]] makes deletion
+  // physical. No stored file is ever rewritten or deleted, so no
+  // reader's planned file listing can be invalidated — the in-place
+  // dynamic-partition overwrite this replaced could yank a touched
+  // cell's files out from under a probe planned pre-overwrite. The
+  // report reads POST-delete LIVE counts joined to tombstone counts, so
+  // re-runs (victims already logged, nothing appended) report
+  // identically. Fixture delete set: every vec_id % 50 == 0 —
+  // deterministic in both engines.
   //
   // Scale shape (100 TB): the locate pass is a columnar id scan with
-  // the isin pushed down; the rewrite costs ~|hit cells|/k of the
-  // index; nothing else moves. The deletion set is request-sized —
-  // broadcast semantics throughout.
+  // the isin pushed down; the takedown itself writes request-sized log
+  // appends; each read pays one broadcast anti-join of the (request-
+  // sized) log; the versioned rebuild amortizes the physical removal.
   // ---------------------------------------------------------------------
 
   private[graft] def forgetIndexPathFor(d: String): String =
@@ -4224,12 +4225,9 @@ object Similarity {
     * at-least-once redelivery of a takedown batch converges to the same
     * (assignments, tombstones) pair as a one-shot delete.
     *
-    * Hit cells whose EVERY row is a victim produce zero survivor rows for
-    * that partition, and dynamic partition overwrite only rewrites
-    * partitions present in the written data — without the explicit
-    * directory delete below the victims would silently remain in the
-    * index while the tombstone log records them as deleted (r15 advice,
-    * medium): emptied cells are removed from the artifact directly. */
+    * The tombstone append IS the whole takedown (r19 — lazy deletion):
+    * nothing is rewritten here, every reader subtracts the log, and the
+    * versioned [[rebuildAnnIndex]] makes the deletion physical. */
   private[graft] def forgetVictimIdsFrom(victimIds: DataFrame, path0: String): Unit =
       withIndexWriter(victimIds.sparkSession, path0) {
     val s = victimIds.sparkSession
@@ -4262,14 +4260,55 @@ object Similarity {
     // partition overwrite this replaces could yank a touched cell's
     // files out from under a probe planned pre-overwrite; an append-only
     // log cannot invalidate any reader's file listing.
+    //
+    // maintenance tail (r19): a takedown-heavy stream compacts itself
+    // once live victims cross the policy fraction — lazy deletion must
+    // not accumulate read-side anti-join mass and dead rows unattended
+    maybeCompactAnnIndex(s, path0, path)
+  }
+
+  /** The ANN MAINTENANCE POLICY's tombstone leg (r19): when the live
+    * victims lazy deletion is hiding reach
+    * `spark.graft.annCompactTombstoneFrac` (default 0.25) of the stored
+    * rows, run the `rounds = 0` PURE COMPACTION of [[rebuildAnnIndex]] —
+    * codebook and drift reference frame carried, victims removed
+    * physically, LSM appends defragmented, in a fresh committed version.
+    * The DRIFT-gated auto-refit (r18) handles routing decay; this leg
+    * handles deletion mass — together the index is fully self-
+    * maintaining under unattended streams. Check cost: one narrow
+    * (vec_id) artifact scan, only when a tombstone log exists; the q135
+    * gate row's 1/50 = 2% victims sit far under the default, so its
+    * plan and oracle are unchanged. */
+  private def maybeCompactAnnIndex(s: SparkSession, path0: String,
+                                   root: String): Unit = {
+    if (!graft.ScratchPaths.artifactExists(s, s"$root/tombstones/_SUCCESS"))
+      return
+    // no codebook, no compaction: the rounds = 0 path carries the stored
+    // centroids, so a bare assignments artifact (possible mid-build, or
+    // in a hand-assembled fixture) stays on lazy deletion alone
+    if (!graft.ScratchPaths.artifactExists(s, s"$root/centroids/_SUCCESS"))
+      return
+    val ids = s.read.parquet(s"$root/assignments").select("vec_id")
+    val stored = ids.count()
+    if (stored == 0) return
+    val victims = ids
+      .join(broadcast(annTombstonesOf(s, root).select("vec_id")),
+        Seq("vec_id"), "left_semi").count()
+    if (victims.toDouble / stored >=
+        graft.IndexLifecycle.confDouble(
+          s, "spark.graft.annCompactTombstoneFrac", 0.25))
+      // the INDEX path, not the resolved root — the rebuild allocates
+      // its own version directory under $path0/versions
+      rebuildAnnIndex(s, path0, rounds = 0): Unit
   }
 
   def forgetFromAnnIndex(s: SparkSession, d: String, path: String): DataFrame = {
     if (!annIndexExists(s, path))
       buildAnnIndex(s, d, path)
-    // the takedown request: every 50th item (request-sized, broadcast)
+    // the takedown request: every 50th item (request-sized, broadcast) —
+    // drawn from the LIVE version (the flat root may be GC-retired)
     forgetVictimIdsFrom(
-      s.read.parquet(s"$path/assignments")
+      s.read.parquet(s"${resolveIndexRoot(s, path)}/assignments")
         .filter(pmod(col("vec_id"), lit(50)) === 0).select("vec_id"),
       path)
     // POST-delete LIVE counts (stored minus tombstones — deletion is
@@ -4430,7 +4469,12 @@ object Similarity {
   /** The refit: `rounds` Lloyd rounds (update-then-assign) over the LIVE
     * version's population (minus the tombstone log — the rebuild is the
     * compaction that makes lazy deletion physical, r19), written as a
-    * new committed version. Returns the new version's root.
+    * new committed version. Returns the new version's root. `rounds = 0`
+    * is PURE COMPACTION: the stored codebook and the drift reference
+    * frame (cellstat) carry forward unchanged, and the write just
+    * removes tombstoned rows physically and defragments the LSM appends
+    * — the tombstone-mass maintenance leg uses it so a takedown-heavy
+    * stream compacts without paying (or mistiming) a refit.
     *
     * SNAPSHOT-REBUILD-CATCHUP (r19, VERDICT r18 #5): the corpus-sized
     * refit no longer holds the writer lock, so ingest merges and
@@ -4450,15 +4494,26 @@ object Similarity {
   def rebuildAnnIndex(s: SparkSession, path: String, rounds: Int = 2,
                       beforeCatchup: () => Unit = () => ()): String = {
     withFns(s)
-    // version-name allocation is the only phase-1 step needing the lock
+    // version-name allocation is the only phase-1 step needing the lock —
+    // and the directory is CREATED inside it: [[nextVersionName]] counts
+    // in-flight directories, so without the mkdirs a second rebuild
+    // started during this one's (long, lockless) refit phase would be
+    // handed the same name and the two would write into one directory
     val (root, newRoot) = withIndexWriteLock(path) {
-      (resolveIndexRoot(s, path), s"$path/versions/${nextVersionName(s, path)}")
+      val nr = s"$path/versions/${nextVersionName(s, path)}"
+      hadoopFs(s, path).mkdirs(new org.apache.hadoop.fs.Path(nr)): Unit
+      (resolveIndexRoot(s, path), nr)
     }
     var asg = liveAssignments(s, root)
       .selectExpr("vec_id", "label", "embedding", "nrm", "c_label",
         "c_label as c0")
       .transform(Tables.maybePersist)
-    var cents: DataFrame = null
+    // rounds = 0 is PURE COMPACTION (r19, the tombstone-mass maintenance
+    // leg): the stored codebook is kept, no row changes cell — the write
+    // below just makes lazy deletion physical and defragments the LSM
+    // appends. rounds > 0 is the refit proper.
+    var cents: DataFrame =
+      if (rounds == 0) s.read.parquet(s"$root/centroids") else null
     for (_ <- 1 to rounds) {
       cents = cellMeans(asg).transform(Tables.maybePersist)
       asg = reassignCells(asg, cents)
@@ -4490,11 +4545,20 @@ object Similarity {
           .selectExpr("vec_id", "label", "embedding", "nrm", "c_label")
           .write.mode("append").partitionBy("c_label")
           .parquet(s"$newRoot/assignments")
-      // the refit population (caught-up rows included, carried
-      // tombstones excluded) IS the new drift reference frame
-      liveAssignments(s, newRoot)
-        .groupBy("c_label").agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$newRoot/cellstat")
+      // a REFIT's population (caught-up rows included, carried tombstones
+      // excluded) is the new drift reference frame; a PURE COMPACTION
+      // (rounds = 0) carries the OLD frame forward — resetting cellstat
+      // to the current population would zero the measured drift without
+      // refitting, silently suppressing the drift-gated auto-refit under
+      // frequent tombstone-triggered compactions
+      if (rounds == 0 &&
+          graft.ScratchPaths.artifactExists(s, s"$root/cellstat/_SUCCESS"))
+        s.read.parquet(s"$root/cellstat")
+          .write.mode("overwrite").parquet(s"$newRoot/cellstat")
+      else
+        liveAssignments(s, newRoot)
+          .groupBy("c_label").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$newRoot/cellstat")
       // atomic commit + keep-N GC (VERDICT r18 #3) — the shared tail:
       // the old version's files stay for in-flight (and replayed)
       // readers; an unattended auto-refit stream must not accumulate

@@ -1199,6 +1199,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$v3/doclens").filter($"doc_id" === 888888L).count() == 1)
   }
 
+  test("lexical maintenance policy: tombstone-heavy takedowns and segment fragmentation auto-compact — no operator call (r19)") {
+    val path = TextAnalysis.lexIndexPathFor(sf) + "-lmaint"
+    TextAnalysis.buildLexIndex(spark, sf, path)
+    // 10/500 = 2% victims: under the fraction — lazy deletion only
+    assert(TextAnalysis.forgetLexFromIndex(
+      Tables.documents(spark, sf).filter($"doc_id" % 50 === 0).select("doc_id"),
+      path, seg = 1L) > 0)
+    assert(TextAnalysis.lexLiveRoot(spark, path) == path,
+      "policy fired under the tombstone threshold")
+    // ~35% cumulative victims: the forget's OWN maintenance tail compacts
+    assert(TextAnalysis.forgetLexFromIndex(
+      Tables.documents(spark, sf).filter($"doc_id" % 3 === 1).select("doc_id"),
+      path, seg = 2L) > 0)
+    val v2 = TextAnalysis.lexLiveRoot(spark, path)
+    assert(v2.startsWith(s"$path/versions/"),
+      "tombstone-fraction trigger did not compact")
+    assert(spark.read.parquet(s"$v2/doclens").filter($"doc_id" % 3 === 1).count() == 0,
+      "auto-compaction left victims physical")
+    assert(spark.read.parquet(s"$v2/stats").count() == 1,
+      "auto-compaction did not collapse the contribution logs")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/postings")),
+      "first compaction must keep the flat root for in-flight readers")
+    // segment-fragmentation leg: drop the limit, the second appended
+    // segment crosses it and the MERGE's tail compacts
+    spark.conf.set("spark.graft.lexCompactSegments", "1")
+    try {
+      TextAnalysis.mergeLexBatchIntoIndex(
+        Seq((777001L, "alpha beta")).toDF("doc_id", "text"), path, seg = 10L)
+      assert(TextAnalysis.lexLiveRoot(spark, path) == v2,
+        "one appended segment must not trigger at limit 1")
+      TextAnalysis.mergeLexBatchIntoIndex(
+        Seq((777002L, "beta gamma")).toDF("doc_id", "text"), path, seg = 11L)
+      val v3 = TextAnalysis.lexLiveRoot(spark, path)
+      assert(v3 != v2, "segment-fragmentation trigger did not compact")
+      assert(spark.read.parquet(s"$v3/stats").count() == 1)
+      assert(spark.read.parquet(s"$v3/doclens")
+        .filter($"doc_id" >= 777001L).count() == 2,
+        "merged docs lost across the fragmentation compaction")
+    } finally spark.conf.unset("spark.graft.lexCompactSegments")
+    // the probe serves the auto-maintained artifact: victims gone,
+    // statistics re-priced to the survivors (single folded segment)
+    val probe = TextAnalysis.lexIndexProbeStored(spark, sf, path).collect()
+    assert(probe.length == 10)
+    assert(!probe.exists(r => r.getLong(0) % 3 == 1 || r.getLong(0) % 50 == 0),
+      "a takedown victim surfaced after auto-maintenance")
+  }
+
   test("lexProbeStream: served markers retire after the TTL — a late replay re-serves identically (r16, r15 advice)") {
     import graft.streaming.{LexHit, LexQuery}
     val path = TextAnalysis.lexIndexPathFor(sf) + "-servettl"
@@ -3029,6 +3076,61 @@ class StreamingSpec extends SparkSpec {
     assert(Similarity.rebuildReport(spark, path).count() > 0)
     // idempotent: a second prune retires nothing further
     assert(Similarity.pruneAnnIndexVersions(spark, path, keep = 2) == 0L)
+  }
+
+  test("ANN maintenance policy: a takedown crossing the tombstone fraction auto-compacts (rounds = 0) — codebook and drift frame carried, victims physical (r19)") {
+    Similarity.withFns(spark)
+    val path = java.nio.file.Files.createTempDirectory("graft-annmaint").toString
+    def vec(x: Double, y: Double): Array[Float] = {
+      val n = math.sqrt(x * x + y * y)
+      Array((x / n).toFloat, (y / n).toFloat, 0f, 0f)
+    }
+    val rows = (1L to 10L).map(i => (i, 0, vec(1, 0.001 * i), 0)) ++
+      (11L to 20L).map(i => (i, 1, vec(0.001 * i, 1), 1))
+    rows.toDF("vec_id", "label", "embedding", "c_label")
+      .selectExpr("vec_id", "label", "embedding",
+        "sqrt(graft_dot(embedding, embedding)) as nrm", "c_label")
+      .write.partitionBy("c_label").parquet(s"$path/assignments")
+    Seq((0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("c_label", "centroid").write.parquet(s"$path/centroids")
+    // a drift reference frame to carry: a pure compaction must NOT reset
+    // it — that would zero measured drift without refitting and suppress
+    // the drift-gated auto-refit under frequent compactions
+    spark.read.parquet(s"$path/assignments")
+      .groupBy("c_label").agg(count(lit(1)).as("n"))
+      .write.parquet(s"$path/cellstat")
+    def sorted(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    val cents0 = sorted(s"$path/centroids")
+    val frame0 = sorted(s"$path/cellstat")
+    // 2/20 = 10% victims: under the fraction — lazy deletion only
+    Similarity.forgetVictimIdsFrom(Seq(1L, 2L).toDF("vec_id"), path)
+    assert(Similarity.resolveIndexRoot(spark, path) == path,
+      "policy fired under the tombstone threshold")
+    // 8/20 = 40% cumulative: the forget's OWN maintenance tail compacts
+    Similarity.forgetVictimIdsFrom((3L to 8L).map(identity).toDF("vec_id"), path)
+    val v2 = Similarity.resolveIndexRoot(spark, path)
+    assert(v2 != path, "tombstone-fraction trigger did not compact")
+    assert(spark.read.parquet(s"$v2/assignments").filter($"vec_id" <= 8L).count() == 0,
+      "auto-compaction left victims physical")
+    assert(spark.read.parquet(s"$v2/assignments").count() == 12)
+    assert(spark.read.parquet(s"$path/assignments").count() == 20,
+      "auto-compaction rewrote the flat artifact in place")
+    // rounds = 0 semantics: codebook CARRIED (no refit), drift frame CARRIED
+    assert(sorted(s"$v2/centroids") == cents0, "pure compaction moved the codebook")
+    assert(sorted(s"$v2/cellstat") == frame0,
+      "pure compaction reset the drift reference frame")
+    // the carried tombstone log still guards replays: a replayed
+    // pre-takedown ingest batch cannot resurrect a victim
+    Similarity.mergeDeltaIntoIndex(
+      Seq((5L, vec(1, 0.005))).toDF("vec_id", "embedding"), path)
+    assert(Similarity.liveAssignments(spark, v2).filter($"vec_id" === 5L).isEmpty,
+      "replayed ingest resurrected a forgotten id post-compaction")
+    // re-delivered takedown: victims already physical — nothing appended,
+    // no version churn (the fraction prices LIVE victims, not log size)
+    Similarity.forgetVictimIdsFrom((3L to 8L).map(identity).toDF("vec_id"), path)
+    assert(Similarity.resolveIndexRoot(spark, path) == v2,
+      "re-delivered takedown re-compacted a clean version")
   }
 
   test("media compaction is versioned: the old artifact stays for in-flight readers, merges fold into the live version, GC retires the tail (r18)") {
