@@ -702,30 +702,278 @@ object Dedup {
       index.select(col("doc_id"), col("sh")))
   }
 
+  // ---------------------------------------------------------------------
+  // STANDING DEDUP INDEX LIFECYCLE (r19b): q102's artifact was the last
+  // standing index in production position with build+probe only — the
+  // nightly-crawl pipeline it models appends every admitted batch and
+  // honours takedowns, so the artifact now carries the same contract as
+  // the ANN/media/lexical families (the r18→r19 lifecycle-parity arc):
+  //  · [[mergeDedupBatchIntoIndex]] signs ONE batch and appends its
+  //    band + shingle rows (the corpus is signed exactly once in its
+  //    life — the whole point of the standing index); idempotent via the
+  //    shingle registry (written LAST: a crash-windowed replay re-appends
+  //    byte-identical band rows, which candidate generation's existing
+  //    `distinct()` collapses), tombstone-aware (a forgotten id can never
+  //    re-admit through an at-least-once replay), pending-forget aware
+  //    (the media q137 ordering for takedowns that beat their id's first
+  //    arrival).
+  //  · [[forgetDedupFromIndex]] is LAZY deletion: the takedown appends to
+  //    the root tombstone log; every reader subtracts it (one broadcast
+  //    anti-join on each artifact — effective immediately, no stored file
+  //    touched); [[compactDedupIndex]] makes it physical in a fresh
+  //    committed version (resolveIndexRoot/_COMMITTED verbatim) + keep-N
+  //    GC, and defragments crash-dupe band rows along the way.
+  //  · MAINTENANCE POLICY: the forget tail auto-compacts once live
+  //    victims cross `spark.graft.dedupCompactTombstoneFrac` (0.25).
+  // Scale shape (100 TB): merge = batch-sized sign + appends; takedown =
+  // request-sized log append; probe unchanged (index never reshuffles);
+  // compaction is the one corpus-sized pass and amortizes LSM-style.
+  // ---------------------------------------------------------------------
+
+  private def withDedupIndexWriter[T](s: SparkSession, path: String)(body: => T): T =
+    IndexLifecycle.withWriter(s, path)(body)
+
+  /** The LIVE artifact root of a (possibly versioned) dedup index; the
+    * tombstone/pending logs stay at the PATH ROOT, shared across
+    * versions (audit trail + the merge-side replay guard forever). */
+  private[graft] def dedupLiveRoot(s: SparkSession, path: String): String =
+    Similarity.resolveIndexRoot(s, path)
+
+  /** Lazy-build gate: flat artifacts present OR any committed version
+    * (keep-N GC retires the flat root once the window fills). */
+  private[graft] def dedupIndexExists(s: SparkSession, path: String): Boolean =
+    ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS") ||
+      dedupLiveRoot(s, path) != path
+
+  private[graft] def dedupTombstonesOf(s: SparkSession, path: String): DataFrame =
+    IndexLifecycle.idLogOf(s, s"$path/tombstones", "doc_id")
+
+  private[graft] def dedupPendingOf(s: SparkSession, path: String): DataFrame =
+    IndexLifecycle.idLogOf(s, s"$path/pending", "doc_id")
+
+  private def minusDedupTombstones(df: DataFrame, s: SparkSession,
+                                   path: String): DataFrame =
+    IndexLifecycle.minusIdLog(df, s, s"$path/tombstones", "doc_id")
+
+  /** Live band rows: stored minus the tombstone log (skipped — plan
+    * untouched — when no log exists, so q102's pinned shape holds). */
+  private[graft] def dedupBandsOf(s: SparkSession, path: String,
+                                  root: String): DataFrame =
+    minusDedupTombstones(s.read.parquet(s"$root/bands"), s, path)
+
+  /** Live shingle rows (the registry): stored minus the tombstone log. */
+  private[graft] def dedupShinglesOf(s: SparkSession, path: String,
+                                     root: String): DataFrame =
+    minusDedupTombstones(s.read.parquet(s"$root/shingles"), s, path)
+
   /** Build the STANDING dedup index as parquet artifacts (the q100
     * export discipline): `path/shingles` = (doc_id, sh) and
-    * `path/bands` = (doc_id, band_idx, band_hash). Write-once: a
-    * production pipeline appends each admitted batch's rows; the 100 TB
-    * corpus is signed exactly once in its life. Returns the band-row
-    * count read BACK from the artifact (one action drives the write and
-    * proves the read path). */
-  def buildDedupIndex(s: SparkSession, d: String, path: String): Long = {
-    val index = signedCorpus(s,
-        Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .transform(Tables.maybePersist)
-    index.select(col("doc_id"), col("sh"))
-      .write.mode("overwrite").parquet(s"$path/shingles")
-    lshBands(index).write.mode("overwrite").parquet(s"$path/bands")
-    s.read.parquet(s"$path/bands").count()
+    * `path/bands` = (doc_id, band_idx, band_hash). The 100 TB corpus is
+    * signed exactly once in its life; [[mergeDedupBatchIntoIndex]]
+    * appends each admitted batch afterwards. Returns the band-row count
+    * read BACK from the artifact (one action drives the write and proves
+    * the read path). Write order: shingles first, bands LAST — the lazy
+    * gates key "built" on bands/_SUCCESS, so a crash mid-build can never
+    * leave a gate-visible index missing its verify-side artifact. */
+  def buildDedupIndex(s: SparkSession, d: String, path: String): Long =
+    withDedupIndexWriter(s, path) {
+      val index = signedCorpus(s,
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .transform(Tables.maybePersist)
+      index.select(col("doc_id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$path/shingles")
+      lshBands(index).write.mode("overwrite").parquet(s"$path/bands")
+      s.read.parquet(s"$path/bands").count()
+    }
+
+  /** q145's core — sign ONE (doc_id, text) batch and fold it into the
+    * standing dedup index. Idempotent: already-indexed ids anti-join
+    * away against the shingle registry (written LAST — a crash-windowed
+    * replay re-appends byte-identical band rows that candidate
+    * generation's `distinct()` collapses, then registers once),
+    * tombstoned ids can never re-admit, and a takedown that arrived
+    * before the id's first admit is honored here (pending consumed,
+    * arrival refused via a permanent tombstone). Returns
+    * (admitted, refused). */
+  def mergeDedupBatchIntoIndex(batch: DataFrame, path: String): (Long, Long) =
+    withDedupIndexWriter(batch.sparkSession, path) {
+      val s = batch.sparkSession
+      val root = dedupLiveRoot(s, path) // appends fold into the LIVE version
+      val docs0 = batch.select(col("doc_id").cast("long"), col("text"))
+        .dropDuplicates("doc_id") // in-batch exact-id replays
+        .transform(Tables.maybePersist)
+      // pending-forget consult (the media q137 / lexical q142 discipline)
+      if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS")) {
+        val delivered = docs0.select("doc_id")
+          .join(broadcast(dedupPendingOf(s, path).select("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        if (!delivered.isEmpty) {
+          val novel = delivered
+            .join(broadcast(dedupTombstonesOf(s, path).select("doc_id")),
+              Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          if (!novel.isEmpty)
+            novel.write.mode("append").parquet(s"$path/tombstones")
+          dedupPendingOf(s, path)
+            .join(broadcast(delivered), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+            .write.mode("overwrite").parquet(s"$path/pending")
+        }
+      }
+      // replay guards: the shingle registry (already admitted) and the
+      // tombstone log (forgotten ids never resurrect)
+      val fresh = minusDedupTombstones(
+          docs0.join(s.read.parquet(s"$root/shingles").select("doc_id"),
+            Seq("doc_id"), "left_anti"), s, path)
+      val nBatch = docs0.count()
+      // localCheckpoint: the signed frame's lineage reads the shingles
+      // path the registry append below writes (the read-write-cycle
+      // discipline)
+      val signed = signedCorpus(s, fresh.select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val nAdmit = signed.count()
+      if (nAdmit > 0) {
+        lshBands(signed).write.mode("append").parquet(s"$root/bands")
+        // the registry LAST: a crash anywhere above replays the whole
+        // batch (identical band rows → candidate-side collapse); after
+        // this write the replay anti-joins to nothing
+        signed.select(col("doc_id"), col("sh"))
+          .write.mode("append").parquet(s"$root/shingles")
+      }
+      (nAdmit, nBatch - nAdmit)
+    }
+
+  /** q146's core — right-to-be-forgotten against the standing dedup
+    * index, LSM-style: victims located in the shingle registry append to
+    * the root tombstone log (lazy deletion — effective immediately, one
+    * broadcast anti-join per read); never-admitted ids land in the
+    * pending log, consumed by the id's first arrival. No stored file is
+    * touched — [[compactDedupIndex]] makes deletion physical. Idempotent
+    * (already-tombstoned and absent ids append nothing). Returns the
+    * newly-tombstoned count. */
+  def forgetDedupFromIndex(requests: DataFrame, path: String): Long =
+    withDedupIndexWriter(requests.sparkSession, path) {
+      val s = requests.sparkSession
+      val root = dedupLiveRoot(s, path)
+      val marked = requests.select(col("doc_id").cast("long"))
+        .dropDuplicates("doc_id")
+        .join(broadcast(dedupTombstonesOf(s, path).select("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .join(broadcast(dedupPendingOf(s, path).select("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .join(s.read.parquet(s"$root/shingles")
+            .select(col("doc_id"), lit(1).as("present")),
+          Seq("doc_id"), "left")
+        .localCheckpoint()
+      val present = marked.filter(col("present").isNotNull).select("doc_id")
+      val early = marked.filter(col("present").isNull).select("doc_id")
+      val n = present.count()
+      if (n > 0) {
+        present.write.mode("append").parquet(s"$path/tombstones")
+        // maintenance tail: a takedown-heavy stream makes deletion
+        // physical once live victims cross the policy fraction
+        maybeCompactDedupIndex(s, path)
+      }
+      if (!early.isEmpty)
+        early.write.mode("append").parquet(s"$path/pending")
+      n
+    }
+
+  /** Scheduled compaction, VERSIONED (the family discipline): rewrites
+    * shingles/bands minus the tombstoned docs — collapsing crash-dupe
+    * band rows along the way — into a fresh committed `versions/v%05d`
+    * (a probe that resolved pre-commit keeps its files end-to-end), then
+    * keep-N GC retires the tail. No-ops when there are no live victims —
+    * the fixed-point re-run costs a count, not a corpus copy. */
+  def compactDedupIndex(s: SparkSession, path: String): Unit =
+    withDedupIndexWriter(s, path) {
+      val root = dedupLiveRoot(s, path)
+      val victims =
+        if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
+          s.read.parquet(s"$root/shingles")
+            .join(broadcast(dedupTombstonesOf(s, path).select("doc_id")),
+              Seq("doc_id"), "left_semi").count()
+        else 0L
+      if (victims > 0) {
+        val newRoot = s"$path/versions/${Similarity.nextVersionName(s, path)}"
+        dedupShinglesOf(s, path, root)
+          .write.mode("overwrite").parquet(s"$newRoot/shingles")
+        dedupBandsOf(s, path, root).distinct() // crash-dupe band rows fold
+          .write.mode("overwrite").parquet(s"$newRoot/bands")
+        IndexLifecycle.commitVersion(s, path, newRoot,
+          Seq("shingles", "bands"))
+      }
+    }
+
+  /** The dedup MAINTENANCE POLICY's tombstone leg: compact when live
+    * victims reach `spark.graft.dedupCompactTombstoneFrac` (default
+    * 0.25) of the registered docs. Check cost: one narrow (doc_id) scan
+    * of shingles, only when a tombstone log exists; the q146 gate row's
+    * 1/10 = 10% victims sit under the default, so its lazy read path is
+    * what the oracle certifies. */
+  private def maybeCompactDedupIndex(s: SparkSession, path: String): Unit = {
+    if (!ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS")) return
+    val ids = s.read.parquet(s"${dedupLiveRoot(s, path)}/shingles")
+      .select("doc_id")
+    val stored = ids.count()
+    if (stored == 0) return
+    val victims = ids
+      .join(broadcast(dedupTombstonesOf(s, path).select("doc_id")),
+        Seq("doc_id"), "left_semi").count()
+    if (victims.toDouble / stored >=
+        IndexLifecycle.confDouble(
+          s, "spark.graft.dedupCompactTombstoneFrac", 0.25))
+      compactDedupIndex(s, path)
   }
 
   /** Probe the STORED index — the production q102 path: candidates and
     * verification read the parquet artifacts, never re-signing the
     * corpus (delta verdicts identical to the inline form;
-    * ExtensionsSpec pins it). */
-  def incrementalDedupStored(s: SparkSession, d: String, path: String): DataFrame =
+    * ExtensionsSpec pins it). r19b: version root resolved ONCE,
+    * tombstoned docs subtracted from both artifacts (the anti-join is
+    * skipped — plan untouched — when no log exists, so the un-maintained
+    * gate artifact keeps its pinned shape). */
+  def incrementalDedupStored(s: SparkSession, d: String, path: String): DataFrame = {
+    val root = dedupLiveRoot(s, path)
     incrementalDedupProbe(s, Tables.documents(s, d),
-      s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/shingles"))
+      dedupBandsOf(s, path, root), dedupShinglesOf(s, path, root))
+  }
+
+  /** The q145 gate chain: lazy build → fold the +50000-rekeyed UNMUTATED
+    * %10==7 docs in → probe the MERGED index with the standard delta.
+    * Each mutated twin now matches its original AND the merged copy
+    * (n_matches 1 → 2), so the oracle — the incremental-dedup verdict
+    * recomputed from scratch over the unioned index corpus — certifies
+    * the signed fold end-to-end. Fixed point under re-runs (the registry
+    * refuses the replayed batch). */
+  def dedupIndexMerge(s: SparkSession, d: String): DataFrame = {
+    val path = ScratchPaths.indexPathFor(
+      s"q145-${ScratchPaths.tableFingerprint(d, "documents")}", d)
+    if (!dedupIndexExists(s, path)) buildDedupIndex(s, d, path)
+    mergeDedupBatchIntoIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 7)
+        .selectExpr("doc_id + 50000 as doc_id", "text"),
+      path)
+    incrementalDedupStored(s, d, path)
+  }
+
+  /** The q146 gate chain: lazy build → forget the %10==7 docs → probe
+    * the post-takedown index. The mutated twins' only near-dups are the
+    * victims, so every twin must flip to is_new (the oracle recomputes
+    * the verdict over the SURVIVING corpus) — certifying the tombstone
+    * anti-joins on BOTH artifacts. 10% victims: under the maintenance
+    * fraction, so the row certifies the LAZY read path specifically.
+    * Fixed point under re-runs (victims already tombstoned). */
+  def dedupIndexForget(s: SparkSession, d: String): DataFrame = {
+    val path = ScratchPaths.indexPathFor(
+      s"q146-${ScratchPaths.tableFingerprint(d, "documents")}", d)
+    if (!dedupIndexExists(s, path)) buildDedupIndex(s, d, path)
+    forgetDedupFromIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 7).select("doc_id"),
+      path)
+    incrementalDedupStored(s, d, path)
+  }
 
   /** Deterministic scratch location for the q102 artifact of one
     * testdata dir. Per-PROCESS (the PID token, r13 advice fix): two
@@ -753,12 +1001,19 @@ object Dedup {
        |  concat_ws(':', sig[3 * b + 1], sig[3 * b + 2], sig[3 * b + 3]) AS band_hash
        |  FROM (SELECT doc_id, sh, sig, unnest(range(0, 4)) AS b FROM ${p}sig))""".stripMargin
 
-  lazy val incrementalDedupSql: String =
-    s"""WITH base AS (SELECT doc_id, text FROM documents),
+  /** The incremental-dedup verdict over an arbitrary INDEX corpus CTE
+    * (the delta always derives from the original `documents` — merging
+    * into or forgetting from the standing index changes what the delta
+    * is probed AGAINST, never the delta itself — mirroring the Spark
+    * side, where [[deltaBatch]] reads the documents table and the index
+    * side reads the maintained artifact). */
+  private def incrementalDedupSqlFrom(baseSql: String): String =
+    s"""WITH orig AS (SELECT doc_id, text FROM documents),
+       |base AS ($baseSql),
        |delta AS (SELECT doc_id + 20000 AS doc_id,
-       |    substr(text, strpos(text, ' ') + 1) AS text FROM base WHERE doc_id % 10 = 7
+       |    substr(text, strpos(text, ' ') + 1) AS text FROM orig WHERE doc_id % 10 = 7
        |  UNION ALL SELECT doc_id + 30000,
-       |    array_to_string(list_reverse(string_split(text, ' ')), ' ') FROM base WHERE doc_id % 10 = 3),
+       |    array_to_string(list_reverse(string_split(text, ' ')), ' ') FROM orig WHERE doc_id % 10 = 3),
        |${sigChainSql("base", "i_")},
        |${sigChainSql("delta", "d_")},
        |cand AS (SELECT DISTINCT d.doc_id AS doc_a, i.doc_id AS doc_b
@@ -777,6 +1032,20 @@ object Dedup {
        |  agg.nm IS NULL AS is_new
        |FROM delta LEFT JOIN agg ON agg.doc_a = delta.doc_id
        |ORDER BY delta_id""".stripMargin
+
+  lazy val incrementalDedupSql: String =
+    incrementalDedupSqlFrom("SELECT doc_id, text FROM documents")
+
+  /** q145's oracle: the verdict recomputed over the MERGED index corpus
+    * (documents ∪ the +50000-rekeyed unmutated %10==7 slice). */
+  lazy val dedupIndexMergeSql: String = incrementalDedupSqlFrom(
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 50000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 10 = 7""".stripMargin)
+
+  /** q146's oracle: the verdict recomputed over the SURVIVING corpus. */
+  lazy val dedupIndexForgetSql: String = incrementalDedupSqlFrom(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7")
 
   /** q102b's oracle: the standing index's band-row count — the q23 sign
     * chain over the corpus, counted (what [[buildDedupIndex]] reads back
@@ -1618,14 +1887,19 @@ object Dedup {
     // the band rows read BACK from the artifact).
     "q102_incremental_dedup" -> ((s, d) => {
       val path = indexPathFor(d)
-      if (!ScratchPaths.artifactExists(s, s"$path/bands/_SUCCESS"))
-        buildDedupIndex(s, d, path)
+      if (!dedupIndexExists(s, path)) buildDedupIndex(s, d, path)
       incrementalDedupStored(s, d, path)
     }),
     "q102b_index_build" -> ((s, d) => {
       import s.implicits._
       Seq(buildDedupIndex(s, d, indexPathFor(d))).toDF("n_band_rows")
     }),
+    // q145/q146 (r19b): the dedup-index lifecycle rows — merge and
+    // right-to-be-forgotten against the standing band/shingle artifacts,
+    // each certified by probing the post-maintenance index against a
+    // from-scratch DuckDB recompute over the updated corpus
+    "q145_dedup_index_merge"  -> ((s, d) => dedupIndexMerge(s, d)),
+    "q146_dedup_index_forget" -> ((s, d) => dedupIndexForget(s, d)),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1642,5 +1916,7 @@ object Dedup {
     "q101_edit_verify"  -> editDistancePairsSql,
     "q102_incremental_dedup" -> incrementalDedupSql,
     "q102b_index_build" -> indexBuildSql,
+    "q145_dedup_index_merge"  -> dedupIndexMergeSql,
+    "q146_dedup_index_forget" -> dedupIndexForgetSql,
   )
 }

@@ -4953,15 +4953,20 @@ object Similarity {
       .selectExpr("vec_id", "c_label", "orig", pqBestExpr)
       .selectExpr("vec_id", "orig", "transform(best, x -> x.cid) as codes", "c_label")
 
-  def buildPqIndex(s: SparkSession, d: String, path: String): Long = {
+  /** Side artifacts first, codes LAST — the lazy gates key "built" on
+    * codes/_SUCCESS, so a crash mid-build can never leave a gate-visible
+    * index missing its codebook/coarse frames (the buildIndexFrom
+    * write-order discipline, r19b). */
+  def buildPqIndex(s: SparkSession, d: String, path: String): Long =
+      withIndexWriter(s, path) {
     val corpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
     val cells = pqFitCells(corpus)
-    pqEncodedIndex(corpus, cells)
-      .write.mode("overwrite").partitionBy("c_label").parquet(s"$path/codes")
     cells.selectExpr("explode(cells) as x").selectExpr("x.s", "x.cid", "x.c")
       .write.mode("overwrite").parquet(s"$path/codebook")
     centroidsByLabel(s, d, "c_label")
       .write.mode("overwrite").parquet(s"$path/coarse")
+    pqEncodedIndex(corpus, cells)
+      .write.mode("overwrite").partitionBy("c_label").parquet(s"$path/codes")
     corpus.unpersist(blocking = false)
     s.read.parquet(s"$path/codes").count()
   }
@@ -5031,12 +5036,241 @@ object Similarity {
   private[graft] def pqCellsOfRead(s: SparkSession, path: String): DataFrame =
     pqCellsOf(s.read.parquet(path))
 
-  /** Probe the STORED artifacts (the production path). */
-  def pqIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame =
+  // ---------------------------------------------------------------------
+  // STANDING PQ INDEX LIFECYCLE (r19b): q126's compressed artifact was a
+  // standing index in production position with build+probe only — the
+  // billion-scale resident index is exactly the artifact a crawl
+  // pipeline grows continuously and serves takedowns from, so it now
+  // carries the family contract (the r18→r19 lifecycle-parity arc):
+  //  · [[mergePqBatchIntoIndex]]: new vectors route through the STORED
+  //    coarse frame and encode against the FROZEN stored codebook (a
+  //    merge never refits — the ANN q134 discipline at compressed grain),
+  //    appending m-byte code rows into their cell partitions; idempotent
+  //    (the codes artifact is the registry), tombstone-aware (forgotten
+  //    ids never resurrect through a replay).
+  //  · [[forgetPqFromIndex]]: LAZY deletion — the takedown appends
+  //    (vec_id, c_label as stored) to the root tombstone log; the probe
+  //    subtracts it from BOTH the ADC scan and the re-rank (effective
+  //    immediately, no stored file touched); [[compactPqIndex]] makes it
+  //    physical in a fresh committed version (codebook/coarse carried —
+  //    compaction never refits) + keep-N GC.
+  //  · MAINTENANCE POLICY: the forget tail auto-compacts once live
+  //    victims cross `spark.graft.pqCompactTombstoneFrac` (0.25).
+  // Scale shape (100 TB): merge = |batch| routed dots + an append;
+  // takedown = one pushdown locate + a request-sized append; probe
+  // unchanged (codes-only columnar scan); compaction = one codes-only
+  // rewrite, the cheapest corpus pass in the family (m bytes/row).
+  // ---------------------------------------------------------------------
+
+  private[graft] def pqLiveRoot(s: SparkSession, path: String): String =
+    resolveIndexRoot(s, path)
+
+  /** Lazy-build gate: flat artifacts present OR any committed version. */
+  private[graft] def pqStoredIndexExists(s: SparkSession, path: String): Boolean =
+    graft.ScratchPaths.artifactExists(s, s"$path/codes/_SUCCESS") ||
+      pqLiveRoot(s, path) != path
+
+  private[graft] def pqTombstonesOf(s: SparkSession, path: String): DataFrame =
+    graft.IndexLifecycle.idLogOf(s, s"$path/tombstones", "vec_id")
+
+  /** Live code rows: stored minus the root tombstone log (skipped — plan
+    * untouched — when no log exists, so q126's pinned shape holds). */
+  private[graft] def livePqCodes(s: SparkSession, path: String,
+                                 root: String): DataFrame =
+    graft.IndexLifecycle.minusIdLog(
+      s.read.parquet(s"$root/codes"), s, s"$path/tombstones", "vec_id")
+
+  /** Route a raw (vec_id, embedding) batch with the STORED coarse frame
+    * and compute its float32 residuals — the encode-side twin of the
+    * probe's delta routing (same argmax, same tie-break, same float
+    * cast), shaped for [[pqCorpusOf]] + [[pqEncodedIndex]]. */
+  private def pqRouteResidual(batch: DataFrame, coarseDf: DataFrame): DataFrame = {
+    withFns(batch.sparkSession)
+    val cb = coarseDf
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cb"))
+    batch.crossJoin(broadcast(cb))
+      .selectExpr("vec_id", "embedding", "cb",
+        s"sqrt(${dotExpr("embedding", "embedding")}) as dnrm")
+      .selectExpr("vec_id", "embedding as orig", "cb",
+        s"""array_max(transform(cb, c -> named_struct(
+           |'cos', ${dotExpr("embedding", "c.centroid")} /
+           |  (dnrm * sqrt(graft_dot(c.centroid, c.centroid))),
+           |'nl', -c.c_label))) as best"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("vec_id", "orig", "cb", "cast(-best.nl as int) as c_label")
+      .selectExpr("vec_id", "cast(0 as int) as label", "c_label", "orig",
+        s"""transform(sequence(1, ${PqM * PqSub}), i -> cast(
+           |double(element_at(orig, i)) -
+           |element_at(element_at(filter(cb, x -> x.c_label = c_label), 1).centroid, i)
+           |as float)) as embedding"""
+          .stripMargin.replace("\n", " "))
+  }
+
+  /** q147's core — fold ONE (vec_id, embedding) batch into the standing
+    * PQ index: route with the stored coarse frame, encode against the
+    * frozen stored codebook, append into the cell partitions (append-
+    * only — no reader's file listing is ever invalidated). Idempotent
+    * (already-encoded ids anti-join away against the codes registry),
+    * tombstone-aware. Returns (admitted, refused). */
+  def mergePqBatchIntoIndex(batch: DataFrame, path: String): (Long, Long) =
+    withIndexWriter(batch.sparkSession, path) {
+      val s = batch.sparkSession
+      val root = pqLiveRoot(s, path) // appends fold into the LIVE version
+      val deduped = batch.select(col("vec_id").cast("long"), col("embedding"))
+        .dropDuplicates("vec_id")
+        .transform(Tables.maybePersist)
+      val admitted = graft.IndexLifecycle.minusIdLog(
+        deduped, s, s"$path/tombstones", "vec_id")
+      val fresh = admitted
+        .join(s.read.parquet(s"$root/codes").select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      val nBatch = deduped.count()
+      val cells = pqCellsOfRead(s, s"$root/codebook")
+      // localCheckpoint: the encoded frame's lineage reads the codes
+      // path the append below writes (the read-write-cycle discipline)
+      val newRows = pqEncodedIndex(
+          pqCorpusOf(pqRouteResidual(fresh, s.read.parquet(s"$root/coarse")),
+            Seq("c_label", "orig")),
+          cells)
+        .localCheckpoint()
+      val nAdmit = newRows.count()
+      if (nAdmit > 0)
+        newRows.write.mode("append").partitionBy("c_label")
+          .parquet(s"$root/codes")
+      (nAdmit, nBatch - nAdmit)
+    }
+
+  /** q148's core — right-to-be-forgotten against the standing PQ index,
+    * LSM-style: victims located in the codes artifact (the audit log
+    * records the stored cell) append to the root tombstone log; every
+    * probe subtracts it from the ADC scan AND the re-rank; compaction
+    * makes it physical. Idempotent. Returns the newly-tombstoned count. */
+  def forgetPqFromIndex(victimIds: DataFrame, path: String): Long =
+    withIndexWriter(victimIds.sparkSession, path) {
+      val s = victimIds.sparkSession
+      val root = pqLiveRoot(s, path)
+      val located = s.read.parquet(s"$root/codes")
+        .join(broadcast(victimIds.select("vec_id").dropDuplicates("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .select("vec_id", "c_label")
+        .localCheckpoint() // the log append below feeds this frame's readers
+      val tombPath = s"$path/tombstones"
+      val newTombs =
+        if (!graft.ScratchPaths.artifactExists(s, s"$tombPath/_SUCCESS")) located
+        else located
+          .join(s.read.parquet(tombPath).select("vec_id"),
+            Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+      val n = newTombs.count()
+      if (!graft.ScratchPaths.artifactExists(s, s"$tombPath/_SUCCESS"))
+        newTombs.write.mode("overwrite").parquet(tombPath)
+      else if (n > 0)
+        newTombs.write.mode("append").parquet(tombPath)
+      if (n > 0)
+        // maintenance tail: a takedown-heavy stream makes deletion
+        // physical once live victims cross the policy fraction
+        maybeCompactPqIndex(s, path)
+      n
+    }
+
+  /** Scheduled compaction, VERSIONED: rewrites the codes artifact minus
+    * the tombstoned ids into a fresh committed version, carrying the
+    * codebook and coarse frames unchanged (compaction never refits —
+    * the fit is once-per-life, q126b's row), then keep-N GC. No-ops when
+    * there are no live victims. */
+  def compactPqIndex(s: SparkSession, path: String): Unit =
+    withIndexWriter(s, path) {
+      val root = pqLiveRoot(s, path)
+      val victims =
+        if (graft.ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
+          s.read.parquet(s"$root/codes")
+            .join(broadcast(pqTombstonesOf(s, path).select("vec_id")),
+              Seq("vec_id"), "left_semi").count()
+        else 0L
+      if (victims > 0) {
+        val newRoot = s"$path/versions/${nextVersionName(s, path)}"
+        livePqCodes(s, path, root)
+          .write.mode("overwrite").partitionBy("c_label")
+          .parquet(s"$newRoot/codes")
+        s.read.parquet(s"$root/codebook")
+          .write.mode("overwrite").parquet(s"$newRoot/codebook")
+        s.read.parquet(s"$root/coarse")
+          .write.mode("overwrite").parquet(s"$newRoot/coarse")
+        graft.IndexLifecycle.commitVersion(s, path, newRoot,
+          Seq("codes", "codebook", "coarse"))
+      }
+    }
+
+  /** The PQ MAINTENANCE POLICY's tombstone leg: compact when live
+    * victims reach `spark.graft.pqCompactTombstoneFrac` (default 0.25)
+    * of the stored rows; the q148 gate row's 1/40 = 2.5% victims sit far
+    * under it, so the row certifies the LAZY read path specifically. */
+  private def maybeCompactPqIndex(s: SparkSession, path: String): Unit = {
+    if (!graft.ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
+      return
+    val ids = s.read.parquet(s"${pqLiveRoot(s, path)}/codes").select("vec_id")
+    val stored = ids.count()
+    if (stored == 0) return
+    val victims = ids
+      .join(broadcast(pqTombstonesOf(s, path).select("vec_id")),
+        Seq("vec_id"), "left_semi").count()
+    if (victims.toDouble / stored >=
+        graft.IndexLifecycle.confDouble(
+          s, "spark.graft.pqCompactTombstoneFrac", 0.25))
+      compactPqIndex(s, path)
+  }
+
+  /** Probe the STORED artifacts (the production path). r19b: version
+    * root resolved ONCE, live rows only (tombstones subtracted from the
+    * codes scan feeding BOTH the ADC pass and the re-rank; the anti-join
+    * is skipped — plan untouched — when no log exists, so q126's pinned
+    * shape holds). */
+  def pqIndexProbeStored(s: SparkSession, d: String, path: String): DataFrame = {
+    val root = pqLiveRoot(s, path)
     pqIndexProbe(annDelta(s, d),
-      s.read.parquet(s"$path/coarse"),
-      pqCellsOfRead(s, s"$path/codebook"),
-      s.read.parquet(s"$path/codes"))
+      s.read.parquet(s"$root/coarse"),
+      pqCellsOfRead(s, s"$root/codebook"),
+      livePqCodes(s, path, root))
+  }
+
+  /** The q147 gate chain: lazy build → fold the +300000-rekeyed EXACT
+    * COPIES of the jittered delta leg into the standing PQ index → probe
+    * with the standard delta. Every jittered probe row now has an exact
+    * twin IN the index (cosine 1.0 at nn_id + 200000 beats the ~0.999
+    * original), so the oracle — the full IVF-PQ probe recomputed with
+    * the frozen fit over the merged corpus — certifies the stored-coarse
+    * routing, the frozen-codebook encode, and the cell-partitioned fold
+    * end-to-end. Fixed point under re-runs (the codes registry refuses
+    * the replayed batch). */
+  def pqIndexMerge(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ScratchPaths.indexPathFor(
+      s"q147-${graft.ScratchPaths.tableFingerprint(d, "embeddings")}", d)
+    if (!pqStoredIndexExists(s, path)) buildPqIndex(s, d, path)
+    mergePqBatchIntoIndex(
+      annDelta(s, d).filter(col("vec_id") < 200000L)
+        .selectExpr("vec_id + 200000 as vec_id", "embedding"),
+      path)
+    pqIndexProbeStored(s, d, path)
+  }
+
+  /** The q148 gate chain: lazy build → forget the vec_id % 40 == 0 rows
+    * (every jittered probe row's nearest neighbour) → probe. Each
+    * jittered row must re-rank to its post-takedown best match, so the
+    * oracle (the probe recomputed over the surviving corpus under the
+    * frozen full-corpus fit) certifies the tombstone anti-join on both
+    * the ADC scan and the re-rank. 2.5% victims: far under the
+    * maintenance fraction — the row certifies the LAZY read path. Fixed
+    * point under re-runs (victims already tombstoned). */
+  def pqIndexForget(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ScratchPaths.indexPathFor(
+      s"q148-${graft.ScratchPaths.tableFingerprint(d, "embeddings")}", d)
+    if (!pqStoredIndexExists(s, path)) buildPqIndex(s, d, path)
+    forgetPqFromIndex(
+      s.read.parquet(s"${pqLiveRoot(s, path)}/codes")
+        .filter(pmod(col("vec_id"), lit(40)) === 0).select("vec_id"),
+      path)
+    pqIndexProbeStored(s, d, path)
+  }
 
   /** The same probe over in-memory frames — the spec pins stored ≡
     * inline. */
@@ -5047,7 +5281,14 @@ object Similarity {
       pqEncodedIndex(corpus, cells))
   }
 
-  val pqIndexProbeSql: String = {
+  /** The q126 oracle, parameterized for the lifecycle rows (r19b): the
+    * fit chain always runs over the ORIGINAL corpus (the codebook is
+    * frozen at build — merges encode against it, takedowns never refit),
+    * while `extraCtes` can add merged rows encoded with that frozen
+    * codebook and `aliveSql`/`allencSql` define what the ADC scan and
+    * the re-rank actually see (the stored artifact's live rows). */
+  private def pqIndexProbeSqlWith(extraCtes: String, aliveSql: String,
+                                  allencSql: String): String = {
     def dot(a: String, b: String) = dotSqlDuck(a, b)
     val dotEC =
       """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
@@ -5096,18 +5337,20 @@ object Similarity {
        |  FROM drs CROSS JOIN (SELECT unnest(range(0, $PqM)) AS s)),
        |dtab AS (SELECT q.vec_id AS dv, cc2.s, cc2.cid,
        |    ((q.vv - (2 * ${dot("q.v", "cc2.c")})) + cc2.cc) AS dq
-       |  FROM c$PqIters cc2 JOIN dsub q ON q.s = cc2.s),
+       |  FROM c$PqIters cc2 JOIN dsub q ON q.s = cc2.s),$extraCtes
+       |alive AS ($aliveSql),
+       |allenc AS ($allencSql),
        |adc AS (SELECT dr.vec_id AS dv, a.vec_id AS nn_id, dr.q_cell,
        |    list_reduce(list_prepend(0.0::DOUBLE, list(t.dq ORDER BY e2.s)), (p, q) -> p + q) AS adc_d
-       |  FROM dr JOIN a ON a.c_label = dr.q_cell
-       |  JOIN enc e2 ON e2.vec_id = a.vec_id
+       |  FROM dr JOIN alive a ON a.c_label = dr.q_cell
+       |  JOIN allenc e2 ON e2.vec_id = a.vec_id
        |  JOIN dtab t ON t.dv = dr.vec_id AND t.s = e2.s AND t.cid = e2.cid
        |  GROUP BY dr.vec_id, a.vec_id, dr.q_cell),
        |sl AS (SELECT dv, nn_id, q_cell, row_number() OVER (
        |    PARTITION BY dv ORDER BY adc_d, nn_id) AS rk FROM adc),
        |rr AS (SELECT sl.dv, sl.q_cell, sl.nn_id,
        |    (${dot("a.embedding", "dr.embedding")}) / (sqrt(${dot("a.embedding", "a.embedding")}) * dr.nrm) AS cos
-       |  FROM sl JOIN a ON a.vec_id = sl.nn_id JOIN dr ON dr.vec_id = sl.dv
+       |  FROM sl JOIN alive a ON a.vec_id = sl.nn_id JOIN dr ON dr.vec_id = sl.dv
        |  WHERE sl.rk <= 5),
        |top AS (SELECT dv, q_cell, nn_id, cos, row_number() OVER (
        |    PARTITION BY dv ORDER BY cos DESC, nn_id) AS rn FROM rr)
@@ -5115,6 +5358,57 @@ object Similarity {
        |  cos >= 0.9 AS is_dup
        |FROM top WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
+
+  val pqIndexProbeSql: String = pqIndexProbeSqlWith("",
+    "SELECT vec_id, label, embedding, c_label FROM a",
+    "SELECT vec_id, s, cid FROM enc")
+
+  /** q147's oracle: merged rows = exact copies of the jittered delta leg
+    * rekeyed +200000, routed over the frozen coarse frame and encoded
+    * against the frozen codebook (the chain the Spark merge runs), then
+    * probed alongside the original corpus. */
+  val pqIndexMergeSql: String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    val dotEC =
+      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+    val normC =
+      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+    val mslice = s"rs[s * $PqSub + 1 : s * $PqSub + $PqSub]"
+    val dEnc = s"((b.vv - (2 * ${dot("b.v", "c.c")})) + c.cc)"
+    val extra =
+      s"""
+         |mdelta AS (SELECT vec_id + 200000 AS vec_id, embedding
+         |  FROM delta WHERE vec_id < 200000),
+         |ma AS (SELECT vec_id, 0 AS label, embedding, c_label FROM (
+         |  SELECT e.vec_id, e.embedding, c.c_label, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY
+         |      ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+         |      c_label) AS rn
+         |    FROM mdelta e CROSS JOIN c) WHERE rn = 1),
+         |mresid AS (SELECT ma.vec_id, list_transform(range(1, ${PqM * PqSub} + 1),
+         |      i -> (ma.embedding[i]::DOUBLE - c.centroid[i])::FLOAT) AS rs
+         |  FROM ma JOIN c ON ma.c_label = c.c_label),
+         |msubd AS (SELECT vec_id, s, $mslice AS v, ${dot(mslice, mslice)} AS vv
+         |  FROM mresid CROSS JOIN (SELECT unnest(range(0, $PqM)) AS s)),
+         |menc AS (SELECT vec_id, s, cid FROM (
+         |  SELECT b.vec_id, b.s, c.cid, $dEnc AS d, row_number() OVER (
+         |    PARTITION BY b.vec_id, b.s ORDER BY $dEnc, c.cid) AS rn
+         |  FROM msubd b JOIN c$PqIters c ON c.s = b.s) WHERE rn = 1),""".stripMargin
+    pqIndexProbeSqlWith(extra,
+      """SELECT vec_id, label, embedding, c_label FROM a
+        |  UNION ALL SELECT vec_id, label, embedding, c_label FROM ma""".stripMargin,
+      """SELECT vec_id, s, cid FROM enc
+        |  UNION ALL SELECT vec_id, s, cid FROM menc""".stripMargin)
+  }
+
+  /** q148's oracle: the probe over the SURVIVING rows only — the fit
+    * (and therefore `enc`) still runs on the full original corpus, the
+    * codebook being frozen at build time. */
+  val pqIndexForgetSql: String = pqIndexProbeSqlWith("",
+    "SELECT vec_id, label, embedding, c_label FROM a WHERE vec_id % 40 <> 0",
+    "SELECT vec_id, s, cid FROM enc")
 
   val pqIndexBuildSql: String =
     "SELECT COUNT(*)::BIGINT AS n_index_rows FROM embeddings"
@@ -5813,7 +6107,7 @@ object Similarity {
     // per process — the q119 gate pattern); q126b is the build
     "q126_pq_index_probe" -> ((s, d) => {
       val path = pqIndexPathFor(d)
-      if (!graft.ScratchPaths.artifactExists(s, s"$path/codes/_SUCCESS"))
+      if (!pqStoredIndexExists(s, path))
         buildPqIndex(s, d, path)
       pqIndexProbeStored(s, d, path)
     }),
@@ -5821,6 +6115,12 @@ object Similarity {
       import s.implicits._
       Seq(buildPqIndex(s, d, pqIndexPathFor(d))).toDF("n_index_rows")
     }),
+    // q147/q148 (r19b): the PQ-index lifecycle rows — frozen-codebook
+    // merge and lazy right-to-be-forgotten against the standing
+    // compressed artifact, certified by the full probe recomputed over
+    // the updated corpus under the frozen fit
+    "q147_pq_index_merge"  -> ((s, d) => pqIndexMerge(s, d)),
+    "q148_pq_index_forget" -> ((s, d) => pqIndexForget(s, d)),
     "q127_maxsim"         -> ((s, d) => maxSimRetrieval(s, d)),
     "q128_mrl_audit"      -> ((s, d) => mrlAudit(s, d)),
     "q130_rrf_fusion"     -> ((s, d) => rrfFusion(s, d)),
@@ -5888,6 +6188,8 @@ object Similarity {
     "q125_embedding_drift" -> embeddingDriftSql,
     "q126_pq_index_probe" -> pqIndexProbeSql,
     "q126b_pq_index_build" -> pqIndexBuildSql,
+    "q147_pq_index_merge"  -> pqIndexMergeSql,
+    "q148_pq_index_forget" -> pqIndexForgetSql,
     "q127_maxsim"         -> maxSimRetrievalSql,
     "q128_mrl_audit"      -> mrlAuditSql,
     "q130_rrf_fusion"     -> rrfFusionSql,

@@ -1142,6 +1142,60 @@ object StreamingOps {
         { graft.TextAnalysis.forgetLexFromIndex(df, path, seg = batchId); () }
     }
 
+  /** q147's streaming form (r19b) — CONTINUOUS INGESTION into the
+    * standing COMPRESSED (IVF-PQ) index: each micro-batch of
+    * (vec_id, embedding) arrivals routes through the stored coarse frame
+    * and encodes against the frozen stored codebook
+    * ([[graft.Similarity.mergePqBatchIntoIndex]] inside foreachBatch).
+    * Idempotent (the codes artifact is the registry), tombstone-aware. */
+  def pqIngestStream(deltas: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltas.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) =>
+        { graft.Similarity.mergePqBatchIntoIndex(df, path); () }
+    }
+
+  /** q148's streaming form (r19b) — CONTINUOUS TAKEDOWN against the
+    * standing PQ index: requests append to the root tombstone log
+    * ([[graft.Similarity.forgetPqFromIndex]] — lazy deletion, effective
+    * immediately at every probe); the maintenance policy compacts once
+    * live victims cross the fraction. */
+  def pqForgetStream(requests: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) =>
+        { graft.Similarity.forgetPqFromIndex(df, path); () }
+    }
+
+  /** q145's streaming form (r19b) — CONTINUOUS INGESTION into the
+    * standing DEDUP (MinHash band/shingle) index: each micro-batch of
+    * (doc_id, text) arrivals signs once and folds through the batch
+    * merge ([[graft.Dedup.mergeDedupBatchIntoIndex]] inside foreachBatch
+    * — the annIngestStream pattern). Idempotent: replayed ids anti-join
+    * away at the shingle registry; a crash-windowed replay re-appends
+    * byte-identical band rows that candidate generation's `distinct()`
+    * collapses — either way the artifacts converge. */
+  def dedupIngestStream(docs: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) =>
+        { graft.Dedup.mergeDedupBatchIntoIndex(df, path); () }
+    }
+
+  /** q146's streaming form (r19b) — CONTINUOUS TAKEDOWN against the
+    * standing DEDUP index: requests append to the root tombstone log
+    * ([[graft.Dedup.forgetDedupFromIndex]] — idempotent; early takedowns
+    * pend until the id's first arrival). Probes and the ingest merge
+    * anti-join the log, so a takedown is effective immediately and a
+    * replayed ingest batch can never resurrect a forgotten doc; the
+    * maintenance policy compacts once live victims cross the fraction. */
+  def dedupForgetStream(requests: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) =>
+        { graft.Dedup.forgetDedupFromIndex(df, path); () }
+    }
+
   /** q135's streaming form (r16) — CONTINUOUS TAKEDOWN against the
     * standing ANN index: each micro-batch of right-to-be-forgotten
     * requests (any frame with a `vec_id` column) folds through the batch

@@ -465,6 +465,21 @@ object PlanBudgetSpec {
     // q143 adds the tombstone anti-joins on postings AND doclens
     "q142_lex_index_merge" -> Shape(shuffles = 2, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
     "q143_lex_index_forget" -> Shape(shuffles = 2, broadcasts = 4, joins = 5, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
+    // q144 (r19b): the auto-maintained probe — COMPACTED artifact, so no
+    // crash-dupe distinct (single segment: one shuffle like the base
+    // q132) but both tombstone anti-joins (the root log outlives
+    // compaction as the merge-side replay guard)
+    "q144_lex_index_maintain" -> Shape(shuffles = 1, broadcasts = 3, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
+    // q145/q146 (r19b): the dedup-index lifecycle rows — the q102 probe
+    // shape (3 shuffles: delta sign fan-in, candidate distinct, verdict
+    // agg) + on q146 the tombstone anti-joins on bands AND shingles
+    "q145_dedup_index_merge" -> Shape(shuffles = 3, broadcasts = 4, joins = 4, smj = 0, cartesian = 0, bnlj = 0, scans = 6),
+    "q146_dedup_index_forget" -> Shape(shuffles = 3, broadcasts = 5, joins = 6, smj = 0, cartesian = 0, bnlj = 0, scans = 7),
+    // q147/q148 (r19b): the PQ-index lifecycle rows — the q126 probe
+    // shape + on q148 the tombstone anti-joins on the ADC scan AND the
+    // re-rank scan (lazy deletion, both stored-side reads guarded)
+    "q147_pq_index_merge" -> Shape(shuffles = 2, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
+    "q148_pq_index_forget" -> Shape(shuffles = 2, broadcasts = 4, joins = 5, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
     // q133 (r15): hybrid probe over BOTH standing indexes — the q132
     // lexical probe shape (its one corpus-keyed per-doc sum is the only
     // shuffle) + a one-cell-pruned assignments scan behind the 1-row

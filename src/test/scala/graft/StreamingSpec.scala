@@ -3133,6 +3133,167 @@ class StreamingSpec extends SparkSpec {
       "re-delivered takedown re-compacted a clean version")
   }
 
+  test("dedup index lifecycle: streamed ingest ≡ batch merge, lazy takedown, pending-forget ordering, versioned auto-compaction ≡ lazy view (r19b)") {
+    val pathA = Dedup.indexPathFor(sf) + "-dlifeA"
+    val pathB = Dedup.indexPathFor(sf) + "-dlifeB"
+    Dedup.buildDedupIndex(spark, sf, pathA)
+    Dedup.buildDedupIndex(spark, sf, pathB)
+    // the q145 merge batch: +50000-rekeyed UNMUTATED %10==7 docs
+    val batch = Tables.documents(spark, sf).filter($"doc_id" % 10 === 7)
+      .selectExpr("doc_id + 50000 as doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(batch.nonEmpty)
+    // A ingests via the STREAM (two micro-batches + an at-least-once
+    // full replay); B folds once in batch — artifacts must agree
+    val (b1, b2) = batch.splitAt(batch.length / 2)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamingOps.dedupIngestStream(
+        in.toDF().toDF("doc_id", "text"), pathA).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(batch: _*) // full replay: the registry refuses everything
+    q.processAllAvailable(); q.stop()
+    val (adm, ref) = Dedup.mergeDedupBatchIntoIndex(
+      batch.toDF("doc_id", "text"), pathB)
+    assert(adm == batch.length && ref == 0, s"batch merge ($adm, $ref)")
+    val (adm2, ref2) = Dedup.mergeDedupBatchIntoIndex(
+      batch.toDF("doc_id", "text"), pathB)
+    assert(adm2 == 0 && ref2 == batch.length, "replayed batch merge must refuse")
+    def rows(p: String, sub: String): Seq[String] =
+      spark.read.parquet(s"$p/$sub").collect().map(_.toString).sorted.toSeq
+    assert(rows(pathA, "shingles") == rows(pathB, "shingles"),
+      "streamed ingest diverged from batch merge on the registry")
+    assert(rows(pathA, "bands") == rows(pathB, "bands"),
+      "streamed ingest diverged from batch merge on the bands")
+    // the q145 semantics: every mutated twin now matches original + copy
+    def probe(p: String): Seq[String] =
+      Dedup.incrementalDedupStored(spark, sf, p)
+        .orderBy("delta_id").collect().map(_.toString).toSeq
+    val merged = Dedup.incrementalDedupStored(spark, sf, pathA)
+      .filter($"delta_id" < 30000).collect()
+    assert(merged.nonEmpty && merged.forall(_.getLong(1) >= 2),
+      "a mutated twin does not see the merged copy")
+    // IDENTICAL logical takedowns on both: A under a low maintenance
+    // fraction (auto-compacts), B under the default (stays lazy) — the
+    // final probe equality proves lazy == physical
+    val victims = batch.map(_._1)
+    assert(Dedup.forgetDedupFromIndex(victims.toDF("doc_id"), pathB)
+      == victims.length)
+    assert(Dedup.forgetDedupFromIndex(victims.toDF("doc_id"), pathB) == 0L,
+      "re-delivered takedown must no-op")
+    // early takedown on B: pends, then the arrival is refused + tombstoned
+    assert(Dedup.forgetDedupFromIndex(Seq(999999L).toDF("doc_id"), pathB) == 0L)
+    assert(Dedup.dedupPendingOf(spark, pathB).as[Long].collect().toSeq == Seq(999999L))
+    val (a3, r3) = Dedup.mergeDedupBatchIntoIndex(
+      Seq((999999L, "pending victim text")).toDF("doc_id", "text"), pathB)
+    assert(a3 == 0L && r3 == 1L, "pending takedown did not refuse the arrival")
+    assert(Dedup.dedupPendingOf(spark, pathB).isEmpty, "pending entry not consumed")
+    spark.conf.set("spark.graft.dedupCompactTombstoneFrac", "0.05")
+    try {
+      // stream the takedowns into A: the last batch crosses 5% and the
+      // forget's own maintenance tail compacts
+      val inF = MemoryStream[Long](spark)
+      val qA = StreamingOps.dedupForgetStream(inF.toDF().toDF("doc_id"), pathA).start()
+      inF.addData(victims: _*); qA.processAllAvailable()
+      inF.addData(999999L); qA.processAllAvailable(); qA.stop()
+      val v2 = Dedup.dedupLiveRoot(spark, pathA)
+      assert(v2 != pathA, "tombstone-fraction trigger did not compact")
+      assert(spark.read.parquet(s"$v2/shingles")
+        .filter($"doc_id" >= 50000L).count() == 0,
+        "auto-compaction left victims physical")
+      // B consumed 999999's pending into a tombstone; A's early takedown
+      // stays pending (no arrival streamed) — align before comparing
+      assert(Dedup.dedupPendingOf(spark, pathA).as[Long].collect().toSeq == Seq(999999L))
+    } finally spark.conf.unset("spark.graft.dedupCompactTombstoneFrac")
+    // the probes agree: A physical (compacted version) ≡ B lazy (flat +
+    // tombstone anti-join) — 999999 was never admitted to either index
+    assert(probe(pathA) == probe(pathB),
+      "auto-compacted probe diverged from the lazy view")
+    assert(Dedup.dedupLiveRoot(spark, pathB) == pathB, "B must have stayed lazy")
+  }
+
+  test("PQ index lifecycle: streamed frozen-codebook ingest ≡ batch merge; lazy takedown; versioned auto-compaction carries codebook and coarse (r19b)") {
+    val pathA = Similarity.pqIndexPathFor(sf) + "-plifeA"
+    val pathB = Similarity.pqIndexPathFor(sf) + "-plifeB"
+    Similarity.buildPqIndex(spark, sf, pathA)
+    Similarity.buildPqIndex(spark, sf, pathB)
+    def probe(p: String): Seq[String] =
+      Similarity.pqIndexProbeStored(spark, sf, p)
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+    val probe0 = probe(pathA)
+    // the q147 merge batch: exact copies of the jittered delta leg
+    val batch = Similarity.annDelta(spark, sf).filter($"vec_id" < 200000L)
+      .selectExpr("vec_id + 200000 as vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    assert(batch.nonEmpty)
+    val (b1, b2) = batch.splitAt(batch.length / 2)
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamingOps.pqIngestStream(
+        in.toDF().toDF("vec_id", "embedding"), pathA).start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    in.addData(batch: _*) // full replay: the codes registry refuses
+    q.processAllAvailable(); q.stop()
+    val (adm, ref) = Similarity.mergePqBatchIntoIndex(
+      batch.toDF("vec_id", "embedding"), pathB)
+    assert(adm == batch.length && ref == 0, s"batch merge ($adm, $ref)")
+    val (adm2, ref2) = Similarity.mergePqBatchIntoIndex(
+      batch.toDF("vec_id", "embedding"), pathB)
+    assert(adm2 == 0 && ref2 == batch.length, "replayed batch merge must refuse")
+    def rows(p: String): Seq[String] =
+      spark.read.parquet(s"$p/codes").collect().map(_.toString).sorted.toSeq
+    assert(rows(pathA) == rows(pathB),
+      "streamed ingest diverged from batch merge on the codes artifact")
+    // every jittered probe row finds its exact merged twin at cosine 1.0
+    val hits = Similarity.pqIndexProbeStored(spark, sf, pathA)
+      .filter($"vec_id" < 200000L).collect()
+    assert(hits.nonEmpty && hits.forall(r =>
+        r.getLong(2) == r.getLong(0) + 200000L && r.getBoolean(4)),
+      "a jittered probe row missed its merged exact twin")
+    // IDENTICAL takedowns: A streamed under a low fraction (compacts),
+    // B batch under the default (stays lazy)
+    val victims = batch.map(_._1) :+ 1L
+    assert(Similarity.forgetPqFromIndex(victims.toDF("vec_id"), pathB)
+      == victims.length)
+    assert(Similarity.forgetPqFromIndex(victims.toDF("vec_id"), pathB) == 0L,
+      "re-delivered takedown must no-op")
+    spark.conf.set("spark.graft.pqCompactTombstoneFrac", "0.001")
+    try {
+      val inF = MemoryStream[Long](spark)
+      val qA = StreamingOps.pqForgetStream(inF.toDF().toDF("vec_id"), pathA).start()
+      inF.addData(victims: _*); qA.processAllAvailable(); qA.stop()
+      val v2 = Similarity.pqLiveRoot(spark, pathA)
+      assert(v2 != pathA, "tombstone-fraction trigger did not compact")
+      assert(spark.read.parquet(s"$v2/codes")
+        .filter($"vec_id" >= 300000L || $"vec_id" === 1L).count() == 0,
+        "auto-compaction left victims physical")
+      // compaction carries the frozen fit: codebook and coarse byte-equal
+      def sortedRows(p: String): Seq[String] =
+        spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+      assert(sortedRows(s"$v2/codebook") == sortedRows(s"$pathA/codebook"),
+        "compaction moved the frozen codebook")
+      assert(sortedRows(s"$v2/coarse") == sortedRows(s"$pathA/coarse"),
+        "compaction moved the coarse frame")
+    } finally spark.conf.unset("spark.graft.pqCompactTombstoneFrac")
+    // A physical ≡ B lazy, and both ≡ the pre-merge probe except where
+    // vec_id 1 was someone's neighbour (identical divergence on both)
+    assert(probe(pathA) == probe(pathB),
+      "auto-compacted probe diverged from the lazy view")
+    assert(Similarity.pqLiveRoot(spark, pathB) == pathB, "B must have stayed lazy")
+    // a replayed pre-takedown ingest cannot resurrect forgotten ids
+    val (a4, r4) = Similarity.mergePqBatchIntoIndex(
+      batch.toDF("vec_id", "embedding"), pathA)
+    assert(a4 == 0L && r4 == batch.length,
+      "replayed ingest resurrected forgotten ids post-compaction")
+    assert(probe(pathA) == probe(pathB))
+    // the jittered rows' twins are gone again: no verdict still points
+    // at a +300000 neighbour (probe0 is the pre-merge reference frame)
+    assert(probe(pathA).size == probe0.size &&
+      !Similarity.pqIndexProbeStored(spark, sf, pathA)
+        .filter($"nn_id" >= 300000L).collect().exists(_ => true),
+      "a forgotten merged twin still serves as a neighbour")
+  }
+
   test("media compaction is versioned: the old artifact stays for in-flight readers, merges fold into the live version, GC retires the tail (r18)") {
     val path = java.nio.file.Files.createTempDirectory("graft-mversion").toString
     MediaOps.buildIndexFrom(dialHashes(0 until 20, 4), path)
