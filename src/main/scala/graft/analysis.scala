@@ -1132,17 +1132,10 @@ object TextAnalysis {
     val segs = s.read.parquet(s"$root/stats").select("seg").distinct().count()
     val frag =
       segs - 1 > IndexLifecycle.confInt(s, "spark.graft.lexCompactSegments", 16)
-    def tombHeavy: Boolean =
-      ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS") && {
-        val dl = s.read.parquet(s"$root/doclens").select("doc_id")
-        val stored = dl.count()
-        stored > 0 &&
-          dl.join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
-              Seq("doc_id"), "left_semi").count().toDouble / stored >=
-            IndexLifecycle.confDouble(
-              s, "spark.graft.lexCompactTombstoneFrac", 0.25)
-      }
-    if (frag || tombHeavy) compactLexIndex(s, path)
+    if (frag || IndexLifecycle.tombstoneHeavy(s,
+        s.read.parquet(s"$root/doclens").select("doc_id"),
+        s"$path/tombstones", "doc_id", "spark.graft.lexCompactTombstoneFrac"))
+      compactLexIndex(s, path)
   }
 
   /** The q142 gate chain: lazy build → fold the +100000-rekeyed delta

@@ -912,20 +912,11 @@ object Dedup {
     * of shingles, only when a tombstone log exists; the q146 gate row's
     * 1/10 = 10% victims sit under the default, so its lazy read path is
     * what the oracle certifies. */
-  private def maybeCompactDedupIndex(s: SparkSession, path: String): Unit = {
-    if (!ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS")) return
-    val ids = s.read.parquet(s"${dedupLiveRoot(s, path)}/shingles")
-      .select("doc_id")
-    val stored = ids.count()
-    if (stored == 0) return
-    val victims = ids
-      .join(broadcast(dedupTombstonesOf(s, path).select("doc_id")),
-        Seq("doc_id"), "left_semi").count()
-    if (victims.toDouble / stored >=
-        IndexLifecycle.confDouble(
-          s, "spark.graft.dedupCompactTombstoneFrac", 0.25))
+  private def maybeCompactDedupIndex(s: SparkSession, path: String): Unit =
+    if (IndexLifecycle.tombstoneHeavy(s,
+        s.read.parquet(s"${dedupLiveRoot(s, path)}/shingles").select("doc_id"),
+        s"$path/tombstones", "doc_id", "spark.graft.dedupCompactTombstoneFrac"))
       compactDedupIndex(s, path)
-  }
 
   /** Probe the STORED index — the production q102 path: candidates and
     * verification read the parquet artifacts, never re-signing the

@@ -62,6 +62,27 @@ object IndexLifecycle {
   def confDouble(s: SparkSession, key: String, dflt: Double): Double =
     s.conf.getOption(key).map(_.toDouble).getOrElse(dflt)
 
+  /** The shared TOMBSTONE LEG of the r19b maintenance policies: have the
+    * live victims lazy deletion is hiding reached `confKey`'s fraction
+    * (default 0.25) of the stored rows? `storedIds` is the narrow id
+    * column of the LIVE version's registry artifact — the check costs
+    * one columnar id scan, and only runs when the log exists. Families
+    * call this from their forget tails and compact when it fires, so an
+    * unattended takedown stream can never accumulate read-side anti-join
+    * mass and dead rows — single-sourced so the five families (ANN,
+    * media, lexical, dedup, PQ) cannot drift on the policy. */
+  def tombstoneHeavy(s: SparkSession, storedIds: DataFrame, logDir: String,
+                     idCol: String, confKey: String): Boolean =
+    ScratchPaths.artifactExists(s, s"$logDir/_SUCCESS") && {
+      val stored = storedIds.count()
+      stored > 0 && {
+        val victims = storedIds
+          .join(broadcast(idLogOf(s, logDir, idCol).select(idCol)),
+            Seq(idCol), "left_semi").count()
+        victims.toDouble / stored >= confDouble(s, confKey, 0.25)
+      }
+    }
+
   /** Commit a fully-written version directory: the atomic marker-create
     * flips resolution to `newRoot` (in-flight readers of the old
     * version keep their files end-to-end), then keep-N GC retires the

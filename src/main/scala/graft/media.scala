@@ -2097,19 +2097,11 @@ object MediaOps {
     * vecs, only when a tombstone log exists; the q137 gate row's 1/7 ≈
     * 14% victims sit under the default, so its explicit compact call and
     * oracle are unchanged. */
-  private def maybeCompactMediaIndex(s: SparkSession, path: String): Unit = {
-    if (!ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS")) return
-    val ids = s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs").select("doc_id")
-    val stored = ids.count()
-    if (stored == 0) return
-    val victims = ids
-      .join(broadcast(tombstonesOf(s, path).select("doc_id")),
-        Seq("doc_id"), "left_semi").count()
-    if (victims.toDouble / stored >=
-        IndexLifecycle.confDouble(
-          s, "spark.graft.mediaCompactTombstoneFrac", 0.25))
+  private def maybeCompactMediaIndex(s: SparkSession, path: String): Unit =
+    if (IndexLifecycle.tombstoneHeavy(s,
+        s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs").select("doc_id"),
+        s"$path/tombstones", "doc_id", "spark.graft.mediaCompactTombstoneFrac"))
       compactMediaIndex(s, path)
-  }
 
   /** Scheduled compaction, VERSIONED (r18): rewrites vecs/bands minus
     * the tombstoned ids — defragmenting the ingest appends along the

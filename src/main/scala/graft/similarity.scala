@@ -4288,15 +4288,9 @@ object Similarity {
     // in a hand-assembled fixture) stays on lazy deletion alone
     if (!graft.ScratchPaths.artifactExists(s, s"$root/centroids/_SUCCESS"))
       return
-    val ids = s.read.parquet(s"$root/assignments").select("vec_id")
-    val stored = ids.count()
-    if (stored == 0) return
-    val victims = ids
-      .join(broadcast(annTombstonesOf(s, root).select("vec_id")),
-        Seq("vec_id"), "left_semi").count()
-    if (victims.toDouble / stored >=
-        graft.IndexLifecycle.confDouble(
-          s, "spark.graft.annCompactTombstoneFrac", 0.25))
+    if (graft.IndexLifecycle.tombstoneHeavy(s,
+        s.read.parquet(s"$root/assignments").select("vec_id"),
+        s"$root/tombstones", "vec_id", "spark.graft.annCompactTombstoneFrac"))
       // the INDEX path, not the resolved root — the rebuild allocates
       // its own version directory under $path0/versions
       rebuildAnnIndex(s, path0, rounds = 0): Unit
@@ -5205,20 +5199,11 @@ object Similarity {
     * victims reach `spark.graft.pqCompactTombstoneFrac` (default 0.25)
     * of the stored rows; the q148 gate row's 1/40 = 2.5% victims sit far
     * under it, so the row certifies the LAZY read path specifically. */
-  private def maybeCompactPqIndex(s: SparkSession, path: String): Unit = {
-    if (!graft.ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
-      return
-    val ids = s.read.parquet(s"${pqLiveRoot(s, path)}/codes").select("vec_id")
-    val stored = ids.count()
-    if (stored == 0) return
-    val victims = ids
-      .join(broadcast(pqTombstonesOf(s, path).select("vec_id")),
-        Seq("vec_id"), "left_semi").count()
-    if (victims.toDouble / stored >=
-        graft.IndexLifecycle.confDouble(
-          s, "spark.graft.pqCompactTombstoneFrac", 0.25))
+  private def maybeCompactPqIndex(s: SparkSession, path: String): Unit =
+    if (graft.IndexLifecycle.tombstoneHeavy(s,
+        s.read.parquet(s"${pqLiveRoot(s, path)}/codes").select("vec_id"),
+        s"$path/tombstones", "vec_id", "spark.graft.pqCompactTombstoneFrac"))
       compactPqIndex(s, path)
-  }
 
   /** Probe the STORED artifacts (the production path). r19b: version
     * root resolved ONCE, live rows only (tombstones subtracted from the
