@@ -4947,10 +4947,29 @@ object Similarity {
       .selectExpr("vec_id", "c_label", "orig", pqBestExpr)
       .selectExpr("vec_id", "orig", "transform(best, x -> x.cid) as codes", "c_label")
 
+  /** The fit's own per-row quantization distortion Σ_s d(best cid),
+    * micro-quantized per row BEFORE the corpus sum (order-free — the q84
+    * inertia discipline; the per-row fold runs s-ascending over `best`,
+    * matching the report side and the DuckDB mirror bit-for-bit). */
+  private def pqFitDistortionMicros(corpus: DataFrame, cells: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cells))
+      .selectExpr("vec_id", pqBestExpr)
+      .selectExpr("vec_id",
+        "aggregate(best, cast(0.0 as double), (acc, x) -> acc + x.d) as dsum")
+      .selectExpr("cast(floor(dsum * 1e6 + 0.5) as long) as micro")
+
+  /** (row count, long-average distortion micro) of a micros frame. */
+  private def pqDistortionStat(micros: DataFrame): DataFrame =
+    micros.agg(count(lit(1)).as("n"), sum(col("micro")).as("m"))
+      .selectExpr("cast(n as bigint) as n_rows",
+        "cast(floor(cast(m as double) / n + 0.5) as bigint) as dmicro")
+
   /** Side artifacts first, codes LAST — the lazy gates key "built" on
     * codes/_SUCCESS, so a crash mid-build can never leave a gate-visible
     * index missing its codebook/coarse frames (the buildIndexFrom
-    * write-order discipline, r19b). */
+    * write-order discipline, r19b). The `stat` artifact records the
+    * fit's own distortion — the reference the distortion-gated
+    * auto-refit (r19c) prices decay against. */
   def buildPqIndex(s: SparkSession, d: String, path: String): Long =
       withIndexWriter(s, path) {
     val corpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
@@ -4959,6 +4978,8 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codebook")
     centroidsByLabel(s, d, "c_label")
       .write.mode("overwrite").parquet(s"$path/coarse")
+    pqDistortionStat(pqFitDistortionMicros(corpus, cells))
+      .write.mode("overwrite").parquet(s"$path/stat")
     pqEncodedIndex(corpus, cells)
       .write.mode("overwrite").partitionBy("c_label").parquet(s"$path/codes")
     corpus.unpersist(blocking = false)
@@ -5149,21 +5170,24 @@ object Similarity {
         .select("vec_id", "c_label")
         .localCheckpoint() // the log append below feeds this frame's readers
       val tombPath = s"$path/tombstones"
+      val exists = graft.ScratchPaths.artifactExists(s, s"$tombPath/_SUCCESS")
       val newTombs =
-        if (!graft.ScratchPaths.artifactExists(s, s"$tombPath/_SUCCESS")) located
+        if (!exists) located
         else located
           .join(s.read.parquet(tombPath).select("vec_id"),
             Seq("vec_id"), "left_anti")
           .localCheckpoint()
       val n = newTombs.count()
-      if (!graft.ScratchPaths.artifactExists(s, s"$tombPath/_SUCCESS"))
-        newTombs.write.mode("overwrite").parquet(tombPath)
-      else if (n > 0)
-        newTombs.write.mode("append").parquet(tombPath)
-      if (n > 0)
+      // the log is created only by a takedown that LOCATED something —
+      // a request for absent ids must not mint an empty log that every
+      // future probe pays an anti-join against
+      if (n > 0) {
+        newTombs.write.mode(if (exists) "append" else "overwrite")
+          .parquet(tombPath)
         // maintenance tail: a takedown-heavy stream makes deletion
         // physical once live victims cross the policy fraction
         maybeCompactPqIndex(s, path)
+      }
       n
     }
 
@@ -5190,8 +5214,18 @@ object Similarity {
           .write.mode("overwrite").parquet(s"$newRoot/codebook")
         s.read.parquet(s"$root/coarse")
           .write.mode("overwrite").parquet(s"$newRoot/coarse")
+        // the stat rides along: n re-counted to the compacted population,
+        // the distortion REFERENCE unchanged (same codebook — compaction
+        // never refits; the decay dial must not reset without a refit)
+        if (graft.ScratchPaths.artifactExists(s, s"$root/stat/_SUCCESS")) {
+          import s.implicits._
+          val dRef = s.read.parquet(s"$root/stat").head().getLong(1)
+          Seq((s.read.parquet(s"$newRoot/codes").count(), dRef))
+            .toDF("n_rows", "dmicro")
+            .write.mode("overwrite").parquet(s"$newRoot/stat")
+        }
         graft.IndexLifecycle.commitVersion(s, path, newRoot,
-          Seq("codes", "codebook", "coarse"))
+          Seq("codes", "codebook", "coarse", "stat"))
       }
     }
 
@@ -5204,6 +5238,176 @@ object Similarity {
         s.read.parquet(s"${pqLiveRoot(s, path)}/codes").select("vec_id"),
         s"$path/tombstones", "vec_id", "spark.graft.pqCompactTombstoneFrac"))
       compactPqIndex(s, path)
+
+  // ---------------------------------------------------------------------
+  // PQ DISTORTION DRIFT + REFIT (r19c): the last family asymmetry — ANN
+  // re-fits itself on routing drift (q141), media re-prices its band
+  // dial on growth, lexical statistics re-price at every read; the PQ
+  // codebook was frozen FOREVER. A codebook fitted on yesterday's
+  // residual distribution quantizes tomorrow's merges worse — ADC
+  // distances blur and recall decays silently. The decay statistic is
+  // MEASURED, oracle-certified (q149 — the q141 discipline: the number
+  // the trigger acts on is itself gate-verified): per-row stored-code
+  // distortion Σ_s ||resid_s − c(code_s)||², reconstructed from the
+  // stored artifact (orig + frozen coarse + stored codebook), compared
+  // to the fit's own distortion recorded in `stat` at build. The refit
+  // (q150) re-fits the codebook on the LIVE rows and re-encodes, in a
+  // fresh committed version (snapshot-refit-catchup — the
+  // rebuildAnnIndex r19 discipline: merges land mid-refit and are
+  // replayed with the NEW codebook before the commit). The coarse frame
+  // stays frozen — coarse-cell drift is the ANN family's q141 dial;
+  // this family owns the SUBSPACE codebook.
+  // ---------------------------------------------------------------------
+
+  /** The live rows' residual corpus, reconstructed from the STORED
+    * artifact (orig + the row's stored coarse cell — bit-identical to
+    * the build-time residuals) and shaped for [[pqCorpusOf]]; `codes`
+    * carried for the distortion fold. */
+  private def pqLiveResidualCorpus(s: SparkSession, path: String,
+                                   root: String): DataFrame = {
+    withFns(s)
+    val cb = s.read.parquet(s"$root/coarse")
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cb"))
+    val resid = livePqCodes(s, path, root).crossJoin(broadcast(cb))
+      .selectExpr("vec_id", "cast(0 as int) as label", "c_label", "orig", "codes",
+        s"""transform(sequence(1, ${PqM * PqSub}), i -> cast(
+           |double(element_at(orig, i)) -
+           |element_at(element_at(filter(cb, x -> x.c_label = c_label), 1).centroid, i)
+           |as float)) as embedding"""
+          .stripMargin.replace("\n", " "))
+    pqCorpusOf(resid, Seq("c_label", "orig", "codes"))
+  }
+
+  /** Per-row distortion of the STORED codes against the STORED codebook
+    * (s-ascending fold, micro-quantized per row — identical arithmetic
+    * to [[pqFitDistortionMicros]], so a fresh index reads d_now ==
+    * d_build exactly). */
+  private def pqStoredDistortionMicros(s: SparkSession, path: String,
+                                       root: String): DataFrame = {
+    val cells = pqCellsOfRead(s, s"$root/codebook")
+    val at = (sx: String) => // codes[sx]: 0-based GetArrayItem, the probe's idiom
+      s"element_at(filter(bys[$sx], cx -> cx.cid = codes[$sx]), 1)"
+    pqLiveResidualCorpus(s, path, root)
+      .crossJoin(broadcast(cells))
+      .selectExpr("vec_id",
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
+           |(acc, sx) -> acc + ((subs[sx].vv -
+           |(2 * ${dotExpr("subs[sx].v", s"${at("sx")}.c")})) +
+           |${at("sx")}.cc)) as dsum"""
+          .stripMargin.replace("\n", " "))
+      .selectExpr("vec_id", "cast(floor(dsum * 1e6 + 0.5) as long) as micro")
+  }
+
+  /** The q149 report — the dial input the auto-refit acts on, oracle-
+    * certified: (live rows, the build fit's own distortion, the stored
+    * codes' distortion as of now, refit_due under the session dials).
+    * A fresh index reads d_now == d_build bit-for-bit, which certifies
+    * the residual/codebook reconstruction path end-to-end; a grown or
+    * drifted index reads the decay the trigger prices. Lazily prices a
+    * missing stat (pre-r19c version roots) under the writer gate. */
+  def pqIndexDistortionReport(s: SparkSession, path: String): DataFrame = {
+    val root = pqLiveRoot(s, path)
+    if (!graft.ScratchPaths.artifactExists(s, s"$root/stat/_SUCCESS"))
+      withIndexWriter(s, path) {
+        pqDistortionStat(pqStoredDistortionMicros(s, path, root))
+          .write.mode("overwrite").parquet(s"$root/stat")
+      }
+    val st = s.read.parquet(s"$root/stat")
+      .selectExpr("n_rows as n_build", "dmicro as d_build_micro")
+    val growth = graft.IndexLifecycle.confDouble(s, "spark.graft.pqRefitGrowth", 2.0)
+    val dial = graft.IndexLifecycle.confDouble(s, "spark.graft.pqRefitDistortionDial", 1.5)
+    pqDistortionStat(pqStoredDistortionMicros(s, path, root))
+      .crossJoin(broadcast(st))
+      .selectExpr("n_rows",
+        "d_build_micro / 1e6 as d_build",
+        "dmicro / 1e6 as d_now",
+        s"(n_rows >= cast($growth * n_build as bigint)) and " +
+          s"(cast(dmicro as double) >= $dial * d_build_micro) as refit_due")
+  }
+
+  /** The PQ refit (q150): re-fit the subspace codebook on the LIVE rows'
+    * residuals and re-encode, as a new committed version — deletion made
+    * physical along the way, `stat` re-priced to the new fit. SNAPSHOT-
+    * REFIT-CATCHUP (the rebuildAnnIndex r19 discipline): phase 1
+    * (lockless) fits and writes the uncommitted version, so merges and
+    * takedowns keep landing on the live version meanwhile; phase 2
+    * (locked) re-encodes whatever landed — with the NEW codebook — and
+    * commits. The tombstone log lives at the PATH ROOT, so it needs no
+    * carry and keeps guarding replays across the swap. Returns the new
+    * version's root. */
+  def rebuildPqIndex(s: SparkSession, path: String,
+                     beforeCatchup: () => Unit = () => ()): String = {
+    withFns(s)
+    val (root, newRoot) = withIndexWriteLock(path) {
+      val nr = s"$path/versions/${nextVersionName(s, path)}"
+      hadoopFs(s, path).mkdirs(new org.apache.hadoop.fs.Path(nr)): Unit
+      (pqLiveRoot(s, path), nr)
+    }
+    val snapshot = pqLiveResidualCorpus(s, path, root)
+      .transform(Tables.maybePersist)
+    val cells = pqFitCells(snapshot)
+    cells.selectExpr("explode(cells) as x").selectExpr("x.s", "x.cid", "x.c")
+      .write.mode("overwrite").parquet(s"$newRoot/codebook")
+    s.read.parquet(s"$root/coarse") // frozen — the ANN family owns coarse drift
+      .write.mode("overwrite").parquet(s"$newRoot/coarse")
+    pqEncodedIndex(snapshot.drop("codes"), cells)
+      .write.mode("overwrite").partitionBy("c_label").parquet(s"$newRoot/codes")
+    snapshot.unpersist(blocking = false)
+    beforeCatchup()
+    withIndexWriter(s, path) {
+      // catchup: live rows merged into the OLD version mid-refit, encoded
+      // with the NEW codebook (fresh file listing — the merge appends)
+      val missed = pqLiveResidualCorpus(s, path, root).drop("codes")
+        .join(s.read.parquet(s"$newRoot/codes").select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      if (!missed.isEmpty)
+        pqEncodedIndex(missed, cells)
+          .write.mode("append").partitionBy("c_label")
+          .parquet(s"$newRoot/codes")
+      // stat re-priced to the NEW fit over the post-catchup population —
+      // the decay dial resets to the refit's own distortion
+      pqDistortionStat(pqStoredDistortionMicros(s, path, newRoot))
+        .write.mode("overwrite").parquet(s"$newRoot/stat")
+      graft.IndexLifecycle.commitVersion(s, path, newRoot,
+        Seq("codes", "codebook", "coarse", "stat"))
+    }
+    newRoot
+  }
+
+  /** The distortion-gated AUTO-REFIT check (the media growth-trigger
+    * shape, priced lazily): only when the population has grown past
+    * `spark.graft.pqRefitGrowth` (2×) of the stat's reference does the
+    * corpus-priced distortion pass run; if decay crosses
+    * `spark.graft.pqRefitDistortionDial` (1.5×) the index re-fits
+    * itself, else the growth reference re-prices so the next check
+    * waits for the next doubling — a stable population never pays the
+    * distortion pass at all. */
+  def maybeRefitPqIndex(s: SparkSession, path: String): Boolean = {
+    val root = pqLiveRoot(s, path)
+    if (!graft.ScratchPaths.artifactExists(s, s"$root/stat/_SUCCESS"))
+      return false
+    val st = s.read.parquet(s"$root/stat").head()
+    val (nRef, dRef) = (st.getLong(0), st.getLong(1))
+    val growth = graft.IndexLifecycle.confDouble(s, "spark.graft.pqRefitGrowth", 2.0)
+    val nLive = livePqCodes(s, path, root).count()
+    if (nLive < growth * nRef) return false
+    val dNow = pqDistortionStat(pqStoredDistortionMicros(s, path, root))
+      .head().getLong(1)
+    val dial = graft.IndexLifecycle.confDouble(
+      s, "spark.graft.pqRefitDistortionDial", 1.5)
+    if (dNow.toDouble >= dial * dRef) {
+      rebuildPqIndex(s, path); true
+    } else {
+      // growth reference re-priced: wait for the next doubling
+      withIndexWriter(s, path) {
+        import s.implicits._
+        Seq((nLive, dRef)).toDF("n_rows", "dmicro")
+          .write.mode("overwrite").parquet(s"$root/stat")
+      }
+      false
+    }
+  }
 
   /** Probe the STORED artifacts (the production path). r19b: version
     * root resolved ONCE, live rows only (tombstones subtracted from the
@@ -5235,6 +5439,43 @@ object Similarity {
       annDelta(s, d).filter(col("vec_id") < 200000L)
         .selectExpr("vec_id + 200000 as vec_id", "embedding"),
       path)
+    pqIndexProbeStored(s, d, path)
+  }
+
+  /** The q149 gate chain: lazy build → the distortion report. On the
+    * fresh artifact d_now must equal d_build BIT-FOR-BIT — the row
+    * certifies the stored-artifact reconstruction (orig + frozen coarse
+    * → residual → stored-code decode) against the fit's own number, and
+    * the oracle certifies that number from scratch. The statistic the
+    * auto-refit trigger acts on is itself gate-verified — the q141
+    * discipline at PQ grain. */
+  def pqIndexDistortionCheck(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ScratchPaths.indexPathFor(
+      s"q149-${graft.ScratchPaths.tableFingerprint(d, "embeddings")}", d)
+    if (!pqStoredIndexExists(s, path)) buildPqIndex(s, d, path)
+    pqIndexDistortionReport(s, path)
+  }
+
+  /** The q150 gate chain: lazy build → forget the vec_id % 40 == 0 rows
+    * → REFIT (rebuildPqIndex: the codebook re-fitted on the survivors,
+    * deletion made physical, fresh committed version) → probe. The
+    * oracle runs the ENTIRE chain — coarse population, residuals, PQ
+    * fit, encodings, probe — on the survivors, so the row certifies
+    * that the refit equals a from-scratch fit of the live population
+    * (seed rule and iteration count included). Once-per-life: a
+    * committed version short-circuits the forget+refit on re-runs (the
+    * q140 discipline). */
+  def pqIndexRefit(s: SparkSession, d: String): DataFrame = {
+    val path = graft.ScratchPaths.indexPathFor(
+      s"q150-${graft.ScratchPaths.tableFingerprint(d, "embeddings")}", d)
+    if (!pqStoredIndexExists(s, path)) buildPqIndex(s, d, path)
+    if (pqLiveRoot(s, path) == path) {
+      forgetPqFromIndex(
+        s.read.parquet(s"$path/codes")
+          .filter(pmod(col("vec_id"), lit(40)) === 0).select("vec_id"),
+        path)
+      rebuildPqIndex(s, path): Unit
+    }
     pqIndexProbeStored(s, d, path)
   }
 
@@ -5272,17 +5513,22 @@ object Similarity {
     * while `extraCtes` can add merged rows encoded with that frozen
     * codebook and `aliveSql`/`allencSql` define what the ADC scan and
     * the re-rank actually see (the stored artifact's live rows). */
-  private def pqIndexProbeSqlWith(extraCtes: String, aliveSql: String,
-                                  allencSql: String): String = {
+  /** The DuckDB dot of a delta row's embedding against a coarse centroid
+    * and the centroid's norm — shared by every PQ oracle's routing. */
+  private def pqDotECSql: String =
+    """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+      |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
+  private def pqNormCSql: String =
+    """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
+      |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
+
+  /** The shared PQ-oracle head: decimal-exact coarse fit → assignment
+    * (`aFilter` restricts the population the FIT ITSELF sees — q150's
+    * refit-on-survivors mirror) → float residuals → the PQ fit chain
+    * (yields `enc` with per-(vec, s) d at the argmin cid). */
+  private def pqOracleHeadSql(aFilter: String): String = {
     def dot(a: String, b: String) = dotSqlDuck(a, b)
-    val dotEC =
-      """list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
-        |i -> e.embedding[i]::DOUBLE * c.centroid[i])), (p_, q_) -> p_ + q_)""".stripMargin.replace("\n", " ")
-    val normC =
-      """sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.centroid) + 1),
-        |i -> c.centroid[i] * c.centroid[i])), (p_, q_) -> p_ + q_))""".stripMargin.replace("\n", " ")
-    val dslice = s"rs2[s * $PqSub + 1 : s * $PqSub + $PqSub]"
-    s"""WITH d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
+    s"""d AS (SELECT label, (i - 1)::INT AS dim, embedding[i]::DOUBLE AS v
        |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
        |        FROM embeddings)),
        |s AS (SELECT label, dim, CAST(SUM(CAST(v AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS cv
@@ -5291,15 +5537,25 @@ object Similarity {
        |  FROM s GROUP BY label),
        |asg AS (SELECT vec_id, label, embedding, c_label, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY
-       |    ($dotEC) / (sqrt(${dot("e.embedding", "e.embedding")}) * $normC) DESC,
+       |    ($pqDotECSql) / (sqrt(${dot("e.embedding", "e.embedding")}) * $pqNormCSql) DESC,
        |    c_label) AS rn
        |  FROM embeddings e CROSS JOIN c),
-       |a AS (SELECT vec_id, label, embedding, c_label FROM asg WHERE rn = 1),
+       |a AS (SELECT vec_id, label, embedding, c_label FROM asg WHERE rn = 1$aFilter),
        |resid AS (SELECT a.vec_id, a.label, a.c_label, a.embedding AS orig,
        |    list_transform(range(1, ${PqM * PqSub} + 1),
        |      i -> (a.embedding[i]::DOUBLE - c.centroid[i])::FLOAT) AS rs
        |  FROM a JOIN c ON a.c_label = c.c_label),
-       |${pqFitChainSql("", "resid", "rs")},
+       |${pqFitChainSql("", "resid", "rs")}""".stripMargin
+  }
+
+  private def pqIndexProbeSqlWith(extraCtes: String, aliveSql: String,
+                                  allencSql: String,
+                                  aFilter: String = ""): String = {
+    def dot(a: String, b: String) = dotSqlDuck(a, b)
+    val dotEC = pqDotECSql
+    val normC = pqNormCSql
+    val dslice = s"rs2[s * $PqSub + 1 : s * $PqSub + $PqSub]"
+    s"""WITH ${pqOracleHeadSql(aFilter)},
        |delta AS (
        |  SELECT vec_id + 100000 AS vec_id, list_transform(range(1, len(embedding) + 1),
        |      i -> (embedding[i]::DOUBLE + CASE WHEN (i - 1) % 7 = 0 THEN 0.01 ELSE 0.0 END)::FLOAT) AS embedding
@@ -5394,6 +5650,32 @@ object Similarity {
   val pqIndexForgetSql: String = pqIndexProbeSqlWith("",
     "SELECT vec_id, label, embedding, c_label FROM a WHERE vec_id % 40 <> 0",
     "SELECT vec_id, s, cid FROM enc")
+
+  /** q149's oracle: the fit's own distortion recomputed from scratch —
+    * per-row Σ_s d at the argmin cid (s-ascending fold, micro-quantized
+    * per row, long-averaged), reported as BOTH d_build and d_now: on a
+    * fresh index the stored-artifact reconstruction must reproduce the
+    * fit's number bit-for-bit, and the refit dials read not-due. */
+  val pqIndexDistortionSql: String =
+    s"""WITH ${pqOracleHeadSql("")},
+       |rowd AS (SELECT vec_id,
+       |    floor(list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY s)),
+       |      (p, q) -> p + q) * 1e6 + 0.5)::BIGINT AS micro
+       |  FROM enc GROUP BY vec_id),
+       |ag AS (SELECT COUNT(*)::BIGINT AS n_rows,
+       |    floor(SUM(micro)::DOUBLE / COUNT(*) + 0.5)::BIGINT AS dm FROM rowd)
+       |SELECT n_rows, dm / 1e6 AS d_build, dm / 1e6 AS d_now,
+       |  (n_rows >= (2.0 * n_rows)::BIGINT AND dm::DOUBLE >= 1.5 * dm) AS refit_due
+       |FROM ag""".stripMargin
+
+  /** q150's oracle: the full probe where the WHOLE chain — coarse
+    * assignment population, residuals, the PQ fit itself, encodings —
+    * runs on the survivors, mirroring the engine's refit-on-live
+    * rebuild (seeded by the same md5 rule over the same id set). */
+  val pqIndexRefitSql: String = pqIndexProbeSqlWith("",
+    "SELECT vec_id, label, embedding, c_label FROM a",
+    "SELECT vec_id, s, cid FROM enc",
+    aFilter = " AND vec_id % 40 <> 0")
 
   val pqIndexBuildSql: String =
     "SELECT COUNT(*)::BIGINT AS n_index_rows FROM embeddings"
@@ -6106,6 +6388,10 @@ object Similarity {
     // the updated corpus under the frozen fit
     "q147_pq_index_merge"  -> ((s, d) => pqIndexMerge(s, d)),
     "q148_pq_index_forget" -> ((s, d) => pqIndexForget(s, d)),
+    // q149/q150 (r19c): the PQ distortion statistic the auto-refit acts
+    // on, and the refit itself — fit-on-live equivalence via the probe
+    "q149_pq_index_distortion" -> ((s, d) => pqIndexDistortionCheck(s, d)),
+    "q150_pq_index_refit"      -> ((s, d) => pqIndexRefit(s, d)),
     "q127_maxsim"         -> ((s, d) => maxSimRetrieval(s, d)),
     "q128_mrl_audit"      -> ((s, d) => mrlAudit(s, d)),
     "q130_rrf_fusion"     -> ((s, d) => rrfFusion(s, d)),
@@ -6175,6 +6461,8 @@ object Similarity {
     "q126b_pq_index_build" -> pqIndexBuildSql,
     "q147_pq_index_merge"  -> pqIndexMergeSql,
     "q148_pq_index_forget" -> pqIndexForgetSql,
+    "q149_pq_index_distortion" -> pqIndexDistortionSql,
+    "q150_pq_index_refit"      -> pqIndexRefitSql,
     "q127_maxsim"         -> maxSimRetrievalSql,
     "q128_mrl_audit"      -> mrlAuditSql,
     "q130_rrf_fusion"     -> rrfFusionSql,

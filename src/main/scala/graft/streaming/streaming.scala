@@ -1155,6 +1155,25 @@ object StreamingOps {
         { graft.Similarity.mergePqBatchIntoIndex(df, path); () }
     }
 
+  /** The DISTORTION-GATED AUTO-REFIT form of PQ ingestion (r19c — the
+    * ANN drift-gated auto-refit's twin at compressed grain): each
+    * micro-batch folds through the frozen-codebook merge, then
+    * [[graft.Similarity.maybeRefitPqIndex]] prices the decay — the
+    * corpus-priced distortion pass runs only once per population
+    * doubling (`spark.graft.pqRefitGrowth`), and a crossing of
+    * `spark.graft.pqRefitDistortionDial` re-fits the codebook on the
+    * live rows in a fresh committed version (keep-N GC'd). The index
+    * maintains its own quantization quality unattended. */
+  def pqIngestStreamAutoRefit(deltas: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltas.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) => {
+        graft.Similarity.mergePqBatchIntoIndex(df, path)
+        graft.Similarity.maybeRefitPqIndex(df.sparkSession, path)
+        ()
+      }
+    }
+
   /** q148's streaming form (r19b) — CONTINUOUS TAKEDOWN against the
     * standing PQ index: requests append to the root tombstone log
     * ([[graft.Similarity.forgetPqFromIndex]] — lazy deletion, effective

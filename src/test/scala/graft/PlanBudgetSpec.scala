@@ -480,6 +480,13 @@ object PlanBudgetSpec {
     // re-rank scan (lazy deletion, both stored-side reads guarded)
     "q147_pq_index_merge" -> Shape(shuffles = 2, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 0, scans = 4),
     "q148_pq_index_forget" -> Shape(shuffles = 2, broadcasts = 4, joins = 5, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
+    // q149/q150 (r19c): the PQ distortion report (its bnlj are the
+    // 1-row coarse/codebook/stat broadcasts — the q112 codebook-
+    // crossJoin pattern; the corpus is scanned once per distortion
+    // pass) and the refit probe (≡ the q148 post-takedown shape: the
+    // refit output serves through the same live-read discipline)
+    "q149_pq_index_distortion" -> Shape(shuffles = 3, broadcasts = 3, joins = 3, smj = 0, cartesian = 0, bnlj = 3, scans = 4),
+    "q150_pq_index_refit" -> Shape(shuffles = 2, broadcasts = 4, joins = 5, smj = 0, cartesian = 0, bnlj = 0, scans = 5),
     // q133 (r15): hybrid probe over BOTH standing indexes — the q132
     // lexical probe shape (its one corpus-keyed per-doc sum is the only
     // shuffle) + a one-cell-pruned assignments scan behind the 1-row

@@ -3294,6 +3294,67 @@ class StreamingSpec extends SparkSpec {
       "a forgotten merged twin still serves as a neighbour")
   }
 
+  test("PQ distortion-gated auto-refit: the ingest stream re-fits the codebook once quantization decay crosses the dial; mid-refit merges survive the swap (r19c)") {
+    val path = Similarity.pqIndexPathFor(sf) + "-prefit"
+    Similarity.buildPqIndex(spark, sf, path)
+    // fresh artifact: the stored-code reconstruction reproduces the
+    // fit's own distortion bit-for-bit, and the dials read not-due
+    val rep0 = Similarity.pqIndexDistortionReport(spark, path).head()
+    assert(rep0.getDouble(1) == rep0.getDouble(2),
+      s"fresh index d_now ${rep0.getDouble(2)} != d_build ${rep0.getDouble(1)}")
+    assert(!rep0.getBoolean(3), "fresh index read refit_due")
+    // grow the population past the 2x growth gate with FAR-from-codebook
+    // vectors (scaled + shifted: residuals dwarf the fitted sub-cells,
+    // so the frozen codebook quantizes them badly and decay crosses the
+    // 1.5x dial decisively)
+    val far = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id + 900000 as vec_id",
+        "transform(embedding, (x, i) -> cast(x * 7.0 + cast(i % 5 as double) as float)) as embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val (f1, f2) = far.splitAt(far.length / 2)
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamingOps.pqIngestStreamAutoRefit(
+        in.toDF().toDF("vec_id", "embedding"), path).start()
+    in.addData(f1: _*); q.processAllAvailable()
+    // 1.5x the reference population: growth gate not crossed, no refit
+    assert(Similarity.pqLiveRoot(spark, path) == path,
+      "auto-refit fired before the growth gate")
+    in.addData(f2: _*); q.processAllAvailable()
+    // 2x crossed -> distortion priced -> dial crossed -> SELF-REFIT
+    val v1 = Similarity.pqLiveRoot(spark, path)
+    assert(v1 != path, "distortion crossing did not trigger the refit")
+    // the refit re-fitted the codebook on the live rows (not a copy) and
+    // re-priced the stat: the report reads fresh again, not-due
+    def sortedRows(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(s"$v1/codebook") != sortedRows(s"$path/codebook"),
+      "auto-refit did not re-fit the codebook")
+    val rep1 = Similarity.pqIndexDistortionReport(spark, path).head()
+    assert(rep1.getDouble(1) == rep1.getDouble(2) && !rep1.getBoolean(3),
+      "refit did not re-price the decay reference")
+    assert(spark.read.parquet(s"$v1/codes")
+      .filter($"vec_id" >= 900000L).count() == far.length,
+      "merged rows lost across the self-refit")
+    // at-least-once replay of the whole far set: registry refuses, no
+    // version churn
+    in.addData(far: _*); q.processAllAvailable(); q.stop()
+    assert(Similarity.pqLiveRoot(spark, path) == v1,
+      "replayed ingest caused a second refit")
+    // snapshot-refit-catchup at PQ grain: a merge landing DURING a refit
+    // survives the swap, encoded with the NEW codebook
+    val extra = Tables.embeddings(spark, sf).filter($"vec_id" < 4)
+      .selectExpr("vec_id + 950000 as vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val v2 = Similarity.rebuildPqIndex(spark, path, beforeCatchup = () => {
+      Similarity.mergePqBatchIntoIndex(
+        extra.toDF("vec_id", "embedding"), path): Unit
+    })
+    assert(Similarity.pqLiveRoot(spark, path) == v2 && v2 != v1)
+    assert(spark.read.parquet(s"$v2/codes")
+      .filter($"vec_id" >= 950000L).count() == extra.length,
+      "mid-refit merge lost at the swap")
+  }
+
   test("media compaction is versioned: the old artifact stays for in-flight readers, merges fold into the live version, GC retires the tail (r18)") {
     val path = java.nio.file.Files.createTempDirectory("graft-mversion").toString
     MediaOps.buildIndexFrom(dialHashes(0 until 20, 4), path)
