@@ -4142,6 +4142,36 @@ object Similarity {
     // at-least-once sources can repeat a vec_id WITHIN one micro-batch;
     // without dropDuplicates the copies all pass the stored-index
     // anti-join below and insert duplicate rows (r15 advice)
+    //
+    // pending-forget consult (r19c — the media q137 ordering at vector
+    // grain): a takedown that arrived BEFORE this id's first admit is
+    // delivered now — the arrival is refused via a permanent tombstone
+    // (null cell: the row was never stored) and the pending entry is
+    // consumed; replays of this batch can never admit it
+    if (graft.ScratchPaths.artifactExists(s, s"$path0/pending/_SUCCESS")) {
+      val delivered = deduped.select("vec_id")
+        .join(broadcast(graft.IndexLifecycle
+            .idLogOf(s, s"$path0/pending", "vec_id").select("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .localCheckpoint()
+      if (!delivered.isEmpty) {
+        val labelNull = assignments.schema("c_label").dataType.sql
+        val novel = delivered
+          .join(broadcast(annTombstonesOf(s, path).select("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .selectExpr("vec_id", s"cast(null as $labelNull) as c_label")
+          .localCheckpoint()
+        if (!novel.isEmpty) {
+          if (graft.ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
+            novel.write.mode("append").parquet(s"$path/tombstones")
+          else novel.write.mode("overwrite").parquet(s"$path/tombstones")
+        }
+        graft.IndexLifecycle.idLogOf(s, s"$path0/pending", "vec_id")
+          .join(broadcast(delivered), Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+          .write.mode("overwrite").parquet(s"$path0/pending")
+      }
+    }
     val admitted = minusAnnTombstones(deduped, s, path)
     val routed = routeAnnDelta(admitted,
       s.read.parquet(s"$path/centroids"))
@@ -4261,6 +4291,21 @@ object Similarity {
     // files out from under a probe planned pre-overwrite; an append-only
     // log cannot invalidate any reader's file listing.
     //
+    // PENDING-FORGET (r19c — the media q137 ordering at vector grain):
+    // a takedown racing ahead of its id's first arrival must pend, not
+    // silently drop — the transport can reorder the forget and ingest
+    // streams. Consumed by [[mergeDeltaIntoIndex]]; the log lives at the
+    // PATH ROOT (it must survive version swaps without a carry).
+    val early = victimIds.select("vec_id").dropDuplicates("vec_id")
+      .join(broadcast(located.select("vec_id")), Seq("vec_id"), "left_anti")
+      .join(broadcast(annTombstonesOf(s, path).select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .join(broadcast(graft.IndexLifecycle
+          .idLogOf(s, s"$path0/pending", "vec_id").select("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (!early.isEmpty)
+      early.write.mode("append").parquet(s"$path0/pending")
     // maintenance tail (r19): a takedown-heavy stream compacts itself
     // once live victims cross the policy fraction — lazy deletion must
     // not accumulate read-side anti-join mass and dead rows unattended
@@ -5134,6 +5179,32 @@ object Similarity {
       val deduped = batch.select(col("vec_id").cast("long"), col("embedding"))
         .dropDuplicates("vec_id")
         .transform(Tables.maybePersist)
+      // pending-forget consult (r19c): an early takedown is delivered
+      // now — arrival refused via a permanent tombstone (null cell: the
+      // row was never stored), pending entry consumed
+      if (graft.ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS")) {
+        val delivered = deduped.select("vec_id")
+          .join(broadcast(graft.IndexLifecycle
+              .idLogOf(s, s"$path/pending", "vec_id").select("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .localCheckpoint()
+        if (!delivered.isEmpty) {
+          val novel = delivered
+            .join(broadcast(pqTombstonesOf(s, path).select("vec_id")),
+              Seq("vec_id"), "left_anti")
+            .selectExpr("vec_id", "cast(null as int) as c_label")
+            .localCheckpoint()
+          if (!novel.isEmpty)
+            novel.write.mode(
+              if (graft.ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
+                "append" else "overwrite")
+              .parquet(s"$path/tombstones")
+          graft.IndexLifecycle.idLogOf(s, s"$path/pending", "vec_id")
+            .join(broadcast(delivered), Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+            .write.mode("overwrite").parquet(s"$path/pending")
+        }
+      }
       val admitted = graft.IndexLifecycle.minusIdLog(
         deduped, s, s"$path/tombstones", "vec_id")
       val fresh = admitted
@@ -5188,6 +5259,19 @@ object Similarity {
         // physical once live victims cross the policy fraction
         maybeCompactPqIndex(s, path)
       }
+      // pending-forget (r19c — the media q137 ordering at compressed
+      // grain): a takedown racing ahead of its id's first arrival pends
+      // until [[mergePqBatchIntoIndex]] consumes it
+      val early = victimIds.select("vec_id").dropDuplicates("vec_id")
+        .join(broadcast(located.select("vec_id")), Seq("vec_id"), "left_anti")
+        .join(broadcast(pqTombstonesOf(s, path).select("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .join(broadcast(graft.IndexLifecycle
+            .idLogOf(s, s"$path/pending", "vec_id").select("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      if (!early.isEmpty)
+        early.write.mode("append").parquet(s"$path/pending")
       n
     }
 

@@ -1390,6 +1390,32 @@ class StreamingSpec extends SparkSpec {
     assert(Similarity.liveAssignments(spark, pathA)
       .filter($"vec_id" % 50 === 0).isEmpty,
       "victims survived the streamed delete in the live view")
+    // PENDING-FORGET ordering (r19c — the media q137 discipline at
+    // vector grain): a takedown racing ahead of its id's first arrival
+    // pends, then the arrival is refused and permanently tombstoned
+    Similarity.forgetVictimIdsFrom(Seq(999999L).toDF("vec_id"), pathA)
+    assert(spark.read.parquet(s"$pathA/pending")
+      .as[Long].collect().toSeq == Seq(999999L), "early takedown not pending")
+    // re-delivered early takedown appends nothing
+    Similarity.forgetVictimIdsFrom(Seq(999999L).toDF("vec_id"), pathA)
+    assert(spark.read.parquet(s"$pathA/pending").count() == 1)
+    val lateVec = Similarity.annDelta(spark, sf)
+      .select("embedding").as[Array[Float]].head()
+    Similarity.mergeDeltaIntoIndex(
+      Seq((999999L, lateVec)).toDF("vec_id", "embedding"), pathA)
+    assert(Similarity.liveAssignments(spark, pathA)
+      .filter($"vec_id" === 999999L).isEmpty,
+      "pending takedown did not refuse the late arrival")
+    assert(spark.read.parquet(s"$pathA/tombstones")
+      .filter($"vec_id" === 999999L).count() == 1,
+      "consumed pending forget must tombstone the id")
+    assert(spark.read.parquet(s"$pathA/pending").isEmpty,
+      "pending entry not consumed")
+    // at-least-once replay of the late arrival stays refused
+    Similarity.mergeDeltaIntoIndex(
+      Seq((999999L, lateVec)).toDF("vec_id", "embedding"), pathA)
+    assert(Similarity.liveAssignments(spark, pathA)
+      .filter($"vec_id" === 999999L).isEmpty)
   }
 
   test("forgetVictimIdsFrom: a fully-victimized cell leaves the live view at once and the rebuilt version physically, stored files untouched (r16→r19)") {
@@ -3257,6 +3283,18 @@ class StreamingSpec extends SparkSpec {
       == victims.length)
     assert(Similarity.forgetPqFromIndex(victims.toDF("vec_id"), pathB) == 0L,
       "re-delivered takedown must no-op")
+    // PENDING-FORGET ordering (r19c): an early takedown pends, the late
+    // arrival is refused + tombstoned, a replay stays refused
+    assert(Similarity.forgetPqFromIndex(Seq(888888L).toDF("vec_id"), pathB) == 0L)
+    assert(spark.read.parquet(s"$pathB/pending")
+      .as[Long].collect().toSeq == Seq(888888L), "early takedown not pending")
+    val lateVec = batch.head._2
+    val (aL, rL) = Similarity.mergePqBatchIntoIndex(
+      Seq((888888L, lateVec)).toDF("vec_id", "embedding"), pathB)
+    assert(aL == 0L && rL == 1L, "pending takedown did not refuse the arrival")
+    assert(spark.read.parquet(s"$pathB/pending").isEmpty, "pending not consumed")
+    assert(Similarity.livePqCodes(spark, pathB, Similarity.pqLiveRoot(spark, pathB))
+      .filter($"vec_id" === 888888L).isEmpty)
     spark.conf.set("spark.graft.pqCompactTombstoneFrac", "0.001")
     try {
       val inF = MemoryStream[Long](spark)
