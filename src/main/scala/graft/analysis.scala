@@ -843,6 +843,23 @@ object TextAnalysis {
                                   root: String): DataFrame =
     minusLexTombstones(s.read.parquet(s"$root/doclens"), s, path)
 
+  /** Segment count of a root's contribution log — MEMOIZED per root
+    * (r20, VERDICT r19 #5 + advice #4): probes, serving-stream setups,
+    * and the per-micro-batch maintenance check must not re-derive it
+    * with a driver-side job each time. In-process writers keep it
+    * current (build and compaction seed their root at 1; the merge and
+    * forget tails bump it at append time); a crash-window replay can
+    * only OVER-count, which errs safe — the crash-dupe distinct is
+    * always correct to run, the auto-compaction just fires early.
+    * Cross-driver appends surface at the next committed version, whose
+    * fresh root re-derives from the stats artifact. */
+  private[graft] def lexSegCount(s: SparkSession, root: String): Long =
+    IndexLifecycle.memoGet(s"$root#lex.segs").getOrElse {
+      val n = s.read.parquet(s"$root/stats").select("seg").distinct().count()
+      IndexLifecycle.memoPut(s"$root#lex.segs", n)
+      n
+    }
+
   /** Whether the root carries appended merge/forget segments beyond the
     * build's base. Posting-row duplicates can ONLY exist once a merge's
     * stats segment has landed (the merge writes terms → stats →
@@ -850,10 +867,10 @@ object TextAnalysis {
     * posting rows has already appended its stats row), and compaction
     * collapses back to the single base segment — so a single-segment
     * stats log PROVES the postings are dupe-free and the crash-dupe
-    * distinct can be skipped. Driver-side read of the tiny stats
-    * artifact (one row per segment). */
+    * distinct can be skipped. Memoized via [[lexSegCount]] (r20) — no
+    * per-probe driver job. */
   private[graft] def lexHasSegments(s: SparkSession, root: String): Boolean =
-    s.read.parquet(s"$root/stats").select("seg").distinct().count() > 1
+    lexSegCount(s, root) > 1
 
   /** Live postings (unpruned — the stream-static serving side): crash
     * dupes collapsed when segments exist, tombstoned docs subtracted. */
@@ -888,6 +905,7 @@ object TextAnalysis {
         .selectExpr("cast(n_docs as bigint) as n_docs",
           "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
         .write.mode("overwrite").parquet(s"$path/stats")
+      IndexLifecycle.memoPut(s"$path#lex.segs", 1L) // base segment only (r20)
       toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
         .repartition(col("tb")) // co-locate buckets: one file per partition value
@@ -949,20 +967,17 @@ object TextAnalysis {
       // entry is consumed; replays of this batch can never admit it
       if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS")) {
         val delivered = docs0.select("doc_id")
-          .join(broadcast(lexPendingOf(s, path).select("doc_id")),
+          .join(IndexLifecycle.hintedIdLog(s, s"$path/pending", "doc_id"),
             Seq("doc_id"), "left_semi")
           .localCheckpoint()
         if (!delivered.isEmpty) {
           val novel = delivered
-            .join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
+            .join(IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "doc_id"),
               Seq("doc_id"), "left_anti")
             .localCheckpoint()
           if (!novel.isEmpty)
             novel.write.mode("append").parquet(s"$path/tombstones")
-          lexPendingOf(s, path)
-            .join(broadcast(delivered), Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-            .write.mode("overwrite").parquet(s"$path/pending")
+          IndexLifecycle.consumeIdLog(s, s"$path/pending", "doc_id", delivered)
         }
       }
       // replay guards: the doclens registry (already admitted) and the
@@ -991,6 +1006,7 @@ object TextAnalysis {
           .selectExpr("cast(n_docs as bigint) as n_docs",
             "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
           .write.mode("append").parquet(s"$root/stats")
+        IndexLifecycle.memoAdd(s"$root#lex.segs", 1L) // appended a segment (r20)
         // delta postings into the bucket layout (append-only — a probe's
         // planned listing is never invalidated)
         tf.withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
@@ -1026,9 +1042,9 @@ object TextAnalysis {
       val root = lexLiveRoot(s, path)
       val marked = requests.select(col("doc_id").cast("long"))
         .dropDuplicates("doc_id")
-        .join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
+        .join(IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "doc_id"),
           Seq("doc_id"), "left_anti")
-        .join(broadcast(lexPendingOf(s, path).select("doc_id")),
+        .join(IndexLifecycle.hintedIdLog(s, s"$path/pending", "doc_id"),
           Seq("doc_id"), "left_anti")
         .join(s.read.parquet(s"$root/doclens"), Seq("doc_id"), "left")
         .localCheckpoint()
@@ -1051,6 +1067,7 @@ object TextAnalysis {
           .selectExpr("cast(n_docs as bigint) as n_docs",
             "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
           .write.mode("append").parquet(s"$root/stats")
+        IndexLifecycle.memoAdd(s"$root#lex.segs", 1L) // appended a segment (r20)
         // the tombstone registry LAST: a crash above replays in full
         // (identical negatives collapse), a crash after it replays to
         // nothing (victims no longer novel)
@@ -1078,7 +1095,7 @@ object TextAnalysis {
       val victims =
         if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
           s.read.parquet(s"$root/doclens")
-            .join(broadcast(lexTombstonesOf(s, path).select("doc_id")),
+            .join(IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "doc_id"),
               Seq("doc_id"), "left_semi").count()
         else 0L
       val segments = s.read.parquet(s"$root/stats")
@@ -1093,6 +1110,7 @@ object TextAnalysis {
           .selectExpr("cast(n_docs as bigint) as n_docs",
             "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
           .write.mode("overwrite").parquet(s"$newRoot/stats")
+        IndexLifecycle.memoPut(s"$newRoot#lex.segs", 1L) // collapsed (r20)
         minusLexTombstones(
             s.read.parquet(s"$root/postings").drop("tb").distinct(), s, path)
           .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
@@ -1129,12 +1147,13 @@ object TextAnalysis {
     * plans and oracles are unchanged. */
   private def maybeCompactLexIndex(s: SparkSession, path: String): Unit = {
     val root = lexLiveRoot(s, path)
-    val segs = s.read.parquet(s"$root/stats").select("seg").distinct().count()
+    val segs = lexSegCount(s, root) // memoized — no per-batch stats job (r20)
     val frag =
       segs - 1 > IndexLifecycle.confInt(s, "spark.graft.lexCompactSegments", 16)
     if (frag || IndexLifecycle.tombstoneHeavy(s,
         s.read.parquet(s"$root/doclens").select("doc_id"),
-        s"$path/tombstones", "doc_id", "spark.graft.lexCompactTombstoneFrac"))
+        s"$path/tombstones", "doc_id", "spark.graft.lexCompactTombstoneFrac",
+        memoKey = root))
       compactLexIndex(s, path)
   }
 

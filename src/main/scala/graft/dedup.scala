@@ -805,20 +805,17 @@ object Dedup {
       // pending-forget consult (the media q137 / lexical q142 discipline)
       if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS")) {
         val delivered = docs0.select("doc_id")
-          .join(broadcast(dedupPendingOf(s, path).select("doc_id")),
+          .join(IndexLifecycle.hintedIdLog(s, s"$path/pending", "doc_id"),
             Seq("doc_id"), "left_semi")
           .localCheckpoint()
         if (!delivered.isEmpty) {
           val novel = delivered
-            .join(broadcast(dedupTombstonesOf(s, path).select("doc_id")),
+            .join(IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "doc_id"),
               Seq("doc_id"), "left_anti")
             .localCheckpoint()
           if (!novel.isEmpty)
             novel.write.mode("append").parquet(s"$path/tombstones")
-          dedupPendingOf(s, path)
-            .join(broadcast(delivered), Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-            .write.mode("overwrite").parquet(s"$path/pending")
+          IndexLifecycle.consumeIdLog(s, s"$path/pending", "doc_id", delivered)
         }
       }
       // replay guards: the shingle registry (already admitted) and the
@@ -858,9 +855,9 @@ object Dedup {
       val root = dedupLiveRoot(s, path)
       val marked = requests.select(col("doc_id").cast("long"))
         .dropDuplicates("doc_id")
-        .join(broadcast(dedupTombstonesOf(s, path).select("doc_id")),
+        .join(IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "doc_id"),
           Seq("doc_id"), "left_anti")
-        .join(broadcast(dedupPendingOf(s, path).select("doc_id")),
+        .join(IndexLifecycle.hintedIdLog(s, s"$path/pending", "doc_id"),
           Seq("doc_id"), "left_anti")
         .join(s.read.parquet(s"$root/shingles")
             .select(col("doc_id"), lit(1).as("present")),
@@ -892,7 +889,7 @@ object Dedup {
       val victims =
         if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
           s.read.parquet(s"$root/shingles")
-            .join(broadcast(dedupTombstonesOf(s, path).select("doc_id")),
+            .join(IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "doc_id"),
               Seq("doc_id"), "left_semi").count()
         else 0L
       if (victims > 0) {
@@ -912,11 +909,14 @@ object Dedup {
     * of shingles, only when a tombstone log exists; the q146 gate row's
     * 1/10 = 10% victims sit under the default, so its lazy read path is
     * what the oracle certifies. */
-  private def maybeCompactDedupIndex(s: SparkSession, path: String): Unit =
+  private def maybeCompactDedupIndex(s: SparkSession, path: String): Unit = {
+    val root = dedupLiveRoot(s, path)
     if (IndexLifecycle.tombstoneHeavy(s,
-        s.read.parquet(s"${dedupLiveRoot(s, path)}/shingles").select("doc_id"),
-        s"$path/tombstones", "doc_id", "spark.graft.dedupCompactTombstoneFrac"))
+        s.read.parquet(s"$root/shingles").select("doc_id"),
+        s"$path/tombstones", "doc_id", "spark.graft.dedupCompactTombstoneFrac",
+        memoKey = root))
       compactDedupIndex(s, path)
+  }
 
   /** Probe the STORED index — the production q102 path: candidates and
     * verification read the parquet artifacts, never re-signing the

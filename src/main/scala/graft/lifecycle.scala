@@ -45,15 +45,81 @@ object IndexLifecycle {
     else Seq.empty[Long].toDF(idCol)
   }
 
+  /** Broadcast ceiling for id-log joins (r20, VERDICT r19 #1). The
+    * maintenance policies bound the logs as a CORPUS FRACTION (0.25 of
+    * stored rows) — their absolute size grows with the index, so an
+    * unconditional broadcast hint is a 100×-scale read-path failure:
+    * the driver would collect and broadcast a quarter-registry frame
+    * into every family's probe plan the moment a takedown wave
+    * approaches the compaction threshold. Default 8 MB of on-disk
+    * parquet (compressed long ids — comfortably under Spark's 10 MB
+    * auto threshold even after decode). */
+  private[graft] def idLogBroadcastBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.idLogBroadcastBytes").map(_.toLong)
+      .getOrElse(8L << 20)
+
+  /** The id log's narrow column, broadcast-hinted ONLY below the size
+    * ceiling — measured from driver-side file metadata (no Spark job).
+    * Above the ceiling the join goes unhinted and AQE picks the
+    * strategy from runtime sizes. The request-sized common case (every
+    * gate fixture) keeps its broadcast, so the ~115 pinned plans are
+    * unchanged. */
+  private[graft] def hintedIdLog(s: SparkSession, dir: String,
+                                 idCol: String): DataFrame = {
+    val log = idLogOf(s, dir, idCol).select(idCol)
+    val bytes =
+      try Similarity.hadoopFs(s, dir)
+        .getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    if (bytes <= idLogBroadcastBytes(s)) broadcast(log) else log
+  }
+
   /** Anti-join `df` against the id log — the lazy-deletion read guard.
     * Skipped entirely (plan untouched) when no log exists, so the
-    * untouched-index read path pays nothing. */
+    * untouched-index read path pays nothing; broadcast size-gated
+    * (r20) so a corpus-fraction log cannot OOM the driver. */
   def minusIdLog(df: DataFrame, s: SparkSession, dir: String,
                  idCol: String): DataFrame =
     if (ScratchPaths.artifactExists(s, s"$dir/_SUCCESS"))
-      df.join(broadcast(idLogOf(s, dir, idCol).select(idCol)),
-        Seq(idCol), "left_anti")
+      df.join(hintedIdLog(s, dir, idCol), Seq(idCol), "left_anti")
     else df
+
+  /** Consume `delivered` ids out of the append-only log at `dir`:
+    * rewrite the remainder — or, when the consume EMPTIES the log,
+    * delete the directory outright (r20, VERDICT r19 #4): an empty
+    * parquet with `_SUCCESS` would tax every future merge with a dead
+    * existence check plus an empty broadcast join forever, the shape
+    * the r19c empty-tombstone rule already forbids. Replays of a
+    * consumed takedown stay refused — the permanent tombstone written
+    * at consume time carries that memory, not this log. `delivered` is
+    * batch-bounded (batch ∩ log), so its hint is safe; the remainder
+    * is localCheckpoint'd BEFORE the overwrite (its lineage reads the
+    * files the write replaces). Caller holds the writer gate. */
+  def consumeIdLog(s: SparkSession, dir: String, idCol: String,
+                   delivered: DataFrame): Unit = {
+    val rest = idLogOf(s, dir, idCol)
+      .join(broadcast(delivered.select(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    if (rest.isEmpty)
+      Similarity.hadoopFs(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true): Unit
+    else rest.write.mode("overwrite").parquet(dir)
+  }
+
+  /** Same-process long-valued memo behind the r20 amortizations (the
+    * lifecycle checks must not re-derive corpus-sized facts per micro-
+    * batch). Keys embed the RESOLVED VERSION ROOT, so every compaction
+    * / refit — the only writes that shrink an index — lands in a fresh
+    * root and auto-invalidates; in-root appends (merges, takedowns)
+    * are handled by the callers bumping or re-deriving. Cross-driver
+    * writers follow the versioned path (new root → fresh keys), so the
+    * memo can defer a maintenance check but never corrupt a result. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private[graft] def memoGet(key: String): Option[Long] = Option(memo.get(key))
+  private[graft] def memoPut(key: String, v: Long): Unit = memo.put(key, v): Unit
+  private[graft] def memoAdd(key: String, d: Long): Unit =
+    memo.computeIfPresent(key, (_, v) => v + d): Unit
+  private[graft] def memoDrop(key: String): Unit = memo.remove(key): Unit
 
   /** Threshold confs for the per-family MAINTENANCE POLICIES (r19): the
     * fragmentation / tombstone-mass triggers read their limits here. */
@@ -65,21 +131,47 @@ object IndexLifecycle {
   /** The shared TOMBSTONE LEG of the r19b maintenance policies: have the
     * live victims lazy deletion is hiding reached `confKey`'s fraction
     * (default 0.25) of the stored rows? `storedIds` is the narrow id
-    * column of the LIVE version's registry artifact — the check costs
-    * one columnar id scan, and only runs when the log exists. Families
-    * call this from their forget tails and compact when it fires, so an
-    * unattended takedown stream can never accumulate read-side anti-join
-    * mass and dead rows — single-sourced so the five families (ANN,
-    * media, lexical, dedup, PQ) cannot drift on the policy. */
-  def tombstoneHeavy(s: SparkSession, storedIds: DataFrame, logDir: String,
-                     idCol: String, confKey: String): Boolean =
+    * column of the LIVE version's registry artifact. Families call this
+    * from their forget tails and compact when it fires, so an unattended
+    * takedown stream can never accumulate read-side anti-join mass and
+    * dead rows — single-sourced so the five families (ANN, media,
+    * lexical, dedup, PQ) cannot drift on the policy.
+    *
+    * AMORTIZED (r20, VERDICT r19 #2): the registry id scan no longer
+    * runs per takedown batch. Per-batch cost is ONE log-sized count;
+    * the corpus-sized scans run only when the cheap bound — last
+    * measured victims plus every log row appended since, over the last
+    * measured stored count — reaches the threshold. The bound is
+    * conservative: within a version root, true live victims grow at
+    * most one per appended log row (tombstoned ids never re-admit) and
+    * stored rows only GROW via merges (shrinking means a compaction,
+    * which lands in a fresh root and a fresh `memoKey`) — so staleness
+    * can only trigger the real check EARLY, never skip one that is
+    * due. `memoKey` must be the RESOLVED VERSION ROOT of `storedIds`'s
+    * artifact. The first check on a root (no memo) pays the real scan
+    * once and seeds the bound. */
+  def tombstoneHeavy(s: SparkSession, storedIds: => DataFrame, logDir: String,
+                     idCol: String, confKey: String, memoKey: String): Boolean =
     ScratchPaths.artifactExists(s, s"$logDir/_SUCCESS") && {
-      val stored = storedIds.count()
-      stored > 0 && {
-        val victims = storedIds
-          .join(broadcast(idLogOf(s, logDir, idCol).select(idCol)),
-            Seq(idCol), "left_semi").count()
-        victims.toDouble / stored >= confDouble(s, confKey, 0.25)
+      val frac = confDouble(s, confKey, 0.25)
+      val logRows = idLogOf(s, logDir, idCol).count()
+      val bound = for {
+        st <- memoGet(s"$memoKey#ts.stored") if st > 0L
+        l0 <- memoGet(s"$memoKey#ts.log")
+        v0 <- memoGet(s"$memoKey#ts.victims")
+      } yield (v0 + math.max(0L, logRows - l0)).toDouble / st
+      if (bound.exists(_ < frac)) false
+      else {
+        val ids = storedIds
+        val stored = ids.count()
+        val victims =
+          if (stored == 0L) 0L
+          else ids.join(hintedIdLog(s, logDir, idCol), Seq(idCol), "left_semi")
+            .count()
+        memoPut(s"$memoKey#ts.stored", stored)
+        memoPut(s"$memoKey#ts.log", logRows)
+        memoPut(s"$memoKey#ts.victims", victims)
+        stored > 0 && victims.toDouble / stored >= frac
       }
     }
 

@@ -1945,7 +1945,7 @@ object MediaOps {
       // takedown is outstanding.
       if (ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS")) {
         val delivered = hashes.select("doc_id")
-          .join(broadcast(pendingForgetsOf(s, path).select("doc_id")),
+          .join(IndexLifecycle.hintedIdLog(s, s"$path/pending", "doc_id"),
             Seq("doc_id"), "left_semi")
           .localCheckpoint()
         if (!delivered.isEmpty) {
@@ -1957,15 +1957,12 @@ object MediaOps {
           // replay appends nothing and only the pending consume (the
           // write the crash lost) re-runs.
           val novel = delivered
-            .join(broadcast(tombstonesOf(s, path).select("doc_id")),
+            .join(IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "doc_id"),
               Seq("doc_id"), "left_anti")
             .localCheckpoint()
           if (!novel.isEmpty)
             novel.write.mode("append").parquet(s"$path/tombstones")
-          pendingForgetsOf(s, path)
-            .join(broadcast(delivered), Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-            .write.mode("overwrite").parquet(s"$path/pending")
+          IndexLifecycle.consumeIdLog(s, s"$path/pending", "doc_id", delivered)
         }
       }
       // replay guards: already-stored ids AND tombstoned ids never
@@ -2069,8 +2066,8 @@ object MediaOps {
       // single eager checkpoint instead of two keeps the takedown path
       // at its pre-pending-log job count)
       val marked = requests.select(col("doc_id").cast("long")).distinct()
-        .join(broadcast(tombstonesOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
-        .join(broadcast(pendingForgetsOf(s, path).select("doc_id")), Seq("doc_id"), "left_anti")
+        .join(IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "doc_id"), Seq("doc_id"), "left_anti")
+        .join(IndexLifecycle.hintedIdLog(s, s"$path/pending", "doc_id"), Seq("doc_id"), "left_anti")
         .join(s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs")
             .select(col("doc_id"), lit(1).as("present")),
           Seq("doc_id"), "left")
@@ -2097,11 +2094,14 @@ object MediaOps {
     * vecs, only when a tombstone log exists; the q137 gate row's 1/7 ≈
     * 14% victims sit under the default, so its explicit compact call and
     * oracle are unchanged. */
-  private def maybeCompactMediaIndex(s: SparkSession, path: String): Unit =
+  private def maybeCompactMediaIndex(s: SparkSession, path: String): Unit = {
+    val root = mediaLiveRoot(s, path)
     if (IndexLifecycle.tombstoneHeavy(s,
-        s.read.parquet(s"${mediaLiveRoot(s, path)}/vecs").select("doc_id"),
-        s"$path/tombstones", "doc_id", "spark.graft.mediaCompactTombstoneFrac"))
+        s.read.parquet(s"$root/vecs").select("doc_id"),
+        s"$path/tombstones", "doc_id", "spark.graft.mediaCompactTombstoneFrac",
+        memoKey = root))
       compactMediaIndex(s, path)
+  }
 
   /** Scheduled compaction, VERSIONED (r18): rewrites vecs/bands minus
     * the tombstoned ids — defragmenting the ingest appends along the
@@ -2132,7 +2132,7 @@ object MediaOps {
       val live = s.read.parquet(s"$root/vecs")
       val victims =
         if (ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
-          live.join(broadcast(tombstonesOf(s, path).select("doc_id")),
+          live.join(IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "doc_id"),
             Seq("doc_id"), "left_semi").count()
         else 0L
       val pop = live.count() - victims

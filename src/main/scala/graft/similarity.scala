@@ -4149,15 +4149,16 @@ object Similarity {
     // (null cell: the row was never stored) and the pending entry is
     // consumed; replays of this batch can never admit it
     if (graft.ScratchPaths.artifactExists(s, s"$path0/pending/_SUCCESS")) {
+      // log sides via the size-gated hint (r20): both logs are corpus-
+      // fraction-bounded, not request-bounded — see IndexLifecycle
       val delivered = deduped.select("vec_id")
-        .join(broadcast(graft.IndexLifecycle
-            .idLogOf(s, s"$path0/pending", "vec_id").select("vec_id")),
+        .join(graft.IndexLifecycle.hintedIdLog(s, s"$path0/pending", "vec_id"),
           Seq("vec_id"), "left_semi")
         .localCheckpoint()
       if (!delivered.isEmpty) {
         val labelNull = assignments.schema("c_label").dataType.sql
         val novel = delivered
-          .join(broadcast(annTombstonesOf(s, path).select("vec_id")),
+          .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "vec_id"),
             Seq("vec_id"), "left_anti")
           .selectExpr("vec_id", s"cast(null as $labelNull) as c_label")
           .localCheckpoint()
@@ -4166,10 +4167,10 @@ object Similarity {
             novel.write.mode("append").parquet(s"$path/tombstones")
           else novel.write.mode("overwrite").parquet(s"$path/tombstones")
         }
-        graft.IndexLifecycle.idLogOf(s, s"$path0/pending", "vec_id")
-          .join(broadcast(delivered), Seq("vec_id"), "left_anti")
-          .localCheckpoint()
-          .write.mode("overwrite").parquet(s"$path0/pending")
+        // r20: a consume that empties the log DELETES the directory —
+        // no future merge pays a dead existence check for it
+        graft.IndexLifecycle.consumeIdLog(s, s"$path0/pending", "vec_id",
+          delivered)
       }
     }
     val admitted = minusAnnTombstones(deduped, s, path)
@@ -4271,17 +4272,20 @@ object Similarity {
       .localCheckpoint() // the log append below feeds this frame's readers
     val tombPath = s"$path/tombstones"
     val tombstonesExist = graft.ScratchPaths.artifactExists(s, s"$tombPath/_SUCCESS")
-    if (!tombstonesExist) {
-      // first write creates the log (schema even when the request located
-      // nothing — the report's left join needs a readable frame)
-      located.write.mode("overwrite").parquet(tombPath)
-    } else {
-      val newTombs = located
-        .join(s.read.parquet(tombPath).select("vec_id"), Seq("vec_id"), "left_anti")
-        .localCheckpoint()
-      if (!newTombs.isEmpty)
-        newTombs.write.mode("append").parquet(tombPath)
-    }
+    val newlyTombstoned =
+      if (!tombstonesExist) {
+        // first write creates the log (schema even when the request located
+        // nothing — the report's left join needs a readable frame)
+        located.write.mode("overwrite").parquet(tombPath)
+        !located.isEmpty
+      } else {
+        val newTombs = located
+          .join(s.read.parquet(tombPath).select("vec_id"), Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        if (!newTombs.isEmpty) {
+          newTombs.write.mode("append").parquet(tombPath); true
+        } else false
+      }
     // NO physical rewrite (r19, VERDICT r18 #2): deletion is LAZY — the
     // tombstone append above is the whole takedown, every reader
     // subtracts the log ([[minusAnnTombstones]], one broadcast anti-join
@@ -4298,18 +4302,20 @@ object Similarity {
     // PATH ROOT (it must survive version swaps without a carry).
     val early = victimIds.select("vec_id").dropDuplicates("vec_id")
       .join(broadcast(located.select("vec_id")), Seq("vec_id"), "left_anti")
-      .join(broadcast(annTombstonesOf(s, path).select("vec_id")),
+      .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "vec_id"),
         Seq("vec_id"), "left_anti")
-      .join(broadcast(graft.IndexLifecycle
-          .idLogOf(s, s"$path0/pending", "vec_id").select("vec_id")),
+      .join(graft.IndexLifecycle.hintedIdLog(s, s"$path0/pending", "vec_id"),
         Seq("vec_id"), "left_anti")
       .localCheckpoint()
     if (!early.isEmpty)
       early.write.mode("append").parquet(s"$path0/pending")
     // maintenance tail (r19): a takedown-heavy stream compacts itself
     // once live victims cross the policy fraction — lazy deletion must
-    // not accumulate read-side anti-join mass and dead rows unattended
-    maybeCompactAnnIndex(s, path0, path)
+    // not accumulate read-side anti-join mass and dead rows unattended.
+    // Gated on the takedown having APPENDED (r20, matching the other
+    // four families): a fully-redelivered or entirely-pending batch
+    // cannot have moved the victim fraction, so it pays no check.
+    if (newlyTombstoned) maybeCompactAnnIndex(s, path0, path)
   }
 
   /** The ANN MAINTENANCE POLICY's tombstone leg (r19): when the live
@@ -4335,7 +4341,8 @@ object Similarity {
       return
     if (graft.IndexLifecycle.tombstoneHeavy(s,
         s.read.parquet(s"$root/assignments").select("vec_id"),
-        s"$root/tombstones", "vec_id", "spark.graft.annCompactTombstoneFrac"))
+        s"$root/tombstones", "vec_id", "spark.graft.annCompactTombstoneFrac",
+        memoKey = root))
       // the INDEX path, not the resolved root — the rebuild allocates
       // its own version directory under $path0/versions
       rebuildAnnIndex(s, path0, rounds = 0): Unit
@@ -5184,13 +5191,12 @@ object Similarity {
       // row was never stored), pending entry consumed
       if (graft.ScratchPaths.artifactExists(s, s"$path/pending/_SUCCESS")) {
         val delivered = deduped.select("vec_id")
-          .join(broadcast(graft.IndexLifecycle
-              .idLogOf(s, s"$path/pending", "vec_id").select("vec_id")),
+          .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/pending", "vec_id"),
             Seq("vec_id"), "left_semi")
           .localCheckpoint()
         if (!delivered.isEmpty) {
           val novel = delivered
-            .join(broadcast(pqTombstonesOf(s, path).select("vec_id")),
+            .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "vec_id"),
               Seq("vec_id"), "left_anti")
             .selectExpr("vec_id", "cast(null as int) as c_label")
             .localCheckpoint()
@@ -5199,10 +5205,8 @@ object Similarity {
               if (graft.ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
                 "append" else "overwrite")
               .parquet(s"$path/tombstones")
-          graft.IndexLifecycle.idLogOf(s, s"$path/pending", "vec_id")
-            .join(broadcast(delivered), Seq("vec_id"), "left_anti")
-            .localCheckpoint()
-            .write.mode("overwrite").parquet(s"$path/pending")
+          graft.IndexLifecycle.consumeIdLog(s, s"$path/pending", "vec_id",
+            delivered)
         }
       }
       val admitted = graft.IndexLifecycle.minusIdLog(
@@ -5264,10 +5268,9 @@ object Similarity {
       // until [[mergePqBatchIntoIndex]] consumes it
       val early = victimIds.select("vec_id").dropDuplicates("vec_id")
         .join(broadcast(located.select("vec_id")), Seq("vec_id"), "left_anti")
-        .join(broadcast(pqTombstonesOf(s, path).select("vec_id")),
+        .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "vec_id"),
           Seq("vec_id"), "left_anti")
-        .join(broadcast(graft.IndexLifecycle
-            .idLogOf(s, s"$path/pending", "vec_id").select("vec_id")),
+        .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/pending", "vec_id"),
           Seq("vec_id"), "left_anti")
         .localCheckpoint()
       if (!early.isEmpty)
@@ -5286,7 +5289,7 @@ object Similarity {
       val victims =
         if (graft.ScratchPaths.artifactExists(s, s"$path/tombstones/_SUCCESS"))
           s.read.parquet(s"$root/codes")
-            .join(broadcast(pqTombstonesOf(s, path).select("vec_id")),
+            .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "vec_id"),
               Seq("vec_id"), "left_semi").count()
         else 0L
       if (victims > 0) {
@@ -5317,11 +5320,14 @@ object Similarity {
     * victims reach `spark.graft.pqCompactTombstoneFrac` (default 0.25)
     * of the stored rows; the q148 gate row's 1/40 = 2.5% victims sit far
     * under it, so the row certifies the LAZY read path specifically. */
-  private def maybeCompactPqIndex(s: SparkSession, path: String): Unit =
+  private def maybeCompactPqIndex(s: SparkSession, path: String): Unit = {
+    val root = pqLiveRoot(s, path)
     if (graft.IndexLifecycle.tombstoneHeavy(s,
-        s.read.parquet(s"${pqLiveRoot(s, path)}/codes").select("vec_id"),
-        s"$path/tombstones", "vec_id", "spark.graft.pqCompactTombstoneFrac"))
+        s.read.parquet(s"$root/codes").select("vec_id"),
+        s"$path/tombstones", "vec_id", "spark.graft.pqCompactTombstoneFrac",
+        memoKey = root))
       compactPqIndex(s, path)
+  }
 
   // ---------------------------------------------------------------------
   // PQ DISTORTION DRIFT + REFIT (r19c): the last family asymmetry — ANN
@@ -5389,24 +5395,51 @@ object Similarity {
     * the residual/codebook reconstruction path end-to-end; a grown or
     * drifted index reads the decay the trigger prices. Lazily prices a
     * missing stat (pre-r19c version roots) under the writer gate. */
+  /** The EFFECTIVE (n_ref, d_ref) reference frame of a version root
+    * (r20, advice #2): the build/refit's `stat` row, with the GROWTH
+    * reference overridden by the largest re-priced value in the
+    * append-only `statref` sidecar. The re-pricing used to rewrite
+    * `stat` in place — the one mutation of a live version directory in
+    * a family whose stated discipline is that no stored file is ever
+    * rewritten (a concurrent report that listed stat's files
+    * pre-overwrite could fail mid-read). `statref` is append-only
+    * within a version (the re-priced n is monotone) and intentionally
+    * does NOT carry across versions: a refit resets the reference to
+    * its own fit, and a compaction re-counts `stat` to the compacted
+    * live population. One lazy 1-row frame: (n_ref, d_ref_micro). */
+  private def pqRefFrame(s: SparkSession, root: String): DataFrame = {
+    val st = s.read.parquet(s"$root/stat")
+      .selectExpr("n_rows as n_build", "dmicro as d_ref_micro")
+    if (graft.ScratchPaths.artifactExists(s, s"$root/statref/_SUCCESS"))
+      st.crossJoin(broadcast(
+          s.read.parquet(s"$root/statref").agg(max("n_rows").as("n_repriced"))))
+        .selectExpr("greatest(n_build, n_repriced) as n_ref", "d_ref_micro")
+    else st.selectExpr("n_build as n_ref", "d_ref_micro")
+  }
+
   def pqIndexDistortionReport(s: SparkSession, path: String): DataFrame = {
     val root = pqLiveRoot(s, path)
     if (!graft.ScratchPaths.artifactExists(s, s"$root/stat/_SUCCESS"))
       withIndexWriter(s, path) {
-        pqDistortionStat(pqStoredDistortionMicros(s, path, root))
-          .write.mode("overwrite").parquet(s"$root/stat")
+        // re-check under the gate (r20, advice #2): two concurrent
+        // reports may both have seen it missing — only one writes
+        if (!graft.ScratchPaths.artifactExists(s, s"$root/stat/_SUCCESS"))
+          pqDistortionStat(pqStoredDistortionMicros(s, path, root))
+            .write.mode("overwrite").parquet(s"$root/stat")
       }
-    val st = s.read.parquet(s"$root/stat")
-      .selectExpr("n_rows as n_build", "dmicro as d_build_micro")
     val growth = graft.IndexLifecycle.confDouble(s, "spark.graft.pqRefitGrowth", 2.0)
     val dial = graft.IndexLifecycle.confDouble(s, "spark.graft.pqRefitDistortionDial", 1.5)
+    // refit_due prices against the EFFECTIVE reference (statref-aware),
+    // so the report and the trigger can never disagree; d_build stays
+    // the fit's own distortion. A gate-fixture root has no statref, so
+    // q149's plan and oracle are unchanged.
     pqDistortionStat(pqStoredDistortionMicros(s, path, root))
-      .crossJoin(broadcast(st))
+      .crossJoin(broadcast(pqRefFrame(s, root)))
       .selectExpr("n_rows",
-        "d_build_micro / 1e6 as d_build",
+        "d_ref_micro / 1e6 as d_build",
         "dmicro / 1e6 as d_now",
-        s"(n_rows >= cast($growth * n_build as bigint)) and " +
-          s"(cast(dmicro as double) >= $dial * d_build_micro) as refit_due")
+        s"(n_rows >= cast($growth * n_ref as bigint)) and " +
+          s"(cast(dmicro as double) >= $dial * d_ref_micro) as refit_due")
   }
 
   /** The PQ refit (q150): re-fit the subspace codebook on the LIVE rows'
@@ -5471,8 +5504,8 @@ object Similarity {
     val root = pqLiveRoot(s, path)
     if (!graft.ScratchPaths.artifactExists(s, s"$root/stat/_SUCCESS"))
       return false
-    val st = s.read.parquet(s"$root/stat").head()
-    val (nRef, dRef) = (st.getLong(0), st.getLong(1))
+    val ref = pqRefFrame(s, root).head()
+    val (nRef, dRef) = (ref.getLong(0), ref.getLong(1))
     val growth = graft.IndexLifecycle.confDouble(s, "spark.graft.pqRefitGrowth", 2.0)
     val nLive = livePqCodes(s, path, root).count()
     if (nLive < growth * nRef) return false
@@ -5483,11 +5516,17 @@ object Similarity {
     if (dNow.toDouble >= dial * dRef) {
       rebuildPqIndex(s, path); true
     } else {
-      // growth reference re-priced: wait for the next doubling
+      // growth reference re-priced: wait for the next doubling. An
+      // APPEND to the statref sidecar (r20, advice #2) — never a
+      // rewrite of `stat` inside the live version, which a concurrent
+      // report may have file-listed already.
       withIndexWriter(s, path) {
         import s.implicits._
-        Seq((nLive, dRef)).toDF("n_rows", "dmicro")
-          .write.mode("overwrite").parquet(s"$root/stat")
+        val refPath = s"$root/statref"
+        val mode =
+          if (graft.ScratchPaths.artifactExists(s, s"$refPath/_SUCCESS"))
+            "append" else "overwrite"
+        Seq(nLive).toDF("n_rows").write.mode(mode).parquet(refPath)
       }
       false
     }
@@ -5537,7 +5576,20 @@ object Similarity {
     val path = graft.ScratchPaths.indexPathFor(
       s"q149-${graft.ScratchPaths.tableFingerprint(d, "embeddings")}", d)
     if (!pqStoredIndexExists(s, path)) buildPqIndex(s, d, path)
-    pqIndexDistortionReport(s, path)
+    // the gate row PINS the refit dials to their defaults (r20, advice
+    // #5): the DuckDB oracle hardcodes 2.0 / 1.5, so a session running
+    // non-default dials must not silently diverge on refit_due. The
+    // dials are interpolated into the plan at construction, so the
+    // session values are restored before the row is even executed.
+    val pinned = Seq("spark.graft.pqRefitGrowth" -> "2.0",
+      "spark.graft.pqRefitDistortionDial" -> "1.5")
+    val saved = pinned.map { case (k, _) => k -> s.conf.getOption(k) }
+    pinned.foreach { case (k, v) => s.conf.set(k, v) }
+    try pqIndexDistortionReport(s, path)
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
   }
 
   /** The q150 gate chain: lazy build → forget the vec_id % 40 == 0 rows

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** The r20 hardening of the shared standing-index lifecycle core
+  * (VERDICT r19 #1/#2/#5): the id-log broadcast hint is SIZE-GATED (the
+  * maintenance policy bounds the logs as a corpus fraction, so the
+  * unconditional hint was a 100×-scale read-path failure in every
+  * family's probe plan), the tombstone-fraction maintenance check is
+  * AMORTIZED (no registry-sized scan per takedown batch), and the
+  * per-root read descriptors are memoized (no driver-side job per probe
+  * or serving-stream setup). */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+    val exec = df.queryExecution.executedPlan
+    exec.collectFirst { case a: AdaptiveSparkPlanExec => a }
+      .map(_.executedPlan).getOrElse(exec)
+  }
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    (p +: p.children.flatMap(allNodes)) ++ (p match {
+      case q: QueryStageExec => allNodes(q.plan)
+      case _                 => Nil
+    })
+
+  test("id-log broadcast is SIZE-GATED: a request-sized log keeps the hint, a ceiling-crossing log joins unhinted (r20, VERDICT r19 #1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-loggate").toString
+    val logDir = s"$dir/tombstones"
+    spark.range(0, 50).selectExpr("id as doc_id").write.parquet(logDir)
+    val stored = spark.range(0, 1000).selectExpr("id as doc_id")
+    // with auto-broadcast OFF, only the explicit hint can produce a
+    // BroadcastHashJoin — isolating the gate's decision from the
+    // planner's own size estimate
+    val savedAuto = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // request-sized log (under the 8 MB default ceiling): hinted
+      val small = IndexLifecycle.minusIdLog(stored, spark, logDir, "doc_id")
+      small.collect()
+      assert(allNodes(finalPlan(small)).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "a request-sized id log must keep its broadcast hint")
+      // ceiling forced under the log's byte size: the hint is DROPPED
+      // and the join strategy is the planner's to pick from runtime
+      // sizes — at 100× a quarter-registry log must never be collected
+      // onto the driver
+      spark.conf.set("spark.graft.idLogBroadcastBytes", "0")
+      val big = IndexLifecycle.minusIdLog(stored, spark, logDir, "doc_id")
+      big.collect()
+      assert(!allNodes(finalPlan(big)).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "a ceiling-crossing id log must not carry a broadcast hint")
+      // the gate changes STRATEGY only, never the answer
+      assert(big.count() == 950 && small.count() == 950)
+    } finally {
+      spark.conf.unset("spark.graft.idLogBroadcastBytes")
+      savedAuto match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("tombstoneHeavy is AMORTIZED: a below-threshold takedown batch never touches the registry (r20, VERDICT r19 #2)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tombamort").toString
+    val logDir = s"$dir/tombstones"
+    val memoKey = s"$dir/rootv1"
+    spark.range(0, 10).selectExpr("id as doc_id").write.parquet(logDir)
+    def stored = spark.range(0, 1000).selectExpr("id as doc_id")
+    // first check on a root pays the real scan once and seeds the bound
+    assert(!IndexLifecycle.tombstoneHeavy(spark, stored, logDir, "doc_id",
+      "spark.graft.lexCompactTombstoneFrac", memoKey))
+    // a below-threshold batch lands: the registry side must not even be
+    // CONSTRUCTED — deriving the by-name frame fails the test. Per-batch
+    // cost is the one log-sized count.
+    spark.range(1000, 1010).selectExpr("id as doc_id")
+      .write.mode("append").parquet(logDir)
+    assert(!IndexLifecycle.tombstoneHeavy(spark,
+      sys.error("below-threshold check must not derive the registry frame"),
+      logDir, "doc_id", "spark.graft.lexCompactTombstoneFrac", memoKey))
+    // the bound is conservative: once appended log rows COULD have
+    // crossed the fraction, the real check runs — and fires
+    spark.range(0, 400).selectExpr("id as doc_id")
+      .write.mode("append").parquet(logDir)
+    assert(IndexLifecycle.tombstoneHeavy(spark, stored, logDir, "doc_id",
+      "spark.graft.lexCompactTombstoneFrac", memoKey),
+      "a threshold-crossing victim mass must fire the policy")
+    // a compaction lands in a FRESH root → fresh memo key → the first
+    // check there re-derives (no stale carry-over)
+    assert(IndexLifecycle.memoGet(s"$dir/rootv2#ts.stored").isEmpty)
+  }
+
+  test("lex read descriptors are MEMOIZED: no per-probe segment job, writers keep the count current (r20, VERDICT r19 #5 + advice #4)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lexmemo").toString
+    TextAnalysis.buildLexIndex(spark, sf, path)
+    // the build seeded the memo: reading segmented-ness launches ZERO
+    // Spark jobs (this is what the serving-stream setup pays per start)
+    val tag = s"lexmemo-${System.nanoTime()}"
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (tag == js.properties.getProperty("spark.jobGroup.id"))
+          jobCount.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(tag, "lex descriptor memo probe")
+    try {
+      assert(!TextAnalysis.lexHasSegments(spark, path),
+        "a fresh build is single-segment")
+      Thread.sleep(300)
+      assert(jobCount.get() == 0,
+        s"memoized descriptor read launched ${jobCount.get()} jobs (wants 0)")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
+    // a merge bumps the count AT APPEND TIME — the next read needs no
+    // stats job to know the crash-dupe distinct is now required
+    TextAnalysis.mergeLexBatchIntoIndex(
+      Seq((900001L, "memo bump text")).toDF("doc_id", "text"), path, seg = 3L)
+    assert(TextAnalysis.lexSegCount(spark, path) == 2L,
+      "merge did not bump the memoized segment count")
+    assert(TextAnalysis.lexHasSegments(spark, path))
+  }
+}

@@ -1409,8 +1409,10 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$pathA/tombstones")
       .filter($"vec_id" === 999999L).count() == 1,
       "consumed pending forget must tombstone the id")
-    assert(spark.read.parquet(s"$pathA/pending").isEmpty,
-      "pending entry not consumed")
+    // r20: a consume that EMPTIES the log deletes the directory — no
+    // future merge pays a dead existence check + empty broadcast join
+    assert(!ScratchPaths.artifactExists(spark, s"$pathA/pending/_SUCCESS"),
+      "fully-consumed pending log must be deleted, not rewritten empty")
     // at-least-once replay of the late arrival stays refused
     Similarity.mergeDeltaIntoIndex(
       Seq((999999L, lateVec)).toDF("vec_id", "embedding"), pathA)
@@ -3292,9 +3294,18 @@ class StreamingSpec extends SparkSpec {
     val (aL, rL) = Similarity.mergePqBatchIntoIndex(
       Seq((888888L, lateVec)).toDF("vec_id", "embedding"), pathB)
     assert(aL == 0L && rL == 1L, "pending takedown did not refuse the arrival")
-    assert(spark.read.parquet(s"$pathB/pending").isEmpty, "pending not consumed")
+    // r20: a consume that EMPTIES the log deletes the directory — no
+    // future merge pays a dead existence check + empty broadcast join
+    assert(!ScratchPaths.artifactExists(spark, s"$pathB/pending/_SUCCESS"),
+      "fully-consumed pending log must be deleted, not rewritten empty")
     assert(Similarity.livePqCodes(spark, pathB, Similarity.pqLiveRoot(spark, pathB))
       .filter($"vec_id" === 888888L).isEmpty)
+    // the null-cell tombstone carries the refusal memory — a replay of
+    // the late arrival stays refused with the log gone
+    val (aL2, rL2) = Similarity.mergePqBatchIntoIndex(
+      Seq((888888L, lateVec)).toDF("vec_id", "embedding"), pathB)
+    assert(aL2 == 0L && rL2 == 1L,
+      "replayed late arrival re-admitted after pending-log delete")
     spark.conf.set("spark.graft.pqCompactTombstoneFrac", "0.001")
     try {
       val inF = MemoryStream[Long](spark)
