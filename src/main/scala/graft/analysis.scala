@@ -846,19 +846,28 @@ object TextAnalysis {
   /** Segment count of a root's contribution log — MEMOIZED per root
     * (r20, VERDICT r19 #5 + advice #4): probes, serving-stream setups,
     * and the per-micro-batch maintenance check must not re-derive it
-    * with a driver-side job each time. In-process writers keep it
-    * current (build and compaction seed their root at 1; the merge and
-    * forget tails bump it at append time); a crash-window replay can
-    * only OVER-count, which errs safe — the crash-dupe distinct is
-    * always correct to run, the auto-compaction just fires early.
-    * Cross-driver appends surface at the next committed version, whose
-    * fresh root re-derives from the stats artifact. */
-  private[graft] def lexSegCount(s: SparkSession, root: String): Long =
-    IndexLifecycle.memoGet(s"$root#lex.segs").getOrElse {
+    * with a driver-side job each time. The cache is validated against
+    * the stats directory's (fileCount, byteLength) STAMP, read BEFORE
+    * deriving — any append, from this driver or another, adds a parquet
+    * file and so changes the stamp, forcing a re-derive at the next
+    * read. This closes both under-count routes a writer-maintained
+    * counter would have (a reader caching a pre-append derivation over
+    * a concurrent writer's bump; a foreign driver appending into the
+    * same root), and an under-count here is the one staleness that
+    * could skip the crash-dupe distinct and corrupt BM25. Steady-state
+    * read cost: one flat content summary, zero Spark jobs. */
+  private[graft] def lexSegCount(s: SparkSession, root: String): Long = {
+    val (files, bytes) = IndexLifecycle.dirStamp(s, s"$root/stats")
+    val fresh = IndexLifecycle.memoGet(s"$root#lex.segsFiles").contains(files) &&
+      IndexLifecycle.memoGet(s"$root#lex.segsBytes").contains(bytes)
+    IndexLifecycle.memoGet(s"$root#lex.segs").filter(_ => fresh).getOrElse {
       val n = s.read.parquet(s"$root/stats").select("seg").distinct().count()
+      IndexLifecycle.memoPut(s"$root#lex.segsFiles", files)
+      IndexLifecycle.memoPut(s"$root#lex.segsBytes", bytes)
       IndexLifecycle.memoPut(s"$root#lex.segs", n)
       n
     }
+  }
 
   /** Whether the root carries appended merge/forget segments beyond the
     * build's base. Posting-row duplicates can ONLY exist once a merge's
@@ -905,7 +914,6 @@ object TextAnalysis {
         .selectExpr("cast(n_docs as bigint) as n_docs",
           "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
         .write.mode("overwrite").parquet(s"$path/stats")
-      IndexLifecycle.memoPut(s"$path#lex.segs", 1L) // base segment only (r20)
       toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
         .repartition(col("tb")) // co-locate buckets: one file per partition value
@@ -1006,7 +1014,6 @@ object TextAnalysis {
           .selectExpr("cast(n_docs as bigint) as n_docs",
             "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
           .write.mode("append").parquet(s"$root/stats")
-        IndexLifecycle.memoAdd(s"$root#lex.segs", 1L) // appended a segment (r20)
         // delta postings into the bucket layout (append-only — a probe's
         // planned listing is never invalidated)
         tf.withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
@@ -1067,7 +1074,6 @@ object TextAnalysis {
           .selectExpr("cast(n_docs as bigint) as n_docs",
             "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
           .write.mode("append").parquet(s"$root/stats")
-        IndexLifecycle.memoAdd(s"$root#lex.segs", 1L) // appended a segment (r20)
         // the tombstone registry LAST: a crash above replays in full
         // (identical negatives collapse), a crash after it replays to
         // nothing (victims no longer novel)
@@ -1110,7 +1116,6 @@ object TextAnalysis {
           .selectExpr("cast(n_docs as bigint) as n_docs",
             "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
           .write.mode("overwrite").parquet(s"$newRoot/stats")
-        IndexLifecycle.memoPut(s"$newRoot#lex.segs", 1L) // collapsed (r20)
         minusLexTombstones(
             s.read.parquet(s"$root/postings").drop("tb").distinct(), s, path)
           .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))

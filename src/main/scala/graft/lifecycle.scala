@@ -45,33 +45,76 @@ object IndexLifecycle {
     else Seq.empty[Long].toDF(idCol)
   }
 
-  /** Broadcast ceiling for id-log joins (r20, VERDICT r19 #1). The
+  /** Broadcast ceilings for id-log joins (r20, VERDICT r19 #1). The
     * maintenance policies bound the logs as a CORPUS FRACTION (0.25 of
     * stored rows) — their absolute size grows with the index, so an
     * unconditional broadcast hint is a 100×-scale read-path failure:
     * the driver would collect and broadcast a quarter-registry frame
     * into every family's probe plan the moment a takedown wave
-    * approaches the compaction threshold. Default 8 MB of on-disk
-    * parquet (compressed long ids — comfortably under Spark's 10 MB
-    * auto threshold even after decode). */
+    * approaches the compaction threshold. TWO bounds, both required:
+    * on-disk bytes (8 MB) AND decoded row count (1M longs ≈ 8 MB raw)
+    * — delta/RLE-packed parquet can hold orders of magnitude more
+    * longs per byte than the byte bound alone assumes (a regular
+    * takedown pattern like `id % k == 0` packs to a fraction of a bit
+    * per value), so a byte-only gate would re-admit the exact OOM it
+    * exists to prevent. */
   private[graft] def idLogBroadcastBytes(s: SparkSession): Long =
     s.conf.getOption("spark.graft.idLogBroadcastBytes").map(_.toLong)
       .getOrElse(8L << 20)
+  private[graft] def idLogBroadcastRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.idLogBroadcastRows").map(_.toLong)
+      .getOrElse(1L << 20)
+
+  /** Decoded row count of a log directory from the parquet FOOTERS —
+    * driver-side file tails, no Spark job. Cost is proportional to the
+    * log's file count, so the decision below memoizes it per stamp. */
+  private def idLogFooterRows(s: SparkSession, dir: String): Long = {
+    val fs = Similarity.hadoopFs(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
+  /** Is the log at `dir` small enough to broadcast-hint? The verdict is
+    * memoized against the directory's (fileCount, byteLength) stamp AND
+    * the two ceilings in force — any append or consume (from ANY
+    * driver) changes the stamp and forces a re-read, so the cache can
+    * never hold a verdict for files it has not seen. Steady-state cost
+    * per plan construction: one flat-directory content summary. */
+  private def idLogBroadcastable(s: SparkSession, dir: String): Boolean = {
+    val (files, bytes) = dirStamp(s, dir)
+    if (bytes == 0L) true
+    else {
+      val (cb, cr) = (idLogBroadcastBytes(s), idLogBroadcastRows(s))
+      val fresh = memoGet(s"$dir#bc.files").contains(files) &&
+        memoGet(s"$dir#bc.bytes").contains(bytes) &&
+        memoGet(s"$dir#bc.cb").contains(cb) &&
+        memoGet(s"$dir#bc.cr").contains(cr)
+      if (fresh) memoGet(s"$dir#bc.ok").contains(1L)
+      else {
+        val ok = bytes <= cb && idLogFooterRows(s, dir) <= cr
+        memoPut(s"$dir#bc.files", files); memoPut(s"$dir#bc.bytes", bytes)
+        memoPut(s"$dir#bc.cb", cb); memoPut(s"$dir#bc.cr", cr)
+        memoPut(s"$dir#bc.ok", if (ok) 1L else 0L)
+        ok
+      }
+    }
+  }
 
   /** The id log's narrow column, broadcast-hinted ONLY below the size
-    * ceiling — measured from driver-side file metadata (no Spark job).
-    * Above the ceiling the join goes unhinted and AQE picks the
+    * ceilings. Above them the join goes unhinted and AQE picks the
     * strategy from runtime sizes. The request-sized common case (every
     * gate fixture) keeps its broadcast, so the ~115 pinned plans are
     * unchanged. */
   private[graft] def hintedIdLog(s: SparkSession, dir: String,
                                  idCol: String): DataFrame = {
     val log = idLogOf(s, dir, idCol).select(idCol)
-    val bytes =
-      try Similarity.hadoopFs(s, dir)
-        .getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
-      catch { case _: java.io.FileNotFoundException => 0L }
-    if (bytes <= idLogBroadcastBytes(s)) broadcast(log) else log
+    if (idLogBroadcastable(s, dir)) broadcast(log) else log
   }
 
   /** Anti-join `df` against the id log — the lazy-deletion read guard.
@@ -110,16 +153,43 @@ object IndexLifecycle {
     * lifecycle checks must not re-derive corpus-sized facts per micro-
     * batch). Keys embed the RESOLVED VERSION ROOT, so every compaction
     * / refit — the only writes that shrink an index — lands in a fresh
-    * root and auto-invalidates; in-root appends (merges, takedowns)
-    * are handled by the callers bumping or re-deriving. Cross-driver
-    * writers follow the versioned path (new root → fresh keys), so the
-    * memo can defer a maintenance check but never corrupt a result. */
+    * root and auto-invalidates. Entries whose staleness could change a
+    * RESULT (the lex segment count, the broadcast verdict) are
+    * additionally validated against the artifact directory's
+    * (fileCount, byteLength) stamp, which ANY driver's append or
+    * consume necessarily changes — so cross-driver writers need no
+    * invalidation protocol; the purely advisory entries (the
+    * tombstone-fraction bound) may go stale and can only DEFER a
+    * maintenance check, never corrupt a result. [[commitVersion]]
+    * sweeps an index's retired-root entries so a long-lived driver's
+    * map does not grow with its compaction history. */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private[graft] def memoGet(key: String): Option[Long] = Option(memo.get(key))
   private[graft] def memoPut(key: String, v: Long): Unit = memo.put(key, v): Unit
-  private[graft] def memoAdd(key: String, d: Long): Unit =
-    memo.computeIfPresent(key, (_, v) => v + d): Unit
-  private[graft] def memoDrop(key: String): Unit = memo.remove(key): Unit
+
+  /** Drop every memo entry under `path` except those under `keepRoot`
+    * (the just-committed version). Flat-root and retired-version keys
+    * are stale the moment resolution flips — a live reader re-derives
+    * at its next miss. The `/`-or-`#` boundary guard keeps one index's
+    * sweep from clipping a sibling path that shares a string prefix. */
+  private[graft] def memoSweep(path: String, keepRoot: String): Unit = {
+    val it = memo.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      val under = k.startsWith(s"$path/") || k.startsWith(s"$path#")
+      val kept = k.startsWith(s"$keepRoot/") || k.startsWith(s"$keepRoot#")
+      if (under && !kept) it.remove()
+    }
+  }
+
+  /** Stamp of an artifact directory for memo validation: (fileCount,
+    * byteLength) from one flat content summary — (0, 0) when absent. */
+  private[graft] def dirStamp(s: SparkSession, dir: String): (Long, Long) =
+    try {
+      val cs = Similarity.hadoopFs(s, dir)
+        .getContentSummary(new org.apache.hadoop.fs.Path(dir))
+      (cs.getFileCount, cs.getLength)
+    } catch { case _: java.io.FileNotFoundException => (0L, 0L) }
 
   /** Threshold confs for the per-family MAINTENANCE POLICIES (r19): the
     * fragmentation / tombstone-mass triggers read their limits here. */
@@ -187,5 +257,9 @@ object IndexLifecycle {
       new org.apache.hadoop.fs.Path(s"$newRoot/_COMMITTED"), false).close()
     Similarity.pruneVersions(s, path, Similarity.keepVersions(s),
       flatArtifacts): Unit
+    // retired-root memo entries die with the commit (r20): resolution
+    // just flipped, so every cached fact keyed under the old roots is
+    // stale by definition — and the map must not grow with history
+    memoSweep(path, newRoot)
   }
 }

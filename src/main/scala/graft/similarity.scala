@@ -4312,10 +4312,16 @@ object Similarity {
     // maintenance tail (r19): a takedown-heavy stream compacts itself
     // once live victims cross the policy fraction — lazy deletion must
     // not accumulate read-side anti-join mass and dead rows unattended.
-    // Gated on the takedown having APPENDED (r20, matching the other
-    // four families): a fully-redelivered or entirely-pending batch
-    // cannot have moved the victim fraction, so it pays no check.
-    if (newlyTombstoned) maybeCompactAnnIndex(s, path0, path)
+    // Gated (r20, advice #3) on the takedown having either APPENDED or
+    // at least LOCATED stored victims: an entirely-pending batch cannot
+    // have moved the fraction and pays nothing, while a fully-
+    // redelivered batch still re-checks — its victims are still
+    // physically stored (deletion is lazy), which is exactly the
+    // crash-between-append-and-check window an at-least-once replay
+    // must heal. The re-check is cheap: tombstoneHeavy's r20 bound
+    // makes a below-threshold re-delivery cost one log-sized count.
+    if (newlyTombstoned || !located.isEmpty)
+      maybeCompactAnnIndex(s, path0, path)
   }
 
   /** The ANN MAINTENANCE POLICY's tombstone leg (r19): when the live
@@ -5508,7 +5514,10 @@ object Similarity {
     val (nRef, dRef) = (ref.getLong(0), ref.getLong(1))
     val growth = graft.IndexLifecycle.confDouble(s, "spark.graft.pqRefitGrowth", 2.0)
     val nLive = livePqCodes(s, path, root).count()
-    if (nLive < growth * nRef) return false
+    // truncating gate, matching the report's `cast(growth * n_ref as
+    // bigint)` exactly (r20): a fractional dial must not let the report
+    // read refit_due=true while this trigger declines to fire
+    if (nLive < (growth * nRef).toLong) return false
     val dNow = pqDistortionStat(pqStoredDistortionMicros(s, path, root))
       .head().getLong(1)
     val dial = graft.IndexLifecycle.confDouble(

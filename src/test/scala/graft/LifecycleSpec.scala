@@ -50,10 +50,22 @@ class LifecycleSpec extends SparkSpec {
       big.collect()
       assert(!allNodes(finalPlan(big)).exists(_.isInstanceOf[BroadcastHashJoinExec]),
         "a ceiling-crossing id log must not carry a broadcast hint")
+      // the ROW ceiling binds independently of bytes (delta/RLE-packed
+      // parquet can hold orders of magnitude more longs per byte — a
+      // byte-only gate would re-admit the driver OOM): this 50-row log
+      // is tiny on disk but must still go unhinted under a 10-row cap,
+      // measured from the parquet footers, no job
+      spark.conf.unset("spark.graft.idLogBroadcastBytes")
+      spark.conf.set("spark.graft.idLogBroadcastRows", "10")
+      val dense = IndexLifecycle.minusIdLog(stored, spark, logDir, "doc_id")
+      dense.collect()
+      assert(!allNodes(finalPlan(dense)).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "a row-ceiling-crossing id log must not carry a broadcast hint")
       // the gate changes STRATEGY only, never the answer
-      assert(big.count() == 950 && small.count() == 950)
+      assert(big.count() == 950 && small.count() == 950 && dense.count() == 950)
     } finally {
       spark.conf.unset("spark.graft.idLogBroadcastBytes")
+      spark.conf.unset("spark.graft.idLogBroadcastRows")
       savedAuto match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
         case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -90,37 +102,44 @@ class LifecycleSpec extends SparkSpec {
     assert(IndexLifecycle.memoGet(s"$dir/rootv2#ts.stored").isEmpty)
   }
 
-  test("lex read descriptors are MEMOIZED: no per-probe segment job, writers keep the count current (r20, VERDICT r19 #5 + advice #4)") {
+  test("lex read descriptors are MEMOIZED behind the artifact stamp: steady-state reads launch zero jobs, any append invalidates (r20, VERDICT r19 #5 + advice #4)") {
     val path = java.nio.file.Files.createTempDirectory("graft-lexmemo").toString
     TextAnalysis.buildLexIndex(spark, sf, path)
-    // the build seeded the memo: reading segmented-ness launches ZERO
-    // Spark jobs (this is what the serving-stream setup pays per start)
+    // first read derives (once per root per mutation) and caches under
+    // the stats directory's (fileCount, bytes) stamp
+    assert(!TextAnalysis.lexHasSegments(spark, path),
+      "a fresh build is single-segment")
+    // steady state — what a probe or serving-stream setup pays: ZERO
+    // Spark jobs (one flat content summary only)
     val tag = s"lexmemo-${System.nanoTime()}"
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        if (tag == js.properties.getProperty("spark.jobGroup.id"))
+        // properties can be null for jobs launched without local props
+        if (js.properties != null &&
+            tag == js.properties.getProperty("spark.jobGroup.id"))
           jobCount.incrementAndGet(): Unit
     }
     spark.sparkContext.addSparkListener(l)
     spark.sparkContext.setJobGroup(tag, "lex descriptor memo probe")
     try {
-      assert(!TextAnalysis.lexHasSegments(spark, path),
-        "a fresh build is single-segment")
-      Thread.sleep(300)
+      assert(!TextAnalysis.lexHasSegments(spark, path))
+      Thread.sleep(500)
       assert(jobCount.get() == 0,
         s"memoized descriptor read launched ${jobCount.get()} jobs (wants 0)")
     } finally {
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(l)
     }
-    // a merge bumps the count AT APPEND TIME — the next read needs no
-    // stats job to know the crash-dupe distinct is now required
+    // a merge APPENDS a stats segment — the stamp changes, so the next
+    // read re-derives and sees it, with no writer-maintained counter to
+    // race or go stale across drivers (this is the direction that must
+    // never under-count: it gates the crash-dupe distinct)
     TextAnalysis.mergeLexBatchIntoIndex(
       Seq((900001L, "memo bump text")).toDF("doc_id", "text"), path, seg = 3L)
     assert(TextAnalysis.lexSegCount(spark, path) == 2L,
-      "merge did not bump the memoized segment count")
+      "append did not invalidate the memoized segment count")
     assert(TextAnalysis.lexHasSegments(spark, path))
   }
 }
