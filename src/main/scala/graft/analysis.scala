@@ -854,20 +854,17 @@ object TextAnalysis {
     * counter would have (a reader caching a pre-append derivation over
     * a concurrent writer's bump; a foreign driver appending into the
     * same root), and an under-count here is the one staleness that
-    * could skip the crash-dupe distinct and corrupt BM25. Steady-state
-    * read cost: one flat content summary, zero Spark jobs. */
-  private[graft] def lexSegCount(s: SparkSession, root: String): Long = {
-    val (files, bytes) = IndexLifecycle.dirStamp(s, s"$root/stats")
-    val fresh = IndexLifecycle.memoGet(s"$root#lex.segsFiles").contains(files) &&
-      IndexLifecycle.memoGet(s"$root#lex.segsBytes").contains(bytes)
-    IndexLifecycle.memoGet(s"$root#lex.segs").filter(_ => fresh).getOrElse {
-      val n = s.read.parquet(s"$root/stats").select("seg").distinct().count()
-      IndexLifecycle.memoPut(s"$root#lex.segsFiles", files)
-      IndexLifecycle.memoPut(s"$root#lex.segsBytes", bytes)
-      IndexLifecycle.memoPut(s"$root#lex.segs", n)
-      n
+    * could skip the crash-dupe distinct and corrupt BM25. The stamp
+    * and the value live in ONE atomic memo entry
+    * ([[IndexLifecycle.stampedMemo]]) — split across keys, a reader
+    * could pair a concurrent deriver's fresh stamp with the stale
+    * count it had not yet replaced. Steady-state read cost: one flat
+    * content summary, zero Spark jobs. */
+  private[graft] def lexSegCount(s: SparkSession, root: String): Long =
+    IndexLifecycle.stampedMemo(s"$root#lex.segs",
+        IndexLifecycle.dirStamp(s, s"$root/stats")) {
+      s.read.parquet(s"$root/stats").select("seg").distinct().count()
     }
-  }
 
   /** Whether the root carries appended merge/forget segments beyond the
     * build's base. Posting-row duplicates can ONLY exist once a merge's

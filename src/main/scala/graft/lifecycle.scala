@@ -80,30 +80,25 @@ object IndexLifecycle {
       }.sum
   }
 
-  /** Is the log at `dir` small enough to broadcast-hint? The verdict is
-    * memoized against the directory's (fileCount, byteLength) stamp AND
-    * the two ceilings in force — any append or consume (from ANY
-    * driver) changes the stamp and forces a re-read, so the cache can
-    * never hold a verdict for files it has not seen. Steady-state cost
-    * per plan construction: one flat-directory content summary. */
+  /** Decoded row count of the log at `dir` — parquet footers, driver-
+    * side, no Spark job; memoized against the directory stamp (footer
+    * reads only when the log mutates). Shared by the broadcast gate
+    * and [[tombstoneHeavy]]'s per-batch bound. */
+  private[graft] def idLogRows(s: SparkSession, dir: String): Long = {
+    val stamp = dirStamp(s, dir)
+    if (stamp._2 == 0L) 0L
+    else stampedMemo(s"$dir#rows", stamp)(idLogFooterRows(s, dir))
+  }
+
+  /** Is the log at `dir` small enough to broadcast-hint? Bytes from the
+    * directory stamp, decoded rows from the stamp-memoized footer
+    * count; the ceilings are read live, so a conf change takes effect
+    * at the next plan. Steady-state cost per plan construction: flat
+    * content summaries only. */
   private def idLogBroadcastable(s: SparkSession, dir: String): Boolean = {
-    val (files, bytes) = dirStamp(s, dir)
-    if (bytes == 0L) true
-    else {
-      val (cb, cr) = (idLogBroadcastBytes(s), idLogBroadcastRows(s))
-      val fresh = memoGet(s"$dir#bc.files").contains(files) &&
-        memoGet(s"$dir#bc.bytes").contains(bytes) &&
-        memoGet(s"$dir#bc.cb").contains(cb) &&
-        memoGet(s"$dir#bc.cr").contains(cr)
-      if (fresh) memoGet(s"$dir#bc.ok").contains(1L)
-      else {
-        val ok = bytes <= cb && idLogFooterRows(s, dir) <= cr
-        memoPut(s"$dir#bc.files", files); memoPut(s"$dir#bc.bytes", bytes)
-        memoPut(s"$dir#bc.cb", cb); memoPut(s"$dir#bc.cr", cr)
-        memoPut(s"$dir#bc.ok", if (ok) 1L else 0L)
-        ok
-      }
-    }
+    val (_, bytes) = dirStamp(s, dir)
+    bytes == 0L || (bytes <= idLogBroadcastBytes(s) &&
+      idLogRows(s, dir) <= idLogBroadcastRows(s))
   }
 
   /** The id log's narrow column, broadcast-hinted ONLY below the size
@@ -167,19 +162,42 @@ object IndexLifecycle {
   private[graft] def memoGet(key: String): Option[Long] = Option(memo.get(key))
   private[graft] def memoPut(key: String, v: Long): Unit = memo.put(key, v): Unit
 
+  /** One ATOMIC stamp-validated memo entry per fact: (stamp, value)
+    * lives in a single map slot, so the freshness check and the cached
+    * value can never be read torn — publishing stamps and value across
+    * separate keys would let a reader pair a fresh stamp written by a
+    * concurrent deriver with the stale value it had not yet replaced
+    * (the under-count that, on the lex segment count, would skip the
+    * crash-dupe distinct). `derive` may run more than once under
+    * contention; it must be pure. */
+  private val stamped = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Long)]()
+  private[graft] def stampedMemo(key: String, stamp: (Long, Long))
+                                (derive: => Long): Long =
+    Option(stamped.get(key)) match {
+      case Some((a, b, v)) if a == stamp._1 && b == stamp._2 => v
+      case _ =>
+        val v = derive
+        stamped.put(key, (stamp._1, stamp._2, v))
+        v
+    }
+
   /** Drop every memo entry under `path` except those under `keepRoot`
     * (the just-committed version). Flat-root and retired-version keys
     * are stale the moment resolution flips — a live reader re-derives
     * at its next miss. The `/`-or-`#` boundary guard keeps one index's
     * sweep from clipping a sibling path that shares a string prefix. */
   private[graft] def memoSweep(path: String, keepRoot: String): Unit = {
-    val it = memo.keySet().iterator()
-    while (it.hasNext) {
-      val k = it.next()
-      val under = k.startsWith(s"$path/") || k.startsWith(s"$path#")
-      val kept = k.startsWith(s"$keepRoot/") || k.startsWith(s"$keepRoot#")
-      if (under && !kept) it.remove()
+    def sweep(keys: java.util.Set[String]): Unit = {
+      val it = keys.iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        val under = k.startsWith(s"$path/") || k.startsWith(s"$path#")
+        val kept = k.startsWith(s"$keepRoot/") || k.startsWith(s"$keepRoot#")
+        if (under && !kept) it.remove()
+      }
     }
+    sweep(memo.keySet()); sweep(stamped.keySet())
   }
 
   /** Stamp of an artifact directory for memo validation: (fileCount,
@@ -208,7 +226,8 @@ object IndexLifecycle {
     * lexical, dedup, PQ) cannot drift on the policy.
     *
     * AMORTIZED (r20, VERDICT r19 #2): the registry id scan no longer
-    * runs per takedown batch. Per-batch cost is ONE log-sized count;
+    * runs per takedown batch. Per-batch cost is ZERO Spark jobs — the
+    * log row count comes from the stamp-memoized parquet footers;
     * the corpus-sized scans run only when the cheap bound — last
     * measured victims plus every log row appended since, over the last
     * measured stored count — reaches the threshold. The bound is
@@ -224,7 +243,7 @@ object IndexLifecycle {
                      idCol: String, confKey: String, memoKey: String): Boolean =
     ScratchPaths.artifactExists(s, s"$logDir/_SUCCESS") && {
       val frac = confDouble(s, confKey, 0.25)
-      val logRows = idLogOf(s, logDir, idCol).count()
+      val logRows = idLogRows(s, logDir)
       val bound = for {
         st <- memoGet(s"$memoKey#ts.stored") if st > 0L
         l0 <- memoGet(s"$memoKey#ts.log")

@@ -4319,7 +4319,8 @@ object Similarity {
     // physically stored (deletion is lazy), which is exactly the
     // crash-between-append-and-check window an at-least-once replay
     // must heal. The re-check is cheap: tombstoneHeavy's r20 bound
-    // makes a below-threshold re-delivery cost one log-sized count.
+    // makes a below-threshold re-delivery cost ZERO Spark jobs (the
+    // log rows come from the stamp-memoized parquet footers).
     if (newlyTombstoned || !located.isEmpty)
       maybeCompactAnnIndex(s, path0, path)
   }

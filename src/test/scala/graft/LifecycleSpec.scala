@@ -83,13 +83,35 @@ class LifecycleSpec extends SparkSpec {
     assert(!IndexLifecycle.tombstoneHeavy(spark, stored, logDir, "doc_id",
       "spark.graft.lexCompactTombstoneFrac", memoKey))
     // a below-threshold batch lands: the registry side must not even be
-    // CONSTRUCTED — deriving the by-name frame fails the test. Per-batch
-    // cost is the one log-sized count.
+    // CONSTRUCTED — deriving the by-name frame fails the test — and the
+    // whole check launches ZERO Spark jobs (the log row count comes
+    // from the stamp-memoized parquet footers... but the append just
+    // changed the stamp, so this call re-reads footers driver-side:
+    // still no job)
     spark.range(1000, 1010).selectExpr("id as doc_id")
       .write.mode("append").parquet(logDir)
-    assert(!IndexLifecycle.tombstoneHeavy(spark,
-      sys.error("below-threshold check must not derive the registry frame"),
-      logDir, "doc_id", "spark.graft.lexCompactTombstoneFrac", memoKey))
+    val tag = s"tombamort-${System.nanoTime()}"
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            tag == js.properties.getProperty("spark.jobGroup.id"))
+          jobCount.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(tag, "below-threshold takedown check")
+    try {
+      assert(!IndexLifecycle.tombstoneHeavy(spark,
+        sys.error("below-threshold check must not derive the registry frame"),
+        logDir, "doc_id", "spark.graft.lexCompactTombstoneFrac", memoKey))
+      Thread.sleep(500)
+      assert(jobCount.get() == 0,
+        s"below-threshold check launched ${jobCount.get()} jobs (wants 0)")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
     // the bound is conservative: once appended log rows COULD have
     // crossed the fraction, the real check runs — and fires
     spark.range(0, 400).selectExpr("id as doc_id")
@@ -98,8 +120,12 @@ class LifecycleSpec extends SparkSpec {
       "spark.graft.lexCompactTombstoneFrac", memoKey),
       "a threshold-crossing victim mass must fire the policy")
     // a compaction lands in a FRESH root → fresh memo key → the first
-    // check there re-derives (no stale carry-over)
-    assert(IndexLifecycle.memoGet(s"$dir/rootv2#ts.stored").isEmpty)
+    // check there RE-DERIVES: the registry frame IS constructed
+    var derived = false
+    assert(IndexLifecycle.tombstoneHeavy(spark,
+      { derived = true; stored }, logDir, "doc_id",
+      "spark.graft.lexCompactTombstoneFrac", s"$dir/rootv2"))
+    assert(derived, "a fresh memo key must re-derive the registry frame")
   }
 
   test("lex read descriptors are MEMOIZED behind the artifact stamp: steady-state reads launch zero jobs, any append invalidates (r20, VERDICT r19 #5 + advice #4)") {
