@@ -42,6 +42,13 @@ object LogGateScale {
     val nDocs = Tables.documents(spark, d).count() // warm the scan + JIT
     val path = ScratchPaths.indexPathFor(
       s"loggate-${ScratchPaths.tableFingerprint(d, "documents")}", d)
+    // a re-run against an already-forgotten scratch index would time an
+    // idempotent no-op takedown (forgotten=0) and record it as if it
+    // were a real 20% wave — rebuild fresh so every run measures the
+    // same work
+    if (ScratchPaths.artifactExists(spark, s"$path/tombstones/_SUCCESS"))
+      Similarity.hadoopFs(spark, path)
+        .delete(new org.apache.hadoop.fs.Path(path), true): Unit
     if (!TextAnalysis.lexIndexExists(spark, path))
       TextAnalysis.buildLexIndex(spark, d, path): Unit
     val t0 = System.nanoTime()

@@ -1020,10 +1020,13 @@ object TextAnalysis {
         // batch (identical rows → read-side collapse); after this write
         // the replay anti-joins to nothing
         dl.write.mode("append").parquet(s"$root/doclens")
-        // maintenance tail (r19): an unattended ingest stream compacts
-        // itself once the appended segments exceed the policy threshold
-        maybeCompactLexIndex(s, path)
       }
+      // merge-side maintenance, UNCONDITIONAL (r20, the forget-tail
+      // rule): a crash after the doclens registry but before the check
+      // replays into nAdmit = 0, which must not skip the fragmentation
+      // check forever; the check is zero-job (stamp-memoized segment
+      // count + the amortized tombstone bound)
+      maybeCompactLexIndex(s, path)
       (nAdmit, nBatch - nAdmit)
     }
 
@@ -1075,10 +1078,16 @@ object TextAnalysis {
         // (identical negatives collapse), a crash after it replays to
         // nothing (victims no longer novel)
         present.select("doc_id").write.mode("append").parquet(s"$path/tombstones")
-        // maintenance tail (r19): a takedown-heavy stream makes deletion
-        // physical once live victims cross the policy fraction
-        maybeCompactLexIndex(s, path)
       }
+      // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
+      // r19 gate on novel appends left a crash window — tombstones land,
+      // the driver dies before the check, and the at-least-once replay
+      // appends nothing, so the check never ran and an above-threshold
+      // victim mass sat on the read path until the next NOVEL takedown.
+      // The r20 amortization is what makes the unconditional call
+      // affordable: below the bound it costs zero Spark jobs (existence
+      // guard + footer-stamped log count, both driver-side).
+      maybeCompactLexIndex(s, path)
       if (!early.isEmpty)
         early.write.mode("append").parquet(s"$path/pending")
       n
@@ -1149,7 +1158,10 @@ object TextAnalysis {
     * plans and oracles are unchanged. */
   private def maybeCompactLexIndex(s: SparkSession, path: String): Unit = {
     val root = lexLiveRoot(s, path)
-    val segs = lexSegCount(s, root) // memoized — no per-batch stats job (r20)
+    // stamp-memoized: a write tail (which just appended a stats row)
+    // re-derives over the ≤ lexCompactSegments+1-row artifact — bounded
+    // by this very policy; probe reads between mutations pay zero jobs
+    val segs = lexSegCount(s, root)
     val frag =
       segs - 1 > IndexLifecycle.confInt(s, "spark.graft.lexCompactSegments", 16)
     if (frag || IndexLifecycle.tombstoneHeavy(s,

@@ -84,21 +84,23 @@ object IndexLifecycle {
     * side, no Spark job; memoized against the directory stamp (footer
     * reads only when the log mutates). Shared by the broadcast gate
     * and [[tombstoneHeavy]]'s per-batch bound. */
-  private[graft] def idLogRows(s: SparkSession, dir: String): Long = {
-    val stamp = dirStamp(s, dir)
+  private[graft] def idLogRows(s: SparkSession, dir: String): Long =
+    idLogRowsAt(s, dir, dirStamp(s, dir))
+  private def idLogRowsAt(s: SparkSession, dir: String,
+                          stamp: (Long, Long)): Long =
     if (stamp._2 == 0L) 0L
     else stampedMemo(s"$dir#rows", stamp)(idLogFooterRows(s, dir))
-  }
 
   /** Is the log at `dir` small enough to broadcast-hint? Bytes from the
     * directory stamp, decoded rows from the stamp-memoized footer
     * count; the ceilings are read live, so a conf change takes effect
-    * at the next plan. Steady-state cost per plan construction: flat
-    * content summaries only. */
+    * at the next plan. Steady-state cost per plan construction: ONE
+    * flat content summary (the stamp is taken once and threaded to the
+    * row lookup). */
   private def idLogBroadcastable(s: SparkSession, dir: String): Boolean = {
-    val (_, bytes) = dirStamp(s, dir)
-    bytes == 0L || (bytes <= idLogBroadcastBytes(s) &&
-      idLogRows(s, dir) <= idLogBroadcastRows(s))
+    val stamp = dirStamp(s, dir)
+    stamp._2 == 0L || (stamp._2 <= idLogBroadcastBytes(s) &&
+      idLogRowsAt(s, dir, stamp) <= idLogBroadcastRows(s))
   }
 
   /** The id log's narrow column, broadcast-hinted ONLY below the size

@@ -2075,15 +2075,17 @@ object MediaOps {
       val present = marked.filter(col("present").isNotNull).select("doc_id")
       val early = marked.filter(col("present").isNull).select("doc_id")
       val n = present.count()
-      if (n > 0) {
+      if (n > 0)
         present.write.mode("append").parquet(s"$path/tombstones")
-        // maintenance tail (r19): a takedown-heavy stream makes deletion
-        // physical once live victims cross the policy fraction — the
-        // growth trigger in the ingest merge handles population doubling,
-        // this leg handles deletion mass; together the index is fully
-        // self-maintaining under unattended streams
-        maybeCompactMediaIndex(s, path)
-      }
+      // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
+      // r19 gate on novel appends left a crash window — tombstones land,
+      // the driver dies before the check, and the at-least-once replay
+      // appends nothing, so the check never ran and an above-threshold
+      // victim mass sat on the read path until the next NOVEL takedown.
+      // The r20 amortization is what makes the unconditional call
+      // affordable: below the bound it costs zero Spark jobs (existence
+      // guard + footer-stamped log count, both driver-side).
+      maybeCompactMediaIndex(s, path)
       if (!early.isEmpty) early.write.mode("append").parquet(s"$path/pending")
       n
     }

@@ -4272,20 +4272,17 @@ object Similarity {
       .localCheckpoint() // the log append below feeds this frame's readers
     val tombPath = s"$path/tombstones"
     val tombstonesExist = graft.ScratchPaths.artifactExists(s, s"$tombPath/_SUCCESS")
-    val newlyTombstoned =
-      if (!tombstonesExist) {
-        // first write creates the log (schema even when the request located
-        // nothing — the report's left join needs a readable frame)
-        located.write.mode("overwrite").parquet(tombPath)
-        !located.isEmpty
-      } else {
-        val newTombs = located
-          .join(s.read.parquet(tombPath).select("vec_id"), Seq("vec_id"), "left_anti")
-          .localCheckpoint()
-        if (!newTombs.isEmpty) {
-          newTombs.write.mode("append").parquet(tombPath); true
-        } else false
-      }
+    if (!tombstonesExist) {
+      // first write creates the log (schema even when the request located
+      // nothing — the report's left join needs a readable frame)
+      located.write.mode("overwrite").parquet(tombPath)
+    } else {
+      val newTombs = located
+        .join(s.read.parquet(tombPath).select("vec_id"), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      if (!newTombs.isEmpty)
+        newTombs.write.mode("append").parquet(tombPath)
+    }
     // NO physical rewrite (r19, VERDICT r18 #2): deletion is LAZY — the
     // tombstone append above is the whole takedown, every reader
     // subtracts the log ([[minusAnnTombstones]], one broadcast anti-join
@@ -4309,20 +4306,15 @@ object Similarity {
       .localCheckpoint()
     if (!early.isEmpty)
       early.write.mode("append").parquet(s"$path0/pending")
-    // maintenance tail (r19): a takedown-heavy stream compacts itself
-    // once live victims cross the policy fraction — lazy deletion must
-    // not accumulate read-side anti-join mass and dead rows unattended.
-    // Gated (r20, advice #3) on the takedown having either APPENDED or
-    // at least LOCATED stored victims: an entirely-pending batch cannot
-    // have moved the fraction and pays nothing, while a fully-
-    // redelivered batch still re-checks — its victims are still
-    // physically stored (deletion is lazy), which is exactly the
-    // crash-between-append-and-check window an at-least-once replay
-    // must heal. The re-check is cheap: tombstoneHeavy's r20 bound
-    // makes a below-threshold re-delivery cost ZERO Spark jobs (the
-    // log rows come from the stamp-memoized parquet footers).
-    if (newlyTombstoned || !located.isEmpty)
-      maybeCompactAnnIndex(s, path0, path)
+    // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
+    // r19 gate on novel appends left a crash window — tombstones land,
+    // the driver dies before the check, and the at-least-once replay
+    // appends nothing, so the check never ran and an above-threshold
+    // victim mass sat on the read path until the next NOVEL takedown.
+    // The r20 amortization is what makes the unconditional call
+    // affordable: below the bound it costs zero Spark jobs (existence
+    // guard + footer-stamped log count, both driver-side).
+    maybeCompactAnnIndex(s, path0, path)
   }
 
   /** The ANN MAINTENANCE POLICY's tombstone leg (r19): when the live
@@ -5263,13 +5255,18 @@ object Similarity {
       // the log is created only by a takedown that LOCATED something —
       // a request for absent ids must not mint an empty log that every
       // future probe pays an anti-join against
-      if (n > 0) {
+      if (n > 0)
         newTombs.write.mode(if (exists) "append" else "overwrite")
           .parquet(tombPath)
-        // maintenance tail: a takedown-heavy stream makes deletion
-        // physical once live victims cross the policy fraction
-        maybeCompactPqIndex(s, path)
-      }
+      // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
+      // r19 gate on novel appends left a crash window — tombstones land,
+      // the driver dies before the check, and the at-least-once replay
+      // appends nothing, so the check never ran and an above-threshold
+      // victim mass sat on the read path until the next NOVEL takedown.
+      // The r20 amortization is what makes the unconditional call
+      // affordable: below the bound it costs zero Spark jobs (existence
+      // guard + footer-stamped log count, both driver-side).
+      maybeCompactPqIndex(s, path)
       // pending-forget (r19c — the media q137 ordering at compressed
       // grain): a takedown racing ahead of its id's first arrival pends
       // until [[mergePqBatchIntoIndex]] consumes it
