@@ -648,8 +648,11 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   /** One-row broadcastable codebook: cells = sorted array of
-    * struct(cid, c, cc) from a (cid, c: array<double>) frame. */
-  private def kmCellsOf(cdf: DataFrame): DataFrame =
+    * struct(cid, c, cc) from a (cid, c: array<double>) frame. Since the
+    * r21 ladder fusion the production fit path builds the codebook
+    * driver-side ([[kmCellsLocal]]); this distributed form remains the
+    * reference the ExtensionsSpec bit-equivalence pin checks against. */
+  private[graft] def kmCellsOf(cdf: DataFrame): DataFrame =
     cdf.selectExpr("cid", "c", s"${dotExpr("c", "c")} as cc")
       .agg(sort_array(collect_list(struct(col("cid"), col("c"), col("cc")))).as("cells"))
 
@@ -674,19 +677,60 @@ object Similarity {
       .toDF("cid", "c")
   }
 
+  /** Driver-side twin of [[kmCellsOf]] for a COLLECTED (cid, c) set
+    * (k rows — always driver-sized, the model-fit contract): builds the
+    * one-row cells codebook as a literal local relation. Bit-identity
+    * with the distributed form: cc is the same ascending c(j)·c(j) fold
+    * as graft_dot over the same doubles, and the sort by cid ≡
+    * sort_array's struct order (cid is unique, so later fields never
+    * tie-break) — ExtensionsSpec pins the equivalence. Same r15
+    * rationale as [[pqCellsLocal]]: a literal codebook broadcast costs
+    * ~one empty job, where the chained agg→collect_list→broadcast
+    * subtree costs 2–3 driver-blocking jobs PER LLOYD ITERATION. */
+  private[graft] def kmCellsLocal(s: SparkSession, rows: Array[(Int, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cells = rows.sortBy(_._1).map { case (cid, c) =>
+      var cc = 0.0
+      var j = 0
+      while (j < c.length) { cc += c(j) * c(j); j += 1 }
+      Row(cid, c.toSeq, cc)
+    }
+    val cellT = StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("c", ArrayType(DoubleType)),
+      StructField("cc", DoubleType)))
+    val schema = StructType(Seq(StructField("cells", ArrayType(cellT))))
+    s.createDataFrame(java.util.Arrays.asList(Row(cells.toSeq)), schema)
+  }
+
   /** The Lloyd loop over an annotated (vec_id, embedding, ee) frame:
-    * returns the final one-row cells frame. */
+    * returns the final one-row cells frame — a LITERAL local relation
+    * (r21 ladder fusion, the r15 [[pqFitCells]] discipline): each rung
+    * COLLECTS its k-row centroid set (one driver-blocking job) and
+    * rebuilds the codebook via [[kmCellsLocal]], so the fit is exactly
+    * 1 (seed collect) + iters (assignment+centroid agg) jobs. The old
+    * chained form re-aggregated and re-broadcast the codebook inside
+    * the consumer plan, paying 2–3 extra driver-blocking jobs per
+    * round for k-row frames — the q84/q88/q124/q125 family's wall at
+    * fixture scale was this sequential job ladder, not compute.
+    * Fitted values are unchanged: the collected rows ARE the old
+    * chain's intermediate frame, and [[kmCellsLocal]] reproduces
+    * [[kmCellsOf]] bit-for-bit (ExtensionsSpec pins the equivalence). */
   private[graft] def kmFitLoop(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val seeds = emb
+    val s = emb.sparkSession
+    import s.implicits._
+    var cellsArr = emb
       .withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy(col("h")).limit(k)
       // single-partition window over k rows only (the q56 post-limit idiom)
       .withColumn("cid", row_number().over(Window.orderBy(col("h"))) - 1)
       .selectExpr("cid", "transform(embedding, x -> cast(x as double)) as c")
-    var cells = kmCellsOf(seeds)
+      .as[(Int, Array[Double])].collect()
     for (_ <- 1 to iters)
-      cells = kmCellsOf(kmCentroids(kmAssign(emb, cells)))
-    cells
+      cellsArr = kmCentroids(kmAssign(emb, kmCellsLocal(s, cellsArr)))
+        .as[(Int, Array[Double])].collect()
+    kmCellsLocal(s, cellsArr)
   }
 
   /** The Lloyd loop: returns (corpus frame, final one-row cells frame). */

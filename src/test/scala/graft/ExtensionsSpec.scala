@@ -598,6 +598,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(canon(dist) == canon(local), "driver-built codebook != distributed agg")
   }
 
+  test("kmCellsLocal (driver-built literal codebook) == kmCellsOf (distributed agg), bit-identical (r21)") {
+    // the r21 kmeans fit-ladder fusion (the r15 PQ discipline applied to
+    // the q84/q88/q124/q125 family): per Lloyd rung the k centroids are
+    // collected and rebuilt as a literal relation — this pin is what
+    // makes that swap a pure job-count optimization: same cells order
+    // (sort_array struct order ≡ cid — unique), same cc fold
+    val rows = Array(
+      (2, Array(0.25, -1.5, 3.0)),
+      (0, Array(2.0, 0.125, -0.75)),
+      (1, Array(0.1, 0.2, 0.3)), // 0.1+0.2+0.3: inexact doubles on purpose
+      (3, Array(-1.0, 1.0 / 3.0, 7.5)))
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val dist = Similarity.kmCellsOf(rows.toSeq.toDF("cid", "c")).collect()(0)
+    val local = Similarity.kmCellsLocal(spark, rows).collect()(0)
+    def canon(r: org.apache.spark.sql.Row) = {
+      def cell(x: org.apache.spark.sql.Row) =
+        (x.getInt(0), x.getSeq[Double](1).toList,
+         java.lang.Double.doubleToLongBits(x.getDouble(2)))
+      r.getSeq[org.apache.spark.sql.Row](0).map(cell).toList
+    }
+    assert(canon(dist) == canon(local), "driver-built km codebook != distributed agg")
+  }
+
   test("q107 decode leg: genuine PNGs decode via javax.imageio; twin recall + exact luma pin; stub fallback (r15)") {
     import java.awt.image.BufferedImage
     def png(w: Int, h: Int, f: Int => Int): Array[Byte] = {
