@@ -903,14 +903,22 @@ object TextAnalysis {
         .transform(Tables.maybePersist)
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         .transform(Tables.maybePersist)
+      // doclens is materialized FIRST on its own (it populates both
+      // persisted frames exactly once — two racing legs would otherwise
+      // both compute the token explode); then the three remaining side
+      // artifacts are mutually independent and overlap (guide §2.6).
+      // The write-order crash discipline only requires every side
+      // artifact to land BEFORE postings (the lazy gates key "built" on
+      // postings/_SUCCESS), which the join below preserves.
       dl.write.mode("overwrite").parquet(s"$path/doclens")
-      toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("seg", lit(-1L)) // the base contribution segment
-        .write.mode("overwrite").parquet(s"$path/terms")
-      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-        .selectExpr("cast(n_docs as bigint) as n_docs",
-          "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
-        .write.mode("overwrite").parquet(s"$path/stats")
+      Par.run2(
+        toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+          .withColumn("seg", lit(-1L)) // the base contribution segment
+          .write.mode("overwrite").parquet(s"$path/terms"),
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+          .selectExpr("cast(n_docs as bigint) as n_docs",
+            "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
+          .write.mode("overwrite").parquet(s"$path/stats"))
       toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
         .repartition(col("tb")) // co-locate buckets: one file per partition value

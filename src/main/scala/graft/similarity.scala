@@ -3539,9 +3539,18 @@ object Similarity {
         "floor(mx * 1e6 + 0.5) / 1e6 as max_qd")
 
   def pqResidualAudit(s: SparkSession, d: String): DataFrame = {
-    val (rawCorpus, rawCells) = pqFitFrames(s, d)
-    val residCorpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
-    val residCells = pqFitCells(residCorpus)
+    // the two fit chains are INDEPENDENT until the final union — each is
+    // a strictly sequential seed+Lloyd collect ladder, so running them
+    // sequentially left the cluster idle through half the driver
+    // round-trips. Par.run2 overlaps them (guide §2.6); each leg's fit
+    // is bit-identical to its sequential run (separate persisted
+    // corpora, separate codebooks — no shared mutable state).
+    val ((rawCorpus, rawCells), (residCorpus, residCells)) = Par.run2(
+      pqFitFrames(s, d),
+      {
+        val rc = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
+        (rc, pqFitCells(rc))
+      })
     pqDistortionOf(rawCorpus, rawCells, "raw")
       .unionAll(pqDistortionOf(residCorpus, residCells, "residual"))
       .orderBy("variant")
@@ -5068,13 +5077,21 @@ object Similarity {
   def buildPqIndex(s: SparkSession, d: String, path: String): Long =
       withIndexWriter(s, path) {
     val corpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
-    val cells = pqFitCells(corpus)
-    cells.selectExpr("explode(cells) as x").selectExpr("x.s", "x.cid", "x.c")
-      .write.mode("overwrite").parquet(s"$path/codebook")
-    centroidsByLabel(s, d, "c_label")
-      .write.mode("overwrite").parquet(s"$path/coarse")
-    pqDistortionStat(pqFitDistortionMicros(corpus, cells))
-      .write.mode("overwrite").parquet(s"$path/stat")
+    // the coarse artifact is independent of the fit ladder — overlap the
+    // two legs (guide §2.6). The write-order crash discipline only
+    // requires every side artifact to land BEFORE codes (the gate keys
+    // "built" on codes/_SUCCESS), which the join below preserves.
+    val (cells, _) = Par.run2(
+      pqFitCells(corpus),
+      centroidsByLabel(s, d, "c_label")
+        .write.mode("overwrite").parquet(s"$path/coarse"))
+    // codebook and stat both derive from (corpus, cells) and are
+    // mutually independent — same overlap, same write-order guarantee
+    Par.run2(
+      cells.selectExpr("explode(cells) as x").selectExpr("x.s", "x.cid", "x.c")
+        .write.mode("overwrite").parquet(s"$path/codebook"),
+      pqDistortionStat(pqFitDistortionMicros(corpus, cells))
+        .write.mode("overwrite").parquet(s"$path/stat"))
     pqEncodedIndex(corpus, cells)
       .write.mode("overwrite").partitionBy("c_label").parquet(s"$path/codes")
     corpus.unpersist(blocking = false)
