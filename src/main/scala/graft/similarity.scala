@@ -76,13 +76,61 @@ object Similarity {
   }
 
   /** Centroid per label via [[VecCentroid]] — (label, centroid) frame. */
-  private def centroidsByLabel(s: SparkSession, d: String, outName: String): DataFrame = {
+  private[graft] def centroidsByLabel(s: SparkSession, d: String, outName: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, d)
       .select(col("label"), col("embedding")).as[(Int, Array[Float])]
       .groupByKey(_._1).mapValues(_._2)
       .agg(VecCentroid.toColumn.name("centroid"))
       .toDF(outName, "centroid")
+  }
+
+  /** COLLECTED (c_label, centroid) coarse rows — label-count-sized,
+    * always driver-sized (the model-fit contract). ONE job; queries
+    * whose plan used to embed the [[centroidsByLabel]] agg→broadcast
+    * subtree two or three times (the IVF/IVF-PQ chains) now collect
+    * once and ride literal relations everywhere (the r15/r21 ladder-
+    * fusion discipline). */
+  private def coarseRows(s: SparkSession, d: String): Array[(Int, Array[Double])] = {
+    import s.implicits._
+    centroidsByLabel(s, d, "c_label").as[(Int, Array[Double])].collect()
+  }
+
+  /** Literal k-row twin of a collected [[centroidsByLabel]] frame
+    * (sorted by label — collect order is partition-arbitrary). The rows
+    * ARE the distributed frame's rows, so the values are bit-identical
+    * by construction. */
+  private[graft] def coarseFrameLit(s: SparkSession,
+      rows: Array[(Int, Array[Double])], outName: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(outName, IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    s.createDataFrame(
+      java.util.Arrays.asList(
+        rows.sortBy(_._1).map { case (l, c) => Row(l, c.toSeq) }: _*),
+      schema)
+  }
+
+  /** Literal one-row twin of
+    * `centroidsByLabel(..).agg(sort_array(collect_list(struct(c_label,
+    * centroid))))` — the broadcast codebook shape every IVF chain
+    * consumes. Bit-identity with the distributed form: sort_array on
+    * struct(c_label, centroid) orders by c_label (unique, so the
+    * centroid never tie-breaks) ≡ the driver sortBy; the doubles are
+    * the collected values untouched. ExtensionsSpec pins it. */
+  private[graft] def coarseCellsLit(s: SparkSession,
+      rows: Array[(Int, Array[Double])], outName: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cellT = StructType(Seq(
+      StructField("c_label", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    s.createDataFrame(
+      java.util.Arrays.asList(
+        Row(rows.sortBy(_._1).map { case (l, c) => Row(l, c.toSeq) }.toSeq)),
+      StructType(Seq(StructField(outName, ArrayType(cellT)))))
   }
 
   /** Spark SQL: left-to-right dot product of two numeric-array columns,
@@ -483,11 +531,14 @@ object Similarity {
     * Spark's double ordering (NaN greatest, same as sort-desc), so the
     * highest cosine wins and ties break to the LOWEST label. Cosine
     * arithmetic is unchanged (same dots, same division order). */
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    ivfAssignedWith(s, d, coarseRows(s, d))
+
+  private def ivfAssignedWith(s: SparkSession, d: String,
+      rows: Array[(Int, Array[Double])]): DataFrame = {
     withFns(s)
     val emb = Tables.embeddings(s, d)
-    val codebook = centroidsByLabel(s, d, "c_label")
-      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
+    val codebook = coarseCellsLit(s, rows, "cells")
     emb.crossJoin(broadcast(codebook))
       // vector norm hoisted out of the 10-cell fold (same bits — sqrt of
       // the identical dot, just computed once per row instead of per cell)
@@ -564,10 +615,10 @@ object Similarity {
     * broadcast query side (2 rows); the corpus-side assignment frame is
     * unchanged. */
   def ivfSearchProbe2(s: SparkSession, d: String): DataFrame = {
-    val assigned = ivfAssigned(s, d)
+    val rows = coarseRows(s, d) // ONE collect feeds routing AND the top-2 probe
+    val assigned = ivfAssignedWith(s, d, rows)
       .transform(Tables.maybePersist)
-    val codebook = centroidsByLabel(s, d, "c_label")
-      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
+    val codebook = coarseCellsLit(s, rows, "cells")
     val query = assigned.filter(col("vec_id") === 0)
       .crossJoin(broadcast(codebook))
       .selectExpr("embedding as qe", s"sqrt(${dotExpr("embedding", "embedding")}) as qn",
@@ -3272,11 +3323,14 @@ object Similarity {
   /** The q115/q116 residual corpus: q38-assigned vectors minus their
     * coarse centroid, float32-cast, pqCorpusOf'd with the coarse cell
     * and the original vector carried through. */
-  private def ivfPqResidualCorpus(s: SparkSession, d: String): DataFrame = {
+  private def ivfPqResidualCorpus(s: SparkSession, d: String): DataFrame =
+    ivfPqResidualCorpusWith(s, d, coarseRows(s, d))
+
+  private def ivfPqResidualCorpusWith(s: SparkSession, d: String,
+      rows: Array[(Int, Array[Double])]): DataFrame = {
     withFns(s)
-    val assigned = ivfAssigned(s, d)
-    val coarse = centroidsByLabel(s, d, "c_label")
-      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("coarse"))
+    val assigned = ivfAssignedWith(s, d, rows)
+    val coarse = coarseCellsLit(s, rows, "coarse")
     val resid = assigned.crossJoin(broadcast(coarse))
       .selectExpr("vec_id", "label", "c_label", "embedding as orig",
         s"""transform(sequence(1, ${PqM * PqSub}), i -> cast(
@@ -3337,10 +3391,10 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   def ivfPqSearchProbe2(s: SparkSession, d: String): DataFrame = {
-    val corpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
+    val rows = coarseRows(s, d) // ONE collect: routing, residuals AND top-2
+    val corpus = ivfPqResidualCorpusWith(s, d, rows).transform(Tables.maybePersist)
     val cells = pqFitCells(corpus)
-    val coarse = centroidsByLabel(s, d, "c_label")
-      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cb"))
+    val coarse = coarseCellsLit(s, rows, "cb")
     // query row → ADC table (from ITS residual) + its TOP-2 coarse cells
     // (descending cosine, ties to the lowest label — q86's selection)
     val query = corpus.filter(col("vec_id") === 0)
@@ -3916,11 +3970,12 @@ object Similarity {
     * compares the live population against); returns the read-back row
     * count. */
   def buildAnnIndex(s: SparkSession, d: String, path: String): Long = {
-    ivfAssigned(s, d)
+    val rows = coarseRows(s, d) // ONE collect: routing AND the artifact
+    ivfAssignedWith(s, d, rows)
       .selectExpr("vec_id", "label", "embedding",
         s"sqrt(${dotExpr("embedding", "embedding")}) as nrm", "c_label")
       .write.mode("overwrite").partitionBy("c_label").parquet(s"$path/assignments")
-    centroidsByLabel(s, d, "c_label")
+    coarseFrameLit(s, rows, "c_label")
       .write.mode("overwrite").parquet(s"$path/centroids")
     s.read.parquet(s"$path/assignments")
       .groupBy("c_label").agg(count(lit(1)).as("n"))
@@ -5076,14 +5131,16 @@ object Similarity {
     * auto-refit (r19c) prices decay against. */
   def buildPqIndex(s: SparkSession, d: String, path: String): Long =
       withIndexWriter(s, path) {
-    val corpus = ivfPqResidualCorpus(s, d).transform(Tables.maybePersist)
+    val rows = coarseRows(s, d) // ONE collect: routing, residuals, artifact
+    val corpus = ivfPqResidualCorpusWith(s, d, rows).transform(Tables.maybePersist)
     // the coarse artifact is independent of the fit ladder — overlap the
     // two legs (guide §2.6). The write-order crash discipline only
     // requires every side artifact to land BEFORE codes (the gate keys
-    // "built" on codes/_SUCCESS), which the join below preserves.
+    // "built" on codes/_SUCCESS), which the join below preserves. The
+    // artifact rows are the collected coarse rows themselves.
     val (cells, _) = Par.run2(
       pqFitCells(corpus),
-      centroidsByLabel(s, d, "c_label")
+      coarseFrameLit(s, rows, "c_label")
         .write.mode("overwrite").parquet(s"$path/coarse"))
     // codebook and stat both derive from (corpus, cells) and are
     // mutually independent — same overlap, same write-order guarantee

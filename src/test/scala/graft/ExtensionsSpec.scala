@@ -622,6 +622,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(canon(dist) == canon(local), "driver-built km codebook != distributed agg")
   }
 
+  test("coarseCellsLit (driver-built literal coarse codebook) == agg(sort_array(collect_list)) form, bit-identical (r21)") {
+    // the r21 IVF-chain fusion: the (c_label, centroid) coarse frame is
+    // collected ONCE per query and rebuilt as literal relations where
+    // the plan used to embed the centroidsByLabel agg→broadcast subtree
+    // 2-3 times — this pin makes the swap a pure job-count optimization
+    val rows = Array(
+      (3, Array(0.25, -1.5, 3.0)),
+      (0, Array(2.0, 0.125, -0.75)),
+      (1, Array(0.1, 0.2, 0.3)),
+      (2, Array(-1.0, 1.0 / 3.0, 7.5)))
+    import spark.implicits._
+    val dist = rows.toSeq.toDF("c_label", "centroid")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("c_label"),
+            org.apache.spark.sql.functions.col("centroid")))).as("cells"))
+      .collect()(0)
+    val local = Similarity.coarseCellsLit(spark, rows, "cells").collect()(0)
+    def canon(r: org.apache.spark.sql.Row) =
+      r.getSeq[org.apache.spark.sql.Row](0).map(x =>
+        (x.getInt(0), x.getSeq[Double](1).toList
+          .map(java.lang.Double.doubleToLongBits))).toList
+    assert(canon(dist) == canon(local), "driver-built coarse codebook != distributed agg")
+    // the k-row twin carries exactly the collected rows, label-sorted
+    val frame = Similarity.coarseFrameLit(spark, rows, "c_label").collect()
+    assert(frame.map(x => (x.getInt(0), x.getSeq[Double](1).toList)).toList ==
+      rows.sortBy(_._1).map { case (l, c) => (l, c.toList) }.toList)
+  }
+
   test("q107 decode leg: genuine PNGs decode via javax.imageio; twin recall + exact luma pin; stub fallback (r15)") {
     import java.awt.image.BufferedImage
     def png(w: Int, h: Int, f: Int => Int): Array[Byte] = {
