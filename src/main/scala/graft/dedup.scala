@@ -1289,11 +1289,14 @@ object Dedup {
     // pair-finding pipeline that produced `edges`; the edge list itself
     // is pairs-of-ids, tiny relative to the corpus.
     val ids = vertices.select(col("id"))
+    // lazy checkpoints (r21): `both` materializes inside round 1's one
+    // action, `lab` inside the initial signature job — two fewer eager
+    // checkpoint jobs per call, same blocks cached thereafter
     val both = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .unionAll(ids.select(col("id").as("src"), col("id").as("dst")))
-      .localCheckpoint()
-    var lab = ids.select(col("id"), col("id").as("root")).localCheckpoint()
+      .localCheckpoint(eager = false)
+    var lab = ids.select(col("id"), col("id").as("root")).localCheckpoint(eager = false)
     var sig = ccSignature(lab, Seq("id", "root"))
     var converged = false
     while (!converged) {
@@ -1362,9 +1365,13 @@ object Dedup {
 
   private[graft] def connectedComponentsStar(vertices: DataFrame,
                                              edges: DataFrame): (DataFrame, Int) = {
+    // lazy initial checkpoint (r21): the signature aggregate is the
+    // entry's ONE action — it materializes the checkpoint blocks and
+    // computes the scalar in the same job (the per-round discipline,
+    // applied to round 0)
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var sig = ccSignature(e, Seq("u", "v"))
     var rounds = 0
     var converged = sig._1 == 0
