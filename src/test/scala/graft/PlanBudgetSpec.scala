@@ -417,12 +417,14 @@ object PlanBudgetSpec {
     // fit/assign chain sits behind the persisted frame and is pinned by
     // the q84 entry); the corpus crosses exactly one post-fit exchange
     "q124_centroid_outliers" -> Shape(shuffles = 1, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 0, scans = 2),
-    // q125 (r14): embedding drift — visible plan is the 1-row psi
-    // broadcast crossJoin over the PERSISTED k-row terms frame (the
-    // q124 discipline: the two assignment passes — codebook broadcasts,
-    // no corpus exchange — and the two keyed counts to k rows sit
-    // behind the persisted frame; the q84 fit chain is pinned there)
-    "q125_embedding_drift" -> Shape(shuffles = 0, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
+    // q125 (r14, re-pinned r21): embedding drift — since the r21 fit-
+    // ladder fusion the q84 Lloyd chain is COLLECTED at construction
+    // (literal codebook, pinned by the q84 entry), so the visible plan
+    // is the psi crossJoin over the persisted terms frame PLUS the two
+    // keyed assignment counts to k rows (previously hidden behind the
+    // chained fit's broadcast subtrees). Still zero corpus exchanges:
+    // both counts reduce to k rows under a one-row codebook broadcast.
+    "q125_embedding_drift" -> Shape(shuffles = 2, broadcasts = 1, joins = 1, smj = 0, cartesian = 0, bnlj = 1, scans = 2),
     // q126 (r14): compressed-index probe — the index NEVER shuffles:
     // 2 exchanges carry only the ≤5-row ADC buffers (TopKCos reduction)
     // and the per-delta re-rank argmax; 3 broadcasts (routed-delta dtab
