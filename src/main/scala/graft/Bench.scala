@@ -176,6 +176,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r21: unfiltered COUNT/MIN/MAX over plain parquet scans answer
+      // from row-group footers instead of scanning rows — the index
+      // builds' read-back counts and the lifecycle registries' first
+      // stored-count checks are exactly this shape. Scale-independent
+      // (footers are O(files), rows are O(corpus)); results identical
+      // (exact metadata, and the rewrite never fires across filters or
+      // joins).
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       // SPARK_GRAFT_AQE=false: experiment knob — the CC loops re-plan
       // under AQE every round, so the per-round floor can be attributed
       // (environment yardstick protocol, SURVEY §8). Default on; only

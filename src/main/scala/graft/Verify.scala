@@ -18,6 +18,10 @@ object Verify {
       // write µs (not INT96) so the driver's DuckDB read sees exact values
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // r21, matching Bench: unfiltered parquet counts answer from
+      // footers — running the oracle gate with the same conf means the
+      // pushdown path itself is hash-verified against DuckDB
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
