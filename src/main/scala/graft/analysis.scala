@@ -1828,12 +1828,22 @@ object TextAnalysis {
       .selectExpr("w", "freq",
         "concat_ws(' ', transform(sequence(1, length(w)), i -> substring(w, i, 1))) as sym")
       .transform(Tables.maybePersist)
-    val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
-    for (r <- 1 to rounds) {
-      val (pair, cnt) = vocab.selectExpr("freq", bpePairsExpr)
+    def topPair(v: DataFrame): (String, Long) =
+      v.selectExpr("freq", bpePairsExpr)
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .as[(String, Long)].head()
+    def nsymOf(v: DataFrame): Long =
+      v.selectExpr("freq * size(split(sym, ' ')) as ns")
+        .agg(sum(col("ns")).as("n")).as[Long].head()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    // round r's compression-curve scalar and round r+1's top-pair draw
+    // are independent reads of the same rewritten vocab — overlapped
+    // (guide §2.6, r21) so each round costs ONE driver round-trip
+    // instead of two; values are unchanged (same frames, same aggs)
+    var next = topPair(vocab)
+    for (r <- 1 to rounds) {
+      val (pair, cnt) = next
       // the merge target rides in as a lit() Column, never a SQL string
       // literal — no escaping surface (a corpus token containing \ or '
       // would otherwise need Spark-literal escaping the DuckDB twin and
@@ -1845,10 +1855,13 @@ object TextAnalysis {
             lit(s" $pair "), lit(s" $merged "))).as("sym"))
         .transform(Tables.maybePersist)
       val nsym =
-        if (trackCurve)
-          vocab.selectExpr("freq * size(split(sym, ' ')) as ns")
-            .agg(sum(col("ns")).as("n")).as[Long].head()
-        else 0L
+        if (!trackCurve) 0L
+        else if (r < rounds) {
+          val (n2, ns) = Par.run2(topPair(vocab), nsymOf(vocab))
+          next = n2
+          ns
+        } else nsymOf(vocab)
+      if (!trackCurve && r < rounds) next = topPair(vocab)
       out += ((r, pair, cnt, nsym))
     }
     (vocab, out.toSeq)
