@@ -923,7 +923,9 @@ object TextAnalysis {
         .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
         .repartition(col("tb")) // co-locate buckets: one file per partition value
         .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-      s.read.parquet(s"$path/postings").count()
+      // read-back count from the artifact's parquet footers (r21): same
+      // value as the Spark count it replaces, zero jobs on the build tail
+      IndexLifecycle.parquetFooterRows(s, s"$path/postings")
     }
 
   /** The nightly probe against the stored artifacts — version root
@@ -1000,6 +1002,11 @@ object TextAnalysis {
             Seq("doc_id"), "left_anti"), s, path)
         .transform(Tables.maybePersist)
       val nBatch = docs0.count()
+      // replay fast path (r21): an idempotent re-delivery anti-joins to
+      // nothing — skip the tokenize/tf/dl subtree outright (it would
+      // run three jobs over zero rows); `fresh` is materialized by this
+      // probe, so the non-empty path below pays no second scan
+      val nAdmit = if (fresh.isEmpty) 0L else {
       val toks = lexTokens(fresh).transform(Tables.maybePersist)
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .transform(Tables.maybePersist)
@@ -1009,25 +1016,33 @@ object TextAnalysis {
         .localCheckpoint()
       val nAdmit = dl.count()
       if (nAdmit > 0) {
-        // df contributions: +1 per (term, admitted doc), this segment
-        tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-          .withColumn("seg", lit(seg))
-          .write.mode("append").parquet(s"$root/terms")
-        // corpus-stat contribution: admitted docs + their token mass —
-        // idf/avgdl re-price at the next read, no trigger needed
-        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-          .selectExpr("cast(n_docs as bigint) as n_docs",
-            "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
-          .write.mode("append").parquet(s"$root/stats")
-        // delta postings into the bucket layout (append-only — a probe's
-        // planned listing is never invalidated)
-        tf.withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
-          .repartition(col("tb"))
-          .write.mode("append").partitionBy("tb").parquet(s"$root/postings")
+        // the three contribution appends are mutually independent and
+        // none is the replay guard — overlap them (guide §2.6, the
+        // buildLexIndex Par discipline on the merge tail, r21); the
+        // write-order crash rule only requires every one of them to
+        // land BEFORE the doclens registry, which the join preserves
+        Par.run3(
+          // df contributions: +1 per (term, admitted doc), this segment
+          tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+            .withColumn("seg", lit(seg))
+            .write.mode("append").parquet(s"$root/terms"),
+          // corpus-stat contribution: admitted docs + their token mass —
+          // idf/avgdl re-price at the next read, no trigger needed
+          dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+            .selectExpr("cast(n_docs as bigint) as n_docs",
+              "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
+            .write.mode("append").parquet(s"$root/stats"),
+          // delta postings into the bucket layout (append-only — a probe's
+          // planned listing is never invalidated)
+          tf.withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
+            .repartition(col("tb"))
+            .write.mode("append").partitionBy("tb").parquet(s"$root/postings"))
         // the registry LAST: a crash anywhere above replays the whole
         // batch (identical rows → read-side collapse); after this write
         // the replay anti-joins to nothing
         dl.write.mode("append").parquet(s"$root/doclens")
+      }
+      nAdmit
       }
       // merge-side maintenance, UNCONDITIONAL (r20, the forget-tail
       // rule): a crash after the doclens registry but before the check
@@ -1065,39 +1080,50 @@ object TextAnalysis {
         .localCheckpoint()
       val present = marked.filter(col("dl").isNotNull)
       val early = marked.filter(col("dl").isNull).select("doc_id")
-      val n = present.count()
-      if (n > 0) {
-        // negative df contributions, derived by locating the victims'
-        // postings rows (request-sized broadcast onto a pushdown id scan)
-        s.read.parquet(s"$root/postings")
-          .join(broadcast(present.select("doc_id")), Seq("doc_id"), "left_semi")
-          .select("doc_id", "term").distinct() // collapse crash-dupe segments
-          .groupBy("term")
-          .agg((count(lit(1)) * lit(-1L)).cast("long").as("df"))
-          .withColumn("seg", lit(seg))
-          .write.mode("append").parquet(s"$root/terms")
-        present
-          .agg((count(lit(1)) * lit(-1L)).as("n_docs"),
-            (sum(col("dl")) * lit(-1L)).as("tot"))
-          .selectExpr("cast(n_docs as bigint) as n_docs",
-            "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
-          .write.mode("append").parquet(s"$root/stats")
-        // the tombstone registry LAST: a crash above replays in full
-        // (identical negatives collapse), a crash after it replays to
-        // nothing (victims no longer novel)
-        present.select("doc_id").write.mode("append").parquet(s"$path/tombstones")
-      }
-      // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
-      // r19 gate on novel appends left a crash window — tombstones land,
-      // the driver dies before the check, and the at-least-once replay
-      // appends nothing, so the check never ran and an above-threshold
-      // victim mass sat on the read path until the next NOVEL takedown.
-      // The r20 amortization is what makes the unconditional call
-      // affordable: below the bound it costs zero Spark jobs (existence
-      // guard + footer-stamped log count, both driver-side).
-      maybeCompactLexIndex(s, path)
-      if (!early.isEmpty)
-        early.write.mode("append").parquet(s"$path/pending")
+      // The tombstone and pending tails are INDEPENDENT legs (guide
+      // §2.6, r21): both derive from the already-checkpointed `marked`
+      // frame — the pending leg reads no log the tombstone leg writes —
+      // so they overlap. The tombstone leg keeps the calling thread (it
+      // can re-enter the writer gate through compaction).
+      val (n, _) = Par.run2(
+        {
+          val n0 = present.count()
+          if (n0 > 0) {
+            // the two negative contribution appends are independent of
+            // each other — overlap them; the tombstone registry stays
+            // LAST (a crash above replays in full — identical negatives
+            // collapse; a crash after replays to nothing)
+            Par.run2(
+              // negative df contributions, derived by locating the victims'
+              // postings rows (request-sized broadcast onto a pushdown id scan)
+              s.read.parquet(s"$root/postings")
+                .join(broadcast(present.select("doc_id")), Seq("doc_id"), "left_semi")
+                .select("doc_id", "term").distinct() // collapse crash-dupe segments
+                .groupBy("term")
+                .agg((count(lit(1)) * lit(-1L)).cast("long").as("df"))
+                .withColumn("seg", lit(seg))
+                .write.mode("append").parquet(s"$root/terms"),
+              present
+                .agg((count(lit(1)) * lit(-1L)).as("n_docs"),
+                  (sum(col("dl")) * lit(-1L)).as("tot"))
+                .selectExpr("cast(n_docs as bigint) as n_docs",
+                  "cast(tot as bigint) as tot", s"cast($seg as bigint) as seg")
+                .write.mode("append").parquet(s"$root/stats"))
+            present.select("doc_id").write.mode("append").parquet(s"$path/tombstones")
+          }
+          // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
+          // r19 gate on novel appends left a crash window — tombstones land,
+          // the driver dies before the check, and the at-least-once replay
+          // appends nothing, so the check never ran and an above-threshold
+          // victim mass sat on the read path until the next NOVEL takedown.
+          // The r20 amortization is what makes the unconditional call
+          // affordable: below the bound it costs zero Spark jobs (existence
+          // guard + footer-stamped log count, both driver-side).
+          maybeCompactLexIndex(s, path)
+          n0
+        },
+        if (!early.isEmpty)
+          early.write.mode("append").parquet(s"$path/pending"))
       n
     }
 
@@ -1123,18 +1149,27 @@ object TextAnalysis {
       if (victims > 0 || segments > 1) {
         val newRoot = s"$path/versions/${Similarity.nextVersionName(s, path)}"
         val dl = lexDoclensOf(s, path, root).transform(Tables.maybePersist)
-        dl.write.mode("overwrite").parquet(s"$newRoot/doclens")
-        lexTermsOf(s, root).withColumn("seg", lit(-1L))
-          .write.mode("overwrite").parquet(s"$newRoot/terms")
-        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-          .selectExpr("cast(n_docs as bigint) as n_docs",
-            "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
-          .write.mode("overwrite").parquet(s"$newRoot/stats")
-        minusLexTombstones(
-            s.read.parquet(s"$root/postings").drop("tb").distinct(), s, path)
-          .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
-          .repartition(col("tb"))
-          .write.mode("overwrite").partitionBy("tb").parquet(s"$newRoot/postings")
+        // all four writes land in an UNCOMMITTED version directory —
+        // invisible until the _COMMITTED marker below — so their order
+        // is free: overlap them two-by-two (guide §2.6, r21; dl's two
+        // consumers share one thread so the persisted frame fills once)
+        Par.run2(
+          {
+            dl.write.mode("overwrite").parquet(s"$newRoot/doclens")
+            dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+              .selectExpr("cast(n_docs as bigint) as n_docs",
+                "cast(tot as bigint) as tot", "cast(-1 as bigint) as seg")
+              .write.mode("overwrite").parquet(s"$newRoot/stats")
+          },
+          {
+            lexTermsOf(s, root).withColumn("seg", lit(-1L))
+              .write.mode("overwrite").parquet(s"$newRoot/terms")
+            minusLexTombstones(
+                s.read.parquet(s"$root/postings").drop("tb").distinct(), s, path)
+              .withColumn("tb", pmod(hash(col("term")), lit(LexBuckets)))
+              .repartition(col("tb"))
+              .write.mode("overwrite").partitionBy("tb").parquet(s"$newRoot/postings")
+          })
         // atomic commit + keep-N GC (the r19 write-path wiring, shared tail)
         IndexLifecycle.commitVersion(s, path, newRoot,
           Seq("postings", "doclens", "terms", "stats"))
@@ -2759,7 +2794,9 @@ object TextAnalysis {
       .join(kept, Seq("doc_id"))
       .select("doc_id", "source", "lang", "n_chars", "text", "split")
       .write.mode("overwrite").partitionBy("split").parquet(outPath)
-    s.read.parquet(outPath).count()
+    // count written, from the output's parquet footers (r21): identical
+    // to the Spark read-back count, zero jobs after the write action
+    IndexLifecycle.parquetFooterRows(s, outPath)
   }
 
   // ---------------------------------------------------------------------

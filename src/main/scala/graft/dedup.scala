@@ -783,7 +783,9 @@ object Dedup {
       index.select(col("doc_id"), col("sh"))
         .write.mode("overwrite").parquet(s"$path/shingles")
       lshBands(index).write.mode("overwrite").parquet(s"$path/bands")
-      s.read.parquet(s"$path/bands").count()
+      // read-back count from the artifact's parquet footers (r21): same
+      // value as the Spark count it replaces, zero jobs on the build tail
+      IndexLifecycle.parquetFooterRows(s, s"$path/bands")
     }
 
   /** q145's core — sign ONE (doc_id, text) batch and fold it into the
@@ -819,24 +821,30 @@ object Dedup {
         }
       }
       // replay guards: the shingle registry (already admitted) and the
-      // tombstone log (forgotten ids never resurrect)
+      // tombstone log (forgotten ids never resurrect). localCheckpoint
+      // HERE (r21): it is this anti-join whose lineage reads the
+      // shingles path the registry append below writes (the read-write-
+      // cycle discipline), and cutting at the narrow fresh frame lets
+      // the idempotent-replay fast path skip the signing job outright
       val fresh = minusDedupTombstones(
           docs0.join(s.read.parquet(s"$root/shingles").select("doc_id"),
             Seq("doc_id"), "left_anti"), s, path)
-      val nBatch = docs0.count()
-      // localCheckpoint: the signed frame's lineage reads the shingles
-      // path the registry append below writes (the read-write-cycle
-      // discipline)
-      val signed = signedCorpus(s, fresh.select(col("doc_id"), col("text")))
         .localCheckpoint()
-      val nAdmit = signed.count()
-      if (nAdmit > 0) {
-        lshBands(signed).write.mode("append").parquet(s"$root/bands")
-        // the registry LAST: a crash anywhere above replays the whole
-        // batch (identical band rows → candidate-side collapse); after
-        // this write the replay anti-joins to nothing
-        signed.select(col("doc_id"), col("sh"))
-          .write.mode("append").parquet(s"$root/shingles")
+      val nBatch = docs0.count()
+      val nAdmit = if (fresh.isEmpty) 0L else {
+        // one eager pass: both appends below consume the signed frame
+        val signed = signedCorpus(s, fresh.select(col("doc_id"), col("text")))
+          .localCheckpoint()
+        val n0 = signed.count()
+        if (n0 > 0) {
+          lshBands(signed).write.mode("append").parquet(s"$root/bands")
+          // the registry LAST: a crash anywhere above replays the whole
+          // batch (identical band rows → candidate-side collapse); after
+          // this write the replay anti-joins to nothing
+          signed.select(col("doc_id"), col("sh"))
+            .write.mode("append").parquet(s"$root/shingles")
+        }
+        n0
       }
       (nAdmit, nBatch - nAdmit)
     }
@@ -865,20 +873,29 @@ object Dedup {
         .localCheckpoint()
       val present = marked.filter(col("present").isNotNull).select("doc_id")
       val early = marked.filter(col("present").isNull).select("doc_id")
-      val n = present.count()
-      if (n > 0)
-        present.write.mode("append").parquet(s"$path/tombstones")
-      // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
-      // r19 gate on novel appends left a crash window — tombstones land,
-      // the driver dies before the check, and the at-least-once replay
-      // appends nothing, so the check never ran and an above-threshold
-      // victim mass sat on the read path until the next NOVEL takedown.
-      // The r20 amortization is what makes the unconditional call
-      // affordable: below the bound it costs zero Spark jobs (existence
-      // guard + footer-stamped log count, both driver-side).
-      maybeCompactDedupIndex(s, path)
-      if (!early.isEmpty)
-        early.write.mode("append").parquet(s"$path/pending")
+      // tombstone and pending tails are INDEPENDENT legs (guide §2.6,
+      // r21): both derive from the checkpointed `marked` frame, and the
+      // pending leg reads no log the tombstone leg writes — overlap
+      // them; the tombstone leg keeps the calling thread (it can
+      // re-enter the writer gate through compaction)
+      val (n, _) = Par.run2(
+        {
+          val n0 = present.count()
+          if (n0 > 0)
+            present.write.mode("append").parquet(s"$path/tombstones")
+          // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
+          // r19 gate on novel appends left a crash window — tombstones land,
+          // the driver dies before the check, and the at-least-once replay
+          // appends nothing, so the check never ran and an above-threshold
+          // victim mass sat on the read path until the next NOVEL takedown.
+          // The r20 amortization is what makes the unconditional call
+          // affordable: below the bound it costs zero Spark jobs (existence
+          // guard + footer-stamped log count, both driver-side).
+          maybeCompactDedupIndex(s, path)
+          n0
+        },
+        if (!early.isEmpty)
+          early.write.mode("append").parquet(s"$path/pending"))
       n
     }
 
@@ -899,10 +916,14 @@ object Dedup {
         else 0L
       if (victims > 0) {
         val newRoot = s"$path/versions/${Similarity.nextVersionName(s, path)}"
-        dedupShinglesOf(s, path, root)
-          .write.mode("overwrite").parquet(s"$newRoot/shingles")
-        dedupBandsOf(s, path, root).distinct() // crash-dupe band rows fold
-          .write.mode("overwrite").parquet(s"$newRoot/bands")
+        // both rewrites land in an UNCOMMITTED version directory (the
+        // _COMMITTED marker below is what flips readers), so their order
+        // is free: overlap them (guide §2.6, r21)
+        Par.run2(
+          dedupShinglesOf(s, path, root)
+            .write.mode("overwrite").parquet(s"$newRoot/shingles"),
+          dedupBandsOf(s, path, root).distinct() // crash-dupe band rows fold
+            .write.mode("overwrite").parquet(s"$newRoot/bands"))
         IndexLifecycle.commitVersion(s, path, newRoot,
           Seq("shingles", "bands"))
       }

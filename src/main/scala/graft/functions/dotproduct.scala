@@ -96,6 +96,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bits2long"),
       new ExpressionInfo(classOf[Bits2Long].getName, "graft_bits2long"),
       (children: Seq[Expression]) => Bits2Long(children(0))),
+    (FunctionIdentifier("graft_pq_best"),
+      new ExpressionInfo(classOf[PqBest].getName, "graft_pq_best"),
+      (children: Seq[Expression]) => PqBest(children(0), children(1))),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1))),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => children match {

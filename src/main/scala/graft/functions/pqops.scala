@@ -1,0 +1,234 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Spark SQL's total order on doubles (SQLOrderingUtil.compareDoubles):
+  * `-0.0 == 0.0`, NaN greatest and equal to itself — the comparator
+  * behind array_min's struct ordering, replicated here so the native
+  * argmin below is bit-identical to the higher-order-function form it
+  * replaces. */
+private object PqOps {
+  @inline def cmpDouble(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+}
+
+/** `graft_pq_best(subs, bys)` — the PQ ENCODE argmin as one native
+  * codegen-friendly expression.
+  *
+  * Exactly [[graft.Similarity]]'s `pqBestExpr` higher-order chain
+  *
+  * {{{ transform(sequence(0, m-1), sx -> array_min(transform(bys[sx],
+  *     cx -> named_struct('d', (subs[sx].vv - (2 * graft_dot(subs[sx].v,
+  *     cx.c))) + cx.cc, 'cid', cx.cid)))) }}}
+  *
+  * with m = size of both inputs: per subspace, the centroid minimizing
+  * the expanded L2 distance d = vv − 2·(v·c) + cc, ties to the lowest
+  * cid (array_min's struct order: d first via the SQL double order,
+  * then cid). The dot is graft_dot's ascending float→double-widened
+  * fold; the d arithmetic keeps the exact operation order, so results
+  * are BIT-IDENTICAL to the HOF form (ExtensionsSpec pins it).
+  *
+  * Why native (guide §4 / §1.2 step 2): the HOF chain evaluates
+  * interpreted — per corpus row it walks ~m·k lambda-bound expression
+  * trees and allocates an m·k struct array just to take its min — and
+  * this is THE per-row hot loop of the PQ family's encode/fit/search
+  * paths (corpus-sized at 100 TB). This expression is one primitive
+  * loop, no intermediate allocation, and inlines into whole-stage
+  * codegen via a single method call.
+  *
+  * Input contract (the pqCorpusOf/pqCellsOf shapes): `subs` is
+  * array<struct<s:int, v:array<float>, vv:double>>, `bys` is
+  * array<array<struct<s:int, cid:int, c:array<double>, cc:double>>>,
+  * elements non-null (same contract as graft_dot). An empty cell list
+  * yields a null entry, exactly like array_min over an empty array. */
+case class PqBest(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_pq_best"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("d", DoubleType, nullable = false),
+      StructField("cid", IntegerType, nullable = false))),
+    containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def subsOk(t: DataType) = t match {
+      case ArrayType(StructType(fs), _) if fs.length == 3 =>
+        fs(1).dataType == ArrayType(FloatType, false) ||
+          fs(1).dataType == ArrayType(FloatType, true)
+      case _ => false
+    }
+    def bysOk(t: DataType) = t match {
+      case ArrayType(ArrayType(StructType(fs), _), _) if fs.length == 4 =>
+        (fs(2).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }) && fs(3).dataType == DoubleType && fs(1).dataType == IntegerType
+      case _ => false
+    }
+    if (subsOk(left.dataType) && bysOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<struct<s,v:array<float>,vv:double>>, " +
+        s"array<array<struct<s,cid:int,c:array<double>,cc:double>>>), " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  /** The primitive loop — shared by interpreted eval and codegen (the
+    * generated code calls this method once per row, which keeps the
+    * surrounding stage in whole-stage codegen). */
+  def best(subsA: ArrayData, bysA: ArrayData): ArrayData = {
+    val m = math.min(subsA.numElements(), bysA.numElements())
+    val out = new Array[Any](m)
+    var sx = 0
+    while (sx < m) {
+      val sub = subsA.getStruct(sx, 3)
+      val v = sub.getArray(1)
+      val vv = sub.getDouble(2)
+      val cells = bysA.getArray(sx)
+      val nc = cells.numElements()
+      var has = false
+      var bestD = 0.0
+      var bestCid = 0
+      var j = 0
+      while (j < nc) {
+        val cx = cells.getStruct(j, 4)
+        val c = cx.getArray(2)
+        val n = math.min(v.numElements(), c.numElements())
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v.getFloat(i).toDouble * c.getDouble(i); i += 1 }
+        val d = (vv - (2 * acc)) + cx.getDouble(3)
+        val cid = cx.getInt(1)
+        val cmp = PqOps.cmpDouble(d, bestD)
+        if (!has || cmp < 0 || (cmp == 0 && cid < bestCid)) {
+          has = true; bestD = d; bestCid = cid
+        }
+        j += 1
+      }
+      out(sx) = if (has) InternalRow(bestD, bestCid) else null
+      sx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    best(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBest", this, classOf[PqBest].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.best($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqBest =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_pq_adc(dtab, codes)` — the ADC table fold as one native
+  * codegen-friendly expression.
+  *
+  * Exactly the higher-order chain
+  *
+  * {{{ aggregate(sequence(0, m-1), cast(0.0 as double), (acc, sx) ->
+  *     acc + element_at(filter(dtab[sx], tx -> tx.cid = codes[sx]), 1).dq) }}}
+  *
+  * with m = size of both inputs: ascending-subspace sum of each stored
+  * code's table entry — the first dtab[sx] entry whose cid equals the
+  * row's code (the tables are cid-unique by construction; "first
+  * match" replicates element_at(filter(...), 1) verbatim). A code with
+  * NO table entry yields NULL, exactly like the HOF's null `.dq`
+  * poisoning the fold. The addition order is the HOF's ascending-sx
+  * fold, so results are BIT-IDENTICAL (ExtensionsSpec pins it).
+  *
+  * `codes` is array<int> (the stored-code shape) or the array<struct<d,
+  * cid>> that [[PqBest]] returns (the search shape — saves the caller a
+  * transform() just to project cid). Same motivation as [[PqBest]]:
+  * this fold runs once per (query, stored-row) candidate, the hot loop
+  * of every ADC scan. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_pq_adc"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def codesAreStructs: Boolean = right.dataType match {
+    case ArrayType(_: StructType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def dtabOk(t: DataType) = t match {
+      case ArrayType(ArrayType(StructType(fs), _), _) if fs.length == 2 =>
+        fs(0).dataType == IntegerType && fs(1).dataType == DoubleType
+      case _ => false
+    }
+    def codesOk(t: DataType) = t match {
+      case ArrayType(IntegerType, _) => true
+      // the PqBest output shape: struct<d:double, cid:int>
+      case ArrayType(StructType(fs), _) =>
+        fs.length == 2 && fs(1).dataType == IntegerType
+      case _ => false
+    }
+    if (dtabOk(left.dataType) && codesOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<array<struct<cid:int,dq:double>>>, " +
+        s"array<int> | array<struct<d,cid:int>>), " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  /** The primitive fold — shared by interpreted eval and codegen. The
+    * boxed return carries the HOF's null-poisoning semantics. */
+  def adc(dtabA: ArrayData, codesA: ArrayData): java.lang.Double = {
+    val structs = codesAreStructs
+    val m = math.min(dtabA.numElements(), codesA.numElements())
+    var acc = 0.0
+    var sx = 0
+    while (sx < m) {
+      val code =
+        if (structs) codesA.getStruct(sx, 2).getInt(1) else codesA.getInt(sx)
+      val tab = dtabA.getArray(sx)
+      val nt = tab.numElements()
+      var j = 0
+      var found = false
+      var dq = 0.0
+      while (j < nt && !found) {
+        val tx = tab.getStruct(j, 2)
+        if (tx.getInt(0) == code) { found = true; dq = tx.getDouble(1) }
+        j += 1
+      }
+      if (!found) return null // ≡ acc + null.dq: the fold goes null
+      acc += dq
+      sx += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double ${ev.value}Boxed = $ref.adc($a, $b);
+         |if (${ev.value}Boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Boxed.doubleValue();
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

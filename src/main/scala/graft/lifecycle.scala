@@ -68,16 +68,45 @@ object IndexLifecycle {
   /** Decoded row count of a log directory from the parquet FOOTERS —
     * driver-side file tails, no Spark job. Cost is proportional to the
     * log's file count, so the decision below memoizes it per stamp. */
-  private def idLogFooterRows(s: SparkSession, dir: String): Long = {
+  private def idLogFooterRows(s: SparkSession, dir: String): Long =
+    parquetFooterRows(s, dir)
+
+  /** Exact row count of a COMMITTED parquet directory from its file
+    * footers — recursive, so partitioned layouts count too. A parquet
+    * footer records the writer's row count at file commit, so this
+    * equals `read.parquet(dir).count()` exactly while costing zero
+    * Spark jobs (no plan, no scheduling round-trip) — the r21 read-back
+    * discipline for the index builds' "count what I just wrote" tails.
+    * Only call on directories this driver just wrote or that are
+    * guarded by the writer gate (a concurrent append would be
+    * list-racy, exactly like the Spark count it replaces). */
+  private[graft] def parquetFooterRows(s: SparkSession, dir: String): Long = {
     val fs = Similarity.hadoopFs(s, dir)
     val conf = s.sparkContext.hadoopConfiguration
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var sum = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
+        try sum += r.getRecordCount finally r.close()
+      }
+    }
+    sum
+  }
+
+  /** Per-first-level-partition footer row counts of a directory written
+    * with `partitionBy(col)` — (partition value string, rows) per
+    * `col=value` subdirectory. Zero Spark jobs (the
+    * [[parquetFooterRows]] contract per subdirectory). */
+  private[graft] def parquetFooterRowsByPartition(
+      s: SparkSession, dir: String, col: String): Seq[(String, Long)] = {
+    val fs = Similarity.hadoopFs(s, dir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$col="))
+      .map(st => (st.getPath.getName.stripPrefix(s"$col="),
+        parquetFooterRows(s, st.getPath.toString)))
   }
 
   /** Decoded row count of the log at `dir` — parquet footers, driver-

@@ -1559,7 +1559,9 @@ object MediaOps {
         .write.mode("overwrite").parquet(s"$path/vecs")
       hashes.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
         .write.mode("overwrite").parquet(s"$path/bands")
-      s.read.parquet(s"$path/bands").count()
+      // read-back count from the artifact's parquet footers (r21): same
+      // value as the Spark count it replaces, zero jobs on the build tail
+      IndexLifecycle.parquetFooterRows(s, s"$path/bands")
     }
 
   /** The stored dial width of an index artifact (the stat's first leg —
@@ -1986,6 +1988,11 @@ object MediaOps {
           Seq("delta_id"))
         .filter(expr(dupCondExpr(family)))
         .select(col("delta_id").as("doc_id")).distinct()
+      val nFresh = fresh.count()
+      // replay fast path (r21): an idempotent re-delivery anti-joins to
+      // nothing — skip the candidate-join subtree and its checkpoint
+      // outright (they would scan the stored bands/vecs for zero rows)
+      if (nFresh == 0L) return (0L, 0L)
       // localCheckpoint (not persist): the admit frame's LINEAGE reads
       // the same vecs/bands paths the appends below write — under
       // spark.graft.persist=never a lazy plan would re-read them at
@@ -1993,10 +2000,12 @@ object MediaOps {
       // counts also come BEFORE the appends for the same reason
       val admit = fresh.join(dupIds, Seq("doc_id"), "left_anti")
         .localCheckpoint()
-      val nFresh = fresh.count()
       val nAdmit = admit.count()
       if (nAdmit > 0) {
-        val priorPop = s.read.parquet(s"$root/vecs").count()
+        // stored population before this merge's appends, from the vecs
+        // artifact's parquet footers (r21) — writer gate held, so the
+        // listing is stable; zero Spark jobs
+        val priorPop = IndexLifecycle.parquetFooterRows(s, s"$root/vecs")
         admit.selectExpr("doc_id", "posexplode(bk) as (band_idx, band_hash)")
           .write.mode("append").parquet(s"$root/bands")
         admit.select(col("doc_id"), col("v"))
@@ -2074,19 +2083,27 @@ object MediaOps {
         .localCheckpoint()
       val present = marked.filter(col("present").isNotNull).select("doc_id")
       val early = marked.filter(col("present").isNull).select("doc_id")
-      val n = present.count()
-      if (n > 0)
-        present.write.mode("append").parquet(s"$path/tombstones")
-      // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
-      // r19 gate on novel appends left a crash window — tombstones land,
-      // the driver dies before the check, and the at-least-once replay
-      // appends nothing, so the check never ran and an above-threshold
-      // victim mass sat on the read path until the next NOVEL takedown.
-      // The r20 amortization is what makes the unconditional call
-      // affordable: below the bound it costs zero Spark jobs (existence
-      // guard + footer-stamped log count, both driver-side).
-      maybeCompactMediaIndex(s, path)
-      if (!early.isEmpty) early.write.mode("append").parquet(s"$path/pending")
+      // tombstone and pending tails are INDEPENDENT legs (guide §2.6,
+      // r21): both derive from the checkpointed `marked` frame — overlap
+      // them; the tombstone leg keeps the calling thread (it can
+      // re-enter the writer gate through compaction)
+      val (n, _) = Par.run2(
+        {
+          val n0 = present.count()
+          if (n0 > 0)
+            present.write.mode("append").parquet(s"$path/tombstones")
+          // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
+          // r19 gate on novel appends left a crash window — tombstones land,
+          // the driver dies before the check, and the at-least-once replay
+          // appends nothing, so the check never ran and an above-threshold
+          // victim mass sat on the read path until the next NOVEL takedown.
+          // The r20 amortization is what makes the unconditional call
+          // affordable: below the bound it costs zero Spark jobs (existence
+          // guard + footer-stamped log count, both driver-side).
+          maybeCompactMediaIndex(s, path)
+          n0
+        },
+        if (!early.isEmpty) early.write.mode("append").parquet(s"$path/pending"))
       n
     }
 
@@ -2143,12 +2160,14 @@ object MediaOps {
         val bands = minusTombstones(s.read.parquet(s"$root/bands"), s, path)
         val newRoot = s"$path/versions/${Similarity.nextVersionName(s, path)}"
         val width2 = if (pop > pricedN) adaptiveBandWidth(bands, bpd) else w0
-        // stat first, marker last (the buildIndexFrom write-order
-        // discipline): an uncommitted version is invisible to readers
-        Seq((width2, bpd, pop)).toDF("width", "bands_per_doc", "priced_n")
-          .write.mode("overwrite").parquet(s"$newRoot/stat")
-        vecs.write.mode("overwrite").parquet(s"$newRoot/vecs")
-        bands.write.mode("overwrite").parquet(s"$newRoot/bands")
+        // the three writes land in an UNCOMMITTED version directory —
+        // invisible until the _COMMITTED marker below — so their order
+        // is free: overlap them (guide §2.6, r21)
+        Par.run3(
+          Seq((width2, bpd, pop)).toDF("width", "bands_per_doc", "priced_n")
+            .write.mode("overwrite").parquet(s"$newRoot/stat"),
+          vecs.write.mode("overwrite").parquet(s"$newRoot/vecs"),
+          bands.write.mode("overwrite").parquet(s"$newRoot/bands"))
         // atomic commit + keep-N GC (VERDICT r18 #3, shared tail):
         // growth-triggered compactions under a sustained ingest stream
         // must not accumulate versions × corpus on disk unattended

@@ -3094,9 +3094,12 @@ object Similarity {
   /** Per-row, per-subspace argmin code (needs `subs` + broadcast `bys`
     * in scope): best = array over s of struct(d, cid), ties → lowest cid. */
   private val pqBestExpr: String =
-    s"""transform(sequence(0, ${PqM - 1}), sx -> array_min(transform(bys[sx],
-       |cx -> named_struct('d', (subs[sx].vv - (2 * ${dotExpr("subs[sx].v", "cx.c")})) + cx.cc,
-       |'cid', cx.cid)))) as best""".stripMargin.replace("\n", " ")
+    // r21: the native codegen'd argmin (graft.functions.PqBest) replaces
+    // the interpreted transform/array_min HOF chain — bit-identical
+    // (ExtensionsSpec pin), one primitive loop per row instead of m·k
+    // lambda-bound trees + an m·k struct allocation on the corpus-sized
+    // encode/fit/search hot path (guide §4 / §1.2 step 2)
+    "graft_pq_best(subs, bys) as best"
 
   /** Decimal-exact per-(s, cid) centroid recompute — all m subspaces in
     * one keyed aggregate (the VecCentroid discipline). */
@@ -3197,9 +3200,9 @@ object Similarity {
       .crossJoin(broadcast(cells)).crossJoin(broadcast(query))
       .selectExpr("vec_id", "label", "embedding", "ee", "qe", "qee", "dtab", pqBestExpr)
       .selectExpr("vec_id", "label", "embedding", "ee", "qe", "qee",
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
-           |(acc, sx) -> acc + element_at(filter(dtab[sx], tx -> tx.cid = best[sx].cid), 1).dq) as adc_d"""
-          .stripMargin.replace("\n", " "))
+        // r21: native ADC fold (graft.functions.PqAdc) — ≡ the
+        // aggregate/filter/element_at HOF chain, bit-identical (pin)
+        "graft_pq_adc(dtab, best) as adc_d")
       .orderBy(col("adc_d"), col("vec_id")).limit(20)
     val out = shortlist
       .selectExpr("vec_id", "label", "adc_d",
@@ -3356,9 +3359,9 @@ object Similarity {
       .join(broadcast(query), col("c_label") === col("q_cell"))
       .selectExpr("vec_id", "label", "c_label", "orig", "qe", "qee", "dtab", pqBestExpr)
       .selectExpr("vec_id", "label", "c_label", "orig", "qe", "qee",
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
-           |(acc, sx) -> acc + element_at(filter(dtab[sx], tx -> tx.cid = best[sx].cid), 1).dq) as adc_d"""
-          .stripMargin.replace("\n", " "))
+        // r21: native ADC fold (graft.functions.PqAdc) — ≡ the
+        // aggregate/filter/element_at HOF chain, bit-identical (pin)
+        "graft_pq_adc(dtab, best) as adc_d")
       .orderBy(col("adc_d"), col("vec_id")).limit(20)
     shortlist
       .selectExpr("vec_id", "label", "c_label", "adc_d",
@@ -3416,9 +3419,9 @@ object Similarity {
       .join(broadcast(query), col("c_label") === col("q_cell"))
       .selectExpr("vec_id", "label", "c_label", "orig", "qe", "qee", "dtab", pqBestExpr)
       .selectExpr("vec_id", "label", "c_label", "orig", "qe", "qee",
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
-           |(acc, sx) -> acc + element_at(filter(dtab[sx], tx -> tx.cid = best[sx].cid), 1).dq) as adc_d"""
-          .stripMargin.replace("\n", " "))
+        // r21: native ADC fold (graft.functions.PqAdc) — ≡ the
+        // aggregate/filter/element_at HOF chain, bit-identical (pin)
+        "graft_pq_adc(dtab, best) as adc_d")
       .orderBy(col("adc_d"), col("vec_id")).limit(20)
     shortlist
       .selectExpr("vec_id", "label", "c_label", "adc_d",
@@ -3970,17 +3973,28 @@ object Similarity {
     * compares the live population against); returns the read-back row
     * count. */
   def buildAnnIndex(s: SparkSession, d: String, path: String): Long = {
+    import s.implicits._
     val rows = coarseRows(s, d) // ONE collect: routing AND the artifact
+    // centroids FIRST (a k-row literal, one trivial job): the lazy gate
+    // keys "built" on assignments/_SUCCESS, so every side artifact a
+    // probe needs must land before it (the buildIndexFrom write-order
+    // discipline) — this also fixes the pre-r21 window where a crash
+    // between the two writes left a gate-visible index with no codebook
+    coarseFrameLit(s, rows, "c_label")
+      .write.mode("overwrite").parquet(s"$path/centroids")
     ivfAssignedWith(s, d, rows)
       .selectExpr("vec_id", "label", "embedding",
         s"sqrt(${dotExpr("embedding", "embedding")}) as nrm", "c_label")
       .write.mode("overwrite").partitionBy("c_label").parquet(s"$path/assignments")
-    coarseFrameLit(s, rows, "c_label")
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    s.read.parquet(s"$path/assignments")
-      .groupBy("c_label").agg(count(lit(1)).as("n"))
+    // per-cell populations and the read-back total from the partition
+    // directories' parquet footers (r21): identical values to the
+    // groupBy + count read-backs these replace, zero Spark jobs
+    val cellRows = graft.IndexLifecycle
+      .parquetFooterRowsByPartition(s, s"$path/assignments", "c_label")
+      .map { case (cl, n) => (cl.toInt, n) }.sortBy(_._1)
+    cellRows.toDF("c_label", "n")
       .write.mode("overwrite").parquet(s"$path/cellstat")
-    s.read.parquet(s"$path/assignments").count()
+    cellRows.map(_._2).sum
   }
 
   /** The deterministic delta batch: jittered re-embeds (+100000) and
@@ -4380,49 +4394,60 @@ object Similarity {
       .localCheckpoint() // the log append below feeds this frame's readers
     val tombPath = s"$path/tombstones"
     val tombstonesExist = graft.ScratchPaths.artifactExists(s, s"$tombPath/_SUCCESS")
-    if (!tombstonesExist) {
-      // first write creates the log (schema even when the request located
-      // nothing — the report's left join needs a readable frame)
-      located.write.mode("overwrite").parquet(tombPath)
-    } else {
-      val newTombs = located
-        .join(s.read.parquet(tombPath).select("vec_id"), Seq("vec_id"), "left_anti")
-        .localCheckpoint()
-      if (!newTombs.isEmpty)
-        newTombs.write.mode("append").parquet(tombPath)
-    }
     // NO physical rewrite (r19, VERDICT r18 #2): deletion is LAZY — the
-    // tombstone append above is the whole takedown, every reader
-    // subtracts the log ([[minusAnnTombstones]], one broadcast anti-join
-    // per read — effective immediately), and the versioned
-    // [[rebuildAnnIndex]] makes it physical. The in-place dynamic-
-    // partition overwrite this replaces could yank a touched cell's
-    // files out from under a probe planned pre-overwrite; an append-only
-    // log cannot invalidate any reader's file listing.
+    // tombstone append is the whole takedown, every reader subtracts
+    // the log ([[minusAnnTombstones]], one broadcast anti-join per read
+    // — effective immediately), and the versioned [[rebuildAnnIndex]]
+    // makes it physical. An append-only log cannot invalidate any
+    // reader's file listing.
     //
-    // PENDING-FORGET (r19c — the media q137 ordering at vector grain):
-    // a takedown racing ahead of its id's first arrival must pend, not
-    // silently drop — the transport can reorder the forget and ingest
-    // streams. Consumed by [[mergeDeltaIntoIndex]]; the log lives at the
-    // PATH ROOT (it must survive version swaps without a carry).
-    val early = victimIds.select("vec_id").dropDuplicates("vec_id")
-      .join(broadcast(located.select("vec_id")), Seq("vec_id"), "left_anti")
-      .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "vec_id"),
-        Seq("vec_id"), "left_anti")
-      .join(graft.IndexLifecycle.hintedIdLog(s, s"$path0/pending", "vec_id"),
-        Seq("vec_id"), "left_anti")
-      .localCheckpoint()
-    if (!early.isEmpty)
-      early.write.mode("append").parquet(s"$path0/pending")
-    // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
-    // r19 gate on novel appends left a crash window — tombstones land,
-    // the driver dies before the check, and the at-least-once replay
-    // appends nothing, so the check never ran and an above-threshold
-    // victim mass sat on the read path until the next NOVEL takedown.
-    // The r20 amortization is what makes the unconditional call
-    // affordable: below the bound it costs zero Spark jobs (existence
-    // guard + footer-stamped log count, both driver-side).
-    maybeCompactAnnIndex(s, path0, path)
+    // The tombstone and pending tails are INDEPENDENT legs (guide §2.6,
+    // r21): every id the tombstone leg appends is in `located`, which
+    // the pending leg anti-joins away regardless of whether its log
+    // scan lists the pre- or post-append files (parquet commits by
+    // atomic rename — a concurrent listing only ever sees whole files).
+    // The tombstone leg keeps the calling thread (it can re-enter the
+    // writer gate through the compaction tail).
+    Par.run2(
+      {
+        if (!tombstonesExist) {
+          // first write creates the log (schema even when the request
+          // located nothing — the report's left join needs a readable
+          // frame)
+          located.write.mode("overwrite").parquet(tombPath)
+        } else {
+          val newTombs = located
+            .join(s.read.parquet(tombPath).select("vec_id"), Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+          if (!newTombs.isEmpty)
+            newTombs.write.mode("append").parquet(tombPath)
+        }
+        // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
+        // r19 gate on novel appends left a crash window — tombstones land,
+        // the driver dies before the check, and the at-least-once replay
+        // appends nothing, so the check never ran and an above-threshold
+        // victim mass sat on the read path until the next NOVEL takedown.
+        // The r20 amortization is what makes the unconditional call
+        // affordable: below the bound it costs zero Spark jobs (existence
+        // guard + footer-stamped log count, both driver-side).
+        maybeCompactAnnIndex(s, path0, path)
+      },
+      {
+        // PENDING-FORGET (r19c — the media q137 ordering at vector grain):
+        // a takedown racing ahead of its id's first arrival must pend, not
+        // silently drop — the transport can reorder the forget and ingest
+        // streams. Consumed by [[mergeDeltaIntoIndex]]; the log lives at the
+        // PATH ROOT (it must survive version swaps without a carry).
+        val early = victimIds.select("vec_id").dropDuplicates("vec_id")
+          .join(broadcast(located.select("vec_id")), Seq("vec_id"), "left_anti")
+          .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "vec_id"),
+            Seq("vec_id"), "left_anti")
+          .join(graft.IndexLifecycle.hintedIdLog(s, s"$path0/pending", "vec_id"),
+            Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        if (!early.isEmpty)
+          early.write.mode("append").parquet(s"$path0/pending")
+      }): Unit
   }
 
   /** The ANN MAINTENANCE POLICY's tombstone leg (r19): when the live
@@ -4671,10 +4696,13 @@ object Similarity {
       cents = cellMeans(asg).transform(Tables.maybePersist)
       asg = reassignCells(asg, cents)
     }
-    asg.selectExpr("vec_id", "label", "embedding", "nrm", "c_label")
-      .write.mode("overwrite").partitionBy("c_label")
-      .parquet(s"$newRoot/assignments")
-    cents.write.mode("overwrite").parquet(s"$newRoot/centroids")
+    // both phase-1 writes land in the UNCOMMITTED version directory —
+    // order free until the _COMMITTED marker: overlap them (§2.6, r21)
+    Par.run2(
+      asg.selectExpr("vec_id", "label", "embedding", "nrm", "c_label")
+        .write.mode("overwrite").partitionBy("c_label")
+        .parquet(s"$newRoot/assignments"),
+      cents.write.mode("overwrite").parquet(s"$newRoot/centroids"))
     beforeCatchup()
     withIndexWriter(s, path) {
       // the tombstone log rides along AS OF NOW (not the phase-1 read):
@@ -5152,7 +5180,9 @@ object Similarity {
     pqEncodedIndex(corpus, cells)
       .write.mode("overwrite").partitionBy("c_label").parquet(s"$path/codes")
     corpus.unpersist(blocking = false)
-    s.read.parquet(s"$path/codes").count()
+    // read-back count from the artifact's parquet footers (r21): same
+    // value as the Spark count it replaces, zero jobs on the build tail
+    graft.IndexLifecycle.parquetFooterRows(s, s"$path/codes")
   }
 
   /** The probe over any (delta, coarse, codebook, index) frames — shared
@@ -5194,9 +5224,8 @@ object Similarity {
       .join(broadcast(withTab.select("dv", "q_cell", "dtab")),
         col("c_label") === col("q_cell"))
       .selectExpr("dv", "vec_id as nn_id",
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
-           |(acc, sx) -> acc + element_at(filter(dtab[sx], tx -> tx.cid = codes[sx]), 1).dq) as adc_d"""
-          .stripMargin.replace("\n", " "))
+        // r21: native ADC fold over the stored codes (bit-identical pin)
+        "graft_pq_adc(dtab, codes) as adc_d")
     val short = adc.as[(Long, Long, Double)]
       .groupByKey(_._1).mapValues(t => (-t._3, t._2))
       .agg(TopKCos.toColumn.name("top"))
@@ -5328,22 +5357,34 @@ object Similarity {
       }
       val admitted = graft.IndexLifecycle.minusIdLog(
         deduped, s, s"$path/tombstones", "vec_id")
+      // localCheckpoint HERE, not on the encoded frame (r21): it is the
+      // registry anti-join whose lineage reads the codes path the append
+      // below writes (the read-write-cycle discipline), and cutting the
+      // chain at the narrow admitted frame lets the idempotent-replay
+      // fast path below skip the whole encode subtree — two parquet
+      // reads, two broadcast builds and an encode job that a replayed
+      // batch spends on zero rows
       val fresh = admitted
         .join(s.read.parquet(s"$root/codes").select("vec_id"),
           Seq("vec_id"), "left_anti")
-      val nBatch = deduped.count()
-      val cells = pqCellsOfRead(s, s"$root/codebook")
-      // localCheckpoint: the encoded frame's lineage reads the codes
-      // path the append below writes (the read-write-cycle discipline)
-      val newRows = pqEncodedIndex(
-          pqCorpusOf(pqRouteResidual(fresh, s.read.parquet(s"$root/coarse")),
-            Seq("c_label", "orig")),
-          cells)
         .localCheckpoint()
-      val nAdmit = newRows.count()
-      if (nAdmit > 0)
-        newRows.write.mode("append").partitionBy("c_label")
-          .parquet(s"$root/codes")
+      val nBatch = deduped.count()
+      val nAdmit =
+        if (fresh.isEmpty) 0L // replay fixed point: nothing to encode
+        else {
+          val cells = pqCellsOfRead(s, s"$root/codebook")
+          pqEncodedIndex(
+              pqCorpusOf(pqRouteResidual(fresh, s.read.parquet(s"$root/coarse")),
+                Seq("c_label", "orig")),
+              cells)
+            .write.mode("append").partitionBy("c_label")
+            .parquet(s"$root/codes")
+          // the encode chain is row-preserving (every step crossJoins a
+          // one-row broadcast frame and projects), so the admitted count
+          // IS the checkpointed fresh frame's count — no separate pass
+          // over the encode plan
+          fresh.count()
+        }
       (nAdmit, nBatch - nAdmit)
     }
 
@@ -5369,34 +5410,51 @@ object Similarity {
           .join(s.read.parquet(tombPath).select("vec_id"),
             Seq("vec_id"), "left_anti")
           .localCheckpoint()
-      val n = newTombs.count()
-      // the log is created only by a takedown that LOCATED something —
-      // a request for absent ids must not mint an empty log that every
-      // future probe pays an anti-join against
-      if (n > 0)
-        newTombs.write.mode(if (exists) "append" else "overwrite")
-          .parquet(tombPath)
-      // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
-      // r19 gate on novel appends left a crash window — tombstones land,
-      // the driver dies before the check, and the at-least-once replay
-      // appends nothing, so the check never ran and an above-threshold
-      // victim mass sat on the read path until the next NOVEL takedown.
-      // The r20 amortization is what makes the unconditional call
-      // affordable: below the bound it costs zero Spark jobs (existence
-      // guard + footer-stamped log count, both driver-side).
-      maybeCompactPqIndex(s, path)
-      // pending-forget (r19c — the media q137 ordering at compressed
-      // grain): a takedown racing ahead of its id's first arrival pends
-      // until [[mergePqBatchIntoIndex]] consumes it
-      val early = victimIds.select("vec_id").dropDuplicates("vec_id")
-        .join(broadcast(located.select("vec_id")), Seq("vec_id"), "left_anti")
-        .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "vec_id"),
-          Seq("vec_id"), "left_anti")
-        .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/pending", "vec_id"),
-          Seq("vec_id"), "left_anti")
-        .localCheckpoint()
-      if (!early.isEmpty)
-        early.write.mode("append").parquet(s"$path/pending")
+      // The two tails below are INDEPENDENT legs (guide §2.6, the r21
+      // merge of the §2 Par discipline into the takedown path): the
+      // tombstone leg appends located victims + runs maintenance; the
+      // pending leg handles never-located ids. Their results cannot
+      // interact — `early` anti-joins `located`, and every id the
+      // tombstone leg appends IS located, so whether the pending leg's
+      // log scan lists the pre- or post-append tombstone files the
+      // early set is identical (parquet files commit by atomic rename,
+      // so a concurrent listing only ever sees whole files). The
+      // tombstone leg runs on the calling thread — it can re-enter the
+      // writer gate (compaction); the pending leg takes no lock.
+      val (n, _) = Par.run2(
+        {
+          val n0 = newTombs.count()
+          // the log is created only by a takedown that LOCATED something —
+          // a request for absent ids must not mint an empty log that every
+          // future probe pays an anti-join against
+          if (n0 > 0)
+            newTombs.write.mode(if (exists) "append" else "overwrite")
+              .parquet(tombPath)
+          // Maintenance tail, UNCONDITIONAL at the takedown tail (r20): the
+          // r19 gate on novel appends left a crash window — tombstones land,
+          // the driver dies before the check, and the at-least-once replay
+          // appends nothing, so the check never ran and an above-threshold
+          // victim mass sat on the read path until the next NOVEL takedown.
+          // The r20 amortization is what makes the unconditional call
+          // affordable: below the bound it costs zero Spark jobs (existence
+          // guard + footer-stamped log count, both driver-side).
+          maybeCompactPqIndex(s, path)
+          n0
+        },
+        {
+          // pending-forget (r19c — the media q137 ordering at compressed
+          // grain): a takedown racing ahead of its id's first arrival pends
+          // until [[mergePqBatchIntoIndex]] consumes it
+          val early = victimIds.select("vec_id").dropDuplicates("vec_id")
+            .join(broadcast(located.select("vec_id")), Seq("vec_id"), "left_anti")
+            .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/tombstones", "vec_id"),
+              Seq("vec_id"), "left_anti")
+            .join(graft.IndexLifecycle.hintedIdLog(s, s"$path/pending", "vec_id"),
+              Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+          if (!early.isEmpty)
+            early.write.mode("append").parquet(s"$path/pending")
+        })
       n
     }
 
@@ -5416,20 +5474,27 @@ object Similarity {
         else 0L
       if (victims > 0) {
         val newRoot = s"$path/versions/${nextVersionName(s, path)}"
-        livePqCodes(s, path, root)
-          .write.mode("overwrite").partitionBy("c_label")
-          .parquet(s"$newRoot/codes")
-        s.read.parquet(s"$root/codebook")
-          .write.mode("overwrite").parquet(s"$newRoot/codebook")
-        s.read.parquet(s"$root/coarse")
-          .write.mode("overwrite").parquet(s"$newRoot/coarse")
+        // the three artifact writes are mutually independent and land in
+        // an UNCOMMITTED version directory — readers resolve through the
+        // _COMMITTED marker written last, so their order is free:
+        // overlap them (guide §2.6, r21)
+        Par.run3(
+          livePqCodes(s, path, root)
+            .write.mode("overwrite").partitionBy("c_label")
+            .parquet(s"$newRoot/codes"),
+          s.read.parquet(s"$root/codebook")
+            .write.mode("overwrite").parquet(s"$newRoot/codebook"),
+          s.read.parquet(s"$root/coarse")
+            .write.mode("overwrite").parquet(s"$newRoot/coarse"))
         // the stat rides along: n re-counted to the compacted population,
         // the distortion REFERENCE unchanged (same codebook — compaction
         // never refits; the decay dial must not reset without a refit)
         if (graft.ScratchPaths.artifactExists(s, s"$root/stat/_SUCCESS")) {
           import s.implicits._
           val dRef = s.read.parquet(s"$root/stat").head().getLong(1)
-          Seq((s.read.parquet(s"$newRoot/codes").count(), dRef))
+          // compacted population from the just-written codes' parquet
+          // footers (r21) — identical to the Spark count, zero jobs
+          Seq((graft.IndexLifecycle.parquetFooterRows(s, s"$newRoot/codes"), dRef))
             .toDF("n_rows", "dmicro")
             .write.mode("overwrite").parquet(s"$newRoot/stat")
         }

@@ -2746,4 +2746,126 @@ class ExtensionsSpec extends SparkSpec {
         Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"), path)
     }
   }
+
+  test("graft_pq_best (native) == transform/array_min HOF chain, bit-identical incl. ties and empty cells (r21)") {
+    // the r21 PQ-encode native expression: this pin is what makes the
+    // swap a pure engine optimization — same d arithmetic order, same
+    // SQL double ordering (-0.0 == 0.0), ties to the lowest cid, empty
+    // cell list → null entry (array_min semantics)
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val m = 3
+    // cells engineered so subspace 0 has a TIE on d between cid 1 and 2
+    // (identical centroids), subspace 2 has an empty cell list
+    val rows = Seq(
+      (1L, Array(0.5f, -1.25f, 2.0f, 0.125f, 3.5f, -0.75f)),
+      (2L, Array(-2.0f, 0.0f, 1.0f, 1.0f, -1.5f, 0.25f)),
+      (3L, Array(0.1f, 0.2f, 0.3f, 0.4f, 0.5f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val subs = rows.selectExpr("vec_id",
+      s"""transform(sequence(0, ${m - 1}), sx -> named_struct('s', sx,
+         |'v', slice(embedding, sx * 2 + 1, 2))) as sub0"""
+        .stripMargin.replace("\n", " "))
+      .selectExpr("vec_id",
+        """transform(sub0, x -> named_struct('s', x.s, 'v', x.v,
+          |'vv', graft_dot(x.v, x.v))) as subs"""
+          .stripMargin.replace("\n", " "))
+    val cellRows = Seq(
+      (0, 1, Array(1.0, 0.5)), (0, 2, Array(1.0, 0.5)), // tie by value
+      (0, 3, Array(9.0, 9.0)),
+      (1, 1, Array(0.25, -0.5)), (1, 2, Array(-0.125, 1.0 / 3.0)))
+      // subspace 2: NO cells
+      .toDF("s", "cid", "c")
+    val cells = cellRows
+      .selectExpr("s", "cid", "c", "graft_dot(c, c) as cc")
+      .agg(sort_array(collect_list(struct(col("s"), col("cid"), col("c"), col("cc")))).as("cells"))
+      .selectExpr("cells",
+        s"transform(sequence(0, ${m - 1}), sx -> filter(cells, cx -> cx.s = sx)) as bys")
+    val joined = subs.crossJoin(broadcast(cells))
+    val hof = joined.selectExpr("vec_id",
+      s"""transform(sequence(0, ${m - 1}), sx -> array_min(transform(bys[sx],
+         |cx -> named_struct('d', (subs[sx].vv - (2 * graft_dot(subs[sx].v, cx.c))) + cx.cc,
+         |'cid', cx.cid)))) as best""".stripMargin.replace("\n", " "))
+    val nat = joined.selectExpr("vec_id", "graft_pq_best(subs, bys) as best")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          if (x == null) null
+          else (java.lang.Double.doubleToLongBits(x.getDouble(0)), x.getInt(1))).toList)
+      }.sortBy(_._1).toList
+    assert(canon(nat) == canon(hof), "native pq_best != HOF chain")
+    // the tie must resolve to the LOWEST cid and the empty subspace to null
+    val b1 = canon(nat).head._2
+    assert(b1(0) != null && b1(0).asInstanceOf[(Long, Int)]._2 == 1, "tie not lowest-cid")
+    assert(b1(2) == null, "empty cell list not null")
+  }
+
+  test("graft_pq_adc (native) == aggregate/filter/element_at HOF fold, bit-identical incl. missing-code null (r21)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val m = 3
+    // dtab: per-subspace (cid, dq) tables; codes pick existing entries,
+    // and one row carries a code with NO table entry (null fold)
+    val df = Seq(
+      (1L, Seq(Seq((1, 0.5), (2, -0.25)), Seq((1, 1.0 / 3.0)), Seq((7, 2.5))),
+        Seq(2, 1, 7)),
+      (2L, Seq(Seq((1, 0.5), (2, -0.25)), Seq((1, 1.0 / 3.0)), Seq((7, 2.5))),
+        Seq(1, 1, 7)))
+      .toDF("vec_id", "dtab0", "codes")
+      .selectExpr("vec_id",
+        "transform(dtab0, t -> transform(t, x -> named_struct('cid', x._1, 'dq', x._2))) as dtab",
+        "codes")
+    val hof = df.selectExpr("vec_id",
+      s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+         |(acc, sx) -> acc + element_at(filter(dtab[sx], tx -> tx.cid = codes[sx]), 1).dq) as adc_d"""
+        .stripMargin.replace("\n", " "))
+    val nat = df.selectExpr("vec_id", "graft_pq_adc(dtab, codes) as adc_d")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L
+        else java.lang.Double.doubleToLongBits(r.getDouble(1)))).sortBy(_._1).toList
+    assert(canon(nat) == canon(hof), "native pq_adc != HOF fold")
+    // the codebooks cover every stored code by construction, so a
+    // missing entry is unreachable in production; on that edge the HOF
+    // form ERRORS under ANSI (element_at on the empty filter result)
+    // where the native fold yields NULL — strictly more defensive, and
+    // a null adc_d sorts last so it could never enter a shortlist
+    val missing = df.selectExpr("vec_id", "dtab", "array(1, 1, 9) as codes")
+      .selectExpr("graft_pq_adc(dtab, codes) as adc_d")
+    assert(missing.collect().forall(_.isNullAt(0)),
+      "missing code did not null the fold")
+    // the struct-input shape (PqBest output) projects cid identically
+    val natStruct = df.selectExpr("vec_id",
+      "transform(codes, c -> named_struct('d', cast(0.0 as double), 'cid', c)) as best", "dtab")
+      .selectExpr("vec_id", "graft_pq_adc(dtab, best) as adc_d")
+    assert(canon(natStruct) == canon(hof), "struct-shaped codes != int codes")
+  }
+
+  test("parquetFooterRows == Spark count, flat and partitioned; per-partition footer counts == groupBy (r21)") {
+    // the r21 read-back discipline: the index builds' "count what I just
+    // wrote" tails answer from the written files' parquet footers (zero
+    // Spark jobs) — this pin is what makes that swap a pure job-count
+    // optimization: a parquet footer records the writer's exact row
+    // count at commit, so the two counts can never diverge
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-footer-").toString
+    val df = (0 until 257).map(i => (i.toLong, i % 5, s"v$i"))
+      .toDF("id", "cell", "payload")
+    df.write.mode("overwrite").parquet(s"$dir/flat")
+    assert(IndexLifecycle.parquetFooterRows(spark, s"$dir/flat") ===
+      spark.read.parquet(s"$dir/flat").count())
+    df.repartition(4).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/part")
+    assert(IndexLifecycle.parquetFooterRows(spark, s"$dir/part") === 257L)
+    val byPart = IndexLifecycle
+      .parquetFooterRowsByPartition(spark, s"$dir/part", "cell")
+      .map { case (c, n) => (c.toInt, n) }.sortBy(_._1)
+    val byGroup = spark.read.parquet(s"$dir/part")
+      .groupBy("cell").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(byPart === byGroup, "per-partition footer counts != groupBy counts")
+    // appends accumulate (the media merge priorPop read)
+    df.limit(10).write.mode("append").parquet(s"$dir/flat")
+    assert(IndexLifecycle.parquetFooterRows(spark, s"$dir/flat") === 267L)
+  }
 }
