@@ -102,6 +102,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
       (children: Seq[Expression]) => PqAdc(children(0), children(1))),
+    (FunctionIdentifier("graft_pq_dcode"),
+      new ExpressionInfo(classOf[PqDcode].getName, "graft_pq_dcode"),
+      (children: Seq[Expression]) => PqDcode(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => children match {

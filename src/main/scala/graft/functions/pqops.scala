@@ -232,3 +232,119 @@ case class PqAdc(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_pq_dcode(subs, bys, codes)` — the STORED-code distortion
+  * reconstruction as one native codegen-friendly expression.
+  *
+  * Exactly the higher-order chain (with `at(sx)` =
+  * `element_at(filter(bys[sx], cx -> cx.cid = codes[sx]), 1)`):
+  *
+  * {{{ aggregate(sequence(0, m-1), cast(0.0 as double), (acc, sx) ->
+  *     acc + ((subs[sx].vv - (2 * graft_dot(subs[sx].v, at(sx).c)))
+  *            + at(sx).cc)) }}}
+  *
+  * with m = size of the inputs: per subspace, look up the stored
+  * code's centroid (first match — the tables are cid-unique by
+  * construction) and accumulate d = vv − 2·(v·c) + cc in ascending-s
+  * order, graft_dot's ascending float→double fold inside. The HOF form
+  * evaluates the filter TWICE per subspace (once for `.c`, once for
+  * `.cc`) and walks the lambda trees per corpus row — this is the
+  * drift dial's full-corpus pass (q149 / the auto-refit trigger), the
+  * same hot-loop shape [[PqBest]] removes from the encode path. A code
+  * with no codebook entry yields NULL (the PqAdc lenient-edge stance:
+  * unreachable in production, and the HOF under ANSI would error
+  * there). Bit-identity with the HOF chain is pinned in
+  * ExtensionsSpec. */
+case class PqDcode(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def prettyName: String = "graft_pq_dcode"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def subsOk(t: DataType) = t match {
+      case ArrayType(StructType(fs), _) if fs.length == 3 =>
+        (fs(1).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }) && fs(2).dataType == DoubleType
+      case _ => false
+    }
+    def bysOk(t: DataType) = t match {
+      case ArrayType(ArrayType(StructType(fs), _), _) if fs.length == 4 =>
+        (fs(2).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }) && fs(3).dataType == DoubleType && fs(1).dataType == IntegerType
+      case _ => false
+    }
+    def codesOk(t: DataType) = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (subsOk(first.dataType) && bysOk(second.dataType) && codesOk(third.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<struct<s,v:array<float>,vv:double>>, " +
+        s"array<array<struct<s,cid:int,c:array<double>,cc:double>>>, array<int>), " +
+        s"got ${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+  }
+
+  /** The primitive fold — shared by interpreted eval and codegen. */
+  def dcode(subsA: ArrayData, bysA: ArrayData, codesA: ArrayData): java.lang.Double = {
+    val m = math.min(subsA.numElements(),
+      math.min(bysA.numElements(), codesA.numElements()))
+    var acc = 0.0
+    var sx = 0
+    while (sx < m) {
+      val sub = subsA.getStruct(sx, 3)
+      val v = sub.getArray(1)
+      val vv = sub.getDouble(2)
+      val code = codesA.getInt(sx)
+      val cells = bysA.getArray(sx)
+      val nc = cells.numElements()
+      var j = 0
+      var found = false
+      var d = 0.0
+      while (j < nc && !found) {
+        val cx = cells.getStruct(j, 4)
+        if (cx.getInt(1) == code) {
+          found = true
+          val c = cx.getArray(2)
+          val n = math.min(v.numElements(), c.numElements())
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += v.getFloat(i).toDouble * c.getDouble(i); i += 1 }
+          d = (vv - (2 * dot)) + cx.getDouble(3)
+        }
+        j += 1
+      }
+      if (!found) return null // ≡ the null-poisoned HOF fold
+      acc += d
+      sx += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    dcode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqDcode", this, classOf[PqDcode].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""
+         |java.lang.Double ${ev.value}Boxed = $ref.dcode($a, $b, $c);
+         |if (${ev.value}Boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Boxed.doubleValue();
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqDcode =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

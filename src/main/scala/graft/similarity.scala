@@ -5562,16 +5562,13 @@ object Similarity {
   private def pqStoredDistortionMicros(s: SparkSession, path: String,
                                        root: String): DataFrame = {
     val cells = pqCellsOfRead(s, s"$root/codebook")
-    val at = (sx: String) => // codes[sx]: 0-based GetArrayItem, the probe's idiom
-      s"element_at(filter(bys[$sx], cx -> cx.cid = codes[$sx]), 1)"
     pqLiveResidualCorpus(s, path, root)
       .crossJoin(broadcast(cells))
-      .selectExpr("vec_id",
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0.0 as double),
-           |(acc, sx) -> acc + ((subs[sx].vv -
-           |(2 * ${dotExpr("subs[sx].v", s"${at("sx")}.c")})) +
-           |${at("sx")}.cc)) as dsum"""
-          .stripMargin.replace("\n", " "))
+      // r21: native stored-code distortion fold (graft.functions.PqDcode)
+      // — ≡ the aggregate/element_at(filter(...)) HOF chain, which also
+      // evaluated the per-subspace filter TWICE per row (once for .c,
+      // once for .cc); bit-identical (ExtensionsSpec pin)
+      .selectExpr("vec_id", "graft_pq_dcode(subs, bys, codes) as dsum")
       .selectExpr("vec_id", "cast(floor(dsum * 1e6 + 0.5) as long) as micro")
   }
 

@@ -2841,6 +2841,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(canon(natStruct) == canon(hof), "struct-shaped codes != int codes")
   }
 
+  test("graft_pq_dcode (native) == aggregate + double element_at(filter) HOF fold, bit-identical (r21)") {
+    // the q149 stored-code distortion reconstruction: the HOF form
+    // walks the per-subspace filter TWICE per row (.c and .cc); the
+    // native fold is one scan — this pin makes the swap pure
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val m = 2
+    val rows = Seq(
+      (1L, Array(0.5f, -1.25f, 2.0f, 0.125f), Seq(2, 1)),
+      (2L, Array(-2.0f, 0.0f, 1.0f, 1.0f), Seq(1, 1)))
+      .toDF("vec_id", "embedding", "codes")
+    val subs = rows.selectExpr("vec_id", "codes",
+      s"""transform(sequence(0, ${m - 1}), sx -> named_struct('s', sx,
+         |'v', slice(embedding, sx * 2 + 1, 2))) as sub0"""
+        .stripMargin.replace("\n", " "))
+      .selectExpr("vec_id", "codes",
+        """transform(sub0, x -> named_struct('s', x.s, 'v', x.v,
+          |'vv', graft_dot(x.v, x.v))) as subs"""
+          .stripMargin.replace("\n", " "))
+    val cells = Seq(
+      (0, 1, Array(1.0, 0.5)), (0, 2, Array(-0.25, 1.0 / 3.0)),
+      (1, 1, Array(0.25, -0.5)), (1, 2, Array(0.125, 2.0)))
+      .toDF("s", "cid", "c")
+      .selectExpr("s", "cid", "c", "graft_dot(c, c) as cc")
+      .agg(sort_array(collect_list(struct(col("s"), col("cid"), col("c"), col("cc")))).as("cells"))
+      .selectExpr(
+        s"transform(sequence(0, ${m - 1}), sx -> filter(cells, cx -> cx.s = sx)) as bys")
+    val joined = subs.crossJoin(broadcast(cells))
+    val at = (sx: String) =>
+      s"element_at(filter(bys[$sx], cx -> cx.cid = codes[$sx]), 1)"
+    val hof = joined.selectExpr("vec_id",
+      s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double),
+         |(acc, sx) -> acc + ((subs[sx].vv -
+         |(2 * graft_dot(subs[sx].v, ${at("sx")}.c))) +
+         |${at("sx")}.cc)) as dsum""".stripMargin.replace("\n", " "))
+    val nat = joined.selectExpr("vec_id", "graft_pq_dcode(subs, bys, codes) as dsum")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).sortBy(_._1).toList
+    assert(canon(nat) == canon(hof), "native pq_dcode != HOF fold")
+    // a code with no codebook entry nulls the fold (the PqAdc stance)
+    val missing = joined.selectExpr("graft_pq_dcode(subs, bys, array(9, 1)) as dsum")
+    assert(missing.collect().forall(_.isNullAt(0)), "missing code did not null")
+  }
+
   test("parquetFooterRows == Spark count, flat and partitioned; per-partition footer counts == groupBy (r21)") {
     // the r21 read-back discipline: the index builds' "count what I just
     // wrote" tails answer from the written files' parquet footers (zero
