@@ -105,6 +105,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_pq_dcode"),
       new ExpressionInfo(classOf[PqDcode].getName, "graft_pq_dcode"),
       (children: Seq[Expression]) => PqDcode(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_route_max"),
+      new ExpressionInfo(classOf[RouteMax].getName, "graft_route_max"),
+      (children: Seq[Expression]) => RouteMax(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_km_best"),
+      new ExpressionInfo(classOf[KmBest].getName, "graft_km_best"),
+      (children: Seq[Expression]) => KmBest(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => children match {

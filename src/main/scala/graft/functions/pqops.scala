@@ -348,3 +348,242 @@ case class PqDcode(first: Expression, second: Expression, third: Expression)
       newFirst: Expression, newSecond: Expression, newThird: Expression): PqDcode =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** `graft_route_max(e, nrm, cells)` — the coarse-routing cosine argmax
+  * as one native codegen-friendly expression.
+  *
+  * Exactly the higher-order chain
+  *
+  * {{{ array_max(transform(cells, c -> named_struct(
+  *     'cos', graft_dot(e, c.centroid) /
+  *       (nrm * sqrt(graft_dot(c.centroid, c.centroid))),
+  *     'nl', -c.c_label))) }}}
+  *
+  * the per-row router of every IVF/ANN/PQ build, merge and probe: max
+  * cosine, ties to the HIGHEST nl = lowest c_label (array_max's struct
+  * order over the SQL double total order). Identical arithmetic per
+  * cell — graft_dot's ascending widened fold, sqrt, the same
+  * `dot / (nrm * sqrt(cc))` operation order — so results are
+  * BIT-IDENTICAL to the HOF form (ExtensionsSpec pins it). The HOF
+  * walked ~k lambda-bound trees per corpus row, recomputed each
+  * centroid's self-dot + sqrt per row, allocated a k-struct array to
+  * take its max, and broke whole-stage codegen; this is one primitive
+  * loop. Empty cells → null (array_max semantics). */
+case class RouteMax(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def prettyName: String = "graft_route_max"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cos", DoubleType, nullable = false),
+    StructField("nl", IntegerType, nullable = false)))
+
+  private def arrOk(t: DataType) = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def cellsOk(t: DataType) = t match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 =>
+        fs(0).dataType == IntegerType && arrOk(fs(1).dataType)
+      case _ => false
+    }
+    if (arrOk(first.dataType) && second.dataType == DoubleType &&
+        cellsOk(third.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<float|double>, double, " +
+        s"array<struct<c_label:int,centroid:array<float|double>>>), " +
+        s"got ${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+  }
+
+  private def eIsFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def cIsFloat: Boolean = third.dataType match {
+    case ArrayType(StructType(fs), _) => fs(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** The primitive loop — shared by interpreted eval and codegen. */
+  def route(eA: ArrayData, nrm: Double, cellsA: ArrayData): InternalRow = {
+    val (ef, cf) = (eIsFloat, cIsFloat)
+    val ne = eA.numElements()
+    val k = cellsA.numElements()
+    var has = false
+    var bestCos = 0.0
+    var bestNl = 0
+    var j = 0
+    while (j < k) {
+      val cell = cellsA.getStruct(j, 2)
+      val c = cell.getArray(1)
+      val n = math.min(ne, c.numElements())
+      var dot = 0.0
+      var cc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (ef) eA.getFloat(i).toDouble else eA.getDouble(i)
+        val y = if (cf) c.getFloat(i).toDouble else c.getDouble(i)
+        dot += x * y
+        i += 1
+      }
+      // the centroid self-dot runs over the FULL centroid length, like
+      // the HOF's graft_dot(c.centroid, c.centroid)
+      val nc = c.numElements()
+      i = 0
+      while (i < nc) {
+        val y = if (cf) c.getFloat(i).toDouble else c.getDouble(i)
+        cc += y * y
+        i += 1
+      }
+      val cos = dot / (nrm * java.lang.Math.sqrt(cc))
+      val nl = -cell.getInt(0)
+      val cmp = PqOps.cmpDouble(cos, bestCos)
+      if (!has || cmp > 0 || (cmp == 0 && nl > bestNl)) {
+        has = true; bestCos = cos; bestNl = nl
+      }
+      j += 1
+    }
+    if (has) InternalRow(bestCos, bestNl) else null
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    route(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("routeMax", this, classOf[RouteMax].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow ${ev.value}Row = $ref.route($a, $b, $c);
+         |if (${ev.value}Row == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Row;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): RouteMax =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_km_best(embedding, ee, cells)` — the k-means nearest-centroid
+  * argmin as one native codegen-friendly expression.
+  *
+  * Exactly the higher-order chain
+  *
+  * {{{ array_min(transform(cells, x -> named_struct(
+  *     'd', (ee - (2 * graft_dot(embedding, x.c))) + x.cc,
+  *     'cid', x.cid))) }}}
+  *
+  * — the per-row Lloyd assignment of the k-means family (cells carry
+  * the PREcomputed self-dot cc, unlike [[RouteMax]]): min expanded-L2
+  * d, ties to the lowest cid. Same d arithmetic order and SQL double
+  * order as [[PqBest]]; bit-identity pinned in ExtensionsSpec. Empty
+  * cells → null (array_min semantics). */
+case class KmBest(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def prettyName: String = "graft_km_best"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+
+  private def arrOk(t: DataType) = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def cellsOk(t: DataType) = t match {
+      case ArrayType(StructType(fs), _) if fs.length == 3 =>
+        fs(0).dataType == IntegerType && arrOk(fs(1).dataType) &&
+          fs(2).dataType == DoubleType
+      case _ => false
+    }
+    if (arrOk(first.dataType) && second.dataType == DoubleType &&
+        cellsOk(third.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<float|double>, double, " +
+        s"array<struct<cid:int,c:array<float|double>,cc:double>>), " +
+        s"got ${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+  }
+
+  private def eIsFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def cIsFloat: Boolean = third.dataType match {
+    case ArrayType(StructType(fs), _) => fs(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** The primitive loop — shared by interpreted eval and codegen. */
+  def best(eA: ArrayData, ee: Double, cellsA: ArrayData): InternalRow = {
+    val (ef, cf) = (eIsFloat, cIsFloat)
+    val ne = eA.numElements()
+    val k = cellsA.numElements()
+    var has = false
+    var bestD = 0.0
+    var bestCid = 0
+    var j = 0
+    while (j < k) {
+      val cell = cellsA.getStruct(j, 3)
+      val c = cell.getArray(1)
+      val n = math.min(ne, c.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (ef) eA.getFloat(i).toDouble else eA.getDouble(i)
+        val y = if (cf) c.getFloat(i).toDouble else c.getDouble(i)
+        dot += x * y
+        i += 1
+      }
+      val d = (ee - (2 * dot)) + cell.getDouble(2)
+      val cid = cell.getInt(0)
+      val cmp = PqOps.cmpDouble(d, bestD)
+      if (!has || cmp < 0 || (cmp == 0 && cid < bestCid)) {
+        has = true; bestD = d; bestCid = cid
+      }
+      j += 1
+    }
+    if (has) InternalRow(bestD, bestCid) else null
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    best(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kmBest", this, classOf[KmBest].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow ${ev.value}Row = $ref.best($a, $b, $c);
+         |if (${ev.value}Row == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}Row;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): KmBest =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -545,11 +545,10 @@ object Similarity {
       .selectExpr("vec_id", "label", "embedding", "cells",
         s"sqrt(${dotExpr("embedding", "embedding")}) as nrm")
       .selectExpr("vec_id", "label", "embedding",
-        s"""array_max(transform(cells, c -> named_struct(
-           |  'cos', ${dotExpr("embedding", "c.centroid")} /
-           |    (nrm * sqrt(graft_dot(c.centroid, c.centroid))),
-           |  'nl', -c.c_label))) as best"""
-          .stripMargin.replace("\n", " "))
+        // r21: native routing argmax (graft.functions.RouteMax) — ≡ the
+        // array_max/transform HOF chain, bit-identical (ExtensionsSpec
+        // pin); one primitive loop per row, codegen restored
+        "graft_route_max(embedding, nrm, cells) as best")
       .selectExpr("vec_id", "label", "embedding", "cast(-best.nl as int) as c_label")
   }
 
@@ -712,9 +711,9 @@ object Similarity {
   private[graft] def kmAssign(emb: DataFrame, cells: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cells))
       .selectExpr("vec_id", "embedding", "ee",
-        s"""array_min(transform(cells, x -> named_struct(
-           |'d', (ee - (2 * ${dotExpr("embedding", "x.c")})) + x.cc,
-           |'cid', x.cid))) as best""".stripMargin.replace("\n", " "))
+        // r21: native Lloyd-assignment argmin (graft.functions.KmBest) —
+        // ≡ the array_min/transform HOF chain, bit-identical (pin)
+        "graft_km_best(embedding, ee, cells) as best")
       .selectExpr("vec_id", "embedding", "best.cid as cid", "best.d as d")
 
   /** Per-cluster decimal-exact centroid recompute (VecCentroid keyed by
@@ -4027,11 +4026,8 @@ object Similarity {
       .selectExpr("vec_id", "embedding", "cells",
         s"sqrt(${dotExpr("embedding", "embedding")}) as dnrm")
       .selectExpr("vec_id", "embedding as de", "dnrm",
-        s"""array_max(transform(cells, c -> named_struct(
-           |'cos', ${dotExpr("embedding", "c.centroid")} /
-           |  (dnrm * sqrt(graft_dot(c.centroid, c.centroid))),
-           |'nl', -c.c_label))) as best"""
-          .stripMargin.replace("\n", " "))
+        // r21: native routing argmax — bit-identical to the HOF chain
+        "graft_route_max(embedding, dnrm, cells) as best")
       .selectExpr("vec_id", "de", "dnrm", "cast(-best.nl as int) as q_cell")
   }
 
@@ -4629,11 +4625,8 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
     pop.drop("c_label").crossJoin(broadcast(cells))
       .selectExpr("vec_id", "label", "embedding", "nrm", "c0",
-        s"""array_max(transform(cells, c -> named_struct(
-           |'cos', ${dotExpr("embedding", "c.centroid")} /
-           |  (nrm * sqrt(graft_dot(c.centroid, c.centroid))),
-           |'nl', -c.c_label))) as best"""
-          .stripMargin.replace("\n", " "))
+        // r21: native routing argmax — bit-identical to the HOF chain
+        "graft_route_max(embedding, nrm, cells) as best")
       .selectExpr("vec_id", "label", "embedding", "nrm", "c0",
         "cast(-best.nl as int) as c_label")
   }
@@ -5197,11 +5190,8 @@ object Similarity {
       .selectExpr("vec_id", "embedding", "cb",
         s"sqrt(${dotExpr("embedding", "embedding")}) as dnrm")
       .selectExpr("vec_id", "embedding as de", "dnrm", "cb",
-        s"""array_max(transform(cb, c -> named_struct(
-           |'cos', ${dotExpr("embedding", "c.centroid")} /
-           |  (dnrm * sqrt(graft_dot(c.centroid, c.centroid))),
-           |'nl', -c.c_label))) as best"""
-          .stripMargin.replace("\n", " "))
+        // r21: native routing argmax — bit-identical to the HOF chain
+        "graft_route_max(embedding, dnrm, cb) as best")
       .selectExpr("vec_id", "de", "dnrm", "cb", "cast(-best.nl as int) as q_cell")
       // the delta's residual about ITS probed cell (q115's float cast)
       .selectExpr("vec_id", "de", "dnrm", "q_cell",
@@ -5305,11 +5295,8 @@ object Similarity {
       .selectExpr("vec_id", "embedding", "cb",
         s"sqrt(${dotExpr("embedding", "embedding")}) as dnrm")
       .selectExpr("vec_id", "embedding as orig", "cb",
-        s"""array_max(transform(cb, c -> named_struct(
-           |'cos', ${dotExpr("embedding", "c.centroid")} /
-           |  (dnrm * sqrt(graft_dot(c.centroid, c.centroid))),
-           |'nl', -c.c_label))) as best"""
-          .stripMargin.replace("\n", " "))
+        // r21: native routing argmax — bit-identical to the HOF chain
+        "graft_route_max(embedding, dnrm, cb) as best")
       .selectExpr("vec_id", "orig", "cb", "cast(-best.nl as int) as c_label")
       .selectExpr("vec_id", "cast(0 as int) as label", "c_label", "orig",
         s"""transform(sequence(1, ${PqM * PqSub}), i -> cast(

@@ -2886,6 +2886,90 @@ class ExtensionsSpec extends SparkSpec {
     assert(missing.collect().forall(_.isNullAt(0)), "missing code did not null")
   }
 
+  test("graft_route_max (native) == array_max/transform cosine HOF chain, bit-identical incl. ties (r21)") {
+    // the coarse-routing argmax of every IVF/ANN/PQ build/merge/probe:
+    // same dot / (nrm * sqrt(cc)) operation order, SQL double order,
+    // ties to the highest nl (= lowest c_label)
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      (1L, Array(0.5f, -1.25f, 2.0f, 0.125f)),
+      (2L, Array(-2.0f, 0.0f, 1.0f, 1.0f)),
+      (3L, Array(0.1f, 0.2f, 0.3f, 0.4f)))
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding",
+        "sqrt(graft_dot(embedding, embedding)) as nrm")
+    // cells 1 and 2 are SCALED copies of one direction — identical cos,
+    // the tie must resolve to the lower c_label
+    val cells = Seq(
+      (1, Array(1.0, 0.5, -0.25, 2.0)), (2, Array(2.0, 1.0, -0.5, 4.0)),
+      (3, Array(-1.0, 1.0 / 3.0, 7.5, 0.125)))
+      .toDF("c_label", "centroid")
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
+    val joined = rows.crossJoin(broadcast(cells))
+    val hof = joined.selectExpr("vec_id",
+      """array_max(transform(cells, c -> named_struct(
+        |'cos', graft_dot(embedding, c.centroid) /
+        |  (nrm * sqrt(graft_dot(c.centroid, c.centroid))),
+        |'nl', -c.c_label))) as best""".stripMargin.replace("\n", " "))
+    val nat = joined.selectExpr("vec_id",
+      "graft_route_max(embedding, nrm, cells) as best")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map { r =>
+        val b = r.getStruct(1)
+        (r.getLong(0),
+          java.lang.Double.doubleToLongBits(b.getDouble(0)), b.getInt(1))
+      }.sortBy(_._1).toList
+    assert(canon(nat) == canon(hof), "native route_max != HOF chain")
+    // scaling preserves the cosine exactly only when the scaled dots
+    // round identically — assert the tie rule directly instead: two
+    // IDENTICAL centroids under different labels
+    val tieCells = Seq((2, Array(1.0, 0.5, -0.25, 2.0)), (1, Array(1.0, 0.5, -0.25, 2.0)))
+      .toDF("c_label", "centroid")
+      .agg(sort_array(collect_list(struct(col("c_label"), col("centroid")))).as("cells"))
+    val tie = rows.crossJoin(broadcast(tieCells))
+    val tieHof = tie.selectExpr("vec_id",
+      """array_max(transform(cells, c -> named_struct(
+        |'cos', graft_dot(embedding, c.centroid) /
+        |  (nrm * sqrt(graft_dot(c.centroid, c.centroid))),
+        |'nl', -c.c_label))) as best""".stripMargin.replace("\n", " "))
+    val tieNat = tie.selectExpr("vec_id",
+      "graft_route_max(embedding, nrm, cells) as best")
+    assert(canon(tieNat) == canon(tieHof), "tie case diverged")
+    assert(canon(tieNat).forall(_._3 == -1), "tie not lowest c_label")
+  }
+
+  test("graft_km_best (native) == array_min/transform Lloyd-assignment HOF chain, bit-identical (r21)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      (1L, Array(0.5f, -1.25f, 2.0f, 0.125f)),
+      (2L, Array(-2.0f, 0.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding",
+        "graft_dot(embedding, embedding) as ee")
+    val cells = Seq(
+      (1, Array(1.0, 0.5, -0.25, 2.0)), (0, Array(0.1, 0.2, 0.3, 0.4)),
+      (2, Array(-1.0, 1.0 / 3.0, 7.5, 0.125)))
+      .toDF("cid", "c")
+      .selectExpr("cid", "c", "graft_dot(c, c) as cc")
+      .agg(sort_array(collect_list(struct(col("cid"), col("c"), col("cc")))).as("cells"))
+    val joined = rows.crossJoin(broadcast(cells))
+    val hof = joined.selectExpr("vec_id",
+      """array_min(transform(cells, x -> named_struct(
+        |'d', (ee - (2 * graft_dot(embedding, x.c))) + x.cc,
+        |'cid', x.cid))) as best""".stripMargin.replace("\n", " "))
+    val nat = joined.selectExpr("vec_id",
+      "graft_km_best(embedding, ee, cells) as best")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map { r =>
+        val b = r.getStruct(1)
+        (r.getLong(0),
+          java.lang.Double.doubleToLongBits(b.getDouble(0)), b.getInt(1))
+      }.sortBy(_._1).toList
+    assert(canon(nat) == canon(hof), "native km_best != HOF chain")
+  }
+
   test("parquetFooterRows == Spark count, flat and partitioned; per-partition footer counts == groupBy (r21)") {
     // the r21 read-back discipline: the index builds' "count what I just
     // wrote" tails answer from the written files' parquet footers (zero
